@@ -1,0 +1,239 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The engine's lazy relational stream — the user-facing API.
+  *
+  * Semantics follow the reference `DataStream` (pyquokka/datastream.py:15):
+  * a lazy, unordered bag of rows with a Polars/Spark-like method surface.
+  * Here it wraps a Spark `DataFrame`, so plan construction, optimization
+  * (predicate pushdown, column pruning, join reorder — reference df.py
+  * passes 2-7) and execution are all Catalyst/Tungsten; only semantics the
+  * reference adds on top (suffix-renaming joins, clip, top-k sugar, ...)
+  * live here.
+  *
+  * All methods are lazy; `collect()`/`compute()` trigger execution
+  * (reference datastream.py:75-116).
+  */
+class DataStream(val df: DataFrame) {
+  def spark: SparkSession = df.sparkSession
+  def schema: Seq[String] = df.columns.toSeq
+  def sparkSchema: StructType = df.schema
+
+  // ---- sinks (reference datastream.py:75-276) -------------------------
+  def collect(): Array[Row] = df.collect()
+  /** Materialize cluster-wide (reference `compute` → cached DataSet). */
+  def compute(): DataStream = { val c = df.persist(); c.count(); new DataStream(c) }
+  def explain(mode: String = "formatted"): Unit = df.explain(mode)
+  /** Parallel directory-of-files write (reference datastream.py:129-276).
+    * `outputLineLimit` maps to Parquet row-group/file sizing. */
+  def writeParquet(loc: String, maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(loc)
+  }
+  def writeCsv(loc: String, maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.write.mode("overwrite").option("header", "true")
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).csv(loc)
+  }
+
+  // ---- projection / filter / per-batch compute (datastream.py:278-903) -
+  def filter(cond: Column): DataStream = new DataStream(df.filter(cond))
+  /** SQL WHERE predicate (reference `filter_sql`). Catalyst normalizes and
+    * pushes down — the reference's CNF machinery (datastream.py:368-390)
+    * is built-in here. */
+  def filterSql(predicate: String): DataStream = new DataStream(df.filter(expr(predicate)))
+  def select(cols: String*): DataStream = new DataStream(df.select(cols.map(col): _*))
+  def selectCols(cols: Seq[Column]): DataStream = new DataStream(df.select(cols: _*))
+  def drop(cols: String*): DataStream = new DataStream(df.drop(cols: _*))
+  def rename(mapping: Map[String, String]): DataStream =
+    new DataStream(df.withColumnsRenamed(mapping))
+  /** Add N computed columns (reference `with_columns`, datastream.py:1209). */
+  def withColumns(cols: Map[String, Column]): DataStream =
+    new DataStream(df.withColumns(cols))
+  /** SQL flavor with mandatory aliases (reference `with_columns_sql`). */
+  def withColumnsSql(exprs: String*): DataStream =
+    new DataStream(df.selectExpr("*" +: exprs: _*))
+  /** Arbitrary partition-wise UDF — the reference's `transform`
+    * (datastream.py:652-739): batch-in/batch-out, any cardinality.
+    * Operator fusion ("foldable") is whole-stage codegen territory and
+    * automatic. */
+  def transform[T: Encoder](f: Iterator[Row] => Iterator[T]): org.apache.spark.sql.Dataset[T] =
+    df.mapPartitions(f)
+  /** Per-batch SQL — in the reference this is the partial-agg building
+    * block (datastream.py:741-815); in Spark partial aggregation is
+    * automatic, so this is just selectExpr/groupBy sugar. */
+  def transformSql(exprs: Seq[String], groupBy: Seq[String] = Nil): DataStream =
+    if (groupBy.isEmpty) new DataStream(df.selectExpr(exprs: _*))
+    else new DataStream(df.groupBy(groupBy.map(col): _*).agg(
+      expr(exprs.head), exprs.tail.map(expr): _*))
+  /** Clamp values (reference `clip`, datastream.py:867-903). */
+  def clip(bounds: Map[String, (Double, Double)]): DataStream =
+    new DataStream(df.withColumns(bounds.map { case (c, (lo, hi)) =>
+      c -> least(greatest(col(c), lit(lo)), lit(hi))
+    }))
+  /** Bag union, same schema (reference datastream.py:817-865). */
+  def union(other: DataStream): DataStream = new DataStream(df.union(other.df))
+  def intersect(other: DataStream): DataStream = new DataStream(df.intersect(other.df))
+  def exceptAll(other: DataStream): DataStream = new DataStream(df.except(other.df))
+
+  /** Stateful custom operator — the reference's extensibility API
+    * (`stateful_transform`, datastream.py:1312-1367): partition by key,
+    * order within partition, run a stateful iterator. */
+  def statefulTransform[T: Encoder](
+      partitionBy: Seq[String],
+      orderWithinPartitionBy: Seq[String])(
+      f: Iterator[Row] => Iterator[T]): org.apache.spark.sql.Dataset[T] = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(parts, partitionBy.map(col): _*)
+      .sortWithinPartitions((partitionBy ++ orderWithinPartitionBy).map(col): _*)
+      .mapPartitions(f)
+  }
+
+  // ---- joins (datastream.py:1420-1603) --------------------------------
+  /** Equi-join with the reference's suffix semantics: overlapping non-key
+    * right columns get `suffix` appended (datastream.py:1455-1471); the
+    * join key appears once. how ∈ inner|left|semi|anti (+right/outer for
+    * parity-plus). Broadcast choice is Catalyst/AQE; `broadcastRight`
+    * forces the hint (reference's materialized-side broadcast join). */
+  def join(
+      right: DataStream,
+      leftOn: String,
+      rightOn: String,
+      how: String = "inner",
+      suffix: String = "_2",
+      broadcastRight: Boolean = false): DataStream = {
+    val sparkHow = how match {
+      case "semi" => "left_semi"
+      case "anti" => "left_anti"
+      case h => h
+    }
+    val l = df
+    val overlap = l.columns.toSet.intersect(right.df.columns.toSet) - rightOn
+    val r0 = overlap.foldLeft(right.df)((d, c) => d.withColumnRenamed(c, c + suffix))
+    val r = if (broadcastRight) broadcast(r0) else r0
+    val joined = l.join(r, l(leftOn) === r(rightOn), sparkHow)
+    val out = sparkHow match {
+      case "left_semi" | "left_anti" => joined
+      case _ if leftOn == rightOn => joined.drop(r(rightOn))
+      case _ => joined
+    }
+    new DataStream(out)
+  }
+  def join(right: DataStream, on: String): DataStream = join(right, on, on)
+  def join(right: DataStream, on: String, how0: String): DataStream =
+    join(right, on, on, how0)
+  /** Raw-condition join (theta/range residues — reference handles non-equi
+    * conjuncts as post-join filters, sql_executors.py:379-450; Catalyst
+    * extracts equi parts + residual natively). */
+  def joinOn(right: DataStream, cond: Column, how: String = "inner"): DataStream =
+    new DataStream(df.join(right.df, cond, how))
+
+  // ---- dedup / distinct (datastream.py:1369-1418) ---------------------
+  def distinct(keys: Seq[String] = Nil): DataStream =
+    if (keys.isEmpty) new DataStream(df.distinct())
+    else new DataStream(df.select(keys.map(col): _*).distinct())
+  def dropDuplicates(keys: Seq[String]): DataStream =
+    new DataStream(df.dropDuplicates(keys))
+
+  // ---- aggregation (datastream.py:1605-2063) --------------------------
+  def groupby(keys: String*): GroupedDataStream = new GroupedDataStream(df, keys)
+  /** Global aggregate from a {col → op} spec (reference `agg`). Ops:
+    * sum|avg|mean|min|max|count|std|var; key "*" with "count" = row count. */
+  def agg(spec: Map[String, String]): DataStream =
+    new DataStream(df.agg(GroupedDataStream.specToCols(spec).head,
+      GroupedDataStream.specToCols(spec).tail: _*))
+  /** Arbitrary SQL aggregation expressions (reference `agg_sql`,
+    * datastream.py:1934-1960 — its partial/final decomposition is
+    * Catalyst-automatic here). */
+  def aggSql(exprs: String*): DataStream =
+    new DataStream(df.agg(expr(exprs.head), exprs.tail.map(expr): _*))
+  def count(): Long = df.count()
+  private def aggAll(cols: Seq[String], op: String): DataStream = {
+    val exprs = cols.map(c => expr(s"$op($c)").as(s"${c}_$op"))
+    new DataStream(df.agg(exprs.head, exprs.tail: _*))
+  }
+  def sum(cols: String*): DataStream = aggAll(cols, "sum")
+  def max(cols: String*): DataStream = aggAll(cols, "max")
+  def min(cols: String*): DataStream = aggAll(cols, "min")
+  def mean(cols: String*): DataStream = aggAll(cols, "avg")
+  /** Exact distinct count (reference datastream.py:1769-1816; warns OOM —
+    * Spark's is shuffle-based and scales). */
+  def countDistinct(cols: String*): DataStream =
+    new DataStream(df.agg(count_distinct(col(cols.head), cols.tail.map(col): _*)
+      .as("count_distinct")))
+  /** Scalable approximate variant (reference lacks it; parity-plus). */
+  def approxCountDistinct(c: String, rsd: Double = 0.05): DataStream =
+    new DataStream(df.agg(approx_count_distinct(col(c), rsd).as("approx_count_distinct")))
+
+  /** Approximate quantiles. The reference does t-digest-per-partition then
+    * *mean of per-partition quantiles* (datastream.py:926-930 — an
+    * approximation of the approximation); we use Spark's Greenwald-Khanna
+    * (`approx_percentile`), which is strictly better-behaved. Documented
+    * semantic divergence per SURVEY §7.4. */
+  def approximateQuantile(c: String, quantiles: Seq[Double], accuracy: Int = 10000): DataStream =
+    new DataStream(df.agg(percentile_approx(col(c),
+      array(quantiles.map(lit): _*), lit(accuracy)).as("quantiles")))
+  /** Exact quantile (sort-based; for oracle-verifiable correctness). */
+  def exactQuantile(c: String, quantiles: Seq[Double]): DataStream =
+    new DataStream(df.agg(expr(
+      s"percentile($c, array(${quantiles.mkString(",")}))").as("quantiles")))
+
+  // ---- sorts / top-k (datastream.py:1702-1767) ------------------------
+  /** Global top-k — Spark plans this as TakeOrderedAndProject, i.e. the
+    * reference's partial-topk-then-merge (sql_executors.py:45-67) for free. */
+  def topK(sortCols: Seq[String], k: Int, descending: Boolean = false): DataStream = {
+    val ordering = sortCols.map(c => if (descending) col(c).desc else col(c).asc)
+    new DataStream(df.orderBy(ordering: _*).limit(k))
+  }
+  def sort(sortCols: Seq[String], descending: Boolean = false): DataStream = {
+    val ordering = sortCols.map(c => if (descending) col(c).desc else col(c).asc)
+    new DataStream(df.orderBy(ordering: _*))
+  }
+
+  // ---- ordered / vector entry points ----------------------------------
+  /** Declare a sortedness contract, yielding the ordered-operator surface
+    * (reference OrderedStream, orderedstream.py:3). */
+  def asOrdered(timeCol: String): OrderedStream = new OrderedStream(df, timeCol)
+}
+
+/** Result of `groupby` (reference GroupedDataStream, datastream.py:2066). */
+class GroupedDataStream(private val df: DataFrame, val keys: Seq[String]) {
+  private def grouped = df.groupBy(keys.map(col): _*)
+  /** {col → op} aggregation (reference datastream.py:2125-2160). */
+  def agg(spec: Map[String, String]): DataStream = {
+    val cols = GroupedDataStream.specToCols(spec)
+    new DataStream(grouped.agg(cols.head, cols.tail: _*))
+  }
+  /** Arbitrary SQL agg expressions (reference grouped `agg_sql`). */
+  def aggSql(exprs: String*): DataStream =
+    new DataStream(grouped.agg(expr(exprs.head), exprs.tail.map(expr): _*))
+  def count(): DataStream = new DataStream(grouped.count())
+  def countDistinct(cols: String*): DataStream =
+    new DataStream(grouped.agg(count_distinct(col(cols.head), cols.tail.map(col): _*)
+      .as("count_distinct")))
+  /** Co-partitioned two-input custom operator (reference `cogroup`,
+    * datastream.py:2073-2111) — exact analog of KeyValueGroupedDataset.cogroup. */
+  def cogroup[K: Encoder, T: Encoder](
+      other: GroupedDataStream, keyExtract: Row => K)(
+      f: (K, Iterator[Row], Iterator[Row]) => Iterator[T]): org.apache.spark.sql.Dataset[T] =
+    df.groupByKey(keyExtract).cogroup(other.df.groupByKey(keyExtract))(f)
+}
+
+object GroupedDataStream {
+  private[api] def specToCols(spec: Map[String, String]): Seq[Column] =
+    spec.toSeq.map {
+      case ("*", "count") => count(lit(1)).as("count")
+      case (c, "sum") => sum(col(c)).as(c + "_sum")
+      case (c, "avg" | "mean") => avg(col(c)).as(c + "_mean")
+      case (c, "min") => min(col(c)).as(c + "_min")
+      case (c, "max") => max(col(c)).as(c + "_max")
+      case (c, "count") => count(col(c)).as(c + "_count")
+      case (c, "std") => stddev(col(c)).as(c + "_std")
+      case (c, "var") => variance(col(c)).as(c + "_var")
+      case (c, op) => expr(s"$op($c)").as(s"${c}_$op")
+    }
+}

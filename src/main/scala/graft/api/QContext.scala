@@ -1,0 +1,79 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Session/context object — the engine's entry point.
+  *
+  * Mirrors the reference context's read surface (reference:
+  * pyquokka/df.py:264-832) re-expressed on `spark.read`. Where the
+  * reference hand-rolls schema sniffing, small-file materialization and
+  * S3-prefix walking, Spark's DataSource framework already does all of it,
+  * so this class is a thin veneer that returns [[DataStream]] wrappers.
+  */
+class QContext(val spark: SparkSession) {
+
+  /** CSV file or directory (reference df.py:264-411). */
+  def readCsv(
+      path: String,
+      schema: Option[StructType] = None,
+      hasHeader: Boolean = true,
+      sep: String = ","): DataStream = {
+    var r = spark.read.option("sep", sep).option("header", hasHeader.toString)
+    r = schema.map(r.schema).getOrElse(r.option("inferSchema", "true"))
+    new DataStream(r.csv(path))
+  }
+
+  /** Parquet file/dir/prefix (reference df.py:413-562). `nameColumn` adds
+    * the source filename (reference's `name_column`) via
+    * `input_file_name()`. */
+  def readParquet(path: String, nameColumn: Option[String] = None): DataStream = {
+    val df = spark.read.parquet(path)
+    new DataStream(nameColumn.fold(df)(c =>
+      df.withColumn(c, org.apache.spark.sql.functions.input_file_name())))
+  }
+
+  /** JSON lines (reference dataset/unordered_readers.py:445-593). */
+  def readJson(path: String, schema: Option[StructType] = None): DataStream = {
+    val r = spark.read
+    new DataStream(schema.map(r.schema).getOrElse(r).json(path))
+  }
+
+  /** Directory of binary blobs → (path, modificationTime, length, content)
+    * (reference df.py:213-253 `read_files`). */
+  def readFiles(path: String): DataStream =
+    new DataStream(spark.read.format("binaryFile").load(path))
+
+  /** Parquet with a sortedness contract on `timeCol` — the reference's
+    * `read_sorted_parquet` (df.py:790-800). Spark gives no cross-partition
+    * order, so the contract is (re-)established lazily by the ordered
+    * operators themselves (range partition + sortWithinPartitions); this
+    * just tags the stream. */
+  def readSortedParquet(path: String, timeCol: String): OrderedStream =
+    new OrderedStream(spark.read.parquet(path), timeCol)
+
+  def readSortedCsv(
+      path: String,
+      timeCol: String,
+      schema: Option[StructType] = None,
+      hasHeader: Boolean = true,
+      sep: String = ","): OrderedStream =
+    new OrderedStream(readCsv(path, schema, hasHeader, sep).df, timeCol)
+
+  /** Local data → stream (reference df.py:713-788 from_polars/pandas/arrow). */
+  def fromDataFrame(df: DataFrame): DataStream = new DataStream(df)
+
+  def fromSeq[T: org.apache.spark.sql.Encoder](rows: Seq[T]): DataStream =
+    new DataStream(spark.createDataset(rows).toDF())
+
+  /** Re-stream a cached result (reference df.py:665-710 read_dataset). */
+  def readDataset(ds: DataStream): DataStream = ds
+
+  /** Native SQL entry point. The reference transpiles DuckDB plans into its
+    * DataStream API (pyquokka/sql.py:74-280); Spark parses SQL natively. */
+  def sql(query: String): DataStream = new DataStream(spark.sql(query))
+}
+
+object QContext {
+  def apply(spark: SparkSession): QContext = new QContext(spark)
+}

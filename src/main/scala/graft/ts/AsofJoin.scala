@@ -1,0 +1,132 @@
+package graft.ts
+
+import graft.api.OrderedStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Backward as-of join on two ordered streams, per `by` symbol — the
+  * semantics of the reference's `join_asof` (orderedstream.py:114-191) /
+  * `SortedAsofExecutor` (ts_executors.py:324-383): for each left (trade)
+  * row, attach the latest right (quote) row with right.time <= left.time
+  * and the same `by` key.
+  *
+  * Two formulations (SURVEY §2.4):
+  *   - `unionTag` (default): union both sides with a side tag and take
+  *     `last(right_col, ignoreNulls) OVER (PARTITION BY by ORDER BY time,
+  *     side ROWS UNBOUNDED PRECEDING)`. One shuffle on `by`, whole-stage
+  *     codegen end-to-end, AQE-friendly — scales to arbitrary key counts
+  *     and is skew-tolerant (a hot symbol is one sorted partition-stream,
+  *     exactly the reference's layout).
+  *   - `coGrouped`: per-key merge of the two sorted iterators — mirrors
+  *     the reference's streaming state machine; kept for memory-profile
+  *     comparison on extreme single-key skew.
+  */
+object AsofJoin {
+
+  /** Union-tag formulation. Right columns (except `by`) appear in the
+    * output, suffixed when they collide with a left column. Exact time
+    * ties match (right sorts before left at equal time). `tolerance`
+    * (in time-column units, seconds for timestamps) drops matches older
+    * than `left.time - tolerance`. */
+  def unionTag(
+      left: OrderedStream,
+      right: OrderedStream,
+      by: String,
+      suffix: String = "_right",
+      tolerance: Option[Long] = None): OrderedStream = {
+    val lt = left.timeCol
+    val rt = right.timeCol
+    val l = left.df
+    val r = right.df
+    val leftCols = l.columns.toSeq
+    // right payload = everything but the key; suffix on collision with left
+    val rightPayload = r.columns.toSeq.filterNot(_ == by).map { c =>
+      c -> (if (leftCols.contains(c)) c + suffix else c)
+    }
+    val outRight = rightPayload.map(_._2)
+
+    // Common layout: (by, __t, side, leftCols..., rightPayload...)
+    val lTagged = l
+      .withColumn("__t", col(lt).cast(DoubleType))
+      .withColumn("__side", lit(1))
+      .select(Seq(col(by), col("__t"), col("__side")) ++
+        leftCols.filterNot(_ == by).map(col) ++
+        rightPayload.map { case (_, out) => lit(null).as(out) }: _*)
+    val rTagged = r
+      .withColumn("__t", col(rt).cast(DoubleType))
+      .withColumn("__side", lit(0))
+      .select(Seq(col(by), col("__t"), col("__side")) ++
+        leftCols.filterNot(_ == by).map(_ => lit(null)).zip(leftCols.filterNot(_ == by))
+          .map { case (c, name) => c.as(name) } ++
+        rightPayload.map { case (in, out) => col(in).as(out) }: _*)
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(by)).orderBy(col("__t"), col("__side"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val filled = lTagged.unionByName(rTagged)
+      .withColumns((outRight.map { c =>
+        c -> last(col(c), ignoreNulls = true).over(w)
+      } :+ ("__rt" -> last(when(col("__side") === 0, col("__t")),
+        ignoreNulls = true).over(w))).toMap)
+
+    val matched = tolerance.foldLeft(
+      filled.filter(col("__side") === 1)
+    )((d, tol) => d.withColumns(outRight.map { c =>
+      c -> when(col("__t") - col("__rt") <= tol.toDouble, col(c))
+    }.toMap))
+
+    new OrderedStream(
+      matched.select(leftCols.map(col) ++ outRight.map(col): _*), lt)
+  }
+
+  /** Cogroup formulation: hash-partition both sides by key, merge the two
+    * time-sorted iterators per key with O(1) state — the reference's
+    * executor loop, minus its watermark bookkeeping (Spark's sort gives us
+    * whole-key iterators). Returns rows as (left fields ++ right payload
+    * fields). Used by tests to cross-check `unionTag`. */
+  def coGrouped(
+      left: OrderedStream,
+      right: OrderedStream,
+      by: String,
+      suffix: String = "_right"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    val lt = left.timeCol
+    val rt = right.timeCol
+    val l = left.df.withColumn("__t", col(lt).cast(DoubleType))
+    val r = right.df.withColumn("__t", col(rt).cast(DoubleType))
+    val leftCols = left.df.columns.toSeq
+    val rightPayload = right.df.columns.toSeq.filterNot(_ == by).map { c =>
+      c -> (if (leftCols.contains(c)) c + suffix else c)
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      left.df.schema.fields ++ rightPayload.map { case (in, out) =>
+        right.df.schema(in).copy(name = out, nullable = true)
+      })
+    implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    val lIdxT = l.columns.indexOf("__t")
+    val rIdxT = r.columns.indexOf("__t")
+    val lKeep = leftCols.map(c => l.columns.indexOf(c))
+    val rKeep = rightPayload.map { case (in, _) => r.columns.indexOf(in) }
+    val keyIdxL = l.columns.indexOf(by)
+    val keyIdxR = r.columns.indexOf(by)
+    l.groupByKey((row: Row) => String.valueOf(row.get(keyIdxL)))
+      .cogroup(r.groupByKey((row: Row) => String.valueOf(row.get(keyIdxR)))) {
+        (_: String, lit0: Iterator[Row], rit0: Iterator[Row]) =>
+          val lSorted = lit0.toArray.sortBy(_.getDouble(lIdxT))
+          val rSorted = rit0.toArray.sortBy(_.getDouble(rIdxT))
+          var j = 0
+          var lastQuote: Row = null
+          lSorted.iterator.map { lrow =>
+            val t = lrow.getDouble(lIdxT)
+            while (j < rSorted.length && rSorted(j).getDouble(rIdxT) <= t) {
+              lastQuote = rSorted(j); j += 1
+            }
+            val rvals =
+              if (lastQuote == null) rKeep.map(_ => null)
+              else rKeep.map(lastQuote.get)
+            Row.fromSeq(lKeep.map(lrow.get) ++ rvals)
+          }
+      }
+  }
+}
