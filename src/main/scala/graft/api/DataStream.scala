@@ -78,7 +78,7 @@ class DataStream(val df: DataFrame) {
   /** Bag union, same schema (reference datastream.py:817-865). */
   def union(other: DataStream): DataStream = new DataStream(df.union(other.df))
   def intersect(other: DataStream): DataStream = new DataStream(df.intersect(other.df))
-  def exceptAll(other: DataStream): DataStream = new DataStream(df.except(other.df))
+  def except(other: DataStream): DataStream = new DataStream(df.except(other.df))
 
   /** Stateful custom operator — the reference's extensibility API
     * (`stateful_transform`, datastream.py:1312-1367): partition by key,
@@ -123,9 +123,10 @@ class DataStream(val df: DataFrame) {
     }
     new DataStream(out)
   }
-  def join(right: DataStream, on: String): DataStream = join(right, on, on)
-  def join(right: DataStream, on: String, how0: String): DataStream =
-    join(right, on, on, how0)
+  /** Single shared-name key variant; `how` is explicit-by-name only to
+    * avoid ambiguity with (leftOn, rightOn). */
+  def joinKey(right: DataStream, on: String, how: String = "inner"): DataStream =
+    join(right, on, on, how)
   /** Raw-condition join (theta/range residues — reference handles non-equi
     * conjuncts as post-join filters, sql_executors.py:379-450; Catalyst
     * extracts equi parts + residual natively). */

@@ -1,11 +1,14 @@
 package graft.queries
 
-import graft.api.{DataStream, QContext}
+import graft.api.DataStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Relational operator coverage (SURVEY §2.3-2.8): each entry is a
-  * library-API query paired with DuckDB oracle SQL in `oracles`. */
+  * library-API query paired with DuckDB oracle SQL in `oracles`.
+  * Scale notes inline: joins broadcast dimension sides; aggregations are
+  * partial+final (Catalyst); sorts that feed limits plan as
+  * TakeOrderedAndProject (no global sort). */
 object RelationalQueries {
   import Tables._
 
@@ -28,6 +31,235 @@ object RelationalQueries {
           "avg(l_discount) as avg_disc",
           "count(*) as count_order")
         .sort(Seq("l_returnflag", "l_linestatus")).df
+    },
+
+    // §2.3 filter_sql + with_columns_sql + select — TPC-H Q6 predicate
+    // shape; filters and the 4-column projection push to the parquet scan.
+    "q2_filter_project" -> { (s, d) =>
+      new DataStream(lineitem(s, d))
+        .filterSql("l_shipdate >= timestamp '1994-01-01 00:00:00' and " +
+          "l_discount between 0.05 and 0.07 and l_quantity < 24")
+        .withColumnsSql("l_extendedprice * l_discount as disc_revenue")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "disc_revenue").df
+    },
+
+    // §2.4 inner join ×2 + groupby + topk — TPC-H Q3 shape
+    // (reference datastream.py:1420 join; tpch.py do_3).
+    "q3_join_inner" -> { (s, d) =>
+      val cust = new DataStream(customer(s, d)).filterSql("c_mktsegment = 'BUILDING'")
+      val ord = new DataStream(orders(s, d))
+        .filterSql("o_orderdate < timestamp '1995-03-15 00:00:00'")
+      val li = new DataStream(lineitem(s, d))
+        .filterSql("l_shipdate > timestamp '1995-03-15 00:00:00'")
+      cust.join(ord, "c_custkey", "o_custkey")
+        .join(li, "o_orderkey", "l_orderkey")
+        .groupby("o_orderkey", "o_orderdate", "o_orderpriority")
+        .aggSql("sum(l_extendedprice * (1 - l_discount)) as revenue")
+        .df.orderBy(col("revenue").desc, col("o_orderkey").asc).limit(10)
+    },
+
+    // §2.4 semi join (EXISTS) — TPC-H Q4 shape: orders with any late line.
+    "q4_join_semi" -> { (s, d) =>
+      val ord = new DataStream(orders(s, d))
+        .filterSql("o_orderdate >= timestamp '1993-07-01 00:00:00'")
+      val li = new DataStream(lineitem(s, d))
+      ord.joinOn(li, ord.df("o_orderkey") === li.df("l_orderkey") &&
+          li.df("l_shipdate") > ord.df("o_orderdate"), "left_semi")
+        .groupby("o_orderpriority")
+        .aggSql("count(*) as order_count")
+        .sort(Seq("o_orderpriority")).df
+    },
+
+    // §2.4 anti join (NOT EXISTS): customers with no high-value orders,
+    // by segment (filtered right side so the anti-join is non-trivial).
+    "q5_join_anti" -> { (s, d) =>
+      val cust = new DataStream(customer(s, d))
+      val ord = new DataStream(orders(s, d)).filterSql("o_totalprice > 250000")
+      cust.join(ord, "c_custkey", "o_custkey", "anti")
+        .groupby("c_mktsegment")
+        .aggSql("count(*) as n_customers", "sum(c_acctbal) as acctbal_sum")
+        .sort(Seq("c_mktsegment")).df
+    },
+
+    // §2.4 left outer join with null-aware aggregation.
+    "q6_join_left" -> { (s, d) =>
+      val cust = new DataStream(customer(s, d))
+      val ord = new DataStream(orders(s, d)).filterSql("o_totalprice > 1000")
+      cust.join(ord, "c_custkey", "o_custkey", "left")
+        .groupby("c_custkey")
+        .aggSql("count(o_orderkey) as n_orders",
+          "coalesce(sum(o_totalprice), 0.0) as total_spend")
+        .sort(Seq("c_custkey")).df
+    },
+
+    // §2.4 multi-way join with broadcast dims — TPC-H Q5 shape. region,
+    // nation, supplier are tiny → broadcast (no shuffle of the fact side
+    // except the orders/customer hash joins Catalyst reorders).
+    "q7_multijoin" -> { (s, d) =>
+      val reg = new DataStream(region(s, d)).filterSql("r_name = 'ASIA'")
+      val nat = new DataStream(nation(s, d))
+      val cust = new DataStream(customer(s, d))
+      val ord = new DataStream(orders(s, d))
+        .filterSql("o_orderdate >= timestamp '1994-01-01 00:00:00'")
+      val li = new DataStream(lineitem(s, d))
+      val sup = new DataStream(supplier(s, d))
+      // customer-nation-region
+      val cnr = cust.join(nat.join(reg, "n_regionkey", "r_regionkey",
+        broadcastRight = true), "c_nationkey", "n_nationkey", broadcastRight = true)
+      val co = cnr.join(ord, "c_custkey", "o_custkey")
+      val col_ = co.join(li, "o_orderkey", "l_orderkey")
+      // supplier must be in the same nation as the customer
+      col_.joinOn(new DataStream(broadcast(sup.df)),
+          col_.df("l_suppkey") === sup.df("s_suppkey") &&
+          col_.df("c_nationkey") === sup.df("s_nationkey"))
+        .groupby("n_name")
+        .aggSql("sum(l_extendedprice * (1 - l_discount)) as revenue")
+        .sort(Seq("n_name")).df
+    },
+
+    // §2.5 distinct on a key subset (reference datastream.py:1369).
+    "q8_distinct" -> { (s, d) =>
+      new DataStream(lineitem(s, d))
+        .distinct(Seq("l_returnflag", "l_linestatus", "l_suppkey"))
+        .sort(Seq("l_returnflag", "l_linestatus", "l_suppkey")).df
+    },
+
+    // §2.5 grouped exact count_distinct (reference datastream.py:1769).
+    "q9_count_distinct" -> { (s, d) =>
+      new DataStream(orders(s, d))
+        .groupby("o_orderpriority")
+        .aggSql("count(distinct o_custkey) as n_custs",
+          "count(*) as n_orders")
+        .sort(Seq("o_orderpriority")).df
+    },
+
+    // §2.6 top-k — plans as TakeOrderedAndProject (partial top-k per
+    // partition + merge, the reference's two-phase topk for free).
+    "q10_topk" -> { (s, d) =>
+      new DataStream(orders(s, d))
+        .topK(Seq("o_totalprice", "o_orderkey"), 15, descending = true)
+        .select("o_orderkey", "o_custkey", "o_totalprice").df
+    },
+
+    // §2.3 union (bag semantics = UNION ALL, reference datastream.py:817).
+    "q11_union" -> { (s, d) =>
+      val hi = new DataStream(orders(s, d)).filterSql("o_totalprice > 400000")
+      val urgent = new DataStream(orders(s, d))
+        .filterSql("o_orderpriority = '1-URGENT' and o_totalprice > 380000")
+      hi.union(urgent).select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .groupby("o_orderpriority")
+        .aggSql("count(*) as n", "sum(o_totalprice) as total")
+        .sort(Seq("o_orderpriority")).df
+    },
+
+    // §2.5 conditional aggregation (CASE WHEN inside agg) — TPC-H Q14
+    // promo-revenue shape over part⨝lineitem.
+    "q12_case_agg" -> { (s, d) =>
+      val li = new DataStream(lineitem(s, d))
+        .filterSql("l_shipdate >= timestamp '1995-09-01 00:00:00' and " +
+          "l_shipdate < timestamp '1995-10-01 00:00:00'")
+      val p = new DataStream(part(s, d))
+      li.join(p, "l_partkey", "p_partkey")
+        .aggSql(
+          "100.0 * sum(case when p_type like 'PROMO%' then " +
+            "l_extendedprice * (1 - l_discount) else 0.0 end) / " +
+            "sum(l_extendedprice * (1 - l_discount)) as promo_revenue",
+          "count(*) as n_lines").df
+    },
+
+    // §2.3 clip (reference datastream.py:867).
+    "q13_clip" -> { (s, d) =>
+      new DataStream(lineitem(s, d))
+        .clip(Map("l_quantity" -> (5.0, 45.0), "l_discount" -> (0.02, 0.06)))
+        .groupby("l_returnflag")
+        .aggSql("sum(l_quantity) as clipped_qty_sum",
+          "sum(l_discount) as clipped_disc_sum",
+          "count(*) as n")
+        .sort(Seq("l_returnflag")).df
+    },
+
+    // §2.3 rename + drop (reference datastream.py:545-650).
+    "q14_rename_drop" -> { (s, d) =>
+      new DataStream(nation(s, d))
+        .rename(Map("n_name" -> "nation_name", "n_nationkey" -> "nation_key"))
+        .drop("n_regionkey")
+        .sort(Seq("nation_key")).df
+    },
+
+    // §2.3 with_columns: N computed columns (reference datastream.py:1209).
+    "q15_with_columns" -> { (s, d) =>
+      new DataStream(lineitem(s, d))
+        .filterSql("l_orderkey % 100 = 0")
+        .withColumns(Map(
+          "disc_price" -> (col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          "charge" -> (col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))),
+          "ship_year" -> year(col("l_shipdate"))))
+        .select("l_orderkey", "l_linenumber", "disc_price", "charge", "ship_year")
+        .sort(Seq("l_orderkey", "l_linenumber")).df
+    },
+
+    // §2.5 grouping sets: CUBE (reference lacks it — parity-plus).
+    "q16_cube" -> { (s, d) =>
+      lineitem(s, d).cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+    },
+
+    // §2.5 ROLLUP (parity-plus).
+    "q17_rollup" -> { (s, d) =>
+      orders(s, d).rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+    },
+
+    // §2.6/§2.8 SQL window functions: rank within group (top-2 orders per
+    // customer) — reference expresses this only via executors; native here.
+    "q18_window_rank" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+    },
+
+    // §2.7 intersect (distinct semantics both engines).
+    "q19_intersect" -> { (s, d) =>
+      val a = new DataStream(customer(s, d)).filterSql("c_mktsegment = 'BUILDING'")
+        .select("c_nationkey")
+      val b = new DataStream(customer(s, d)).filterSql("c_mktsegment = 'MACHINERY'")
+        .select("c_nationkey")
+      a.intersect(b).sort(Seq("c_nationkey")).df
+    },
+
+    // §2.7 except (distinct semantics both engines).
+    "q20_except" -> { (s, d) =>
+      val a = new DataStream(orders(s, d)).select("o_custkey")
+      val b = new DataStream(orders(s, d)).filterSql("o_totalprice > 100000")
+        .select("o_custkey")
+      a.except(b).sort(Seq("o_custkey")).df
+    },
+
+    // §2.5 global (ungrouped) aggregate incl. min/max/avg/std.
+    "q21_global_agg" -> { (s, d) =>
+      new DataStream(lineitem(s, d))
+        .aggSql(
+          "count(*) as n_rows",
+          "sum(l_quantity) as sum_qty",
+          "min(l_extendedprice) as min_price",
+          "max(l_extendedprice) as max_price",
+          "avg(l_discount) as avg_disc",
+          "stddev_samp(l_quantity) as std_qty",
+          "count(distinct l_suppkey) as n_supps").df
+    },
+
+    // §2.6 full multi-column sort (Tungsten external sort).
+    "q22_sort" -> { (s, d) =>
+      new DataStream(lineitem(s, d))
+        .filterSql("l_quantity >= 49")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .df.orderBy(col("l_quantity").desc, col("l_shipdate").asc,
+          col("l_orderkey").asc, col("l_linenumber").asc)
     }
   )
 
@@ -45,6 +277,129 @@ object RelationalQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  l_extendedprice * l_discount AS disc_revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q3_join_inner" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q4_join_semi" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1993-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_join_anti" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  sum(c_acctbal) AS acctbal_sum
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q6_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  coalesce(sum(o_totalprice), 0.0) AS total_spend
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 1000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q7_multijoin" ->
+      """SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q8_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus, l_suppkey
+        |FROM lineitem ORDER BY 1, 2, 3""".stripMargin,
+    "q9_count_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q10_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 15""".stripMargin,
+    "q11_union" ->
+      """SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+        |FROM (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_totalprice > 400000
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 380000
+        |) GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q12_case_agg" ->
+      """SELECT 100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+        |  sum(l_extendedprice * (1 - l_discount)) AS promo_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin,
+    "q13_clip" ->
+      """SELECT l_returnflag,
+        |  sum(least(greatest(l_quantity, 5.0), 45.0)) AS clipped_qty_sum,
+        |  sum(least(greatest(l_discount, 0.02), 0.06)) AS clipped_disc_sum,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q14_rename_drop" ->
+      """SELECT n_nationkey AS nation_key, n_name AS nation_name
+        |FROM nation ORDER BY nation_key""".stripMargin,
+    "q15_with_columns" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS disc_price,
+        |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+        |  year(l_shipdate) AS ship_year
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q16_cube" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q17_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, sum(o_totalprice) AS total,
+        |  count(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q18_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 2""".stripMargin,
+    "q19_intersect" ->
+      """SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |ORDER BY c_nationkey""".stripMargin,
+    "q20_except" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        |ORDER BY o_custkey""".stripMargin,
+    "q21_global_agg" ->
+      """SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |  avg(l_discount) AS avg_disc, stddev_samp(l_quantity) AS std_qty,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem""".stripMargin,
+    "q22_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem WHERE l_quantity >= 49
+        |ORDER BY l_quantity DESC, l_shipdate, l_orderkey, l_linenumber""".stripMargin
   )
 }

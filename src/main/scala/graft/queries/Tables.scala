@@ -13,7 +13,14 @@ object Tables {
   def part(s: SparkSession, d: String) = t(s, d, "part")
   def nation(s: SparkSession, d: String) = t(s, d, "nation")
   def region(s: SparkSession, d: String) = t(s, d, "region")
-  def events(s: SparkSession, d: String) = t(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; read nanos as long and convert (µs precision — the driver
+    * data carries µs). */
+  def events(s: SparkSession, d: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String) = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")
 }
