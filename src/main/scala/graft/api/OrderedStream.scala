@@ -45,8 +45,9 @@ class OrderedStream(df0: DataFrame, val timeCol: String) extends DataStream(df0)
   def windowedTransform(
       window: graft.ts.WindowSpec,
       by: String,
-      aggs: Map[String, Column]): OrderedStream =
-    graft.ts.Windows.apply(this, window, by, aggs)
+      aggs: Map[String, Column],
+      trigger: graft.ts.WindowTrigger = graft.ts.OnCompletionTrigger): OrderedStream =
+    graft.ts.Windows.apply(this, window, by, aggs, trigger)
 
   /** Complex-event pattern recognition (reference `pattern_recognize`,
     * orderedstream.py:37-53 + cep_executors.py). */

@@ -1,0 +1,199 @@
+package graft.queries
+
+import graft.api.{DataStream, OrderedStream}
+import graft.ts._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ordered-stream operator coverage (SURVEY §2.9): shift, as-of join,
+  * windowed transforms (tumbling/hopping/sliding/session × triggers) and
+  * CEP pattern recognition — all over the `events` stream fixture keyed
+  * by user_id, ordered by ts. */
+object TimeSeriesQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ordered(s: SparkSession, d: String): OrderedStream =
+    new OrderedStream(events(s, d), "ts")
+
+  val queries: Map[String, Q] = Map(
+    // shift / lag-lead (reference orderedstream.py:13-35).
+    "q40_shift" -> { (s, d) =>
+      ordered(s, d).shift(Seq("value"), 1, by = "user_id")
+        .select("event_id", "user_id", "ts", "value", "value_shifted")
+        .sort(Seq("event_id")).df
+    },
+
+    // backward as-of join per symbol (reference orderedstream.py:114-191):
+    // purchases pick up the latest prior view per user.
+    "q41_asof_join" -> { (s, d) =>
+      val ev = events(s, d)
+      val trades = new OrderedStream(
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id", "value"), "ts")
+      val quotes = new OrderedStream(
+        ev.filter(col("event_type") === "view")
+          .select("user_id", "ts", "value"), "ts")
+      trades.asofJoin(quotes, by = "user_id", suffix = "_right")
+        .sort(Seq("event_id")).df
+    },
+
+    // as-of with tolerance: match only views within the last 6 hours.
+    "q42_asof_tolerance" -> { (s, d) =>
+      val ev = events(s, d)
+      val trades = new OrderedStream(
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id", "value"), "ts")
+      val quotes = new OrderedStream(
+        ev.filter(col("event_type") === "view")
+          .select("user_id", "ts", "value"), "ts")
+      trades.asofJoin(quotes, by = "user_id", suffix = "_right",
+          tolerance = Some(21600L))
+        .sort(Seq("event_id")).df
+    },
+
+    // tumbling window, completion trigger (ts_executors.py:12-145).
+    "q43_tumbling" -> { (s, d) =>
+      ordered(s, d).windowedTransform(TumblingWindow(86400), by = "user_id",
+          aggs = Map("n" -> count(lit(1)), "value_sum" -> sum(col("value"))))
+        .sort(Seq("user_id", "window_start")).df
+    },
+
+    // hopping window, completion trigger (hop 12h, size 24h).
+    "q44_hopping" -> { (s, d) =>
+      ordered(s, d).windowedTransform(
+          HoppingWindow(hop = 43200, size = 86400), by = "user_id",
+          aggs = Map("n" -> count(lit(1)), "value_sum" -> sum(col("value"))))
+        .sort(Seq("user_id", "window_start")).df
+    },
+
+    // sliding trailing window per event (ts_executors.py:147-194): 1h.
+    "q45_sliding" -> { (s, d) =>
+      new DataStream(ordered(s, d).windowedTransform(SlidingWindow(3600),
+          by = "user_id",
+          aggs = Map("roll_n" -> count(lit(1)), "roll_sum" -> sum(col("value")))).df)
+        .select("event_id", "user_id", "roll_n", "roll_sum")
+        .sort(Seq("event_id")).df
+    },
+
+    // session window, completion trigger (ts_executors.py:197-288): 2h gap.
+    "q46_session" -> { (s, d) =>
+      ordered(s, d).windowedTransform(SessionWindow(7200), by = "user_id",
+          aggs = Map("n" -> count(lit(1)), "value_sum" -> sum(col("value"))))
+        .sort(Seq("user_id", "session_start")).df
+    },
+
+    // tumbling window, per-event running trigger (ts_executors.py:64-98).
+    "q47_tumbling_event" -> { (s, d) =>
+      new DataStream(ordered(s, d).windowedTransform(TumblingWindow(86400),
+          by = "user_id",
+          aggs = Map("run_n" -> count(lit(1)), "run_sum" -> sum(col("value"))),
+          trigger = OnEventTrigger).df)
+        .select("event_id", "user_id", "window_start", "run_n", "run_sum")
+        .sort(Seq("event_id")).df
+    },
+
+    // CEP pattern: view → later click with higher value → later purchase,
+    // all within 1h per user (reference orderedstream.py:37-53).
+    "q48_cep" -> { (s, d) =>
+      val ev = new OrderedStream(
+        events(s, d).select("user_id", "ts", "event_type", "value", "event_id"),
+        "ts")
+      new DataStream(ev.patternRecognize(Seq(
+          "a" -> "a.event_type = 'view'",
+          "b" -> "b.event_type = 'click' and b.value > a.value",
+          "c" -> "c.event_type = 'purchase'"),
+          maxSpan = 86400, by = "user_id"))
+        .select("user_id", "a_event_id", "b_event_id", "c_event_id")
+        .sort(Seq("user_id", "a_event_id", "b_event_id", "c_event_id")).df
+    }
+  )
+
+  private val evCols = "SELECT user_id, ts, event_id, event_type, value FROM events"
+
+  val oracles: Map[String, String] = Map(
+    "q40_shift" ->
+      """SELECT event_id, user_id, ts, value,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS value_shifted
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q41_asof_join" ->
+      """WITH t AS (SELECT user_id, ts, event_id, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |     q AS (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'view')
+        |SELECT t.user_id, t.ts, t.event_id, t.value,
+        |  q.ts AS ts_right, q.value AS value_right
+        |FROM t ASOF LEFT JOIN q
+        |  ON t.user_id = q.user_id AND q.ts <= t.ts
+        |ORDER BY t.event_id""".stripMargin,
+    "q42_asof_tolerance" ->
+      """WITH t AS (SELECT user_id, ts, event_id, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |     q AS (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'view')
+        |SELECT t.user_id, t.ts, t.event_id, t.value,
+        |  CASE WHEN epoch(t.ts) - epoch(q.ts) <= 21600
+        |       THEN q.ts END AS ts_right,
+        |  CASE WHEN epoch(t.ts) - epoch(q.ts) <= 21600
+        |       THEN q.value END AS value_right
+        |FROM t ASOF LEFT JOIN q
+        |  ON t.user_id = q.user_id AND q.ts <= t.ts
+        |ORDER BY t.event_id""".stripMargin,
+    "q43_tumbling" ->
+      """SELECT user_id,
+        |  floor(epoch(ts) / 86400) * 86400 AS window_start,
+        |  count(*) AS n, sum(value) AS value_sum,
+        |  floor(epoch(ts) / 86400) * 86400 + 86400 AS window_end
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, window_start""".stripMargin,
+    "q44_hopping" ->
+      """SELECT user_id, wstart AS window_start, count(*) AS n,
+        |  sum(value) AS value_sum, wstart + 86400 AS window_end
+        |FROM (SELECT user_id, value,
+        |        (floor(epoch(ts) / 43200) - j) * 43200 AS wstart, epoch(ts) AS e
+        |      FROM events CROSS JOIN (VALUES (0), (1)) AS hops(j))
+        |WHERE wstart > e - 86400 AND wstart <= e
+        |GROUP BY user_id, wstart ORDER BY user_id, window_start""".stripMargin,
+    "q45_sliding" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS roll_n, sum(value) OVER w AS roll_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q46_session" ->
+      """WITH g AS (
+        |  SELECT user_id, value, epoch(ts) AS e,
+        |    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts) > 7200 THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, value, e,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY e
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g)
+        |SELECT user_id, min(e) AS session_start, count(*) AS n,
+        |  sum(value) AS value_sum, max(e) AS session_end
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q47_tumbling_event" ->
+      """SELECT event_id, user_id,
+        |  floor(epoch(ts) / 86400) * 86400 AS window_start,
+        |  count(*) OVER w AS run_n, sum(value) OVER w AS run_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id, floor(epoch(ts) / 86400)
+        |             ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |ORDER BY event_id""".stripMargin,
+    "q48_cep" ->
+      """SELECT a.user_id, a.event_id AS a_event_id, b.event_id AS b_event_id,
+        |  c.event_id AS c_event_id
+        |FROM events a, events b, events c
+        |WHERE a.user_id = b.user_id AND b.user_id = c.user_id
+        |  AND a.event_type = 'view' AND b.event_type = 'click'
+        |  AND c.event_type = 'purchase'
+        |  AND b.ts > a.ts AND c.ts > b.ts
+        |  AND epoch(b.ts) <= epoch(a.ts) + 86400
+        |  AND epoch(c.ts) <= epoch(a.ts) + 86400
+        |  AND b.value > a.value
+        |ORDER BY a.user_id, a_event_id, b_event_id, c_event_id""".stripMargin
+  )
+}
