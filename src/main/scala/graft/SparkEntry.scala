@@ -14,12 +14,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
     graft.queries.FunctionQueries.queries ++
-    graft.queries.TimeSeriesQueries.queries
+    graft.queries.TimeSeriesQueries.queries ++
+    graft.queries.VectorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
     graft.queries.FunctionQueries.oracles ++
-    graft.queries.TimeSeriesQueries.oracles
+    graft.queries.TimeSeriesQueries.oracles ++
+    graft.queries.VectorQueries.oracles
 }

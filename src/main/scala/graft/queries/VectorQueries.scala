@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.api.DataStream
+import graft.vector.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector/numeric operator coverage (SURVEY §2.10 + §2.5 quantiles). */
+object VectorQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB double-precision cosine between two list columns. */
+  private def duckCos(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE)) /
+       |  (sqrt(list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $a.embedding[i]::DOUBLE))) *
+       |   sqrt(list_sum(list_transform(range(1, 65), i -> $b.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))))""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // brute-force cosine top-k nn join (reference vector_nn_join,
+    // datastream.py:396-476); probes = first 5 vectors of the table.
+    "q50_vector_nn" -> { (s, d) =>
+      val emb = embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "probe_id")
+      VectorOps.nnJoin(emb, probes, "embedding", "vec_id", "probe_id", k = 10)
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
+    // gramian over numeric columns (reference datastream.py:1033).
+    "q51_gramian" -> { (s, d) =>
+      VectorOps.gramian(lineitem(s, d), Seq("l_quantity", "l_discount", "l_tax"))
+    },
+
+    // pairwise covariance (reference datastream.py:1100).
+    "q52_covariance" -> { (s, d) =>
+      VectorOps.covariance(lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+    },
+
+    // exact interpolated quantiles (oracle-verifiable; the approximate
+    // path is q54).
+    "q53_exact_quantile" -> { (s, d) =>
+      new DataStream(lineitem(s, d)).aggSql(
+        "percentile(l_extendedprice, 0.25) as q25",
+        "percentile(l_extendedprice, 0.5) as q50",
+        "percentile(l_extendedprice, 0.75) as q75",
+        "percentile(l_extendedprice, 0.95) as q95").df
+    },
+
+    // approximate quantiles (reference approximate_quantile,
+    // datastream.py:905-1031 — t-digest there, Greenwald-Khanna here).
+    // No SQL oracle: approximation algorithms differ by design; driver
+    // records a rows-only check. Bounds sanity lives in the spec suite.
+    "q54_approx_quantile" -> { (s, d) =>
+      new DataStream(lineitem(s, d)).aggSql(
+        "approx_percentile(l_extendedprice, 0.25, 10000) as q25",
+        "approx_percentile(l_extendedprice, 0.5, 10000) as q50",
+        "approx_percentile(l_extendedprice, 0.75, 10000) as q75",
+        "approx_percentile(l_extendedprice, 0.95, 10000) as q95").df
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q50_vector_nn" ->
+      s"""WITH sims AS (
+         |  SELECT p.vec_id AS probe_id, e.vec_id, ${duckCos("e", "p")} AS sim
+         |  FROM embeddings e
+         |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) p),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY sim DESC, vec_id) AS rank
+         |  FROM sims)
+         |SELECT probe_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
+         |ORDER BY probe_id, rank""".stripMargin,
+    "q51_gramian" ->
+      """SELECT sum(l_quantity * l_quantity) AS g_0_0,
+        |  sum(l_quantity * l_discount) AS g_0_1,
+        |  sum(l_quantity * l_tax) AS g_0_2,
+        |  sum(l_discount * l_discount) AS g_1_1,
+        |  sum(l_discount * l_tax) AS g_1_2,
+        |  sum(l_tax * l_tax) AS g_2_2
+        |FROM lineitem""".stripMargin,
+    "q52_covariance" ->
+      """SELECT covar_pop(l_quantity, l_quantity) AS c_0_0,
+        |  covar_pop(l_quantity, l_extendedprice) AS c_0_1,
+        |  covar_pop(l_quantity, l_discount) AS c_0_2,
+        |  covar_pop(l_extendedprice, l_extendedprice) AS c_1_1,
+        |  covar_pop(l_extendedprice, l_discount) AS c_1_2,
+        |  covar_pop(l_discount, l_discount) AS c_2_2
+        |FROM lineitem""".stripMargin,
+    "q53_exact_quantile" ->
+      """SELECT quantile_cont(l_extendedprice, 0.25) AS q25,
+        |  quantile_cont(l_extendedprice, 0.5) AS q50,
+        |  quantile_cont(l_extendedprice, 0.75) AS q75,
+        |  quantile_cont(l_extendedprice, 0.95) AS q95
+        |FROM lineitem""".stripMargin
+  )
+}

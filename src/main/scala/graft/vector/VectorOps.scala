@@ -1,0 +1,81 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector / ML-adjacent operators (SURVEY §2.10): brute-force cosine
+  * nearest-neighbor join (reference `vector_nn_join`,
+  * datastream.py:396-476 + vector_executors.py:20-115), gramian and
+  * covariance (datastream.py:1033-1147).
+  *
+  * All expression-level math is double-precision and codegen'd
+  * (`zip_with`/`aggregate` higher-order functions — no UDFs).
+  */
+object VectorOps {
+
+  /** Σ aᵢ·bᵢ as a fold — sequential summation, matching a columnar
+    * kernel's accumulation order. Arrays are cast to double first. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosineSim(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k join: for each probe vector, the k nearest
+    * data vectors. Mirrors the reference's two-stage plan
+    * (vector_executors.py: per-partition top-k, then global reduce):
+    * stage 1 is the crossJoin with the *broadcast* probe set (no shuffle
+    * of the data side), stage 2 the per-probe rank. With P probes the
+    * shuffle input is |data|·P rows; for large P use an ANN variant
+    * (see graft.vector.Ann). Deterministic: ties broken by data id. */
+  def nnJoin(
+      data: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      dataIdCol: String,
+      probeIdCol: String,
+      k: Int): DataFrame = {
+    val d = data.select(col(dataIdCol),
+      col(vecCol).cast("array<double>").as("__dvec"))
+    val p = broadcast(probes.select(col(probeIdCol),
+      col(vecCol).cast("array<double>").as("__pvec")))
+    val w = Window.partitionBy(col(probeIdCol))
+      .orderBy(col("sim").desc, col(dataIdCol).asc)
+    d.crossJoin(p)
+      .withColumn("sim", cosineSim(col("__dvec"), col("__pvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(probeIdCol), col(dataIdCol), col("sim"), col("rank"))
+  }
+
+  /** XᵀX over a column list (reference `gramian`, datastream.py:1033):
+    * one row, entries g_i_j = Σ colᵢ·colⱼ for i ≤ j. Spark's partial
+    * aggregation gives the reference's tree-of-+ reduce for free. */
+  def gramian(df: DataFrame, cols: Seq[String], demean: Boolean = false): DataFrame = {
+    val base =
+      if (!demean) df
+      else {
+        val means = df.select(cols.map(c => avg(col(c)).as(c)): _*).head()
+        df.select(cols.zipWithIndex.map { case (c, i) =>
+          (col(c) - lit(means.getDouble(i))).as(c)
+        }: _*)
+      }
+    val prods = for {
+      (ci, i) <- cols.zipWithIndex
+      (cj, j) <- cols.zipWithIndex if j >= i
+    } yield sum(col(ci) * col(cj)).as(s"g_${i}_$j")
+    base.agg(prods.head, prods.tail: _*)
+  }
+
+  /** Pairwise population covariance matrix entries (reference
+    * `covariance`, datastream.py:1100) as one row of c_i_j columns. */
+  def covariance(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val entries = for {
+      (ci, i) <- cols.zipWithIndex
+      (cj, j) <- cols.zipWithIndex if j >= i
+    } yield covar_pop(col(ci), col(cj)).as(s"c_${i}_$j")
+    df.agg(entries.head, entries.tail: _*)
+  }
+}
