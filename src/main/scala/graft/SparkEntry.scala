@@ -15,7 +15,8 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
     graft.queries.FunctionQueries.queries ++
     graft.queries.TimeSeriesQueries.queries ++
-    graft.queries.VectorQueries.queries
+    graft.queries.VectorQueries.queries ++
+    graft.queries.TextDedupQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -23,5 +24,6 @@ object SparkEntry {
     graft.queries.RelationalQueries.oracles ++
     graft.queries.FunctionQueries.oracles ++
     graft.queries.TimeSeriesQueries.oracles ++
-    graft.queries.VectorQueries.oracles
+    graft.queries.VectorQueries.oracles ++
+    graft.queries.TextDedupQueries.oracles
 }

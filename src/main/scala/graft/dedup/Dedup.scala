@@ -1,0 +1,202 @@
+package graft.dedup
+
+import graft.text.TextOps
+import graft.text.TextOps.{B, P}
+import graft.vector.VectorOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §7.2
+  * step 9 parity-plus): exact (hash-groupBy), MinHash+LSH, SimHash,
+  * n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB): every variant shuffles *keys/signatures*, never
+  * document text —
+  *  - exact dedup shuffles a 128-bit md5 key;
+  *  - MinHash shuffles `numHashes` longs per doc, and the LSH band join
+  *    shuffles (band, bucket, id) triples, so candidate generation is a
+  *    hash join on small rows; only confirmed candidates re-read shingles;
+  *  - SimHash shuffles one long per doc.
+  * All signature math is codegen'd higher-order expressions over the
+  * portable hash ([[TextOps.portableHash]]) so the DuckDB oracle verifies
+  * signatures bit-for-bit.
+  */
+object Dedup {
+
+  // ---- exact dedup (hash-groupBy) -------------------------------------
+
+  /** Tag every row with its content key and canonical (minimum) id among
+    * rows sharing the key. `is_dup` marks rows a dedup pass would drop.
+    * Keeping it as a tagging operator (rather than a filter) makes it
+    * verifiable and composable; `.filter(!col("is_dup"))` dedups. */
+  def exactDedupTags(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("content_key"))
+    df.withColumn("content_key", TextOps.md5Hex(col(textCol)))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
+      .select(col(idCol), col("content_key"), col("canonical_id"), col("is_dup"))
+  }
+
+  // ---- MinHash --------------------------------------------------------
+
+  /** Universal-hash coefficients (aᵢ, bᵢ) — fixed constants so Spark and
+    * the SQL oracle agree. aᵢ odd, all < P; products aᵢ·h < 2^60. */
+  def hashCoeffs(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      (((2L * i + 1) * 15485863L) % P, (i.toLong * 32452843L + 7L) % P)
+    }
+
+  /** MinHash signature from a shingle-hash array column. */
+  def minhashSigFromHashes(sh: Column, numHashes: Int): Column =
+    array(hashCoeffs(numHashes).map { case (a, b) =>
+      coalesce(array_min(transform(sh, h => (lit(a) * h + lit(b)) % P)), lit(P))
+    }: _*)
+
+  /** MinHash signature column: sigᵢ = min over shingle hashes of
+    * (aᵢ·H+bᵢ) mod P. Docs with no shingles (shorter than k tokens) get
+    * sentinel P. The shingle-hash array is bound once per row
+    * ([[TextOps.bindOnce]]) so tokenize+hash run once, not numHashes
+    * times. */
+  def minhashSig(text: Column, numHashes: Int, shingleK: Int): Column =
+    TextOps.bindOnce(TextOps.shingleHashes(text, shingleK))(
+      sh => minhashSigFromHashes(sh, numHashes))
+
+  /** LSH band bucket hashes: fold of each `rowsPerBand`-slice of the
+    * signature, (h·31 + sig) mod P. Returns array of numBands longs. */
+  def lshBandHashes(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map { b =>
+      (0 until rowsPerBand).foldLeft(lit(0L): Column) { (h, r) =>
+        (h * B + element_at(sig, b * rowsPerBand + r + 1)) % P
+      }
+    }: _*)
+
+  /** Candidate near-dup pairs via MinHash-LSH: shingle → minhash → band →
+    * bucket-join. Returns distinct (id_1, id_2) with id_1 < id_2 that
+    * collide in ≥1 band. The join shuffles only (band, bucket, id). */
+  /** (id, sh) shingle-hash relation — the shared first stage. Kept as a
+    * separate projection so downstream multi-reference stages don't
+    * re-tokenize (CollapseProject declines to inline a non-cheap alias
+    * referenced more than once). */
+  private def shingleRel(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int): DataFrame =
+    df.select(col(idCol),
+      TextOps.shingleHashes(col(textCol), shingleK).as("sh"))
+
+  private def bandedRel(sh: DataFrame, idCol: String,
+      numHashes: Int, numBands: Int): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sigs = sh.select(col(idCol),
+      minhashSigFromHashes(col("sh"), numHashes).as("sig"))
+    sigs.select(col(idCol),
+      posexplode(lshBandHashes(col("sig"), numBands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+  }
+
+  def lshCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingleK: Int = 3, numBands: Int = 4): DataFrame = {
+    val banded = bandedRel(shingleRel(df, idCol, textCol, shingleK), idCol,
+      numHashes, numBands)
+    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_1"))
+    val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_2"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_1") < col("id_2"))
+      .select("id_1", "id_2").distinct()
+  }
+
+  /** Exact shingle-set Jaccard similarity between two shingle arrays
+    * (arrays are already distinct). */
+  def jaccard(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = size(array_union(sa, sb)).cast("double")
+    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** MinHash-LSH near-dup pairs, Jaccard-confirmed: candidates from
+    * [[lshCandidates]], then exact n-gram Jaccard ≥ `threshold` computed by
+    * joining the (small) candidate set back to shingles. */
+  def lshNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      numHashes: Int = 16, shingleK: Int = 3, numBands: Int = 4): DataFrame = {
+    val cands = lshCandidates(df, idCol, textCol, numHashes, shingleK, numBands)
+    val sh = shingleRel(df, idCol, textCol, shingleK)
+    cands
+      .join(sh.select(col(idCol).as("id_1"), col("sh").as("sh_1")), "id_1")
+      .join(sh.select(col(idCol).as("id_2"), col("sh").as("sh_2")), "id_2")
+      .withColumn("jaccard", jaccard(col("sh_1"), col("sh_2")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_1", "id_2", "jaccard")
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** Bits of the SimHash (bits 0..numBits-1 of the portable token hash;
+    * P < 2^30 so ≤30 informative bits). Bit j is set iff a strict
+    * majority of tokens have bit j set in their hash. */
+  def simhash(text: Column, numBits: Int = 24): Column =
+    TextOps.bindOnce(TextOps.tokenHashes(text)) { hs =>
+      (0 until numBits).map { j =>
+        when(size(filter(hs, h => shiftright(h, j) % 2 === 1)) * 2 > size(hs),
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- n-gram Jaccard (blocked) ---------------------------------------
+
+  /** All-pairs n-gram Jaccard within a blocking key (e.g. source):
+    * (block, id_1, id_2, jaccard). Blocking bounds the quadratic
+    * comparison; use [[lshNearDupPairs]] when no natural block exists. */
+  def blockedJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      shingleK: Int = 3): DataFrame = {
+    val sh = df.select(col(blockCol),
+      col(idCol), TextOps.shingleHashes(col(textCol), shingleK).as("sh"))
+    val a = sh.select(col(blockCol), col(idCol).as("id_1"), col("sh").as("sh_1"))
+    val b = sh.select(col(blockCol), col(idCol).as("id_2"), col("sh").as("sh_2"))
+    a.join(b, Seq(blockCol))
+      .filter(col("id_1") < col("id_2"))
+      .withColumn("jaccard", jaccard(col("sh_1"), col("sh_2")))
+      .select(col(blockCol), col("id_1"), col("id_2"), col("jaccard"))
+  }
+
+  // ---- embedding near-dup ---------------------------------------------
+
+  /** For every vector, its single most-similar (cosine) neighbor within
+    * the block — the near-dup *report* shape when no absolute threshold is
+    * known. Ties broken by neighbor id. */
+  def blockNearestNeighbor(
+      df: DataFrame, idCol: String, vecCol: String, blockCol: String): DataFrame = {
+    val v = df.select(col(blockCol), col(idCol),
+      col(vecCol).cast("array<double>").as("__v"))
+    val a = v.select(col(blockCol), col(idCol).as("id_1"), col("__v").as("v_1"))
+    val b = v.select(col(blockCol), col(idCol).as("id_2"), col("__v").as("v_2"))
+    val w = Window.partitionBy(col("id_1"))
+      .orderBy(col("cos_sim").desc, col("id_2"))
+    a.join(b, Seq(blockCol))
+      .filter(col("id_1") =!= col("id_2"))
+      .withColumn("cos_sim", VectorOps.cosineSim(col("v_1"), col("v_2")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(blockCol), col("id_1"), col("id_2"), col("cos_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a blocking key
+    * (label/cluster/LSH bucket): cosine ≥ threshold, id_1 < id_2. */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(blockCol), col(idCol),
+      col(vecCol).cast("array<double>").as("__v"))
+    val a = v.select(col(blockCol), col(idCol).as("id_1"), col("__v").as("v_1"))
+    val b = v.select(col(blockCol), col(idCol).as("id_2"), col("__v").as("v_2"))
+    a.join(b, Seq(blockCol))
+      .filter(col("id_1") < col("id_2"))
+      .withColumn("cos_sim", VectorOps.cosineSim(col("v_1"), col("v_2")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col(blockCol), col("id_1"), col("id_2"), col("cos_sim"))
+  }
+}

@@ -1,0 +1,288 @@
+package graft.queries
+
+import graft.dedup.Dedup
+import graft.text.TextOps
+import graft.text.TextOps.{B, P}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operator coverage: text analysis (q60-q63),
+  * deduplication (q64-q68), embedding near-dup (q69) — all over the
+  * `documents`/`embeddings` tables with exact DuckDB oracles.
+  *
+  * The oracle SQL below is *generated from the same constants* as the
+  * Spark expressions (hash coefficients, stopword lists, band layout), so
+  * MinHash signatures, SimHash values and fingerprints are verified
+  * bit-for-bit, not just shape-checked.
+  */
+object TextDedupQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- DuckDB fragments mirroring TextOps/Dedup -----------------------
+
+  /** tokens: lower → whitespace split → drop empties. */
+  private def toksSql(text: String) =
+    s"""list_filter(regexp_split_to_array(lower($text), '\\s+'), t -> length(t) > 0)"""
+
+  private def hashSql(s: String) = TextOps.portableHashSql(s)
+
+  private def litList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def hitsSql(t: String, ws: Seq[String]) =
+    s"len(list_filter($t, t -> list_contains(${litList(ws)}, t)))"
+
+  /** jaccard over two distinct-element lists. */
+  private def jacSql(a: String, b: String) =
+    s"CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0.0 ELSE " +
+      s"len(list_intersect($a, $b))::DOUBLE / " +
+      s"len(list_distinct(list_concat($a, $b)))::DOUBLE END"
+
+  private val numHashes = 16
+  private val shingleK = 3
+  private val numBands = 4
+  private val rowsPerBand = numHashes / numBands
+  private val jaccardThreshold = 0.5
+  private val cosineThreshold = 0.9
+  private val simhashBits = 24
+
+  /** sigᵢ expression over a shingle-hash list column `sh`. */
+  private def sigSql(sh: String): Seq[String] =
+    Dedup.hashCoeffs(numHashes).map { case (a, b) =>
+      s"coalesce(list_min(list_transform($sh, h -> ($a * h + $b) % $P)), $P)"
+    }
+
+  /** band-b bucket hash over a sig list column. */
+  private def bandSql(sig: String, b: Int): String =
+    (0 until rowsPerBand).foldLeft("0") { (h, r) =>
+      s"(($h) * $B + $sig[${b * rowsPerBand + r + 1}]) % $P"
+    }
+
+  /** Shared CTE prefix: toks → hs (token hashes) → sh (hashed shingles)
+    * → sigs, mirroring TextOps.shingleHashes/Dedup.minhashSig exactly. */
+  private val sigCtes =
+    s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+       |hs AS (SELECT doc_id, list_transform(t, x -> ${hashSql("x")}) AS hs FROM toks),
+       |sh AS (SELECT doc_id, ${TextOps.shingleHashesSql("hs", shingleK)} AS sh FROM hs),
+       |sigs AS (SELECT doc_id, ${sigSql("sh").mkString("[", ", ", "]")} AS sig FROM sh)""".stripMargin
+
+  // ---- queries --------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    // token counting: whitespace + BPE-ish regex (TextOps §token counting).
+    "q60_token_counts" -> { (s, d) =>
+      documents(s, d).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        length(col("text")).as("len_chars"))
+        .orderBy("doc_id")
+    },
+
+    // language ID (stopword-hit heuristic).
+    "q61_langid" -> { (s, d) =>
+      documents(s, d).select(col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
+    // quality scoring: length/punct/stopword ratios + composite.
+    "q62_quality" -> { (s, d) =>
+      documents(s, d).select(col("doc_id"),
+        TextOps.alphaRatio(col("text")).as("alpha_ratio"),
+        TextOps.stopwordRatio(col("text")).as("stop_ratio"),
+        TextOps.meanTokenLen(col("text")).as("mean_tok_len"),
+        TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // rolling-hash document fingerprint.
+    "q63_fingerprint" -> { (s, d) =>
+      documents(s, d).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // exact dedup: md5 content key + canonical id tagging.
+    "q64_exact_dedup" -> { (s, d) =>
+      Dedup.exactDedupTags(documents(s, d), "doc_id", "text").orderBy("doc_id")
+    },
+
+    // minhash signatures, exploded (doc_id, hash_idx, sig) — verified
+    // value-exact against the oracle's identical hash arithmetic.
+    "q65_minhash" -> { (s, d) =>
+      documents(s, d).select(col("doc_id"),
+        posexplode(Dedup.minhashSig(col("text"), numHashes, shingleK))
+          .as(Seq("hash_idx", "sig")))
+        .orderBy("doc_id", "hash_idx")
+    },
+
+    // MinHash → LSH band bucket join → exact-Jaccard confirm.
+    "q66_lsh_near_dup" -> { (s, d) =>
+      Dedup.lshNearDupPairs(documents(s, d), "doc_id", "text",
+        jaccardThreshold, numHashes, shingleK, numBands)
+        .orderBy("id_1", "id_2")
+    },
+
+    // simhash per document.
+    "q67_simhash" -> { (s, d) =>
+      documents(s, d).select(col("doc_id"),
+        Dedup.simhash(col("text"), simhashBits).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // blocked all-pairs n-gram Jaccard, top-100 most similar.
+    "q68_ngram_jaccard" -> { (s, d) =>
+      Dedup.blockedJaccardPairs(documents(s, d), "doc_id", "text", "source", shingleK)
+        .orderBy(col("jaccard").desc, col("id_1"), col("id_2"))
+        .limit(100)
+    },
+
+    // embedding-cosine near-dup: most-similar within-label neighbor per
+    // vector (the threshold variant, Dedup.embeddingNearDupPairs, is
+    // spec-tested — this synthetic data has no planted near-dups, so a
+    // fixed threshold would be vacuous).
+    "q69_embedding_neardup" -> { (s, d) =>
+      Dedup.blockNearestNeighbor(embeddings(s, d), "vec_id", "embedding", "label")
+        .orderBy("id_1")
+    },
+
+    // multimodal plumbing, SQL side: opaque binary column + stats that
+    // stay in codegen (graft.multimodal.Multimodal).
+    "q70_multimodal_blob" -> { (s, d) =>
+      graft.multimodal.Multimodal.blobStats(
+        graft.multimodal.Multimodal.withBlob(documents(s, d), "text"),
+        "doc_id", "blob").orderBy("doc_id")
+    },
+
+    // multimodal plumbing, decode side: partition-wise typed metadata
+    // extraction through the stubbed codec (mapPartitions + Encoder).
+    "q71_multimodal_meta" -> { (s, d) =>
+      graft.multimodal.Multimodal.decodeMeta(
+        graft.multimodal.Multimodal.withBlob(documents(s, d), "text"),
+        "doc_id", "blob").toDF().orderBy("id")
+    }
+  )
+
+  // ---- oracles --------------------------------------------------------
+
+  private val langCases = {
+    val hits = TextOps.langStopwords.map { case (l, _) => s"h_$l" }
+    val best = s"greatest(${hits.mkString(", ")})"
+    val whens = TextOps.langStopwords.map { case (l, _) =>
+      s"WHEN h_$l = $best AND $best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'unknown' END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q60_token_counts" ->
+      s"""WITH toks AS (SELECT doc_id, text, ${toksSql("text")} AS t FROM documents)
+         |SELECT doc_id, len(t) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '${TextOps.bpePattern}')) AS n_bpe_tokens,
+         |  length(text) AS len_chars
+         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q61_langid" ->
+      s"""WITH toks AS (SELECT doc_id, lang, ${toksSql("text")} AS t FROM documents),
+         |hits AS (SELECT doc_id, lang,
+         |  ${TextOps.langStopwords.map { case (l, ws) => s"${hitsSql("t", ws)} AS h_$l" }.mkString(",\n  ")}
+         |  FROM toks)
+         |SELECT doc_id, lang, $langCases AS pred_lang FROM hits ORDER BY doc_id""".stripMargin,
+
+    "q62_quality" ->
+      s"""WITH toks AS (SELECT doc_id, text, ${toksSql("text")} AS t FROM documents),
+         |m AS (SELECT doc_id,
+         |  CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)::DOUBLE END AS alpha_ratio,
+         |  CASE WHEN len(t) = 0 THEN 0.0 ELSE ${hitsSql("t", TextOps.langStopwords.flatMap(_._2))}::DOUBLE / len(t)::DOUBLE END AS stop_ratio,
+         |  CASE WHEN len(t) = 0 THEN 0.0 ELSE list_reduce(list_prepend(0::BIGINT, list_transform(t, x -> length(x)::BIGINT)), (a, x) -> a + x)::DOUBLE / len(t)::DOUBLE END AS mean_tok_len,
+         |  least(1.0, len(t)::DOUBLE / 100.0) AS len_score
+         |  FROM toks)
+         |SELECT doc_id, alpha_ratio, stop_ratio, mean_tok_len,
+         |  alpha_ratio * 0.5 + len_score * 0.3 + least(1.0, stop_ratio * 10.0) * 0.2 AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q63_fingerprint" ->
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents)
+         |SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+         |  list_transform(t, x -> ${hashSql("x")})), (f, h) -> (f * $B + h) % $P) AS fp
+         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q64_exact_dedup" ->
+      """SELECT doc_id, md5(text) AS content_key,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q65_minhash" ->
+      s"""$sigCtes
+         |SELECT doc_id, i - 1 AS hash_idx, sig[i] AS sig
+         |FROM sigs CROSS JOIN (SELECT unnest(range(1, ${numHashes + 1})) AS i)
+         |ORDER BY doc_id, hash_idx""".stripMargin,
+
+    "q66_lsh_near_dup" ->
+      s"""$sigCtes,
+         |bands AS (SELECT doc_id, ${(0 until numBands).map(b => bandSql("sig", b)).mkString("[", ", ", "]")} AS bh FROM sigs),
+         |bx AS (SELECT doc_id, i AS band, bh[i] AS bucket
+         |  FROM bands CROSS JOIN (SELECT unnest(range(1, ${numBands + 1})) AS i)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+         |  FROM bx a JOIN bx b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id)
+         |SELECT id_1, id_2, ${jacSql("s1.sh", "s2.sh")} AS jaccard
+         |FROM cand JOIN sh s1 ON cand.id_1 = s1.doc_id
+         |  JOIN sh s2 ON cand.id_2 = s2.doc_id
+         |WHERE ${jacSql("s1.sh", "s2.sh")} >= $jaccardThreshold
+         |ORDER BY id_1, id_2""".stripMargin,
+
+    "q67_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |hs AS (SELECT doc_id, list_transform(t, x -> ${hashSql("x")}) AS hs FROM toks)
+         |SELECT doc_id, ${(0 until simhashBits).map(j =>
+             s"CASE WHEN 2 * len(list_filter(hs, h -> (h >> $j) & 1 = 1)) > len(hs) THEN ${1L << j} ELSE 0 END")
+             .mkString(" + ")} AS simhash
+         |FROM hs ORDER BY doc_id""".stripMargin,
+
+    "q68_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, source, ${toksSql("text")} AS t FROM documents),
+         |hs AS (SELECT doc_id, source, list_transform(t, x -> ${hashSql("x")}) AS hs FROM toks),
+         |sh AS (SELECT doc_id, source, ${TextOps.shingleHashesSql("hs", shingleK)} AS sh FROM hs)
+         |SELECT a.source AS source, a.doc_id AS id_1, b.doc_id AS id_2,
+         |  ${jacSql("a.sh", "b.sh")} AS jaccard
+         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |ORDER BY jaccard DESC, id_1, id_2 LIMIT 100""".stripMargin,
+
+    "q69_embedding_neardup" -> {
+      val dot = (x: String, y: String) =>
+        s"list_sum(list_transform(range(1, 65), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
+      val cos = s"${dot("a.embedding", "b.embedding")} / " +
+        s"(sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")}))"
+      s"""WITH sims AS (
+         |  SELECT a.label AS label, a.vec_id AS id_1, b.vec_id AS id_2, $cos AS cos_sim
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY id_1
+         |    ORDER BY cos_sim DESC, id_2) AS rn FROM sims)
+         |SELECT label, id_1, id_2, cos_sim FROM ranked WHERE rn = 1
+         |ORDER BY id_1""".stripMargin
+    },
+
+    "q70_multimodal_blob" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors Multimodal.decodeStub arithmetic (texts are ASCII, so
+    // byte 0/1 = codepoint 0/1).
+    "q71_multimodal_meta" ->
+      """WITH b AS (SELECT doc_id AS id, octet_length(encode(text)) AS byte_len,
+        |  CASE WHEN length(text) >= 1 THEN unicode(text[1]) ELSE 0 END AS b0,
+        |  CASE WHEN length(text) >= 2 THEN unicode(text[2]) ELSE 0 END AS b1
+        |  FROM documents)
+        |SELECT id, byte_len,
+        |  CASE WHEN b0 % 3 = 0 THEN 'img' WHEN b0 % 3 = 1 THEN 'audio' ELSE 'video' END AS format,
+        |  16 + (b0 % 64) AS width, 16 + (b1 % 64) AS height,
+        |  1 + (byte_len % 30) AS n_frames
+        |FROM b ORDER BY id""".stripMargin
+  )
+}

@@ -28,6 +28,17 @@ object VectorQueries {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    // LSH-bucketed ANN variant of q50 (graft.vector.Ann): sign-LSH
+    // pruning, then within-bucket cosine top-k.
+    "q55_ann_lsh" -> { (s, d) =>
+      val emb = embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "probe_id")
+      graft.vector.Ann.annJoin(emb, probes, "embedding", "vec_id", "probe_id",
+        k = 10, numBits = 4)
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
     // gramian over numeric columns (reference datastream.py:1033).
     "q51_gramian" -> { (s, d) =>
       VectorOps.gramian(lineitem(s, d), Seq("l_quantity", "l_discount", "l_tax"))
@@ -75,6 +86,22 @@ object VectorQueries {
          |  FROM sims)
          |SELECT probe_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
          |ORDER BY probe_id, rank""".stripMargin,
+    "q55_ann_lsh" -> {
+      val b = graft.vector.Ann.bucketSql("embedding", 4, 64)
+      s"""WITH be AS (SELECT vec_id, embedding, $b AS bucket FROM embeddings),
+         |probes AS (SELECT vec_id AS probe_id, embedding, bucket FROM be WHERE vec_id < 5),
+         |sims AS (
+         |  SELECT p.probe_id, e.vec_id, ${duckCos("e", "p")} AS sim
+         |  FROM be e JOIN probes p ON e.bucket = p.bucket),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY sim DESC, vec_id) AS rank
+         |  FROM sims)
+         |SELECT probe_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
+         |ORDER BY probe_id, rank""".stripMargin
+    },
+
     "q51_gramian" ->
       """SELECT sum(l_quantity * l_quantity) AS g_0_0,
         |  sum(l_quantity * l_discount) AS g_0_1,

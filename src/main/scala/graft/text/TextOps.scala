@@ -1,0 +1,187 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, token counting and
+  * document fingerprinting (SURVEY §7.2 step 9 parity-plus; the
+  * reference exposes only generic string expressions,
+  * pyquokka/expression.py:188-287 — these are the concrete pipeline
+  * operators built on the same layer).
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` higher-order
+  * expressions — codegen'd, no UDFs, fully distributed, and (by design)
+  * bit-for-bit reproducible in ANSI SQL so the DuckDB oracle can verify
+  * results exactly. See [[TextOps.portableHash]].
+  */
+object TextOps {
+
+  /** Modulus for the portable polynomial hash (large prime < 2^30 so
+    * `a*h+b` products stay far below Long overflow in any engine). */
+  val P: Long = 1000000007L
+  /** Polynomial base (classic 31). */
+  val B: Long = 31L
+
+  // ---- tokenization ----------------------------------------------------
+
+  /** Lower-cased whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Distinct word k-grams ("shingles") joined by single spaces — the
+    * MinHash/Jaccard unit (SURVEY §2 parity-plus dedup). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        j => concat_ws(" ", slice(toks, j, lit(k))))))
+  }
+
+  /** Evaluate `e` exactly once per row and reference it many times.
+    * Higher-order-function expressions are interpreted (no codegen CSE),
+    * so an expression tree that mentions e.g. the token-hash array 16
+    * times would recompute it 16 times; binding it as a single-element
+    * array's lambda variable makes every reference a cheap variable
+    * lookup. This is the difference between O(nHashes·|text|) and
+    * O(|text| + nHashes·|shingles|) per row in MinHash. */
+  def bindOnce(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
+  /** Per-token portable hashes (the base array every sketch derives
+    * from — each character is hashed exactly once per document). */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), portableHash(_))
+
+  /** Hashed k-shingles, derived arithmetically from the token-hash
+    * array (no k-gram string materialization — the hash of shingle
+    * (t_j..t_{j+k-1}) is the polynomial combine of the token hashes).
+    * This is the scale form: tokenization + char hashing happen once,
+    * shingling is pure integer math. Distinct, order-insensitive set. */
+  def shingleHashes(text: Column, k: Int): Column =
+    bindOnce(tokenHashes(text)) { hs =>
+      when(size(hs) < k, array().cast("array<bigint>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(hs) - (k - 1)),
+          j => (0 until k).map(r => element_at(hs, j + r))
+            .reduceLeft((h, x) => (h * B + x) % P))))
+    }
+
+  /** DuckDB fragment mirroring [[shingleHashes]] over a token-hash list
+    * expression `hs`. */
+  def shingleHashesSql(hs: String, k: Int): String = {
+    val combined = (1 until k).foldLeft(s"$hs[j]") { (acc, r) =>
+      s"(($acc) * $B + $hs[j+$r]) % $P"
+    }
+    s"CASE WHEN len($hs) < $k THEN []::BIGINT[] ELSE " +
+      s"list_distinct(list_transform(range(1, len($hs)-$k+2), j -> $combined)) END"
+  }
+
+  // ---- hashing ---------------------------------------------------------
+
+  /** Portable polynomial string hash: fold of `h*31 + codepoint (mod P)`
+    * over the string's characters. Chosen because the *identical* value is
+    * computable in ANSI-ish SQL on any engine (the DuckDB oracle uses
+    * `list_reduce` over `unicode(s[i])`) — which makes every hash-derived
+    * operator (MinHash, SimHash, fingerprints, LSH buckets) exactly
+    * verifiable. For short strings (tokens/shingles) the per-char fold is
+    * codegen'd and cheap; for whole-document identity use [[md5Hex]]
+    * (built-in, constant-time per byte) instead. */
+  def portableHash(s: Column): Column =
+    when(length(s) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
+        lit(0L),
+        (h, c) => (h * B + c) % P))
+
+  /** DuckDB SQL producing the identical value as [[portableHash]]. */
+  def portableHashSql(s: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length($s)+1), " +
+      s"i -> unicode($s[i])::BIGINT)), (h, c) -> (h * $B + c) % $P)"
+
+  /** Whole-document content key — Spark `md5` and DuckDB `md5` agree on
+    * UTF-8 input, and a 128-bit key is what exact dedup shuffles at 100 TB
+    * instead of the full text. */
+  def md5Hex(text: Column): Column = md5(text.cast("binary"))
+
+  // ---- language ID -----------------------------------------------------
+
+  /** Stopword lists per language (distinctive, non-overlapping). */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is", "that", "you", "with", "this", "for"),
+    "de" -> Seq("und", "der", "nicht", "ich", "das", "ist", "ein", "mit"),
+    "fr" -> Seq("les", "est", "dans", "pour", "avec", "une", "vous", "sur"),
+    "es" -> Seq("los", "una", "por", "pero", "como", "para", "las", "del"))
+
+  /** Stopword occurrences (multiplicity-preserving) for one language. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** N-gram/stopword heuristic language ID: the language whose stopwords
+    * occur most often; ties and zero-hit docs → "unknown". Deterministic
+    * priority = list order. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val hits = langStopwords.map { case (l, ws) => l -> stopwordHits(toks, ws) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("unknown")) { case ((l, h), acc) =>
+      when(h === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  // ---- quality scoring -------------------------------------------------
+
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
+        length(text).cast("double"))
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /
+        length(text).cast("double"))
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val all = langStopwords.flatMap(_._2)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      stopwordHits(toks, all).cast("double") / size(toks).cast("double"))
+  }
+
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+        .cast("double") / size(toks).cast("double"))
+  }
+
+  /** Composite heuristic quality score in [0,1] — weights chosen as a
+    * plausible pretraining-filter shape (alpha-heavy, length-saturating,
+    * stopword-informed). Deterministic double arithmetic, same operation
+    * order as the oracle SQL. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val lenScore = least(lit(1.0), size(toks).cast("double") / lit(100.0))
+    alphaRatio(text) * lit(0.5) + lenScore * lit(0.3) +
+      least(lit(1.0), stopwordRatio(text) * lit(10.0)) * lit(0.2)
+  }
+
+  // ---- token counting --------------------------------------------------
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish regex pre-tokenizer count: letter runs, digit runs, single
+    * non-alphanumeric marks. */
+  val bpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpePattern))
+
+  // ---- fingerprinting --------------------------------------------------
+
+  /** Order-sensitive rolling fingerprint over token hashes:
+    * F = fold(tokens, (f, t) -> (f*31 + portableHash(t)) mod P).
+    * Cheap (per-token short-string hash + one fold) and portable. */
+  def fingerprint(text: Column): Column =
+    aggregate(transform(tokens(text), portableHash(_)), lit(0L),
+      (f, h) => (f * B + h) % P)
+}

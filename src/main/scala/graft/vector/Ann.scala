@@ -1,0 +1,71 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search via random-hyperplane LSH — the
+  * scale path next to [[VectorOps.nnJoin]]'s brute force (reference pushes
+  * ANN into a Lance IVF_PQ index, pyquokka/df.py:1264-1318 +
+  * datastream.py:454-476; we have no index store, so we bucket with
+  * sign-LSH: same candidate-pruning intent, pure Spark expressions).
+  *
+  * Scale design: bucketing turns the |data|×|probes| cross product into a
+  * hash join on bucket ids — each data row is hashed once (codegen'd
+  * expression, no shuffle), and only same-bucket pairs are scored. With b
+  * bits, expected candidate fraction is ~2^-b of brute force. Hyperplanes
+  * are small *integer* vectors derived from a fixed formula, so any SQL
+  * engine reproduces the exact buckets (oracle-verifiable) and dot-product
+  * signs are computed in exact double arithmetic.
+  */
+object Ann {
+
+  /** Deterministic pseudo-random integer hyperplane j of dimension dim:
+    * w[i] = ((i*37 + j*101) mod 13) - 6  ∈ [-6, 6]. */
+  def hyperplane(j: Int, dim: Int): Seq[Int] =
+    (0 until dim).map(i => ((i * 37 + j * 101) % 13) - 6)
+
+  /** Sign-LSH bucket id: bit j set iff dot(v, w_j) > 0. */
+  def bucket(v: Column, numBits: Int, dim: Int): Column =
+    (0 until numBits).map { j =>
+      val w = array(hyperplane(j, dim).map(x => lit(x.toDouble)): _*)
+      when(VectorOps.dot(v, w) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** DuckDB SQL fragment producing the identical bucket id for a
+    * list-of-float column expression `v`. */
+  def bucketSql(v: String, numBits: Int, dim: Int): String =
+    (0 until numBits).map { j =>
+      val w = hyperplane(j, dim).mkString("[", ", ", "]")
+      s"CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> $v[i]::DOUBLE * ($w)[i]::DOUBLE)) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  /** ANN top-k cosine join: probes matched only against same-bucket data
+    * vectors. Returns (probeId, dataId, sim, rank) with rank ≤ k within
+    * bucket — an approximation of [[VectorOps.nnJoin]] whose recall is
+    * spec-tested. Probes are broadcast; the data side is scanned once. */
+  def annJoin(
+      data: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      dataIdCol: String,
+      probeIdCol: String,
+      k: Int,
+      numBits: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val d = data.select(col(dataIdCol),
+      col(vecCol).cast("array<double>").as("__dvec"))
+      .withColumn("__bucket", bucket(col("__dvec"), numBits, dim))
+    val p = broadcast(probes.select(col(probeIdCol),
+      col(vecCol).cast("array<double>").as("__pvec"))
+      .withColumn("__bucket", bucket(col("__pvec"), numBits, dim)))
+    val w = Window.partitionBy(col(probeIdCol))
+      .orderBy(col("sim").desc, col(dataIdCol).asc)
+    d.join(p, "__bucket")
+      .withColumn("sim", VectorOps.cosineSim(col("__dvec"), col("__pvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(probeIdCol), col(dataIdCol), col("sim"), col("rank"))
+  }
+}
