@@ -1,0 +1,153 @@
+package graft
+
+import graft.api.{DataStream, QContext}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Relational DataStream surface (SURVEY §2.3-§2.7). */
+class DataStreamSpec extends SparkSpecBase {
+  import org.apache.spark.sql.Encoders
+
+  private def ds(rows: Seq[(Int, String, Double)]): DataStream = {
+    val s = spark
+    import s.implicits._
+    new DataStream(rows.toDF("id", "name", "v"))
+  }
+
+  test("join applies suffix to overlapping non-key right columns") {
+    val l = ds(Seq((1, "a", 1.0), (2, "b", 2.0)))
+    val r = ds(Seq((1, "x", 10.0), (3, "y", 30.0)))
+    val j = l.join(r, "id", "id")
+    assert(j.schema == Seq("id", "name", "v", "name_2", "v_2"))
+    assert(j.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("semi and anti joins prune to left schema") {
+    val l = ds(Seq((1, "a", 1.0), (2, "b", 2.0)))
+    val r = ds(Seq((1, "x", 10.0)))
+    assert(l.join(r, "id", "id", how = "semi").collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(l.join(r, "id", "id", how = "anti").collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(l.join(r, "id", "id", how = "semi").schema == Seq("id", "name", "v"))
+  }
+
+  test("clip clamps into bounds") {
+    val out = ds(Seq((1, "a", -5.0), (2, "b", 99.0), (3, "c", 0.5)))
+      .clip(Map("v" -> (0.0, 1.0))).df
+      .orderBy("id").collect().map(_.getDouble(2)).toSeq
+    assert(out == Seq(0.0, 1.0, 0.5))
+  }
+
+  test("topK equals sort-then-limit") {
+    val d = ds((1 to 50).map(i => (i, s"n$i", (i * 37 % 50).toDouble)))
+    val a = d.topK(Seq("v"), 5, descending = true).df.collect().map(_.getDouble(2)).toSeq
+    val b = d.sort(Seq("v"), descending = true).df.limit(5).collect().map(_.getDouble(2)).toSeq
+    assert(a == b)
+  }
+
+  test("agg spec map and sugar agree") {
+    val d = ds(Seq((1, "a", 2.0), (2, "b", 4.0)))
+    val m = d.agg(Map("v" -> "sum")).collect()(0).getDouble(0)
+    val s = d.sum("v").collect()(0).getDouble(0)
+    assert(m == 6.0 && s == 6.0)
+  }
+
+  test("groupby agg + countDistinct") {
+    val d = ds(Seq((1, "a", 1.0), (1, "a", 2.0), (2, "b", 3.0)))
+    val g = d.groupby("id").agg(Map("v" -> "sum")).df.orderBy("id").collect()
+    assert(g.map(r => (r.getInt(0), r.getDouble(1))).toSeq == Seq((1, 3.0), (2, 3.0)))
+    assert(d.countDistinct("id").collect()(0).getLong(0) == 2L)
+  }
+
+  test("union / intersect / except") {
+    val a = ds(Seq((1, "a", 1.0), (2, "b", 2.0)))
+    val b = ds(Seq((2, "b", 2.0), (3, "c", 3.0)))
+    assert(a.union(b).count() == 4)
+    assert(a.intersect(b).collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(a.except(b).collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("statefulTransform runs per-partition ordered state machine") {
+    // running count per key over ordered rows — key-partitioned, so all
+    // rows of one key land in one partition in order.
+    val d = ds(Seq((1, "a", 3.0), (1, "a", 1.0), (2, "b", 2.0), (1, "a", 2.0)))
+    implicit val enc = Encoders.product[(Int, Double, Int)]
+    val out = d.statefulTransform(Seq("id"), Seq("v")) { it =>
+      var lastKey = Int.MinValue; var n = 0
+      it.map { r =>
+        val k = r.getInt(0)
+        if (k != lastKey) { lastKey = k; n = 0 }
+        n += 1
+        (k, r.getDouble(2), n)
+      }
+    }.collect().sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq((1, 1.0, 1), (1, 2.0, 2), (1, 3.0, 3), (2, 2.0, 1)))
+  }
+
+  test("transformSql grouped partial-agg sugar") {
+    val d = ds(Seq((1, "a", 1.0), (1, "a", 2.0), (2, "b", 4.0)))
+    val out = d.transformSql(Seq("sum(v) as s"), groupBy = Seq("id"))
+      .df.orderBy("id").collect().map(_.getDouble(1)).toSeq
+    assert(out == Seq(3.0, 4.0))
+  }
+
+  test("cogroup merges two grouped streams per key") {
+    val s = spark
+    import s.implicits._
+    val a = new DataStream(Seq((1, 10), (1, 11), (2, 20)).toDF("k", "x"))
+    val b = new DataStream(Seq((1, 100), (3, 300)).toDF("k", "y"))
+    val out = a.groupby("k").cogroup(b.groupby("k"), (r: Row) => r.getInt(0)) {
+      (k, la, lb) => Iterator((k, la.size, lb.size))
+    }.collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1, 2, 1), (2, 1, 0), (3, 0, 1)))
+  }
+}
+
+/** Source/sink veneer (SURVEY §2.1-§2.2). */
+class SourcesSinksSpec extends SparkSpecBase {
+  private val tmp = "target/test-io"
+
+  test("csv write/read roundtrip with maxRecordsPerFile") {
+    val qc = new QContext(spark)
+    val d = qc.readParquet(sf() + "/nation.parquet")
+    d.writeCsv(s"$tmp/nation_csv", maxRecordsPerFile = 10)
+    val back = qc.readCsv(s"$tmp/nation_csv")
+    assert(back.count() == d.count())
+    val files = new java.io.File(s"$tmp/nation_csv").listFiles()
+      .count(f => f.getName.endsWith(".csv"))
+    assert(files >= 3) // 25 rows / 10-per-file
+  }
+
+  test("parquet write/read roundtrip preserves schema") {
+    val qc = new QContext(spark)
+    val d = qc.readParquet(sf() + "/region.parquet")
+    d.writeParquet(s"$tmp/region_pq")
+    val back = qc.readParquet(s"$tmp/region_pq")
+    assert(back.sparkSchema == d.sparkSchema && back.count() == d.count())
+  }
+
+  test("readParquet nameColumn adds source file") {
+    val qc = new QContext(spark)
+    val d = qc.readParquet(sf() + "/region.parquet", nameColumn = Some("src"))
+    assert(d.df.select("src").head().getString(0).contains("region.parquet"))
+  }
+
+  test("readFiles streams binary blobs with metadata") {
+    val qc = new QContext(spark)
+    val d = qc.readFiles(sf() + "/region.parquet")
+    val r = d.df.select("path", "length", "content").head()
+    assert(r.getString(0).contains("region.parquet") && r.getLong(1) > 0)
+  }
+
+  test("readJson reads JSON lines written by Spark") {
+    val qc = new QContext(spark)
+    qc.readParquet(sf() + "/region.parquet").df
+      .write.mode("overwrite").json(s"$tmp/region_json")
+    assert(qc.readJson(s"$tmp/region_json").count() == 5)
+  }
+
+  test("sql entry point runs native SQL") {
+    val qc = new QContext(spark)
+    qc.readParquet(sf() + "/region.parquet").df.createOrReplaceTempView("t_region")
+    assert(qc.sql("SELECT count(*) AS n FROM t_region").df.head().getLong(0) == 5)
+  }
+}

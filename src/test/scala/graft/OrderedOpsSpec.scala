@@ -1,0 +1,106 @@
+package graft
+
+import graft.api.OrderedStream
+import graft.ts._
+import org.apache.spark.sql.functions._
+
+/** Ordered-stream operators: asof join (both formulations), shift,
+  * windows, CEP (SURVEY §2.9). */
+class OrderedOpsSpec extends SparkSpecBase {
+
+  private def trades() = {
+    val s = spark
+    import s.implicits._
+    new OrderedStream(Seq(
+      ("A", 10.0, 100.0), ("A", 20.0, 101.0), ("A", 35.0, 102.0),
+      ("B", 12.0, 200.0)).toDF("sym", "t", "px"), "t")
+  }
+  private def quotes() = {
+    val s = spark
+    import s.implicits._
+    new OrderedStream(Seq(
+      ("A", 9.0, 99.5), ("A", 19.0, 100.5), ("A", 20.0, 100.7),
+      ("B", 30.0, 199.0)).toDF("sym", "t", "bid"), "t")
+  }
+
+  test("asof unionTag: latest right at or before left time, per key") {
+    val out = trades().asofJoin(quotes(), "sym").df
+      .orderBy("sym", "t")
+      .select(col("sym"), col("t"), col("bid"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      ("A", 10.0, Some(99.5)),   // quote@9
+      ("A", 20.0, Some(100.7)),  // exact-time tie matches
+      ("A", 35.0, Some(100.7)),
+      ("B", 12.0, None)))        // B's only quote is later
+  }
+
+  test("asof formulations agree on the events table") {
+    val ev = graft.queries.Tables.events(spark, sf())
+    val l = new OrderedStream(ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value"), "ts")
+    val r = new OrderedStream(ev.filter(col("event_type") === "view")
+      .select("user_id", "ts", "value"), "ts")
+    val a = AsofJoin.unionTag(l, r, "user_id").df
+    val b = AsofJoin.coGrouped(l, r, "user_id")
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("asof tolerance drops stale matches") {
+    val out = trades().asofJoin(quotes(), "sym", tolerance = Some(5L)).df
+      .orderBy("sym", "t")
+      .select(col("t"), col("bid"))
+      .collect()
+      .map(r => (r.getDouble(0), Option(r.get(1)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      (10.0, Some(99.5)), (20.0, Some(100.7)), (35.0, None), (12.0, None)))
+  }
+
+  test("shift = lag per key in time order") {
+    val out = trades().shift(Seq("px"), 1, by = "sym").df
+      .orderBy("sym", "t").collect()
+      .map(r => Option(r.get(3)).map(_.asInstanceOf[Double]))
+    assert(out.toSeq == Seq(None, Some(100.0), Some(101.0), None))
+  }
+
+  test("tumbling window on-completion aggregates fixed buckets") {
+    val out = trades().windowedTransform(TumblingWindow(20.0), "sym",
+      Map("n" -> count(lit(1)), "mx" -> max(col("px")))).df
+      .orderBy("sym", "window_start").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("A", 0.0, 1L, 100.0), ("A", 20.0, 2L, 102.0), ("B", 0.0, 1L, 200.0)))
+  }
+
+  test("sliding window: trailing range per event") {
+    val out = trades().windowedTransform(SlidingWindow(10.0), "sym",
+      Map("n" -> count(lit(1)))).df
+      .orderBy("sym", "t").collect().map(_.getLong(3))
+    // A@10→1, A@20→2 (10,20), A@35→1, B@12→1
+    assert(out.toSeq == Seq(1L, 2L, 1L, 1L))
+  }
+
+  test("session window groups by gap timeout") {
+    val out = trades().windowedTransform(SessionWindow(12.0), "sym",
+      Map("n" -> count(lit(1)))).df
+      .orderBy("sym", "session_start").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    // A: 10,20 in one session (gap 10 ≤ 12); 35 alone (gap 15 > 12)
+    assert(out.toSeq == Seq(
+      ("A", 10.0, 2L, 20.0), ("A", 35.0, 1L, 35.0), ("B", 12.0, 1L, 12.0)))
+  }
+
+  test("CEP pattern: a then b within span, per key") {
+    val s = spark
+    import s.implicits._
+    val ev = new OrderedStream(Seq(
+      ("u1", 1.0, 10.0), ("u1", 3.0, 50.0),  // rise within 5 → match
+      ("u2", 1.0, 10.0), ("u2", 20.0, 50.0)  // too far apart
+    ).toDF("k", "t", "v"), "t")
+    val out = ev.patternRecognize(
+      Seq("a" -> "v < 20", "b" -> "v > 40"), maxSpan = 5L, by = "k")
+    assert(out.select("k").collect().map(_.getString(0)).toSeq == Seq("u1"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming variants driven through MemoryStream batches. */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private def runToMemory(
+      out: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): Unit = {
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("streaming tumbling window agg with watermark emits closed windows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    // two windows for k1: [0,10) and [10,20); late watermark push via t=40
+    mem.addData((ts(1), "k1", 1.0), (ts(3), "k1", 2.0), (ts(12), "k1", 4.0))
+    mem.addData((ts(40), "k2", 9.0))
+    val out = StreamingOps.windowedAgg(
+      mem.toDF.toDF("t", "k", "v"), "t", "k",
+      "10 seconds", "10 seconds", "0 seconds",
+      Map("total" -> sum(col("v")), "n" -> count(lit(1))))
+    runToMemory(out, "win_out")
+    val rows = s.sql("SELECT k, window_start, total, n FROM win_out ORDER BY window_start")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000, r.getDouble(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(("k1", 0L, 3.0, 2L), ("k1", 10L, 4.0, 1L)))
+  }
+
+  test("streaming session window groups by gap") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData((ts(1), "k1", 1.0), (ts(4), "k1", 1.0), (ts(30), "k1", 1.0))
+    mem.addData((ts(200), "k9", 0.0)) // watermark pusher
+    val out = StreamingOps.sessionAgg(
+      mem.toDF.toDF("t", "k", "v"), "t", "k", "10 seconds", "0 seconds",
+      Map("n" -> count(lit(1))))
+    runToMemory(out, "sess_out")
+    val rows = s.sql("SELECT k, session_start, n FROM sess_out WHERE k='k1' ORDER BY session_start")
+      .collect().map(r => (r.getTimestamp(1).getTime / 1000, r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 2L), (30L, 1L))) // gap 26 > 10 splits
+  }
+
+  test("streaming distinct drops in-batch and cross-batch duplicates") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    mem.addData((ts(1), "a"), (ts(1), "a"), (ts(2), "b"))
+    mem.addData((ts(1), "a"), (ts(3), "c"))
+    val out = StreamingOps.streamingDistinct(
+      mem.toDF.toDF("t", "k"), "t", "1 hour", Seq("k"))
+    runToMemory(out, "dd_out")
+    val ks = s.sql("SELECT k FROM dd_out ORDER BY k").collect().map(_.getString(0))
+    assert(ks.toSeq == Seq("a", "b", "c"))
+  }
+
+  test("flatMapGroupsWithState running totals accumulate across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    mem.addData(("k1", 1.0), ("k1", 2.0))
+    val out = StreamingOps.runningTotals(mem.toDF.toDF("k", "v"), "k", "v")
+    val q = out.writeStream.format("memory").queryName("rt_out")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    mem.addData(("k1", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = s.sql("SELECT n, total FROM rt_out WHERE k='k1' ORDER BY n DESC LIMIT 1")
+      .head()
+    assert(last.getLong(0) == 3L && last.getDouble(1) == 7.0)
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup operators (graft.text, graft.dedup). */
+class TextDedupSpec extends SparkSpecBase {
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Reference implementation of the portable hash. */
+  private def refHash(s: String): Long =
+    s.foldLeft(0L)((h, c) => (h * TextOps.B + c.toLong) % TextOps.P)
+
+  test("portableHash matches the scalar reference fold") {
+    val d = docs(Seq((1L, "hello world"), (2L, ""), (3L, "a")))
+      .select(TextOps.portableHash(col("text")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(d == Seq(refHash("hello world"), 0L, 97L))
+  }
+
+  test("shingleHashes = polynomial combine of token hashes, distinct") {
+    val out = docs(Seq((1L, "a b c d")))
+      .select(TextOps.shingleHashes(col("text"), 3).as("sh"))
+      .head().getSeq[Long](0)
+    val ha = refHash("a"); val hb = refHash("b"); val hc = refHash("c"); val hd = refHash("d")
+    def comb(xs: Long*) = xs.reduceLeft((h, x) => (h * TextOps.B + x) % TextOps.P)
+    assert(out == Seq(comb(ha, hb, hc), comb(hb, hc, hd)))
+  }
+
+  test("langId picks the dominant stopword language") {
+    val d = docs(Seq(
+      (1L, "the cat and the dog is here with you"),
+      (2L, "der hund und die katze ist nicht da mit ich"),
+      (3L, "xyzzy qwerty asdf"))) // no stopwords → unknown
+      .select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(d == Map(1L -> "en", 2L -> "de", 3L -> "unknown"))
+  }
+
+  test("quality score favors clean prose over symbol soup") {
+    val d = docs(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away with it"),
+      (2L, "@#$% 12 !! ### $$$ %%% ^^^ &&& *** ((( )))")))
+      .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(d(1L) > d(2L) + 0.3)
+  }
+
+  test("exactDedupTags groups identical texts under min id") {
+    val d = Dedup.exactDedupTags(
+      docs(Seq((1L, "same text"), (2L, "same text"), (3L, "other"))),
+      "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(d == Seq((1L, 1L, false), (2L, 1L, true), (3L, 3L, false)))
+  }
+
+  test("minhash signature identical for identical docs, differs otherwise") {
+    val d = docs(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words entirely here now")))
+      .select(col("doc_id"), Dedup.minhashSig(col("text"), 16, 3).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(d(1L) == d(2L))
+    assert(d(1L) != d(3L))
+    assert(d(1L).length == 16)
+  }
+
+  test("lshNearDupPairs finds planted near-duplicates and skips distinct docs") {
+    val base = "one two three four five six seven eight nine ten " * 3
+    val near = base.replace("five", "5") // small edit → high jaccard
+    val far = "completely unrelated content with no overlap whatsoever at all"
+    val out = Dedup.lshNearDupPairs(
+      docs(Seq((1L, base), (2L, near), (3L, far), (4L, base + " tail"))),
+      "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)) && out.contains((1L, 4L)))
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash hamming distance small for near-dups, large for unrelated") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(Seq(
+      (1L, base), (2L, base + " okay"),
+      (3L, "zx qv wj kp fh sm dn bl rt gy")))
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(d(1L), d(2L)) < ham(d(1L), d(3L)))
+    assert(ham(d(1L), d(2L)) <= 4)
+  }
+
+  test("blocked jaccard: identical docs in same block score 1.0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a b c d e", "s1"), (2L, "a b c d e", "s1"),
+      (3L, "a b c d e", "s2")).toDF("doc_id", "text", "source")
+    val out = Dedup.blockedJaccardPairs(df, "doc_id", "text", "source")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq((1L, 2L, 1.0)))
+  }
+
+  test("embeddingNearDupPairs thresholds cosine within block") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),
+      (4L, Array(1.0f, 0.0f, 0.0f), 1)) // same dir as 1 but other block
+      .toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", "label", 0.95)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+}
