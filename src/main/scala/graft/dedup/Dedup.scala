@@ -105,13 +105,14 @@ object Dedup {
       .select("id_1", "id_2").distinct()
   }
 
-  /** Exact shingle-set Jaccard similarity between two shingle arrays
-    * (arrays are already distinct). */
-  def jaccard(sa: Column, sb: Column): Column = {
-    val inter = size(array_intersect(sa, sb)).cast("double")
-    val uni = size(array_union(sa, sb)).cast("double")
-    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
-  }
+  /** Exact shingle-set Jaccard similarity between two distinct-element
+    * arrays: |A∩B| / (|A|+|B|-|A∩B|) — one intersect (bound once), no
+    * union materialization. */
+  def jaccard(sa: Column, sb: Column): Column =
+    TextOps.bindOnce(size(array_intersect(sa, sb)).cast("double")) { i =>
+      val u = size(sa).cast("double") + size(sb).cast("double") - i
+      when(u === 0.0, lit(0.0)).otherwise(i / u)
+    }
 
   /** MinHash-LSH near-dup pairs, Jaccard-confirmed: candidates from
     * [[lshCandidates]], then exact n-gram Jaccard ≥ `threshold` computed by
@@ -171,14 +172,14 @@ object Dedup {
   def blockNearestNeighbor(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String): DataFrame = {
     val v = df.select(col(blockCol), col(idCol),
-      col(vecCol).cast("array<double>").as("__v"))
+      VectorOps.normalized(col(vecCol).cast("array<double>")).as("__v"))
     val a = v.select(col(blockCol), col(idCol).as("id_1"), col("__v").as("v_1"))
     val b = v.select(col(blockCol), col(idCol).as("id_2"), col("__v").as("v_2"))
     val w = Window.partitionBy(col("id_1"))
       .orderBy(col("cos_sim").desc, col("id_2"))
     a.join(b, Seq(blockCol))
       .filter(col("id_1") =!= col("id_2"))
-      .withColumn("cos_sim", VectorOps.cosineSim(col("v_1"), col("v_2")))
+      .withColumn("cos_sim", VectorOps.dot(col("v_1"), col("v_2")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col(blockCol), col("id_1"), col("id_2"), col("cos_sim"))
@@ -190,12 +191,12 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
       threshold: Double): DataFrame = {
     val v = df.select(col(blockCol), col(idCol),
-      col(vecCol).cast("array<double>").as("__v"))
+      VectorOps.normalized(col(vecCol).cast("array<double>")).as("__v"))
     val a = v.select(col(blockCol), col(idCol).as("id_1"), col("__v").as("v_1"))
     val b = v.select(col(blockCol), col(idCol).as("id_2"), col("__v").as("v_2"))
     a.join(b, Seq(blockCol))
       .filter(col("id_1") < col("id_2"))
-      .withColumn("cos_sim", VectorOps.cosineSim(col("v_1"), col("v_2")))
+      .withColumn("cos_sim", VectorOps.dot(col("v_1"), col("v_2")))
       .filter(col("cos_sim") >= threshold)
       .select(col(blockCol), col("id_1"), col("id_2"), col("cos_sim"))
   }

@@ -33,11 +33,13 @@ object TextDedupQueries {
   private def hitsSql(t: String, ws: Seq[String]) =
     s"len(list_filter($t, t -> list_contains(${litList(ws)}, t)))"
 
-  /** jaccard over two distinct-element lists. */
-  private def jacSql(a: String, b: String) =
-    s"CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0.0 ELSE " +
-      s"len(list_intersect($a, $b))::DOUBLE / " +
-      s"len(list_distinct(list_concat($a, $b)))::DOUBLE END"
+  /** jaccard over two distinct-element lists — mirrors Dedup.jaccard:
+    * i / (|a|+|b|-i). */
+  private def jacSql(a: String, b: String) = {
+    val i = s"len(list_intersect($a, $b))::DOUBLE"
+    s"CASE WHEN len($a)::DOUBLE + len($b)::DOUBLE - $i = 0.0 THEN 0.0 ELSE " +
+      s"$i / (len($a)::DOUBLE + len($b)::DOUBLE - $i) END"
+  }
 
   private val numHashes = 16
   private val shingleK = 3
@@ -252,13 +254,11 @@ object TextDedupQueries {
          |ORDER BY jaccard DESC, id_1, id_2 LIMIT 100""".stripMargin,
 
     "q69_embedding_neardup" -> {
-      val dot = (x: String, y: String) =>
-        s"list_sum(list_transform(range(1, 65), i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
-      val cos = s"${dot("a.embedding", "b.embedding")} / " +
-        s"(sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b.embedding", "b.embedding")}))"
-      s"""WITH sims AS (
-         |  SELECT a.label AS label, a.vec_id AS id_1, b.vec_id AS id_2, $cos AS cos_sim
-         |  FROM embeddings a JOIN embeddings b
+      s"""WITH ne AS (SELECT label, vec_id, ${VectorQueries.duckNorm("embedding")} AS nv FROM embeddings),
+         |sims AS (
+         |  SELECT a.label AS label, a.vec_id AS id_1, b.vec_id AS id_2,
+         |    ${VectorQueries.duckDot("a.nv", "b.nv")} AS cos_sim
+         |  FROM ne a JOIN ne b
          |    ON a.label = b.label AND a.vec_id <> b.vec_id),
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY id_1

@@ -11,11 +11,14 @@ object VectorQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** DuckDB double-precision cosine between two list columns. */
-  private def duckCos(a: String, b: String): String =
-    s"""list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE)) /
-       |  (sqrt(list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $a.embedding[i]::DOUBLE))) *
-       |   sqrt(list_sum(list_transform(range(1, 65), i -> $b.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))))""".stripMargin
+  /** DuckDB mirror of VectorOps.normalized: unit-scaled double list. */
+  private[queries] def duckNorm(v: String): String =
+    s"list_transform($v, x -> x::DOUBLE / " +
+      s"sqrt(list_sum(list_transform(range(1, 65), i -> $v[i]::DOUBLE * $v[i]::DOUBLE))))"
+
+  /** Dot of two pre-normalized list columns (= cosine). */
+  private[queries] def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
 
   val queries: Map[String, Q] = Map(
     // brute-force cosine top-k nn join (reference vector_nn_join,
@@ -75,10 +78,11 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "q50_vector_nn" ->
-      s"""WITH sims AS (
-         |  SELECT p.vec_id AS probe_id, e.vec_id, ${duckCos("e", "p")} AS sim
-         |  FROM embeddings e
-         |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) p),
+      s"""WITH ne AS (SELECT vec_id, ${duckNorm("embedding")} AS nv FROM embeddings),
+         |sims AS (
+         |  SELECT p.vec_id AS probe_id, e.vec_id, ${duckDot("e.nv", "p.nv")} AS sim
+         |  FROM ne e
+         |  CROSS JOIN (SELECT * FROM ne WHERE vec_id < 5) p),
          |ranked AS (
          |  SELECT probe_id, vec_id, sim,
          |    row_number() OVER (PARTITION BY probe_id
@@ -88,10 +92,10 @@ object VectorQueries {
          |ORDER BY probe_id, rank""".stripMargin,
     "q55_ann_lsh" -> {
       val b = graft.vector.Ann.bucketSql("embedding", 4, 64)
-      s"""WITH be AS (SELECT vec_id, embedding, $b AS bucket FROM embeddings),
-         |probes AS (SELECT vec_id AS probe_id, embedding, bucket FROM be WHERE vec_id < 5),
+      s"""WITH be AS (SELECT vec_id, $b AS bucket, ${duckNorm("embedding")} AS nv FROM embeddings),
+         |probes AS (SELECT vec_id AS probe_id, nv, bucket FROM be WHERE vec_id < 5),
          |sims AS (
-         |  SELECT p.probe_id, e.vec_id, ${duckCos("e", "p")} AS sim
+         |  SELECT p.probe_id, e.vec_id, ${duckDot("e.nv", "p.nv")} AS sim
          |  FROM be e JOIN probes p ON e.bucket = p.bucket),
          |ranked AS (
          |  SELECT probe_id, vec_id, sim,

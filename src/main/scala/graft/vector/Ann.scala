@@ -55,15 +55,19 @@ object Ann {
       numBits: Int = 8,
       dim: Int = 64): DataFrame = {
     val d = data.select(col(dataIdCol),
-      col(vecCol).cast("array<double>").as("__dvec"))
-      .withColumn("__bucket", bucket(col("__dvec"), numBits, dim))
+      col(vecCol).cast("array<double>").as("__raw"))
+      .withColumn("__bucket", bucket(col("__raw"), numBits, dim))
+      .select(col(dataIdCol), col("__bucket"),
+        VectorOps.normalized(col("__raw")).as("__dvec"))
     val p = broadcast(probes.select(col(probeIdCol),
-      col(vecCol).cast("array<double>").as("__pvec"))
-      .withColumn("__bucket", bucket(col("__pvec"), numBits, dim)))
+      col(vecCol).cast("array<double>").as("__raw"))
+      .withColumn("__bucket", bucket(col("__raw"), numBits, dim))
+      .select(col(probeIdCol), col("__bucket"),
+        VectorOps.normalized(col("__raw")).as("__pvec")))
     val w = Window.partitionBy(col(probeIdCol))
       .orderBy(col("sim").desc, col(dataIdCol).asc)
     d.join(p, "__bucket")
-      .withColumn("sim", VectorOps.cosineSim(col("__dvec"), col("__pvec")))
+      .withColumn("sim", VectorOps.dot(col("__dvec"), col("__pvec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(probeIdCol), col(dataIdCol), col("sim"), col("rank"))

@@ -23,6 +23,18 @@ object VectorOps {
 
   def cosineSim(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Unit-normalized copy of the vector, with the input array and its
+    * norm each evaluated once per row (higher-order expressions have no
+    * codegen CSE — see TextOps.bindOnce). Pre-normalizing each side
+    * turns per-pair cosine into a single dot fold: 3× fewer array folds
+    * in every O(pairs) similarity operator. */
+  def normalized(v: Column): Column =
+    graft.text.TextOps.bindOnce(v) { vv =>
+      graft.text.TextOps.bindOnce(l2Norm(vv)) { n =>
+        transform(vv, x => x / n)
+      }
+    }
+
   /** Brute-force cosine top-k join: for each probe vector, the k nearest
     * data vectors. Mirrors the reference's two-stage plan
     * (vector_executors.py: per-partition top-k, then global reduce):
@@ -38,13 +50,13 @@ object VectorOps {
       probeIdCol: String,
       k: Int): DataFrame = {
     val d = data.select(col(dataIdCol),
-      col(vecCol).cast("array<double>").as("__dvec"))
+      normalized(col(vecCol).cast("array<double>")).as("__dvec"))
     val p = broadcast(probes.select(col(probeIdCol),
-      col(vecCol).cast("array<double>").as("__pvec")))
+      normalized(col(vecCol).cast("array<double>")).as("__pvec")))
     val w = Window.partitionBy(col(probeIdCol))
       .orderBy(col("sim").desc, col(dataIdCol).asc)
     d.crossJoin(p)
-      .withColumn("sim", cosineSim(col("__dvec"), col("__pvec")))
+      .withColumn("sim", dot(col("__dvec"), col("__pvec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(probeIdCol), col(dataIdCol), col("sim"), col("rank"))
