@@ -60,6 +60,21 @@ class QContext(val spark: SparkSession) {
       sep: String = ","): OrderedStream =
     new OrderedStream(readCsv(path, schema, hasHeader, sep).df, timeCol)
 
+  /** Paginated REST API as a source (reference `read_rest_get/post`,
+    * df.py:655-663 + dataset/crypto_dataset.py:4-83). The fetcher is
+    * injectable (page index → JSON body, None = exhausted); pages are
+    * pulled on the driver — matching the reference, whose reader also
+    * materializes the feed — then parallelized and parsed by the JSON
+    * datasource. For truly large feeds implement a DataSourceV2; this
+    * covers the reference's bounded-feed semantics. */
+  def readRest(fetchPage: Int => Option[String], maxPages: Int = 10000): DataStream = {
+    val records = Iterator.from(0).map(fetchPage)
+      .takeWhile(_.isDefined).take(maxPages).flatten
+      .flatMap(_.linesIterator).filter(_.trim.nonEmpty).toSeq
+    import spark.implicits._
+    new DataStream(spark.read.json(spark.createDataset(records)))
+  }
+
   /** Local data → stream (reference df.py:713-788 from_polars/pandas/arrow). */
   def fromDataFrame(df: DataFrame): DataStream = new DataStream(df)
 

@@ -98,11 +98,15 @@ object Dedup {
       numHashes: Int = 16, shingleK: Int = 3, numBands: Int = 4): DataFrame = {
     val banded = bandedRel(shingleRel(df, idCol, textCol, shingleK), idCol,
       numHashes, numBands)
-    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_1"))
-    val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_2"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_1") < col("id_2"))
-      .select("id_1", "id_2").distinct()
+    // true self-join (same plan subtree on both sides) so the (band,
+    // bucket) shuffle is computed once and reused for the probe side
+    // (ReuseExchange), instead of running the signature pipeline twice.
+    banded.as("a").join(banded.as("b"),
+        col(s"a.band") === col(s"b.band") &&
+        col(s"a.bucket") === col(s"b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_1"), col(s"b.$idCol").as("id_2"))
+      .distinct()
   }
 
   /** Exact shingle-set Jaccard similarity between two distinct-element

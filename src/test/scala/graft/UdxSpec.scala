@@ -1,0 +1,41 @@
+package graft
+
+import graft.api.QContext
+import graft.udx.Aggregators.WelfordMeanVar
+import org.apache.spark.sql.functions._
+
+/** Extension points: custom Aggregator + REST source. */
+class UdxSpec extends SparkSpecBase {
+
+  test("WelfordMeanVar agrees with built-in avg/var_pop across partitions") {
+    val s = spark
+    import s.implicits._
+    val xs = (1 to 1000).map(i => (i * 37 % 97).toDouble)
+    val ds = s.createDataset(xs).repartition(7)
+    val got = ds.select(WelfordMeanVar.toColumn).head()
+    val ref = ds.toDF("x").agg(avg("x"), var_pop("x")).head()
+    assert(math.abs(got.mean - ref.getDouble(0)) < 1e-9)
+    assert(math.abs(got.variance - ref.getDouble(1)) < 1e-9)
+    assert(got.n == 1000L)
+  }
+
+  test("WelfordMeanVar registers as a SQL udaf") {
+    val s = spark
+    import s.implicits._
+    s.udf.register("meanvar", udaf(WelfordMeanVar))
+    Seq(1.0, 2.0, 3.0).toDF("x").createOrReplaceTempView("t_mv")
+    val r = s.sql("SELECT meanvar(x) AS mv FROM t_mv").select("mv.mean", "mv.variance").head()
+    assert(r.getDouble(0) == 2.0 && math.abs(r.getDouble(1) - 2.0 / 3) < 1e-12)
+  }
+
+  test("readRest pulls paginated JSON until exhaustion") {
+    val qc = new QContext(spark)
+    val pages = Map(
+      0 -> """{"id": 1, "px": 10.5}
+             |{"id": 2, "px": 11.0}""".stripMargin,
+      1 -> """{"id": 3, "px": 12.0}""")
+    val d = qc.readRest(i => pages.get(i))
+    assert(d.count() == 3)
+    assert(d.df.agg(sum("px")).head().getDouble(0) == 33.5)
+  }
+}
