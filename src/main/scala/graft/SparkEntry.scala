@@ -13,6 +13,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
+    graft.queries.AdvancedRelationalQueries.queries ++
     graft.queries.FunctionQueries.queries ++
     graft.queries.TimeSeriesQueries.queries ++
     graft.queries.VectorQueries.queries ++
@@ -22,6 +23,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
+    graft.queries.AdvancedRelationalQueries.oracles ++
     graft.queries.FunctionQueries.oracles ++
     graft.queries.TimeSeriesQueries.oracles ++
     graft.queries.VectorQueries.oracles ++

@@ -60,6 +60,16 @@ class QContext(val spark: SparkSession) {
       sep: String = ","): OrderedStream =
     new OrderedStream(readCsv(path, schema, hasHeader, sep).df, timeCol)
 
+  /** Iceberg table, optionally at a snapshot (reference `read_iceberg`,
+    * df.py:802-832 via pyiceberg+Glue; here the standard Spark-Iceberg
+    * integration — requires the iceberg-spark-runtime jar and catalog
+    * config on the session, the deployment-standard setup). */
+  def readIceberg(table: String, snapshotId: Option[Long] = None): DataStream = {
+    val r = spark.read.format("iceberg")
+    new DataStream(snapshotId.fold(r)(id =>
+      r.option("snapshot-id", id.toString)).load(table))
+  }
+
   /** Paginated REST API as a source (reference `read_rest_get/post`,
     * df.py:655-663 + dataset/crypto_dataset.py:4-83). The fetcher is
     * injectable (page index → JSON body, None = exhausted); pages are

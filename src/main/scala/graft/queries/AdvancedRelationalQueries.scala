@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.api.DataStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Harder relational shapes (TPC-H Q13/Q15/Q17/Q18/Q22 style): correlated
+  * subqueries as derived-aggregate joins, outer-join distributions,
+  * HAVING, scalar subqueries, winsorization. These exercise the SQL
+  * surface the reference reaches only through its DuckDB transpiler
+  * (pyquokka/sql.py:74-280) — native Catalyst shapes here.
+  */
+object AdvancedRelationalQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q17 shape: correlated avg-quantity subquery per part →
+    // derived agg + join (Catalyst plans the decorrelated form directly).
+    "q23_corr_subquery" -> { (s, d) =>
+      val li = lineitem(s, d)
+      val perPart = li.groupBy("l_partkey")
+        .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
+      li.join(perPart, "l_partkey")
+        .filter(col("l_quantity") < col("half_avg_qty"))
+        .agg((sum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+    },
+
+    // TPC-H Q13 shape: customer × orders LEFT OUTER, per-customer order
+    // count, then the count distribution.
+    "q24_outer_count_dist" -> { (s, d) =>
+      val c = new DataStream(customer(s, d))
+      val o = new DataStream(orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT"))
+      val perCust = c.join(o, "c_custkey", "o_custkey", how = "left")
+        .df.groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q18 shape: HAVING on a grouped sum, join back to orders +
+    // customers, top rows.
+    "q25_having_topk" -> { (s, d) =>
+      val big = lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      orders(s, d).join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q15 shape: scalar subquery on an aggregate max — supplier(s)
+    // achieving max revenue.
+    "q26_scalar_max" -> { (s, d) =>
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-07-01").cast("timestamp_ntz"))
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      supplier(s, d)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(mx), col("total_revenue") === col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q22 shape: anti join (no orders) + scalar subquery (average
+    // positive balance) as the filter.
+    "q27_not_exists_avg" -> { (s, d) =>
+      val c = customer(s, d)
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("ab"))
+      val noOrders = new DataStream(c).join(
+        new DataStream(orders(s, d)), "c_custkey", "o_custkey", how = "anti")
+      noOrders.df
+        .join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"), sum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Winsorization via exact percentiles (the reference's headline
+    // approx-quantile use case, blog/approxquant.md — exact here so the
+    // oracle can verify; the approximate path is approx_percentile with
+    // identical plan shape).
+    "q28_winsorize" -> { (s, d) =>
+      val li = lineitem(s, d)
+      val bounds = li.agg(
+        expr("percentile(l_extendedprice, 0.05)").as("lo"),
+        expr("percentile(l_extendedprice, 0.95)").as("hi"))
+      li.join(broadcast(bounds))
+        .select(least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
+          .as("w"))
+        .agg(sum(col("w")).as("w_sum"), min(col("w")).as("w_min"),
+          max(col("w")).as("w_max"), count(lit(1)).as("n"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q23_corr_subquery" ->
+      """SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+        |FROM lineitem l
+        |JOIN (SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+        |      FROM lineitem GROUP BY l_partkey) p
+        |  ON l.l_partkey = p.l_partkey
+        |WHERE l.l_quantity < p.half_avg_qty""".stripMargin,
+
+    "q24_outer_count_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q25_having_topk" ->
+      """SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty FROM (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250.0) b
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q26_scalar_max" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-07-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q27_not_exists_avg" ->
+      """SELECT c_mktsegment, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q28_winsorize" ->
+      """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+        |                  quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem)
+        |SELECT sum(w) AS w_sum, min(w) AS w_min, max(w) AS w_max, count(*) AS n
+        |FROM (SELECT least(greatest(l_extendedprice, lo), hi) AS w
+        |      FROM lineitem, b)""".stripMargin
+  )
+}
