@@ -12,6 +12,7 @@ import org.apache.spark.sql.types.StructType
   * so this class is a thin veneer that returns [[DataStream]] wrappers.
   */
 class QContext(val spark: SparkSession) {
+  graft.functions.GraftFunctions.register(spark)
 
   /** CSV file or directory (reference df.py:264-411). */
   def readCsv(

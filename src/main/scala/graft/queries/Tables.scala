@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Test-table loaders over the driver-provided parquet dirs. */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
   def lineitem(s: SparkSession, d: String) = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String) = t(s, d, "orders")
   def customer(s: SparkSession, d: String) = t(s, d, "customer")

@@ -85,10 +85,17 @@ object TextOps {
     * computable in ANSI-ish SQL on any engine (the DuckDB oracle uses
     * `list_reduce` over `unicode(s[i])`) — which makes every hash-derived
     * operator (MinHash, SimHash, fingerprints, LSH buckets) exactly
-    * verifiable. For short strings (tokens/shingles) the per-char fold is
-    * codegen'd and cheap; for whole-document identity use [[md5Hex]]
-    * (built-in, constant-time per byte) instead. */
-  def portableHash(s: Column): Column =
+    * verifiable. Backed by the native codegen'd
+    * [[graft.functions.PortableHash]] expression (registered by
+    * `GraftFunctions.register`, done by QContext/Verify/Bench): one
+    * compiled loop per string instead of an interpreted tree per char.
+    * For whole-document identity use [[md5Hex]] instead. */
+  def portableHash(s: Column): Column = call_function("portable_hash", s)
+
+  /** Pure-built-in form of [[portableHash]] (no function registration
+    * needed); same values on BMP/ASCII input — kept as the spec
+    * cross-check of the native expression. */
+  def portableHashHof(s: Column): Column =
     when(length(s) === 0, lit(0L)).otherwise(
       aggregate(
         transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),

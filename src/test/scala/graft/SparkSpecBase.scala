@@ -15,6 +15,7 @@ object SharedSpark {
       .appName("graft-test")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(s)
     s
   }
 }

@@ -24,6 +24,15 @@ class TextDedupSpec extends SparkSpecBase {
     assert(d == Seq(refHash("hello world"), 0L, 97L))
   }
 
+  test("native portable_hash expression equals the HOF formulation on real docs") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet").limit(200)
+    val diff = docs.select(
+        TextOps.portableHash(col("text")).as("a"),
+        TextOps.portableHashHof(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
   test("shingleHashes = polynomial combine of token hashes, distinct") {
     val out = docs(Seq((1L, "a b c d")))
       .select(TextOps.shingleHashes(col("text"), 3).as("sh"))
