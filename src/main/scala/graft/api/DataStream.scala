@@ -39,6 +39,23 @@ class DataStream(val df: DataFrame) {
     (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
      else w).csv(loc)
   }
+  /** Hive-style partitioned layout (`…/col=value/…`): reads with a filter
+    * on the partition columns prune whole directories — the scale path
+    * for time/tenant-partitioned corpora. */
+  def writeParquetPartitioned(loc: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(loc)
+  /** Bucketed + sorted table write: two tables bucketed the same way on
+    * the join key join with NO shuffle (SURVEY §2.4 co-located joins —
+    * the reference pre-partitions with its hash partitioner; Spark
+    * persists the layout in the catalog). */
+  def writeBucketed(
+      table: String, bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
 
   // ---- projection / filter / per-batch compute (datastream.py:278-903) -
   def filter(cond: Column): DataStream = new DataStream(df.filter(cond))

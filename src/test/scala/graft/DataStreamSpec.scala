@@ -125,6 +125,37 @@ class SourcesSinksSpec extends SparkSpecBase {
     assert(back.sparkSchema == d.sparkSchema && back.count() == d.count())
   }
 
+  test("partitioned write prunes partitions on filtered read") {
+    val qc = new QContext(spark)
+    val d = qc.readParquet(sf() + "/orders.parquet")
+    d.writeParquetPartitioned(s"$tmp/orders_part", Seq("o_orderpriority"))
+    val dirs = new java.io.File(s"$tmp/orders_part").listFiles()
+      .count(_.getName.startsWith("o_orderpriority="))
+    assert(dirs >= 3)
+    val back = qc.readParquet(s"$tmp/orders_part")
+      .filterSql("o_orderpriority = '1-URGENT'")
+    val expected = d.filterSql("o_orderpriority = '1-URGENT'").count()
+    assert(back.count() == expected)
+    // the partition filter must reach the scan, not a post-scan filter
+    val plan = back.df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("o_orderpriority"))
+  }
+
+  test("bucketed tables join without a shuffle on the bucket key") {
+    val qc = new QContext(spark)
+    val o = qc.readParquet(sf() + "/orders.parquet")
+    o.writeBucketed("orders_b", Seq("o_custkey"), 4)
+    qc.readParquet(sf() + "/customer.parquet")
+      .writeBucketed("customer_b", Seq("c_custkey"), 4)
+    val j = spark.table("orders_b").join(spark.table("customer_b"),
+      col("o_custkey") === col("c_custkey"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(j.count() > 0)
+  }
+
   test("readParquet nameColumn adds source file") {
     val qc = new QContext(spark)
     val d = qc.readParquet(sf() + "/region.parquet", nameColumn = Some("src"))

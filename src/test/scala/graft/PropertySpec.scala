@@ -1,0 +1,96 @@
+package graft
+
+import graft.api.OrderedStream
+import graft.ts.{SlidingWindow, TumblingWindow}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Randomized property checks (seeded, deterministic): operators vs
+  * brute-force scalar reference implementations on generated data. */
+class PropertySpec extends SparkSpecBase {
+
+  private val rnd = new Random(42)
+
+  private def randEvents(n: Int, keys: Int): Seq[(String, Double, Double)] =
+    (1 to n).map { _ =>
+      (s"k${rnd.nextInt(keys)}",
+        math.floor(rnd.nextDouble() * 1000) / 10.0, // 0.0..99.9, dedup-able
+        math.floor(rnd.nextDouble() * 100))
+    }.distinctBy(p => (p._1, p._2)) // unique (key, time): asof/window ties
+                                    // would otherwise be order-dependent
+
+  test("asof join equals brute-force reference on random data (5 trials)") {
+    val s = spark
+    import s.implicits._
+    for (trial <- 1 to 5) {
+      val left = randEvents(80, 4)
+      val right = randEvents(60, 4)
+      val l = new OrderedStream(left.toDF("k", "t", "v"), "t")
+      val r = new OrderedStream(right.toDF("k", "t", "q"), "t")
+      val got = l.asofJoin(r, "k").df
+        .select("k", "t", "v", "q").collect()
+        .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2),
+          Option(x.get(3)).map(_.asInstanceOf[Double])))
+        .toSet
+      // brute force: latest right at or before t for the same key
+      val expect = left.map { case (k, t, v) =>
+        val m = right.filter(p => p._1 == k && p._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+        (k, t, v, m)
+      }.toSet
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
+  test("sliding window count equals per-row brute force on random data") {
+    val s = spark
+    import s.implicits._
+    val ev = randEvents(150, 3)
+    val os = new OrderedStream(ev.toDF("k", "t", "v"), "t")
+    val got = os.windowedTransform(SlidingWindow(7.5), "k",
+      Map("n" -> count(lit(1)))).df
+      .select("k", "t", "n").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    // mirror the operator's microsecond quantization (range frames take
+    // long offsets), else double subtraction shifts boundaries by 1 ulp
+    def us(t: Double) = (t * 1e6).toLong
+    val expect = ev.map { case (k, t, _) =>
+      (k, t) -> ev.count(p =>
+        p._1 == k && us(p._2) >= us(t) - 7500000L && us(p._2) <= us(t)).toLong
+    }.toMap
+    assert(got == expect)
+  }
+
+  test("tumbling window sums equal per-bucket brute force") {
+    val s = spark
+    import s.implicits._
+    val ev = randEvents(200, 3)
+    val os = new OrderedStream(ev.toDF("k", "t", "v"), "t")
+    val got = os.windowedTransform(TumblingWindow(10.0), "k",
+      Map("sv" -> sum(col("v")))).df
+      .select("k", "window_start", "sv").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val expect = ev.groupBy(p => (p._1, math.floor(p._2 / 10.0) * 10.0))
+      .map { case (kw, rows) => kw -> rows.map(_._3).sum }
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (kw, v) => assert(math.abs(v - expect(kw)) < 1e-9, kw) }
+  }
+
+  test("minhash similarity estimate tracks true jaccard (monotone check)") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val mut10 = (1 to 60).map(i => if (i % 10 == 0) s"x$i" else s"w$i").mkString(" ")
+    val mut2 = (1 to 60).map(i => if (i % 2 == 0) s"x$i" else s"w$i").mkString(" ")
+    val sigs = Seq((1L, base), (2L, mut10), (3L, mut2)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.dedup.Dedup.minhashSig(col("text"), 64, 3).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count(p => p._1 == p._2).toDouble / a.length
+    val close = est(sigs(1L), sigs(2L))   // ~90% token overlap
+    val far = est(sigs(1L), sigs(3L))     // ~50% token overlap
+    assert(close > far)
+    assert(close > 0.4 && far < 0.5)
+  }
+}

@@ -12,6 +12,7 @@ object SharedSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "target/test-warehouse")
       .appName("graft-test")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
