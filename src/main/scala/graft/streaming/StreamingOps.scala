@@ -63,6 +63,78 @@ object StreamingOps {
     df.withWatermark(timeCol, watermarkDelay)
       .dropDuplicates(keys :+ timeCol)
 
+  /** Per-key state for [[streamingAsof]]: buffered quotes/trades not yet
+    * past the watermark. */
+  case class AsofState(
+      quotes: List[(Long, Double)],  // (epochMs, value), ascending time
+      trades: List[(Long, Double)])
+
+  /** True streaming backward as-of join — beyond the reference, which
+    * only processes *bounded* sorted streams (its sortedness contract is
+    * the watermark, SURVEY §2.9): here both sides are unbounded and
+    * unordered within the watermark delay.
+    *
+    * Union-tag the two sides, group by symbol, and run a
+    * flatMapGroupsWithState machine per key: buffer both sides, and once
+    * the event-time watermark passes a trade, emit it joined to the
+    * latest quote at-or-before it. State is trimmed to quotes newer than
+    * the single latest one at-or-before the watermark — exactly the
+    * reference's streaming trim (SortedAsofExecutor,
+    * ts_executors.py:359-376) driven by a real watermark instead of
+    * sortedness.
+    *
+    * Typed shape (key, ts, value) — the generic-schema batch operator is
+    * `graft.ts.AsofJoin`. Output: (key, ts, value, quote_ts, quote_value),
+    * quote fields null when no quote precedes the trade. */
+  def streamingAsof(
+      trades: DataFrame,   // columns: key, ts (timestamp), value
+      quotes: DataFrame,   // columns: key, ts (timestamp), value
+      watermarkDelay: String): DataFrame = {
+    val spark = trades.sparkSession
+    import spark.implicits._
+    val tagged = trades.select(col("key").cast("string"), col("ts"),
+        col("value").cast("double"), lit(1).as("side"))
+      .unionByName(quotes.select(col("key").cast("string"), col("ts"),
+        col("value").cast("double"), lit(0).as("side")))
+      .withWatermark("ts", watermarkDelay)
+      // keep the watermarked ts column itself through to the stateful op
+      // (projecting it away would detach the watermark)
+      .as[(String, java.sql.Timestamp, Double, Int)]
+
+    tagged.groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState,
+        (String, java.sql.Timestamp, Double, Option[java.sql.Timestamp], Option[Double])](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) { (key, rows, state) =>
+        // invoked with new rows OR on event-time timeout (watermark passed
+        // a pending trade — without the timeout a quiet key would never
+        // flush its ripe trades)
+        val s0 = state.getOption.getOrElse(AsofState(Nil, Nil))
+        var quotes = s0.quotes
+        var trades = s0.trades
+        rows.foreach { case (_, t, v, side) =>
+          val ms = t.getTime
+          if (side == 0) quotes = (ms, v) :: quotes else trades = (ms, v) :: trades
+        }
+        val wm = state.getCurrentWatermarkMs()
+        val qSorted = quotes.sortBy(_._1)
+        val (ripe, pending) = trades.sortBy(_._1).partition(_._1 <= wm)
+        val out = ripe.map { case (tms, tv) =>
+          val m = qSorted.takeWhile(_._1 <= tms).lastOption
+          (key, new java.sql.Timestamp(tms), tv,
+            m.map(q => new java.sql.Timestamp(q._1)), m.map(_._2))
+        }
+        // trim: the latest quote at-or-before the watermark still serves
+        // future trades (all have t > wm); older ones never match again.
+        val (past, future) = qSorted.partition(_._1 <= wm)
+        state.update(AsofState(past.takeRight(1) ++ future, pending))
+        pending.headOption.foreach { case (tms, _) =>
+          state.setTimeoutTimestamp(math.max(tms, wm + 1))
+        }
+        out.iterator
+      }
+      .toDF("key", "ts", "value", "quote_ts", "quote_value")
+  }
+
   /** Custom keyed state machine — the reference's `stateful_transform`
     * extension point in streaming form: running count + sum per key via
     * flatMapGroupsWithState. */

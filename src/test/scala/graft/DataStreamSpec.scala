@@ -144,6 +144,13 @@ class SourcesSinksSpec extends SparkSpecBase {
 
   test("bucketed tables join without a shuffle on the bucket key") {
     val qc = new QContext(spark)
+    Seq("orders_b", "customer_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"target/test-warehouse/$t")
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete()); loc.delete()
+      }
+    }
     val o = qc.readParquet(sf() + "/orders.parquet")
     o.writeBucketed("orders_b", Seq("o_custkey"), 4)
     qc.readParquet(sf() + "/customer.parquet")

@@ -67,6 +67,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(ks.toSeq == Seq("a", "b", "c"))
   }
 
+  test("streaming asof joins ripe trades to the latest preceding quote") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val tr = MemoryStream[(String, Timestamp, Double)]
+    val qu = MemoryStream[(String, Timestamp, Double)]
+    val out = StreamingOps.streamingAsof(
+      tr.toDF.toDF("key", "ts", "value"),
+      qu.toDF.toDF("key", "ts", "value"), "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sasof")
+      .outputMode("append").start()
+    // batch 1: quotes + trades for A; watermark still at 0 → nothing ripe
+    qu.addData(("A", ts(5), 99.5), ("A", ts(19), 100.5))
+    tr.addData(("A", ts(10), 1.0), ("A", ts(20), 2.0))
+    q.processAllAvailable()
+    // batch 2: watermark advances past both trades
+    tr.addData(("Z", ts(100), 0.0))
+    q.processAllAvailable()
+    // batch 3: one more processing round so trades ripened by batch-2's
+    // watermark emit
+    qu.addData(("Z", ts(200), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql(
+      "SELECT key, ts, value, quote_value FROM sasof WHERE key='A' ORDER BY ts")
+      .collect()
+      .map(r => (r.getTimestamp(1).getTime / 1000, r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(rows.toSeq == Seq(
+      (10L, 1.0, Some(99.5)),   // quote@5
+      (20L, 2.0, Some(100.5)))) // quote@19
+  }
+
   test("flatMapGroupsWithState running totals accumulate across batches") {
     val s = spark
     import s.implicits._
