@@ -168,6 +168,38 @@ object Dedup {
       .select(col(blockCol), col("id_1"), col("id_2"), col("jaccard"))
   }
 
+  /** Corpus-scale all-pairs Jaccard: explode (shingle, id) pairs,
+    * self-join on the shingle hash to co-count, and derive Jaccard from
+    * set sizes. Shuffle volume is linear in total shingles (then
+    * quadratic only within a shingle's posting list), vs. quadratic in
+    * documents for [[blockedJaccardPairs]] — the 100 TB formulation.
+    * Pairs sharing no shingle (Jaccard 0) are never materialized.
+    * `maxDf` drops stop-shingles whose posting lists exceed it (a hot
+    * shingle in M docs would emit M² candidate rows — classic skew cap;
+    * dropped shingles make the estimate conservative, as in standard
+    * near-dup practice). */
+  def sparseJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      shingleK: Int = 3, maxDf: Int = 1000): DataFrame = {
+    val sh = shingleRel(df, idCol, textCol, shingleK)
+    val sizes = sh.select(col(idCol), size(col("sh")).as("n"))
+    val posting = sh.select(col(idCol), explode(col("sh")).as("h"))
+    val rare = posting.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+    val p = posting.join(rare.select("h"), "h")
+    val co = p.as("a")
+      .join(p.as("b"), col("a.h") === col("b.h") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_1"), col(s"b.$idCol").as("id_2"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sizes.select(col(idCol).as("id_1"), col("n").as("n_1")), "id_1")
+      .join(sizes.select(col(idCol).as("id_2"), col("n").as("n_2")), "id_2")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_1") + col("n_2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_1", "id_2", "jaccard")
+  }
+
   // ---- embedding near-dup ---------------------------------------------
 
   /** For every vector, its single most-similar (cosine) neighbor within

@@ -94,6 +94,18 @@ class TextDedupSpec extends SparkSpecBase {
     assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("sparse (explode-join) jaccard equals the array-intersect form on real docs") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet").limit(120)
+    val sparse = Dedup.sparseJaccardPairs(docs, "doc_id", "text", threshold = 0.02)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val dense = Dedup.blockedJaccardPairs(
+        docs.withColumn("blk", lit(1)), "doc_id", "text", "blk")
+      .filter(col("jaccard") >= 0.02)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(sparse.keySet == dense.keySet)
+    sparse.foreach { case (k, v) => assert(math.abs(v - dense(k)) < 1e-12, k) }
+  }
+
   test("simhash hamming distance small for near-dups, large for unrelated") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val d = docs(Seq(
