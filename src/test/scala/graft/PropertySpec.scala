@@ -76,6 +76,42 @@ class PropertySpec extends SparkSpecBase {
     got.foreach { case (kw, v) => assert(math.abs(v - expect(kw)) < 1e-9, kw) }
   }
 
+  test("CEP pattern matches equal brute-force enumeration on random data") {
+    val s = spark
+    import s.implicits._
+    val ev = randEvents(60, 3)
+    val os = new OrderedStream(ev.toDF("k", "t", "v"), "t")
+    // two-step with a cross-event predicate
+    val got = os.patternRecognize(
+      Seq("a" -> "a.v < 50", "b" -> "b.v > a.v + 20"), maxSpan = 15L, by = "k")
+      .select("k", "a_t", "b_t").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    val expect = (for {
+      (k1, t1, v1) <- ev if v1 < 50
+      (k2, t2, v2) <- ev
+      if k2 == k1 && t2 > t1 && t2 <= t1 + 15.0 && v2 > v1 + 20
+    } yield (k1, t1, t2)).toSet
+    assert(got == expect)
+  }
+
+  test("3-event CEP chain equals brute-force triple enumeration") {
+    val s = spark
+    import s.implicits._
+    val ev = randEvents(40, 2)
+    val os = new OrderedStream(ev.toDF("k", "t", "v"), "t")
+    val got = os.patternRecognize(
+      Seq("a" -> "a.v < 40", "b" -> "b.v >= 40", "c" -> "c.v > b.v"),
+      maxSpan = 25L, by = "k")
+      .select("k", "a_t", "b_t", "c_t").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    val expect = (for {
+      (k1, t1, v1) <- ev if v1 < 40
+      (k2, t2, v2) <- ev if k2 == k1 && t2 > t1 && t2 <= t1 + 25.0 && v2 >= 40
+      (k3, t3, v3) <- ev if k3 == k1 && t3 > t2 && t3 <= t1 + 25.0 && v3 > v2
+    } yield (k1, t1, t2, t3)).toSet
+    assert(got == expect)
+  }
+
   test("minhash similarity estimate tracks true jaccard (monotone check)") {
     val s = spark
     import s.implicits._
