@@ -59,3 +59,16 @@ object GraftFunctions {
       "portable_hash", (children: Seq[Expression]) => PortableHash(children.head),
       "scala_udf")
 }
+
+/** `SparkSessionExtensions` hook — the deployment-idiomatic registration:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` makes
+  * `portable_hash` available in every session without code changes
+  * (SURVEY §7.3 custom-Catalyst tier). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("portable_hash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PortableHash].getCanonicalName, "portable_hash"),
+      (children: Seq[Expression]) => PortableHash(children.head)))
+}

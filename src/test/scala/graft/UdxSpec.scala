@@ -28,6 +28,18 @@ class UdxSpec extends SparkSpecBase {
     assert(r.getDouble(0) == 2.0 && math.abs(r.getDouble(1) - 2.0 / 3) < 1e-12)
   }
 
+  test("GraftExtensions wires portable_hash into SparkSessionExtensions") {
+    // a session can't be rebuilt with new extensions mid-JVM (getOrCreate
+    // returns the active one), so drive the injection hook directly; the
+    // registered builder itself is exercised end-to-end via
+    // GraftFunctions.register in every other text/dedup test.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext) // throws on bad wiring
+    val h = spark.sql("SELECT portable_hash('abc') AS h").head().getLong(0)
+    val expect = "abc".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    assert(h == expect)
+  }
+
   test("readRest pulls paginated JSON until exhaustion") {
     val qc = new QContext(spark)
     val pages = Map(
