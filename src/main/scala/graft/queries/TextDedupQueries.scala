@@ -163,6 +163,16 @@ object TextDedupQueries {
       graft.multimodal.Multimodal.decodeMeta(
         graft.multimodal.Multimodal.withBlob(documents(s, d), "text"),
         "doc_id", "blob").toDF().orderBy("id")
+    },
+
+    // classic wordcount (the reference benchmarks it standalone,
+    // benchmark/spark/wordcount.py): tokenize → explode → count, top-50.
+    "q72_wordcount" -> { (s, d) =>
+      documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(50)
     }
   )
 
@@ -283,6 +293,11 @@ object TextDedupQueries {
         |  CASE WHEN b0 % 3 = 0 THEN 'img' WHEN b0 % 3 = 1 THEN 'audio' ELSE 'video' END AS format,
         |  16 + (b0 % 64) AS width, 16 + (b1 % 64) AS height,
         |  1 + (byte_len % 30) AS n_frames
-        |FROM b ORDER BY id""".stripMargin
+        |FROM b ORDER BY id""".stripMargin,
+
+    "q72_wordcount" ->
+      s"""SELECT word, count(*) AS cnt
+         |FROM (SELECT unnest(${toksSql("text")}) AS word FROM documents)
+         |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin
   )
 }

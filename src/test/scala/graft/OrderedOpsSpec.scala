@@ -92,6 +92,26 @@ class OrderedOpsSpec extends SparkSpecBase {
       ("A", 10.0, 2L, 20.0), ("A", 35.0, 1L, 35.0), ("B", 12.0, 1L, 12.0)))
   }
 
+  test("hopping window on-event: running agg per live window") {
+    // hop 10, size 20 → event at t=35 lives in windows starting 20 and 30
+    val out = trades().windowedTransform(HoppingWindow(10.0, 20.0), "sym",
+      Map("n" -> count(lit(1))), trigger = OnEventTrigger).df
+      .filter(col("sym") === "A" && col("t") === 35.0)
+      .select("window_start", "n").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    // window [20,40) already saw the event at t=20 → running n=2 there
+    assert(out.toSeq == Seq((20.0, 2L), (30.0, 1L)))
+  }
+
+  test("hopping window on-completion counts overlapping membership") {
+    val out = trades().windowedTransform(HoppingWindow(10.0, 20.0), "sym",
+      Map("n" -> count(lit(1)))).df
+      .filter(col("sym") === "A").orderBy("window_start").collect()
+      .map(r => (r.getDouble(1), r.getLong(2)))
+    // A events at 10, 20, 35 → windows: 0(ev10), 10(ev10,20), 20(ev20,35), 30(ev35)
+    assert(out.toSeq == Seq((0.0, 1L), (10.0, 2L), (20.0, 2L), (30.0, 1L)))
+  }
+
   test("CEP pattern: a then b within span, per key") {
     val s = spark
     import s.implicits._

@@ -118,6 +118,24 @@ class TextDedupSpec extends SparkSpecBase {
     assert(ham(d(1L), d(2L)) <= 4)
   }
 
+  test("null and empty texts flow through text/dedup operators without crashing") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Some("normal text here")), (2L, Some("")), (3L, None))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n"),
+      TextOps.fingerprint(col("text")).as("fp"),
+      TextOps.langId(col("text")).as("lang"),
+      Dedup.simhash(col("text")).as("sh"),
+      Dedup.minhashSig(col("text"), 4, 3).as("sig"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 3)
+    assert(out(2L).getInt(1) == 0 && !out(2L).isNullAt(2))
+    assert(out(3L).isNullAt(1) || out(3L).isNullAt(2) || true) // no throw is the contract
+    assert(Dedup.lshNearDupPairs(df, "doc_id", "text", 0.5).count() == 0)
+  }
+
   test("blocked jaccard: identical docs in same block score 1.0") {
     val s = spark
     import s.implicits._
