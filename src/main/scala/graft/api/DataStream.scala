@@ -195,6 +195,19 @@ class DataStream(val df: DataFrame) {
   def approximateQuantile(c: String, quantiles: Seq[Double], accuracy: Int = 10000): DataStream =
     new DataStream(df.agg(percentile_approx(col(c),
       array(quantiles.map(lit): _*), lit(accuracy)).as("quantiles")))
+  /** Reference-parity t-digest quantiles (the reference wraps a native
+    * t-digest per partition, datastream.py:957-998; ours MERGES partial
+    * digests instead of averaging per-partition quantiles — see
+    * graft.agg.TDigestQuantiles). */
+  def tdigestQuantile(c: String, quantiles: Seq[Double],
+      compression: Int = 100): DataStream = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new graft.agg.TDigestQuantiles(quantiles, compression)
+    new DataStream(df.select(col(c).cast("double")).as[Double]
+      .select(agg.toColumn.name("quantiles")).toDF())
+  }
+
   /** Exact quantile (sort-based; for oracle-verifiable correctness). */
   def exactQuantile(c: String, quantiles: Seq[Double]): DataStream =
     new DataStream(df.agg(expr(

@@ -1,0 +1,48 @@
+package graft
+
+import graft.agg.TDigestQuantiles
+import org.apache.spark.sql.functions._
+
+/** t-digest Aggregator: accuracy vs exact quantiles across partitioned
+  * (merge-exercising) execution. */
+class TDigestSpec extends SparkSpecBase {
+
+  test("t-digest quantiles within 1% of exact on skewed data, merged across partitions") {
+    val s = spark
+    import s.implicits._
+    // lognormal-ish skew: the case mean-of-partition-quantiles handles worst
+    val rnd = new scala.util.Random(7)
+    val xs = (1 to 20000).map(_ => math.exp(rnd.nextGaussian() * 1.5))
+    val ds = s.createDataset(xs).repartition(8)
+    val qs = Seq(0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+    val agg = new TDigestQuantiles(qs, compression = 200)
+    val got = ds.select(agg.toColumn).head().values
+    val sorted = xs.sorted
+    qs.zip(got).foreach { case (q, est) =>
+      // rank error: the estimate's position in the sorted data vs q
+      val rank = sorted.count(_ <= est).toDouble / sorted.size
+      assert(math.abs(rank - q) < 0.01, s"q=$q est=$est rank=$rank")
+    }
+  }
+
+  test("t-digest on lineitem matches exact percentile closely") {
+    val li = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+    val s = spark
+    import s.implicits._
+    val agg = new TDigestQuantiles(Seq(0.5), compression = 100)
+    val got = li.select(col("l_extendedprice").cast("double")).as[Double]
+      .select(agg.toColumn).head().values.head
+    val exact = li.agg(expr("percentile(l_extendedprice, 0.5)")).head().getDouble(0)
+    assert(math.abs(got - exact) / exact < 0.02, s"got=$got exact=$exact")
+  }
+
+  test("t-digest handles empty and single-value inputs") {
+    val s = spark
+    import s.implicits._
+    val agg = new TDigestQuantiles(Seq(0.5))
+    val empty = s.createDataset(Seq.empty[Double]).select(agg.toColumn).head()
+    assert(empty.values.head.isNaN)
+    val one = s.createDataset(Seq(42.0)).select(agg.toColumn).head()
+    assert(one.values.head == 42.0)
+  }
+}
