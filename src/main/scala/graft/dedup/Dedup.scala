@@ -95,9 +95,18 @@ object Dedup {
 
   def lshCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, shingleK: Int = 3, numBands: Int = 4): DataFrame = {
-    val banded = bandedRel(shingleRel(df, idCol, textCol, shingleK), idCol,
+      numHashes: Int = 16, shingleK: Int = 3, numBands: Int = 4,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val banded0 = bandedRel(shingleRel(df, idCol, textCol, shingleK), idCol,
       numHashes, numBands)
+    // optional hot-bucket cap: a bucket of M docs emits M² candidate
+    // pairs — at corpus scale, cap degenerate buckets (boilerplate-
+    // identical docs) the way sparseJaccardPairs caps stop-shingles.
+    val banded = maxBucket.fold(banded0) { cap =>
+      val w = Window.partitionBy(col("band"), col("bucket"))
+      banded0.withColumn("__bn", count(lit(1)).over(w))
+        .filter(col("__bn") <= cap).drop("__bn")
+    }
     // true self-join (same plan subtree on both sides) so the (band,
     // bucket) shuffle is computed once and reused for the probe side
     // (ReuseExchange), instead of running the signature pipeline twice.

@@ -86,6 +86,29 @@ object AdvancedRelationalQueries {
         .orderBy("c_mktsegment")
     },
 
+    // One-pass MULTI-COLUMN winsorization — the reference's 10k-column
+    // feature-engineering headline (blog/approxquant.md): all bounds in
+    // ONE aggregate (per-column sketches share the scan), then one clip
+    // projection. Exact percentiles here so the oracle verifies; swap
+    // percentile → approx_percentile (or tdigestQuantile) at width.
+    "q29_multi_winsorize" -> { (s, d) =>
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li = lineitem(s, d)
+      val bounds = li.agg(
+        expr(s"percentile(${cols.head}, 0.05)").as(s"${cols.head}_lo"),
+        cols.tail.flatMap(c => Seq(
+          expr(s"percentile($c, 0.05)").as(s"${c}_lo"),
+          expr(s"percentile($c, 0.95)").as(s"${c}_hi"))) :+
+          expr(s"percentile(${cols.head}, 0.95)").as(s"${cols.head}_hi"): _*)
+      val clipped = li.join(broadcast(bounds))
+        .select(cols.map(c =>
+          least(greatest(col(c), col(s"${c}_lo")), col(s"${c}_hi"))
+            .as(s"${c}_w")): _*)
+      clipped.agg(
+        sum(col(s"${cols.head}_w")).as(s"${cols.head}_wsum"),
+        cols.tail.map(c => sum(col(s"${c}_w")).as(s"${c}_wsum")): _*)
+    },
+
     // Winsorization via exact percentiles (the reference's headline
     // approx-quantile use case, blog/approxquant.md — exact here so the
     // oracle can verify; the approximate path is approx_percentile with
@@ -145,6 +168,17 @@ object AdvancedRelationalQueries {
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q29_multi_winsorize" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val bounds = cols.map(c =>
+        s"quantile_cont($c, 0.05) AS ${c}_lo, quantile_cont($c, 0.95) AS ${c}_hi")
+        .mkString(", ")
+      val sums = cols.map(c =>
+        s"sum(least(greatest($c, ${c}_lo), ${c}_hi)) AS ${c}_wsum").mkString(", ")
+      s"""WITH b AS (SELECT $bounds FROM lineitem)
+         |SELECT $sums FROM lineitem, b""".stripMargin
+    },
 
     "q28_winsorize" ->
       """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
