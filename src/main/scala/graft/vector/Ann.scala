@@ -41,6 +41,59 @@ object Ann {
         s"i -> $v[i]::DOUBLE * ($w)[i]::DOUBLE)) > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
+    * data vector to one of `nlist` cells; each probe searches only the
+    * `nprobe` nearest cells — the reference's Lance IVF_PQ pushdown shape
+    * (pyquokka/datastream.py:454-476, df.py:1264-1318) without the PQ
+    * compression. Deterministic for a fixed seed. At scale the model is
+    * fit on a sample and the cell assignment is a narrow projection; the
+    * probe-side cell fan-out replaces the all-pairs cross product. */
+  def ivfJoin(
+      data: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      dataIdCol: String,
+      probeIdCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = data.select(col(dataIdCol),
+      col(vecCol).cast("array<double>").as("__arr"))
+      .withColumn("__feat", array_to_vector(col("__arr")))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__feat").setPredictionCol("__cell").fit(feat)
+    val assigned = model.transform(feat)
+      .select(col(dataIdCol), col("__cell"),
+        VectorOps.normalized(col("__arr")).as("__dvec"))
+    val centers = model.clusterCenters.map(_.toArray)
+    // nprobe nearest cells per probe under the assignment metric
+    // (Euclidean): rank by 2·x·c − |c|², the distance terms that vary
+    // with c — computed as expressions over the small literal centroids
+    val cellScores = centers.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit): _*)
+      val c2 = c.map(x => x * x).sum
+      struct((VectorOps.dot(col("__arr"), cLit) * 2.0 - lit(c2)).as("score"),
+        lit(i).as("cell"))
+    }
+    val p = broadcast(probes.select(col(probeIdCol),
+        col(vecCol).cast("array<double>").as("__arr"))
+      .withColumn("__cells",
+        slice(reverse(array_sort(array(cellScores: _*))), 1, nprobe))
+      .withColumn("__pvec", VectorOps.normalized(col("__arr")))
+      .select(col(probeIdCol), col("__pvec"),
+        explode(col("__cells.cell")).as("__cell")))
+    val w = Window.partitionBy(col(probeIdCol))
+      .orderBy(col("sim").desc, col(dataIdCol).asc)
+    assigned.join(p, "__cell")
+      .withColumn("sim", VectorOps.dot(col("__dvec"), col("__pvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(probeIdCol), col(dataIdCol), col("sim"), col("rank"))
+  }
+
   /** ANN top-k cosine join: probes matched only against same-bucket data
     * vectors. Returns (probeId, dataId, sim, rank) with rank ≤ k within
     * bucket — an approximation of [[VectorOps.nnJoin]] whose recall is

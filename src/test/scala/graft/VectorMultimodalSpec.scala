@@ -31,6 +31,20 @@ class VectorSpec extends SparkSpecBase {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("ivfJoin recall vs brute force with nprobe cells, deterministic") {
+    val e = emb()
+    val probes = e.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "probe_id")
+    val exact = VectorOps.nnJoin(e, probes, "embedding", "vec_id", "probe_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run() = Ann.ivfJoin(e, probes, "embedding", "vec_id", "probe_id",
+      k = 5, nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run()
+    val recall = (exact intersect a).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall=$recall")
+    assert(a == run()) // fixed seed → same cells → same result
+  }
+
   test("gramian matches manual XtX on a tiny frame") {
     val s = spark
     import s.implicits._
