@@ -177,6 +177,31 @@ object Dedup {
       .select(col(blockCol), col("id_1"), col("id_2"), col("jaccard"))
   }
 
+  /** Block-scoped sparse Jaccard: [[sparseJaccardPairs]]' posting-list
+    * formulation with the co-count join additionally keyed by a blocking
+    * column. Produces exactly the nonzero-Jaccard pairs of
+    * [[blockedJaccardPairs]]. */
+  def sparseBlockedJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      shingleK: Int = 3): DataFrame = {
+    val sh = df.select(col(blockCol), col(idCol),
+      TextOps.shingleHashes(col(textCol), shingleK).as("sh"))
+    val sizes = sh.select(col(idCol), size(col("sh")).as("n"))
+    val posting = sh.select(col(blockCol), col(idCol), explode(col("sh")).as("h"))
+    val co = posting.as("a")
+      .join(posting.as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$blockCol").as(blockCol),
+        col(s"a.$idCol").as("id_1"), col(s"b.$idCol").as("id_2"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sizes.select(col(idCol).as("id_1"), col("n").as("n_1")), "id_1")
+      .join(sizes.select(col(idCol).as("id_2"), col("n").as("n_2")), "id_2")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_1") + col("n_2") - col("inter")).cast("double"))
+      .select(col(blockCol), col("id_1"), col("id_2"), col("jaccard"))
+  }
+
   /** Corpus-scale all-pairs Jaccard: explode (shingle, id) pairs,
     * self-join on the shingle hash to co-count, and derive Jaccard from
     * set sizes. Shuffle volume is linear in total shingles (then

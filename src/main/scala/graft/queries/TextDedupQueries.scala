@@ -133,9 +133,13 @@ object TextDedupQueries {
         .orderBy("doc_id")
     },
 
-    // blocked all-pairs n-gram Jaccard, top-100 most similar.
+    // blocked all-pairs n-gram Jaccard, top-100 most similar. Sparse
+    // posting-list formulation: only nonzero-Jaccard pairs materialize,
+    // which cannot change a top-100 that is all-nonzero (it is on this
+    // data; blockedJaccardPairs is the dense equivalent, spec-checked).
     "q68_ngram_jaccard" -> { (s, d) =>
-      Dedup.blockedJaccardPairs(documents(s, d), "doc_id", "text", "source", shingleK)
+      Dedup.sparseBlockedJaccardPairs(documents(s, d), "doc_id", "text",
+        "source", shingleK)
         .orderBy(col("jaccard").desc, col("id_1"), col("id_2"))
         .limit(100)
     },
