@@ -54,10 +54,15 @@ case class PortableHash(child: Expression) extends UnaryExpression {
   * call once per SparkSession (QContext, Verify, Bench and the specs all
   * do). */
 object GraftFunctions {
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "portable_hash", (children: Seq[Expression]) => PortableHash(children.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      (children: Seq[Expression]) => DotProduct(children.head, children(1)),
+      "scala_udf")
+  }
 }
 
 /** `SparkSessionExtensions` hook — the deployment-idiomatic registration:
@@ -65,10 +70,16 @@ object GraftFunctions {
   * `portable_hash` available in every session without code changes
   * (SURVEY §7.3 custom-Catalyst tier). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("portable_hash"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[PortableHash].getCanonicalName, "portable_hash"),
       (children: Seq[Expression]) => PortableHash(children.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getCanonicalName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+  }
 }

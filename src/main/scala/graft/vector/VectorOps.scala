@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Σ aᵢ·bᵢ as a fold — sequential summation, matching a columnar
-    * kernel's accumulation order. Arrays are cast to double first. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ — the native codegen'd kernel (graft.functions.DotProduct;
+    * registered by GraftFunctions, same left-to-right accumulation as
+    * the HOF fold and the DuckDB oracle). Arguments must be
+    * array<double>. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Pure-built-in fold form of [[dot]] (no registration needed); same
+    * values — kept as the spec cross-check of the native kernel. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

@@ -9,6 +9,15 @@ class VectorSpec extends SparkSpecBase {
 
   private def emb() = spark.read.parquet(sf() + "/embeddings.parquet")
 
+  test("native graft_dot equals the HOF fold bit-for-bit on real vectors") {
+    val e = emb().select(col("embedding").cast("array<double>").as("v"))
+    val diff = e.select(
+        VectorOps.dot(col("v"), col("v")).as("a"),
+        VectorOps.dotHof(col("v"), col("v")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
   test("nnJoin: every probe's rank-1 neighbor is itself (sim ~ 1)") {
     val e = emb()
     val probes = e.filter(col("vec_id") < 3).withColumnRenamed("vec_id", "probe_id")
