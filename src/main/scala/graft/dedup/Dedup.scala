@@ -107,10 +107,11 @@ object Dedup {
       banded0.withColumn("__bn", count(lit(1)).over(w))
         .filter(col("__bn") <= cap).drop("__bn")
     }
-    // true self-join (same plan subtree on both sides) so the (band,
-    // bucket) shuffle is computed once and reused for the probe side
-    // (ReuseExchange), instead of running the signature pipeline twice.
-    banded.as("a").join(banded.as("b"),
+    // true self-join (same plan subtree on both sides) with a shuffle
+    // join forced: both sides exchange on (band, bucket) with identical
+    // children, so ReuseExchange computes the signature pipeline ONCE
+    // (a broadcast plan would rebuild it for the build side).
+    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col(s"a.band") === col(s"b.band") &&
         col(s"a.bucket") === col(s"b.bucket") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
