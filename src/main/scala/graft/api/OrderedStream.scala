@@ -55,5 +55,5 @@ class OrderedStream(df0: DataFrame, val timeCol: String) extends DataStream(df0)
       events: Seq[(String, String)],
       maxSpan: Long,
       by: String): DataFrame =
-    graft.ts.Cep.patternRecognize(this, events, maxSpan, by)
+    graft.ts.Cep.patternRecognize(this, events, maxSpan.toDouble, by)
 }

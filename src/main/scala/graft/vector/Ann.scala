@@ -73,7 +73,7 @@ object Ann {
     // (Euclidean): rank by 2·x·c − |c|², the distance terms that vary
     // with c — computed as expressions over the small literal centroids
     val cellScores = centers.zipWithIndex.map { case (c, i) =>
-      val cLit = array(c.map(lit): _*)
+      val cLit = array(c.toIndexedSeq.map(lit): _*)
       val c2 = c.map(x => x * x).sum
       struct((VectorOps.dot(col("__arr"), cLit) * 2.0 - lit(c2)).as("score"),
         lit(i).as("cell"))
@@ -81,7 +81,7 @@ object Ann {
     val p = broadcast(probes.select(col(probeIdCol),
         col(vecCol).cast("array<double>").as("__arr"))
       .withColumn("__cells",
-        slice(reverse(array_sort(array(cellScores: _*))), 1, nprobe))
+        slice(reverse(array_sort(array(cellScores.toIndexedSeq: _*))), 1, nprobe))
       .withColumn("__pvec", VectorOps.normalized(col("__arr")))
       .select(col(probeIdCol), col("__pvec"),
         explode(col("__cells.cell")).as("__cell")))

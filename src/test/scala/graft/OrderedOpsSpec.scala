@@ -23,6 +23,16 @@ class OrderedOpsSpec extends SparkSpecBase {
       ("B", 30.0, 199.0)).toDF("sym", "t", "bid"), "t")
   }
 
+  test("readSortedParquet tags an OrderedStream usable by ordered ops") {
+    val qc = new graft.api.QContext(spark)
+    trades().df.write.mode("overwrite").parquet("target/test-io/trades_sorted")
+    val os = qc.readSortedParquet("target/test-io/trades_sorted", "t")
+    assert(os.timeCol == "t")
+    val shifted = os.shift(Seq("px"), 1, by = "sym")
+    assert(shifted.df.columns.contains("px_shifted"))
+    assert(shifted.count() == 4)
+  }
+
   test("asof unionTag: latest right at or before left time, per key") {
     val out = trades().asofJoin(quotes(), "sym").df
       .orderBy("sym", "t")
