@@ -37,6 +37,71 @@ object Cep {
   private[ts] def referenced(pred: String): Set[String] =
     """\b([A-Za-z_]\w*)\.""".r.findAllMatchIn(pred).map(_.group(1)).toSet
 
+  /** NFA formulation (reference `nfa_cep`, cep_executors.py:196-272):
+    * one time-ordered pass per key, maintaining partial-match states.
+    * Linear in events × live-states where the join formulation is a
+    * k-way join — the right shape when the pattern is long or
+    * selective prefilters don't exist. Predicates are Scala functions
+    * (current row, matched prefix by event name) → Boolean, the typed
+    * analog of the reference's string-substituted predicates. Emits one
+    * row per complete match: key + per-event times, same shape as
+    * [[patternRecognize]]'s (by, name_t...) columns.
+    *
+    * Scale: groupByKey on `by` (one shuffle), per-key sorted scan with
+    * state bounded by live partial matches within maxSpan. */
+  def nfaPatternRecognize(
+      os: OrderedStream,
+      events: Seq[(String, org.apache.spark.sql.Row => Boolean, (org.apache.spark.sql.Row, Map[String, org.apache.spark.sql.Row]) => Boolean)],
+      maxSpan: Double,
+      by: String): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    require(events.nonEmpty)
+    val df = os.df
+    val tIdx = df.columns.indexOf(os.timeCol)
+    val keyIdx = df.columns.indexOf(by)
+    val names = events.map(_._1)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema(by).copy(nullable = false) +:
+        names.map(n => org.apache.spark.sql.types.StructField(
+          s"${n}_t", org.apache.spark.sql.types.DoubleType)))
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val kEnc: Encoder[String] = Encoders.STRING
+    df.groupByKey((r: Row) => String.valueOf(r.get(keyIdx)))
+      .flatMapGroups { (_: String, it: Iterator[Row]) =>
+        val rows = it.toArray.sortBy(r =>
+          r.get(tIdx).asInstanceOf[Number].doubleValue())
+        // partial state: matched rows so far, by event name, in order
+        var live = List.empty[Vector[(String, Row)]]
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def t(r: Row) = r.get(tIdx).asInstanceOf[Number].doubleValue()
+        for (r <- rows) {
+          val now = t(r)
+          live = live.filter(s => now <= t(s.head._2) + maxSpan)
+          // extend every live state whose next event matches (all-matches
+          // semantics, like the reference's DFS); then try starting fresh
+          val extended = live.flatMap { s =>
+            val (name, self, cross) = events(s.length)
+            val ctx = s.toMap
+            if (self(r) && cross(r, ctx) && now > t(s.last._2)) {
+              val ns = s :+ (name -> r)
+              if (ns.length == events.length) {
+                out += Row.fromSeq(r.get(keyIdx) +: ns.map(p => t(p._2)))
+                None
+              } else Some(ns)
+            } else None
+          }
+          val (n0, self0, _) = events.head
+          val fresh =
+            if (!self0(r)) Nil
+            else if (events.length == 1) {
+              out += Row.fromSeq(r.get(keyIdx) +: Seq(now)); Nil
+            } else List(Vector(n0 -> r))
+          live = live ++ extended ++ fresh
+        }
+        out.iterator
+      }.toDF(by +: names.map(n => s"${n}_t"): _*)
+  }
+
   def patternRecognize(
       os: OrderedStream,
       events: Seq[(String, String)],

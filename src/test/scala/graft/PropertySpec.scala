@@ -112,6 +112,27 @@ class PropertySpec extends SparkSpecBase {
     assert(got == expect)
   }
 
+  test("NFA CEP agrees with the join formulation on random data") {
+    val s = spark
+    import s.implicits._
+    val ev = randEvents(60, 3)
+    val os = new OrderedStream(ev.toDF("k", "t", "v"), "t")
+    val joinForm = os.patternRecognize(
+      Seq("a" -> "a.v < 50", "b" -> "b.v > a.v + 20"), maxSpan = 15L, by = "k")
+      .select("k", "a_t", "b_t").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    val nfaForm = graft.ts.Cep.nfaPatternRecognize(os,
+      Seq(
+        ("a", (r: org.apache.spark.sql.Row) => r.getDouble(2) < 50,
+          (_: org.apache.spark.sql.Row, _: Map[String, org.apache.spark.sql.Row]) => true),
+        ("b", (_: org.apache.spark.sql.Row) => true,
+          (r: org.apache.spark.sql.Row, ctx: Map[String, org.apache.spark.sql.Row]) =>
+            r.getDouble(2) > ctx("a").getDouble(2) + 20)),
+      maxSpan = 15.0, by = "k")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(nfaForm == joinForm)
+  }
+
   test("minhash similarity estimate tracks true jaccard (monotone check)") {
     val s = spark
     import s.implicits._
