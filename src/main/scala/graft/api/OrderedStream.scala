@@ -49,6 +49,13 @@ class OrderedStream(df0: DataFrame, val timeCol: String) extends DataStream(df0)
       trigger: graft.ts.WindowTrigger = graft.ts.OnCompletionTrigger): OrderedStream =
     graft.ts.Windows.apply(this, window, by, aggs, trigger)
 
+  /** Ordered stateful transform (reference OrderedStream
+    * `stateful_transform`, orderedstream.py:55-112): key-partitioned,
+    * time-ordered within partition. */
+  def statefulTransformOrdered[T: org.apache.spark.sql.Encoder](by: String)(
+      f: Iterator[org.apache.spark.sql.Row] => Iterator[T]): org.apache.spark.sql.Dataset[T] =
+    statefulTransform(Seq(by), Seq(timeCol))(f)
+
   /** Complex-event pattern recognition (reference `pattern_recognize`,
     * orderedstream.py:37-53 + cep_executors.py). */
   def patternRecognize(

@@ -58,6 +58,12 @@ class DataStreamSpec extends SparkSpecBase {
     assert(d.countDistinct("id").collect()(0).getLong(0) == 2L)
   }
 
+  test("approxCountDistinct is near exact on moderate cardinality") {
+    val d = ds((1 to 500).map(i => (i % 97, s"n$i", 1.0)))
+    val approx = d.approxCountDistinct("id").collect()(0).getLong(0)
+    assert(math.abs(approx - 97) <= 10)
+  }
+
   test("union / intersect / except") {
     val a = ds(Seq((1, "a", 1.0), (2, "b", 2.0)))
     val b = ds(Seq((2, "b", 2.0), (3, "c", 3.0)))

@@ -118,6 +118,24 @@ class TextDedupSpec extends SparkSpecBase {
     assert(ham(d(1L), d(2L)) <= 4)
   }
 
+  test("hamming column operator counts differing simhash bits") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0xF0L, 0x0FL), (5L, 5L)).toDF("a", "b")
+      .select(Dedup.hamming(col("a"), col("b")).as("h"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(d == Seq(8, 0))
+  }
+
+  test("punctRatio measures punctuation density") {
+    val s = spark
+    import s.implicits._
+    val r = Seq(("a,b.c!", "abc")).toDF("p", "q")
+      .select(TextOps.punctRatio(col("p")), TextOps.punctRatio(col("q")))
+      .head()
+    assert(r.getDouble(0) == 0.5 && r.getDouble(1) == 0.0)
+  }
+
   test("null and empty texts flow through text/dedup operators without crashing") {
     val s = spark
     import s.implicits._
