@@ -86,6 +86,33 @@ object AdvancedRelationalQueries {
         .orderBy("c_mktsegment")
     },
 
+    // TPC-H Q2 shape: min-per-group correlated subquery over a dimension
+    // join tree (supplier in a region offering the region-min account
+    // balance per nation).
+    "q2b_corr_min_join" -> { (s, d) =>
+      val supNation = supplier(s, d)
+        .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+      val minBal = supNation.groupBy(col("n_nationkey").as("mk"))
+        .agg(min(col("s_acctbal")).as("min_bal"))
+      supNation.join(broadcast(minBal),
+          col("n_nationkey") === col("mk") && col("s_acctbal") === col("min_bal"))
+        .select("n_name", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy("n_name", "s_suppkey")
+    },
+
+    // explicit GROUPING SETS (the reference lacks them; cube/rollup are
+    // q16/q17 — this is the general form).
+    "q2c_grouping_sets" -> { (s, d) =>
+      orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+               |  count(*) AS n, sum(o_totalprice) AS total
+               |FROM orders_gs
+               |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+               |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    },
+
     // One-pass MULTI-COLUMN winsorization — the reference's 10k-column
     // feature-engineering headline (blog/approxquant.md): all bounds in
     // ONE aggregate (per-column sketches share the scan), then one clip
@@ -168,6 +195,25 @@ object AdvancedRelationalQueries {
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q2b_corr_min_join" ->
+      """SELECT n_name, s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND s_acctbal = (
+        |  SELECT min(s2.s_acctbal) FROM supplier s2
+        |  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |  WHERE r2.r_name = 'ASIA' AND n2.n_nationkey = nation.n_nationkey)
+        |ORDER BY n_name, s_suppkey""".stripMargin,
+
+    "q2c_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  sum(o_totalprice) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
     "q29_multi_winsorize" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
