@@ -177,6 +177,32 @@ object TextDedupQueries {
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word"))
         .limit(50)
+    },
+
+    // near-exact dedup on NORMALIZED text (case/punct/whitespace
+    // canonicalization before hashing).
+    "q73_normalized_dedup" -> { (s, d) =>
+      val docs = documents(s, d)
+        .withColumn("norm", TextOps.normalizeText(col("text")))
+      Dedup.exactDedupTags(docs, "doc_id", "norm").orderBy("doc_id")
+    },
+
+    // end-to-end curation pipeline: quality gate → exact dedup (keep
+    // canonical) → per-language corpus accounting. The composition shape
+    // a training-data build runs at 100 TB.
+    "q74_curation_pipeline" -> { (s, d) =>
+      val docs = documents(s, d)
+        .withColumn("q", TextOps.qualityScore(col("text")))
+        .filter(col("q") >= 0.5)
+      val kept = Dedup.exactDedupTags(docs.select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .filter(!col("is_dup"))
+        .join(docs, "doc_id")
+      kept.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        avg(col("q")).as("mean_quality"))
+        .orderBy("lang")
     }
   )
 
@@ -302,6 +328,32 @@ object TextDedupQueries {
     "q72_wordcount" ->
       s"""SELECT word, count(*) AS cnt
          |FROM (SELECT unnest(${toksSql("text")}) AS word FROM documents)
-         |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin
+         |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+
+    "q73_normalized_dedup" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS content_key,
+        |  min(doc_id) OVER (PARTITION BY md5(norm)) AS canonical_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(norm)) AS is_dup
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "q74_curation_pipeline" -> {
+      val stopAll = TextOps.langStopwords.flatMap(_._2)
+      s"""WITH toks AS (SELECT doc_id, lang, text, ${toksSql("text")} AS t FROM documents),
+         |scored AS (SELECT doc_id, lang, text, len(t) AS n_toks,
+         |  CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)::DOUBLE END * 0.5
+         |  + least(1.0, len(t)::DOUBLE / 100.0) * 0.3
+         |  + least(1.0, (CASE WHEN len(t) = 0 THEN 0.0 ELSE ${hitsSql("t", stopAll)}::DOUBLE / len(t)::DOUBLE END) * 10.0) * 0.2 AS q
+         |  FROM toks),
+         |gated AS (SELECT * FROM scored WHERE q >= 0.5),
+         |kept AS (SELECT * FROM (SELECT *,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+         |  FROM gated) WHERE doc_id = canonical_id)
+         |SELECT lang, count(*) AS n_docs, sum(n_toks) AS total_tokens,
+         |  avg(q) AS mean_quality
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+    }
   )
 }

@@ -183,6 +183,13 @@ object TextOps {
   val bpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
   def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpePattern))
 
+  /** Canonical text for near-exact dedup: lower-case, punctuation
+    * stripped, whitespace collapsed — catches trivially-reformatted
+    * duplicates that byte-exact hashing misses. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "),
+      " +", " "))
+
   // ---- fingerprinting --------------------------------------------------
 
   /** Order-sensitive rolling fingerprint over token hashes:

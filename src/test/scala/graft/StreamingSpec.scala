@@ -37,6 +37,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.toSeq == Seq(("k1", 0L, 3.0, 2L), ("k1", 10L, 4.0, 1L)))
   }
 
+  test("streaming hopping window assigns events to overlapping windows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData((ts(15), "k1", 2.0))   // in windows [0,20) and [10,30)
+    mem.addData((ts(100), "k2", 0.0))  // watermark pusher
+    val out = StreamingOps.windowedAgg(
+      mem.toDF.toDF("t", "k", "v"), "t", "k",
+      "20 seconds", "10 seconds", "0 seconds",
+      Map("total" -> sum(col("v"))))
+    runToMemory(out, "hop_out")
+    val rows = s.sql("SELECT window_start, total FROM hop_out WHERE k='k1' ORDER BY window_start")
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getDouble(1)))
+    assert(rows.toSeq == Seq((0L, 2.0), (10L, 2.0)))
+  }
+
   test("streaming session window groups by gap") {
     val s = spark
     import s.implicits._
