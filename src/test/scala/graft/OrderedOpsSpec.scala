@@ -58,6 +58,26 @@ class OrderedOpsSpec extends SparkSpecBase {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("physical asof operator (AsofJoinExec) agrees with unionTag") {
+    // crafted fixture: exact values
+    val direct = AsofJoin.merge(trades(), quotes(), "sym")
+      .orderBy("sym", "t").select(col("sym"), col("t"), col("bid")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(direct.toSeq == Seq(
+      ("A", 10.0, Some(99.5)), ("A", 20.0, Some(100.7)),
+      ("A", 35.0, Some(100.7)), ("B", 12.0, None)))
+    // self-derived sides (shared scan → exprId dedup path) on real data
+    val ev = graft.queries.Tables.events(spark, sf())
+    val l = new OrderedStream(ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value"), "ts")
+    val r = new OrderedStream(ev.filter(col("event_type") === "view")
+      .select("user_id", "ts", "value"), "ts")
+    val a = AsofJoin.unionTag(l, r, "user_id").df
+    val b = AsofJoin.merge(l, r, "user_id")
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("asof tolerance drops stale matches") {
     val out = trades().asofJoin(quotes(), "sym", tolerance = Some(5L)).df
       .orderBy("sym", "t")
