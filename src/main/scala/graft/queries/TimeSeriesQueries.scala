@@ -39,6 +39,21 @@ object TimeSeriesQueries {
         .sort(Seq("event_id")).df
     },
 
+    // the same as-of join through the custom physical operator
+    // (graft.plans.AsofJoinExec — SURVEY §7.3 tier (c)); identical oracle
+    // to q41 proves the operator at the driver gate.
+    "q49_asof_physical" -> { (s, d) =>
+      val ev = events(s, d)
+      val trades = new OrderedStream(
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id", "value"), "ts")
+      val quotes = new OrderedStream(
+        ev.filter(col("event_type") === "view")
+          .select("user_id", "ts", "value"), "ts")
+      graft.ts.AsofJoin.merge(trades, quotes, by = "user_id", suffix = "_right")
+        .orderBy("event_id")
+    },
+
     // as-of with tolerance: match only views within the last 6 hours.
     "q42_asof_tolerance" -> { (s, d) =>
       val ev = events(s, d)
@@ -118,6 +133,16 @@ object TimeSeriesQueries {
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS value_shifted
         |FROM events ORDER BY event_id""".stripMargin,
     "q41_asof_join" ->
+      """WITH t AS (SELECT user_id, ts, event_id, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |     q AS (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'view')
+        |SELECT t.user_id, t.ts, t.event_id, t.value,
+        |  q.ts AS ts_right, q.value AS value_right
+        |FROM t ASOF LEFT JOIN q
+        |  ON t.user_id = q.user_id AND q.ts <= t.ts
+        |ORDER BY t.event_id""".stripMargin,
+    "q49_asof_physical" ->
       """WITH t AS (SELECT user_id, ts, event_id, value FROM events
         |           WHERE event_type = 'purchase'),
         |     q AS (SELECT user_id, ts, value FROM events
