@@ -62,7 +62,10 @@ object RelationalQueries {
     "q4_join_semi" -> { (s, d) =>
       val ord = new DataStream(orders(s, d))
         .filterSql("o_orderdate >= timestamp '1993-07-01 00:00:00'")
-      val li = new DataStream(lineitem(s, d))
+      // the semi-join's build side is the FACT table projection — never
+      // broadcast-able at scale (and measured slower even here): force
+      // the shuffled hash join AQE would pick with real stats.
+      val li = new DataStream(lineitem(s, d).hint("shuffle_hash"))
       ord.joinOn(li, ord.df("o_orderkey") === li.df("l_orderkey") &&
           li.df("l_shipdate") > ord.df("o_orderdate"), "left_semi")
         .groupby("o_orderpriority")
