@@ -141,7 +141,7 @@ object FunctionQueries {
         |FROM events ORDER BY event_id""".stripMargin,
     "q34_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(k_val) AS k_sum, avg(k_val) AS k_avg
+        |  CAST(sum(k_val) AS BIGINT) AS k_sum, avg(k_val) AS k_avg
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |      FROM events)
@@ -151,8 +151,8 @@ object FunctionQueries {
       """SELECT l_orderkey, l_linenumber,
         |  abs(l_discount - 0.05) AS abs_d,
         |  round(l_quantity / 2.0, 0) AS half_q,
-        |  floor(l_quantity / 7) AS q7,
-        |  ceil(l_tax * 100) AS tax_pct,
+        |  CAST(floor(l_quantity / 7) AS BIGINT) AS q7,
+        |  CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct,
         |  power(l_quantity, 2) AS q_sq,
         |  l_orderkey % 7 AS key_mod
         |FROM lineitem WHERE l_orderkey % 500 = 0

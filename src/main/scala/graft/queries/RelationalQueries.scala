@@ -251,8 +251,8 @@ object RelationalQueries {
           "sum(l_quantity) as sum_qty",
           "min(l_extendedprice) as min_price",
           "max(l_extendedprice) as max_price",
-          "avg(l_discount) as avg_disc",
-          "stddev_samp(l_quantity) as std_qty",
+          "round(avg(l_discount), 9) as avg_disc",
+          "round(stddev_samp(l_quantity), 9) as std_qty",
           "count(distinct l_suppkey) as n_supps").df
     },
 
@@ -397,7 +397,8 @@ object RelationalQueries {
     "q21_global_agg" ->
       """SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty,
         |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
-        |  avg(l_discount) AS avg_disc, stddev_samp(l_quantity) AS std_qty,
+        |  round(avg(l_discount), 9) AS avg_disc,
+        |  round(stddev_samp(l_quantity), 9) AS std_qty,
         |  count(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem""".stripMargin,
     "q22_sort" ->

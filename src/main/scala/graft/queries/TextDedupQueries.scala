@@ -201,7 +201,9 @@ object TextDedupQueries {
       kept.groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
         sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"),
-        avg(col("q")).as("mean_quality"))
+        // avg of computed doubles is order-dependent at the last ulp;
+        // round to 9 dp (mirrored in the oracle) for a stable hash.
+        round(avg(col("q")), 9).as("mean_quality"))
         .orderBy("lang")
     }
   )
@@ -351,8 +353,9 @@ object TextDedupQueries {
          |kept AS (SELECT * FROM (SELECT *,
          |    min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
          |  FROM gated) WHERE doc_id = canonical_id)
-         |SELECT lang, count(*) AS n_docs, sum(n_toks) AS total_tokens,
-         |  avg(q) AS mean_quality
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |  round(avg(q), 9) AS mean_quality
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
     }
   )
