@@ -85,6 +85,9 @@ object Dedup {
 
   private def bandedRel(sh: DataFrame, idCol: String,
       numHashes: Int, numBands: Int): DataFrame = {
+    require(numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be divisible by numBands ($numBands); " +
+        "otherwise trailing signature hashes would be silently ignored")
     val rowsPerBand = numHashes / numBands
     val sigs = sh.select(col(idCol),
       minhashSigFromHashes(col("sh"), numHashes).as("sig"))

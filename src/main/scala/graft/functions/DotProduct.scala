@@ -11,12 +11,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * as DuckDB's `list_sum(list_transform(...))`, so results are
   * bit-identical to the oracle. */
 object DotProductImpl {
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Returns null (boxed) when the arrays differ in length or any element
+    * is null — the same cases where `aggregate(zip_with(...))` yields NULL,
+    * so the native kernel never silently truncates mismatched vectors. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
-    s
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
   }
 }
 
@@ -36,10 +44,22 @@ case class DotProduct(left: Expression, right: Expression)
       TypeCheckResult.TypeCheckFailure(
         s"graft_dot requires two array<double> arguments, got $other")
   }
+  // May produce null even for non-null inputs (length mismatch / null element).
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
     DotProductImpl.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotProductImpl.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("dotResult")
+      s"""
+         |java.lang.Double $boxed = graft.functions.DotProductImpl.dot($a, $b);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.doubleValue();
+         |}
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)

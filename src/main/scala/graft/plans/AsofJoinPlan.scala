@@ -105,14 +105,18 @@ case class AsofJoinExec(
               else if (lKey == null) 1
               else keyOrd.asInstanceOf[Ordering[Any]].compare(rKey, lKey)
             if (cmp < 0) { rBuf.next() } // other key, before ours: discard
-            else if (cmp == 0 &&
-                timeOrd.asInstanceOf[Ordering[Any]].compare(
-                  r.get(rTimeIdx, timeTypeR), lT) <= 0) {
-              lastKey = rKey
-              lastQuote = rBuf.next().copy()
+            else if (cmp == 0) {
+              val rT = r.get(rTimeIdx, timeTypeR)
+              if (rT == null) { rBuf.next() } // undefined quote time: never a match
+              else if (lT != null &&
+                  timeOrd.asInstanceOf[Ordering[Any]].compare(rT, lT) <= 0) {
+                lastKey = rKey
+                lastQuote = rBuf.next().copy()
+              } else advancing = false
             } else advancing = false
           }
-          val keyMatches = lastQuote != null && (
+          // A null left event time has no defined "as of" point → null payload.
+          val keyMatches = lT != null && lastQuote != null && (
             (lastKey == null && lKey == null) ||
             (lastKey != null && lKey != null &&
               keyOrd.asInstanceOf[Ordering[Any]].compare(lastKey, lKey) == 0))

@@ -98,6 +98,14 @@ object Ann {
     * vectors. Returns (probeId, dataId, sim, rank) with rank ≤ k within
     * bucket — an approximation of [[VectorOps.nnJoin]] whose recall is
     * spec-tested. Probes are broadcast; the data side is scanned once. */
+  /** Per-row contract check: vectors must have exactly `dim` elements,
+    * else the hyperplanes only see a truncated prefix and bucketing
+    * quality silently degrades. Fails the query instead. */
+  private def checkedDim(v: Column, dim: Int): Column =
+    when(size(v) === dim, v).otherwise(raise_error(concat(
+      lit("annJoin: vector of length "), size(v).cast("string"),
+      lit(s" does not match dim=$dim"))))
+
   def annJoin(
       data: DataFrame,
       probes: DataFrame,
@@ -108,12 +116,12 @@ object Ann {
       numBits: Int = 8,
       dim: Int = 64): DataFrame = {
     val d = data.select(col(dataIdCol),
-      col(vecCol).cast("array<double>").as("__raw"))
+      checkedDim(col(vecCol).cast("array<double>"), dim).as("__raw"))
       .withColumn("__bucket", bucket(col("__raw"), numBits, dim))
       .select(col(dataIdCol), col("__bucket"),
         VectorOps.normalized(col("__raw")).as("__dvec"))
     val p = broadcast(probes.select(col(probeIdCol),
-      col(vecCol).cast("array<double>").as("__raw"))
+      checkedDim(col(vecCol).cast("array<double>"), dim).as("__raw"))
       .withColumn("__bucket", bucket(col("__raw"), numBits, dim))
       .select(col(probeIdCol), col("__bucket"),
         VectorOps.normalized(col("__raw")).as("__pvec")))

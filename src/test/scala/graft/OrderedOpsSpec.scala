@@ -78,6 +78,28 @@ class OrderedOpsSpec extends SparkSpecBase {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("physical asof tolerates null event times (defined result, no NPE)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val lSchema = StructType(Seq(StructField("sym", StringType),
+      StructField("t", DoubleType), StructField("px", DoubleType)))
+    val rSchema = StructType(Seq(StructField("sym", StringType),
+      StructField("t", DoubleType), StructField("bid", DoubleType)))
+    val l = new OrderedStream(spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("A", null, 1.0), Row("A", 10.0, 2.0)), lSchema), "t")
+    val r = new OrderedStream(spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("A", null, 98.0), Row("A", 9.0, 99.0)), rSchema), "t")
+    val out = AsofJoin.merge(l, r, "sym")
+      .orderBy(col("t").asc_nulls_first)
+      .select(col("t"), col("bid")).collect()
+      .map(x => (Option(x.get(0)), Option(x.get(1))))
+    // null left time → null payload; null-time quote is never a match
+    assert(out.toSeq == Seq(
+      (None, None), (Some(10.0), Some(99.0))))
+  }
+
   test("asof tolerance drops stale matches") {
     val out = trades().asofJoin(quotes(), "sym", tolerance = Some(5L)).df
       .orderBy("sym", "t")

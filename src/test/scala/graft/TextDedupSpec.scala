@@ -82,6 +82,14 @@ class TextDedupSpec extends SparkSpecBase {
     assert(d(1L).length == 16)
   }
 
+  test("lshCandidates rejects numHashes not divisible by numBands") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshCandidates(docs(Seq((1L, "a b c"))), "doc_id", "text",
+        numHashes = 16, numBands = 5)
+    }
+    assert(e.getMessage.contains("divisible"))
+  }
+
   test("lshNearDupPairs finds planted near-duplicates and skips distinct docs") {
     val base = "one two three four five six seven eight nine ten " * 3
     val near = base.replace("five", "5") // small edit → high jaccard

@@ -18,6 +18,22 @@ class VectorSpec extends SparkSpecBase {
     assert(diff == 0)
   }
 
+  test("graft_dot is NULL on length mismatch or null elements (HOF parity)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0), Seq(3.0, 4.0)),          // ok → 11.0
+      (Seq(1.0, 2.0, 3.0), Seq(3.0, 4.0))      // length mismatch → null
+    ).toDF("a", "b")
+    val rows = df.select(VectorOps.dot(col("a"), col("b"))).collect()
+    assert(rows(0).getDouble(0) == 11.0)
+    assert(rows(1).isNullAt(0))
+    // null element → null (vs old behavior: garbage partial sum)
+    val withNull = spark.sql(
+      "SELECT graft_dot(array(1.0d, cast(null as double)), array(1.0d, 2.0d)) AS d")
+    assert(withNull.collect()(0).isNullAt(0))
+  }
+
   test("nnJoin: every probe's rank-1 neighbor is itself (sim ~ 1)") {
     val e = emb()
     val probes = e.filter(col("vec_id") < 3).withColumnRenamed("vec_id", "probe_id")
