@@ -6,6 +6,7 @@ import graft.vector.VectorOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines (SURVEY §7.2
   * step 9 parity-plus): exact (hash-groupBy), MinHash+LSH, SimHash,
@@ -99,9 +100,25 @@ object Dedup {
   def lshCandidates(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, shingleK: Int = 3, numBands: Int = 4,
-      maxBucket: Option[Int] = None): DataFrame = {
-    val banded0 = bandedRel(shingleRel(df, idCol, textCol, shingleK), idCol,
-      numHashes, numBands)
+      maxBucket: Option[Int] = None): DataFrame =
+    lshCandidatesFrom(shingleRel(df, idCol, textCol, shingleK), idCol,
+      numHashes, numBands, maxBucket)
+
+  /** [[lshCandidates]] over a pre-computed (id, sh) shingle relation —
+    * lets [[lshNearDupPairs]] share one materialized shingle pass between
+    * candidate generation and Jaccard confirmation. */
+  private def lshCandidatesFrom(
+      sh: DataFrame, idCol: String,
+      numHashes: Int, numBands: Int,
+      maxBucket: Option[Int],
+      materializeBands: Boolean = false): DataFrame = {
+    val banded1 = bandedRel(sh, idCol, numHashes, numBands)
+    // Three scalar columns per (doc, band) — caching it runs the
+    // shingle→minhash→band pipeline exactly once for the self-join, and
+    // unlike caching shingle arrays the columnar decode is cheap.
+    val banded0 =
+      if (materializeBands) banded1.persist(StorageLevel.MEMORY_AND_DISK)
+      else banded1
     // optional hot-bucket cap: a bucket of M docs emits M² candidate
     // pairs — at corpus scale, cap degenerate buckets (boilerplate-
     // identical docs) the way sparseJaccardPairs caps stop-shingles.
@@ -137,8 +154,16 @@ object Dedup {
   def lshNearDupPairs(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       numHashes: Int = 16, shingleK: Int = 3, numBands: Int = 4): DataFrame = {
-    val cands = lshCandidates(df, idCol, textCol, numHashes, shingleK, numBands)
+    // Caching the shingle ARRAYS is a net loss (columnar-cache decode of
+    // array<long> costs more than recompute), so the confirm joins below
+    // recompute shingles and rely on runtime exchange reuse. What IS
+    // worth materializing is the banded relation — three scalar columns
+    // (id, band, bucket), linear in corpus size — which cuts the
+    // signature pipeline (the expensive interpreted HOF part) to a
+    // single pass feeding both sides of the bucket self-join.
     val sh = shingleRel(df, idCol, textCol, shingleK)
+    val cands = lshCandidatesFrom(sh, idCol, numHashes, numBands, None,
+      materializeBands = true)
     cands
       .join(sh.select(col(idCol).as("id_1"), col("sh").as("sh_1")), "id_1")
       .join(sh.select(col(idCol).as("id_2"), col("sh").as("sh_2")), "id_2")
@@ -188,10 +213,18 @@ object Dedup {
   def sparseBlockedJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       shingleK: Int = 3): DataFrame = {
+    // The shingle pipeline feeds four plan references (posting self-join
+    // ×2, per-doc sizes ×2). Materialize the EXPLODED posting list — all
+    // scalar columns, so the columnar cache decodes cheaply (caching the
+    // arrays themselves costs more to decode than recompute) — and
+    // derive sizes from it: shingle hashes are distinct per doc, so
+    // |sh| = posting count. Docs with no shingles drop out of posting,
+    // but they share no hash with anything, so no pair is lost.
     val sh = df.select(col(blockCol), col(idCol),
       TextOps.shingleHashes(col(textCol), shingleK).as("sh"))
-    val sizes = sh.select(col(idCol), size(col("sh")).as("n"))
     val posting = sh.select(col(blockCol), col(idCol), explode(col("sh")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = posting.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val co = posting.as("a")
       .join(posting.as("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") &&
@@ -219,9 +252,12 @@ object Dedup {
   def sparseJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       shingleK: Int = 3, maxDf: Int = 1000): DataFrame = {
+    // Same materialization strategy as [[sparseBlockedJaccardPairs]]:
+    // cache the scalar-column posting list, derive sizes from it.
     val sh = shingleRel(df, idCol, textCol, shingleK)
-    val sizes = sh.select(col(idCol), size(col("sh")).as("n"))
     val posting = sh.select(col(idCol), explode(col("sh")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = posting.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val rare = posting.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)
     val p = posting.join(rare.select("h"), "h")
