@@ -110,15 +110,8 @@ object Dedup {
   private def lshCandidatesFrom(
       sh: DataFrame, idCol: String,
       numHashes: Int, numBands: Int,
-      maxBucket: Option[Int],
-      materializeBands: Boolean = false): DataFrame = {
-    val banded1 = bandedRel(sh, idCol, numHashes, numBands)
-    // Three scalar columns per (doc, band) — caching it runs the
-    // shingle→minhash→band pipeline exactly once for the self-join, and
-    // unlike caching shingle arrays the columnar decode is cheap.
-    val banded0 =
-      if (materializeBands) banded1.persist(StorageLevel.MEMORY_AND_DISK)
-      else banded1
+      maxBucket: Option[Int]): DataFrame = {
+    val banded0 = bandedRel(sh, idCol, numHashes, numBands)
     // optional hot-bucket cap: a bucket of M docs emits M² candidate
     // pairs — at corpus scale, cap degenerate buckets (boilerplate-
     // identical docs) the way sparseJaccardPairs caps stop-shingles.
@@ -156,14 +149,15 @@ object Dedup {
       numHashes: Int = 16, shingleK: Int = 3, numBands: Int = 4): DataFrame = {
     // Caching the shingle ARRAYS is a net loss (columnar-cache decode of
     // array<long> costs more than recompute), so the confirm joins below
-    // recompute shingles and rely on runtime exchange reuse. What IS
-    // worth materializing is the banded relation — three scalar columns
-    // (id, band, bucket), linear in corpus size — which cuts the
-    // signature pipeline (the expensive interpreted HOF part) to a
-    // single pass feeding both sides of the bucket self-join.
+    // recompute shingles and rely on runtime exchange reuse: the bucket
+    // self-join inside lshCandidatesFrom shuffles the identical banded
+    // subtree on (band, bucket), so ReuseExchange runs the signature
+    // pipeline once. (An explicit persist of the banded relation was
+    // tried and measured ~2× slower end-to-end at sf0.1 — the cache
+    // write/read cost exceeds what exchange reuse already saves — and it
+    // pinned storage for the SparkContext lifetime.)
     val sh = shingleRel(df, idCol, textCol, shingleK)
-    val cands = lshCandidatesFrom(sh, idCol, numHashes, numBands, None,
-      materializeBands = true)
+    val cands = lshCandidatesFrom(sh, idCol, numHashes, numBands, None)
     cands
       .join(sh.select(col(idCol).as("id_1"), col("sh").as("sh_1")), "id_1")
       .join(sh.select(col(idCol).as("id_2"), col("sh").as("sh_2")), "id_2")
@@ -209,34 +203,41 @@ object Dedup {
   /** Block-scoped sparse Jaccard: [[sparseJaccardPairs]]' posting-list
     * formulation with the co-count join additionally keyed by a blocking
     * column. Produces exactly the nonzero-Jaccard pairs of
-    * [[blockedJaccardPairs]]. */
+    * [[blockedJaccardPairs]]. Ids need only be unique within a block:
+    * sizes are computed per (block, id) and joined on both keys.
+    *
+    * Runs EAGERLY (see [[sparseJaccardPairs]] for why). */
   def sparseBlockedJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       shingleK: Int = 3): DataFrame = {
-    // The shingle pipeline feeds four plan references (posting self-join
-    // ×2, per-doc sizes ×2). Materialize the EXPLODED posting list — all
-    // scalar columns, so the columnar cache decodes cheaply (caching the
-    // arrays themselves costs more to decode than recompute) — and
-    // derive sizes from it: shingle hashes are distinct per doc, so
-    // |sh| = posting count. Docs with no shingles drop out of posting,
-    // but they share no hash with anything, so no pair is lost.
+    // Same materialize-and-release strategy as [[sparseJaccardPairs]]:
+    // cache the scalar-column posting list for the duration of the call,
+    // derive sizes from it (shingle hashes are distinct per doc, so
+    // |sh| = posting count; docs with no shingles drop out of posting,
+    // but they share no hash with anything, so no pair is lost).
     val sh = df.select(col(blockCol), col(idCol),
       TextOps.shingleHashes(col(textCol), shingleK).as("sh"))
     val posting = sh.select(col(blockCol), col(idCol), explode(col("sh")).as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = posting.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val co = posting.as("a")
-      .join(posting.as("b"),
-        col(s"a.$blockCol") === col(s"b.$blockCol") &&
-        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$blockCol").as(blockCol),
-        col(s"a.$idCol").as("id_1"), col(s"b.$idCol").as("id_2"))
-      .agg(count(lit(1)).as("inter"))
-    co.join(sizes.select(col(idCol).as("id_1"), col("n").as("n_1")), "id_1")
-      .join(sizes.select(col(idCol).as("id_2"), col("n").as("n_2")), "id_2")
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("n_1") + col("n_2") - col("inter")).cast("double"))
-      .select(col(blockCol), col("id_1"), col("id_2"), col("jaccard"))
+    try {
+      val sizes = posting.groupBy(col(blockCol), col(idCol))
+        .agg(count(lit(1)).as("n"))
+      val co = posting.as("a")
+        .join(posting.as("b"),
+          col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
+        .groupBy(col(s"a.$blockCol").as(blockCol),
+          col(s"a.$idCol").as("id_1"), col(s"b.$idCol").as("id_2"))
+        .agg(count(lit(1)).as("inter"))
+      co.join(sizes.select(col(blockCol), col(idCol).as("id_1"),
+          col("n").as("n_1")), Seq(blockCol, "id_1"))
+        .join(sizes.select(col(blockCol), col(idCol).as("id_2"),
+          col("n").as("n_2")), Seq(blockCol, "id_2"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("n_1") + col("n_2") - col("inter")).cast("double"))
+        .select(col(blockCol), col("id_1"), col("id_2"), col("jaccard"))
+        .localCheckpoint(true)
+    } finally posting.unpersist(false)
   }
 
   /** Corpus-scale all-pairs Jaccard: explode (shingle, id) pairs,
@@ -248,30 +249,44 @@ object Dedup {
     * `maxDf` drops stop-shingles whose posting lists exceed it (a hot
     * shingle in M docs would emit M² candidate rows — classic skew cap;
     * dropped shingles make the estimate conservative, as in standard
-    * near-dup practice). */
+    * near-dup practice).
+    *
+    * Runs EAGERLY: the O(total shingles) posting list is persisted only
+    * for the duration of the call — the (small) confirmed-pair output is
+    * materialized via `localCheckpoint` and the posting cache released
+    * before returning, so repeated invocations cannot pin executor
+    * storage for the SparkContext lifetime. The checkpoint trades the
+    * posting lineage for stored result blocks (cleaned when the returned
+    * frame is dropped); on executor loss the (cheap, small) result
+    * re-materializes from the checkpoint semantics of the caller's next
+    * action. */
   def sparseJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       shingleK: Int = 3, maxDf: Int = 1000): DataFrame = {
-    // Same materialization strategy as [[sparseBlockedJaccardPairs]]:
-    // cache the scalar-column posting list, derive sizes from it.
+    // The posting list feeds three separate exchanges (sizes on id, df
+    // counts on h, the self-join on h), so without a cache the shingle
+    // HOF pipeline would run 3×; cache it for the call, then release.
     val sh = shingleRel(df, idCol, textCol, shingleK)
     val posting = sh.select(col(idCol), explode(col("sh")).as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = posting.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val rare = posting.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf && col("df") >= 2)
-    val p = posting.join(rare.select("h"), "h")
-    val co = p.as("a")
-      .join(p.as("b"), col("a.h") === col("b.h") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_1"), col(s"b.$idCol").as("id_2"))
-      .agg(count(lit(1)).as("inter"))
-    co.join(sizes.select(col(idCol).as("id_1"), col("n").as("n_1")), "id_1")
-      .join(sizes.select(col(idCol).as("id_2"), col("n").as("n_2")), "id_2")
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("n_1") + col("n_2") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_1", "id_2", "jaccard")
+    try {
+      val sizes = posting.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      val rare = posting.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf && col("df") >= 2)
+      val p = posting.join(rare.select("h"), "h")
+      val co = p.as("a")
+        .join(p.as("b"), col("a.h") === col("b.h") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+        .groupBy(col(s"a.$idCol").as("id_1"), col(s"b.$idCol").as("id_2"))
+        .agg(count(lit(1)).as("inter"))
+      co.join(sizes.select(col(idCol).as("id_1"), col("n").as("n_1")), "id_1")
+        .join(sizes.select(col(idCol).as("id_2"), col("n").as("n_2")), "id_2")
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("n_1") + col("n_2") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+        .localCheckpoint(true)
+    } finally posting.unpersist(false)
   }
 
   // ---- embedding near-dup ---------------------------------------------
