@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.FunctionQueries.queries ++
     graft.queries.TimeSeriesQueries.queries ++
     graft.queries.VectorQueries.queries ++
-    graft.queries.TextDedupQueries.queries
+    graft.queries.TextDedupQueries.queries ++
+    graft.queries.TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.FunctionQueries.oracles ++
     graft.queries.TimeSeriesQueries.oracles ++
     graft.queries.VectorQueries.oracles ++
-    graft.queries.TextDedupQueries.oracles
+    graft.queries.TextDedupQueries.oracles ++
+    graft.queries.TpchQueries.oracles
 }
