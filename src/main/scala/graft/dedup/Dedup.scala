@@ -6,7 +6,6 @@ import graft.vector.VectorOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines (SURVEY §7.2
   * step 9 parity-plus): exact (hash-groupBy), MinHash+LSH, SimHash,
@@ -204,40 +203,38 @@ object Dedup {
     * formulation with the co-count join additionally keyed by a blocking
     * column. Produces exactly the nonzero-Jaccard pairs of
     * [[blockedJaccardPairs]]. Ids need only be unique within a block:
-    * sizes are computed per (block, id) and joined on both keys.
-    *
-    * Runs EAGERLY (see [[sparseJaccardPairs]] for why). */
+    * sizes are computed per (block, id) and joined on both keys. */
   def sparseBlockedJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       shingleK: Int = 3): DataFrame = {
-    // Same materialize-and-release strategy as [[sparseJaccardPairs]]:
-    // cache the scalar-column posting list for the duration of the call,
-    // derive sizes from it (shingle hashes are distinct per doc, so
+    // No cache: the posting list feeds exactly two exchanges — the
+    // per-doc sizes (shuffle on (block, id)) and the co-count self-join
+    // (both sides the IDENTICAL subtree shuffled on (block, h), so
+    // ReuseExchange computes it once). Recomputing the shingle pipeline
+    // twice beats pinning an O(total shingles) cache for the
+    // SparkContext lifetime — and keeps the operator lazy. Sizes derive
+    // from the posting rows (shingle hashes are distinct per doc, so
     // |sh| = posting count; docs with no shingles drop out of posting,
     // but they share no hash with anything, so no pair is lost).
     val sh = df.select(col(blockCol), col(idCol),
       TextOps.shingleHashes(col(textCol), shingleK).as("sh"))
     val posting = sh.select(col(blockCol), col(idCol), explode(col("sh")).as("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val sizes = posting.groupBy(col(blockCol), col(idCol))
-        .agg(count(lit(1)).as("n"))
-      val co = posting.as("a")
-        .join(posting.as("b"),
-          col(s"a.$blockCol") === col(s"b.$blockCol") &&
-          col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
-        .groupBy(col(s"a.$blockCol").as(blockCol),
-          col(s"a.$idCol").as("id_1"), col(s"b.$idCol").as("id_2"))
-        .agg(count(lit(1)).as("inter"))
-      co.join(sizes.select(col(blockCol), col(idCol).as("id_1"),
-          col("n").as("n_1")), Seq(blockCol, "id_1"))
-        .join(sizes.select(col(blockCol), col(idCol).as("id_2"),
-          col("n").as("n_2")), Seq(blockCol, "id_2"))
-        .withColumn("jaccard", col("inter").cast("double") /
-          (col("n_1") + col("n_2") - col("inter")).cast("double"))
-        .select(col(blockCol), col("id_1"), col("id_2"), col("jaccard"))
-        .localCheckpoint(true)
-    } finally posting.unpersist(false)
+    val sizes = posting.groupBy(col(blockCol), col(idCol))
+      .agg(count(lit(1)).as("n"))
+    val co = posting.as("a")
+      .join(posting.as("b").hint("shuffle_hash"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$blockCol").as(blockCol),
+        col(s"a.$idCol").as("id_1"), col(s"b.$idCol").as("id_2"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sizes.select(col(blockCol), col(idCol).as("id_1"),
+        col("n").as("n_1")), Seq(blockCol, "id_1"))
+      .join(sizes.select(col(blockCol), col(idCol).as("id_2"),
+        col("n").as("n_2")), Seq(blockCol, "id_2"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_1") + col("n_2") - col("inter")).cast("double"))
+      .select(col(blockCol), col("id_1"), col("id_2"), col("jaccard"))
   }
 
   /** Corpus-scale all-pairs Jaccard: explode (shingle, id) pairs,
@@ -249,44 +246,36 @@ object Dedup {
     * `maxDf` drops stop-shingles whose posting lists exceed it (a hot
     * shingle in M docs would emit M² candidate rows — classic skew cap;
     * dropped shingles make the estimate conservative, as in standard
-    * near-dup practice).
-    *
-    * Runs EAGERLY: the O(total shingles) posting list is persisted only
-    * for the duration of the call — the (small) confirmed-pair output is
-    * materialized via `localCheckpoint` and the posting cache released
-    * before returning, so repeated invocations cannot pin executor
-    * storage for the SparkContext lifetime. The checkpoint trades the
-    * posting lineage for stored result blocks (cleaned when the returned
-    * frame is dropped); on executor loss the (cheap, small) result
-    * re-materializes from the checkpoint semantics of the caller's next
-    * action. */
+    * near-dup practice). */
   def sparseJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       shingleK: Int = 3, maxDf: Int = 1000): DataFrame = {
-    // The posting list feeds three separate exchanges (sizes on id, df
-    // counts on h, the self-join on h), so without a cache the shingle
-    // HOF pipeline would run 3×; cache it for the call, then release.
+    // No cache (same reasoning as [[sparseBlockedJaccardPairs]]): the
+    // posting list feeds three exchanges — sizes (shuffle on id), the
+    // stop-shingle document frequencies (partial-agg shuffle on h), and
+    // the co-count join input (shuffle on h; the self-join's two sides
+    // are the identical subtree, so ReuseExchange computes that input
+    // once). Three recomputes of the shingle pipeline beat pinning an
+    // O(total shingles) cache for the SparkContext lifetime — a cache
+    // that size belongs to the caller's lifecycle, not this operator's
+    // (persist the input df upstream if the corpus is re-scanned often).
     val sh = shingleRel(df, idCol, textCol, shingleK)
     val posting = sh.select(col(idCol), explode(col("sh")).as("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val sizes = posting.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-      val rare = posting.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf && col("df") >= 2)
-      val p = posting.join(rare.select("h"), "h")
-      val co = p.as("a")
-        .join(p.as("b"), col("a.h") === col("b.h") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-        .groupBy(col(s"a.$idCol").as("id_1"), col(s"b.$idCol").as("id_2"))
-        .agg(count(lit(1)).as("inter"))
-      co.join(sizes.select(col(idCol).as("id_1"), col("n").as("n_1")), "id_1")
-        .join(sizes.select(col(idCol).as("id_2"), col("n").as("n_2")), "id_2")
-        .withColumn("jaccard", col("inter").cast("double") /
-          (col("n_1") + col("n_2") - col("inter")).cast("double"))
-        .filter(col("jaccard") >= threshold)
-        .select("id_1", "id_2", "jaccard")
-        .localCheckpoint(true)
-    } finally posting.unpersist(false)
+    val sizes = posting.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val rare = posting.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+    val p = posting.join(rare.select("h"), "h")
+    val co = p.as("a")
+      .join(p.as("b").hint("shuffle_hash"), col("a.h") === col("b.h") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_1"), col(s"b.$idCol").as("id_2"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sizes.select(col(idCol).as("id_1"), col("n").as("n_1")), "id_1")
+      .join(sizes.select(col(idCol).as("id_2"), col("n").as("n_2")), "id_2")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_1") + col("n_2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_1", "id_2", "jaccard")
   }
 
   // ---- embedding near-dup ---------------------------------------------
