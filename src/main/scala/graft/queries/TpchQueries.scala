@@ -37,20 +37,12 @@ object TpchQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Derived partsupp (see file Scaladoc): one row per (part, supplier)
-    * pair observed in lineitem. At scale this is one shuffle of the
-    * 2-key projection of lineitem — the same cost class as the
-    * aggregation queries that use it. */
-  private def partsupp(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(
-        min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"),
-        sum(col("l_quantity").cast("long")).as("ps_availqty"))
-      .select(col("l_partkey").as("ps_partkey"),
-        col("l_suppkey").as("ps_suppkey"),
-        col("ps_supplycost"), col("ps_availqty"))
-
+  /** Oracle-side derived partsupp (see file Scaladoc): one row per
+    * (part, supplier) pair observed in lineitem. The Spark side derives
+    * the same relation inline per query, pushing each query's per-part /
+    * per-supplier restriction BELOW the groupBy (a semi join before the
+    * aggregation) — the oracle states the unrestricted form because the
+    * downstream joins apply the same restriction relationally. */
   private val partsuppSql =
     """WITH partsupp AS (
       |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
@@ -86,15 +78,23 @@ object TpchQueries {
       val euroSupp = supplier(s, d)
         .join(broadcast(euroNat), col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-      val eps = partsupp(s, d)
-        .join(euroSupp, col("ps_suppkey") === col("s_suppkey"))
-      val minCost = eps.groupBy(col("ps_partkey").as("mc_partkey"))
-        .agg(min(col("ps_supplycost")).as("min_cost"))
       val p = part(s, d)
         .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
         .select("p_partkey")
-      eps.join(p, col("ps_partkey") === col("p_partkey"))
-        .join(minCost, col("ps_partkey") === col("mc_partkey") &&
+      // The part filter is a per-part restriction, and min_cost is a
+      // per-part aggregate — so the filter pushes BELOW the partsupp
+      // derivation (semi join before the groupBy shrinks the aggregated
+      // fact rows by the filter's selectivity without changing any
+      // surviving part's minimum).
+      val ps = lineitem(s, d)
+        .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+      val eps = ps.join(euroSupp, col("ps_suppkey") === col("s_suppkey"))
+      val minCost = eps.groupBy(col("ps_partkey").as("mc_partkey"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+      eps.join(minCost, col("ps_partkey") === col("mc_partkey") &&
           col("ps_supplycost") === col("min_cost"))
         .select("s_acctbal", "s_name", "n_name", "ps_partkey", "ps_supplycost")
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
@@ -237,7 +237,13 @@ object TpchQueries {
       val suppNat = supplier(s, d)
         .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("nation"))
-      val ps = partsupp(s, d).select("ps_partkey", "ps_suppkey", "ps_supplycost")
+      // Per-part restriction pushed below the partsupp derivation (see
+      // tpch02): only widget parts' (part, supplier) pairs aggregate.
+      val ps = lineitem(s, d)
+        .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
       lineitem(s, d)
         .join(p, col("l_partkey") === col("p_partkey"))
         .join(ps, col("l_partkey") === col("ps_partkey") &&
@@ -281,8 +287,14 @@ object TpchQueries {
         .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_15")),
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey")
-      val ps = partsupp(s, d)
-        .join(natSupp, col("ps_suppkey") === col("s_suppkey"))
+      // Per-supplier restriction pushed below the partsupp derivation
+      // (see tpch02): only the nation's suppliers' pairs aggregate.
+      val ps = lineitem(s, d)
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"),
+          sum(col("l_quantity").cast("long")).as("ps_availqty"))
         .select(col("ps_partkey"),
           (col("ps_supplycost") * col("ps_availqty")).as("v"))
       val total = ps.agg((sum(col("v")) * lit(0.0001)).as("threshold"))
@@ -366,7 +378,15 @@ object TpchQueries {
         .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "MEDIUM" &&
           col("p_size").isin(49, 14, 23, 45, 19, 3, 36, 9))
         .select("p_partkey", "p_brand", "p_type", "p_size")
-      partsupp(s, d).select("ps_partkey", "ps_suppkey")
+      // Distinct (part, supplier) pairs only — the full partsupp
+      // aggregates are unused here, and the per-part restriction pushes
+      // below the distinct (see tpch02).
+      lineitem(s, d)
+        .join(p.select("p_partkey"), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .distinct()
         .join(bad, col("ps_suppkey") === col("bad_suppkey"), "left_anti")
         .join(p, col("ps_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
@@ -437,18 +457,25 @@ object TpchQueries {
     // Q20: potential part promotion (do_20:479-491) over derived
     // partsupp; p_name like 'small%' stands in for 'forest%'.
     "tpch20" -> { (s, d) =>
+      val fparts = part(s, d).filter(col("p_name").like("small%"))
+        .select("p_partkey")
       val shipped = lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(fparts, col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg((lit(0.5) * sum(col("l_quantity"))).as("half_qty"))
-      val fparts = part(s, d).filter(col("p_name").like("small%"))
-        .select("p_partkey")
-      val excess = partsupp(s, d)
+      // Per-part restriction pushed below the partsupp derivation (see
+      // tpch02): only 'small%' parts' pairs aggregate.
+      val ps = lineitem(s, d)
+        .join(fparts, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("ps_availqty"))
+      val excess = ps
         .join(shipped, col("ps_partkey") === col("l_partkey") &&
           col("ps_suppkey") === col("l_suppkey"))
         .filter(col("ps_availqty") > col("half_qty"))
-        .join(fparts, col("ps_partkey") === col("p_partkey"), "left_semi")
         .select("ps_suppkey")
       supplier(s, d)
         .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_18")),
