@@ -150,6 +150,51 @@ object AdvancedRelationalQueries {
           .as("w"))
         .agg(sum(col("w")).as("w_sum"), min(col("w")).as("w_min"),
           max(col("w")).as("w_max"), count(lit(1)).as("n"))
+    },
+
+    // High-cardinality groupBy — the reference's ETL benchmark
+    // (benchmark/spark/etl.py query1_1: Q1's aggregate set keyed by
+    // l_orderkey, one group per order). At 100 TB this is the shape
+    // where partial aggregation stops helping (every group is tiny) and
+    // the shuffle carries nearly the full table — the bench entry
+    // exists precisely to watch that cost.
+    "q36_highcard_agg" -> { (s, d) =>
+      new DataStream(lineitem(s, d))
+        .groupby("l_orderkey")
+        .aggSql(
+          "sum(l_quantity) as sum_qty",
+          "sum(l_extendedprice * (1 - l_discount)) as sum_disc_price",
+          "avg(l_discount) as avg_disc",
+          "count(*) as count_order").df
+    },
+
+    // Per-group statistical aggregates (h2o.ai db-benchmark groupby
+    // q6/q7/q9 shapes: median, standard deviation, correlation —
+    // reference benchmark/spark/h2oai.py + apps/h2o-ray.py surface).
+    // percentile() is exact-interpolating on both engines.
+    "q37_group_stats" -> { (s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          stddev_samp(col("l_extendedprice")).as("sd_price"),
+          corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Top-2 rows per group (h2o.ai groupby q8: largest two v3 per id6)
+    // via ranked window — stays a single shuffle on the group key.
+    "q38_top2_per_group" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+        .orderBy(col("o_orderpriority"), col("rn"))
     }
   )
 
@@ -231,6 +276,31 @@ object AdvancedRelationalQueries {
         |                  quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem)
         |SELECT sum(w) AS w_sum, min(w) AS w_min, max(w) AS w_max, count(*) AS n
         |FROM (SELECT least(greatest(l_extendedprice, lo), hi) AS w
-        |      FROM lineitem, b)""".stripMargin
+        |      FROM lineitem, b)""".stripMargin,
+
+    "q36_highcard_agg" ->
+      """SELECT l_orderkey,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+        |  avg(l_discount) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q37_group_stats" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  stddev_samp(l_extendedprice) AS sd_price,
+        |  corr(l_quantity, l_extendedprice) AS qty_price_corr,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q38_top2_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 2
+        |ORDER BY o_orderpriority, rn""".stripMargin
   )
 }
