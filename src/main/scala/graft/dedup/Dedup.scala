@@ -207,31 +207,28 @@ object Dedup {
   def sparseBlockedJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       shingleK: Int = 3): DataFrame = {
-    // No cache: the posting list feeds exactly two exchanges — the
-    // per-doc sizes (shuffle on (block, id)) and the co-count self-join
-    // (both sides the IDENTICAL subtree shuffled on (block, h), so
-    // ReuseExchange computes it once). Recomputing the shingle pipeline
-    // twice beats pinning an O(total shingles) cache for the
-    // SparkContext lifetime — and keeps the operator lazy. Sizes derive
-    // from the posting rows (shingle hashes are distinct per doc, so
-    // |sh| = posting count; docs with no shingles drop out of posting,
-    // but they share no hash with anything, so no pair is lost).
-    val sh = df.select(col(blockCol), col(idCol),
-      TextOps.shingleHashes(col(textCol), shingleK).as("sh"))
-    val posting = sh.select(col(blockCol), col(idCol), explode(col("sh")).as("h"))
-    val sizes = posting.groupBy(col(blockCol), col(idCol))
-      .agg(count(lit(1)).as("n"))
-    val co = posting.as("a")
+    // Single-pass formulation, no cache: per-doc set sizes ride along as
+    // a window count over the posting list (shingle hashes are distinct
+    // per doc, so |sh| = posting count per (block, id); docs with no
+    // shingles drop out of posting, but they share no hash with
+    // anything, so no pair is lost). The self-join's two sides are then
+    // the IDENTICAL windowed subtree partitioned on (block, h) — the
+    // partitioning the join itself needs — so ReuseExchange runs the
+    // shingle pipeline exactly once and the join adds no exchange.
+    val wDoc = Window.partitionBy(col(blockCol), col(idCol))
+    val posting = df
+      .select(col(blockCol), col(idCol),
+        explode(TextOps.shingleHashes(col(textCol), shingleK)).as("h"))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .repartition(col(blockCol), col("h"))
+    posting.as("a")
       .join(posting.as("b").hint("shuffle_hash"),
         col(s"a.$blockCol") === col(s"b.$blockCol") &&
         col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$blockCol").as(blockCol),
-        col(s"a.$idCol").as("id_1"), col(s"b.$idCol").as("id_2"))
+        col(s"a.$idCol").as("id_1"), col(s"b.$idCol").as("id_2"),
+        col("a.n").as("n_1"), col("b.n").as("n_2"))
       .agg(count(lit(1)).as("inter"))
-    co.join(sizes.select(col(blockCol), col(idCol).as("id_1"),
-        col("n").as("n_1")), Seq(blockCol, "id_1"))
-      .join(sizes.select(col(blockCol), col(idCol).as("id_2"),
-        col("n").as("n_2")), Seq(blockCol, "id_2"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n_1") + col("n_2") - col("inter")).cast("double"))
       .select(col(blockCol), col("id_1"), col("id_2"), col("jaccard"))
@@ -250,28 +247,28 @@ object Dedup {
   def sparseJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       shingleK: Int = 3, maxDf: Int = 1000): DataFrame = {
-    // No cache (same reasoning as [[sparseBlockedJaccardPairs]]): the
-    // posting list feeds three exchanges — sizes (shuffle on id), the
-    // stop-shingle document frequencies (partial-agg shuffle on h), and
-    // the co-count join input (shuffle on h; the self-join's two sides
-    // are the identical subtree, so ReuseExchange computes that input
-    // once). Three recomputes of the shingle pipeline beat pinning an
-    // O(total shingles) cache for the SparkContext lifetime — a cache
-    // that size belongs to the caller's lifecycle, not this operator's
-    // (persist the input df upstream if the corpus is re-scanned often).
-    val sh = shingleRel(df, idCol, textCol, shingleK)
-    val posting = sh.select(col(idCol), explode(col("sh")).as("h"))
-    val sizes = posting.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val rare = posting.groupBy("h").agg(count(lit(1)).as("df"))
+    // Single-pass formulation, no cache (see
+    // [[sparseBlockedJaccardPairs]]): per-doc set sizes are a window
+    // count over the posting list keyed by id (computed BEFORE the
+    // stop-shingle cap, so dropped hot shingles shrink only the
+    // intersection estimate, never the set sizes), and the stop-shingle
+    // document frequency is a second window count on the (h)
+    // partitioning the self-join needs anyway. One shingle compute,
+    // three exchanges, no side joins.
+    val wDoc = Window.partitionBy(col(idCol))
+    val wHash = Window.partitionBy(col("h"))
+    val posting = df
+      .select(col(idCol),
+        explode(TextOps.shingleHashes(col(textCol), shingleK)).as("h"))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("df", count(lit(1)).over(wHash))
       .filter(col("df") <= maxDf && col("df") >= 2)
-    val p = posting.join(rare.select("h"), "h")
-    val co = p.as("a")
-      .join(p.as("b").hint("shuffle_hash"), col("a.h") === col("b.h") &&
+    posting.as("a")
+      .join(posting.as("b").hint("shuffle_hash"), col("a.h") === col("b.h") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_1"), col(s"b.$idCol").as("id_2"))
+      .groupBy(col(s"a.$idCol").as("id_1"), col(s"b.$idCol").as("id_2"),
+        col("a.n").as("n_1"), col("b.n").as("n_2"))
       .agg(count(lit(1)).as("inter"))
-    co.join(sizes.select(col(idCol).as("id_1"), col("n").as("n_1")), "id_1")
-      .join(sizes.select(col(idCol).as("id_2"), col("n").as("n_2")), "id_2")
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n_1") + col("n_2") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
