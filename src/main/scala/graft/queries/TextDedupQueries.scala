@@ -205,6 +205,25 @@ object TextDedupQueries {
         // round to 9 dp (mirrored in the oracle) for a stable hash.
         round(avg(col("q")), 9).as("mean_quality"))
         .orderBy("lang")
+    },
+
+    // Inverted-index full-text search (the reference's Rottnest
+    // direction, blog/time.md + apps/rottnest: token posting lists with
+    // AND semantics). The Spark side builds the posting list and
+    // AND-matches by counting distinct hit terms per doc — the form that
+    // scales (the index is a reusable DataFrame; here it is built
+    // inline), while the oracle states the per-row membership test.
+    "q75_fulltext" -> { (s, d) =>
+      val terms = Seq("join", "scan")
+      documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("tok")).as("n_terms"))
+        .filter(col("n_terms") === terms.size)
+        .select("doc_id", "n_terms")
+        .orderBy("doc_id")
     }
   )
 
@@ -357,6 +376,13 @@ object TextDedupQueries {
          |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
          |  round(avg(q), 9) AS mean_quality
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
-    }
+    },
+
+    "q75_fulltext" ->
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents)
+         |SELECT doc_id, CAST(2 AS BIGINT) AS n_terms
+         |FROM toks
+         |WHERE list_contains(t, 'join') AND list_contains(t, 'scan')
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -122,12 +122,39 @@ object TimeSeriesQueries {
           maxSpan = 86400, by = "user_id"))
         .select("user_id", "a_event_id", "b_event_id", "c_event_id")
         .sort(Seq("user_id", "a_event_id", "b_event_id", "c_event_id")).df
+    },
+
+    // OHLCV candlestick aggregation (reference apps/rottnest/
+    // candlestick.py:26-33: per (symbol, minute-candle) open/close/high/
+    // low/volume). open/close are min_by/max_by on the event time — a
+    // single groupBy, no window, which is the scale form (the
+    // reference's polars head/tail-by-candle needs maintained order;
+    // arg-min/max aggregates don't). (user_id, ts) is unique in the
+    // fixture, so both engines pick the same rows deterministically.
+    "q39_ohlcv" -> { (s, d) =>
+      events(s, d)
+        .withColumn("candle", floor(col("ts").cast("double") / 60.0).cast("long"))
+        .groupBy(col("user_id"), col("candle"))
+        .agg(
+          expr("min_by(value, ts)").as("open"),
+          expr("max_by(value, ts)").as("close"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          count(lit(1)).as("n_ticks"))
+        .orderBy(col("user_id"), col("candle"))
     }
   )
 
   private val evCols = "SELECT user_id, ts, event_id, event_type, value FROM events"
 
   val oracles: Map[String, String] = Map(
+    "q39_ohlcv" ->
+      """SELECT user_id,
+        |  CAST(floor(epoch(ts) / 60.0) AS BIGINT) AS candle,
+        |  min_by(value, ts) AS open, max_by(value, ts) AS close,
+        |  max(value) AS high, min(value) AS low, count(*) AS n_ticks
+        |FROM events GROUP BY user_id, candle
+        |ORDER BY user_id, candle""".stripMargin,
     "q40_shift" ->
       """SELECT event_id, user_id, ts, value,
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS value_shifted
