@@ -155,6 +155,21 @@ object RelationalQueries {
         .sort(Seq("o_orderpriority")).df
     },
 
+    // §3.2 SQL entry point: the reference transpiles DuckDB plans into
+    // DataStream calls (pyquokka/sql.py:74-280, inner joins + aggs
+    // only); here the full native SQL surface runs directly, including
+    // the scalar subquery the transpiler cannot express.
+    "q76_sql_api" -> { (s, d) =>
+      orders(s, d).createOrReplaceTempView("orders_v")
+      new graft.api.QContext(s).sql(
+        """SELECT o_orderpriority, count(*) AS big_orders,
+          |  sum(o_totalprice) AS big_total
+          |FROM orders_v
+          |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders_v)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin).df
+    },
+
     // §2.5 conditional aggregation (CASE WHEN inside agg) — TPC-H Q14
     // promo-revenue shape over part⨝lineitem.
     "q12_case_agg" -> { (s, d) =>
@@ -267,6 +282,13 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q76_sql_api" ->
+      """SELECT o_orderpriority, count(*) AS big_orders,
+        |  sum(o_totalprice) AS big_total
+        |FROM orders
+        |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
