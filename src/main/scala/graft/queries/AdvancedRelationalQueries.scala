@@ -158,14 +158,17 @@ object AdvancedRelationalQueries {
     // where partial aggregation stops helping (every group is tiny) and
     // the shuffle carries nearly the full table — the bench entry
     // exists precisely to watch that cost.
+    // Output aliases keep l_orderkey alphabetically FIRST: the compare
+    // harness sorts rows by sorted column names, so a computed float in
+    // the lead position would misalign ulp-tied rows across engines.
     "q36_highcard_agg" -> { (s, d) =>
       new DataStream(lineitem(s, d))
         .groupby("l_orderkey")
         .aggSql(
-          "sum(l_quantity) as sum_qty",
-          "sum(l_extendedprice * (1 - l_discount)) as sum_disc_price",
-          "avg(l_discount) as avg_disc",
-          "count(*) as count_order").df
+          "sum(l_quantity) as order_sum_qty",
+          "sum(l_extendedprice * (1 - l_discount)) as order_sum_disc_price",
+          "avg(l_discount) as order_avg_disc",
+          "count(*) as order_count").df
     },
 
     // Per-group statistical aggregates (h2o.ai db-benchmark groupby
@@ -280,10 +283,10 @@ object AdvancedRelationalQueries {
 
     "q36_highcard_agg" ->
       """SELECT l_orderkey,
-        |  sum(l_quantity) AS sum_qty,
-        |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-        |  avg(l_discount) AS avg_disc,
-        |  count(*) AS count_order
+        |  sum(l_quantity) AS order_sum_qty,
+        |  sum(l_extendedprice * (1 - l_discount)) AS order_sum_disc_price,
+        |  avg(l_discount) AS order_avg_disc,
+        |  count(*) AS order_count
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
 
     "q37_group_stats" ->
