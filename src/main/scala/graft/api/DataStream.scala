@@ -229,6 +229,35 @@ class DataStream(val df: DataFrame) {
   /** Declare a sortedness contract, yielding the ordered-operator surface
     * (reference OrderedStream, orderedstream.py:3). */
   def asOrdered(timeCol: String): OrderedStream = new OrderedStream(df, timeCol)
+
+  // ---- vector / ML-adjacent delegates: the reference puts these ON the
+  // DataStream (datastream.py gramian:1033 / covariance:1100 /
+  // vector_nn_join:1900 / vector_range_join), so a switching user keeps
+  // the same call sites; implementations live in graft.vector / graft.dedup.
+
+  /** XᵀX over a column list (reference `gramian`). */
+  def gramian(cols: Seq[String], demean: Boolean = false): DataStream =
+    new DataStream(graft.vector.VectorOps.gramian(df, cols, demean))
+
+  /** Pairwise population covariance entries (reference `covariance`). */
+  def covariance(cols: Seq[String]): DataStream =
+    new DataStream(graft.vector.VectorOps.covariance(df, cols))
+
+  /** Brute-force cosine top-k against a broadcast probe set (reference
+    * `vector_nn_join`); for large probe sets use graft.vector.Ann. */
+  def vectorNnJoin(
+      probes: DataStream, vecCol: String, idCol: String,
+      probeIdCol: String, k: Int): DataStream =
+    new DataStream(graft.vector.VectorOps.nnJoin(
+      df, probes.df, vecCol, idCol, probeIdCol, k))
+
+  /** Threshold cosine pairs within a blocking key — the working form of
+    * the reference's stubbed `vector_range_join`. */
+  def vectorRangeJoin(
+      idCol: String, vecCol: String, blockCol: String,
+      threshold: Double): DataStream =
+    new DataStream(graft.dedup.Dedup.embeddingNearDupPairs(
+      df, idCol, vecCol, blockCol, threshold))
 }
 
 /** Result of `groupby` (reference GroupedDataStream, datastream.py:2066). */

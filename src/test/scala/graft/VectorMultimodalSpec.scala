@@ -109,4 +109,32 @@ class MultimodalSpec extends SparkSpecBase {
       .collect()
     assert(st.forall(r => r.getInt(1) == r.getInt(3))) // ASCII text: bytes == chars
   }
+
+  test("DataStream vector delegates match the direct implementations") {
+    import graft.api.DataStream
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val ds = new DataStream(emb)
+    // gramian / covariance over scalar projections of the vector
+    val flat = new DataStream(emb.select(
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y")))
+    assert(flat.gramian(Seq("x", "y")).collect().toSeq ==
+      graft.vector.VectorOps.gramian(flat.df, Seq("x", "y")).collect().toSeq)
+    assert(flat.covariance(Seq("x", "y")).collect().toSeq ==
+      graft.vector.VectorOps.covariance(flat.df, Seq("x", "y")).collect().toSeq)
+    // nn join delegate == direct call
+    val probes = new DataStream(emb.limit(3)
+      .select(col("vec_id").as("probe_id"), col("embedding")))
+    val viaDs = ds.vectorNnJoin(probes, "embedding", "vec_id", "probe_id", 2)
+      .collect().toSeq
+    val direct = graft.vector.VectorOps.nnJoin(emb, probes.df,
+      "embedding", "vec_id", "probe_id", 2).collect().toSeq
+    assert(viaDs == direct && viaDs.nonEmpty)
+    // range join delegate == direct call
+    val viaRange = ds.vectorRangeJoin("vec_id", "embedding", "label", 0.2)
+      .collect().toSeq
+    val directRange = graft.dedup.Dedup.embeddingNearDupPairs(emb,
+      "vec_id", "embedding", "label", 0.2).collect().toSeq
+    assert(viaRange == directRange)
+  }
 }
