@@ -98,6 +98,12 @@ class QContext(val spark: SparkSession) {
   /** Native SQL entry point. The reference transpiles DuckDB plans into its
     * DataStream API (pyquokka/sql.py:74-280); Spark parses SQL natively. */
   def sql(query: String): DataStream = new DataStream(spark.sql(query))
+
+  /** Runtime config knobs (reference df.py set_config/get_config — there
+    * they toggle the hand-rolled optimizer; here they reach Spark SQL
+    * conf, e.g. "spark.sql.autoBroadcastJoinThreshold"). */
+  def setConfig(key: String, value: String): Unit = spark.conf.set(key, value)
+  def getConfig(key: String): String = spark.conf.get(key)
 }
 
 object QContext {
