@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Row, SparkSession}
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -258,6 +259,28 @@ class DataStream(val df: DataFrame) {
       threshold: Double): DataStream =
     new DataStream(graft.dedup.Dedup.embeddingNearDupPairs(
       df, idCol, vecCol, blockCol, threshold))
+
+  /** Salted inner equi-join for skewed keys. AQE's skew-join split
+    * covers sort-merge joins at runtime; this is the manual fallback
+    * when one key floods a partition anyway (hash joins, or a skew AQE
+    * cannot see). This side gets a deterministic salt in [0, salt) from
+    * a hash of its whole row; the right side is replicated `salt` times,
+    * so the hot key spreads over `salt` reducers at the cost of
+    * replicating the (smaller) right side. Results equal a plain inner
+    * join (spec-checked). */
+  def saltedJoin(
+      right: DataStream, leftOn: String, rightOn: String,
+      salt: Int): DataStream = {
+    require(salt > 0, "salt must be positive")
+    val l = df.withColumn("__salt",
+      pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(salt)))
+    val r = right.df
+      .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+      .withColumn("__salt", col("__salt").cast("long"))
+    new DataStream(
+      l.join(r, l(leftOn) === r(rightOn) && l("__salt") === r("__salt"))
+        .drop("__salt"))
+  }
 }
 
 /** Result of `groupby` (reference GroupedDataStream, datastream.py:2066). */
@@ -271,6 +294,44 @@ class GroupedDataStream(private val df: DataFrame, val keys: Seq[String]) {
   /** Arbitrary SQL agg expressions (reference grouped `agg_sql`). */
   def aggSql(exprs: String*): DataStream =
     new DataStream(grouped.agg(expr(exprs.head), exprs.tail.map(expr): _*))
+
+  /** Two-stage salted aggregation for skewed group keys. Catalyst's
+    * partial aggregation already combines map-side, but a key that
+    * dominates the data still lands its entire partial stream on ONE
+    * reducer; salting splits stage one over (keys, salt) — `salt`
+    * reducers share the hot key — and stage two re-combines the salted
+    * partials. Supports the decomposable ops (sum/count/min/max and
+    * mean via sum+count); results equal `agg` (spec-checked). */
+  def aggSalted(spec: Map[String, String], salt: Int): DataStream = {
+    require(salt > 0, "salt must be positive")
+    val saltCol = pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(salt))
+    val stage1 = spec.toSeq.map {
+      case ("*", "count") => F.count(lit(1)).as("__p_count")
+      case (c, "sum") => sum(col(c)).as(s"__p_${c}_sum")
+      case (c, "min") => min(col(c)).as(s"__p_${c}_min")
+      case (c, "max") => max(col(c)).as(s"__p_${c}_max")
+      case (c, "count") => F.count(col(c)).as(s"__p_${c}_count")
+      case (c, "avg" | "mean") => sum(col(c)).as(s"__p_${c}_s")
+      case (c, op) => throw new IllegalArgumentException(
+        s"aggSalted supports decomposable ops only, got $op($c)")
+    } ++ spec.collect { case (c, "avg" | "mean") =>
+      F.count(col(c)).as(s"__p_${c}_n")
+    }
+    val partial = df.groupBy((keys.map(col) :+ saltCol.as("__salt")): _*)
+      .agg(stage1.head, stage1.tail: _*)
+    val stage2 = spec.toSeq.map {
+      case ("*", "count") => sum(col("__p_count")).as("count")
+      case (c, "sum") => sum(col(s"__p_${c}_sum")).as(c + "_sum")
+      case (c, "min") => min(col(s"__p_${c}_min")).as(c + "_min")
+      case (c, "max") => max(col(s"__p_${c}_max")).as(c + "_max")
+      case (c, "count") => sum(col(s"__p_${c}_count")).as(c + "_count")
+      case (c, "avg" | "mean") =>
+        (sum(col(s"__p_${c}_s")) / sum(col(s"__p_${c}_n"))).as(c + "_mean")
+      case (c, op) => throw new IllegalArgumentException(op)
+    }
+    new DataStream(partial.groupBy(keys.map(col): _*)
+      .agg(stage2.head, stage2.tail: _*))
+  }
   def count(): DataStream = new DataStream(grouped.count())
   def countDistinct(cols: String*): DataStream =
     new DataStream(grouped.agg(count_distinct(col(cols.head), cols.tail.map(col): _*)

@@ -96,6 +96,37 @@ class DataStreamSpec extends SparkSpecBase {
     assert(out == Seq(3.0, 4.0))
   }
 
+  test("saltedJoin equals plain inner join on skewed keys") {
+    // key 1 floods the left side — the manual-salt fallback must still
+    // produce exactly the plain inner join's row multiset.
+    val l = ds((1 to 200).map(i => (if (i % 10 == 0) i else 1, s"n$i", i.toDouble)))
+    val r = ds(Seq((1, "hot", 0.0), (10, "ten", 0.0), (20, "twenty", 0.0)))
+    val salted = l.saltedJoin(r, "id", "id", salt = 8).df
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val plain = l.df.join(r.df, l.df("id") === r.df("id")).collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(salted == plain && salted.nonEmpty)
+  }
+
+  test("aggSalted equals plain grouped agg for decomposable ops") {
+    val d = ds((1 to 300).map(i =>
+      (if (i % 7 == 0) i % 3 else 0, s"n$i", (i % 13).toDouble)))
+    val spec = Map("v" -> "sum", "*" -> "count")
+    def rows(s: DataStream) = s.df.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(rows(d.groupby("id").aggSalted(spec, salt = 6)) ==
+      rows(d.groupby("id").agg(spec)))
+    val m = d.groupby("id").aggSalted(Map("v" -> "mean"), salt = 4).df
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    val m0 = d.groupby("id").agg(Map("v" -> "mean")).df
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(m.map(_._1) == m0.map(_._1))
+    m.zip(m0).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+    intercept[IllegalArgumentException] {
+      d.groupby("id").aggSalted(Map("v" -> "median"), salt = 4)
+    }
+  }
+
   test("cogroup merges two grouped streams per key") {
     val s = spark
     import s.implicits._
