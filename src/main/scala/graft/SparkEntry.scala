@@ -18,6 +18,7 @@ object SparkEntry {
     graft.queries.TimeSeriesQueries.queries ++
     graft.queries.VectorQueries.queries ++
     graft.queries.TextDedupQueries.queries ++
+    graft.queries.GraphMlQueries.queries ++
     graft.queries.TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.TimeSeriesQueries.oracles ++
     graft.queries.VectorQueries.oracles ++
     graft.queries.TextDedupQueries.oracles ++
+    graft.queries.GraphMlQueries.oracles ++
     graft.queries.TpchQueries.oracles
 }

@@ -18,7 +18,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q26_scalar_max", "q28_winsorize", "q29_multi_winsorize",
     "q23_corr_subquery", "q27_not_exists_avg",
     "tpch11", "tpch15", "tpch22",
-    "q50_vector_nn")
+    "q50_vector_nn", "q78_kmeans")
 
   test("no query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
