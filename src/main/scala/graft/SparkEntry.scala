@@ -19,6 +19,7 @@ object SparkEntry {
     graft.queries.VectorQueries.queries ++
     graft.queries.TextDedupQueries.queries ++
     graft.queries.GraphMlQueries.queries ++
+    graft.queries.RottnestQueries.queries ++
     graft.queries.TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,5 +32,6 @@ object SparkEntry {
     graft.queries.VectorQueries.oracles ++
     graft.queries.TextDedupQueries.oracles ++
     graft.queries.GraphMlQueries.oracles ++
+    graft.queries.RottnestQueries.oracles ++
     graft.queries.TpchQueries.oracles
 }

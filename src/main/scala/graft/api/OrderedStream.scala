@@ -40,6 +40,16 @@ class OrderedStream(df0: DataFrame, val timeCol: String) extends DataStream(df0)
       tolerance: Option[Long] = None): OrderedStream =
     graft.ts.AsofJoin.unionTag(this, right, by, suffix, tolerance)
 
+  /** Forward as-of join: earliest right row at-or-after each left time
+    * (polars `strategy="forward"`, used by the reference backtester,
+    * apps/rottnest/backtester.py:59). */
+  def asofJoinForward(
+      right: OrderedStream,
+      by: String,
+      suffix: String = "_right",
+      tolerance: Option[Long] = None): OrderedStream =
+    graft.ts.AsofJoin.unionTagForward(this, right, by, suffix, tolerance)
+
   /** Windowed aggregation (reference `windowed_transform`,
     * datastream.py:1650-1700) — spec × trigger per SURVEY §2.9. */
   def windowedTransform(

@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.api.OrderedStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's rottnest app-layer workloads beyond candlestick/
+  * full-text (already q39/q75): the tick-level trading backtest
+  * (apps/rottnest/backtester.py — the repo's headline "4 years of SIP in
+  * 10 minutes" workload, blog/backtest.md:34) and the per-symbol
+  * transpose/pivot (apps/rottnest/transpose.py).
+  *
+  * The backtest re-expressed declaratively over the `events` table
+  * (user_id = symbol, value = price):
+  *   1. alpha signals → fills via FORWARD as-of join (first tick
+  *      at-or-after the signal — backtester.py:59's
+  *      `join_asof(strategy="forward")`), one shuffle on symbol;
+  *   2. position/cash deltas at fill time; daily equity = running cash +
+  *      Σ position(sym, day) × last price(sym, day), exactly the
+  *      reference's per-day mark-to-market loop (backtester.py:74-92),
+  *      with the same conventions: a positioned symbol with no trade
+  *      that day contributes zero, and equity is only emitted for days
+  *      present in the tick stream.
+  *
+  * Evident-intent divergence (documented, COVERAGE.md): the reference's
+  * `generate_random_alpha` emits the +5h exit signal with the SAME
+  * direction as the entry (backtester.py:21-22), so positions double
+  * instead of closing; we negate the exit direction.
+  */
+object RottnestQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q80_backtest" -> { (s, d) =>
+      val ev = events(s, d)
+      val trades = ev.select(col("user_id").as("symbol"), col("ts"),
+        col("value").as("price"))
+      // deterministic alpha stream: every 7th purchase event, long/short
+      // by event id parity; exit = negated direction 5 hours later
+      val entries = ev
+        .filter(col("event_type") === "purchase" && col("event_id") % 7 === 0)
+        .select(col("ts"), col("user_id").as("symbol"),
+          when(col("event_id") % 2 === 0, 1).otherwise(-1).as("direction"))
+      val alphas = entries.unionByName(entries.select(
+        (col("ts") + expr("INTERVAL 5 HOURS")).as("ts"), col("symbol"),
+        (-col("direction")).as("direction")))
+      val fills = graft.ts.AsofJoin.unionTagForward(
+          new OrderedStream(alphas, "ts"),
+          new OrderedStream(trades, "ts"), by = "symbol").df
+        .filter(col("price").isNotNull)
+        .select(col("symbol"), col("direction"), col("price").as("fill_price"),
+          to_date(col("ts_right")).as("fill_day"))
+      // last tick per (symbol, day) — the mark price
+      val dayLast = trades
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("symbol"), col("day"))
+            .orderBy(col("ts").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("symbol"), col("day"), col("price"))
+      // position as of each traded (symbol, day): all fills up to that day
+      val posv = dayLast.as("dl")
+        .join(fills.as("f"), col("f.symbol") === col("dl.symbol") &&
+          col("f.fill_day") <= col("dl.day"))
+        .groupBy(col("dl.symbol"), col("dl.day").as("day"), col("dl.price"))
+        .agg(sum(col("f.direction")).as("pos"))
+      val stockEq = posv.groupBy(col("day"))
+        .agg(sum(col("pos") * col("price")).as("stock_equity"))
+      val dcash = fills.groupBy(col("fill_day").as("day"))
+        .agg((-sum(col("direction") * col("fill_price"))).as("dc"))
+      val days = trades.select(to_date(col("ts")).as("day")).distinct()
+      val cash = days.join(dcash, Seq("day"), "left")
+        .withColumn("cash", sum(coalesce(col("dc"), lit(0.0))).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+      cash.join(stockEq, Seq("day"), "left")
+        .select(col("day"),
+          (col("cash") + coalesce(col("stock_equity"), lit(0.0))).as("equity"))
+        .orderBy(col("day"))
+    },
+
+    // Per-day pivot of the event stream into one column per event type
+    // (reference apps/rottnest/transpose.py's Builder executor: partition
+    // by symbol, emit per-key wide rows). Values enumerated explicitly so
+    // the plan skips the distinct-values pre-job — at 100 TB an implicit
+    // pivot would scan the data twice.
+    "q81_pivot" -> { (s, d) =>
+      events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .sum("value")
+        .orderBy(col("day"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q80_backtest" ->
+      """WITH trades AS (
+        |  SELECT user_id AS symbol, ts, value AS price FROM events),
+        |entries AS (
+        |  SELECT ts, user_id AS symbol,
+        |    CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END AS direction
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 7 = 0),
+        |alphas AS (
+        |  SELECT * FROM entries
+        |  UNION ALL
+        |  SELECT ts + INTERVAL 5 HOUR, symbol, -direction FROM entries),
+        |fills AS (
+        |  SELECT symbol, direction, fill_price, CAST(fill_ts AS DATE) AS fill_day
+        |  FROM (
+        |    SELECT a.symbol, a.direction, t.ts AS fill_ts, t.price AS fill_price,
+        |      row_number() OVER (PARTITION BY a.symbol, a.ts, a.direction
+        |        ORDER BY t.ts) AS rn
+        |    FROM alphas a JOIN trades t
+        |      ON a.symbol = t.symbol AND t.ts >= a.ts)
+        |  WHERE rn = 1),
+        |day_last AS (
+        |  SELECT symbol, day, price FROM (
+        |    SELECT symbol, CAST(ts AS DATE) AS day, price,
+        |      row_number() OVER (PARTITION BY symbol, CAST(ts AS DATE)
+        |        ORDER BY ts DESC) AS rn
+        |    FROM trades) WHERE rn = 1),
+        |posv AS (
+        |  SELECT dl.symbol, dl.day, dl.price, sum(f.direction) AS pos
+        |  FROM day_last dl JOIN fills f
+        |    ON f.symbol = dl.symbol AND f.fill_day <= dl.day
+        |  GROUP BY 1, 2, 3),
+        |se AS (SELECT day, sum(pos * price) AS stock_equity FROM posv GROUP BY 1),
+        |dcash AS (
+        |  SELECT fill_day AS day, -sum(direction * fill_price) AS dc
+        |  FROM fills GROUP BY 1),
+        |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM trades),
+        |cash AS (
+        |  SELECT d.day, sum(coalesce(c.dc, 0)) OVER (ORDER BY d.day
+        |    ROWS UNBOUNDED PRECEDING) AS cash
+        |  FROM days d LEFT JOIN dcash c ON d.day = c.day)
+        |SELECT ca.day, ca.cash + coalesce(se.stock_equity, 0) AS equity
+        |FROM cash ca LEFT JOIN se ON ca.day = se.day
+        |ORDER BY ca.day""".stripMargin,
+
+    "q81_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  sum(CASE WHEN event_type = 'click' THEN value END) AS "click",
+        |  sum(CASE WHEN event_type = 'error' THEN value END) AS "error",
+        |  sum(CASE WHEN event_type = 'purchase' THEN value END) AS "purchase",
+        |  sum(CASE WHEN event_type = 'signup' THEN value END) AS "signup",
+        |  sum(CASE WHEN event_type = 'view' THEN value END) AS "view"
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

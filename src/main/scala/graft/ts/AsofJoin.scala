@@ -33,7 +33,31 @@ object AsofJoin {
       right: OrderedStream,
       by: String,
       suffix: String = "_right",
-      tolerance: Option[Long] = None): OrderedStream = {
+      tolerance: Option[Long] = None): OrderedStream =
+    unionTagImpl(left, right, by, suffix, tolerance, forward = false)
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * right.time >= left.time (polars `strategy="forward"` — what the
+    * reference's backtester uses to fill alpha signals at the next trade
+    * tick, apps/rottnest/backtester.py:59). Same one-shuffle union-tag
+    * layout, with the window mirrored: `first(…) OVER (… ROWS BETWEEN
+    * CURRENT ROW AND UNBOUNDED FOLLOWING)`. `tolerance` drops matches
+    * later than `left.time + tolerance`. */
+  def unionTagForward(
+      left: OrderedStream,
+      right: OrderedStream,
+      by: String,
+      suffix: String = "_right",
+      tolerance: Option[Long] = None): OrderedStream =
+    unionTagImpl(left, right, by, suffix, tolerance, forward = true)
+
+  private def unionTagImpl(
+      left: OrderedStream,
+      right: OrderedStream,
+      by: String,
+      suffix: String,
+      tolerance: Option[Long],
+      forward: Boolean): OrderedStream = {
     val lt = left.timeCol
     val rt = right.timeCol
     val l = left.df
@@ -45,34 +69,45 @@ object AsofJoin {
     }
     val outRight = rightPayload.map(_._2)
 
-    // Common layout: (by, __t, side, leftCols..., rightPayload...)
+    // Common layout: (by, __t, side, leftCols..., rightPayload...).
+    // Side tags order ties so the same-time right row falls inside the
+    // left row's window frame in either direction.
+    val lSide = if (forward) 0 else 1
+    val rSide = 1 - lSide
     val lTagged = l
       .withColumn("__t", col(lt).cast(DoubleType))
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(lSide))
       .select(Seq(col(by), col("__t"), col("__side")) ++
         leftCols.filterNot(_ == by).map(col) ++
         rightPayload.map { case (_, out) => lit(null).as(out) }: _*)
     val rTagged = r
       .withColumn("__t", col(rt).cast(DoubleType))
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(rSide))
       .select(Seq(col(by), col("__t"), col("__side")) ++
         leftCols.filterNot(_ == by).map(_ => lit(null)).zip(leftCols.filterNot(_ == by))
           .map { case (c, name) => c.as(name) } ++
         rightPayload.map { case (in, out) => col(in).as(out) }: _*)
 
-    val w = org.apache.spark.sql.expressions.Window
+    val wBase = org.apache.spark.sql.expressions.Window
       .partitionBy(col(by)).orderBy(col("__t"), col("__side"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val w =
+      if (forward) wBase.rowsBetween(
+        0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      else wBase.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    def fill(c: org.apache.spark.sql.Column) =
+      if (forward) first(c, ignoreNulls = true).over(w)
+      else last(c, ignoreNulls = true).over(w)
     val filled = lTagged.unionByName(rTagged)
-      .withColumns((outRight.map { c =>
-        c -> last(col(c), ignoreNulls = true).over(w)
-      } :+ ("__rt" -> last(when(col("__side") === 0, col("__t")),
-        ignoreNulls = true).over(w))).toMap)
+      .withColumns((outRight.map { c => c -> fill(col(c)) } :+
+        ("__rt" -> fill(when(col("__side") === rSide, col("__t"))))).toMap)
 
     val matched = tolerance.foldLeft(
-      filled.filter(col("__side") === 1)
+      filled.filter(col("__side") === lSide)
     )((d, tol) => d.withColumns(outRight.map { c =>
-      c -> when(col("__t") - col("__rt") <= tol.toDouble, col(c))
+      c -> when(
+        (if (forward) col("__rt") - col("__t") else col("__t") - col("__rt"))
+          <= tol.toDouble, col(c))
     }.toMap))
 
     new OrderedStream(

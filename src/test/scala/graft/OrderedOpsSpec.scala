@@ -46,6 +46,32 @@ class OrderedOpsSpec extends SparkSpecBase {
       ("B", 12.0, None)))        // B's only quote is later
   }
 
+  test("asof forward: earliest right at or after left time, per key") {
+    val out = trades().asofJoinForward(quotes(), "sym").df
+      .orderBy("sym", "t")
+      .select(col("sym"), col("t"), col("bid"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      ("A", 10.0, Some(100.5)),  // next quote is @19
+      ("A", 20.0, Some(100.7)),  // exact-time tie matches forward too
+      ("A", 35.0, None),         // no later quote
+      ("B", 12.0, Some(199.0))))
+  }
+
+  test("asof forward tolerance drops far-future matches") {
+    val out = trades().asofJoinForward(quotes(), "sym", tolerance = Some(5L)).df
+      .orderBy("sym", "t")
+      .select(col("sym"), col("t"), col("bid"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      ("A", 10.0, None),         // quote@19 is 9 > 5 away
+      ("A", 20.0, Some(100.7)),
+      ("A", 35.0, None),
+      ("B", 12.0, None)))        // quote@30 is 18 > 5 away
+  }
+
   test("asof formulations agree on the events table") {
     val ev = graft.queries.Tables.events(spark, sf())
     val l = new OrderedStream(ev.filter(col("event_type") === "purchase")
