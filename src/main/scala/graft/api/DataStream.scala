@@ -196,6 +196,20 @@ class DataStream(val df: DataFrame) {
   def approximateQuantile(c: String, quantiles: Seq[Double], accuracy: Int = 10000): DataStream =
     new DataStream(df.agg(percentile_approx(col(c),
       array(quantiles.map(lit): _*), lit(accuracy)).as("quantiles")))
+  /** Multi-column form — the reference call shape is
+    * `approximate_quantile(stream.schema, [...])` over ALL columns at once
+    * (apps/andy.py:20, the "1M×10k columns in ~1 minute" workload,
+    * blog/approxquant.md). One pass, one agg: every column's sketch is a
+    * partial-aggregable `approx_percentile`, so 10k columns is one
+    * map-side-combined job, not 10k jobs. */
+  def approximateQuantile(cs: Seq[String], quantiles: Seq[Double],
+      accuracy: Int): DataStream =
+    new DataStream(df.agg(
+      percentile_approx(col(cs.head), array(quantiles.map(lit): _*),
+        lit(accuracy)).as(s"${cs.head}_quantiles"),
+      cs.tail.map(c => percentile_approx(col(c),
+        array(quantiles.map(lit): _*), lit(accuracy))
+        .as(s"${c}_quantiles")): _*))
   /** Reference-parity t-digest quantiles (the reference wraps a native
     * t-digest per partition, datastream.py:957-998; ours MERGES partial
     * digests instead of averaging per-partition quantiles — see

@@ -135,6 +135,71 @@ object StreamingOps {
       .toDF("key", "ts", "value", "quote_ts", "quote_value")
   }
 
+  /** True streaming FORWARD as-of: each left row (alpha signal) fills at
+    * the earliest right row (tick) with tick.ts >= alpha.ts — the
+    * streaming form of the reference backtester's unfilled-alpha carry
+    * (apps/rottnest/backtester.py:62-64 prepends unexecuted alphas for
+    * the next batch; here they are keyed state).
+    *
+    * Emission is watermark-correct: a fill (alpha t, candidate tick c) is
+    * emitted only once the watermark passes c.ts — before that, a
+    * not-yet-arrived tick inside (t, c.ts) could still be the true first
+    * match. State trim: ticks at-or-before the watermark can only match
+    * alphas that would themselves be late-dropped, so after emission the
+    * tick buffer keeps strictly-post-watermark ticks only; unfilled
+    * alphas persist indefinitely (reference behavior). Output:
+    * (key, ts, value, fill_ts, fill_value), append mode. */
+  def streamingAsofForward(
+      alphas: DataFrame,   // columns: key, ts (timestamp), value
+      ticks: DataFrame,    // columns: key, ts (timestamp), value
+      watermarkDelay: String): DataFrame = {
+    val spark = alphas.sparkSession
+    import spark.implicits._
+    val tagged = alphas.select(col("key").cast("string"), col("ts"),
+        col("value").cast("double"), lit(1).as("side"))
+      .unionByName(ticks.select(col("key").cast("string"), col("ts"),
+        col("value").cast("double"), lit(0).as("side")))
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, java.sql.Timestamp, Double, Int)]
+
+    tagged.groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState,
+        (String, java.sql.Timestamp, Double, java.sql.Timestamp, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) { (key, rows, state) =>
+        val s0 = state.getOption.getOrElse(AsofState(Nil, Nil))
+        var tickBuf = s0.quotes
+        var alphaBuf = s0.trades
+        rows.foreach { case (_, t, v, side) =>
+          val ms = t.getTime
+          if (side == 0) tickBuf = (ms, v) :: tickBuf
+          else alphaBuf = (ms, v) :: alphaBuf
+        }
+        val wm = state.getCurrentWatermarkMs()
+        val tSorted = tickBuf.sortBy(_._1)
+        // candidate = earliest tick at-or-after the alpha; ripe once the
+        // watermark has passed it
+        val withCand = alphaBuf.sortBy(_._1).map { case (ams, av) =>
+          ((ams, av), tSorted.find(_._1 >= ams))
+        }
+        val (ripe, pending) = withCand.partition {
+          case (_, Some((cms, _))) => cms <= wm
+          case _ => false
+        }
+        val out = ripe.map { case ((ams, av), Some((cms, cv))) =>
+          (key, new java.sql.Timestamp(ams), av,
+            new java.sql.Timestamp(cms), cv)
+        }
+        state.update(AsofState(
+          tSorted.filter(_._1 > wm), pending.map(_._1)))
+        // wake when the watermark reaches the earliest unripe candidate
+        pending.flatMap(_._2.map(_._1)).minOption.foreach { cms =>
+          state.setTimeoutTimestamp(math.max(cms, wm + 1))
+        }
+        out.iterator
+      }
+      .toDF("key", "ts", "value", "fill_ts", "fill_value")
+  }
+
   /** Custom keyed state machine — the reference's `stateful_transform`
     * extension point in streaming form: running count + sum per key via
     * flatMapGroupsWithState. */

@@ -84,6 +84,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(ks.toSeq == Seq("a", "b", "c"))
   }
 
+  test("streaming forward asof fills alphas at the next tick, carrying unfilled state") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val al = MemoryStream[(String, Timestamp, Double)]
+    val tk = MemoryStream[(String, Timestamp, Double)]
+    // 30s delay: ticks may trail the alpha stream without being
+    // late-dropped at the source (a 0s delay would discard a tick that
+    // arrives after any later-stamped event — correct but untestable)
+    val out = StreamingOps.streamingAsofForward(
+      al.toDF.toDF("key", "ts", "value"),
+      tk.toDF.toDF("key", "ts", "value"), "30 seconds")
+    val q = out.writeStream.format("memory").queryName("sfwd")
+      .outputMode("append").start()
+    // batch 1: alpha@100 arrives BEFORE any matching tick — must be carried
+    al.addData(("A", ts(100), 1.0))
+    tk.addData(("A", ts(50), 99.0)) // earlier tick: never a forward match
+    q.processAllAvailable()
+    // batch 2: the matching ticks arrive (watermark is 70, none late)
+    al.addData(("A", ts(200), 2.0))
+    tk.addData(("A", ts(150), 100.5), ("A", ts(250), 101.0))
+    q.processAllAvailable()
+    // batches 3-4: advance the watermark past both candidates
+    tk.addData(("Z", ts(400), 0.0))
+    q.processAllAvailable()
+    tk.addData(("Z", ts(500), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql(
+      "SELECT key, ts, fill_ts, fill_value FROM sfwd WHERE key='A' ORDER BY ts")
+      .collect()
+      .map(r => (r.getTimestamp(1).getTime / 1000,
+        r.getTimestamp(2).getTime / 1000, r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      (100L, 150L, 100.5),  // filled by the first tick at-or-after 100
+      (200L, 250L, 101.0)))
+  }
+
   test("streaming asof joins ripe trades to the latest preceding quote") {
     val s = spark
     import s.implicits._

@@ -36,6 +36,18 @@ class TDigestSpec extends SparkSpecBase {
     assert(math.abs(got - exact) / exact < 0.02, s"got=$got exact=$exact")
   }
 
+  test("multi-column approximate_quantile: one agg, one row, per-column arrays") {
+    val li = new graft.api.DataStream(
+      spark.read.parquet(sf("sf0.001") + "/lineitem.parquet"))
+    val out = li.approximateQuantile(
+      Seq("l_quantity", "l_extendedprice", "l_discount"), Seq(0.1, 0.9), 10000)
+    val row = out.df.head()
+    assert(out.df.columns.toSeq == Seq("l_quantity_quantiles",
+      "l_extendedprice_quantiles", "l_discount_quantiles"))
+    val q = row.getSeq[Double](0)
+    assert(q.size == 2 && q(0) <= q(1))
+  }
+
   test("t-digest handles empty and single-value inputs") {
     val s = spark
     import s.implicits._
