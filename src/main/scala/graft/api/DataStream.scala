@@ -165,6 +165,8 @@ class DataStream(val df: DataFrame) {
   def agg(spec: Map[String, String]): DataStream =
     new DataStream(df.agg(GroupedDataStream.specToCols(spec).head,
       GroupedDataStream.specToCols(spec).tail: _*))
+  /** Reference call-site alias (`aggregate`, datastream.py:1966). */
+  def aggregate(spec: Map[String, String]): DataStream = agg(spec)
   /** Arbitrary SQL aggregation expressions (reference `agg_sql`,
     * datastream.py:1934-1960 — its partial/final decomposition is
     * Catalyst-automatic here). */
@@ -196,6 +198,9 @@ class DataStream(val df: DataFrame) {
   def approximateQuantile(c: String, quantiles: Seq[Double], accuracy: Int = 10000): DataStream =
     new DataStream(df.agg(percentile_approx(col(c),
       array(quantiles.map(lit): _*), lit(accuracy)).as("quantiles")))
+  /** Median sugar (reference `approximate_median`, datastream.py:1033). */
+  def approximateMedian(c: String, accuracy: Int = 10000): DataStream =
+    approximateQuantile(c, Seq(0.5), accuracy)
   /** Multi-column form — the reference call shape is
     * `approximate_quantile(stream.schema, [...])` over ALL columns at once
     * (apps/andy.py:20, the "1M×10k columns in ~1 minute" workload,
@@ -308,6 +313,16 @@ class GroupedDataStream(private val df: DataFrame, val keys: Seq[String]) {
   /** Arbitrary SQL agg expressions (reference grouped `agg_sql`). */
   def aggSql(exprs: String*): DataStream =
     new DataStream(grouped.agg(expr(exprs.head), exprs.tail.map(expr): _*))
+
+  /** Wide transpose per group — one column per pivot value (the reference
+    * builds this shape imperatively in apps/rottnest/transpose.py's
+    * Builder executor: partition by symbol, emit wide rows). `values`
+    * must be enumerated: an implicit pivot runs a distinct-values
+    * pre-job, i.e. a second full scan at 100 TB. */
+  def pivot(c: String, values: Seq[Any], spec: Map[String, String]): DataStream = {
+    val cols = GroupedDataStream.specToCols(spec)
+    new DataStream(grouped.pivot(c, values).agg(cols.head, cols.tail: _*))
+  }
 
   /** Two-stage salted aggregation for skewed group keys. Catalyst's
     * partial aggregation already combines map-side, but a key that

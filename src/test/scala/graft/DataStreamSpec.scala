@@ -225,4 +225,18 @@ class SourcesSinksSpec extends SparkSpecBase {
     qc.readParquet(sf() + "/region.parquet").df.createOrReplaceTempView("t_region")
     assert(qc.sql("SELECT count(*) AS n FROM t_region").df.head().getLong(0) == 5)
   }
+
+  test("pivot yields one column per enumerated value; absent combos are null") {
+    val s = spark
+    import s.implicits._
+    val ds = new DataStream(
+      Seq(("a", "x", 1.0), ("a", "y", 2.0), ("a", "x", 4.0), ("b", "x", 3.0))
+        .toDF("k", "p", "v"))
+    val out = ds.groupby("k").pivot("p", Seq("x", "y"), Map("v" -> "sum")).df
+    assert(out.columns.toSeq == Seq("k", "x", "y"))
+    val rows = out.orderBy("k").collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(rows.toSeq == Seq(("a", 5.0, Some(2.0)), ("b", 3.0, None)))
+  }
 }

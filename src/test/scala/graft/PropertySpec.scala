@@ -42,6 +42,29 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("forward asof join equals brute-force reference on random data (5 trials)") {
+    val s = spark
+    import s.implicits._
+    for (trial <- 1 to 5) {
+      val left = randEvents(80, 4)
+      val right = randEvents(60, 4)
+      val l = new OrderedStream(left.toDF("k", "t", "v"), "t")
+      val r = new OrderedStream(right.toDF("k", "t", "q"), "t")
+      val got = l.asofJoinForward(r, "k").df
+        .select("k", "t", "v", "q").collect()
+        .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2),
+          Option(x.get(3)).map(_.asInstanceOf[Double])))
+        .toSet
+      // brute force: earliest right at or after t for the same key
+      val expect = left.map { case (k, t, v) =>
+        val m = right.filter(p => p._1 == k && p._2 >= t)
+          .sortBy(_._2).headOption.map(_._3)
+        (k, t, v, m)
+      }.toSet
+      assert(got == expect, s"trial $trial")
+    }
+  }
+
   test("sliding window count equals per-row brute force on random data") {
     val s = spark
     import s.implicits._
