@@ -97,4 +97,49 @@ object Multimodal {
     df.select(col(idCol),
       length(col(blobCol)).as("byte_len"),
       md5(col(blobCol)).as("digest"))
+
+  /** STUB resize — deterministic byte-stride downsample standing in for a
+    * real image scaler. Output schema (id, blob, width, height) is the
+    * production shape: resized payload stays binary and never shuffles. */
+  def resize(df: DataFrame, idCol: String, blobCol: String,
+             targetW: Int, targetH: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val target = math.max(1, targetW * targetH)
+          val stride = math.max(1, bytes.length / target)
+          val out = Array.range(0, math.min(target, bytes.length))
+            .map(i => bytes(math.min(i.toLong * stride, bytes.length - 1).toInt))
+          (id, out, targetW, targetH)
+        }
+      }
+      .toDF(idCol, blobCol, "width", "height")
+  }
+
+  /** STUB feature extraction — a normalized 16-bin byte histogram as the
+    * embedding. The output is a dense `array<double>` column compatible
+    * with every vector operator (nnJoin / annJoin / embedding near-dup),
+    * i.e. the multimodal → embedding → similarity pipeline end-to-end.
+    * A real model inference call replaces the histogram; the per-partition
+    * batch boundary (where model weights would be loaded once per task)
+    * and the output schema are unchanged. */
+  def featureExtract(df: DataFrame, idCol: String, blobCol: String,
+                     embCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val hist = new Array[Double](16)
+          bytes.foreach(b => hist((b & 0xff) >> 4) += 1.0)
+          val n = math.max(1, bytes.length).toDouble
+          (id, hist.map(_ / n))
+        }
+      }
+      .toDF(idCol, embCol)
+  }
 }

@@ -169,6 +169,19 @@ object TextDedupQueries {
         "doc_id", "blob").toDF().orderBy("id")
     },
 
+    // multimodal feature extraction end-to-end: blob → 16-bin byte
+    // histogram embedding (the stubbed model-inference stage), emitted as
+    // columns. The corpus is ASCII (verified) so the byte-level stub and
+    // the oracle's code-point histogram agree exactly.
+    "q82_multimodal_features" -> { (s, d) =>
+      val fe = graft.multimodal.Multimodal.featureExtract(
+        graft.multimodal.Multimodal.withBlob(documents(s, d), "text"),
+        "doc_id", "blob")
+      fe.select(col("doc_id") +:
+        (0 until 8).map(i => element_at(col("embedding"), i + 1).as(s"h$i")): _*)
+        .orderBy("doc_id")
+    },
+
     // classic wordcount (the reference benchmarks it standalone,
     // benchmark/spark/wordcount.py): tokenize → explode → count, top-50.
     "q72_wordcount" -> { (s, d) =>
@@ -332,6 +345,31 @@ object TextDedupQueries {
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors Multimodal.featureExtract: 16-bin high-nibble byte
+    // histogram / length; ASCII corpus → code point = byte, bins 8-15
+    // vacant, so only h0..h7 are emitted.
+    "q82_multimodal_features" ->
+      """WITH chars AS (
+        |  SELECT doc_id, ord(ch) // 16 AS bin FROM (
+        |    SELECT doc_id, unnest(str_split(text, '')) AS ch
+        |    FROM documents)),
+        |hist AS (
+        |  SELECT doc_id, bin, count(*)::DOUBLE AS c
+        |  FROM chars GROUP BY 1, 2),
+        |n AS (SELECT doc_id, greatest(length(text), 1)::DOUBLE AS len
+        |      FROM documents)
+        |SELECT n.doc_id,
+        |  sum(CASE WHEN h.bin = 0 THEN h.c ELSE 0 END) / any_value(n.len) AS h0,
+        |  sum(CASE WHEN h.bin = 1 THEN h.c ELSE 0 END) / any_value(n.len) AS h1,
+        |  sum(CASE WHEN h.bin = 2 THEN h.c ELSE 0 END) / any_value(n.len) AS h2,
+        |  sum(CASE WHEN h.bin = 3 THEN h.c ELSE 0 END) / any_value(n.len) AS h3,
+        |  sum(CASE WHEN h.bin = 4 THEN h.c ELSE 0 END) / any_value(n.len) AS h4,
+        |  sum(CASE WHEN h.bin = 5 THEN h.c ELSE 0 END) / any_value(n.len) AS h5,
+        |  sum(CASE WHEN h.bin = 6 THEN h.c ELSE 0 END) / any_value(n.len) AS h6,
+        |  sum(CASE WHEN h.bin = 7 THEN h.c ELSE 0 END) / any_value(n.len) AS h7
+        |FROM n LEFT JOIN hist h ON n.doc_id = h.doc_id
+        |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin,
 
     // mirrors Multimodal.decodeStub arithmetic (texts are ASCII, so
     // byte 0/1 = codepoint 0/1).

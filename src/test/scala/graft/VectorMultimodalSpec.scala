@@ -110,6 +110,26 @@ class MultimodalSpec extends SparkSpecBase {
     assert(st.forall(r => r.getInt(1) == r.getInt(3))) // ASCII text: bytes == chars
   }
 
+  test("resize downsamples to a bounded payload with target dims") {
+    val r = Multimodal.resize(blobs().limit(5), "doc_id", "blob", 8, 8)
+    assert(r.columns.toSeq == Seq("doc_id", "blob", "width", "height"))
+    val rows = r.collect()
+    assert(rows.forall(x => x.getAs[Array[Byte]](1).length <= 64))
+    assert(rows.forall(x => x.getInt(2) == 8 && x.getInt(3) == 8))
+  }
+
+  test("featureExtract yields a unit-mass histogram embedding usable by vector ops") {
+    val fe = Multimodal.featureExtract(blobs().limit(10), "doc_id", "blob")
+    val rows = fe.collect()
+    assert(rows.forall(_.getSeq[Double](1).length == 16))
+    assert(rows.forall(r => math.abs(r.getSeq[Double](1).sum - 1.0) < 1e-9))
+    // the embedding feeds the similarity operators directly
+    val probes = fe.limit(2).withColumnRenamed("doc_id", "probe_id")
+    val nn = graft.vector.VectorOps.nnJoin(fe, probes, "embedding",
+      "doc_id", "probe_id", k = 3)
+    assert(nn.count() == 6)
+  }
+
   test("DataStream vector delegates match the direct implementations") {
     import graft.api.DataStream
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
