@@ -70,10 +70,17 @@ object GraphOps {
         col(weightCol) / sum(col(weightCol)).over(Window.partitionBy(srcCol)))
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"), col("__p"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // With a bounded node count the rank vector broadcasts: each
+    // iteration is then map-side against the (partitioned, cached) edges
+    // plus one O(nodes) aggregate — the edge side never re-shuffles.
+    // Past the broadcast threshold, fall back to a shuffle join that
+    // reuses the cached src-partitioning of `trans`.
+    val broadcastRanks = n <= 5e6
     var ranks = nodes.select(col(idCol).as("id")).withColumn("pr", lit(1.0 / n))
     var i = 1
     while (i <= iterations) {
-      val inflow = trans.join(ranks, col("__src") === col("id"))
+      val rSide = if (broadcastRanks) broadcast(ranks) else ranks
+      val inflow = trans.join(rSide, col("__src") === col("id"))
         .groupBy(col("__dst"))
         .agg(sum(col("__p") * col("pr")).as("__inflow"))
       ranks = nodes.select(col(idCol).as("id"))
