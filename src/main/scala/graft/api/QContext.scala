@@ -49,9 +49,37 @@ class QContext(val spark: SparkSession) {
     * `read_sorted_parquet` (df.py:790-800). Spark gives no cross-partition
     * order, so the contract is (re-)established lazily by the ordered
     * operators themselves (range partition + sortWithinPartitions); this
-    * just tags the stream. */
-  def readSortedParquet(path: String, timeCol: String): OrderedStream =
-    new OrderedStream(spark.read.parquet(path), timeCol)
+    * tags the stream and, with `verify = true`, checks the contract the
+    * way the reference's sorted reader does — per-file time ranges must
+    * not overlap (ordered_readers.py:28-100 reads row-group min/max
+    * stats; here one column-pruned aggregate over (file → min, max),
+    * which parquet answers from footer statistics, not data pages). */
+  def readSortedParquet(path: String, timeCol: String,
+      verify: Boolean = false): OrderedStream = {
+    val df = spark.read.parquet(path)
+    if (verify) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val ranges = df
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col(timeCol)).as("lo"), max(col(timeCol)).as("hi"))
+      // native-type comparison via a lag window over files ordered by lo
+      // (file count is small; the heavy part was the column-pruned agg)
+      val w = Window.orderBy(col("lo"))
+      val bad = ranges
+        .withColumn("prev_hi", lag(col("hi"), 1).over(w))
+        .withColumn("prev_file", lag(col("file"), 1).over(w))
+        .filter(col("prev_hi").isNotNull && col("lo") <= col("prev_hi"))
+        .select(col("prev_file"), col("file"))
+        .limit(1).collect()
+      bad.headOption.foreach { r =>
+        throw new IllegalArgumentException(
+          s"sortedness contract violated on '$timeCol': file time ranges " +
+            s"overlap between ${r.getString(0)} and ${r.getString(1)}")
+      }
+    }
+    new OrderedStream(df, timeCol)
+  }
 
   def readSortedCsv(
       path: String,

@@ -33,6 +33,23 @@ class OrderedOpsSpec extends SparkSpecBase {
     assert(shifted.count() == 4)
   }
 
+  test("readSortedParquet verify accepts disjoint file ranges, rejects overlap") {
+    val s = spark
+    import s.implicits._
+    val qc = new graft.api.QContext(spark)
+    // two files with disjoint [lo, hi] time ranges
+    val dir = "target/test-io/sorted_verify"
+    Seq(1.0, 2.0, 3.0).toDF("t").coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq(4.0, 5.0).toDF("t").coalesce(1).write.mode("append").parquet(dir)
+    assert(qc.readSortedParquet(dir, "t", verify = true).count() == 5)
+    // a third file overlapping the first two must be rejected
+    Seq(2.5, 4.5).toDF("t").coalesce(1).write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      qc.readSortedParquet(dir, "t", verify = true)
+    }
+    assert(e.getMessage.contains("sortedness contract violated"))
+  }
+
   test("asof unionTag: latest right at or before left time, per key") {
     val out = trades().asofJoin(quotes(), "sym").df
       .orderBy("sym", "t")
