@@ -115,6 +115,32 @@ class QContext(val spark: SparkSession) {
   }
 
   /** Local data → stream (reference df.py:713-788 from_polars/pandas/arrow). */
+  /** N-input custom stateful operator — the reference's `mingle`
+    * (df.py:837-849, its "internal as much as it can" multi-source
+    * StatefulNode; the runtime hands each Executor `(batches, stream_id)`,
+    * executors/\*.py). Spark-first shape: every source is projected to the
+    * common layout and tagged with its stream id, the union is hash-
+    * partitioned on `partitionBy` and time-sorted within partitions, and
+    * `f` consumes `(streamId, row)` — one shuffle, arbitrary fan-in,
+    * identical information to the reference's executor contract. */
+  def mingle[T: org.apache.spark.sql.Encoder](
+      sources: Map[Int, DataFrame],
+      partitionBy: Seq[String],
+      orderWithinPartitionBy: Seq[String])(
+      f: Iterator[(Int, org.apache.spark.sql.Row)] => Iterator[T]): org.apache.spark.sql.Dataset[T] = {
+    require(sources.nonEmpty, "mingle needs at least one source")
+    import org.apache.spark.sql.functions._
+    val common = sources.values.head.columns.toSeq
+    val tagged = sources.map { case (sid, d) =>
+      d.select(common.map(col) :+ lit(sid).as("__stream"): _*)
+    }.reduce(_ unionByName _)
+    val sidIdx = common.length
+    new DataStream(tagged)
+      .statefulTransform(partitionBy, orderWithinPartitionBy) { it =>
+        f(it.map(r => (r.getInt(sidIdx), r)))
+      }
+  }
+
   def fromDataFrame(df: DataFrame): DataStream = new DataStream(df)
 
   def fromSeq[T: org.apache.spark.sql.Encoder](rows: Seq[T]): DataStream =

@@ -226,6 +226,30 @@ class SourcesSinksSpec extends SparkSpecBase {
     assert(qc.sql("SELECT count(*) AS n FROM t_region").df.head().getLong(0) == 5)
   }
 
+  test("mingle runs an N-input stateful operator over tagged sorted streams") {
+    val s = spark
+    import s.implicits._
+    val quotes = Seq(("A", 1.0, 10.0), ("A", 3.0, 11.0), ("B", 1.0, 5.0))
+      .toDF("sym", "t", "v")
+    val trades = Seq(("A", 2.0, 0.0), ("A", 4.0, 0.0), ("B", 2.0, 0.0))
+      .toDF("sym", "t", "v")
+    val qc = new QContext(spark)
+    // mini build-probe: fill each trade (stream 1) with the latest quote
+    // (stream 0) seen so far for its symbol
+    val out = qc.mingle(Map(0 -> quotes, 1 -> trades), Seq("sym"), Seq("t")) { it =>
+      var lastQ = Double.NaN
+      var lastSym = ""
+      it.flatMap { case (sid, r) =>
+        val sym = r.getString(0)
+        if (sym != lastSym) { lastQ = Double.NaN; lastSym = sym }
+        if (sid == 0) { lastQ = r.getDouble(2); Iterator.empty }
+        else Iterator.single((sym, r.getDouble(1), lastQ))
+      }
+    }.collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      ("A", 2.0, 10.0), ("A", 4.0, 11.0), ("B", 2.0, 5.0)))
+  }
+
   test("pivot yields one column per enumerated value; absent combos are null") {
     val s = spark
     import s.implicits._
