@@ -42,6 +42,51 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("pagerank equals dense power iteration on a random graph") {
+    val s = spark
+    import s.implicits._
+    val n = 12
+    val edges = (for (u <- 0 until n; v <- 0 until n
+                      if u != v && rnd.nextDouble() < 0.3)
+      yield (u, v, 1.0 + rnd.nextInt(5))).toSeq
+    val pr = graft.graph.GraphOps.pagerank(
+        edges.toDF("s", "t", "w"), "s", "t", "w",
+        (0 until n).toDF("id"), "id", iterations = 6, checkpointInterval = 2)
+      .as[(Int, Double)].collect().toMap
+    // dense reference: r' = reset + d * Pᵀ r
+    val outW = Array.tabulate(n)(u => edges.filter(_._1 == u).map(_._3).sum)
+    var r = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to 6) {
+      val nx = Array.fill(n)(0.15 / n)
+      edges.foreach { case (u, v, w) =>
+        nx(v) += 0.85 * (w / outW(u)) * r(u)
+      }
+      r = nx
+    }
+    (0 until n).foreach { v =>
+      assert(math.abs(pr(v) - r(v)) < 1e-9, s"node $v: ${pr(v)} vs ${r(v)}")
+    }
+  }
+
+  test("kmeans assignment equals brute-force nearest centroid on random vectors") {
+    val s = spark
+    import s.implicits._
+    val pts = (0 until 60).map(i =>
+      (i, Seq.fill(8)(math.floor(rnd.nextDouble() * 100) / 10)))
+    val cents = (0 until 5).map(c =>
+      (c, Seq.fill(8)(math.floor(rnd.nextDouble() * 100) / 10)))
+    val got = graft.vector.KMeans.assign(
+        pts.toDF("id", "v"), "id", "v",
+        cents.toDF("cid", "cv"), "cid", "cv")
+      .select("id", "cluster").as[(Int, Int)].collect().toMap
+    pts.foreach { case (i, v) =>
+      val best = cents.map { case (c, cv) =>
+        (v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }.min // (dist, cid) lexicographic: ties toward the lowest cid
+      assert(got(i) == best._2, s"point $i")
+    }
+  }
+
   test("forward asof join equals brute-force reference on random data (5 trials)") {
     val s = spark
     import s.implicits._
