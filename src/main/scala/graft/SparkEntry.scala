@@ -20,6 +20,7 @@ object SparkEntry {
     graft.queries.TextDedupQueries.queries ++
     graft.queries.GraphMlQueries.queries ++
     graft.queries.RottnestQueries.queries ++
+    graft.queries.ExtensionQueries.queries ++
     graft.queries.TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,5 +34,6 @@ object SparkEntry {
     graft.queries.TextDedupQueries.oracles ++
     graft.queries.GraphMlQueries.oracles ++
     graft.queries.RottnestQueries.oracles ++
+    graft.queries.ExtensionQueries.oracles ++
     graft.queries.TpchQueries.oracles
 }

@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.api.DataStream
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated coverage for the surfaces that were previously spec-only:
+  * the parquet sink (write → re-read fidelity), `stateful_transform` (the
+  * reference's primary extension point, datastream.py:1312-1367), and
+  * `cogroup` (datastream.py:2073-2111). Each query routes real data
+  * through the extension surface and lands on an aggregate DuckDB can
+  * compute directly from the source tables — so the driver gate verifies
+  * the plumbing end-to-end, not just a spec example.
+  */
+object ExtensionQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // sink roundtrip: filter → writeParquet → re-read → aggregate. The
+    // oracle aggregates the source directly, so any fidelity loss in the
+    // write/read path (types, values, row count) fails the gate.
+    "q83_sink_roundtrip" -> { (s, d) =>
+      val tmp = "/tmp/graft_q83_roundtrip"
+      new DataStream(lineitem(s, d).filter(col("l_quantity") >= 45))
+        .writeParquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          sum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // stateful_transform: per-key totals via the sorted-partition
+    // iterator (constant memory per key run — the executor contract the
+    // reference extends with Executor classes).
+    "q84_stateful_totals" -> { (s, d) =>
+      val src = orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+      new DataStream(src)
+        .statefulTransform[(Long, Double, Long)](Seq("o_custkey"), Seq()) { it =>
+          val bi = it.buffered
+          new Iterator[(Long, Double, Long)] {
+            def hasNext: Boolean = bi.hasNext
+            def next(): (Long, Double, Long) = {
+              val k = bi.head.getLong(0)
+              var n = 0L
+              var tot = 0.0
+              while (bi.hasNext && bi.head.getLong(0) == k) {
+                tot += bi.head.getDouble(1); n += 1; bi.next()
+              }
+              (k, tot, n)
+            }
+          }
+        }(org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+        .toDF("o_custkey", "total", "n")
+        .orderBy(col("o_custkey"))
+    },
+
+    // cogroup: co-partitioned two-input operator per customer key.
+    "q85_cogroup_stats" -> { (s, d) =>
+      val c = customer(s, d).select(col("c_custkey"))
+      val o = orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+      val grouped = new DataStream(c).groupby("c_custkey")
+      val out = grouped.cogroup[Long, (Long, Long, Double)](
+        new DataStream(o).groupby("o_custkey"), (r: Row) => r.getLong(0)) {
+        (k: Long, lit0: Iterator[Row], rit: Iterator[Row]) =>
+          if (lit0.isEmpty) Iterator.empty
+          else {
+            var n = 0L
+            var tot = 0.0
+            rit.foreach { r => tot += r.getDouble(1); n += 1 }
+            if (n == 0) Iterator.empty else Iterator.single((k, n, tot))
+          }
+      }(org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble))
+      out.toDF("c_custkey", "n", "total").orderBy(col("c_custkey"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q83_sink_roundtrip" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n,
+        |  sum(l_extendedprice) AS sum_price
+        |FROM lineitem WHERE l_quantity >= 45
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q84_stateful_totals" ->
+      """SELECT o_custkey, sum(o_totalprice) AS total, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q85_cogroup_stats" ->
+      """SELECT c.c_custkey, count(*) AS n, sum(o.o_totalprice) AS total
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
