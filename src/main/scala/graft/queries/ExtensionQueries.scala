@@ -33,6 +33,33 @@ object ExtensionQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // csv sink+source roundtrip (writeCsv → readCsv with schema). Java
+    // double text round-trips exactly, so even float sums must match the
+    // direct-source oracle bit-for-bit within rtol.
+    "q86_csv_roundtrip" -> { (s, d) =>
+      val tmp = "/tmp/graft_q86_roundtrip"
+      val src = orders(s, d).select(col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate").cast("string").as("o_orderdate"))
+      new DataStream(src).writeCsv(tmp)
+      new graft.api.QContext(s)
+        .readCsv(tmp, Some(src.schema), hasHeader = true).df
+        .groupBy(substring(col("o_orderdate"), 1, 4).as("o_year"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_year"))
+    },
+
+    // json source roundtrip (spark json write → readJson).
+    "q87_json_roundtrip" -> { (s, d) =>
+      val tmp = "/tmp/graft_q87_roundtrip"
+      val src = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"),
+        col("s_acctbal"))
+      src.write.mode("overwrite").json(tmp)
+      new graft.api.QContext(s).readJson(tmp, Some(src.schema)).df
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), sum(col("s_acctbal")).as("bal"))
+        .orderBy(col("s_nationkey"))
+    },
+
     // stateful_transform: per-key totals via the sorted-partition
     // iterator (constant memory per key run — the executor contract the
     // reference extends with Executor classes).
@@ -95,6 +122,15 @@ object ExtensionQueries {
     "q84_stateful_totals" ->
       """SELECT o_custkey, sum(o_totalprice) AS total, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q86_csv_roundtrip" ->
+      """SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS o_year,
+        |  count(*) AS n, sum(o_totalprice) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q87_json_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n, sum(s_acctbal) AS bal
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q85_cogroup_stats" ->
       """SELECT c.c_custkey, count(*) AS n, sum(o.o_totalprice) AS total
