@@ -88,6 +88,64 @@ object ExtensionQueries {
         .orderBy(col("o_custkey"))
     },
 
+    // binary-file source: ten documents written as raw byte files, read
+    // back through the binaryFile source; digests must match DuckDB
+    // hashing the source texts (ASCII corpus: bytes = text).
+    "q88_binary_files" -> { (s, d) =>
+      val dir = java.nio.file.Paths.get("/tmp/graft_q88_blobs")
+      java.nio.file.Files.createDirectories(dir)
+      // fixed file set doc_0..doc_9; Files.write truncates, so reruns
+      // overwrite in place and no stale files accumulate
+      documents(s, d).filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text")).collect().foreach { r =>
+          java.nio.file.Files.write(dir.resolve(s"doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      new graft.api.QContext(s).readFiles(dir.toString + "/*.bin").df
+        .select(length(col("content")).as("byte_len"),
+          md5(col("content")).as("digest"))
+        .orderBy(col("digest"))
+    },
+
+    // REST source: a deterministic paginated fetcher serving the nation
+    // table as JSON lines (5 rows per page) — gates pagination + JSON-
+    // lines parsing against the table itself.
+    "q89_rest_source" -> { (s, d) =>
+      val rows = nation(s, d).select(col("n_nationkey"), col("n_name"))
+        .collect().map(r =>
+          (r.getAs[Number](0).longValue(), r.getString(1))).sortBy(_._1)
+        .map { case (k, n) => s"""{"n_nationkey":$k,"n_name":"$n"}""" }
+      val pages = rows.grouped(5).map(_.mkString("\n")).toVector
+      new graft.api.QContext(s)
+        .readRest(i => pages.lift(i), maxPages = 100).df
+        .select(col("n_nationkey"), col("n_name"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // local-materialization entry (from_polars/pandas/arrow): a literal
+    // row set vs a VALUES oracle.
+    "q90_fromseq" -> { (s, d) =>
+      val qc = new graft.api.QContext(s)
+      import s.implicits._
+      qc.fromSeq(Seq((1L, "alpha", 1.5), (2L, "beta", 2.5), (3L, "gamma", 3.5)))
+        .df.toDF("id", "name", "score").orderBy(col("id"))
+    },
+
+    // cached-result re-stream (read_dataset): compute() persists, the
+    // aggregate reads the cache, and the cache is released before
+    // returning (result materialized first — scoped lifecycle, no
+    // cross-invocation storage leak).
+    "q91_compute_reuse" -> { (s, d) =>
+      val ds = new DataStream(
+        lineitem(s, d).filter(col("l_discount") > 0.05)).compute()
+      val out = ds.df.groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_linestatus"))
+        .localCheckpoint(true)
+      ds.df.unpersist(false)
+      out
+    },
+
     // cogroup: co-partitioned two-input operator per customer key.
     "q85_cogroup_stats" -> { (s, d) =>
       val c = customer(s, d).select(col("c_custkey"))
@@ -122,6 +180,22 @@ object ExtensionQueries {
     "q84_stateful_totals" ->
       """SELECT o_custkey, sum(o_totalprice) AS total, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q88_binary_files" ->
+      """SELECT octet_length(encode(text)) AS byte_len, md5(text) AS digest
+        |FROM documents WHERE doc_id < 10 ORDER BY digest""".stripMargin,
+
+    "q89_rest_source" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+
+    "q90_fromseq" ->
+      """SELECT * FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5),
+        |  (3, 'gamma', 3.5)) t(id, name, score) ORDER BY id""".stripMargin,
+
+    "q91_compute_reuse" ->
+      """SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_discount > 0.05
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q86_csv_roundtrip" ->
       """SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS o_year,
