@@ -40,6 +40,12 @@ class DataStream(val df: DataFrame) {
     (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
      else w).csv(loc)
   }
+  /** ORC sink (parity-plus, see [[graft.api.QContext.readOrc]]). */
+  def writeOrc(loc: String, maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).orc(loc)
+  }
   /** Hive-style partitioned layout (`…/col=value/…`): reads with a filter
     * on the partition columns prune whole directories — the scale path
     * for time/tenant-partitioned corpora. */

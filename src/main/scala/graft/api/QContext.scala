@@ -35,6 +35,11 @@ class QContext(val spark: SparkSession) {
   }
 
   /** JSON lines (reference dataset/unordered_readers.py:445-593). */
+  /** ORC source (parity-plus: the other first-class columnar lake format
+    * Spark reads natively — same pushdown/pruning machinery as parquet). */
+  def readOrc(path: String): DataStream =
+    new DataStream(spark.read.orc(path))
+
   def readJson(path: String, schema: Option[StructType] = None): DataStream = {
     val r = spark.read
     new DataStream(schema.map(r.schema).getOrElse(r).json(path))

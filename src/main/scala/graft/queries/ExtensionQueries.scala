@@ -60,6 +60,17 @@ object ExtensionQueries {
         .orderBy(col("s_nationkey"))
     },
 
+    // orc sink+source roundtrip (parity-plus format).
+    "q92_orc_roundtrip" -> { (s, d) =>
+      val tmp = "/tmp/graft_q92_roundtrip"
+      new DataStream(part(s, d).select(col("p_brand"), col("p_retailprice")))
+        .writeOrc(tmp)
+      new graft.api.QContext(s).readOrc(tmp).df
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("p_retailprice")).as("total"))
+        .orderBy(col("p_brand"))
+    },
+
     // stateful_transform: per-key totals via the sorted-partition
     // iterator (constant memory per key run — the executor contract the
     // reference extends with Executor classes).
@@ -180,6 +191,10 @@ object ExtensionQueries {
     "q84_stateful_totals" ->
       """SELECT o_custkey, sum(o_totalprice) AS total, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q92_orc_roundtrip" ->
+      """SELECT p_brand, count(*) AS n, sum(p_retailprice) AS total
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q88_binary_files" ->
       """SELECT octet_length(encode(text)) AS byte_len, md5(text) AS digest
