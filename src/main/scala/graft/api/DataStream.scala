@@ -214,13 +214,12 @@ class DataStream(val df: DataFrame) {
     * partial-aggregable `approx_percentile`, so 10k columns is one
     * map-side-combined job, not 10k jobs. */
   def approximateQuantile(cs: Seq[String], quantiles: Seq[Double],
-      accuracy: Int): DataStream =
-    new DataStream(df.agg(
-      percentile_approx(col(cs.head), array(quantiles.map(lit): _*),
-        lit(accuracy)).as(s"${cs.head}_quantiles"),
-      cs.tail.map(c => percentile_approx(col(c),
-        array(quantiles.map(lit): _*), lit(accuracy))
-        .as(s"${c}_quantiles")): _*))
+      accuracy: Int): DataStream = {
+    require(cs.nonEmpty, "approximateQuantile needs at least one column")
+    val exprs = cs.map(c => percentile_approx(col(c),
+      array(quantiles.map(lit): _*), lit(accuracy)).as(s"${c}_quantiles"))
+    new DataStream(df.agg(exprs.head, exprs.tail: _*))
+  }
   /** Reference-parity t-digest quantiles (the reference wraps a native
     * t-digest per partition, datastream.py:957-998; ours MERGES partial
     * digests instead of averaging per-partition quantiles — see
@@ -288,17 +287,20 @@ class DataStream(val df: DataFrame) {
   /** Salted inner equi-join for skewed keys. AQE's skew-join split
     * covers sort-merge joins at runtime; this is the manual fallback
     * when one key floods a partition anyway (hash joins, or a skew AQE
-    * cannot see). This side gets a deterministic salt in [0, salt) from
-    * a hash of its whole row; the right side is replicated `salt` times,
-    * so the hot key spreads over `salt` reducers at the cost of
-    * replicating the (smaller) right side. Results equal a plain inner
-    * join (spec-checked). */
+    * cannot see). This side gets a salt in [0, salt) from its row
+    * position (`monotonically_increasing_id` — deterministic per task,
+    * and crucially it spreads DUPLICATE rows too: a hot key made of
+    * identical rows is the common skew shape, and a row-content hash
+    * would put all of them in one bucket, defeating the salt); the right
+    * side is replicated `salt` times, so the hot key spreads over `salt`
+    * reducers at the cost of replicating the (smaller) right side.
+    * Results equal a plain inner join (spec-checked). */
   def saltedJoin(
       right: DataStream, leftOn: String, rightOn: String,
       salt: Int): DataStream = {
     require(salt > 0, "salt must be positive")
     val l = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(salt)))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)))
     val r = right.df
       .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
       .withColumn("__salt", col("__salt").cast("long"))
@@ -339,7 +341,9 @@ class GroupedDataStream(private val df: DataFrame, val keys: Seq[String]) {
     * mean via sum+count); results equal `agg` (spec-checked). */
   def aggSalted(spec: Map[String, String], salt: Int): DataStream = {
     require(salt > 0, "salt must be positive")
-    val saltCol = pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(salt))
+    // position-based salt, not row-content hash: duplicate hot rows (the
+    // common skew shape) must spread across buckets too
+    val saltCol = pmod(monotonically_increasing_id(), lit(salt.toLong))
     val stage1 = spec.toSeq.map {
       case ("*", "count") => F.count(lit(1)).as("__p_count")
       case (c, "sum") => sum(col(c)).as(s"__p_${c}_sum")

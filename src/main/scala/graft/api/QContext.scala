@@ -34,12 +34,12 @@ class QContext(val spark: SparkSession) {
       df.withColumn(c, org.apache.spark.sql.functions.input_file_name())))
   }
 
-  /** JSON lines (reference dataset/unordered_readers.py:445-593). */
   /** ORC source (parity-plus: the other first-class columnar lake format
     * Spark reads natively — same pushdown/pruning machinery as parquet). */
   def readOrc(path: String): DataStream =
     new DataStream(spark.read.orc(path))
 
+  /** JSON lines (reference dataset/unordered_readers.py:445-593). */
   def readJson(path: String, schema: Option[StructType] = None): DataStream = {
     val r = spark.read
     new DataStream(schema.map(r.schema).getOrElse(r).json(path))
@@ -56,34 +56,72 @@ class QContext(val spark: SparkSession) {
     * operators themselves (range partition + sortWithinPartitions); this
     * tags the stream and, with `verify = true`, checks the contract the
     * way the reference's sorted reader does — per-file time ranges must
-    * not overlap (ordered_readers.py:28-100 reads row-group min/max
-    * stats; here one column-pruned aggregate over (file → min, max),
-    * which parquet answers from footer statistics, not data pages). */
+    * not overlap, read from parquet FOOTER column statistics
+    * (ordered_readers.py:28-100), i.e. metadata-only I/O, no data pages.
+    * Files without usable statistics fall back to a column-pruned
+    * min/max scan of just those files. */
   def readSortedParquet(path: String, timeCol: String,
       verify: Boolean = false): OrderedStream = {
     val df = spark.read.parquet(path)
-    if (verify) {
+    if (verify) verifySortedContract(path, timeCol)
+    new OrderedStream(df, timeCol)
+  }
+
+  private def verifySortedContract(path: String, timeCol: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new HPath(path)
+    val fs = root.getFileSystem(conf)
+    val files: Seq[HPath] = {
+      val st = fs.globStatus(root) match {
+        case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+        case s => s
+      }
+      st.flatMap { s =>
+        if (s.isDirectory) fs.listStatus(s.getPath).toSeq else Seq(s)
+      }.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath).toSeq
+    }
+    implicit val cmp: Ordering[Comparable[Any]] = (a, b) => a.compareTo(b)
+    // (file, lo, hi) from footer stats; files whose stats are missing go
+    // to the scan fallback
+    val (withStats, noStats) = files.map { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        val stats = reader.getFooter.getBlocks.asScala.toSeq.flatMap(b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == timeCol)
+            .map(_.getStatistics))
+        if (stats.isEmpty ||
+            stats.exists(s => s == null || !s.hasNonNullValue()))
+          (p.toString, None)
+        else {
+          val los = stats.map(_.genericGetMin.asInstanceOf[Comparable[Any]])
+          val his = stats.map(_.genericGetMax.asInstanceOf[Comparable[Any]])
+          (p.toString, Some((los.min, his.max)))
+        }
+      } finally reader.close()
+    }.partition(_._2.isDefined)
+    val scanned = if (noStats.isEmpty) Nil else {
       import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
-      val ranges = df
-        .groupBy(input_file_name().as("file"))
+      spark.read.parquet(noStats.map(_._1): _*)
+        .groupBy(input_file_name().as("f"))
         .agg(min(col(timeCol)).as("lo"), max(col(timeCol)).as("hi"))
-      // native-type comparison via a lag window over files ordered by lo
-      // (file count is small; the heavy part was the column-pruned agg)
-      val w = Window.orderBy(col("lo"))
-      val bad = ranges
-        .withColumn("prev_hi", lag(col("hi"), 1).over(w))
-        .withColumn("prev_file", lag(col("file"), 1).over(w))
-        .filter(col("prev_hi").isNotNull && col("lo") <= col("prev_hi"))
-        .select(col("prev_file"), col("file"))
-        .limit(1).collect()
-      bad.headOption.foreach { r =>
+        .collect().toSeq.map(r => (r.getString(0),
+          (r.getAs[Any](1).asInstanceOf[Comparable[Any]],
+            r.getAs[Any](2).asInstanceOf[Comparable[Any]])))
+    }
+    val ranges = (withStats.map { case (f, s) => (f, s.get) } ++ scanned)
+      .sortBy(_._2._1)
+    ranges.sliding(2).foreach {
+      case Seq((f1, (_, hi1)), (f2, (lo2, _))) if cmp.lteq(lo2, hi1) =>
         throw new IllegalArgumentException(
           s"sortedness contract violated on '$timeCol': file time ranges " +
-            s"overlap between ${r.getString(0)} and ${r.getString(1)}")
-      }
+            s"overlap between $f1 and $f2")
+      case _ => ()
     }
-    new OrderedStream(df, timeCol)
   }
 
   def readSortedCsv(
@@ -119,7 +157,6 @@ class QContext(val spark: SparkSession) {
     new DataStream(spark.read.json(spark.createDataset(records)))
   }
 
-  /** Local data → stream (reference df.py:713-788 from_polars/pandas/arrow). */
   /** N-input custom stateful operator — the reference's `mingle`
     * (df.py:837-849, its "internal as much as it can" multi-source
     * StatefulNode; the runtime hands each Executor `(batches, stream_id)`,
@@ -140,12 +177,17 @@ class QContext(val spark: SparkSession) {
       d.select(common.map(col) :+ lit(sid).as("__stream"): _*)
     }.reduce(_ unionByName _)
     val sidIdx = common.length
+    // __stream as the final sort key: rows with equal order keys from
+    // different streams get a deterministic relative order (lower stream
+    // id first) instead of shuffle-read order
     new DataStream(tagged)
-      .statefulTransform(partitionBy, orderWithinPartitionBy) { it =>
+      .statefulTransform(partitionBy,
+        orderWithinPartitionBy :+ "__stream") { it =>
         f(it.map(r => (r.getInt(sidIdx), r)))
       }
   }
 
+  /** Local data → stream (reference df.py:713-788 from_polars/pandas/arrow). */
   def fromDataFrame(df: DataFrame): DataStream = new DataStream(df)
 
   def fromSeq[T: org.apache.spark.sql.Encoder](rows: Seq[T]): DataStream =

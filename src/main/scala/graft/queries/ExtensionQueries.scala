@@ -54,9 +54,11 @@ object ExtensionQueries {
       val src = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"),
         col("s_acctbal"))
       src.write.mode("overwrite").json(tmp)
+      // alias sorts alphabetically AFTER the integer columns: check.py's
+      // row alignment must lead with exact-typed keys, not a float sum
       new graft.api.QContext(s).readJson(tmp, Some(src.schema)).df
         .groupBy(col("s_nationkey"))
-        .agg(count(lit(1)).as("n"), sum(col("s_acctbal")).as("bal"))
+        .agg(count(lit(1)).as("n"), sum(col("s_acctbal")).as("total_bal"))
         .orderBy(col("s_nationkey"))
     },
 
@@ -218,7 +220,7 @@ object ExtensionQueries {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q87_json_roundtrip" ->
-      """SELECT s_nationkey, count(*) AS n, sum(s_acctbal) AS bal
+      """SELECT s_nationkey, count(*) AS n, sum(s_acctbal) AS total_bal
         |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q85_cogroup_stats" ->

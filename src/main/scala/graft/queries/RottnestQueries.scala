@@ -43,12 +43,15 @@ object RottnestQueries {
         .filter(col("event_type") === "purchase" && col("event_id") % 7 === 0)
         .select(col("ts"), col("user_id").as("symbol"),
           when(col("event_id") % 2 === 0, 1).otherwise(-1).as("direction"))
+      // dropDuplicates mirrors the oracle's rn=1-per-(symbol,ts,direction)
+      // semantics in the (measure-zero but possible) case where an exit
+      // lands exactly on another entry's timestamp
       val alphas = entries.unionByName(entries.select(
         (col("ts") + expr("INTERVAL 5 HOURS")).as("ts"), col("symbol"),
         (-col("direction")).as("direction")))
-      val fills = graft.ts.AsofJoin.unionTagForward(
-          new OrderedStream(alphas, "ts"),
-          new OrderedStream(trades, "ts"), by = "symbol").df
+        .dropDuplicates("symbol", "ts", "direction")
+      val fills = new OrderedStream(alphas, "ts")
+        .asofJoinForward(new OrderedStream(trades, "ts"), by = "symbol").df
         .filter(col("price").isNotNull)
         .select(col("symbol"), col("direction"), col("price").as("fill_price"),
           to_date(col("ts_right")).as("fill_day"))

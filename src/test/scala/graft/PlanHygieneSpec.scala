@@ -20,21 +20,25 @@ class PlanHygieneSpec extends SparkSpecBase {
     "tpch11", "tpch15", "tpch22",
     "q50_vector_nn", "q78_kmeans")
 
+  /** Built once and shared by both tests — several catalog queries do
+    * eager work (sink writes, collects) at construction time, so planning
+    * the whole catalog twice would double that cost. */
+  private lazy val plans: Seq[(String, String)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf()).queryExecution.executedPlan.toString
+    }
+
   test("no query plans a cartesian product") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, sf()).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct")) Some(name) else None
+    val offenders = plans.collect {
+      case (name, plan) if plan.contains("CartesianProduct") => name
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
   test("nested-loop joins appear only under one-row scalar broadcasts") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) if !scalarCrossJoins(name) =>
-        val plan = fn(spark, sf()).queryExecution.executedPlan.toString
-        if (plan.contains("BroadcastNestedLoopJoin")) Some(name) else None
-      case _ => None
+    val offenders = plans.collect {
+      case (name, plan) if !scalarCrossJoins(name) &&
+        plan.contains("BroadcastNestedLoopJoin") => name
     }
     assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
   }
