@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{bround, count, lit, sum}
+
+/** Deterministic float aggregation for hash-gated / cross-engine-compared
+  * outputs.
+  *
+  * A parallel double sum drifts at the last ulp with partition/merge
+  * order; on a 1000-executor cluster the order is run-dependent, so any
+  * exact comparison over a raw `sum(double)` is a coin flip (tpch09
+  * flaked green→red across rounds on exactly this). The fix: round each
+  * row to a fixed decimal (a pure function of the row — deterministic in
+  * both engines), sum exactly in decimal (integer arithmetic, order-
+  * independent), and cast the single exact result back to double.
+  * Oracle SQL mirrors the same cast chain, so both engines produce the
+  * bit-identical double every run at every parallelism.
+  *
+  * The per-row rounding must ALSO agree across engines at exact ties:
+  * division-derived values (e.g. a min-unit-price supplycost) can land
+  * exactly on a .5e-6 boundary (observed: 57780.8715625), where
+  * DuckDB's double→decimal cast rounds half-even (`nearbyint` on the
+  * ×10^scale double) while Spark's rounds HALF_UP. So the Spark side
+  * emulates DuckDB's cast bit-for-bit: `bround(v*10^s, 0)` rounds the
+  * identical IEEE-scaled double with the identical half-even tie rule,
+  * and the oracle states the plain `CAST(v AS DECIMAL(25,s))` it
+  * mirrors. Row magnitudes must stay under 2^53/10^scale (money rows
+  * are ~1e5 at scale 6; use scale 4 for squared prices); the decimal
+  * SUM itself has ~1e29 headroom. */
+object Det {
+  /** Order-independent sum of a double expression (see object doc):
+    * per-row half-even round to `scale` decimals as an exact integer,
+    * exact decimal sum, single double division at the end. */
+  def dsum(c: Column, scale: Int = 6): Column = {
+    val p = lit(math.pow(10, scale))
+    sum(bround(c * p, 0).cast("decimal(25,0)")).cast("double") / p
+  }
+  /** Order-independent mean: exact decimal sum over non-null count. */
+  def davg(c: Column, scale: Int = 6): Column = dsum(c, scale) / count(c)
+  /** Window-safe [[dsum]] half: a bare aggregate (no trailing cast /
+    * divide) so `.over(w)` applies; finish with [[dwinFinish]]. */
+  def dsumWin(c: Column): Column =
+    sum(bround(c * lit(1e6), 0).cast("decimal(25,0)"))
+  /** Finishing projection for a [[dsumWin]] window column. */
+  def dwinFinish(c: Column): Column = c.cast("double") / lit(1e6)
+  /** Oracle-SQL mirror of [[dsum]] (DuckDB's native cast IS the
+    * half-even scaled-double round that [[dsum]] emulates). */
+  def dsumSql(e: String, scale: Int = 6): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(25,$scale))) AS DOUBLE)"
+  /** Oracle-SQL mirror of [[davg]]. */
+  def davgSql(e: String, scale: Int = 6): String =
+    s"(${dsumSql(e, scale)} / count($e))"
+}

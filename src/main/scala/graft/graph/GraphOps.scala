@@ -61,7 +61,8 @@ object GraphOps {
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: String, nodes: DataFrame, idCol: String,
                iterations: Int, damping: Double = 0.85,
-               checkpointInterval: Int = 5): DataFrame = {
+               checkpointInterval: Int = 5,
+               detScale: Option[Int] = None): DataFrame = {
     require(iterations >= 1, "pagerank needs at least one iteration")
     val n = nodes.count().toDouble
     val reset = (1.0 - damping) / n
@@ -80,9 +81,16 @@ object GraphOps {
     var i = 1
     while (i <= iterations) {
       val rSide = if (broadcastRanks) broadcast(ranks) else ranks
+      // detScale: the inflow sum runs through Det (order-independent
+      // decimal sum) so iterated ranks are bit-stable at any
+      // parallelism — a raw double sum drifts per run and compounds
+      // across iterations.
       val inflow = trans.join(rSide, col("__src") === col("id"))
         .groupBy(col("__dst"))
-        .agg(sum(col("__p") * col("pr")).as("__inflow"))
+        .agg((detScale match {
+          case Some(sc) => graft.functions.Det.dsum(col("__p") * col("pr"), sc)
+          case None => sum(col("__p") * col("pr"))
+        }).as("__inflow"))
       ranks = nodes.select(col(idCol).as("id"))
         .join(inflow, col("id") === col("__dst"), "left")
         .select(col("id"),

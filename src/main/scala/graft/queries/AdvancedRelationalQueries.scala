@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.api.DataStream
+import graft.functions.Det
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,7 +25,7 @@ object AdvancedRelationalQueries {
         .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
       li.join(perPart, "l_partkey")
         .filter(col("l_quantity") < col("half_avg_qty"))
-        .agg((sum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+        .agg((Det.dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
     },
 
     // TPC-H Q13 shape: customer × orders LEFT OUTER, per-customer order
@@ -60,7 +61,7 @@ object AdvancedRelationalQueries {
       val rev = lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1995-07-01").cast("timestamp_ntz"))
         .groupBy("l_suppkey")
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("total_revenue"))
       val mx = rev.agg(max(col("total_revenue")).as("mx"))
       supplier(s, d)
@@ -75,14 +76,15 @@ object AdvancedRelationalQueries {
     "q27_not_exists_avg" -> { (s, d) =>
       val c = customer(s, d)
       val avgBal = c.filter(col("c_acctbal") > 0.0)
-        .agg(avg(col("c_acctbal")).as("ab"))
+        .agg(Det.davg(col("c_acctbal")).as("ab"))
       val noOrders = new DataStream(c).join(
         new DataStream(orders(s, d)), "c_custkey", "o_custkey", how = "anti")
       noOrders.df
         .join(broadcast(avgBal))
         .filter(col("c_acctbal") > col("ab"))
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("numcust"), sum(col("c_acctbal")).as("totacctbal"))
+        .agg(count(lit(1)).as("numcust"),
+          Det.dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy("c_mktsegment")
     },
 
@@ -106,8 +108,8 @@ object AdvancedRelationalQueries {
     // q16/q17 — this is the general form).
     "q2c_grouping_sets" -> { (s, d) =>
       orders(s, d).createOrReplaceTempView("orders_gs")
-      s.sql("""SELECT o_orderstatus, o_orderpriority,
-               |  count(*) AS n, sum(o_totalprice) AS total
+      s.sql(s"""SELECT o_orderstatus, o_orderpriority,
+               |  count(*) AS n, ${Det.dsumSql("o_totalprice")} AS total
                |FROM orders_gs
                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
                |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
@@ -132,8 +134,8 @@ object AdvancedRelationalQueries {
           least(greatest(col(c), col(s"${c}_lo")), col(s"${c}_hi"))
             .as(s"${c}_w")): _*)
       clipped.agg(
-        sum(col(s"${cols.head}_w")).as(s"${cols.head}_wsum"),
-        cols.tail.map(c => sum(col(s"${c}_w")).as(s"${c}_wsum")): _*)
+        Det.dsum(col(s"${cols.head}_w")).as(s"${cols.head}_wsum"),
+        cols.tail.map(c => Det.dsum(col(s"${c}_w")).as(s"${c}_wsum")): _*)
     },
 
     // Winsorization via exact percentiles (the reference's headline
@@ -148,7 +150,7 @@ object AdvancedRelationalQueries {
       li.join(broadcast(bounds))
         .select(least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
           .as("w"))
-        .agg(sum(col("w")).as("w_sum"), min(col("w")).as("w_min"),
+        .agg(Det.dsum(col("w")).as("w_sum"), min(col("w")).as("w_min"),
           max(col("w")).as("w_max"), count(lit(1)).as("n"))
     },
 
@@ -166,22 +168,35 @@ object AdvancedRelationalQueries {
         .groupby("l_orderkey")
         .aggSql(
           "sum(l_quantity) as order_sum_qty",
-          "sum(l_extendedprice * (1 - l_discount)) as order_sum_disc_price",
-          "avg(l_discount) as order_avg_disc",
+          s"${Det.dsumSql("l_extendedprice * (1 - l_discount)")} as order_sum_disc_price",
+          s"${Det.davgSql("l_discount")} as order_avg_disc",
           "count(*) as order_count").df
     },
 
     // Per-group statistical aggregates (h2o.ai db-benchmark groupby
     // q6/q7/q9 shapes: median, standard deviation, correlation —
     // reference benchmark/spark/h2oai.py + apps/h2o-ray.py surface).
-    // percentile() is exact-interpolating on both engines.
+    // percentile() is exact-interpolating on both engines. stddev/corr
+    // are computed from order-independent moments (exact integer sums
+    // for the integral quantity; decimal-exact sums for prices — a
+    // native one-pass stddev/corr merges M2 state in partition order,
+    // which is run-dependent on a cluster), then one fixed double
+    // formula both engines evaluate identically.
     "q37_group_stats" -> { (s, d) =>
+      val n = count(lit(1)).cast("double")
+      val sx = sum(col("l_quantity"))                        // exact: integral
+      val sxx = sum(col("l_quantity") * col("l_quantity"))   // exact: integral
+      val sy = Det.dsum(col("l_extendedprice"))
+      val syy = Det.dsum(col("l_extendedprice") * col("l_extendedprice"), 4)
+      val sxy = Det.dsum(col("l_quantity") * col("l_extendedprice"))
       lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           expr("percentile(l_quantity, 0.5)").as("med_qty"),
-          stddev_samp(col("l_extendedprice")).as("sd_price"),
-          corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
+          sqrt((n * syy - sy * sy) / (n * (n - lit(1.0)))).as("sd_price"),
+          ((n * sxy - sx * sy) /
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+            .as("qty_price_corr"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
     },
@@ -203,7 +218,7 @@ object AdvancedRelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q23_corr_subquery" ->
-      """SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+      s"""SELECT ${Det.dsumSql("l_extendedprice")} / 7.0 AS avg_yearly
         |FROM lineitem l
         |JOIN (SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
         |      FROM lineitem GROUP BY l_partkey) p
@@ -228,8 +243,9 @@ object AdvancedRelationalQueries {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "q26_scalar_max" ->
-      """WITH rev AS (
-        |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+      s"""WITH rev AS (
+        |  SELECT l_suppkey,
+        |    ${Det.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
         |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-07-01 00:00:00'
         |  GROUP BY l_suppkey)
         |SELECT s_suppkey, s_name, total_revenue
@@ -238,9 +254,11 @@ object AdvancedRelationalQueries {
         |ORDER BY s_suppkey""".stripMargin,
 
     "q27_not_exists_avg" ->
-      """SELECT c_mktsegment, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+      s"""SELECT c_mktsegment, count(*) AS numcust,
+        |  ${Det.dsumSql("c_acctbal")} AS totacctbal
         |FROM customer c
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |WHERE c_acctbal > (SELECT ${Det.davgSql("c_acctbal")}
+        |                   FROM customer WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
@@ -257,8 +275,8 @@ object AdvancedRelationalQueries {
         |ORDER BY n_name, s_suppkey""".stripMargin,
 
     "q2c_grouping_sets" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  sum(o_totalprice) AS total
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  ${Det.dsumSql("o_totalprice")} AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
@@ -269,33 +287,44 @@ object AdvancedRelationalQueries {
         s"quantile_cont($c, 0.05) AS ${c}_lo, quantile_cont($c, 0.95) AS ${c}_hi")
         .mkString(", ")
       val sums = cols.map(c =>
-        s"sum(least(greatest($c, ${c}_lo), ${c}_hi)) AS ${c}_wsum").mkString(", ")
+        s"${Det.dsumSql(s"least(greatest($c, ${c}_lo), ${c}_hi)")} AS ${c}_wsum")
+        .mkString(", ")
       s"""WITH b AS (SELECT $bounds FROM lineitem)
          |SELECT $sums FROM lineitem, b""".stripMargin
     },
 
     "q28_winsorize" ->
-      """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+      s"""WITH b AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
         |                  quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem)
-        |SELECT sum(w) AS w_sum, min(w) AS w_min, max(w) AS w_max, count(*) AS n
+        |SELECT ${Det.dsumSql("w")} AS w_sum, min(w) AS w_min, max(w) AS w_max,
+        |  count(*) AS n
         |FROM (SELECT least(greatest(l_extendedprice, lo), hi) AS w
         |      FROM lineitem, b)""".stripMargin,
 
     "q36_highcard_agg" ->
-      """SELECT l_orderkey,
+      s"""SELECT l_orderkey,
         |  sum(l_quantity) AS order_sum_qty,
-        |  sum(l_extendedprice * (1 - l_discount)) AS order_sum_disc_price,
-        |  avg(l_discount) AS order_avg_disc,
+        |  ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS order_sum_disc_price,
+        |  ${Det.davgSql("l_discount")} AS order_avg_disc,
         |  count(*) AS order_count
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
 
-    "q37_group_stats" ->
-      """SELECT l_returnflag,
+    "q37_group_stats" -> {
+      val n = "CAST(count(*) AS DOUBLE)"
+      val sx = "sum(l_quantity)"
+      val sxx = "sum(l_quantity * l_quantity)"
+      val sy = Det.dsumSql("l_extendedprice")
+      val syy = Det.dsumSql("l_extendedprice * l_extendedprice", 4)
+      val sxy = Det.dsumSql("l_quantity * l_extendedprice")
+      s"""SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS med_qty,
-        |  stddev_samp(l_extendedprice) AS sd_price,
-        |  corr(l_quantity, l_extendedprice) AS qty_price_corr,
+        |  sqrt(($n * $syy - $sy * $sy) / ($n * ($n - 1.0))) AS sd_price,
+        |  (($n * $sxy - $sx * $sy) /
+        |    sqrt(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy)))
+        |    AS qty_price_corr,
         |  count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
 
     "q38_top2_per_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rn

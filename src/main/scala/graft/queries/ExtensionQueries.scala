@@ -29,7 +29,7 @@ object ExtensionQueries {
         .groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n"),
-          sum(col("l_extendedprice")).as("sum_price"))
+          graft.functions.Det.dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -169,10 +169,18 @@ object ExtensionQueries {
         (k: Long, lit0: Iterator[Row], rit: Iterator[Row]) =>
           if (lit0.isEmpty) Iterator.empty
           else {
+            // cogroup value order follows shuffle-merge arrival, which is
+            // run-dependent — accumulate Det-style (each value half-even
+            // rounded to 6 dp as an exact integer; math.rint == the
+            // oracle's CAST(x AS DECIMAL(25,6))) so the float total is
+            // order-independent and engine-identical.
             var n = 0L
-            var tot = 0.0
-            rit.foreach { r => tot += r.getDouble(1); n += 1 }
-            if (n == 0) Iterator.empty else Iterator.single((k, n, tot))
+            var totScaled = 0L
+            rit.foreach { r =>
+              totScaled += math.rint(r.getDouble(1) * 1e6).toLong; n += 1
+            }
+            if (n == 0) Iterator.empty
+            else Iterator.single((k, n, totScaled.toDouble / 1e6))
           }
       }(org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.tuple(
@@ -185,8 +193,8 @@ object ExtensionQueries {
 
   val oracles: Map[String, String] = Map(
     "q83_sink_roundtrip" ->
-      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n,
-        |  sum(l_extendedprice) AS sum_price
+      s"""SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n,
+        |  ${graft.functions.Det.dsumSql("l_extendedprice")} AS sum_price
         |FROM lineitem WHERE l_quantity >= 45
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -224,7 +232,8 @@ object ExtensionQueries {
         |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q85_cogroup_stats" ->
-      """SELECT c.c_custkey, count(*) AS n, sum(o.o_totalprice) AS total
+      s"""SELECT c.c_custkey, count(*) AS n,
+        |  ${graft.functions.Det.dsumSql("o.o_totalprice")} AS total
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )

@@ -44,14 +44,16 @@ object GraphMlQueries {
       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |  GROUP BY 1, 2)""".stripMargin
 
-  /** One unrolled PageRank step over `prev` → named CTE `next`. */
+  /** One unrolled PageRank step over `prev` → named CTE `next` (inflow
+    * mirrors GraphOps.pagerank's detScale=12 decimal-exact sum). */
   private def prStepSql(prev: String, next: String): String =
     s"""$next AS (
        |  SELECT nn.n_nationkey AS id,
-       |         (1.0 - 0.85) / (SELECT cnt FROM n)
+       |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+       |           / (SELECT cnt FROM n)
        |           + 0.85 * coalesce(f.inflow, 0.0) AS pr
        |  FROM nation nn LEFT JOIN (
-       |    SELECT t.dst, sum(t.p * r.pr) AS inflow
+       |    SELECT t.dst, ${graft.functions.Det.dsumSql("t.p * r.pr", 12)} AS inflow
        |    FROM trans t JOIN $prev r ON t.src = r.id
        |    GROUP BY t.dst) f
        |  ON nn.n_nationkey = f.dst)""".stripMargin
@@ -67,7 +69,7 @@ object GraphMlQueries {
     "q77_pagerank" -> { (s, d) =>
       GraphOps.pagerank(tradeEdges(s, d), "src", "dst", "w",
           nation(s, d).select(col("n_nationkey")), "n_nationkey",
-          iterations = 3)
+          iterations = 3, detScale = Some(12))
         .select(col("id").as("n_nationkey"), col("pr"))
         .orderBy(col("n_nationkey"))
     },

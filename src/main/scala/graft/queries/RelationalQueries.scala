@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.api.DataStream
+import graft.functions.Det
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,12 +24,12 @@ object RelationalQueries {
         .groupby("l_returnflag", "l_linestatus")
         .aggSql(
           "sum(l_quantity) as sum_qty",
-          "sum(l_extendedprice) as sum_base_price",
-          "sum(l_extendedprice * (1 - l_discount)) as sum_disc_price",
-          "sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) as sum_charge",
+          s"${Det.dsumSql("l_extendedprice")} as sum_base_price",
+          s"${Det.dsumSql("l_extendedprice * (1 - l_discount)")} as sum_disc_price",
+          s"${Det.dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} as sum_charge",
           "avg(l_quantity) as avg_qty",
-          "avg(l_extendedprice) as avg_price",
-          "avg(l_discount) as avg_disc",
+          s"${Det.davgSql("l_extendedprice")} as avg_price",
+          s"${Det.davgSql("l_discount")} as avg_disc",
           "count(*) as count_order")
         .sort(Seq("l_returnflag", "l_linestatus")).df
     },
@@ -54,7 +55,7 @@ object RelationalQueries {
       cust.join(ord, "c_custkey", "o_custkey")
         .join(li, "o_orderkey", "l_orderkey")
         .groupby("o_orderkey", "o_orderdate", "o_orderpriority")
-        .aggSql("sum(l_extendedprice * (1 - l_discount)) as revenue")
+        .aggSql(s"${Det.dsumSql("l_extendedprice * (1 - l_discount)")} as revenue")
         .df.orderBy(col("revenue").desc, col("o_orderkey").asc).limit(10)
     },
 
@@ -80,7 +81,8 @@ object RelationalQueries {
       val ord = new DataStream(orders(s, d)).filterSql("o_totalprice > 250000")
       cust.join(ord, "c_custkey", "o_custkey", "anti")
         .groupby("c_mktsegment")
-        .aggSql("count(*) as n_customers", "sum(c_acctbal) as acctbal_sum")
+        .aggSql("count(*) as n_customers",
+          s"${Det.dsumSql("c_acctbal")} as acctbal_sum")
         .sort(Seq("c_mktsegment")).df
     },
 
@@ -91,7 +93,7 @@ object RelationalQueries {
       cust.join(ord, "c_custkey", "o_custkey", "left")
         .groupby("c_custkey")
         .aggSql("count(o_orderkey) as n_orders",
-          "coalesce(sum(o_totalprice), 0.0) as total_spend")
+          s"coalesce(${Det.dsumSql("o_totalprice")}, 0.0) as total_spend")
         .sort(Seq("c_custkey")).df
     },
 
@@ -116,7 +118,7 @@ object RelationalQueries {
           col_.df("l_suppkey") === sup.df("s_suppkey") &&
           col_.df("c_nationkey") === sup.df("s_nationkey"))
         .groupby("n_name")
-        .aggSql("sum(l_extendedprice * (1 - l_discount)) as revenue")
+        .aggSql(s"${Det.dsumSql("l_extendedprice * (1 - l_discount)")} as revenue")
         .sort(Seq("n_name")).df
     },
 
@@ -151,7 +153,7 @@ object RelationalQueries {
         .filterSql("o_orderpriority = '1-URGENT' and o_totalprice > 380000")
       hi.union(urgent).select("o_orderkey", "o_orderpriority", "o_totalprice")
         .groupby("o_orderpriority")
-        .aggSql("count(*) as n", "sum(o_totalprice) as total")
+        .aggSql("count(*) as n", s"${Det.dsumSql("o_totalprice")} as total")
         .sort(Seq("o_orderpriority")).df
     },
 
@@ -162,10 +164,11 @@ object RelationalQueries {
     "q76_sql_api" -> { (s, d) =>
       orders(s, d).createOrReplaceTempView("orders_v")
       new graft.api.QContext(s).sql(
-        """SELECT o_orderpriority, count(*) AS big_orders,
-          |  sum(o_totalprice) AS big_total
+        s"""SELECT o_orderpriority, count(*) AS big_orders,
+          |  ${Det.dsumSql("o_totalprice")} AS big_total
           |FROM orders_v
-          |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders_v)
+          |WHERE o_totalprice > (SELECT 1.5 * ${Det.davgSql("o_totalprice")}
+          |                      FROM orders_v)
           |GROUP BY o_orderpriority
           |ORDER BY o_orderpriority""".stripMargin).df
     },
@@ -179,9 +182,9 @@ object RelationalQueries {
       val p = new DataStream(part(s, d))
       li.join(p, "l_partkey", "p_partkey")
         .aggSql(
-          "100.0 * sum(case when p_type like 'PROMO%' then " +
-            "l_extendedprice * (1 - l_discount) else 0.0 end) / " +
-            "sum(l_extendedprice * (1 - l_discount)) as promo_revenue",
+          "100.0 * " + Det.dsumSql("case when p_type like 'PROMO%' then " +
+            "l_extendedprice * (1 - l_discount) else 0.0 end") + " / " +
+            Det.dsumSql("l_extendedprice * (1 - l_discount)") + " as promo_revenue",
           "count(*) as n_lines").df
     },
 
@@ -191,7 +194,7 @@ object RelationalQueries {
         .clip(Map("l_quantity" -> (5.0, 45.0), "l_discount" -> (0.02, 0.06)))
         .groupby("l_returnflag")
         .aggSql("sum(l_quantity) as clipped_qty_sum",
-          "sum(l_discount) as clipped_disc_sum",
+          s"${Det.dsumSql("l_discount")} as clipped_disc_sum",
           "count(*) as n")
         .sort(Seq("l_returnflag")).df
     },
@@ -226,7 +229,7 @@ object RelationalQueries {
     // §2.5 ROLLUP (parity-plus).
     "q17_rollup" -> { (s, d) =>
       orders(s, d).rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(sum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+        .agg(Det.dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
     },
 
     // §2.6/§2.8 SQL window functions: rank within group (top-2 orders per
@@ -266,8 +269,14 @@ object RelationalQueries {
           "sum(l_quantity) as sum_qty",
           "min(l_extendedprice) as min_price",
           "max(l_extendedprice) as max_price",
-          "round(avg(l_discount), 9) as avg_disc",
-          "round(stddev_samp(l_quantity), 9) as std_qty",
+          s"${Det.davgSql("l_discount")} as avg_disc",
+          // stddev from exact integer moments (quantity is integral, so
+          // sum and sum-of-squares are order-independent): one fixed
+          // double formula both engines evaluate identically, vs the
+          // merge-order-dependent M2 of a native stddev_samp.
+          "sqrt((count(*) * sum(l_quantity * l_quantity) - " +
+            "sum(l_quantity) * sum(l_quantity)) / " +
+            "(count(*) * (count(*) - 1.0))) as std_qty",
           "count(distinct l_suppkey) as n_supps").df
     },
 
@@ -283,21 +292,22 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q76_sql_api" ->
-      """SELECT o_orderpriority, count(*) AS big_orders,
-        |  sum(o_totalprice) AS big_total
+      s"""SELECT o_orderpriority, count(*) AS big_orders,
+        |  ${Det.dsumSql("o_totalprice")} AS big_total
         |FROM orders
-        |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders)
+        |WHERE o_totalprice > (SELECT 1.5 * ${Det.davgSql("o_totalprice")}
+        |                      FROM orders)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  sum(l_extendedprice) AS sum_base_price,
-        |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-        |  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+        |  ${Det.dsumSql("l_extendedprice")} AS sum_base_price,
+        |  ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+        |  ${Det.dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
         |  avg(l_quantity) AS avg_qty,
-        |  avg(l_extendedprice) AS avg_price,
-        |  avg(l_discount) AS avg_disc,
+        |  ${Det.davgSql("l_extendedprice")} AS avg_price,
+        |  ${Det.davgSql("l_discount")} AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -310,8 +320,8 @@ object RelationalQueries {
         |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q3_join_inner" ->
-      """SELECT o_orderkey, o_orderdate, o_orderpriority,
-        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
         |  AND o_orderkey = l_orderkey
@@ -327,20 +337,20 @@ object RelationalQueries {
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q5_join_anti" ->
-      """SELECT c_mktsegment, count(*) AS n_customers,
-        |  sum(c_acctbal) AS acctbal_sum
+      s"""SELECT c_mktsegment, count(*) AS n_customers,
+        |  ${Det.dsumSql("c_acctbal")} AS acctbal_sum
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q6_join_left" ->
-      """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |  coalesce(sum(o_totalprice), 0.0) AS total_spend
+      s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  coalesce(${Det.dsumSql("o_totalprice")}, 0.0) AS total_spend
         |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 1000) o
         |  ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q7_multijoin" ->
-      """SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+      s"""SELECT n_name, ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -359,7 +369,7 @@ object RelationalQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 15""".stripMargin,
     "q11_union" ->
-      """SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+      s"""SELECT o_orderpriority, count(*) AS n, ${Det.dsumSql("o_totalprice")} AS total
         |FROM (
         |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
         |  WHERE o_totalprice > 400000
@@ -368,18 +378,18 @@ object RelationalQueries {
         |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 380000
         |) GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q12_case_agg" ->
-      """SELECT 100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
-        |  sum(l_extendedprice * (1 - l_discount)) AS promo_revenue,
+      s"""SELECT 100.0 * ${Det.dsumSql("CASE WHEN p_type LIKE 'PROMO%' " +
+          "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} /
+        |  ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS promo_revenue,
         |  count(*) AS n_lines
         |FROM lineitem, part
         |WHERE l_partkey = p_partkey
         |  AND l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin,
     "q13_clip" ->
-      """SELECT l_returnflag,
+      s"""SELECT l_returnflag,
         |  sum(least(greatest(l_quantity, 5.0), 45.0)) AS clipped_qty_sum,
-        |  sum(least(greatest(l_discount, 0.02), 0.06)) AS clipped_disc_sum,
+        |  ${Det.dsumSql("least(greatest(l_discount, 0.02), 0.06)")} AS clipped_disc_sum,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q14_rename_drop" ->
@@ -397,7 +407,7 @@ object RelationalQueries {
         |  count(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q17_rollup" ->
-      """SELECT o_orderstatus, o_orderpriority, sum(o_totalprice) AS total,
+      s"""SELECT o_orderstatus, o_orderpriority, ${Det.dsumSql("o_totalprice")} AS total,
         |  count(*) AS n
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
     "q18_window_rank" ->
@@ -417,10 +427,12 @@ object RelationalQueries {
         |SELECT o_custkey FROM orders WHERE o_totalprice > 100000
         |ORDER BY o_custkey""".stripMargin,
     "q21_global_agg" ->
-      """SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+      s"""SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty,
         |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
-        |  round(avg(l_discount), 9) AS avg_disc,
-        |  round(stddev_samp(l_quantity), 9) AS std_qty,
+        |  ${Det.davgSql("l_discount")} AS avg_disc,
+        |  sqrt((count(*) * sum(l_quantity * l_quantity) -
+        |    sum(l_quantity) * sum(l_quantity)) /
+        |    (count(*) * (count(*) - 1.0))) AS std_qty,
         |  count(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem""".stripMargin,
     "q22_sort" ->

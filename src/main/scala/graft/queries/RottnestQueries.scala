@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.api.OrderedStream
+import graft.functions.Det
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -71,9 +72,9 @@ object RottnestQueries {
         .groupBy(col("dl.symbol"), col("dl.day").as("day"), col("dl.price"))
         .agg(sum(col("f.direction")).as("pos"))
       val stockEq = posv.groupBy(col("day"))
-        .agg(sum(col("pos") * col("price")).as("stock_equity"))
+        .agg(Det.dsum(col("pos") * col("price")).as("stock_equity"))
       val dcash = fills.groupBy(col("fill_day").as("day"))
-        .agg((-sum(col("direction") * col("fill_price"))).as("dc"))
+        .agg((-Det.dsum(col("direction") * col("fill_price"))).as("dc"))
       val days = trades.select(to_date(col("ts")).as("day")).distinct()
       val cash = days.join(dcash, Seq("day"), "left")
         .withColumn("cash", sum(coalesce(col("dc"), lit(0.0))).over(
@@ -95,14 +96,14 @@ object RottnestQueries {
       events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .sum("value")
+        .agg(Det.dsum(col("value")))
         .orderBy(col("day"))
     }
   )
 
   val oracles: Map[String, String] = Map(
     "q80_backtest" ->
-      """WITH trades AS (
+      s"""WITH trades AS (
         |  SELECT user_id AS symbol, ts, value AS price FROM events),
         |entries AS (
         |  SELECT ts, user_id AS symbol,
@@ -132,9 +133,10 @@ object RottnestQueries {
         |  FROM day_last dl JOIN fills f
         |    ON f.symbol = dl.symbol AND f.fill_day <= dl.day
         |  GROUP BY 1, 2, 3),
-        |se AS (SELECT day, sum(pos * price) AS stock_equity FROM posv GROUP BY 1),
+        |se AS (SELECT day, ${Det.dsumSql("pos * price")} AS stock_equity
+        |       FROM posv GROUP BY 1),
         |dcash AS (
-        |  SELECT fill_day AS day, -sum(direction * fill_price) AS dc
+        |  SELECT fill_day AS day, -${Det.dsumSql("direction * fill_price")} AS dc
         |  FROM fills GROUP BY 1),
         |days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM trades),
         |cash AS (
@@ -146,12 +148,12 @@ object RottnestQueries {
         |ORDER BY ca.day""".stripMargin,
 
     "q81_pivot" ->
-      """SELECT CAST(ts AS DATE) AS day,
-        |  sum(CASE WHEN event_type = 'click' THEN value END) AS "click",
-        |  sum(CASE WHEN event_type = 'error' THEN value END) AS "error",
-        |  sum(CASE WHEN event_type = 'purchase' THEN value END) AS "purchase",
-        |  sum(CASE WHEN event_type = 'signup' THEN value END) AS "signup",
-        |  sum(CASE WHEN event_type = 'view' THEN value END) AS "view"
+      s"""SELECT CAST(ts AS DATE) AS day,
+        |  ${Det.dsumSql("CASE WHEN event_type = 'click' THEN value END")} AS "click",
+        |  ${Det.dsumSql("CASE WHEN event_type = 'error' THEN value END")} AS "error",
+        |  ${Det.dsumSql("CASE WHEN event_type = 'purchase' THEN value END")} AS "purchase",
+        |  ${Det.dsumSql("CASE WHEN event_type = 'signup' THEN value END")} AS "signup",
+        |  ${Det.dsumSql("CASE WHEN event_type = 'view' THEN value END")} AS "view"
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

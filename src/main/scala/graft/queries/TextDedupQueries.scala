@@ -214,9 +214,10 @@ object TextDedupQueries {
       kept.groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
         sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"),
-        // avg of computed doubles is order-dependent at the last ulp;
-        // round to 9 dp (mirrored in the oracle) for a stable hash.
-        round(avg(col("q")), 9).as("mean_quality"))
+        // order-independent mean (scale 9: scores are in [0,1]) — a raw
+        // avg of computed doubles drifts at the last ulp with partition
+        // order, which a hash gate turns into a coin flip.
+        graft.functions.Det.davg(col("q"), 9).as("mean_quality"))
         .orderBy("lang")
     },
 
@@ -412,7 +413,7 @@ object TextDedupQueries {
          |  FROM gated) WHERE doc_id = canonical_id)
          |SELECT lang, count(*) AS n_docs,
          |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
-         |  round(avg(q), 9) AS mean_quality
+         |  ${graft.functions.Det.davgSql("q", 9)} AS mean_quality
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
     },
 

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.api.{DataStream, OrderedStream}
+import graft.functions.Det
 import graft.ts._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -71,7 +72,8 @@ object TimeSeriesQueries {
     // tumbling window, completion trigger (ts_executors.py:12-145).
     "q43_tumbling" -> { (s, d) =>
       ordered(s, d).windowedTransform(TumblingWindow(86400), by = "user_id",
-          aggs = Map("n" -> count(lit(1)), "value_sum" -> sum(col("value"))))
+          aggs = Map("n" -> count(lit(1)),
+            "value_sum" -> Det.dsum(col("value"))))
         .sort(Seq("user_id", "window_start")).df
     },
 
@@ -79,7 +81,8 @@ object TimeSeriesQueries {
     "q44_hopping" -> { (s, d) =>
       ordered(s, d).windowedTransform(
           HoppingWindow(hop = 43200, size = 86400), by = "user_id",
-          aggs = Map("n" -> count(lit(1)), "value_sum" -> sum(col("value"))))
+          aggs = Map("n" -> count(lit(1)),
+            "value_sum" -> Det.dsum(col("value"))))
         .sort(Seq("user_id", "window_start")).df
     },
 
@@ -87,7 +90,9 @@ object TimeSeriesQueries {
     "q45_sliding" -> { (s, d) =>
       new DataStream(ordered(s, d).windowedTransform(SlidingWindow(3600),
           by = "user_id",
-          aggs = Map("roll_n" -> count(lit(1)), "roll_sum" -> sum(col("value")))).df)
+          aggs = Map("roll_n" -> count(lit(1)),
+            "roll_sum" -> Det.dsumWin(col("value")))).df
+          .withColumn("roll_sum", Det.dwinFinish(col("roll_sum"))))
         .select("event_id", "user_id", "roll_n", "roll_sum")
         .sort(Seq("event_id")).df
     },
@@ -95,7 +100,8 @@ object TimeSeriesQueries {
     // session window, completion trigger (ts_executors.py:197-288): 2h gap.
     "q46_session" -> { (s, d) =>
       ordered(s, d).windowedTransform(SessionWindow(7200), by = "user_id",
-          aggs = Map("n" -> count(lit(1)), "value_sum" -> sum(col("value"))))
+          aggs = Map("n" -> count(lit(1)),
+            "value_sum" -> Det.dsum(col("value"))))
         .sort(Seq("user_id", "session_start")).df
     },
 
@@ -103,8 +109,10 @@ object TimeSeriesQueries {
     "q47_tumbling_event" -> { (s, d) =>
       new DataStream(ordered(s, d).windowedTransform(TumblingWindow(86400),
           by = "user_id",
-          aggs = Map("run_n" -> count(lit(1)), "run_sum" -> sum(col("value"))),
-          trigger = OnEventTrigger).df)
+          aggs = Map("run_n" -> count(lit(1)),
+            "run_sum" -> Det.dsumWin(col("value"))),
+          trigger = OnEventTrigger).df
+          .withColumn("run_sum", Det.dwinFinish(col("run_sum"))))
         .select("event_id", "user_id", "window_start", "run_n", "run_sum")
         .sort(Seq("event_id")).df
     },
@@ -193,14 +201,14 @@ object TimeSeriesQueries {
         |  ON t.user_id = q.user_id AND q.ts <= t.ts
         |ORDER BY t.event_id""".stripMargin,
     "q43_tumbling" ->
-      """SELECT user_id,
+      s"""SELECT user_id,
         |  floor(epoch(ts) / 86400) * 86400 AS window_start,
-        |  count(*) AS n, sum(value) AS value_sum,
+        |  count(*) AS n, ${Det.dsumSql("value")} AS value_sum,
         |  floor(epoch(ts) / 86400) * 86400 + 86400 AS window_end
         |FROM events GROUP BY 1, 2 ORDER BY user_id, window_start""".stripMargin,
     "q44_hopping" ->
-      """SELECT user_id, wstart AS window_start, count(*) AS n,
-        |  sum(value) AS value_sum, wstart + 86400 AS window_end
+      s"""SELECT user_id, wstart AS window_start, count(*) AS n,
+        |  ${Det.dsumSql("value")} AS value_sum, wstart + 86400 AS window_end
         |FROM (SELECT user_id, value,
         |        (floor(epoch(ts) / 43200) - j) * 43200 AS wstart, epoch(ts) AS e
         |      FROM events CROSS JOIN (VALUES (0), (1)) AS hops(j))
@@ -208,13 +216,14 @@ object TimeSeriesQueries {
         |GROUP BY user_id, wstart ORDER BY user_id, window_start""".stripMargin,
     "q45_sliding" ->
       """SELECT event_id, user_id,
-        |  count(*) OVER w AS roll_n, sum(value) OVER w AS roll_sum
+        |  count(*) OVER w AS roll_n,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS roll_sum
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
     "q46_session" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT user_id, value, epoch(ts) AS e,
         |    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
         |      (PARTITION BY user_id ORDER BY ts) > 7200 THEN 1 ELSE 0 END AS brk
@@ -224,13 +233,14 @@ object TimeSeriesQueries {
         |          ROWS UNBOUNDED PRECEDING) AS sid
         |      FROM g)
         |SELECT user_id, min(e) AS session_start, count(*) AS n,
-        |  sum(value) AS value_sum, max(e) AS session_end
+        |  ${Det.dsumSql("value")} AS value_sum, max(e) AS session_end
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
     "q47_tumbling_event" ->
       """SELECT event_id, user_id,
         |  floor(epoch(ts) / 86400) * 86400 AS window_start,
-        |  count(*) OVER w AS run_n, sum(value) OVER w AS run_sum
+        |  count(*) OVER w AS run_n,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS run_sum
         |FROM events
         |WINDOW w AS (PARTITION BY user_id, floor(epoch(ts) / 86400)
         |             ORDER BY ts ROWS UNBOUNDED PRECEDING)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.api.DataStream
+import graft.functions.Det
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -58,12 +59,12 @@ object TpchQueries {
         .groupby("l_returnflag", "l_linestatus")
         .aggSql(
           "sum(l_quantity) as sum_qty",
-          "sum(l_extendedprice) as sum_base_price",
-          "sum(l_extendedprice * (1 - l_discount)) as sum_disc_price",
-          "sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) as sum_charge",
+          s"${Det.dsumSql("l_extendedprice")} as sum_base_price",
+          s"${Det.dsumSql("l_extendedprice * (1 - l_discount)")} as sum_disc_price",
+          s"${Det.dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} as sum_charge",
           "avg(l_quantity) as avg_qty",
-          "avg(l_extendedprice) as avg_price",
-          "avg(l_discount) as avg_disc",
+          s"${Det.davgSql("l_extendedprice")} as avg_price",
+          s"${Det.davgSql("l_discount")} as avg_disc",
           "count(*) as count_order")
         .sort(Seq("l_returnflag", "l_linestatus")).df
     },
@@ -114,7 +115,7 @@ object TpchQueries {
       cust.join(ord, "c_custkey", "o_custkey")
         .join(li, "o_orderkey", "l_orderkey")
         .groupby("l_orderkey", "o_orderdate", "o_orderpriority")
-        .aggSql("sum(l_extendedprice * (1 - l_discount)) as revenue")
+        .aggSql(s"${Det.dsumSql("l_extendedprice * (1 - l_discount)")} as revenue")
         .df.orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
     },
@@ -154,7 +155,7 @@ object TpchQueries {
         .join(sup, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
@@ -165,7 +166,7 @@ object TpchQueries {
         .filterSql("l_shipdate >= timestamp '1996-01-01 00:00:00' and " +
           "l_shipdate < timestamp '1997-01-01 00:00:00' and " +
           "l_discount between 0.05 and 0.07 and l_quantity < 24")
-        .aggSql("sum(l_extendedprice * l_discount) as revenue").df
+        .aggSql(s"${Det.dsumSql("l_extendedprice * l_discount")} as revenue").df
     },
 
     // Q7: volume shipping between two nations (do_7:249-285).
@@ -192,7 +193,7 @@ object TpchQueries {
         .filter((col("supp_nation") === "NATION_13" && col("cust_nation") === "NATION_24") ||
           (col("supp_nation") === "NATION_24" && col("cust_nation") === "NATION_13"))
         .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-        .agg(sum(col("volume")).as("volume"))
+        .agg(Det.dsum(col("volume")).as("volume"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     },
 
@@ -224,8 +225,8 @@ object TpchQueries {
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"),
           col("supp_nation"))
         .groupBy(col("o_year"))
-        .agg((sum(when(col("supp_nation") === "NATION_3", col("volume"))
-          .otherwise(lit(0.0))) / sum(col("volume"))).as("mkt_share"))
+        .agg((Det.dsum(when(col("supp_nation") === "NATION_3", col("volume"))
+          .otherwise(lit(0.0))) / Det.dsum(col("volume"))).as("mkt_share"))
         .orderBy(col("o_year"))
     },
 
@@ -255,7 +256,7 @@ object TpchQueries {
           (col("l_extendedprice") * (lit(1) - col("l_discount")) -
             col("ps_supplycost") * col("l_quantity")).as("amount"))
         .groupBy(col("nation"), col("o_year"))
-        .agg(sum(col("amount")).as("sum_profit"))
+        .agg(Det.dsum(col("amount")).as("sum_profit"))
         .orderBy(col("nation"), col("o_year").desc)
     },
 
@@ -274,7 +275,7 @@ object TpchQueries {
       natC.join(ord, col("c_custkey") === col("o_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
@@ -297,8 +298,8 @@ object TpchQueries {
           sum(col("l_quantity").cast("long")).as("ps_availqty"))
         .select(col("ps_partkey"),
           (col("ps_supplycost") * col("ps_availqty")).as("v"))
-      val total = ps.agg((sum(col("v")) * lit(0.0001)).as("threshold"))
-      ps.groupBy(col("ps_partkey")).agg(sum(col("v")).as("value"))
+      val total = ps.agg((Det.dsum(col("v")) * lit(0.0001)).as("threshold"))
+      ps.groupBy(col("ps_partkey")).agg(Det.dsum(col("v")).as("value"))
         .join(broadcast(total))
         .filter(col("value") > col("threshold"))
         .select("ps_partkey", "value")
@@ -345,10 +346,10 @@ object TpchQueries {
         .join(part(s, d).select("p_partkey", "p_type"),
           col("l_partkey") === col("p_partkey"))
         .agg((lit(100.0) *
-          sum(when(col("p_type").like("PROMO%"),
+          Det.dsum(when(col("p_type").like("PROMO%"),
             col("l_extendedprice") * (lit(1) - col("l_discount")))
             .otherwise(lit(0.0))) /
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("promo_revenue"))
     },
 
@@ -358,7 +359,7 @@ object TpchQueries {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("total_revenue"))
       val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
       supplier(s, d).select("s_suppkey", "s_name")
@@ -408,7 +409,7 @@ object TpchQueries {
         .join(p, col("l_partkey") === col("p_partkey"))
         .join(avgQ, col("l_partkey") === col("aq_partkey"))
         .filter(col("l_quantity") < col("avg_quantity"))
-        .agg((sum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+        .agg((Det.dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
     },
 
     // Q18: large volume customers (do_18:434-442), threshold 300.
@@ -450,7 +451,7 @@ object TpchQueries {
             col("l_quantity").between(10, 20)) ||
           (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
             col("l_quantity").between(20, 30)))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))
     },
 
@@ -526,7 +527,7 @@ object TpchQueries {
           (col("c_nationkey") % 10).as("cntrycode"))
         .filter(col("cntrycode").isin(1, 3, 5, 7, 9))
       val avgBal = c.filter(col("c_acctbal") > 0.0)
-        .agg(avg(col("c_acctbal")).as("avg_bal"))
+        .agg(Det.davg(col("c_acctbal")).as("avg_bal"))
       c.join(broadcast(avgBal))
         .filter(col("c_acctbal") > col("avg_bal"))
         .join(orders(s, d)
@@ -534,21 +535,21 @@ object TpchQueries {
           .select("o_custkey"),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("cntrycode"))
-        .agg(count(lit(1)).as("numcust"), sum(col("c_acctbal")).as("totacctbal"))
+        .agg(count(lit(1)).as("numcust"), Det.dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy(col("cntrycode"))
     }
   )
 
   val oracles: Map[String, String] = Map(
     "tpch01" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  sum(l_extendedprice) AS sum_base_price,
-        |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-        |  sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+        |  ${Det.dsumSql("l_extendedprice")} AS sum_base_price,
+        |  ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+        |  ${Det.dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
         |  avg(l_quantity) AS avg_qty,
-        |  avg(l_extendedprice) AS avg_price,
-        |  avg(l_discount) AS avg_disc,
+        |  ${Det.davgSql("l_extendedprice")} AS avg_price,
+        |  ${Det.davgSql("l_discount")} AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -568,8 +569,8 @@ object TpchQueries {
         |                       WHERE e2.ps_partkey = eps.ps_partkey)
         |ORDER BY s_acctbal DESC, n_name, s_name, ps_partkey LIMIT 100""".stripMargin),
     "tpch03" ->
-      """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
         |  AND o_orderkey = l_orderkey
@@ -586,7 +587,7 @@ object TpchQueries {
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "tpch05" ->
-      """SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+      s"""SELECT n_name, ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -596,15 +597,15 @@ object TpchQueries {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "tpch06" ->
-      """SELECT sum(l_extendedprice * l_discount) AS revenue
+      s"""SELECT ${Det.dsumSql("l_extendedprice * l_discount")} AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "tpch07" ->
-      """SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+      s"""SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,
-        |  sum(l_extendedprice * (1 - l_discount)) AS volume
+        |  ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS volume
         |FROM customer, orders, lineitem, supplier,
         |  nation n1, nation n2
         |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
@@ -617,10 +618,10 @@ object TpchQueries {
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "tpch08" ->
-      """SELECT year(o_orderdate) AS o_year,
-        |  sum(CASE WHEN n2.n_name = 'NATION_3'
-        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
-        |    sum(l_extendedprice * (1 - l_discount)) AS mkt_share
+      s"""SELECT year(o_orderdate) AS o_year,
+        |  ${Det.dsumSql("CASE WHEN n2.n_name = 'NATION_3' " +
+          "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} /
+        |    ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS mkt_share
         |FROM part, lineitem, orders, customer, supplier,
         |  nation n1, nation n2, region
         |WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
@@ -632,10 +633,10 @@ object TpchQueries {
         |  AND p_type = 'ECONOMY'
         |GROUP BY o_year ORDER BY o_year""".stripMargin,
     "tpch09" -> (partsuppSql +
-      """
+      s"""
         |SELECT n_name AS nation, year(o_orderdate) AS o_year,
-        |  sum(l_extendedprice * (1 - l_discount) -
-        |      ps_supplycost * l_quantity) AS sum_profit
+        |  ${Det.dsumSql("l_extendedprice * (1 - l_discount) - " +
+          "ps_supplycost * l_quantity")} AS sum_profit
         |FROM part, lineitem, partsupp, supplier, nation, orders
         |WHERE p_partkey = l_partkey AND p_name LIKE '%widget%'
         |  AND l_partkey = ps_partkey AND l_suppkey = ps_suppkey
@@ -644,8 +645,8 @@ object TpchQueries {
         |GROUP BY n_name, o_year
         |ORDER BY n_name, o_year DESC""".stripMargin),
     "tpch10" ->
-      """SELECT c_custkey, c_name, c_acctbal, n_name,
-        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
         |FROM customer, nation, orders, lineitem
         |WHERE c_nationkey = n_nationkey AND c_custkey = o_custkey
         |  AND o_orderkey = l_orderkey AND l_returnflag = 'R'
@@ -654,16 +655,16 @@ object TpchQueries {
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "tpch11" -> (partsuppSql +
-      """,
+      s""",
         |nat_ps AS (
         |  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
         |  FROM partsupp, supplier, nation
         |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
         |    AND n_name = 'NATION_15')
-        |SELECT ps_partkey, sum(v) AS value
+        |SELECT ps_partkey, ${Det.dsumSql("v")} AS value
         |FROM nat_ps
         |GROUP BY ps_partkey
-        |HAVING sum(v) > (SELECT sum(v) * 0.0001 FROM nat_ps)
+        |HAVING ${Det.dsumSql("v")} > (SELECT ${Det.dsumSql("v")} * 0.0001 FROM nat_ps)
         |ORDER BY value DESC, ps_partkey""".stripMargin),
     "tpch12" ->
       """SELECT l_returnflag,
@@ -685,17 +686,17 @@ object TpchQueries {
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "tpch14" ->
-      """SELECT 100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
-        |  sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+      s"""SELECT 100.0 * ${Det.dsumSql("CASE WHEN p_type LIKE 'PROMO%' " +
+          "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} /
+        |  ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS promo_revenue
         |FROM lineitem, part
         |WHERE l_partkey = p_partkey
         |  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
     "tpch15" ->
-      """WITH revenue AS (
+      s"""WITH revenue AS (
         |  SELECT l_suppkey,
-        |    sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        |    ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -716,7 +717,7 @@ object TpchQueries {
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
     "tpch17" ->
-      """SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+      s"""SELECT ${Det.dsumSql("l_extendedprice")} / 7.0 AS avg_yearly
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand = 'Brand#23' AND p_size = 7
         |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -731,7 +732,7 @@ object TpchQueries {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
     "tpch19" ->
-      """SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+      s"""SELECT ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
         |    AND l_quantity BETWEEN 1 AND 11)
@@ -774,12 +775,12 @@ object TpchQueries {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "tpch22" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT c_custkey, c_acctbal, c_nationkey % 10 AS cntrycode
         |  FROM customer WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9))
-        |SELECT cntrycode, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+        |SELECT cntrycode, count(*) AS numcust, ${Det.dsumSql("c_acctbal")} AS totacctbal
         |FROM c
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM c WHERE c_acctbal > 0.0)
+        |WHERE c_acctbal > (SELECT ${Det.davgSql("c_acctbal")} FROM c WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin

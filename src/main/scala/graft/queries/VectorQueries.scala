@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.api.DataStream
+import graft.functions.Det
 import graft.vector.VectorOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -43,14 +44,19 @@ object VectorQueries {
     },
 
     // gramian over numeric columns (reference datastream.py:1033).
+    // detScale=4: every product here is an (at most) 4-decimal grid
+    // value, so the rounding is exact and the decimal sum is order-
+    // independent — deterministic at any parallelism.
     "q51_gramian" -> { (s, d) =>
-      VectorOps.gramian(lineitem(s, d), Seq("l_quantity", "l_discount", "l_tax"))
+      VectorOps.gramian(lineitem(s, d), Seq("l_quantity", "l_discount", "l_tax"),
+        detScale = Some(4))
     },
 
-    // pairwise covariance (reference datastream.py:1100).
+    // pairwise covariance (reference datastream.py:1100); detScale=4
+    // keeps price² rows under the 2^53/10^scale exactness cap.
     "q52_covariance" -> { (s, d) =>
       VectorOps.covariance(lineitem(s, d),
-        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        Seq("l_quantity", "l_extendedprice", "l_discount"), detScale = Some(4))
     },
 
     // exact interpolated quantiles (oracle-verifiable; the approximate
@@ -107,21 +113,26 @@ object VectorQueries {
     },
 
     "q51_gramian" ->
-      """SELECT sum(l_quantity * l_quantity) AS g_0_0,
-        |  sum(l_quantity * l_discount) AS g_0_1,
-        |  sum(l_quantity * l_tax) AS g_0_2,
-        |  sum(l_discount * l_discount) AS g_1_1,
-        |  sum(l_discount * l_tax) AS g_1_2,
-        |  sum(l_tax * l_tax) AS g_2_2
+      s"""SELECT ${Det.dsumSql("l_quantity * l_quantity", 4)} AS g_0_0,
+        |  ${Det.dsumSql("l_quantity * l_discount", 4)} AS g_0_1,
+        |  ${Det.dsumSql("l_quantity * l_tax", 4)} AS g_0_2,
+        |  ${Det.dsumSql("l_discount * l_discount", 4)} AS g_1_1,
+        |  ${Det.dsumSql("l_discount * l_tax", 4)} AS g_1_2,
+        |  ${Det.dsumSql("l_tax * l_tax", 4)} AS g_2_2
         |FROM lineitem""".stripMargin,
-    "q52_covariance" ->
-      """SELECT covar_pop(l_quantity, l_quantity) AS c_0_0,
-        |  covar_pop(l_quantity, l_extendedprice) AS c_0_1,
-        |  covar_pop(l_quantity, l_discount) AS c_0_2,
-        |  covar_pop(l_extendedprice, l_extendedprice) AS c_1_1,
-        |  covar_pop(l_extendedprice, l_discount) AS c_1_2,
-        |  covar_pop(l_discount, l_discount) AS c_2_2
-        |FROM lineitem""".stripMargin,
+    "q52_covariance" -> {
+      val n = "CAST(count(*) AS DOUBLE)"
+      def s1(c: String) = Det.dsumSql(c, 4)
+      def cov(x: String, y: String) =
+        s"(($n * ${Det.dsumSql(s"$x * $y", 4)} - ${s1(x)} * ${s1(y)}) / ($n * $n))"
+      s"""SELECT ${cov("l_quantity", "l_quantity")} AS c_0_0,
+        |  ${cov("l_quantity", "l_extendedprice")} AS c_0_1,
+        |  ${cov("l_quantity", "l_discount")} AS c_0_2,
+        |  ${cov("l_extendedprice", "l_extendedprice")} AS c_1_1,
+        |  ${cov("l_extendedprice", "l_discount")} AS c_1_2,
+        |  ${cov("l_discount", "l_discount")} AS c_2_2
+        |FROM lineitem""".stripMargin
+    },
     "q53_exact_quantile" ->
       """SELECT quantile_cont(l_extendedprice, 0.25) AS q25,
         |  quantile_cont(l_extendedprice, 0.5) AS q50,

@@ -70,8 +70,17 @@ object VectorOps {
 
   /** XᵀX over a column list (reference `gramian`, datastream.py:1033):
     * one row, entries g_i_j = Σ colᵢ·colⱼ for i ≤ j. Spark's partial
-    * aggregation gives the reference's tree-of-+ reduce for free. */
-  def gramian(df: DataFrame, cols: Seq[String], demean: Boolean = false): DataFrame = {
+    * aggregation gives the reference's tree-of-+ reduce for free.
+    * `detScale = Some(s)`: sums run through [[graft.functions.Det]] —
+    * per-row products rounded to s decimals, summed exactly in decimal
+    * — making the result independent of partition/merge order (a raw
+    * parallel double sum is not, so exact-compared outputs flake). */
+  def gramian(df: DataFrame, cols: Seq[String], demean: Boolean = false,
+      detScale: Option[Int] = None): DataFrame = {
+    def dsum(c: Column) = detScale match {
+      case Some(sc) => graft.functions.Det.dsum(c, sc)
+      case None => sum(c)
+    }
     val base =
       if (!demean) df
       else {
@@ -83,17 +92,33 @@ object VectorOps {
     val prods = for {
       (ci, i) <- cols.zipWithIndex
       (cj, j) <- cols.zipWithIndex if j >= i
-    } yield sum(col(ci) * col(cj)).as(s"g_${i}_$j")
+    } yield dsum(col(ci) * col(cj)).as(s"g_${i}_$j")
     base.agg(prods.head, prods.tail: _*)
   }
 
   /** Pairwise population covariance matrix entries (reference
-    * `covariance`, datastream.py:1100) as one row of c_i_j columns. */
-  def covariance(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val entries = for {
-      (ci, i) <- cols.zipWithIndex
-      (cj, j) <- cols.zipWithIndex if j >= i
-    } yield covar_pop(col(ci), col(cj)).as(s"c_${i}_$j")
-    df.agg(entries.head, entries.tail: _*)
+    * `covariance`, datastream.py:1100) as one row of c_i_j columns.
+    * `detScale = Some(s)` computes each entry from order-independent
+    * decimal-exact moments, (n·Σxy − Σx·Σy)/n², instead of the native
+    * one-pass `covar_pop` whose co-moment merge is partition-order-
+    * dependent (and algorithm-specific across engines). */
+  def covariance(df: DataFrame, cols: Seq[String],
+      detScale: Option[Int] = None): DataFrame = detScale match {
+    case None =>
+      val entries = for {
+        (ci, i) <- cols.zipWithIndex
+        (cj, j) <- cols.zipWithIndex if j >= i
+      } yield covar_pop(col(ci), col(cj)).as(s"c_${i}_$j")
+      df.agg(entries.head, entries.tail: _*)
+    case Some(sc) =>
+      import graft.functions.Det
+      val n = count(lit(1)).cast("double")
+      def s1(c: String) = Det.dsum(col(c), sc)
+      val entries = for {
+        (ci, i) <- cols.zipWithIndex
+        (cj, j) <- cols.zipWithIndex if j >= i
+      } yield ((n * Det.dsum(col(ci) * col(cj), sc) - s1(ci) * s1(cj)) /
+        (n * n)).as(s"c_${i}_$j")
+      df.agg(entries.head, entries.tail: _*)
   }
 }
