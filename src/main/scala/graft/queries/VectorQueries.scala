@@ -71,14 +71,26 @@ object VectorQueries {
 
     // approximate quantiles (reference approximate_quantile,
     // datastream.py:905-1031 — t-digest there, Greenwald-Khanna here).
-    // No SQL oracle: approximation algorithms differ by design; driver
-    // records a rows-only check. Bounds sanity lives in the spec suite.
+    // The approximation itself can't be value-compared across engines
+    // (algorithms differ by design), so the gate emits integer BOUND
+    // CHECKS: for each p, the achieved rank fraction count(x <= q̂)/n
+    // must sit within p ± ε (ε = 1/accuracy rank error, plus tie slack)
+    // — an exact 0/1 the DuckDB oracle states as literal 1s. This turns
+    // the previously ungated headline operator into a hard oracle gate
+    // while still allowing any valid sketch.
     "q54_approx_quantile" -> { (s, d) =>
-      new DataStream(lineitem(s, d)).aggSql(
-        "approx_percentile(l_extendedprice, 0.25, 10000) as q25",
-        "approx_percentile(l_extendedprice, 0.5, 10000) as q50",
-        "approx_percentile(l_extendedprice, 0.75, 10000) as q75",
-        "approx_percentile(l_extendedprice, 0.95, 10000) as q95").df
+      val li = lineitem(s, d)
+      val qs = li.agg(
+        expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("q25"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("q50"),
+        expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("q75"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("q95"))
+      def ok(p: Double, qcol: String) =
+        (abs(sum(when(col("l_extendedprice") <= col(qcol), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)) - lit(p)) <= lit(5e-4))
+          .cast("int").as(s"ok_$qcol")
+      li.join(broadcast(qs))
+        .agg(ok(0.25, "q25"), ok(0.5, "q50"), ok(0.75, "q75"), ok(0.95, "q95"))
     }
   )
 
@@ -138,6 +150,10 @@ object VectorQueries {
         |  quantile_cont(l_extendedprice, 0.5) AS q50,
         |  quantile_cont(l_extendedprice, 0.75) AS q75,
         |  quantile_cont(l_extendedprice, 0.95) AS q95
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+    // q54 emits rank-bound 0/1 flags (see the query comment): any valid
+    // ε-approximate sketch yields all-1s, which the oracle states exactly.
+    "q54_approx_quantile" ->
+      """SELECT 1 AS ok_q25, 1 AS ok_q50, 1 AS ok_q75, 1 AS ok_q95""".stripMargin
   )
 }
