@@ -77,8 +77,15 @@ object GraphMlQueries {
     // Sparse matmul: square the trade matrix — C(i,j) = two-hop trade
     // volume i→·→j (reference apps/unstable/matmul.py's MatMulExecutor
     // as a join-contraction). Integer-valued doubles → exact sums.
+    // The contraction self-joins the edges on DIFFERENT keys (a.dst vs
+    // b.src), so ReuseExchange can never dedup the two sides and the
+    // O(lineitem) 4-table edge build would execute twice. The edge
+    // relation itself is ≤ |nations|² rows — materialize it once
+    // (eager localCheckpoint severs the duplicated subtree; at scale
+    // this is the pagerank pattern: heavy build, tiny state), then
+    // contract the materialized table.
     "q79_matmul" -> { (s, d) =>
-      val a = tradeEdges(s, d)
+      val a = tradeEdges(s, d).localCheckpoint(true)
       val b = a.select(col("src").as("b_src"), col("dst").as("b_dst"),
         col("w").as("b_w"))
       GraphOps.matmul(a, "src", "dst", "w", b, "b_src", "b_dst", "b_w")
