@@ -21,6 +21,7 @@ object SparkEntry {
     graft.queries.GraphMlQueries.queries ++
     graft.queries.RottnestQueries.queries ++
     graft.queries.ExtensionQueries.queries ++
+    graft.queries.GateQueries.queries ++
     graft.queries.TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,5 +36,6 @@ object SparkEntry {
     graft.queries.GraphMlQueries.oracles ++
     graft.queries.RottnestQueries.oracles ++
     graft.queries.ExtensionQueries.oracles ++
+    graft.queries.GateQueries.oracles ++
     graft.queries.TpchQueries.oracles
 }

@@ -1,0 +1,201 @@
+package graft.queries
+
+import graft.api.{DataStream, OrderedStream, QContext}
+import graft.functions.Det
+import graft.ts.Cep
+import graft.udx.Aggregators
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Oracle gates for operators that previously had spec-only coverage
+  * (round-5 verdict: 11 inventory rows verified by `sbt test` alone).
+  * Each entry drives the operator through the driver's DuckDB compare:
+  * exact results where SQL can state them, integer bound-flags where
+  * the operator is approximate by design (the q54 pattern).
+  */
+object GateQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // salted skew join (DataStream.saltedJoin): equality to the plain
+    // join, stated by the oracle as the plain join itself.
+    "q93_salted_join" -> { (s, d) =>
+      val o = new DataStream(orders(s, d).select(col("o_custkey"),
+        col("o_totalprice")))
+      val c = new DataStream(customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment")))
+      o.saltedJoin(c, "o_custkey", "c_custkey", salt = 8)
+        .groupby("c_mktsegment")
+        .aggSql("count(*) as n", s"${Det.dsumSql("o_totalprice")} as total")
+        .sort(Seq("c_mktsegment")).df
+    },
+
+    // two-stage salted aggregation (GroupedDataStream.aggSalted):
+    // decomposable ops re-combined across the salt must equal the plain
+    // grouped aggregate (sums here are of integral quantities — exact).
+    "q94_salted_agg" -> { (s, d) =>
+      new DataStream(lineitem(s, d))
+        .groupby("l_returnflag")
+        .aggSalted(Map("l_quantity" -> "sum", "l_extendedprice" -> "max",
+          "*" -> "count"), salt = 8)
+        .sort(Seq("l_returnflag")).df
+    },
+
+    // custom typed Aggregator (udx.Aggregators.WelfordMeanVar): the
+    // merged Welford state must agree with exact integer moments to
+    // float precision — emitted as 0/1 flags the oracle states.
+    "q95_welford_udaf" -> { (s, d) =>
+      val li = lineitem(s, d)
+      import s.implicits._
+      // the typed select flattens MeanVar to (mean, variance, n) columns
+      val mv = li.select(col("l_quantity").cast("double")).as[Double]
+        .select(Aggregators.WelfordMeanVar.toColumn.name("mv")).toDF()
+      val n = count(lit(1)).cast("double")
+      val sx = sum(col("l_quantity"))
+      val sxx = sum(col("l_quantity") * col("l_quantity"))
+      val exact = li.agg(
+        (sx / n).as("em"),
+        ((n * sxx - sx * sx) / (n * n)).as("ev"),
+        count(lit(1)).as("en"))
+      mv.crossJoin(broadcast(exact)).select(
+        (abs(col("mean") - col("em")) <= lit(1e-9)).cast("int").as("ok_mean"),
+        (abs(col("variance") - col("ev")) <= lit(1e-6)).cast("int").as("ok_var"),
+        (col("n") === col("en")).cast("int").as("ok_n"))
+    },
+
+    // merging t-digest sketch (agg.TDigestQuantiles): rank bound-flags,
+    // the q54 pattern — any valid sketch at compression 100 keeps every
+    // achieved rank within 2e-2 of the target.
+    "q96_tdigest" -> { (s, d) =>
+      val li = lineitem(s, d)
+      val ps = Seq(0.25, 0.5, 0.75, 0.95)
+      val qs = new DataStream(li).tdigestQuantile("l_extendedprice", ps, 100).df
+      // the typed select flattens QuantileValues to a `values` column
+      def ok(i: Int, p: Double) =
+        (abs(sum(when(col("l_extendedprice") <= element_at(col("values"),
+          i + 1), 1L).otherwise(0L)).cast("double") / count(lit(1)) - lit(p))
+          <= lit(0.02)).cast("int").as(s"ok_q${(p * 100).toInt}")
+      li.join(broadcast(qs))
+        .agg(ok(0, 0.25), ok(1, 0.5), ok(2, 0.75), ok(3, 0.95))
+    },
+
+    // NFA CEP formulation (ts.Cep.nfaPatternRecognize) on the q48
+    // pattern; the oracle is the 3-way-join statement of the same
+    // semantics, so the linear scan is gated against SQL directly.
+    "q97_nfa_cep" -> { (s, d) =>
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts").cast("double").as("tsd"),
+          col("event_type"), col("value"))
+      Cep.nfaPatternRecognize(new OrderedStream(ev, "tsd"), Seq(
+          ("a", (r: Row) => r.getString(2) == "view",
+            (_: Row, _: Map[String, Row]) => true),
+          ("b", (r: Row) => r.getString(2) == "click",
+            (r: Row, ctx: Map[String, Row]) =>
+              r.getDouble(3) > ctx("a").getDouble(3)),
+          ("c", (r: Row) => r.getString(2) == "purchase",
+            (_: Row, _: Map[String, Row]) => true)),
+          maxSpan = 86400, by = "user_id")
+        .orderBy("user_id", "a_t", "b_t", "c_t")
+    },
+
+    // sorted-CSV source (QContext.readSortedCsv) + ordered shift over
+    // the roundtripped stream: CSV fidelity and the sortedness contract
+    // both gate against the lag() oracle on the source table.
+    "q98_sorted_csv" -> { (s, d) =>
+      val tmp = "/tmp/graft_q98_sorted_csv"
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("ts").cast("double").as("tsd"), col("value"))
+      new DataStream(ev.orderBy(col("tsd"))).writeCsv(tmp)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("tsd", DoubleType), StructField("value", DoubleType)))
+      new QContext(s).readSortedCsv(tmp, "tsd", Some(schema))
+        .shift(Seq("value"), 1, by = "user_id")
+        .select("event_id", "user_id", "tsd", "value", "value_shifted")
+        .sort(Seq("event_id")).df
+    },
+
+    // N-input stateful operator (QContext.mingle): purchases and views
+    // as two tagged sources, per-user stream counts plus first/last
+    // stream by time — order-sensitive state the oracle states with
+    // filtered counts and min_by/max_by ((user_id, ts) is unique, so
+    // the arg-min/max picks are deterministic in both engines).
+    "q99_mingle" -> { (s, d) =>
+      val ev = events(s, d).withColumn("tsd", col("ts").cast("double"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsd"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("tsd"))
+      implicit val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaInt)
+      new QContext(s).mingle[(Long, Long, Long, Int, Int)](
+        Map(1 -> purch, 2 -> views), Seq("user_id"), Seq("tsd")) { it =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Int, Int)]
+        var cur = Long.MinValue
+        var n1 = 0L; var n2 = 0L; var first = 0; var last = 0
+        def flush(): Unit =
+          if (n1 + n2 > 0) out += ((cur, n1, n2, first, last))
+        it.foreach { case (sid, r) =>
+          val u = r.get(0).asInstanceOf[Number].longValue
+          if (u != cur) { flush(); cur = u; n1 = 0; n2 = 0; first = sid }
+          if (sid == 1) n1 += 1 else n2 += 1
+          last = sid
+        }
+        flush()
+        out.iterator
+      }.toDF("user_id", "n_purchase", "n_view", "first_stream", "last_stream")
+        .orderBy("user_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q93_salted_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n,
+        |  ${Det.dsumSql("o_totalprice")} AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q94_salted_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS l_quantity_sum,
+        |  max(l_extendedprice) AS l_extendedprice_max, count(*) AS "count"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q95_welford_udaf" ->
+      """SELECT 1 AS ok_mean, 1 AS ok_var, 1 AS ok_n""",
+    "q96_tdigest" ->
+      """SELECT 1 AS ok_q25, 1 AS ok_q50, 1 AS ok_q75, 1 AS ok_q95""",
+    "q97_nfa_cep" ->
+      """SELECT a.user_id, epoch(a.ts) AS a_t, epoch(b.ts) AS b_t,
+        |  epoch(c.ts) AS c_t
+        |FROM events a, events b, events c
+        |WHERE a.user_id = b.user_id AND b.user_id = c.user_id
+        |  AND a.event_type = 'view' AND b.event_type = 'click'
+        |  AND c.event_type = 'purchase'
+        |  AND b.ts > a.ts AND c.ts > b.ts
+        |  AND epoch(b.ts) <= epoch(a.ts) + 86400
+        |  AND epoch(c.ts) <= epoch(a.ts) + 86400
+        |  AND b.value > a.value
+        |ORDER BY a.user_id, a_t, b_t, c_t""".stripMargin,
+    "q98_sorted_csv" ->
+      """SELECT event_id, user_id, epoch(ts) AS tsd, value,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts)
+        |    AS value_shifted
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q99_mingle" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE event_type WHEN 'purchase' THEN 1 ELSE 2 END AS s
+        |  FROM events WHERE event_type IN ('purchase', 'view'))
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  min_by(s, ts) AS first_stream, max_by(s, ts) AS last_stream
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -18,7 +18,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q26_scalar_max", "q28_winsorize", "q29_multi_winsorize",
     "q23_corr_subquery", "q27_not_exists_avg",
     "tpch11", "tpch15", "tpch22",
-    "q50_vector_nn", "q78_kmeans")
+    "q50_vector_nn", "q78_kmeans",
+    // rank-bound gates: each crosses the fact table with its own one-row
+    // sketch aggregate (approx/t-digest quantiles, Welford state)
+    "q54_approx_quantile", "q95_welford_udaf", "q96_tdigest")
 
   /** Built once and shared by both tests — several catalog queries do
     * eager work (sink writes, collects) at construction time, so planning
