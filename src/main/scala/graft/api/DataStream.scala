@@ -27,7 +27,42 @@ class DataStream(val df: DataFrame) {
   def collect(): Array[Row] = df.collect()
   /** Materialize cluster-wide (reference `compute` → cached DataSet). */
   def compute(): DataStream = { val c = df.persist(); c.count(); new DataStream(c) }
-  def explain(mode: String = "formatted"): Unit = df.explain(mode)
+  /** Plan explain; mode "graphviz" prints DOT (reference
+    * explain(mode="graphviz"), df.py:993-1027 — there the task graph,
+    * here the physical plan DAG). */
+  def explain(mode: String = "formatted"): Unit =
+    if (mode == "graphviz") println(explainGraphviz())
+    else df.explain(mode)
+
+  /** DOT (graphviz) rendering of the physical plan tree, one box per
+    * operator, edges child → parent (data-flow direction). AQE wrapper
+    * nodes (AdaptiveSparkPlan, query stages) hide their subtree from
+    * `children`; descend through them explicitly. */
+  def explainGraphviz(): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val sb = new StringBuilder("digraph plan {\n  node [shape=box];\n")
+    var id = 0
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    def walk(p: SparkPlan): Int = {
+      val my = id
+      id += 1
+      sb.append(s"""  n$my [label="${p.nodeName.replace("\"", "'")}"];""")
+        .append('\n')
+      kids(p).foreach { c =>
+        val ci = walk(c)
+        sb.append(s"  n$ci -> n$my;\n")
+      }
+      my
+    }
+    walk(df.queryExecution.executedPlan)
+    sb.append("}\n")
+    sb.toString
+  }
   /** Parallel directory-of-files write (reference datastream.py:129-276).
     * `outputLineLimit` maps to Parquet row-group/file sizing. */
   def writeParquet(loc: String, maxRecordsPerFile: Long = 0L): Unit = {

@@ -263,4 +263,18 @@ class SourcesSinksSpec extends SparkSpecBase {
         Option(r.get(2)).map(_.asInstanceOf[Double])))
     assert(rows.toSeq == Seq(("a", 5.0, Some(2.0)), ("b", 3.0, None)))
   }
+
+  test("explainGraphviz renders the plan DAG as DOT") {
+    val s = spark
+    import s.implicits._
+    val l = new DataStream(Seq((1, "a"), (2, "b")).toDF("id", "name"))
+    val r = new DataStream(Seq((1, "x")).toDF("id", "tag"))
+    val dot = l.join(r, "id", "id")
+      .groupby("name").aggSql("count(*) as n").explainGraphviz()
+    assert(dot.startsWith("digraph plan {"))
+    assert(dot.contains("->"), "DOT output must contain edges")
+    assert(dot.contains("HashAggregate") || dot.contains("Aggregate"),
+      s"expected an aggregate node in:\n$dot")
+    assert(dot.trim.endsWith("}"))
+  }
 }
