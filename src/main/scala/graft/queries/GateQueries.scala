@@ -19,7 +19,65 @@ object GateQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Drive a bounded Structured Streaming query to completion
+    * (AvailableNow trigger, complete-mode memory sink) and return the
+    * final result table — the harness that lets true streaming plans run
+    * under the batch DuckDB oracle gate. */
+  private def runToMemory(s: SparkSession, streamDf: DataFrame,
+      name: String): DataFrame = {
+    val q = streamDf.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Streaming file-source view of the events table (nanos ts → µs
+    * timestamp, as Tables.events does for the batch reader). */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file source wants a directory; glob-filter to the one table
+    s.readStream.schema(sch).option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("tsx", timestamp_micros(expr("ts div 1000")))
+  }
+
   val queries: Map[String, Q] = Map(
+    // TRUE Structured Streaming tumbling window (StreamingOps.windowedAgg:
+    // watermarked event-time window over an unbounded source) driven to
+    // completion on the bounded fixture and gated against the same SQL
+    // oracle as the batch form — the streaming family's first oracle gate.
+    "q100_streaming_tumbling" -> { (s, d) =>
+      val agg = graft.streaming.StreamingOps.windowedAgg(
+        eventsStream(s, d), "tsx", "user_id", "86400 seconds",
+        "86400 seconds", "0 seconds",
+        Map("n" -> count(lit(1)), "value_sum" -> Det.dsum(col("value"))))
+      runToMemory(s, agg, "graft_q100_mem")
+        .select(col("user_id"),
+          col("window_start").cast("double").as("window_start"),
+          col("n"), col("value_sum"))
+        .orderBy("user_id", "window_start")
+    },
+
+    // Streaming session windows (StreamingOps.sessionAgg over the native
+    // session_window): gap semantics are break-at->=gap (session end is
+    // exclusive), which the oracle's lag-cumsum sessionization mirrors.
+    "q101_streaming_session" -> { (s, d) =>
+      val agg = graft.streaming.StreamingOps.sessionAgg(
+        eventsStream(s, d), "tsx", "user_id", "7200 seconds", "0 seconds",
+        Map("n" -> count(lit(1)), "value_sum" -> Det.dsum(col("value"))))
+      runToMemory(s, agg, "graft_q101_mem")
+        .select(col("user_id"),
+          col("session_start").cast("double").as("session_start"),
+          col("session_end").cast("double").as("session_end"),
+          col("n"), col("value_sum"))
+        .orderBy("user_id", "session_start")
+    },
     // salted skew join (DataStream.saltedJoin): equality to the plain
     // join, stated by the oracle as the plain join itself.
     "q93_salted_join" -> { (s, d) =>
@@ -157,6 +215,26 @@ object GateQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q100_streaming_tumbling" ->
+      s"""SELECT user_id,
+        |  floor(epoch(ts) / 86400) * 86400 AS window_start,
+        |  count(*) AS n, ${Det.dsumSql("value")} AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, window_start""".stripMargin,
+    "q101_streaming_session" ->
+      s"""WITH g AS (
+        |  SELECT user_id, value, epoch(ts) AS e,
+        |    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts) >= 7200 THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (SELECT user_id, value, e,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY e
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g)
+        |SELECT user_id, min(e) AS session_start,
+        |  max(e) + 7200 AS session_end, count(*) AS n,
+        |  ${Det.dsumSql("value")} AS value_sum
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q93_salted_join" ->
       s"""SELECT c_mktsegment, count(*) AS n,
         |  ${Det.dsumSql("o_totalprice")} AS total
