@@ -44,10 +44,23 @@ object Det {
   /** Finishing projection for a [[dsumWin]] window column. */
   def dwinFinish(c: Column): Column = c.cast("double") / lit(1e6)
   /** Oracle-SQL mirror of [[dsum]] (DuckDB's native cast IS the
-    * half-even scaled-double round that [[dsum]] emulates). */
+    * half-even scaled-double round that [[dsum]] emulates). ORACLE TEXT
+    * ONLY: run through Spark, CAST(x AS DECIMAL) rounds HALF_UP and
+    * diverges from the oracle on exact ties — Spark-side SQL strings
+    * must use [[dsumSparkSql]] instead. */
   def dsumSql(e: String, scale: Int = 6): String =
     s"CAST(sum(CAST(($e) AS DECIMAL(25,$scale))) AS DOUBLE)"
-  /** Oracle-SQL mirror of [[davg]]. */
+  /** Oracle-SQL mirror of [[davg]] (oracle text only — see [[dsumSql]]). */
   def davgSql(e: String, scale: Int = 6): String =
     s"(${dsumSql(e, scale)} / count($e))"
+  /** SPARK-side SQL form of [[dsum]] for aggSql/sql call sites: the
+    * bround half-even rounding [[dsum]] uses, as SQL text, pairing with
+    * a [[dsumSql]] oracle. */
+  def dsumSparkSql(e: String, scale: Int = 6): String = {
+    val p = s"1.0E$scale"
+    s"(CAST(sum(CAST(bround(($e) * $p, 0) AS DECIMAL(25,0))) AS DOUBLE) / $p)"
+  }
+  /** SPARK-side SQL form of [[davg]], pairing with a [[davgSql]] oracle. */
+  def davgSparkSql(e: String, scale: Int = 6): String =
+    s"(${dsumSparkSql(e, scale)} / count($e))"
 }

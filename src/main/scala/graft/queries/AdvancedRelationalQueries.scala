@@ -109,7 +109,7 @@ object AdvancedRelationalQueries {
     "q2c_grouping_sets" -> { (s, d) =>
       orders(s, d).createOrReplaceTempView("orders_gs")
       s.sql(s"""SELECT o_orderstatus, o_orderpriority,
-               |  count(*) AS n, ${Det.dsumSql("o_totalprice")} AS total
+               |  count(*) AS n, ${Det.dsumSparkSql("o_totalprice")} AS total
                |FROM orders_gs
                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
                |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
@@ -168,8 +168,8 @@ object AdvancedRelationalQueries {
         .groupby("l_orderkey")
         .aggSql(
           "sum(l_quantity) as order_sum_qty",
-          s"${Det.dsumSql("l_extendedprice * (1 - l_discount)")} as order_sum_disc_price",
-          s"${Det.davgSql("l_discount")} as order_avg_disc",
+          s"${Det.dsumSparkSql("l_extendedprice * (1 - l_discount)")} as order_sum_disc_price",
+          s"${Det.davgSparkSql("l_discount")} as order_avg_disc",
           "count(*) as order_count").df
     },
 

@@ -65,8 +65,9 @@ object GateQueries {
     },
 
     // Streaming session windows (StreamingOps.sessionAgg over the native
-    // session_window): gap semantics are break-at->=gap (session end is
-    // exclusive), which the oracle's lag-cumsum sessionization mirrors.
+    // session_window): Spark merges an event landing EXACTLY gap after
+    // the previous one (break is strictly > gap — verified on 4.1.2),
+    // which the oracle's lag-cumsum sessionization mirrors.
     "q101_streaming_session" -> { (s, d) =>
       val agg = graft.streaming.StreamingOps.sessionAgg(
         eventsStream(s, d), "tsx", "user_id", "7200 seconds", "0 seconds",
@@ -87,7 +88,7 @@ object GateQueries {
         col("c_mktsegment")))
       o.saltedJoin(c, "o_custkey", "c_custkey", salt = 8)
         .groupby("c_mktsegment")
-        .aggSql("count(*) as n", s"${Det.dsumSql("o_totalprice")} as total")
+        .aggSql("count(*) as n", s"${Det.dsumSparkSql("o_totalprice")} as total")
         .sort(Seq("c_mktsegment")).df
     },
 
@@ -163,7 +164,10 @@ object GateQueries {
     // the roundtripped stream: CSV fidelity and the sortedness contract
     // both gate against the lag() oracle on the source table.
     "q98_sorted_csv" -> { (s, d) =>
-      val tmp = "/tmp/graft_q98_sorted_csv"
+      // per-construction unique dir: a fixed path races between
+      // concurrent catalog builders (spec suite vs Verify at another SF)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q98_sorted_csv").toString
       val ev = events(s, d).select(col("event_id"), col("user_id"),
         col("ts").cast("double").as("tsd"), col("value"))
       new DataStream(ev.orderBy(col("tsd"))).writeCsv(tmp)
@@ -224,7 +228,7 @@ object GateQueries {
       s"""WITH g AS (
         |  SELECT user_id, value, epoch(ts) AS e,
         |    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
-        |      (PARTITION BY user_id ORDER BY ts) >= 7200 THEN 1 ELSE 0 END AS brk
+        |      (PARTITION BY user_id ORDER BY ts) > 7200 THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |sess AS (SELECT user_id, value, e,
         |        sum(brk) OVER (PARTITION BY user_id ORDER BY e

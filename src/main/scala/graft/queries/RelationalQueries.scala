@@ -24,12 +24,12 @@ object RelationalQueries {
         .groupby("l_returnflag", "l_linestatus")
         .aggSql(
           "sum(l_quantity) as sum_qty",
-          s"${Det.dsumSql("l_extendedprice")} as sum_base_price",
-          s"${Det.dsumSql("l_extendedprice * (1 - l_discount)")} as sum_disc_price",
-          s"${Det.dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} as sum_charge",
+          s"${Det.dsumSparkSql("l_extendedprice")} as sum_base_price",
+          s"${Det.dsumSparkSql("l_extendedprice * (1 - l_discount)")} as sum_disc_price",
+          s"${Det.dsumSparkSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} as sum_charge",
           "avg(l_quantity) as avg_qty",
-          s"${Det.davgSql("l_extendedprice")} as avg_price",
-          s"${Det.davgSql("l_discount")} as avg_disc",
+          s"${Det.davgSparkSql("l_extendedprice")} as avg_price",
+          s"${Det.davgSparkSql("l_discount")} as avg_disc",
           "count(*) as count_order")
         .sort(Seq("l_returnflag", "l_linestatus")).df
     },
@@ -55,7 +55,7 @@ object RelationalQueries {
       cust.join(ord, "c_custkey", "o_custkey")
         .join(li, "o_orderkey", "l_orderkey")
         .groupby("o_orderkey", "o_orderdate", "o_orderpriority")
-        .aggSql(s"${Det.dsumSql("l_extendedprice * (1 - l_discount)")} as revenue")
+        .aggSql(s"${Det.dsumSparkSql("l_extendedprice * (1 - l_discount)")} as revenue")
         .df.orderBy(col("revenue").desc, col("o_orderkey").asc).limit(10)
     },
 
@@ -82,7 +82,7 @@ object RelationalQueries {
       cust.join(ord, "c_custkey", "o_custkey", "anti")
         .groupby("c_mktsegment")
         .aggSql("count(*) as n_customers",
-          s"${Det.dsumSql("c_acctbal")} as acctbal_sum")
+          s"${Det.dsumSparkSql("c_acctbal")} as acctbal_sum")
         .sort(Seq("c_mktsegment")).df
     },
 
@@ -93,7 +93,7 @@ object RelationalQueries {
       cust.join(ord, "c_custkey", "o_custkey", "left")
         .groupby("c_custkey")
         .aggSql("count(o_orderkey) as n_orders",
-          s"coalesce(${Det.dsumSql("o_totalprice")}, 0.0) as total_spend")
+          s"coalesce(${Det.dsumSparkSql("o_totalprice")}, 0.0) as total_spend")
         .sort(Seq("c_custkey")).df
     },
 
@@ -118,7 +118,7 @@ object RelationalQueries {
           col_.df("l_suppkey") === sup.df("s_suppkey") &&
           col_.df("c_nationkey") === sup.df("s_nationkey"))
         .groupby("n_name")
-        .aggSql(s"${Det.dsumSql("l_extendedprice * (1 - l_discount)")} as revenue")
+        .aggSql(s"${Det.dsumSparkSql("l_extendedprice * (1 - l_discount)")} as revenue")
         .sort(Seq("n_name")).df
     },
 
@@ -153,7 +153,7 @@ object RelationalQueries {
         .filterSql("o_orderpriority = '1-URGENT' and o_totalprice > 380000")
       hi.union(urgent).select("o_orderkey", "o_orderpriority", "o_totalprice")
         .groupby("o_orderpriority")
-        .aggSql("count(*) as n", s"${Det.dsumSql("o_totalprice")} as total")
+        .aggSql("count(*) as n", s"${Det.dsumSparkSql("o_totalprice")} as total")
         .sort(Seq("o_orderpriority")).df
     },
 
@@ -165,9 +165,9 @@ object RelationalQueries {
       orders(s, d).createOrReplaceTempView("orders_v")
       new graft.api.QContext(s).sql(
         s"""SELECT o_orderpriority, count(*) AS big_orders,
-          |  ${Det.dsumSql("o_totalprice")} AS big_total
+          |  ${Det.dsumSparkSql("o_totalprice")} AS big_total
           |FROM orders_v
-          |WHERE o_totalprice > (SELECT 1.5 * ${Det.davgSql("o_totalprice")}
+          |WHERE o_totalprice > (SELECT 1.5 * ${Det.davgSparkSql("o_totalprice")}
           |                      FROM orders_v)
           |GROUP BY o_orderpriority
           |ORDER BY o_orderpriority""".stripMargin).df
@@ -182,9 +182,9 @@ object RelationalQueries {
       val p = new DataStream(part(s, d))
       li.join(p, "l_partkey", "p_partkey")
         .aggSql(
-          "100.0 * " + Det.dsumSql("case when p_type like 'PROMO%' then " +
+          "100.0 * " + Det.dsumSparkSql("case when p_type like 'PROMO%' then " +
             "l_extendedprice * (1 - l_discount) else 0.0 end") + " / " +
-            Det.dsumSql("l_extendedprice * (1 - l_discount)") + " as promo_revenue",
+            Det.dsumSparkSql("l_extendedprice * (1 - l_discount)") + " as promo_revenue",
           "count(*) as n_lines").df
     },
 
@@ -194,7 +194,7 @@ object RelationalQueries {
         .clip(Map("l_quantity" -> (5.0, 45.0), "l_discount" -> (0.02, 0.06)))
         .groupby("l_returnflag")
         .aggSql("sum(l_quantity) as clipped_qty_sum",
-          s"${Det.dsumSql("l_discount")} as clipped_disc_sum",
+          s"${Det.dsumSparkSql("l_discount")} as clipped_disc_sum",
           "count(*) as n")
         .sort(Seq("l_returnflag")).df
     },
@@ -269,7 +269,7 @@ object RelationalQueries {
           "sum(l_quantity) as sum_qty",
           "min(l_extendedprice) as min_price",
           "max(l_extendedprice) as max_price",
-          s"${Det.davgSql("l_discount")} as avg_disc",
+          s"${Det.davgSparkSql("l_discount")} as avg_disc",
           // stddev from exact integer moments (quantity is integral, so
           // sum and sum-of-squares are order-independent): one fixed
           // double formula both engines evaluate identically, vs the

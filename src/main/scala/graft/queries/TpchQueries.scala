@@ -59,12 +59,12 @@ object TpchQueries {
         .groupby("l_returnflag", "l_linestatus")
         .aggSql(
           "sum(l_quantity) as sum_qty",
-          s"${Det.dsumSql("l_extendedprice")} as sum_base_price",
-          s"${Det.dsumSql("l_extendedprice * (1 - l_discount)")} as sum_disc_price",
-          s"${Det.dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} as sum_charge",
+          s"${Det.dsumSparkSql("l_extendedprice")} as sum_base_price",
+          s"${Det.dsumSparkSql("l_extendedprice * (1 - l_discount)")} as sum_disc_price",
+          s"${Det.dsumSparkSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} as sum_charge",
           "avg(l_quantity) as avg_qty",
-          s"${Det.davgSql("l_extendedprice")} as avg_price",
-          s"${Det.davgSql("l_discount")} as avg_disc",
+          s"${Det.davgSparkSql("l_extendedprice")} as avg_price",
+          s"${Det.davgSparkSql("l_discount")} as avg_disc",
           "count(*) as count_order")
         .sort(Seq("l_returnflag", "l_linestatus")).df
     },
@@ -115,7 +115,7 @@ object TpchQueries {
       cust.join(ord, "c_custkey", "o_custkey")
         .join(li, "o_orderkey", "l_orderkey")
         .groupby("l_orderkey", "o_orderdate", "o_orderpriority")
-        .aggSql(s"${Det.dsumSql("l_extendedprice * (1 - l_discount)")} as revenue")
+        .aggSql(s"${Det.dsumSparkSql("l_extendedprice * (1 - l_discount)")} as revenue")
         .df.orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
     },
@@ -166,7 +166,7 @@ object TpchQueries {
         .filterSql("l_shipdate >= timestamp '1996-01-01 00:00:00' and " +
           "l_shipdate < timestamp '1997-01-01 00:00:00' and " +
           "l_discount between 0.05 and 0.07 and l_quantity < 24")
-        .aggSql(s"${Det.dsumSql("l_extendedprice * l_discount")} as revenue").df
+        .aggSql(s"${Det.dsumSparkSql("l_extendedprice * l_discount")} as revenue").df
     },
 
     // Q7: volume shipping between two nations (do_7:249-285).
