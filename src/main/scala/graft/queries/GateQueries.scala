@@ -79,6 +79,39 @@ object GateQueries {
           col("n"), col("value_sum"))
         .orderBy("user_id", "session_start")
     },
+    // batch UDF/UDTF surface (DataStream.transform): a mapPartitions
+    // row function whose effect — per-document token count and a 1→N
+    // fan-out flag row per long doc (the UDTF half) — SQL can state.
+    "q102_transform" -> { (s, d) =>
+      val enc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING)
+      new DataStream(documents(s, d).select(col("doc_id"), col("text")))
+        .transform { it =>
+          it.flatMap { r =>
+            val id = r.getLong(0)
+            val toks = r.getString(1).split("\\s+").count(_.nonEmpty).toLong
+            val base = Iterator.single((id, toks, "doc"))
+            if (toks > 50) base ++ Iterator.single((id, toks, "long"))
+            else base
+          }
+        }(enc)
+        .toDF("doc_id", "n_toks", "tag")
+        .orderBy("doc_id", "tag")
+    },
+
+    // per-batch SQL (DataStream.transformSql, both projection and
+    // grouped-agg forms) — the reference's partial-agg building block.
+    "q103_transform_sql" -> { (s, d) =>
+      new DataStream(documents(s, d))
+        .transformSql(Seq("lang", "length(text) as text_len"))
+        .transformSql(Seq("count(*) as n_docs",
+          "cast(sum(text_len) as bigint) as total_len"),
+          groupBy = Seq("lang"))
+        .sort(Seq("lang")).df
+    },
+
     // salted skew join (DataStream.saltedJoin): equality to the plain
     // join, stated by the oracle as the plain join itself.
     "q93_salted_join" -> { (s, d) =>
@@ -239,6 +272,20 @@ object GateQueries {
         |  ${Det.dsumSql("value")} AS value_sum
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q102_transform" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0)) AS n_toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, tag FROM (
+        |  SELECT doc_id, n_toks, 'doc' AS tag FROM t
+        |  UNION ALL
+        |  SELECT doc_id, n_toks, 'long' AS tag FROM t WHERE n_toks > 50)
+        |ORDER BY doc_id, tag""".stripMargin,
+    "q103_transform_sql" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q93_salted_join" ->
       s"""SELECT c_mktsegment, count(*) AS n,
         |  ${Det.dsumSql("o_totalprice")} AS total
