@@ -48,12 +48,22 @@ object Cep {
     * [[patternRecognize]]'s (by, name_t...) columns.
     *
     * Scale: groupByKey on `by` (one shuffle), per-key sorted scan with
-    * state bounded by live partial matches within maxSpan. */
+    * state bounded by live partial matches within maxSpan.
+    *
+    * `maxLiveStatesPerKey` is the blow-up guard: all-matches semantics
+    * keep every partial match alive within `maxSpan`, so a dense burst
+    * (many rows matching every predicate inside one span) grows the live
+    * set — and the output — combinatorially (reference hits the same
+    * wall, its DFS enumerates the identical tuples,
+    * cep_executors.py:86-178). Exceeding the cap throws with a clear
+    * message instead of OOM-killing the executor: fail fast, then the
+    * caller tightens predicates/maxSpan or raises the cap knowingly. */
   def nfaPatternRecognize(
       os: OrderedStream,
       events: Seq[(String, org.apache.spark.sql.Row => Boolean, (org.apache.spark.sql.Row, Map[String, org.apache.spark.sql.Row]) => Boolean)],
       maxSpan: Double,
-      by: String): DataFrame = {
+      by: String,
+      maxLiveStatesPerKey: Int = 1 << 20): DataFrame = {
     import org.apache.spark.sql.{Encoder, Encoders, Row}
     require(events.nonEmpty)
     val df = os.df
@@ -97,6 +107,13 @@ object Cep {
               out += Row.fromSeq(r.get(keyIdx) +: Seq(now)); Nil
             } else List(Vector(n0 -> r))
           live = live ++ extended ++ fresh
+          if (live.length > maxLiveStatesPerKey)
+            throw new IllegalStateException(
+              s"CEP live-state blow-up: > $maxLiveStatesPerKey partial " +
+              s"matches for one '$by' key inside maxSpan=$maxSpan (all-" +
+              "matches semantics are combinatorial on dense bursts). " +
+              "Tighten event predicates or maxSpan, or raise " +
+              "maxLiveStatesPerKey explicitly.")
         }
         out.iterator
       }.toDF(by +: names.map(n => s"${n}_t"): _*)
