@@ -71,6 +71,8 @@ class OrderedStream(df0: DataFrame, val timeCol: String) extends DataStream(df0)
   def patternRecognize(
       events: Seq[(String, String)],
       maxSpan: Long,
-      by: String): DataFrame =
-    graft.ts.Cep.patternRecognize(this, events, maxSpan.toDouble, by)
+      by: String,
+      maxCandidatesPerKey: Long = 1L << 24): DataFrame =
+    graft.ts.Cep.patternRecognize(this, events, maxSpan.toDouble, by,
+      maxCandidatesPerKey)
 }

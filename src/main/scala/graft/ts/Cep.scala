@@ -55,9 +55,13 @@ object Cep {
     * (many rows matching every predicate inside one span) grows the live
     * set — and the output — combinatorially (reference hits the same
     * wall, its DFS enumerates the identical tuples,
-    * cep_executors.py:86-178). Exceeding the cap throws with a clear
-    * message instead of OOM-killing the executor: fail fast, then the
-    * caller tightens predicates/maxSpan or raises the cap knowingly. */
+    * cep_executors.py:86-178). The cap bounds live partial states PLUS
+    * buffered complete matches for the key (a 2-event pattern on a dense
+    * n-row burst emits O(n²) matches while live stays ≤ n, so capping
+    * live alone would still OOM on output). Exceeding it throws with a
+    * clear message instead of OOM-killing the executor: fail fast, then
+    * the caller tightens predicates/maxSpan or raises the cap knowingly.
+    * The count is a maintained counter, not a per-row list traversal. */
   def nfaPatternRecognize(
       os: OrderedStream,
       events: Seq[(String, org.apache.spark.sql.Row => Boolean, (org.apache.spark.sql.Row, Map[String, org.apache.spark.sql.Row]) => Boolean)],
@@ -80,15 +84,23 @@ object Cep {
       .flatMapGroups { (_: String, it: Iterator[Row]) =>
         val rows = it.toArray.sortBy(r =>
           r.get(tIdx).asInstanceOf[Number].doubleValue())
-        // partial state: matched rows so far, by event name, in order
+        // partial state: matched rows so far, by event name, in order;
+        // liveN tracks live's length (List.length is O(n) per call)
         var live = List.empty[Vector[(String, Row)]]
+        var liveN = 0
         val out = scala.collection.mutable.ArrayBuffer.empty[Row]
         def t(r: Row) = r.get(tIdx).asInstanceOf[Number].doubleValue()
         for (r <- rows) {
           val now = t(r)
-          live = live.filter(s => now <= t(s.head._2) + maxSpan)
+          val keep = List.newBuilder[Vector[(String, Row)]]
+          var keepN = 0
+          live.foreach { s =>
+            if (now <= t(s.head._2) + maxSpan) { keep += s; keepN += 1 }
+          }
+          live = keep.result(); liveN = keepN
           // extend every live state whose next event matches (all-matches
           // semantics, like the reference's DFS); then try starting fresh
+          var extN = 0
           val extended = live.flatMap { s =>
             val (name, self, cross) = events(s.length)
             val ctx = s.toMap
@@ -97,7 +109,7 @@ object Cep {
               if (ns.length == events.length) {
                 out += Row.fromSeq(r.get(keyIdx) +: ns.map(p => t(p._2)))
                 None
-              } else Some(ns)
+              } else { extN += 1; Some(ns) }
             } else None
           }
           val (n0, self0, _) = events.head
@@ -106,24 +118,38 @@ object Cep {
             else if (events.length == 1) {
               out += Row.fromSeq(r.get(keyIdx) +: Seq(now)); Nil
             } else List(Vector(n0 -> r))
-          live = live ++ extended ++ fresh
-          if (live.length > maxLiveStatesPerKey)
+          live = extended ::: fresh ::: live
+          liveN += extN + fresh.length
+          if (liveN + out.length > maxLiveStatesPerKey)
             throw new IllegalStateException(
-              s"CEP live-state blow-up: > $maxLiveStatesPerKey partial " +
-              s"matches for one '$by' key inside maxSpan=$maxSpan (all-" +
-              "matches semantics are combinatorial on dense bursts). " +
-              "Tighten event predicates or maxSpan, or raise " +
-              "maxLiveStatesPerKey explicitly.")
+              s"CEP state blow-up: > $maxLiveStatesPerKey live partial " +
+              s"matches + buffered complete matches for one '$by' key " +
+              s"inside maxSpan=$maxSpan (all-matches semantics are " +
+              "combinatorial on dense bursts). Tighten event predicates " +
+              "or maxSpan, or raise maxLiveStatesPerKey explicitly.")
         }
         out.iterator
       }.toDF(by +: names.map(n => s"${n}_t"): _*)
   }
 
+  /** Join-form pattern recognition. `maxCandidatesPerKey` is the dense-
+    * burst guard the NFA form has natively: before joining, one cheap
+    * aggregation job upper-bounds the candidate tuples any single
+    * (key, maxSpan-bucket) can emit — first-event rows in the bucket ×
+    * Π(later-event rows in the bucket and the next one; a match spans at
+    * most two buckets since every event lies within maxSpan of the
+    * first). Self-predicates prefilter the counts; cross-event conjuncts
+    * can only shrink the true number, so the estimate stays an upper
+    * bound. Exceeding the cap fails fast with a pointer to the NFA form
+    * (whose live-state cap handles dense data incrementally) instead of
+    * materializing O(n^k) join tuples. Pass `maxCandidatesPerKey <= 0`
+    * to skip the pre-check (and its extra scan) when density is known. */
   def patternRecognize(
       os: OrderedStream,
       events: Seq[(String, String)],
       maxSpan: Double,
-      by: String): DataFrame = {
+      by: String,
+      maxCandidatesPerKey: Long = 1L << 24): DataFrame = {
     require(events.nonEmpty)
     val t = os.timeCol
     val payload = os.df.columns.toSeq.filterNot(_ == by)
@@ -135,6 +161,41 @@ object Cep {
       if (referenced(pred).subsetOf(Set(name)))
         renamed.filter(expr(rewrite(pred)))  // pure self-predicate: prefilter
       else renamed
+    }
+
+    if (maxCandidatesPerKey > 0 && events.length > 1) {
+      val k = events.length
+      // (key, bucket, event) → row count; later events also credited to
+      // the previous bucket (starts there can still use them).
+      val tagged = events.zipWithIndex.map { case ((nm, pr), i) =>
+        val base = eventDf(nm, pr).select(col(by).as("__k"),
+          floor(col(s"${nm}_$t").cast(DoubleType) / lit(maxSpan))
+            .cast("long").as("__w"),
+          lit(i).as("__e"))
+        if (i == 0) base
+        else base.select(col("__k"),
+          explode(array(col("__w"), col("__w") - 1)).as("__w"), col("__e"))
+      }.reduce(_ unionByName _)
+      // log2 of the per-(key, bucket) product bound — products of counts
+      // overflow long fast, their logs never do.
+      val bound = tagged.groupBy("__k", "__w", "__e")
+        .agg(count(lit(1)).as("__n"))
+        .groupBy("__k", "__w").agg(
+          sum(when(col("__e") === 0, col("__n")).otherwise(lit(0))).as("__c0"),
+          sum(when(col("__e") > 0, log2(col("__n")))).as("__ls"),
+          countDistinct(when(col("__e") > 0, col("__e"))).as("__ne"))
+        .filter(col("__c0") > 0 && col("__ne") === (k - 1))
+        .agg(max(log2(col("__c0")) + col("__ls"))).head()
+      val maxLog =
+        if (bound.isNullAt(0)) Double.NegativeInfinity else bound.getDouble(0)
+      if (maxLog > math.log(maxCandidatesPerKey.toDouble) / math.log(2))
+        throw new IllegalStateException(
+          f"CEP join-form candidate blow-up: a single ('$by', maxSpan-" +
+          f"bucket) group could emit ~2^$maxLog%.1f > $maxCandidatesPerKey " +
+          "candidate tuples through the k-way range join. Use " +
+          "nfaPatternRecognize (incremental, live-state-capped), tighten " +
+          "event predicates or maxSpan, or raise maxCandidatesPerKey " +
+          "explicitly.")
     }
 
     val (n0, p0) = events.head

@@ -201,6 +201,53 @@ class PropertySpec extends SparkSpecBase {
     assert(nfaForm == joinForm)
   }
 
+  test("NFA CEP guard trips on a dense burst (live + matches bounded)") {
+    val s = spark
+    import s.implicits._
+    // 120 rows, one key, all inside one span, every predicate true:
+    // a 2-event all-matches pattern emits O(n²) matches — the guard must
+    // fail fast on (live + buffered matches), not just live states.
+    val burst = (1 to 120).map(i => ("hot", i.toDouble, 1.0))
+    val os = new OrderedStream(burst.toDF("k", "t", "v"), "t")
+    def run(cap: Int) = graft.ts.Cep.nfaPatternRecognize(os,
+      Seq(
+        ("a", (_: org.apache.spark.sql.Row) => true,
+          (_: org.apache.spark.sql.Row, _: Map[String, org.apache.spark.sql.Row]) => true),
+        ("b", (_: org.apache.spark.sql.Row) => true,
+          (_: org.apache.spark.sql.Row, _: Map[String, org.apache.spark.sql.Row]) => true)),
+      maxSpan = 1000.0, by = "k", maxLiveStatesPerKey = cap).count()
+    val ex = intercept[org.apache.spark.SparkException] { run(500) }
+    assert(ex.getCause.getMessage.contains("CEP state blow-up"))
+    // ample cap: the identical burst completes with all n*(n-1)/2 matches
+    assert(run(1 << 20) == 120L * 119 / 2)
+  }
+
+  test("join-form CEP guard trips on a dense burst, passes sparse data") {
+    val s = spark
+    import s.implicits._
+    val burst = (1 to 200).map(i => ("hot", i.toDouble, 1.0))
+    val os = new OrderedStream(burst.toDF("k", "t", "v"), "t")
+    val pattern = Seq("a" -> "a.v > 0", "b" -> "b.v > 0", "c" -> "c.v > 0")
+    // 200 candidate firsts × (200+200)² later-event slots ≈ 2^25 tuples
+    val ex = intercept[IllegalStateException] {
+      os.patternRecognize(pattern, maxSpan = 1000L, by = "k",
+        maxCandidatesPerKey = 100000L)
+    }
+    assert(ex.getMessage.contains("CEP join-form candidate blow-up"))
+    // default cap: sparse random data sails through with exact results
+    val ev = randEvents(60, 3)
+    val os2 = new OrderedStream(ev.toDF("k", "t", "v"), "t")
+    val got = os2.patternRecognize(
+      Seq("a" -> "a.v < 50", "b" -> "b.v > a.v + 20"), maxSpan = 15L, by = "k")
+      .count()
+    val expect = (for {
+      (k1, t1, v1) <- ev if v1 < 50
+      (k2, t2, v2) <- ev
+      if k2 == k1 && t2 > t1 && t2 <= t1 + 15.0 && v2 > v1 + 20
+    } yield 1).size
+    assert(got == expect)
+  }
+
   test("minhash similarity estimate tracks true jaccard (monotone check)") {
     val s = spark
     import s.implicits._
