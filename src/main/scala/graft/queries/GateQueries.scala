@@ -24,9 +24,9 @@ object GateQueries {
     * final result table — the harness that lets true streaming plans run
     * under the batch DuckDB oracle gate. */
   private def runToMemory(s: SparkSession, streamDf: DataFrame,
-      name: String): DataFrame = {
+      name: String, outputMode: String = "complete"): DataFrame = {
     val q = streamDf.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -79,6 +79,44 @@ object GateQueries {
           col("n"), col("value_sum"))
         .orderBy("user_id", "session_start")
     },
+    // TRUE streaming backward as-of join (StreamingOps.streamingAsof:
+    // unbounded two-sided flatMapGroupsWithState with watermark-driven
+    // emission + state trim) driven to completion on the bounded fixture
+    // and gated against the same DuckDB ASOF JOIN oracle as batch q41.
+    // With delay 0s the final watermark reaches max event time, so every
+    // purchase emits exactly its batch as-of row.
+    "q104_streaming_asof" -> { (s, d) =>
+      val ev = eventsStream(s, d)
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id").as("key"), col("tsx").as("ts"), col("value"))
+      val out = graft.streaming.StreamingOps.streamingAsof(
+        side("purchase"), side("view"), "0 seconds")
+      runToMemory(s, out, "graft_q104_mem", outputMode = "append")
+        .select(col("key").cast("bigint").as("user_id"),
+          col("ts").cast("double").as("tsd"), col("value"),
+          col("quote_ts").cast("double").as("quote_tsd"), col("quote_value"))
+        .orderBy("user_id", "tsd")
+    },
+
+    // TRUE streaming FORWARD as-of (StreamingOps.streamingAsofForward:
+    // each alpha fills at the earliest tick at-or-after it, emitted only
+    // once the watermark passes the candidate). Every fill candidate is
+    // at-or-before the final watermark, so the bounded run emits exactly
+    // the batch forward as-of's matched rows (unfilled alphas stay in
+    // state — reference backtester's carry, never emitted here).
+    "q105_streaming_asof_fwd" -> { (s, d) =>
+      val ev = eventsStream(s, d)
+      def side(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id").as("key"), col("tsx").as("ts"), col("value"))
+      val out = graft.streaming.StreamingOps.streamingAsofForward(
+        side("purchase"), side("view"), "0 seconds")
+      runToMemory(s, out, "graft_q105_mem", outputMode = "append")
+        .select(col("key").cast("bigint").as("user_id"),
+          col("ts").cast("double").as("tsd"), col("value"),
+          col("fill_ts").cast("double").as("fill_tsd"), col("fill_value"))
+        .orderBy("user_id", "tsd")
+    },
+
     // batch UDF/UDTF surface (DataStream.transform): a mapPartitions
     // row function whose effect — per-document token count and a 1→N
     // fan-out flag row per long doc (the UDTF half) — SQL can state.
@@ -272,6 +310,26 @@ object GateQueries {
         |  ${Det.dsumSql("value")} AS value_sum
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q104_streaming_asof" ->
+      """WITH t AS (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |     q AS (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'view')
+        |SELECT t.user_id, epoch(t.ts) AS tsd, t.value,
+        |  epoch(q.ts) AS quote_tsd, q.value AS quote_value
+        |FROM t ASOF LEFT JOIN q
+        |  ON t.user_id = q.user_id AND q.ts <= t.ts
+        |ORDER BY t.user_id, tsd""".stripMargin,
+    "q105_streaming_asof_fwd" ->
+      """WITH a AS (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |     t AS (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'view')
+        |SELECT a.user_id, epoch(a.ts) AS tsd, a.value,
+        |  epoch(min(t.ts)) AS fill_tsd, min_by(t.value, t.ts) AS fill_value
+        |FROM a JOIN t ON a.user_id = t.user_id AND t.ts >= a.ts
+        |GROUP BY a.user_id, a.ts, a.value
+        |ORDER BY a.user_id, tsd""".stripMargin,
     "q102_transform" ->
       """WITH t AS (
         |  SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'),
