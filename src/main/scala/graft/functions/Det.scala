@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{bround, count, lit, sum}
+import org.apache.spark.sql.functions.{abs, bround, concat, count, lit,
+  raise_error, sum, when}
 
 /** Deterministic float aggregation for hash-gated / cross-engine-compared
   * outputs.
@@ -37,6 +38,21 @@ object Det {
   }
   /** Order-independent mean: exact decimal sum over non-null count. */
   def davg(c: Column, scale: Int = 6): Column = dsum(c, scale) / count(c)
+  /** [[dsum]] with the magnitude contract ENFORCED per row: a |value|
+    * above 2^53/10^scale has no exact scaled-integer representation, so
+    * plain [[dsum]] would round it silently and the "deterministic"
+    * guarantee would quietly lapse. This variant raises instead — use it
+    * in specs/debug runs (and anywhere the data's magnitude isn't known
+    * by construction) to turn the documented cap into a checked one. */
+  def dsumChecked(c: Column, scale: Int = 6): Column = {
+    val cap = lit(math.pow(2, 53) / math.pow(10, scale))
+    dsum(when(abs(c) > cap,
+      raise_error(concat(
+        lit(s"Det.dsum magnitude overflow: |value| > 2^53/1e$scale at "),
+        c.cast("string"),
+        lit(" — exact scaled-integer representation impossible; " +
+          "lower the scale or pre-aggregate")))).otherwise(c), scale)
+  }
   /** Window-safe [[dsum]] half: a bare aggregate (no trailing cast /
     * divide) so `.over(w)` applies; finish with [[dwinFinish]]. */
   def dsumWin(c: Column): Column =
