@@ -135,7 +135,14 @@ class QContext(val spark: SparkSession) {
   /** Iceberg table, optionally at a snapshot (reference `read_iceberg`,
     * df.py:802-832 via pyiceberg+Glue; here the standard Spark-Iceberg
     * integration — requires the iceberg-spark-runtime jar and catalog
-    * config on the session, the deployment-standard setup). */
+    * config on the session, the deployment-standard setup).
+    *
+    * UNSUPPORTED IN THIS BUILD: the offline container has no
+    * iceberg-spark-runtime jar anywhere, so this method has never
+    * executed (IcebergSpec's write→snapshot→time-travel gate
+    * `assume`-cancels without the jar and runs the moment one is on the
+    * classpath). It is NOT counted as an implemented operator — see
+    * COVERAGE.md §2.1. */
   def readIceberg(table: String, snapshotId: Option[Long] = None): DataStream = {
     val r = spark.read.format("iceberg")
     new DataStream(snapshotId.fold(r)(id =>
