@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: print (shuffle, broadcast) exchange counts of the
+  * static physical plan for the queries PlanHygieneSpec pins, so the
+  * expected values in the spec are recorded numbers, not guesses.
+  * Run under the spec's exact session shape (local[4], 4 shuffle
+  * partitions) — plan choice is config-sensitive. */
+object PlanCounts {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("tpch02", "tpch03", "tpch07", "tpch09", "tpch21",
+        "q36_highcard_agg", "q48_cep", "q55_ann_lsh", "q66_lsh_near_dup",
+        "q68_ngram_jaccard", "q77_pagerank")
+    val d = "/root/testdata/sf0.001"
+    names.foreach { n =>
+      val plan = graft.SparkEntry.queries(n)(spark, d)
+        .queryExecution.executedPlan.toString
+      val shuffle = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)"
+        .r.findAllIn(plan).size
+      val bcast = "BroadcastExchange".r.findAllIn(plan).size
+      println(s"PLANCOUNT $n shuffle=$shuffle broadcast=$bcast")
+    }
+    spark.stop()
+  }
+}

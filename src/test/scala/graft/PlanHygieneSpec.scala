@@ -45,4 +45,35 @@ class PlanHygieneSpec extends SparkSpecBase {
     }
     assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
   }
+
+  /** Pinned static plan shapes for the most expensive catalog queries
+    * (round-6 verdict item 7): exact (shuffle, broadcast) exchange
+    * counts, recorded by `graft.tools.PlanCounts` under this session's
+    * config. A shuffle appearing where a broadcast used to be — or an
+    * extra exchange from a lost ReuseExchange/partitioning — is the
+    * classic silent 10×-at-scale regression; this turns it into a spec
+    * failure instead of a noisy bench delta. Update the numbers ONLY
+    * after confirming the new plan is intentional (re-run PlanCounts). */
+  private val pinnedShapes = Map(
+    "tpch02" -> (5, 8), "tpch03" -> (1, 2), "tpch07" -> (4, 4),
+    "tpch09" -> (3, 6), "tpch21" -> (3, 5),
+    "q36_highcard_agg" -> (1, 0), "q48_cep" -> (1, 2),
+    "q55_ann_lsh" -> (2, 1), "q66_lsh_near_dup" -> (4, 2),
+    "q68_ngram_jaccard" -> (5, 0), "q77_pagerank" -> (1, 0))
+
+  test("exchange counts match pinned shapes for the top expensive queries") {
+    val byName = plans.toMap
+    val diffs = pinnedShapes.toSeq.sortBy(_._1).flatMap {
+      case (name, (expShuffle, expBcast)) =>
+        val plan = byName(name)
+        val sh = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)"
+          .r.findAllIn(plan).size
+        val bc = "BroadcastExchange".r.findAllIn(plan).size
+        if ((sh, bc) == ((expShuffle, expBcast))) None
+        else Some(s"$name: got shuffle=$sh broadcast=$bc, " +
+          s"pinned shuffle=$expShuffle broadcast=$expBcast")
+    }
+    assert(diffs.isEmpty, "plan shape drift (run graft.tools.PlanCounts " +
+      s"and update pins only if intentional):\n${diffs.mkString("\n")}")
+  }
 }
