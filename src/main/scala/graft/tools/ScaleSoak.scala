@@ -1,0 +1,115 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale soak (round-6 verdict item 5): synthesize a 10× copy of the
+  * sf0.1 fixtures under `target/sf1` and time the headline queries at
+  * both scales in one session — the cheapest local proxy for the 100-TB
+  * design claims (shuffle volume must grow linearly; no query may fall
+  * off a superlinear cliff).
+  *
+  * Replication preserves join/key semantics instead of naively unioning
+  * identical rows: each replica i offsets every TPC-H key family by
+  * i × (a constant above the key's true maximum), so fact↔dim joins have
+  * the same fan-out per key as the original and group cardinalities
+  * scale 10× like real data. Document text is per-replica consonant-
+  * rotated (`translate`) so cross-replica Jaccard/MinHash similarity is
+  * low — a naive copy would make every doc a 10-way near-duplicate and
+  * quadratically inflate the dedup candidate sets, which real 10× data
+  * does not do. Events offset user_id per replica: per-key time density
+  * (what CEP/window cost scales with) stays constant.
+  *
+  * Usage: `sbt "runMain graft.tools.ScaleSoak"` → writes BENCH_sf1.json
+  * at the repo root with per-query times at sf0.1 and sf1 plus ratios. */
+object ScaleSoak {
+
+  private val REPLICAS = 10
+  private val OFF = 10000000L // > every sf0.1 key maximum
+
+  private def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
+    def raw(name: String) = spark.read.parquet(s"$src/$name.parquet")
+    def writeReplicated(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = raw(name)
+      (0 until REPLICAS).map(i => f(base, i)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    }
+    // dims shared by all replicas: copy once
+    Seq("region", "nation").foreach { n =>
+      raw(n).write.mode("overwrite").parquet(s"$dst/$n.parquet")
+    }
+    writeReplicated("customer", (d, i) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(i * OFF)))
+    writeReplicated("supplier", (d, i) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + lit(i * OFF)))
+    writeReplicated("part", (d, i) =>
+      d.withColumn("p_partkey", col("p_partkey") + lit(i * OFF)))
+    writeReplicated("orders", (d, i) => d
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * OFF))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * OFF)))
+    writeReplicated("lineitem", (d, i) => d
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * OFF))
+      .withColumn("l_partkey", col("l_partkey") + lit(i * OFF))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(i * OFF)))
+    // per-replica consonant rotation: length-preserving, kills
+    // cross-replica shingle overlap (see object doc)
+    val alpha = "etaoinshrdlc"
+    writeReplicated("documents", (d, i) => {
+      val rot = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
+      d.withColumn("doc_id", col("doc_id") + lit(i * OFF))
+        .withColumn("text",
+          if (i == 0) col("text") else translate(col("text"), alpha, rot))
+    })
+    writeReplicated("embeddings", (d, i) =>
+      d.withColumn("vec_id", col("vec_id") + lit(i * OFF)))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    writeReplicated("events", (d, i) => d
+      .withColumn("event_id", col("event_id") + lit(i * OFF))
+      .withColumn("user_id", col("user_id") + lit(i * OFF)))
+  }
+
+  private val headline = Seq(
+    "tpch01", "tpch03", "tpch05", "tpch07", "tpch08", "tpch09", "tpch10",
+    "tpch13", "tpch17", "tpch18", "tpch19", "tpch21",
+    "q36_highcard_agg", "q48_cep", "q55_ann_lsh",
+    "q66_lsh_near_dup", "q68_ngram_jaccard")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val dst = "target/sf1"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dst/lineitem.parquet"))) {
+      println("building target/sf1 (10x sf0.1)...")
+      buildSf1(spark, src, dst)
+    }
+    def time(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both datasets once (page cache + codegen), then min-of-2
+    headline.foreach { q => time(q, src); time(q, dst) }
+    val r01 = headline.map(q => q -> math.min(time(q, src), time(q, src)))
+    val r1 = headline.map(q => q -> math.min(time(q, dst), time(q, dst)))
+    def fmt(d: Double) = f"$d%.3f"
+    val m01 = r01.toMap
+    val entries = r1.map { case (q, t1) =>
+      val r = t1 / math.max(m01(q), 1e-9)
+      s""""$q":{"sf01_sec":${fmt(m01(q))},"sf1_sec":${fmt(t1)},"ratio":${fmt(r)}}"""
+    }
+    val json = entries.mkString(
+      s"""{"replicas":$REPLICAS,"cpus":$cpus,"queries":{""", ",", "}}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_sf1.json"), json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

@@ -96,6 +96,38 @@ class SoakSpec extends SparkSpecBase {
     assert(got("cold") == ((0L, 100L, 2, 2)))
   }
 
+  test("multi-column approximateQuantile is ONE job at 1000 columns") {
+    val s = spark
+    // the reference's 10k-column winsorization headline
+    // (blog/approxquant.md): every column's GK sketch is one
+    // partial-aggregable expression, so a wide quantile pass must be a
+    // single map-side-combined job — N jobs would be the scale killer
+    def jobsFor(nCols: Int, group: String): (Int, org.apache.spark.sql.Row) = {
+      val wide = s.range(0, 2000, 1, 4).toDF("id").select(
+        (0 until nCols).map(i =>
+          ((col("id") + lit(i)) % 100).cast("double").as(s"c$i")): _*)
+      s.sparkContext.setJobGroup(group, s"$nCols-col quantile job count")
+      val row = new DataStream(wide)
+        .approximateQuantile((0 until nCols).map(i => s"c$i"), Seq(0.5), 1000)
+        .df.collect().head
+      s.sparkContext.clearJobGroup()
+      (s.sparkContext.statusTracker.getJobIdsForGroup(group).length, row)
+    }
+    val n = 1000
+    val (jobsNarrow, _) = jobsFor(10, "wide-quantile-10")
+    val (jobsWide, row) = jobsFor(n, s"wide-quantile-$n")
+    // AQE runs a global agg as (shuffle stage, final stage) — the scale
+    // property is that the count never grows with column width
+    assert(jobsWide == jobsNarrow,
+      s"job count grew with columns: $jobsNarrow -> $jobsWide")
+    assert(row.length == n)
+    // (id+i) % 100 over 0..1999 is uniform on 0..99: median ≈ 49.5
+    (0 until n by 97).foreach { i =>
+      val m = row.getSeq[Double](i).head
+      assert(m >= 40 && m <= 60, s"c$i median $m")
+    }
+  }
+
   test("Det.dsumChecked enforces the magnitude cap it documents") {
     val s = spark
     import s.implicits._
