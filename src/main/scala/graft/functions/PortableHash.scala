@@ -62,6 +62,10 @@ object GraftFunctions {
       "graft_dot",
       (children: Seq[Expression]) => DotProduct(children.head, children(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_count",
+      (children: Seq[Expression]) => BpeCount(children.head, children(1)),
+      "scala_udf")
   }
 }
 
@@ -81,5 +85,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProduct].getCanonicalName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BpeCount].getCanonicalName, "bpe_count"),
+      (children: Seq[Expression]) => BpeCount(children.head, children(1))))
   }
 }

@@ -117,6 +117,22 @@ object GateQueries {
         .orderBy("user_id", "tsd")
     },
 
+    // EXACT BPE token counting (functions.BpeCount codegen'd expression,
+    // TextOps.bpeTokenCountExact): the real merge loop over a ranked
+    // vocabulary. SQL cannot state BPE, so the oracle is the
+    // hand-derived token counts for a fixed corpus × vocabulary —
+    // an exact gate of the algorithm's semantics (merge order, every-
+    // occurrence merging, pre-tokenizer splits, contraction suffixes).
+    "q106_bpe_exact" -> { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val vocab = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+      Seq("low lower", "newer", "er er", "don't stop", "a1b22").toDF("s")
+        .select(col("s"),
+          graft.text.TextOps.bpeTokenCountExact(col("s"), vocab).as("n_bpe"))
+        .orderBy("s")
+    },
+
     // batch UDF/UDTF surface (DataStream.transform): a mapPartitions
     // row function whose effect — per-document token count and a 1→N
     // fan-out flag row per long doc (the UDTF half) — SQL can state.
@@ -310,6 +326,13 @@ object GateQueries {
         |  ${Det.dsumSql("value")} AS value_sum
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // counts derived by hand: 'low'→[low]=1, ' lower'→[⎵,low,er]=3;
+    // 'newer'→[n,e,w,er]=4; 'er'=1 + ' er'→[⎵,er]=2; "don't stop"→
+    // [d,o,n]+[',t]+[⎵,s,t,o,p]=10; 'a1b22'→[a]+[1]+[b]+[2,2]=5
+    "q106_bpe_exact" ->
+      """SELECT * FROM (VALUES ('low lower', 4), ('newer', 4),
+        |  ('er er', 3), ('don''t stop', 10), ('a1b22', 5)) AS t(s, n_bpe)
+        |ORDER BY s""".stripMargin,
     "q104_streaming_asof" ->
       """WITH t AS (SELECT user_id, ts, value FROM events
         |           WHERE event_type = 'purchase'),

@@ -179,9 +179,20 @@ object TextOps {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish regex pre-tokenizer count: letter runs, digit runs, single
-    * non-alphanumeric marks. */
+    * non-alphanumeric marks. Fast upper-level approximation — for the
+    * exact count against a real merges vocabulary use
+    * [[bpeTokenCountExact]]. */
   val bpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
   def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpePattern))
+
+  /** EXACT BPE token count against a caller-supplied merges vocabulary
+    * in rank order (e.g. a GPT-2 merges.txt parsed to pairs) — the real
+    * merge loop, not the regex approximation, as a codegen'd Catalyst
+    * expression ([[graft.functions.BpeCount]]). Char-level: byte-level
+    * vocabs apply their byte-to-unicode pre-map to the column first. */
+  def bpeTokenCountExact(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_count", text,
+      lit(merges.map(p => graft.functions.BpeImpl.pairKey(p._1, p._2)).toArray))
 
   /** Canonical text for near-exact dedup: lower-case, punctuation
     * stripped, whitespace collapsed — catches trivially-reformatted

@@ -172,6 +172,33 @@ class TextDedupSpec extends SparkSpecBase {
     assert(out == Seq((1L, 2L, 1.0)))
   }
 
+  test("exact BPE count: merge order, every-occurrence merge, edge cases") {
+    val s = spark
+    import s.implicits._
+    import graft.text.TextOps
+    graft.functions.GraftFunctions.register(s)
+    val vocab = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    val got = Seq(("low lower"), ("aaaa"), (""), ("   ")).toDF("t")
+      .select(TextOps.bpeTokenCountExact(col("t"), vocab).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    // 'aaaa': no (a,a) in vocab → 4 chars; whitespace run '   ' is one
+    // pre-token of 3 unmergeable symbols; '' has no pre-tokens
+    assert(got == Seq(4, 4, 0, 3))
+    // (a,a) merge on 'aaaa' is non-overlapping left-to-right: [aa, aa]
+    val got2 = Seq("aaaa", "aaaaa").toDF("t")
+      .select(TextOps.bpeTokenCountExact(col("t"), Seq(("a", "a"))).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got2 == Seq(2, 3))
+    // empty vocabulary degenerates to codepoint count per pre-token;
+    // runs on real docs without error and never exceeds char count
+    val docs = graft.queries.Tables.documents(s, sf())
+    val bad = docs.select(
+        TextOps.bpeTokenCountExact(col("text"), Nil).as("n"),
+        length(col("text")).as("len"))
+      .filter(col("n") > col("len") || col("n") <= 0).count()
+    assert(bad == 0)
+  }
+
   test("embeddingNearDupPairs thresholds cosine within block") {
     val s = spark
     import s.implicits._
