@@ -52,7 +52,10 @@ object Bench {
     }
     val mins = reps.map { case (k, v) => k -> v.min }
     val total = mins.values.sum
-    def fmt(d: Double) = f"$d%.4f"
+    // Locale.ROOT: the f-interpolator is locale-sensitive and a
+    // comma-decimal default locale would emit invalid JSON
+    def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.4f",
+      Double.box(d))
     val qs = mins.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
     val repsJson = reps.map { case (k, v) =>

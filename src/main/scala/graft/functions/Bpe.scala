@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * pure function of (string, vocabulary). */
 object BpeImpl {
   private val PRE = java.util.regex.Pattern.compile(
-    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+")
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
 
   /** Key for a candidate pair in the ranks map. NUL-separated:
     * symbols may legitimately contain spaces (space-prefixed
@@ -101,10 +101,14 @@ case class BpeCount(left: Expression, right: Expression)
     if (left.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
         s"bpe_count requires a string argument, got ${left.dataType}")
-    else if (!right.foldable || right.dataType != ArrayType(StringType))
-      TypeCheckResult.TypeCheckFailure(
+    else right.dataType match {
+      // match any containsNull variant: array('a','b') literals carry
+      // containsNull=false and must be accepted
+      case ArrayType(StringType, _) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
         "bpe_count requires a foldable array<string> merges vocabulary")
-    else TypeCheckResult.TypeCheckSuccess
+    }
 
   @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()

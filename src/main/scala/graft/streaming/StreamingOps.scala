@@ -66,8 +66,22 @@ object StreamingOps {
   /** Per-key state for [[streamingAsof]]: buffered quotes/trades not yet
     * past the watermark. */
   case class AsofState(
-      quotes: List[(Long, Double)],  // (epochMs, value), ascending time
+      quotes: List[(Long, Double)],  // (epochMicros, value)
       trades: List[(Long, Double)])
+
+  /** Epoch MICROS of a Timestamp — `getTime` alone is ms-truncated
+    * (the nanos field carries the full fractional second), and fixture
+    * event times are µs-precision: buffering ms would silently reorder
+    * same-ms events and emit truncated times the oracle compare would
+    * only pass under float tolerance. Watermark RIPENESS stays at ms
+    * granularity (Spark's watermark is ms), values stay µs-exact. */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+  private def toTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(java.lang.Math.floorDiv(us, 1000L))
+    t.setNanos((java.lang.Math.floorMod(us, 1000000L) * 1000).toInt)
+    t
+  }
 
   /** True streaming backward as-of join — beyond the reference, which
     * only processes *bounded* sorted streams (its sortedness contract is
@@ -112,23 +126,26 @@ object StreamingOps {
         var quotes = s0.quotes
         var trades = s0.trades
         rows.foreach { case (_, t, v, side) =>
-          val ms = t.getTime
-          if (side == 0) quotes = (ms, v) :: quotes else trades = (ms, v) :: trades
+          val us = micros(t)
+          if (side == 0) quotes = (us, v) :: quotes else trades = (us, v) :: trades
         }
         val wm = state.getCurrentWatermarkMs()
         val qSorted = quotes.sortBy(_._1)
-        val (ripe, pending) = trades.sortBy(_._1).partition(_._1 <= wm)
-        val out = ripe.map { case (tms, tv) =>
-          val m = qSorted.takeWhile(_._1 <= tms).lastOption
-          (key, new java.sql.Timestamp(tms), tv,
-            m.map(q => new java.sql.Timestamp(q._1)), m.map(_._2))
+        // ripe at ms granularity (the watermark's resolution); a trade in
+        // the watermark's own ms is complete because any same-ms quote has
+        // already arrived or would be watermark-dropped as late
+        val (ripe, pending) = trades.sortBy(_._1).partition(_._1 / 1000 <= wm)
+        val out = ripe.map { case (tus, tv) =>
+          val m = qSorted.takeWhile(_._1 <= tus).lastOption
+          (key, toTs(tus), tv, m.map(q => toTs(q._1)), m.map(_._2))
         }
         // trim: the latest quote at-or-before the watermark still serves
-        // future trades (all have t > wm); older ones never match again.
-        val (past, future) = qSorted.partition(_._1 <= wm)
+        // future trades (every pending trade is in a strictly later ms
+        // than every past quote); older ones never match again.
+        val (past, future) = qSorted.partition(_._1 / 1000 <= wm)
         state.update(AsofState(past.takeRight(1) ++ future, pending))
-        pending.headOption.foreach { case (tms, _) =>
-          state.setTimeoutTimestamp(math.max(tms, wm + 1))
+        pending.headOption.foreach { case (tus, _) =>
+          state.setTimeoutTimestamp(math.max(tus / 1000, wm + 1))
         }
         out.iterator
       }
@@ -170,30 +187,30 @@ object StreamingOps {
         var tickBuf = s0.quotes
         var alphaBuf = s0.trades
         rows.foreach { case (_, t, v, side) =>
-          val ms = t.getTime
-          if (side == 0) tickBuf = (ms, v) :: tickBuf
-          else alphaBuf = (ms, v) :: alphaBuf
+          val us = micros(t)
+          if (side == 0) tickBuf = (us, v) :: tickBuf
+          else alphaBuf = (us, v) :: alphaBuf
         }
         val wm = state.getCurrentWatermarkMs()
         val tSorted = tickBuf.sortBy(_._1)
-        // candidate = earliest tick at-or-after the alpha; ripe once the
-        // watermark has passed it
-        val withCand = alphaBuf.sortBy(_._1).map { case (ams, av) =>
-          ((ams, av), tSorted.find(_._1 >= ams))
+        // candidate = earliest tick at-or-after the alpha (µs-exact);
+        // ripe once the ms watermark has passed the candidate's ms — a
+        // not-yet-arrived earlier tick in that ms would be late-dropped
+        val withCand = alphaBuf.sortBy(_._1).map { case (aus, av) =>
+          ((aus, av), tSorted.find(_._1 >= aus))
         }
         val (ripe, pending) = withCand.partition {
-          case (_, Some((cms, _))) => cms <= wm
+          case (_, Some((cus, _))) => cus / 1000 <= wm
           case _ => false
         }
-        val out = ripe.map { case ((ams, av), Some((cms, cv))) =>
-          (key, new java.sql.Timestamp(ams), av,
-            new java.sql.Timestamp(cms), cv)
+        val out = ripe.map { case ((aus, av), Some((cus, cv))) =>
+          (key, toTs(aus), av, toTs(cus), cv)
         }
         state.update(AsofState(
-          tSorted.filter(_._1 > wm), pending.map(_._1)))
+          tSorted.filter(_._1 / 1000 > wm), pending.map(_._1)))
         // wake when the watermark reaches the earliest unripe candidate
-        pending.flatMap(_._2.map(_._1)).minOption.foreach { cms =>
-          state.setTimeoutTimestamp(math.max(cms, wm + 1))
+        pending.flatMap(_._2.map(_._1)).minOption.foreach { cus =>
+          state.setTimeoutTimestamp(math.max(cus / 1000, wm + 1))
         }
         out.iterator
       }

@@ -2,6 +2,19 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
+/** Exchange-counting shared by PlanHygieneSpec (the pinned-shape test)
+  * and the [[PlanCounts]] dev harness — one definition, so a regex fix
+  * can't drift between the pin and the tool that records it. */
+object PlanShape {
+  private val shufflePat =
+    ("Exchange (hashpartitioning|rangepartitioning|RoundRobinPartitioning" +
+      "|SinglePartition)").r
+  private val broadcastPat = "BroadcastExchange".r
+  /** (shuffle exchanges, broadcast exchanges) in a physical plan string. */
+  def counts(plan: String): (Int, Int) =
+    (shufflePat.findAllIn(plan).size, broadcastPat.findAllIn(plan).size)
+}
+
 /** Dev harness: print (shuffle, broadcast) exchange counts of the
   * static physical plan for the queries PlanHygieneSpec pins, so the
   * expected values in the spec are recorded numbers, not guesses.
@@ -25,9 +38,7 @@ object PlanCounts {
     names.foreach { n =>
       val plan = graft.SparkEntry.queries(n)(spark, d)
         .queryExecution.executedPlan.toString
-      val shuffle = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)"
-        .r.findAllIn(plan).size
-      val bcast = "BroadcastExchange".r.findAllIn(plan).size
+      val (shuffle, bcast) = PlanShape.counts(plan)
       println(s"PLANCOUNT $n shuffle=$shuffle broadcast=$bcast")
     }
     spark.stop()

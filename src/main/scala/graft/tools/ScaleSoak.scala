@@ -60,8 +60,16 @@ object ScaleSoak {
         .withColumn("text",
           if (i == 0) col("text") else translate(col("text"), alpha, rot))
     })
-    writeReplicated("embeddings", (d, i) =>
-      d.withColumn("vec_id", col("vec_id") + lit(i * OFF)))
+    // circular component shift per replica: norm-preserving but
+    // direction-decorrelating, so replicas spread across LSH/IVF
+    // buckets like real 10x data instead of 10-way-duplicating every
+    // bucket (the same naive-copy distortion the text rotation avoids)
+    writeReplicated("embeddings", (d, i) => d
+      .withColumn("vec_id", col("vec_id") + lit(i * OFF))
+      .withColumn("embedding",
+        if (i == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${i + 1}, " +
+          s"size(embedding) - $i), slice(embedding, 1, $i))")))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     writeReplicated("events", (d, i) => d
       .withColumn("event_id", col("event_id") + lit(i * OFF))
@@ -84,10 +92,13 @@ object ScaleSoak {
     spark.sparkContext.setLogLevel("WARN")
     val src = "/root/testdata/sf0.1"
     val dst = "target/sf1"
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$dst/lineitem.parquet"))) {
+    // sentinel written after the LAST table: a crash mid-build must
+    // not leave a half-built sf1 that later runs silently accept
+    val sentinel = java.nio.file.Paths.get(s"$dst/_BUILD_COMPLETE")
+    if (!java.nio.file.Files.exists(sentinel)) {
       println("building target/sf1 (10x sf0.1)...")
       buildSf1(spark, src, dst)
+      java.nio.file.Files.write(sentinel, Array.emptyByteArray)
     }
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
@@ -99,7 +110,9 @@ object ScaleSoak {
     headline.foreach { q => time(q, src); time(q, dst) }
     val r01 = headline.map(q => q -> math.min(time(q, src), time(q, src)))
     val r1 = headline.map(q => q -> math.min(time(q, dst), time(q, dst)))
-    def fmt(d: Double) = f"$d%.3f"
+    // Locale.ROOT: comma-decimal locales would emit invalid JSON
+    def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(d))
     val m01 = r01.toMap
     val entries = r1.map { case (q, t1) =>
       val r = t1 / math.max(m01(q), 1e-9)

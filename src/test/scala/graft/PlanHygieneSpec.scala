@@ -65,10 +65,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     val byName = plans.toMap
     val diffs = pinnedShapes.toSeq.sortBy(_._1).flatMap {
       case (name, (expShuffle, expBcast)) =>
-        val plan = byName(name)
-        val sh = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)"
-          .r.findAllIn(plan).size
-        val bc = "BroadcastExchange".r.findAllIn(plan).size
+        val (sh, bc) = graft.tools.PlanShape.counts(byName(name))
         if ((sh, bc) == ((expShuffle, expBcast))) None
         else Some(s"$name: got shuffle=$sh broadcast=$bc, " +
           s"pinned shuffle=$expShuffle broadcast=$expBcast")
