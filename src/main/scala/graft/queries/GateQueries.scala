@@ -117,6 +117,35 @@ object GateQueries {
         .orderBy("user_id", "tsd")
     },
 
+    // explain(mode="graphviz") — the one remaining spec-only §2 row.
+    // The DOT text itself isn't SQL-stateable, so the gate emits
+    // structural invariants of the rendered DAG for a real join+agg
+    // plan (well-formed digraph, >=3 operator nodes, >=2 data-flow
+    // edges, a scan leaf, every edge endpoint a defined node) as the
+    // established 0/1 flag pattern (q95/q96).
+    "q107_explain_dot" -> { (s, d) =>
+      import s.implicits._
+      val ds = new DataStream(nation(s, d))
+        .join(new DataStream(region(s, d)), "n_regionkey", "r_regionkey")
+        .groupby("r_name").aggSql("count(*) as n")
+      val dot = ds.explainGraphviz()
+      val nodes = """n\d+ \[label=""".r.findAllIn(dot).size
+      val edges = "-> ".r.findAllIn(dot).size
+      val defined = """(?m)^  n(\d+) \[""".r
+        .findAllMatchIn(dot).map(_.group(1)).toSet
+      val refs = """n(\d+) -> n(\d+)""".r.findAllMatchIn(dot)
+        .flatMap(m => Seq(m.group(1), m.group(2))).toSet
+      Seq((
+        if (dot.startsWith("digraph plan {")) 1 else 0,
+        if (nodes >= 3) 1 else 0,
+        if (edges >= 2) 1 else 0,
+        if (dot.contains("Scan")) 1 else 0,
+        if (refs.subsetOf(defined)) 1 else 0,
+        if (dot.trim.endsWith("}")) 1 else 0))
+        .toDF("ok_digraph", "ok_nodes", "ok_edges", "ok_scan",
+          "ok_edge_refs", "ok_closed")
+    },
+
     // EXACT BPE token counting (functions.BpeCount codegen'd expression,
     // TextOps.bpeTokenCountExact): the real merge loop over a ranked
     // vocabulary. SQL cannot state BPE, so the oracle is the
@@ -326,6 +355,9 @@ object GateQueries {
         |  ${Det.dsumSql("value")} AS value_sum
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q107_explain_dot" ->
+      """SELECT 1 AS ok_digraph, 1 AS ok_nodes, 1 AS ok_edges,
+        |  1 AS ok_scan, 1 AS ok_edge_refs, 1 AS ok_closed""".stripMargin,
     // counts derived by hand: 'low'→[low]=1, ' lower'→[⎵,low,er]=3;
     // 'newer'→[n,e,w,er]=4; 'er'=1 + ' er'→[⎵,er]=2; "don't stop"→
     // [d,o,n]+[',t]+[⎵,s,t,o,p]=10; 'a1b22'→[a]+[1]+[b]+[2,2]=5
