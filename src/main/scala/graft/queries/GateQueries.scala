@@ -162,6 +162,40 @@ object GateQueries {
         .orderBy("s")
     },
 
+    // TRUE streaming HOPPING window (q100 gates the tumbling case of
+    // StreamingOps.windowedAgg; this gates hop != size — each event in
+    // two overlapping windows — against q44's lateral-hop oracle).
+    "q108_streaming_hopping" -> { (s, d) =>
+      val agg = graft.streaming.StreamingOps.windowedAgg(
+        eventsStream(s, d), "tsx", "user_id", "86400 seconds",
+        "43200 seconds", "0 seconds",
+        Map("n" -> count(lit(1)), "value_sum" -> Det.dsum(col("value"))))
+      runToMemory(s, agg, "graft_q108_mem")
+        .select(col("user_id"),
+          col("window_start").cast("double").as("window_start"),
+          col("n"), col("value_sum"))
+        .orderBy("user_id", "window_start")
+    },
+
+    // Streaming exact dedup (StreamingOps.streamingDistinct): the
+    // reference's incremental DistinctExecutor as state-store keyed
+    // dropDuplicates. The source is the events stream UNIONED WITH
+    // ITSELF — every (user, type, ts) triple arrives twice, so the
+    // operator must actually drop state-hits (a plain fixture replay has
+    // no duplicates and would gate nothing); the deduped stream lands in
+    // the sink (append mode), then a batch rollup compares against the
+    // single-copy oracle.
+    "q109_streaming_distinct" -> { (s, d) =>
+      def src = eventsStream(s, d).select(col("user_id"), col("event_type"),
+        col("tsx"))
+      val dist = graft.streaming.StreamingOps.streamingDistinct(
+        src.unionByName(src), "tsx", "0 seconds",
+        Seq("user_id", "event_type"))
+      runToMemory(s, dist, "graft_q109_mem", outputMode = "append")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .orderBy("user_id", "event_type")
+    },
+
     // batch UDF/UDTF surface (DataStream.transform): a mapPartitions
     // row function whose effect — per-document token count and a 1→N
     // fan-out flag row per long doc (the UDTF half) — SQL can state.
@@ -355,6 +389,18 @@ object GateQueries {
         |  ${Det.dsumSql("value")} AS value_sum
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q108_streaming_hopping" ->
+      s"""SELECT user_id, wstart AS window_start, count(*) AS n,
+        |  ${Det.dsumSql("value")} AS value_sum
+        |FROM (SELECT user_id, value,
+        |        (floor(epoch(ts) / 43200) - j) * 43200 AS wstart, epoch(ts) AS e
+        |      FROM events CROSS JOIN (VALUES (0), (1)) AS hops(j))
+        |WHERE wstart > e - 86400 AND wstart <= e
+        |GROUP BY user_id, wstart ORDER BY user_id, window_start""".stripMargin,
+    "q109_streaming_distinct" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "q107_explain_dot" ->
       """SELECT 1 AS ok_digraph, 1 AS ok_nodes, 1 AS ok_edges,
         |  1 AS ok_scan, 1 AS ok_edge_refs, 1 AS ok_closed""".stripMargin,
