@@ -196,6 +196,37 @@ object GateQueries {
         .orderBy("user_id", "event_type")
     },
 
+    // REAL image decode (multimodal.Multimodal.decodeImage — the JDK's
+    // javax.imageio, zero extra dependencies): each nation key gets a
+    // two-tone PNG synthesized distributed-side (left/right halves in
+    // key-derived colors), then decoded distributed-side back to format,
+    // true dimensions, and EXACT per-channel pixel sums. The oracle
+    // states the same sums in integer arithmetic from the key alone —
+    // if the decoder misreads a single pixel, the hash gate fails.
+    "q110_image_decode" -> { (s, d) =>
+      import s.implicits._
+      val blobs = nation(s, d).select(col("n_nationkey").cast("long").as("id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 8 + (id % 5).toInt * 4
+            val h = 6 + (id % 3).toInt * 4
+            val wl = w / 2
+            def c(m: Long, a: Long) = ((id * m + a) % 256).toInt
+            val left = (c(7, 0) << 16) | (c(11, 0) << 8) | c(13, 0)
+            val right = (c(17, 5) << 16) | (c(19, 5) << 8) | c(23, 5)
+            (id, graft.multimodal.Multimodal.encodePng(w, h)(
+              (x, _) => if (x < wl) left else right))
+          }
+        }.toDF("id", "blob")
+      graft.multimodal.Multimodal.imageMeta(blobs, "id", "blob").toDF()
+        .select(col("id"), col("ok").cast("int").as("ok"), col("format"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("r_sum"), col("g_sum"), col("b_sum"))
+        .orderBy("id")
+    },
+
     // batch UDF/UDTF surface (DataStream.transform): a mapPartitions
     // row function whose effect — per-document token count and a 1→N
     // fan-out flag row per long doc (the UDTF half) — SQL can state.
@@ -431,6 +462,20 @@ object GateQueries {
         |FROM a JOIN t ON a.user_id = t.user_id AND t.ts >= a.ts
         |GROUP BY a.user_id, a.ts, a.value
         |ORDER BY a.user_id, tsd""".stripMargin,
+    "q110_image_decode" ->
+      """WITH p AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |    CAST(8 + (n_nationkey % 5) * 4 AS BIGINT) AS w,
+        |    CAST(6 + (n_nationkey % 3) * 4 AS BIGINT) AS h
+        |  FROM nation)
+        |SELECT id, 1 AS ok, 'png' AS format, w AS width, h AS height,
+        |  h * ((w // 2) * ((id * 7) % 256)
+        |     + (w - w // 2) * ((id * 17 + 5) % 256)) AS r_sum,
+        |  h * ((w // 2) * ((id * 11) % 256)
+        |     + (w - w // 2) * ((id * 19 + 5) % 256)) AS g_sum,
+        |  h * ((w // 2) * ((id * 13) % 256)
+        |     + (w - w // 2) * ((id * 23 + 5) % 256)) AS b_sum
+        |FROM p ORDER BY id""".stripMargin,
     "q102_transform" ->
       """WITH t AS (
         |  SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'),

@@ -166,7 +166,14 @@ object AsofJoin {
     * time-sorted iterators per key with O(1) state — the reference's
     * executor loop, minus its watermark bookkeeping (Spark's sort gives us
     * whole-key iterators). Returns rows as (left fields ++ right payload
-    * fields). Used by tests to cross-check `unionTag`. */
+    * fields). Used by tests to cross-check `unionTag`.
+    *
+    * NOT the production path — TEST-ONLY cross-check. It materializes
+    * both sides of a key (`toArray.sortBy` below), so one hot key OOMs at
+    * scale where the default [[unionTag]] formulation (single tagged
+    * sort, streaming scan, no per-key buffering) does not. Use `unionTag`
+    * (the `asof`/`asofJoin` default) or the physical `AsofJoinExec`;
+    * this form is deliberately kept simple as an independent oracle. */
   def coGrouped(
       left: OrderedStream,
       right: OrderedStream,

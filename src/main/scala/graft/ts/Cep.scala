@@ -47,27 +47,35 @@ object Cep {
     * row per complete match: key + per-event times, same shape as
     * [[patternRecognize]]'s (by, name_t...) columns.
     *
-    * Scale: groupByKey on `by` (one shuffle), per-key sorted scan with
-    * state bounded by live partial matches within maxSpan.
+    * Scale: ONE shuffle (repartition by `by`) + sortWithinPartitions
+    * (key, time) + a streaming mapPartitions with key-change detection —
+    * the statefulTransform shape. A key's rows are NEVER materialized:
+    * input streams through, matches emit incrementally (per-row pending
+    * queue, bounded by the live set), so a hot key with 10⁸ rows holds
+    * only its live partial states in memory.
     *
-    * `maxLiveStatesPerKey` is the blow-up guard: all-matches semantics
-    * keep every partial match alive within `maxSpan`, so a dense burst
-    * (many rows matching every predicate inside one span) grows the live
-    * set — and the output — combinatorially (reference hits the same
-    * wall, its DFS enumerates the identical tuples,
-    * cep_executors.py:86-178). The cap bounds live partial states PLUS
-    * buffered complete matches for the key (a 2-event pattern on a dense
-    * n-row burst emits O(n²) matches while live stays ≤ n, so capping
-    * live alone would still OOM on output). Exceeding it throws with a
-    * clear message instead of OOM-killing the executor: fail fast, then
-    * the caller tightens predicates/maxSpan or raises the cap knowingly.
-    * The count is a maintained counter, not a per-row list traversal. */
+    * `maxLiveStatesPerKey` is the blow-up guard on LIVE PARTIAL STATES:
+    * all-matches semantics keep every partial match alive within
+    * `maxSpan`, so a dense burst (many rows matching every predicate
+    * inside one span) grows the live set combinatorially (reference hits
+    * the same wall, its DFS enumerates the identical tuples,
+    * cep_executors.py:86-178). Exceeding it throws with a clear message
+    * instead of OOM-killing the executor: fail fast, then the caller
+    * tightens predicates/maxSpan or raises the cap knowingly.
+    *
+    * Complete matches now STREAM OUT instead of buffering per key, so
+    * output volume no longer threatens executor memory and is not
+    * counted against the live cap (pre-round-8 behavior conflated the
+    * two). `maxMatchesPerKey` (off by default, <= 0) is a separate
+    * optional sanity bound for callers who want runaway output to fail
+    * fast rather than fill the sink. */
   def nfaPatternRecognize(
       os: OrderedStream,
       events: Seq[(String, org.apache.spark.sql.Row => Boolean, (org.apache.spark.sql.Row, Map[String, org.apache.spark.sql.Row]) => Boolean)],
       maxSpan: Double,
       by: String,
-      maxLiveStatesPerKey: Int = 1 << 20): DataFrame = {
+      maxLiveStatesPerKey: Int = 1 << 20,
+      maxMatchesPerKey: Long = -1L): DataFrame = {
     import org.apache.spark.sql.{Encoder, Encoders, Row}
     require(events.nonEmpty)
     val df = os.df
@@ -79,56 +87,84 @@ object Cep {
         names.map(n => org.apache.spark.sql.types.StructField(
           s"${n}_t", org.apache.spark.sql.types.DoubleType)))
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
-    implicit val kEnc: Encoder[String] = Encoders.STRING
-    df.groupByKey((r: Row) => String.valueOf(r.get(keyIdx)))
-      .flatMapGroups { (_: String, it: Iterator[Row]) =>
-        val rows = it.toArray.sortBy(r =>
-          r.get(tIdx).asInstanceOf[Number].doubleValue())
-        // partial state: matched rows so far, by event name, in order;
-        // liveN tracks live's length (List.length is O(n) per call)
-        var live = List.empty[Vector[(String, Row)]]
-        var liveN = 0
-        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-        def t(r: Row) = r.get(tIdx).asInstanceOf[Number].doubleValue()
-        for (r <- rows) {
-          val now = t(r)
-          val keep = List.newBuilder[Vector[(String, Row)]]
-          var keepN = 0
-          live.foreach { s =>
-            if (now <= t(s.head._2) + maxSpan) { keep += s; keepN += 1 }
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(parts, col(by))
+      .sortWithinPartitions(col(by), col(os.timeCol))
+      .mapPartitions { rows =>
+        new Iterator[Row] {
+          // per-row output queue: at most (live states completing on this
+          // row + 1) matches — bounded by the live cap, never by key size
+          private val pending = scala.collection.mutable.Queue.empty[Row]
+          private var curKey: Any = null
+          private var started = false
+          // partial state: matched rows so far, by event name, in order;
+          // liveN tracks live's length (List.length is O(n) per call)
+          private var live = List.empty[Vector[(String, Row)]]
+          private var liveN = 0
+          private var matchesForKey = 0L
+          private def t(r: Row) =
+            r.get(tIdx).asInstanceOf[Number].doubleValue()
+          private def emit(r: Row, times: Seq[Double]): Unit = {
+            matchesForKey += 1
+            if (maxMatchesPerKey > 0 && matchesForKey > maxMatchesPerKey)
+              throw new IllegalStateException(
+                s"CEP match blow-up: > $maxMatchesPerKey complete matches " +
+                s"for one '$by' key inside maxSpan=$maxSpan (all-matches " +
+                "semantics are combinatorial on dense bursts). Tighten " +
+                "event predicates or maxSpan, or raise maxMatchesPerKey.")
+            pending.enqueue(Row.fromSeq(r.get(keyIdx) +: times))
           }
-          live = keep.result(); liveN = keepN
-          // extend every live state whose next event matches (all-matches
-          // semantics, like the reference's DFS); then try starting fresh
-          var extN = 0
-          val extended = live.flatMap { s =>
-            val (name, self, cross) = events(s.length)
-            val ctx = s.toMap
-            if (self(r) && cross(r, ctx) && now > t(s.last._2)) {
-              val ns = s :+ (name -> r)
-              if (ns.length == events.length) {
-                out += Row.fromSeq(r.get(keyIdx) +: ns.map(p => t(p._2)))
-                None
-              } else { extN += 1; Some(ns) }
-            } else None
+          private def process(r: Row): Unit = {
+            val k = r.get(keyIdx)
+            if (!started || !java.util.Objects.equals(k, curKey)) {
+              curKey = k; started = true
+              live = Nil; liveN = 0; matchesForKey = 0L
+            }
+            val now = t(r)
+            val keep = List.newBuilder[Vector[(String, Row)]]
+            var keepN = 0
+            live.foreach { s =>
+              if (now <= t(s.head._2) + maxSpan) { keep += s; keepN += 1 }
+            }
+            live = keep.result(); liveN = keepN
+            // extend every live state whose next event matches (all-
+            // matches semantics, like the reference's DFS); then try
+            // starting fresh
+            var extN = 0
+            val extended = live.flatMap { s =>
+              val (name, self, cross) = events(s.length)
+              val ctx = s.toMap
+              if (self(r) && cross(r, ctx) && now > t(s.last._2)) {
+                val ns = s :+ (name -> r)
+                if (ns.length == events.length) {
+                  emit(r, ns.map(p => t(p._2))); None
+                } else { extN += 1; Some(ns) }
+              } else None
+            }
+            val (n0, self0, _) = events.head
+            val fresh =
+              if (!self0(r)) Nil
+              else if (events.length == 1) { emit(r, Seq(now)); Nil }
+              else List(Vector(n0 -> r))
+            live = extended ::: fresh ::: live
+            liveN += extN + fresh.length
+            if (liveN > maxLiveStatesPerKey)
+              throw new IllegalStateException(
+                s"CEP state blow-up: > $maxLiveStatesPerKey live partial " +
+                s"matches for one '$by' key inside maxSpan=$maxSpan " +
+                "(all-matches semantics are combinatorial on dense " +
+                "bursts). Tighten event predicates or maxSpan, or raise " +
+                "maxLiveStatesPerKey explicitly.")
           }
-          val (n0, self0, _) = events.head
-          val fresh =
-            if (!self0(r)) Nil
-            else if (events.length == 1) {
-              out += Row.fromSeq(r.get(keyIdx) +: Seq(now)); Nil
-            } else List(Vector(n0 -> r))
-          live = extended ::: fresh ::: live
-          liveN += extN + fresh.length
-          if (liveN + out.length > maxLiveStatesPerKey)
-            throw new IllegalStateException(
-              s"CEP state blow-up: > $maxLiveStatesPerKey live partial " +
-              s"matches + buffered complete matches for one '$by' key " +
-              s"inside maxSpan=$maxSpan (all-matches semantics are " +
-              "combinatorial on dense bursts). Tighten event predicates " +
-              "or maxSpan, or raise maxLiveStatesPerKey explicitly.")
+          def hasNext: Boolean = {
+            while (pending.isEmpty && rows.hasNext) process(rows.next())
+            pending.nonEmpty
+          }
+          def next(): Row = {
+            if (!hasNext) throw new NoSuchElementException("empty iterator")
+            pending.dequeue()
+          }
         }
-        out.iterator
       }.toDF(by +: names.map(n => s"${n}_t"): _*)
   }
 

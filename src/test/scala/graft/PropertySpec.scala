@@ -201,25 +201,36 @@ class PropertySpec extends SparkSpecBase {
     assert(nfaForm == joinForm)
   }
 
-  test("NFA CEP guard trips on a dense burst (live + matches bounded)") {
+  test("NFA CEP guards: live-state cap and match cap trip independently") {
     val s = spark
     import s.implicits._
     // 120 rows, one key, all inside one span, every predicate true:
-    // a 2-event all-matches pattern emits O(n²) matches — the guard must
-    // fail fast on (live + buffered matches), not just live states.
+    // a 2-event all-matches pattern holds up to n-1 live states and
+    // emits O(n²) matches. Round 8 de-conflated the two bounds: output
+    // streams (never buffered per key), so matches don't count against
+    // the live cap; a separate opt-in maxMatchesPerKey bounds output.
     val burst = (1 to 120).map(i => ("hot", i.toDouble, 1.0))
     val os = new OrderedStream(burst.toDF("k", "t", "v"), "t")
-    def run(cap: Int) = graft.ts.Cep.nfaPatternRecognize(os,
-      Seq(
-        ("a", (_: org.apache.spark.sql.Row) => true,
-          (_: org.apache.spark.sql.Row, _: Map[String, org.apache.spark.sql.Row]) => true),
-        ("b", (_: org.apache.spark.sql.Row) => true,
-          (_: org.apache.spark.sql.Row, _: Map[String, org.apache.spark.sql.Row]) => true)),
-      maxSpan = 1000.0, by = "k", maxLiveStatesPerKey = cap).count()
-    val ex = intercept[org.apache.spark.SparkException] { run(500) }
-    assert(ex.getCause.getMessage.contains("CEP state blow-up"))
-    // ample cap: the identical burst completes with all n*(n-1)/2 matches
-    assert(run(1 << 20) == 120L * 119 / 2)
+    def run(liveCap: Int, matchCap: Long = -1L) =
+      graft.ts.Cep.nfaPatternRecognize(os,
+        Seq(
+          ("a", (_: org.apache.spark.sql.Row) => true,
+            (_: org.apache.spark.sql.Row, _: Map[String, org.apache.spark.sql.Row]) => true),
+          ("b", (_: org.apache.spark.sql.Row) => true,
+            (_: org.apache.spark.sql.Row, _: Map[String, org.apache.spark.sql.Row]) => true)),
+        maxSpan = 1000.0, by = "k", maxLiveStatesPerKey = liveCap,
+        maxMatchesPerKey = matchCap).count()
+    // live states reach 119 > 100 → live-state guard trips
+    val exLive = intercept[org.apache.spark.SparkException] { run(100) }
+    assert(exLive.getCause.getMessage.contains("CEP state blow-up"))
+    // live fits in 500, but 7140 matches > 1000 → match guard trips
+    val exMatch = intercept[org.apache.spark.SparkException] {
+      run(500, matchCap = 1000L)
+    }
+    assert(exMatch.getCause.getMessage.contains("CEP match blow-up"))
+    // live cap 500 alone: matches stream out, the burst completes with
+    // all n*(n-1)/2 matches even though they dwarf the live cap
+    assert(run(500) == 120L * 119 / 2)
   }
 
   test("join-form CEP guard trips on a dense burst, passes sparse data") {

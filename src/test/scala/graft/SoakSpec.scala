@@ -59,6 +59,37 @@ class SoakSpec extends SparkSpecBase {
     assert(got.size == 5)
   }
 
+  test("NFA CEP streams a 100k-row hot key without buffering it") {
+    val s = spark
+    import s.implicits._
+    // one hot key, 100k time-ordered rows (shuffled input partitions so
+    // the operator's own repartition+sort does the grouping), plus one
+    // cold key to exercise key-change detection. Pattern: even value
+    // then the consecutive odd value within 1.5 time units — live state
+    // stays O(1) while input is 10⁵ and output streams 50k matches.
+    // Round-7 verdict: the old flatMapGroups form it.toArray'd the whole
+    // key; this soak OOM-guards the round-8 streaming rewrite.
+    val rows = (0 until HOT).map(i => ("hot", i.toDouble, i.toLong)) ++
+      (0 until 100).map(i => ("cold", i.toDouble, i.toLong))
+    val df = s.sparkContext.parallelize(rows, 16).toDF("k", "t", "v")
+    val os = new graft.api.OrderedStream(df, "t")
+    val out = graft.ts.Cep.nfaPatternRecognize(os,
+      Seq(
+        ("a", (r: org.apache.spark.sql.Row) => r.getLong(2) % 2 == 0,
+          (_: org.apache.spark.sql.Row, _: Map[String, org.apache.spark.sql.Row]) => true),
+        ("b", (r: org.apache.spark.sql.Row) => r.getLong(2) % 2 == 1,
+          (r: org.apache.spark.sql.Row, ctx: Map[String, org.apache.spark.sql.Row]) =>
+            r.getLong(2) == ctx("a").getLong(2) + 1)),
+      maxSpan = 1.5, by = "k",
+      // tiny live cap: if the rewrite ever re-buffers a key, the dense
+      // hot key blows straight through it and the soak fails loudly
+      maxLiveStatesPerKey = 8)
+    val counts = out.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("hot") == HOT / 2)
+    assert(counts("cold") == 50L)
+  }
+
   test("mingle streams two 50k-row hot-key sources incrementally") {
     val s = spark
     import s.implicits._

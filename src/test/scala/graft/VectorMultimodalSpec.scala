@@ -95,6 +95,66 @@ class MultimodalSpec extends SparkSpecBase {
     assert(m.map(_.width).toSeq == again.map(_.width).toSeq)
   }
 
+  test("decodeImage round-trips a real PNG pixel-exactly (javax.imageio)") {
+    // 6x4 solid color: sums are w*h*channel exactly
+    val png = Multimodal.encodePng(6, 4)((_, _) => (200 << 16) | (30 << 8) | 7)
+    val info = Multimodal.decodeImage(png).get
+    assert(info.format == "png")
+    assert(info.width == 6 && info.height == 4)
+    assert(info.r_sum == 24L * 200 && info.g_sum == 24L * 30 && info.b_sum == 24L * 7)
+  }
+
+  test("decodeImage: corrupt/non-image bytes yield None, never throw") {
+    assert(Multimodal.decodeImage("not an image at all".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+    // a PNG signature with garbage body must also fail cleanly
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3)
+    assert(Multimodal.decodeImage(sig).isEmpty)
+  }
+
+  test("imageMeta keeps corrupt rows (ok=false) alongside decoded ones") {
+    val s = spark
+    import s.implicits._
+    val png = Multimodal.encodePng(3, 3)((_, _) => 0x010203)
+    val df = Seq((1L, png), (2L, "garbage".getBytes), (3L, Array.emptyByteArray))
+      .toDF("id", "blob")
+    val rows = Multimodal.imageMeta(df, "id", "blob").collect().sortBy(_.id)
+    assert(rows.length == 3)
+    assert(rows(0).ok && rows(0).format == "png" && rows(0).width == 3)
+    assert(rows(0).r_sum == 9L && rows(0).g_sum == 18L && rows(0).b_sum == 27L)
+    assert(!rows(1).ok && rows(1).format == "unknown" && rows(1).width == 0)
+    assert(!rows(2).ok && rows(2).byte_len == 0L)
+  }
+
+  test("imageFeatures: mean-channel embedding is pixel-exact and feeds vector ops") {
+    val s = spark
+    import s.implicits._
+    val a = Multimodal.encodePng(4, 4)((_, _) => 255 << 16)          // pure red
+    val b = Multimodal.encodePng(4, 4)((_, _) => (255 << 8) | 255)   // cyan
+    val df = Seq((1L, a), (2L, b), (3L, "junk".getBytes)).toDF("id", "blob")
+    val fe = Multimodal.imageFeatures(df, "id", "blob")
+    val rows = fe.collect().sortBy(_.getLong(0))
+    assert(rows(0).getSeq[Double](1) == Seq(1.0, 0.0, 0.0))
+    assert(rows(1).getSeq[Double](1) == Seq(0.0, 1.0, 1.0))
+    assert(rows(2).isNullAt(1)) // undecodable → null embedding, row kept
+    val probes = fe.filter(col("id") === 1L).withColumnRenamed("id", "probe_id")
+    val nn = graft.vector.VectorOps.nnJoin(fe.filter(col("embedding").isNotNull),
+      probes, "embedding", "id", "probe_id", k = 1)
+    assert(nn.collect().head.getAs[Long]("id") == 1L) // rank-1 is itself
+  }
+
+  test("decodeMeta routes real images through the real decoder, text to the stub") {
+    val s = spark
+    import s.implicits._
+    val png = Multimodal.encodePng(11, 7)((_, _) => 0x555555)
+    val df = Seq((1L, png), (2L, "plain text blob".getBytes)).toDF("id", "blob")
+    val rows = Multimodal.decodeMeta(df, "id", "blob").collect().sortBy(_.id)
+    assert(rows(0).format == "png" && rows(0).width == 11 && rows(0).height == 7
+      && rows(0).n_frames == 1)
+    // stub fallback: dimensions derived from header bytes, 16 <= w < 80
+    assert(rows(1).width >= 16 && rows(1).width < 80)
+  }
+
   test("frameSample covers the blob with stride") {
     val f = Multimodal.frameSample(blobs().limit(5), "doc_id", "blob",
       frameSize = 32, every = 2).collect()
