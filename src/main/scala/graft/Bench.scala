@@ -14,7 +14,23 @@ import org.apache.spark.sql.SparkSession
   * automatically re-run with up to two extra reps. Reported value is
   * the min across all reps (steady-state execution; codegen/JIT/GC
   * amortize at cluster scale); the file records every rep and the final
-  * spread so a still-noisy round is visible instead of silent. */
+  * spread so a still-noisy round is visible instead of silent.
+  *
+  * Contention canary (round-7 verdict: SUSTAINED contention slows every
+  * rep uniformly, which the spread check cannot see — q23 reported 4.16 s
+  * that round vs 0.58 s idle): a fixed trivial query runs between every
+  * catalog query; its baseline is the minimum canary time observed
+  * anywhere in the run, and any sample > 3× that baseline brands the
+  * span (the catalog query just timed) as contended. If any span is
+  * contended the run self-reports `"contaminated": true` plus the
+  * offending spans in both the stdout line and bench.json — a poisoned
+  * run flags itself instead of masquerading as a regression.
+  *
+  * Failed queries (round-7 advice: timeOnce swallowed Throwable, so a
+  * broken query's time-to-failure entered the min as a bogus fast rep):
+  * each rep carries an ok flag; failed reps are recorded as -1 in the
+  * reps JSON, excluded from the min, and a query with zero successful
+  * reps reports -1 with its name under `"errors"`. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -32,26 +48,59 @@ object Bench {
       try graft.queries.Tables.t(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val reps = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    // The canary: a real (never cached) but trivially cheap job whose
+    // cost is dominated by scheduler + one small scan — any 3× drift is
+    // the machine, not the plan.
+    val canaryFn = (s: SparkSession, d: String) =>
+      graft.queries.Tables.nation(s, d).groupBy("n_regionkey")
+        .count().filter(org.apache.spark.sql.functions.col("count") >= 0)
+    // (span label, canary seconds); baseline = min over the whole run,
+    // so a contended start can't hide later-visible contention
+    val canarySamples = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def canary(label: String): Unit = {
+      // min of two back-to-back runs: a one-off GC pause or scheduler
+      // hiccup (µ-scale timings jitter hard) shouldn't brand the span —
+      // sustained contention slows both runs and still trips the flag
+      val ts = (1 to 2).flatMap { _ =>
+        val (t, ok) = timeOnce(canaryFn); if (ok) Some(t) else None
+      }
+      if (ts.nonEmpty) canarySamples += (label -> ts.min)
+    }
+    (1 to 2).foreach(_ => canary("__init"))
+    val reps = scala.collection.mutable.LinkedHashMap.empty[String, Vector[(Double, Boolean)]]
     SparkEntry.queries.foreach { case (name, fn) =>
       timeOnce(fn) // untimed warmup: per-plan codegen + JIT land here,
                    // keeping rep spread a pure contention signal
       var times = Vector.fill(3)(timeOnce(fn))
-      // spread > 3× means at least one rep hit external contention;
-      // two extra reps give the min a clean shot before we report it
+      // spread > 3× (over successful reps) means at least one rep hit
+      // external contention; two extra reps give the min a clean shot
+      def okTimes = times.collect { case (t, true) => t }
       var extra = 0
-      while (times.max / math.max(times.min, 1e-9) > 3.0 && extra < 2) {
+      while (okTimes.size >= 2 &&
+             okTimes.max / math.max(okTimes.min, 1e-9) > 3.0 && extra < 2) {
         times :+= timeOnce(fn); extra += 1
       }
       reps(name) = times
+      canary(name) // canary AFTER the query: times the span it just ran in
     }
-    val mins = reps.map { case (k, v) => k -> v.min }
-    val total = mins.values.sum
+    val mins = reps.map { case (k, v) =>
+      val ok = v.collect { case (t, true) => t }
+      k -> (if (ok.nonEmpty) ok.min else -1.0)
+    }
+    val errors = mins.collect { case (k, v) if v < 0 => k }.toVector
+    val total = mins.values.filter(_ >= 0).sum
+    val canaryBase = if (canarySamples.isEmpty) 0.0
+                     else canarySamples.map(_._2).min
+    val contaminatedSpans = canarySamples.collect {
+      case (label, t) if canaryBase > 0 && t > 3.0 * canaryBase => label
+    }.distinct.toVector
+    val contaminated = contaminatedSpans.nonEmpty
     // Locale.ROOT: the f-interpolator is locale-sensitive and a
     // comma-decimal default locale would emit invalid JSON
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.4f",
@@ -59,18 +108,25 @@ object Bench {
     val qs = mins.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
     val repsJson = reps.map { case (k, v) =>
-      s"\"$k\":[${v.map(fmt).mkString(",")}]"
+      s"\"$k\":[${v.map { case (t, ok) => if (ok) fmt(t) else "-1" }.mkString(",")}]"
     }.mkString("{", ",", "}")
-    // spread = max/min over the 3 fastest reps: the stability of the
-    // reported min. Slower reps (first-build I/O inside a query, a
+    // spread = max/min over the 3 fastest successful reps: the stability
+    // of the reported min. Slower reps (first-build I/O inside a query, a
     // contention spike already answered by the extra reps) stay visible
     // in the full rep list without branding a stable min as noisy.
     val spreads = reps.map { case (k, v) =>
-      val best = v.sorted.take(3)
-      s"\"$k\":${fmt(best.max / math.max(best.min, 1e-9))}"
+      val ok = v.collect { case (t, true) => t }
+      val best = ok.sorted.take(3)
+      val sp = if (best.isEmpty) 0.0 else best.max / math.max(best.min, 1e-9)
+      s"\"$k\":${fmt(sp)}"
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$repsJson,"spread":$spreads}"""
+    def strArr(v: Vector[String]) = v.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val canaryJson = s"""{"baseline":${fmt(canaryBase)},"samples":[${
+      canarySamples.map { case (l, t) => s"""["$l",${fmt(t)}]""" }.mkString(",")}]}"""
+    val flags = s""""contaminated":$contaminated,"contaminated_spans":${
+      strArr(contaminatedSpans)},"errors":${strArr(errors)}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$flags}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$flags,"canary":$canaryJson,"reps":$repsJson,"spread":$spreads}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))

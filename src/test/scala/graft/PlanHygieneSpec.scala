@@ -15,9 +15,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     * bounded probe set by design (the LSH/IVF variants q55 et al. are the
     * scale path and must NOT nested-loop). */
   private val scalarCrossJoins = Set(
-    "q26_scalar_max", "q28_winsorize", "q29_multi_winsorize",
-    "q23_corr_subquery", "q27_not_exists_avg",
-    "tpch11", "tpch15", "tpch22",
+    "q28_winsorize", "q29_multi_winsorize",
+    "q27_not_exists_avg",
+    "tpch11", "tpch22",
     "q50_vector_nn", "q78_kmeans",
     // rank-bound gates: each crosses the fact table with its own one-row
     // sketch aggregate (approx/t-digest quantiles, Welford state)
@@ -44,6 +44,21 @@ class PlanHygieneSpec extends SparkSpecBase {
         plan.contains("BroadcastNestedLoopJoin") => name
     }
     assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
+  }
+
+  /** The inverse direction (round-7 verdict item 4): every allow-listed
+    * name must actually plan the BroadcastNestedLoopJoin it is excused
+    * for. A stale entry (the query got rewritten, Catalyst now plans a
+    * hash join) silently loosens the hygiene net — q23_corr_subquery sat
+    * in the list for a round with no BNLJ in its plan. Stale entries now
+    * self-expire as spec failures. */
+  test("every allow-listed scalar-cross query actually plans its BNLJ") {
+    val byName = plans.toMap
+    val missing = scalarCrossJoins.toSeq.sorted.filter { name =>
+      !byName.get(name).exists(_.contains("BroadcastNestedLoopJoin"))
+    }
+    assert(missing.isEmpty,
+      s"stale scalarCrossJoins entries (no BNLJ in plan — drop them): $missing")
   }
 
   /** Pinned static plan shapes for the most expensive catalog queries
