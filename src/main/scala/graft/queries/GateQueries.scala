@@ -33,18 +33,44 @@ object GateQueries {
     s.table(name)
   }
 
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
   /** Streaming file-source view of the events table (nanos ts → µs
     * timestamp, as Tables.events does for the batch reader). */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     // the file source wants a directory; glob-filter to the one table
-    s.readStream.schema(sch).option("pathGlobFilter", "events.parquet")
+    s.readStream.schema(eventsSchema).option("pathGlobFilter", "events.parquet")
       .parquet(d)
       .withColumn("tsx", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** [[eventsStream]] plus ONE sentinel row (user_id -1, `event_type`
+    * `et`, ts = max real event + 5 ms, via a second single-file streaming
+    * source unioned in): pushes the bounded run's FINAL watermark
+    * strictly past every real event. StreamingOps' round-8 µs-exact
+    * ripeness (`t <= wm*1000`) is the correct unbounded-stream predicate,
+    * but in a bounded AvailableNow run the watermark stops AT the max
+    * event's ms — a real event with a sub-ms offset inside that final ms
+    * would stay pending forever and the gate would undercount. The
+    * sentinel keys to -1 so it can never join or emit (q104: a quote
+    * later than every trade; q105: an alpha no tick can fill). */
+  private def eventsStreamWithSentinel(
+      s: SparkSession, d: String, et: String): DataFrame = {
+    val maxUs = Tables.events(s, d)
+      .agg(max(expr("unix_micros(tsx)"))).head().getLong(0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_wm_sentinel").toString
+    import s.implicits._
+    Seq((-1L, (maxUs + 5000L) * 1000L, -1L, et, 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(tmp)
+    val sentinel = s.readStream.schema(eventsSchema).parquet(tmp)
+      .withColumn("tsx", timestamp_micros(expr("ts div 1000")))
+    eventsStream(s, d).unionByName(sentinel)
   }
 
   val queries: Map[String, Q] = Map(
@@ -86,7 +112,9 @@ object GateQueries {
     // With delay 0s the final watermark reaches max event time, so every
     // purchase emits exactly its batch as-of row.
     "q104_streaming_asof" -> { (s, d) =>
-      val ev = eventsStream(s, d)
+      // sentinel on the quote side: pushes the final watermark past all
+      // real events (see eventsStreamWithSentinel); keyed -1, never joins
+      val ev = eventsStreamWithSentinel(s, d, et = "view")
       def side(t: String) = ev.filter(col("event_type") === t)
         .select(col("user_id").as("key"), col("tsx").as("ts"), col("value"))
       val out = graft.streaming.StreamingOps.streamingAsof(
@@ -105,7 +133,9 @@ object GateQueries {
     // the batch forward as-of's matched rows (unfilled alphas stay in
     // state — reference backtester's carry, never emitted here).
     "q105_streaming_asof_fwd" -> { (s, d) =>
-      val ev = eventsStream(s, d)
+      // sentinel on the alpha side: pushes the final watermark past all
+      // real events; an alpha with no tick at-or-after it never emits
+      val ev = eventsStreamWithSentinel(s, d, et = "purchase")
       def side(t: String) = ev.filter(col("event_type") === t)
         .select(col("user_id").as("key"), col("tsx").as("ts"), col("value"))
       val out = graft.streaming.StreamingOps.streamingAsofForward(

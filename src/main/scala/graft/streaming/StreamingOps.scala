@@ -73,8 +73,13 @@ object StreamingOps {
     * (the nanos field carries the full fractional second), and fixture
     * event times are µs-precision: buffering ms would silently reorder
     * same-ms events and emit truncated times the oracle compare would
-    * only pass under float tolerance. Watermark RIPENESS stays at ms
-    * granularity (Spark's watermark is ms), values stay µs-exact. */
+    * only pass under float tolerance. Ripeness/trim compare in MICROS
+    * against `wm * 1000` (round-8 fix): Spark's late filter drops
+    * exactly `eventTimeMicros <= wmMs * 1000`, so a future event always
+    * has `t > wm * 1000` — an ms-truncated ripeness test (`t/1000 <= wm`)
+    * wrongly ripens a trade with a sub-ms offset inside the watermark's
+    * ms, while a same-ms quote with a larger sub-ms offset can still
+    * legally arrive. */
   private def micros(t: java.sql.Timestamp): Long =
     t.getTime * 1000 + (t.getNanos / 1000) % 1000
   private def toTs(us: Long): java.sql.Timestamp = {
@@ -130,22 +135,30 @@ object StreamingOps {
           if (side == 0) quotes = (us, v) :: quotes else trades = (us, v) :: trades
         }
         val wm = state.getCurrentWatermarkMs()
+        val wmUs = wm * 1000
         val qSorted = quotes.sortBy(_._1)
-        // ripe at ms granularity (the watermark's resolution); a trade in
-        // the watermark's own ms is complete because any same-ms quote has
-        // already arrived or would be watermark-dropped as late
-        val (ripe, pending) = trades.sortBy(_._1).partition(_._1 / 1000 <= wm)
+        // ripe in MICROS: a trade is complete iff tus <= wm*1000 — any
+        // not-yet-arrived quote is strictly later than wm*1000 (Spark
+        // late-drops eventTimeMicros <= wm*1000), so no future quote can
+        // precede a ripe trade. An ms-truncated test would wrongly ripen
+        // a sub-ms-offset trade whose matching same-ms quote is still
+        // legally in flight.
+        val (ripe, pending) = trades.sortBy(_._1).partition(_._1 <= wmUs)
         val out = ripe.map { case (tus, tv) =>
           val m = qSorted.takeWhile(_._1 <= tus).lastOption
           (key, toTs(tus), tv, m.map(q => toTs(q._1)), m.map(_._2))
         }
-        // trim: the latest quote at-or-before the watermark still serves
-        // future trades (every pending trade is in a strictly later ms
-        // than every past quote); older ones never match again.
-        val (past, future) = qSorted.partition(_._1 / 1000 <= wm)
+        // trim (same µs predicate): the latest quote at-or-before the
+        // watermark still serves future trades (every pending trade is
+        // strictly after wm*1000, as is every future quote); older ones
+        // never match again.
+        val (past, future) = qSorted.partition(_._1 <= wmUs)
         state.update(AsofState(past.takeRight(1) ++ future, pending))
+        // wake at tus/1000 + 1: the first ms whose watermark ripens a
+        // sub-ms-pending trade (wake at tus/1000 would fire with
+        // wm*1000 < tus and re-pend forever)
         pending.headOption.foreach { case (tus, _) =>
-          state.setTimeoutTimestamp(math.max(tus / 1000, wm + 1))
+          state.setTimeoutTimestamp(math.max(tus / 1000 + 1, wm + 1))
         }
         out.iterator
       }
@@ -159,17 +172,25 @@ object StreamingOps {
     * the next batch; here they are keyed state).
     *
     * Emission is watermark-correct: a fill (alpha t, candidate tick c) is
-    * emitted only once the watermark passes c.ts — before that, a
-    * not-yet-arrived tick inside (t, c.ts) could still be the true first
-    * match. State trim: ticks at-or-before the watermark can only match
-    * alphas that would themselves be late-dropped, so after emission the
-    * tick buffer keeps strictly-post-watermark ticks only; unfilled
-    * alphas persist indefinitely (reference behavior). Output:
+    * emitted only once the watermark passes c.ts (µs-exact: ripe iff
+    * c.us <= wm*1000, since any future tick is strictly later) — before
+    * that, a not-yet-arrived tick inside (t, c.ts) could still be the
+    * true first match. State trim: only the candidate ticks still
+    * reachable by pending/future alphas are kept (same µs predicate);
+    * unfilled alphas persist indefinitely by default (reference
+    * behavior: the backtester carries unexecuted alphas forward).
+    *
+    * `alphaTtlMs` (round-7 verdict item 5, default off = -1): at 100 TB a
+    * dead symbol otherwise accumulates unfilled-alpha state with no
+    * escape hatch. When set, an unfilled alpha older than
+    * `watermark - alphaTtlMs` is evicted (it can then never emit — the
+    * deployable trade-off a caller opts into knowingly). Output:
     * (key, ts, value, fill_ts, fill_value), append mode. */
   def streamingAsofForward(
       alphas: DataFrame,   // columns: key, ts (timestamp), value
       ticks: DataFrame,    // columns: key, ts (timestamp), value
-      watermarkDelay: String): DataFrame = {
+      watermarkDelay: String,
+      alphaTtlMs: Long = -1L): DataFrame = {
     val spark = alphas.sparkSession
     import spark.implicits._
     val tagged = alphas.select(col("key").cast("string"), col("ts"),
@@ -192,25 +213,35 @@ object StreamingOps {
           else alphaBuf = (us, v) :: alphaBuf
         }
         val wm = state.getCurrentWatermarkMs()
+        val wmUs = wm * 1000
         val tSorted = tickBuf.sortBy(_._1)
         // candidate = earliest tick at-or-after the alpha (µs-exact);
-        // ripe once the ms watermark has passed the candidate's ms — a
-        // not-yet-arrived earlier tick in that ms would be late-dropped
+        // ripe in MICROS once the watermark has passed the candidate —
+        // any not-yet-arrived tick is strictly later than wm*1000
+        // (Spark late-drops eventTimeMicros <= wm*1000), so no future
+        // tick can beat a ripe candidate
         val withCand = alphaBuf.sortBy(_._1).map { case (aus, av) =>
           ((aus, av), tSorted.find(_._1 >= aus))
         }
         val (ripe, pending) = withCand.partition {
-          case (_, Some((cus, _))) => cus / 1000 <= wm
+          case (_, Some((cus, _))) => cus <= wmUs
           case _ => false
         }
         val out = ripe.map { case ((aus, av), Some((cus, cv))) =>
           (key, toTs(aus), av, toTs(cus), cv)
         }
+        // optional TTL: evict unfilled alphas the watermark has left
+        // more than alphaTtlMs behind (off by default — reference carry)
+        val kept = if (alphaTtlMs < 0) pending
+          else pending.filter { case ((aus, _), _) =>
+            aus > wmUs - alphaTtlMs * 1000
+          }
         state.update(AsofState(
-          tSorted.filter(_._1 / 1000 > wm), pending.map(_._1)))
-        // wake when the watermark reaches the earliest unripe candidate
-        pending.flatMap(_._2.map(_._1)).minOption.foreach { cus =>
-          state.setTimeoutTimestamp(math.max(cus / 1000, wm + 1))
+          tSorted.filter(_._1 > wmUs), kept.map(_._1)))
+        // wake at cus/1000 + 1: the first ms whose watermark ripens the
+        // earliest sub-ms-pending candidate
+        kept.flatMap(_._2.map(_._1)).minOption.foreach { cus =>
+          state.setTimeoutTimestamp(math.max(cus / 1000 + 1, wm + 1))
         }
         out.iterator
       }

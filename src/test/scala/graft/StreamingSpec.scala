@@ -155,6 +155,73 @@ class StreamingSpec extends SparkSpecBase {
       (20L, 2.0, Some(100.5)))) // quote@19
   }
 
+  test("streaming asof is µs-exact: a same-ms later-offset quote still wins") {
+    // Round-8 fix (round-7 advice): ripeness compared in MICROS. Spark's
+    // late filter drops eventTimeMicros <= wm*1000, so after wm reaches
+    // a trade's ms, a quote in the SAME ms with a LARGER sub-ms offset
+    // can still legally arrive. The old ms-truncated test ripened the
+    // trade a batch early and matched the stale quote.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    def tsu(us: Long) = {
+      val t = new Timestamp(us / 1000)
+      t.setNanos(((us % 1000000L) * 1000).toInt)
+      t
+    }
+    val tr = MemoryStream[(String, Timestamp, Double)]
+    val qu = MemoryStream[(String, Timestamp, Double)]
+    val out = StreamingOps.streamingAsof(
+      tr.toDF.toDF("key", "ts", "value"),
+      qu.toDF.toDF("key", "ts", "value"), "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sasof_us")
+      .outputMode("append").start()
+    // batch 1: trade A @10.000900s, quote @10.000200s → wm becomes 10000ms
+    tr.addData(("A", tsu(10000900L), 1.0))
+    qu.addData(("A", tsu(10000200L), 99.0))
+    q.processAllAvailable()
+    // batch 2: the TRUE latest preceding quote @10.000700s arrives — NOT
+    // late (10000700 > wm*1000 = 10000000). An ms-ripeness bug would have
+    // already emitted the trade against the @200µs quote. Z pushes wm on.
+    qu.addData(("A", tsu(10000700L), 77.0), ("Z", ts(100), 0.0))
+    q.processAllAvailable()
+    // batch 3: wm past the trade in µs → it emits with the @700µs quote
+    qu.addData(("Z", ts(200), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql(
+      "SELECT value, quote_value FROM sasof_us WHERE key='A'").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getDouble(1) == 77.0)
+  }
+
+  test("streamingAsofForward TTL evicts unfilled alphas past the horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val al = MemoryStream[(String, Timestamp, Double)]
+    val tk = MemoryStream[(String, Timestamp, Double)]
+    // TTL 5s: an alpha the watermark has left >5s behind is evicted
+    // (default -1 keeps the reference's carry-forever semantics,
+    // covered by the spec above)
+    val out = StreamingOps.streamingAsofForward(
+      al.toDF.toDF("key", "ts", "value"),
+      tk.toDF.toDF("key", "ts", "value"), "0 seconds", alphaTtlMs = 5000L)
+    val q = out.writeStream.format("memory").queryName("sfwd_ttl")
+      .outputMode("append").start()
+    al.addData(("A", ts(10), 1.0))    // alpha, no tick yet
+    q.processAllAvailable()
+    tk.addData(("Z", ts(100), 0.0))   // wm → 100s: alpha is 90s stale
+    q.processAllAvailable()
+    // a tick at 150s would have filled the alpha if it were still held
+    tk.addData(("A", ts(150), 42.0), ("Z", ts(200), 0.0))
+    q.processAllAvailable()
+    tk.addData(("Z", ts(300), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(s.sql("SELECT * FROM sfwd_ttl WHERE key='A'").count() == 0)
+  }
+
   test("flatMapGroupsWithState running totals accumulate across batches") {
     val s = spark
     import s.implicits._
