@@ -29,13 +29,30 @@ import org.apache.spark.sql.functions.{abs, bround, concat, count, lit,
   * are ~1e5 at scale 6; use scale 4 for squared prices); the decimal
   * SUM itself has ~1e29 headroom. */
 object Det {
-  /** Order-independent sum of a double expression (see object doc):
-    * per-row half-even round to `scale` decimals as an exact integer,
-    * exact decimal sum, single double division at the end. */
-  def dsum(c: Column, scale: Int = 6): Column = {
+  /** Debug mode (round-7 verdict item 7): when the system property
+    * `graft.dsum.checked` or env var `GRAFT_DSUM_CHECKED` is `1`/`true`,
+    * every [[dsum]]/[[davg]] call site builds the CHECKED variant, so a
+    * magnitude violation anywhere in the catalog surfaces as a hard
+    * error in CI instead of a silent precision lapse in production.
+    * Read per-call (Columns are built driver-side), so a spec can
+    * toggle it with `sys.props`. Text forms ([[dsumSparkSql]]) are SQL
+    * strings and stay unchecked — their call sites state magnitudes by
+    * construction. */
+  private def checkedMode: Boolean =
+    sys.props.get("graft.dsum.checked")
+      .orElse(sys.env.get("GRAFT_DSUM_CHECKED"))
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+  /** [[dsum]] body without the debug-mode redirect ([[dsumChecked]]
+    * builds on this — keeps the pair non-recursive). */
+  private def dsumRaw(c: Column, scale: Int): Column = {
     val p = lit(math.pow(10, scale))
     sum(bround(c * p, 0).cast("decimal(25,0)")).cast("double") / p
   }
+  /** Order-independent sum of a double expression (see object doc):
+    * per-row half-even round to `scale` decimals as an exact integer,
+    * exact decimal sum, single double division at the end. */
+  def dsum(c: Column, scale: Int = 6): Column =
+    if (checkedMode) dsumChecked(c, scale) else dsumRaw(c, scale)
   /** Order-independent mean: exact decimal sum over non-null count. */
   def davg(c: Column, scale: Int = 6): Column = dsum(c, scale) / count(c)
   /** [[dsum]] with the magnitude contract ENFORCED per row: a |value|
@@ -46,7 +63,7 @@ object Det {
     * by construction) to turn the documented cap into a checked one. */
   def dsumChecked(c: Column, scale: Int = 6): Column = {
     val cap = lit(math.pow(2, 53) / math.pow(10, scale))
-    dsum(when(abs(c) > cap,
+    dsumRaw(when(abs(c) > cap,
       raise_error(concat(
         lit(s"Det.dsum magnitude overflow: |value| > 2^53/1e$scale at "),
         c.cast("string"),

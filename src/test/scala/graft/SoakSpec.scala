@@ -127,24 +127,27 @@ class SoakSpec extends SparkSpecBase {
     assert(got("cold") == ((0L, 100L, 2, 2)))
   }
 
-  test("multi-column approximateQuantile is ONE job at 1000 columns") {
+  test("multi-column approximateQuantile is ONE job at 10000 columns") {
     val s = spark
     // the reference's 10k-column winsorization headline
     // (blog/approxquant.md): every column's GK sketch is one
     // partial-aggregable expression, so a wide quantile pass must be a
     // single map-side-combined job — N jobs would be the scale killer
     def jobsFor(nCols: Int, group: String): (Int, org.apache.spark.sql.Row) = {
-      val wide = s.range(0, 2000, 1, 4).toDF("id").select(
+      // 400 rows / accuracy 100: the pinned property is the JOB COUNT
+      // (planning + partial-agg shape) at 10k-column width, which is
+      // row-count-independent — a bigger fixture only slows the suite
+      val wide = s.range(0, 400, 1, 4).toDF("id").select(
         (0 until nCols).map(i =>
           ((col("id") + lit(i)) % 100).cast("double").as(s"c$i")): _*)
       s.sparkContext.setJobGroup(group, s"$nCols-col quantile job count")
       val row = new DataStream(wide)
-        .approximateQuantile((0 until nCols).map(i => s"c$i"), Seq(0.5), 1000)
+        .approximateQuantile((0 until nCols).map(i => s"c$i"), Seq(0.5), 100)
         .df.collect().head
       s.sparkContext.clearJobGroup()
       (s.sparkContext.statusTracker.getJobIdsForGroup(group).length, row)
     }
-    val n = 1000
+    val n = 10000 // the reference's headline width, not a scaled-down stand-in
     val (jobsNarrow, _) = jobsFor(10, "wide-quantile-10")
     val (jobsWide, row) = jobsFor(n, s"wide-quantile-$n")
     // AQE runs a global agg as (shuffle stage, final stage) — the scale
@@ -157,6 +160,31 @@ class SoakSpec extends SparkSpecBase {
       val m = row.getSeq[Double](i).head
       assert(m >= 40 && m <= 60, s"c$i median $m")
     }
+  }
+
+  test("graft.dsum.checked debug flag swaps catalog dsums to the checked form") {
+    val s = spark
+    import s.implicits._
+    // tpch17-shape catalog query built on Det.dsum (Column form) — under
+    // the flag every dsum call site becomes dsumChecked, so the whole
+    // catalog can run magnitude-checked in CI with one env var
+    // (GRAFT_DSUM_CHECKED=1 sbt test) and zero call-site edits
+    def gate() = SparkEntry.queries("q23_corr_subquery")(s, sf()).collect()
+    val plain = gate()
+    sys.props("graft.dsum.checked") = "1"
+    try {
+      // in-range data: checked mode is result-identical, just guarded
+      val checked = gate()
+      assert(checked.map(_.toString).toSeq == plain.map(_.toString).toSeq)
+      // out-of-range row: the SAME dsum call site now raises
+      val ex = intercept[Exception] {
+        Seq(1.0, 1e10).toDF("v").agg(Det.dsum(col("v"))).head()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+      assert(messages(ex).exists(m =>
+        m != null && m.contains("Det.dsum magnitude overflow")))
+    } finally sys.props.remove("graft.dsum.checked")
   }
 
   test("Det.dsumChecked enforces the magnitude cap it documents") {
