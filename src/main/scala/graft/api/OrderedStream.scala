@@ -67,12 +67,16 @@ class OrderedStream(df0: DataFrame, val timeCol: String) extends DataStream(df0)
     statefulTransform(Seq(by), Seq(timeCol))(f)
 
   /** Complex-event pattern recognition (reference `pattern_recognize`,
-    * orderedstream.py:37-53 + cep_executors.py). */
+    * orderedstream.py:37-53 + cep_executors.py). Dense data auto-routes
+    * from the k-way range join to the streaming NFA (same semantics,
+    * same schema) when the candidate pre-check trips — set
+    * `autoRouteToNfa = false` for the fail-fast throw instead. */
   def patternRecognize(
       events: Seq[(String, String)],
       maxSpan: Long,
       by: String,
-      maxCandidatesPerKey: Long = 1L << 24): DataFrame =
+      maxCandidatesPerKey: Long = 1L << 24,
+      autoRouteToNfa: Boolean = true): DataFrame =
     graft.ts.Cep.patternRecognize(this, events, maxSpan.toDouble, by,
-      maxCandidatesPerKey)
+      maxCandidatesPerKey, autoRouteToNfa)
 }

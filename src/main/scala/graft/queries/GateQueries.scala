@@ -48,6 +48,22 @@ object GateQueries {
       .withColumn("tsx", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** q104/q105/q109's oracles are tie-sensitive: a duplicate
+    * (user_id, event_type, ts) triple makes DuckDB's ASOF / min_by
+    * tie-break diverge from the Scala buffers' sort-stability order (and
+    * q109's dedup side would collapse what its oracle counts twice).
+    * True on the current fixture BY LUCK of generation, not by contract —
+    * assert it at gate build so a regenerated dataset fails loudly here
+    * instead of flaking the hash compare (round-7 advice). */
+  private def assertEventTriplesUnique(s: SparkSession, d: String): Unit = {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val n = ev.count()
+    val nd = ev.distinct().count()
+    require(n == nd, s"events fixture at $d has ${n - nd} duplicate " +
+      "(user_id, event_type, ts) triples — the q104/q105/q109 oracles " +
+      "are tie-sensitive; regenerate the fixture or tie-proof the oracles")
+  }
+
   /** [[eventsStream]] plus ONE sentinel row (user_id -1, `event_type`
     * `et`, ts = max real event + 5 ms, via a second single-file streaming
     * source unioned in): pushes the bounded run's FINAL watermark
@@ -60,8 +76,10 @@ object GateQueries {
     * later than every trade; q105: an alpha no tick can fill). */
   private def eventsStreamWithSentinel(
       s: SparkSession, d: String, et: String): DataFrame = {
+    // batch events table carries the µs timestamp as `ts` (Tables.events
+    // rewrites the nanos long in place; `tsx` exists only on the stream)
     val maxUs = Tables.events(s, d)
-      .agg(max(expr("unix_micros(tsx)"))).head().getLong(0)
+      .agg(max(expr("unix_micros(ts)"))).head().getLong(0)
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_wm_sentinel").toString
     import s.implicits._
@@ -112,6 +130,7 @@ object GateQueries {
     // With delay 0s the final watermark reaches max event time, so every
     // purchase emits exactly its batch as-of row.
     "q104_streaming_asof" -> { (s, d) =>
+      assertEventTriplesUnique(s, d)
       // sentinel on the quote side: pushes the final watermark past all
       // real events (see eventsStreamWithSentinel); keyed -1, never joins
       val ev = eventsStreamWithSentinel(s, d, et = "view")
@@ -133,6 +152,7 @@ object GateQueries {
     // the batch forward as-of's matched rows (unfilled alphas stay in
     // state — reference backtester's carry, never emitted here).
     "q105_streaming_asof_fwd" -> { (s, d) =>
+      assertEventTriplesUnique(s, d)
       // sentinel on the alpha side: pushes the final watermark past all
       // real events; an alpha with no tick at-or-after it never emits
       val ev = eventsStreamWithSentinel(s, d, et = "purchase")
@@ -216,6 +236,7 @@ object GateQueries {
     // the sink (append mode), then a batch rollup compares against the
     // single-copy oracle.
     "q109_streaming_distinct" -> { (s, d) =>
+      assertEventTriplesUnique(s, d)
       def src = eventsStream(s, d).select(col("user_id"), col("event_type"),
         col("tsx"))
       val dist = graft.streaming.StreamingOps.streamingDistinct(

@@ -76,8 +76,7 @@ object Cep {
       by: String,
       maxLiveStatesPerKey: Int = 1 << 20,
       maxMatchesPerKey: Long = -1L): DataFrame = {
-    import org.apache.spark.sql.{Encoder, Encoders, Row}
-    require(events.nonEmpty)
+    import org.apache.spark.sql.Row
     val df = os.df
     val tIdx = df.columns.indexOf(os.timeCol)
     val keyIdx = df.columns.indexOf(by)
@@ -86,10 +85,37 @@ object Cep {
       df.schema(by).copy(nullable = false) +:
         names.map(n => org.apache.spark.sql.types.StructField(
           s"${n}_t", org.apache.spark.sql.types.DoubleType)))
+    def t(r: Row) = r.get(tIdx).asInstanceOf[Number].doubleValue()
+    nfaRun(df, events, maxSpan, by, maxLiveStatesPerKey, maxMatchesPerKey,
+      os.timeCol, outSchema,
+      (key, matched) => Row.fromSeq(key +: matched.map(p => t(p._2))))
+      .toDF(by +: names.map(n => s"${n}_t"): _*)
+  }
+
+  /** The streaming NFA engine shared by [[nfaPatternRecognize]] (emits
+    * per-event times) and [[patternRecognizeViaNfa]] (emits full payload):
+    * one repartition + sortWithinPartitions + key-change-detecting
+    * mapPartitions; `emit` builds the output row from (key value, matched
+    * (name, row) prefix). */
+  private def nfaRun(
+      df: DataFrame,
+      events: Seq[(String, org.apache.spark.sql.Row => Boolean, (org.apache.spark.sql.Row, Map[String, org.apache.spark.sql.Row]) => Boolean)],
+      maxSpan: Double,
+      by: String,
+      maxLiveStatesPerKey: Int,
+      maxMatchesPerKey: Long,
+      timeCol: String,
+      outSchema: org.apache.spark.sql.types.StructType,
+      emitRow: (Any, Vector[(String, org.apache.spark.sql.Row)]) => org.apache.spark.sql.Row)
+      : org.apache.spark.sql.Dataset[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    require(events.nonEmpty)
+    val tIdx = df.columns.indexOf(timeCol)
+    val keyIdx = df.columns.indexOf(by)
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     df.repartition(parts, col(by))
-      .sortWithinPartitions(col(by), col(os.timeCol))
+      .sortWithinPartitions(col(by), col(timeCol))
       .mapPartitions { rows =>
         new Iterator[Row] {
           // per-row output queue: at most (live states completing on this
@@ -104,7 +130,7 @@ object Cep {
           private var matchesForKey = 0L
           private def t(r: Row) =
             r.get(tIdx).asInstanceOf[Number].doubleValue()
-          private def emit(r: Row, times: Seq[Double]): Unit = {
+          private def emit(matched: Vector[(String, Row)]): Unit = {
             matchesForKey += 1
             if (maxMatchesPerKey > 0 && matchesForKey > maxMatchesPerKey)
               throw new IllegalStateException(
@@ -112,7 +138,7 @@ object Cep {
                 s"for one '$by' key inside maxSpan=$maxSpan (all-matches " +
                 "semantics are combinatorial on dense bursts). Tighten " +
                 "event predicates or maxSpan, or raise maxMatchesPerKey.")
-            pending.enqueue(Row.fromSeq(r.get(keyIdx) +: times))
+            pending.enqueue(emitRow(curKey, matched))
           }
           private def process(r: Row): Unit = {
             val k = r.get(keyIdx)
@@ -137,15 +163,16 @@ object Cep {
               if (self(r) && cross(r, ctx) && now > t(s.last._2)) {
                 val ns = s :+ (name -> r)
                 if (ns.length == events.length) {
-                  emit(r, ns.map(p => t(p._2))); None
+                  emit(ns); None
                 } else { extN += 1; Some(ns) }
               } else None
             }
             val (n0, self0, _) = events.head
             val fresh =
               if (!self0(r)) Nil
-              else if (events.length == 1) { emit(r, Seq(now)); Nil }
-              else List(Vector(n0 -> r))
+              else if (events.length == 1) {
+                emit(Vector(n0 -> r)); Nil
+              } else List(Vector(n0 -> r))
             live = extended ::: fresh ::: live
             liveN += extN + fresh.length
             if (liveN > maxLiveStatesPerKey)
@@ -165,7 +192,115 @@ object Cep {
             pending.dequeue()
           }
         }
-      }.toDF(by +: names.map(n => s"${n}_t"): _*)
+      }
+  }
+
+  /** Serializable compiled SQL predicate over a fixed row layout:
+    * resolved and type-coerced ONCE driver-side (via an empty frame's
+    * analyzed Filter — names, implicit casts, function lookup all go
+    * through the real analyzer), then codegen-compiled lazily per
+    * executor. Null results follow Filter semantics (null → false). */
+  private class CompiledPred(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      attrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      types: Seq[org.apache.spark.sql.types.DataType]) extends Serializable {
+    @transient private lazy val pred =
+      org.apache.spark.sql.catalyst.expressions.Predicate.create(cond, attrs)
+    @transient private lazy val convs = types.map(
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter)
+    def eval(values: Array[Any]): Boolean = {
+      val c = convs
+      val ir = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+        Seq.tabulate(values.length)(i => c(i)(values(i))))
+      pred.eval(ir)
+    }
+  }
+
+  private def compilePred(
+      spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      sql: String): CompiledPred = {
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .filter(expr(sql))
+    val f = empty.queryExecution.analyzed.collectFirst {
+      case fl: org.apache.spark.sql.catalyst.plans.logical.Filter => fl
+    }.getOrElse(throw new IllegalArgumentException(
+      s"CEP predicate did not analyze to a Filter: $sql"))
+    new CompiledPred(f.condition, f.child.output,
+      schema.fields.toSeq.map(_.dataType))
+  }
+
+  /** Join-form SEMANTICS executed on the streaming NFA engine: the SQL
+    * event predicates are resolved once driver-side against the
+    * flattened (`a_*`, `b_*`, …) prefix schemas and evaluated per
+    * row/state transition; output is the join form's full payload
+    * schema (`by`, `a_<col>`…, `b_<col>`…). Null `by` keys are dropped
+    * to match equi-join semantics. Linear in events × live states —
+    * immune to the k-way join's candidate blow-up, so this is where
+    * [[patternRecognize]] auto-routes when its density pre-check trips. */
+  def patternRecognizeViaNfa(
+      os: OrderedStream,
+      events: Seq[(String, String)],
+      maxSpan: Double,
+      by: String,
+      maxLiveStatesPerKey: Int = 1 << 20,
+      maxMatchesPerKey: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.Row
+    require(events.nonEmpty)
+    val spark = os.df.sparkSession
+    val df = os.df.filter(col(by).isNotNull)
+    val payload = df.columns.toSeq.filterNot(_ == by)
+    val payloadIdx = payload.map(c => df.columns.indexOf(c)).toArray
+    val names = events.map(_._1)
+    def stepSchema(i: Int) = org.apache.spark.sql.types.StructType(
+      (0 to i).flatMap { j =>
+        payload.map(c => df.schema(c).copy(name = s"${names(j)}_$c"))
+      })
+    val preds = events.zipWithIndex.map { case ((_, pr), i) =>
+      compilePred(spark, stepSchema(i), rewrite(pr))
+    }
+    val nP = payload.length
+    val nfaEvents = events.zipWithIndex.map { case ((nm, _), i) =>
+      val p = preds(i)
+      if (i == 0)
+        (nm,
+          (r: Row) => {
+            val vals = new Array[Any](nP)
+            var k = 0
+            while (k < nP) { vals(k) = r.get(payloadIdx(k)); k += 1 }
+            p.eval(vals)
+          },
+          (_: Row, _: Map[String, Row]) => true)
+      else {
+        val priorNames = names.take(i)
+        (nm,
+          (_: Row) => true,
+          (r: Row, ctx: Map[String, Row]) => {
+            val vals = new Array[Any]((i + 1) * nP)
+            var j = 0
+            while (j < i) {
+              val pr = ctx(priorNames(j))
+              var k = 0
+              while (k < nP) {
+                vals(j * nP + k) = pr.get(payloadIdx(k)); k += 1
+              }
+              j += 1
+            }
+            var k = 0
+            while (k < nP) { vals(i * nP + k) = r.get(payloadIdx(k)); k += 1 }
+            p.eval(vals)
+          })
+      }
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema(by) +: stepSchema(events.length - 1).fields.toSeq)
+    nfaRun(df, nfaEvents, maxSpan, by, maxLiveStatesPerKey,
+      maxMatchesPerKey, os.timeCol, outSchema,
+      (key, matched) => Row.fromSeq(
+        key +: matched.flatMap { case (_, r) => payloadIdx.map(r.get) }))
+      .toDF(outSchema.fieldNames.toSeq: _*)
   }
 
   /** Join-form pattern recognition. `maxCandidatesPerKey` is the dense-
@@ -176,16 +311,20 @@ object Cep {
     * most two buckets since every event lies within maxSpan of the
     * first). Self-predicates prefilter the counts; cross-event conjuncts
     * can only shrink the true number, so the estimate stays an upper
-    * bound. Exceeding the cap fails fast with a pointer to the NFA form
-    * (whose live-state cap handles dense data incrementally) instead of
-    * materializing O(n^k) join tuples. Pass `maxCandidatesPerKey <= 0`
-    * to skip the pre-check (and its extra scan) when density is known. */
+    * bound. When the cap trips, the query AUTO-ROUTES to
+    * [[patternRecognizeViaNfa]] (round-8: the streaming NFA is
+    * unconditionally hot-key-safe, so dense data degrades to the linear
+    * incremental plan instead of failing) — same semantics, same output
+    * schema; pass `autoRouteToNfa = false` to get the old fail-fast
+    * throw. Pass `maxCandidatesPerKey <= 0` to skip the pre-check (and
+    * its extra scan) when density is known. */
   def patternRecognize(
       os: OrderedStream,
       events: Seq[(String, String)],
       maxSpan: Double,
       by: String,
-      maxCandidatesPerKey: Long = 1L << 24): DataFrame = {
+      maxCandidatesPerKey: Long = 1L << 24,
+      autoRouteToNfa: Boolean = true): DataFrame = {
     require(events.nonEmpty)
     val t = os.timeCol
     val payload = os.df.columns.toSeq.filterNot(_ == by)
@@ -224,7 +363,9 @@ object Cep {
         .agg(max(log2(col("__c0")) + col("__ls"))).head()
       val maxLog =
         if (bound.isNullAt(0)) Double.NegativeInfinity else bound.getDouble(0)
-      if (maxLog > math.log(maxCandidatesPerKey.toDouble) / math.log(2))
+      if (maxLog > math.log(maxCandidatesPerKey.toDouble) / math.log(2)) {
+        if (autoRouteToNfa)
+          return patternRecognizeViaNfa(os, events, maxSpan, by)
         throw new IllegalStateException(
           f"CEP join-form candidate blow-up: a single ('$by', maxSpan-" +
           f"bucket) group could emit ~2^$maxLog%.1f > $maxCandidatesPerKey " +
@@ -232,6 +373,7 @@ object Cep {
           "nfaPatternRecognize (incremental, live-state-capped), tighten " +
           "event predicates or maxSpan, or raise maxCandidatesPerKey " +
           "explicitly.")
+      }
     }
 
     val (n0, p0) = events.head

@@ -240,9 +240,10 @@ class PropertySpec extends SparkSpecBase {
     val os = new OrderedStream(burst.toDF("k", "t", "v"), "t")
     val pattern = Seq("a" -> "a.v > 0", "b" -> "b.v > 0", "c" -> "c.v > 0")
     // 200 candidate firsts × (200+200)² later-event slots ≈ 2^25 tuples
+    // — with auto-route disabled, the pre-check fails fast
     val ex = intercept[IllegalStateException] {
       os.patternRecognize(pattern, maxSpan = 1000L, by = "k",
-        maxCandidatesPerKey = 100000L)
+        maxCandidatesPerKey = 100000L, autoRouteToNfa = false)
     }
     assert(ex.getMessage.contains("CEP join-form candidate blow-up"))
     // default cap: sparse random data sails through with exact results
@@ -257,6 +258,34 @@ class PropertySpec extends SparkSpecBase {
       if k2 == k1 && t2 > t1 && t2 <= t1 + 15.0 && v2 > v1 + 20
     } yield 1).size
     assert(got == expect)
+  }
+
+  test("dense join-form CEP auto-routes to the NFA with identical results") {
+    val s = spark
+    import s.implicits._
+    // small but over-cap burst so the routed NFA result is brute-force
+    // checkable; plus a second key to exercise key-change detection
+    val rows = (1 to 40).map(i => ("hot", i.toDouble, i.toDouble)) ++
+      (1 to 10).map(i => ("cold", i.toDouble, i.toDouble))
+    val os = new OrderedStream(rows.toDF("k", "t", "v"), "t")
+    val pattern = Seq("a" -> "a.v < 30", "b" -> "b.v > a.v + 5")
+    // tiny cap → pre-check trips → auto-route (default on)
+    val routed = os.patternRecognize(pattern, maxSpan = 100L, by = "k",
+      maxCandidatesPerKey = 10L)
+    // same query through the join path (pre-check skipped)
+    val joined = os.patternRecognize(pattern, maxSpan = 100L, by = "k",
+      maxCandidatesPerKey = -1L)
+    assert(routed.columns.toSeq == joined.columns.toSeq,
+      s"${routed.columns.toSeq} vs ${joined.columns.toSeq}")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    assert(canon(routed).toSeq == canon(joined).toSeq)
+    val brute = (for {
+      (k1, t1, v1) <- rows if v1 < 30
+      (k2, t2, v2) <- rows
+      if k2 == k1 && t2 > t1 && t2 <= t1 + 100.0 && v2 > v1 + 5
+    } yield 1).size
+    assert(routed.count() == brute)
   }
 
   test("minhash similarity estimate tracks true jaccard (monotone check)") {
