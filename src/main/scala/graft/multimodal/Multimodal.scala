@@ -228,9 +228,62 @@ object Multimodal {
       length(col(blobCol)).as("byte_len"),
       md5(col(blobCol)).as("digest"))
 
+  /** REAL image resize: decode with `javax.imageio`, scale with
+    * `Graphics2D` (bilinear), re-encode as PNG — all per-partition, the
+    * blob never shuffles. Output schema (id, blob, width, height);
+    * undecodable blobs fall back to [[resize]]'s byte-stride downsample
+    * (so mixed media still flows) with the requested dims recorded. */
+  def imageResize(df: DataFrame, idCol: String, blobCol: String,
+                  targetW: Int, targetH: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val out = scaleImage(bytes, targetW, targetH)
+            .getOrElse(byteStrideDownsample(bytes, targetW, targetH))
+          (id, out, targetW, targetH)
+        }
+      }
+      .toDF(idCol, blobCol, "width", "height")
+  }
+
+  /** Decode → bilinear-scale → PNG-encode; None when the bytes aren't a
+    * decodable image. */
+  private[multimodal] def scaleImage(
+      bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    import java.awt.image.BufferedImage
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { src =>
+        val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        bos.toByteArray
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def byteStrideDownsample(
+      bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val target = math.max(1, targetW * targetH)
+    val stride = math.max(1, bytes.length / target)
+    Array.range(0, math.min(target, bytes.length))
+      .map(i => bytes(math.min(i.toLong * stride, bytes.length - 1).toInt))
+  }
+
   /** STUB resize — deterministic byte-stride downsample standing in for a
-    * real image scaler. Output schema (id, blob, width, height) is the
-    * production shape: resized payload stays binary and never shuffles. */
+    * real NON-IMAGE media scaler (for images use [[imageResize]], which
+    * is real). Output schema (id, blob, width, height) is the production
+    * shape: resized payload stays binary and never shuffles. */
   def resize(df: DataFrame, idCol: String, blobCol: String,
              targetW: Int, targetH: Int): DataFrame = {
     val spark = df.sparkSession
@@ -239,11 +292,8 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val target = math.max(1, targetW * targetH)
-          val stride = math.max(1, bytes.length / target)
-          val out = Array.range(0, math.min(target, bytes.length))
-            .map(i => bytes(math.min(i.toLong * stride, bytes.length - 1).toInt))
-          (id, out, targetW, targetH)
+          (id, byteStrideDownsample(bytes, targetW, targetH),
+            targetW, targetH)
         }
       }
       .toDF(idCol, blobCol, "width", "height")

@@ -170,6 +170,26 @@ class MultimodalSpec extends SparkSpecBase {
     assert(st.forall(r => r.getInt(1) == r.getInt(3))) // ASCII text: bytes == chars
   }
 
+  test("imageResize really rescales: decoded output has target dims and color") {
+    val s = spark
+    import s.implicits._
+    // solid color survives any interpolation exactly — a decode of the
+    // resized PNG must show the target dims and the same color
+    val color = (120 << 16) | (45 << 8) | 210
+    val png = Multimodal.encodePng(16, 12)((_, _) => color)
+    val df = Seq((1L, png), (2L, "not an image".getBytes)).toDF("id", "blob")
+    val rows = Multimodal.imageResize(df, "id", "blob", 5, 3)
+      .collect().sortBy(_.getLong(0))
+    val decoded = Multimodal.decodeImage(rows(0).getAs[Array[Byte]](1)).get
+    assert(decoded.format == "png")
+    assert(decoded.width == 5 && decoded.height == 3)
+    assert(decoded.r_sum == 15L * 120 && decoded.g_sum == 15L * 45
+      && decoded.b_sum == 15L * 210)
+    // non-image falls back to the byte-stride downsample, row preserved
+    assert(rows(1).getAs[Array[Byte]](1).length <= 15)
+    assert(rows(1).getInt(2) == 5 && rows(1).getInt(3) == 3)
+  }
+
   test("resize downsamples to a bounded payload with target dims") {
     val r = Multimodal.resize(blobs().limit(5), "doc_id", "blob", 8, 8)
     assert(r.columns.toSeq == Seq("doc_id", "blob", "width", "height"))
