@@ -278,6 +278,53 @@ object GateQueries {
         .orderBy("id")
     },
 
+    // The CEP auto-route target (Cep.patternRecognizeViaNfa) gated
+    // directly: the q48 pattern — SQL string predicates compiled and run
+    // on the streaming NFA engine, full-payload output, TIMESTAMP time
+    // axis (exercises the epoch-seconds conversion) — against the same
+    // 3-way-join oracle as the join form. If auto-routing ever changes
+    // semantics (a predicate compiles differently, the payload emit
+    // reorders columns), this diverges from q48's oracle and fails.
+    "q111_cep_nfa_route" -> { (s, d) =>
+      val ev = new OrderedStream(
+        events(s, d).select(col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("event_id")), "ts")
+      Cep.patternRecognizeViaNfa(ev, Seq(
+          "a" -> "a.event_type = 'view'",
+          "b" -> "b.event_type = 'click' and b.value > a.value",
+          "c" -> "c.event_type = 'purchase'"),
+          maxSpan = 86400, by = "user_id")
+        .select("user_id", "a_event_id", "b_event_id", "c_event_id")
+        .orderBy("user_id", "a_event_id", "b_event_id", "c_event_id")
+    },
+
+    // REAL image resize gated pixel-exactly: solid-color PNGs survive
+    // bilinear scaling with the color unchanged, so the decoded resized
+    // blob must show the target dims and exactly target_area × channel
+    // sums — stated by the oracle in integer arithmetic from the key.
+    "q112_image_resize" -> { (s, d) =>
+      import s.implicits._
+      val blobs = nation(s, d).select(col("n_nationkey").cast("long").as("id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            def c(m: Long) = ((id * m + 3) % 256).toInt
+            val color = (c(7) << 16) | (c(11) << 8) | c(13)
+            val w = 10 + (id % 4).toInt * 6
+            val h = 8 + (id % 5).toInt * 4
+            (id, graft.multimodal.Multimodal.encodePng(w, h)((_, _) => color))
+          }
+        }.toDF("id", "blob")
+      val resized = graft.multimodal.Multimodal.imageResize(
+        blobs, "id", "blob", 7, 5)
+      graft.multimodal.Multimodal.imageMeta(resized, "id", "blob").toDF()
+        .select(col("id"), col("ok").cast("int").as("ok"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("r_sum"), col("g_sum"), col("b_sum"))
+        .orderBy("id")
+    },
+
     // batch UDF/UDTF surface (DataStream.transform): a mapPartitions
     // row function whose effect — per-document token count and a 1→N
     // fan-out flag row per long doc (the UDTF half) — SQL can state.
@@ -513,6 +560,25 @@ object GateQueries {
         |FROM a JOIN t ON a.user_id = t.user_id AND t.ts >= a.ts
         |GROUP BY a.user_id, a.ts, a.value
         |ORDER BY a.user_id, tsd""".stripMargin,
+    "q111_cep_nfa_route" ->
+      """SELECT a.user_id, a.event_id AS a_event_id, b.event_id AS b_event_id,
+        |  c.event_id AS c_event_id
+        |FROM events a, events b, events c
+        |WHERE a.user_id = b.user_id AND b.user_id = c.user_id
+        |  AND a.event_type = 'view' AND b.event_type = 'click'
+        |  AND c.event_type = 'purchase'
+        |  AND b.ts > a.ts AND c.ts > b.ts
+        |  AND epoch(b.ts) <= epoch(a.ts) + 86400
+        |  AND epoch(c.ts) <= epoch(a.ts) + 86400
+        |  AND b.value > a.value
+        |ORDER BY a.user_id, a_event_id, b_event_id, c_event_id""".stripMargin,
+    "q112_image_resize" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id, 1 AS ok,
+        |  CAST(7 AS BIGINT) AS width, CAST(5 AS BIGINT) AS height,
+        |  CAST(35 * ((n_nationkey * 7 + 3) % 256) AS BIGINT) AS r_sum,
+        |  CAST(35 * ((n_nationkey * 11 + 3) % 256) AS BIGINT) AS g_sum,
+        |  CAST(35 * ((n_nationkey * 13 + 3) % 256) AS BIGINT) AS b_sum
+        |FROM nation ORDER BY id""".stripMargin,
     "q110_image_decode" ->
       """WITH p AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS id,

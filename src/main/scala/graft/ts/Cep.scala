@@ -27,7 +27,10 @@ import org.apache.spark.sql.types.DoubleType
   *   3. cross-event conjuncts are evaluated as join filters.
   * Everything stays in DataFrame land: pushdown, AQE and codegen apply.
   */
-object Cep {
+// Serializable: executor-side closures (the NFA's emit/time lambdas)
+// reference object-private helpers, which scalac compiles as captures of
+// this singleton — deserialization resolves back to the module instance.
+object Cep extends Serializable {
 
   /** Rewrite `name.column` references to the flattened `name_column`. */
   private[ts] def rewrite(pred: String): String =
@@ -36,6 +39,18 @@ object Cep {
   /** Names referenced by a predicate (the `x` of `x.col`). */
   private[ts] def referenced(pred: String): Set[String] =
     """\b([A-Za-z_]\w*)\.""".r.findAllMatchIn(pred).map(_.group(1)).toSet
+
+  /** Event time as a double, matching the join form's
+    * `cast(timeCol as double)` semantics: numerics pass through,
+    * timestamps become fractional epoch seconds (µs-exact). */
+  private def timeAsDouble(v: Any): Double = v match {
+    case n: Number => n.doubleValue()
+    case t: java.sql.Timestamp =>
+      (t.getTime * 1000 + (t.getNanos / 1000) % 1000) / 1e6
+    case other => throw new IllegalArgumentException(
+      s"CEP time column must be numeric or timestamp, got: " +
+      s"${if (other == null) "null" else other.getClass.getName}")
+  }
 
   /** NFA formulation (reference `nfa_cep`, cep_executors.py:196-272):
     * one time-ordered pass per key, maintaining partial-match states.
@@ -85,7 +100,7 @@ object Cep {
       df.schema(by).copy(nullable = false) +:
         names.map(n => org.apache.spark.sql.types.StructField(
           s"${n}_t", org.apache.spark.sql.types.DoubleType)))
-    def t(r: Row) = r.get(tIdx).asInstanceOf[Number].doubleValue()
+    def t(r: Row) = timeAsDouble(r.get(tIdx))
     nfaRun(df, events, maxSpan, by, maxLiveStatesPerKey, maxMatchesPerKey,
       os.timeCol, outSchema,
       (key, matched) => Row.fromSeq(key +: matched.map(p => t(p._2))))
@@ -128,8 +143,7 @@ object Cep {
           private var live = List.empty[Vector[(String, Row)]]
           private var liveN = 0
           private var matchesForKey = 0L
-          private def t(r: Row) =
-            r.get(tIdx).asInstanceOf[Number].doubleValue()
+          private def t(r: Row) = timeAsDouble(r.get(tIdx))
           private def emit(matched: Vector[(String, Row)]): Unit = {
             matchesForKey += 1
             if (maxMatchesPerKey > 0 && matchesForKey > maxMatchesPerKey)
