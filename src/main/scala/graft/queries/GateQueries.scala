@@ -325,6 +325,21 @@ object GateQueries {
         .orderBy("id")
     },
 
+    // Frame sampling gated byte-exactly: every 2nd 32-byte chunk of each
+    // (ASCII) document blob — indices, offsets, lengths, and the md5 of
+    // every sampled frame's bytes all stated by the oracle via
+    // substr+md5. A single off-by-one in the chunking mismatches a hash.
+    "q113_frame_sample" -> { (s, d) =>
+      val fs = graft.multimodal.Multimodal.frameSample(
+        graft.multimodal.Multimodal.withBlob(documents(s, d), "text"),
+        "doc_id", "blob", frameSize = 32, every = 2)
+      fs.toDF().select(col("id").as("doc_id"), col("frame_idx"),
+        col("offset"),
+        md5(col("frame_bytes")).as("digest"),
+        length(col("frame_bytes")).cast("bigint").as("frame_len"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // batch UDF/UDTF surface (DataStream.transform): a mapPartitions
     // row function whose effect — per-document token count and a 1→N
     // fan-out flag row per long doc (the UDTF half) — SQL can state.
@@ -560,6 +575,17 @@ object GateQueries {
         |FROM a JOIN t ON a.user_id = t.user_id AND t.ts >= a.ts
         |GROUP BY a.user_id, a.ts, a.value
         |ORDER BY a.user_id, tsd""".stripMargin,
+    "q113_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |i AS (SELECT doc_id, text, n,
+        |        unnest(range(0, CAST(greatest(1, ceil(n / 32.0)) AS BIGINT),
+        |                     2)) AS ix
+        |      FROM f)
+        |SELECT doc_id, CAST(ix AS INT) AS frame_idx,
+        |  CAST(ix * 32 AS BIGINT) AS "offset",
+        |  md5(substr(text, CAST(ix * 32 + 1 AS INT), 32)) AS digest,
+        |  CAST(least(32, n - ix * 32) AS BIGINT) AS frame_len
+        |FROM i ORDER BY doc_id, frame_idx""".stripMargin,
     "q111_cep_nfa_route" ->
       """SELECT a.user_id, a.event_id AS a_event_id, b.event_id AS b_event_id,
         |  c.event_id AS c_event_id
