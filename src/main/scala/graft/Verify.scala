@@ -14,6 +14,19 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Clear any previous dump FIRST: a query that throws writes nothing,
+    // and a stale result dir from an earlier run would otherwise pass
+    // the oracle compare and mask the failure (burned in round 8).
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        val children = try s.toArray(new Array[java.nio.file.Path](_))
+                       finally s.close()
+        children.foreach(rmTree)
+      }
+      Files.deleteIfExists(p)
+    }
+    rmTree(Paths.get(outDir))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

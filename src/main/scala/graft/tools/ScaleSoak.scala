@@ -80,7 +80,11 @@ object ScaleSoak {
     "tpch01", "tpch03", "tpch05", "tpch07", "tpch08", "tpch09", "tpch10",
     "tpch13", "tpch17", "tpch18", "tpch19", "tpch21",
     "q36_highcard_agg", "q48_cep", "q55_ann_lsh",
-    "q66_lsh_near_dup", "q68_ngram_jaccard")
+    "q66_lsh_near_dup", "q68_ngram_jaccard",
+    // round 8: the streaming NFA rewrite (one shuffle + sorted scan, no
+    // per-key buffering) and the end-to-end curation pipeline — the two
+    // paths whose 10× behavior the round's changes most need to prove
+    "q97_nfa_cep", "q74_curation_pipeline")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
