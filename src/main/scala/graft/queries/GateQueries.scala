@@ -39,9 +39,14 @@ object GateQueries {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Streaming file-source view of the events table (nanos ts → µs
-    * timestamp, as Tables.events does for the batch reader). */
+    * timestamp, as Tables.events does for the batch reader). Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session build
+    * (Verify/Bench/SharedSpark/tools) — a query constructor must not
+    * mutate shared session conf (round-8 verdict). */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
+        "(events.ts is parquet TIMESTAMP(NANOS))")
     // the file source wants a directory; glob-filter to the one table
     s.readStream.schema(eventsSchema).option("pathGlobFilter", "events.parquet")
       .parquet(d)
@@ -55,13 +60,41 @@ object GateQueries {
     * True on the current fixture BY LUCK of generation, not by contract —
     * assert it at gate build so a regenerated dataset fails loudly here
     * instead of flaking the hash compare (round-7 advice). */
+  private val eventTriplesChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private def assertEventTriplesUnique(s: SparkSession, d: String): Unit = {
-    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
-    val n = ev.count()
-    val nd = ev.distinct().count()
-    require(n == nd, s"events fixture at $d has ${n - nd} duplicate " +
-      "(user_id, event_type, ts) triples — the q104/q105/q109 oracles " +
-      "are tie-sensitive; regenerate the fixture or tie-proof the oracles")
+    // Once per (JVM, fixture dir): this asserts a property of the FIXTURE,
+    // not of the query — running its two count jobs inside every gate
+    // build polluted q104/q105/q109's bench times (round-8 verdict).
+    eventTriplesChecked.computeIfAbsent(d, _ => {
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+      val n = ev.count()
+      val nd = ev.distinct().count()
+      require(n == nd, s"events fixture at $d has ${n - nd} duplicate " +
+        "(user_id, event_type, ts) triples — the q104/q105/q109 oracles " +
+        "are tie-sensitive; regenerate the fixture or tie-proof the oracles")
+      java.lang.Boolean.TRUE
+    })
+    ()
+  }
+
+  private val docsAsciiChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  /** q113's oracle chunks CHARACTERS (substr) while frameSample chunks
+    * BYTES — equivalent only while the documents fixture is pure ASCII.
+    * True on the current fixture by generation, not by contract: assert
+    * it at gate build (once per JVM+dir) so a regenerated UTF-8 fixture
+    * fails loudly here instead of flaking the hash compare. */
+  private def assertDocumentsAscii(s: SparkSession, d: String): Unit = {
+    docsAsciiChecked.computeIfAbsent(d, _ => {
+      val bad = Tables.documents(s, d)
+        .filter(octet_length(col("text")) =!= length(col("text"))).count()
+      require(bad == 0, s"documents fixture at $d has $bad non-ASCII rows " +
+        "— q113's substr-based oracle assumes bytes == characters; " +
+        "tie-proof the oracle (encode(text) chunking) before regenerating")
+      java.lang.Boolean.TRUE
+    })
+    ()
   }
 
   /** [[eventsStream]] plus ONE sentinel row (user_id -1, `event_type`
@@ -74,18 +107,29 @@ object GateQueries {
     * would stay pending forever and the gate would undercount. The
     * sentinel keys to -1 so it can never join or emit (q104: a quote
     * later than every trade; q105: an alpha no tick can fill). */
+  private val sentinelDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def eventsStreamWithSentinel(
       s: SparkSession, d: String, et: String): DataFrame = {
-    // batch events table carries the µs timestamp as `ts` (Tables.events
-    // rewrites the nanos long in place; `tsx` exists only on the stream)
-    val maxUs = Tables.events(s, d)
-      .agg(max(expr("unix_micros(ts)"))).head().getLong(0)
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_wm_sentinel").toString
-    import s.implicits._
-    Seq((-1L, (maxUs + 5000L) * 1000L, -1L, et, 0.0, ""))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("overwrite").parquet(tmp)
+    // Build the one-row sentinel file ONCE per (JVM, fixture dir, type) at
+    // a deterministic path (overwritten, so reruns reuse rather than
+    // accumulate /tmp dirs — round-8 advice): the driver-side max() scan
+    // and parquet write are fixture setup, not part of the streaming
+    // query Bench times.
+    val tmp = sentinelDirs.computeIfAbsent(s"$d|$et", _ => {
+      // batch events table carries the µs timestamp as `ts` (Tables.events
+      // rewrites the nanos long in place; `tsx` exists only on the stream)
+      val maxUs = Tables.events(s, d)
+        .agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+      val key = java.lang.Integer.toHexString(s"$d|$et".hashCode)
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_wm_sentinel_$key").toString
+      import s.implicits._
+      Seq((-1L, (maxUs + 5000L) * 1000L, -1L, et, 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
     val sentinel = s.readStream.schema(eventsSchema).parquet(tmp)
       .withColumn("tsx", timestamp_micros(expr("ts div 1000")))
     eventsStream(s, d).unionByName(sentinel)
@@ -330,6 +374,7 @@ object GateQueries {
     // every sampled frame's bytes all stated by the oracle via
     // substr+md5. A single off-by-one in the chunking mismatches a hash.
     "q113_frame_sample" -> { (s, d) =>
+      assertDocumentsAscii(s, d)
       val fs = graft.multimodal.Multimodal.frameSample(
         graft.multimodal.Multimodal.withBlob(documents(s, d), "text"),
         "doc_id", "blob", frameSize = 32, every = 2)

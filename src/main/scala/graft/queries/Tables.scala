@@ -17,9 +17,13 @@ object Tables {
   def region(s: SparkSession, d: String) = t(s, d, "region")
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
     * rejects; read nanos as long and convert (µs precision — the driver
-    * data carries µs). */
+    * data carries µs). Requires `spark.sql.legacy.parquet.nanosAsLong`
+    * set at session build — loaders must not mutate shared session conf
+    * (round-8 verdict's cross-suite-state hazard). */
   def events(s: SparkSession, d: String) = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
+        "(events.ts is parquet TIMESTAMP(NANOS))")
     import org.apache.spark.sql.functions._
     t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -128,8 +128,10 @@ object Cep extends Serializable {
     val tIdx = df.columns.indexOf(timeCol)
     val keyIdx = df.columns.indexOf(by)
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
-    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    df.repartition(parts, col(by))
+    // no explicit count: picks up the shuffle-partitions conf (which may
+    // be non-numeric, e.g. "auto") and lets AQE coalesce natively; hash
+    // partitioning co-locates each key at any partition count
+    df.repartition(col(by))
       .sortWithinPartitions(col(by), col(timeCol))
       .mapPartitions { rows =>
         new Iterator[Row] {
@@ -378,8 +380,17 @@ object Cep extends Serializable {
       val maxLog =
         if (bound.isNullAt(0)) Double.NegativeInfinity else bound.getDouble(0)
       if (maxLog > math.log(maxCandidatesPerKey.toDouble) / math.log(2)) {
-        if (autoRouteToNfa)
-          return patternRecognizeViaNfa(os, events, maxSpan, by)
+        if (autoRouteToNfa) {
+          // visible + bounded: the caller's density context carries over
+          // as a match cap (a dense key that would have failed fast here
+          // must not silently emit combinatorial output from the NFA)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            f"CEP join-form candidate bound ~2^$maxLog%.1f exceeds " +
+            f"$maxCandidatesPerKey; auto-routing to the streaming NFA " +
+            f"with maxMatchesPerKey=$maxCandidatesPerKey")
+          return patternRecognizeViaNfa(os, events, maxSpan, by,
+            maxMatchesPerKey = maxCandidatesPerKey)
+        }
         throw new IllegalStateException(
           f"CEP join-form candidate blow-up: a single ('$by', maxSpan-" +
           f"bucket) group could emit ~2^$maxLog%.1f > $maxCandidatesPerKey " +
