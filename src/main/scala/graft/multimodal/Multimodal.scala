@@ -29,6 +29,21 @@ case class ImageMeta(
     id: Long, byte_len: Long, ok: Boolean, format: String,
     width: Int, height: Int, r_sum: Long, g_sum: Long, b_sum: Long)
 
+/** Real decoded-audio facts (PCM samples actually read): container
+  * format, sample rate, channel count, bits per sample, frame count, and
+  * EXACT integer sample sums — total and channel 0 — as sample-level
+  * proof the decode ran. */
+case class AudioInfo(
+    format: String, sample_rate: Int, channels: Int, bits: Int,
+    n_frames: Long, amp_sum: Long, ch0_sum: Long)
+
+/** Per-blob decoded-audio row; `ok=false` keeps corrupt / non-audio
+  * bytes as flagged rows (same contract as [[ImageMeta]]). */
+case class AudioMeta(
+    id: Long, byte_len: Long, ok: Boolean, format: String,
+    sample_rate: Int, channels: Int, bits: Int, n_frames: Long,
+    duration_ms: Double, amp_sum: Long, ch0_sum: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata (reference reads raw blobs via
   * `read_files`, pyquokka/df.py:213-253 + unordered_readers.py:206-271,
@@ -159,13 +174,168 @@ object Multimodal {
       .toDF(idCol, embCol)
   }
 
-  /** STUB decode — the audio/video codec path (those libraries aren't in
-    * this container) and the fallback for bytes no image reader claims:
-    * deterministic fake "format" from the first byte, dimensions from
-    * header bytes. A real media library call replaces this body
-    * (per-partition, so codec state/buffers are reused across the
-    * batch); images never reach it — [[decodeMeta]] routes them through
-    * the real [[decodeImage]] first. */
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV / AIFF /
+    * AU with PCM payloads — zero extra dependencies, the same play as
+    * [[decodeImage]]'s `javax.imageio`). Reads the actual sample stream
+    * and returns exact integer sample sums (16-bit signed PCM; total and
+    * channel 0) alongside rate/channels/frame count, so an integer SQL
+    * oracle can state the decode's result sample-exactly. `None` for
+    * bytes no installed reader claims, truncated streams, or non-16-bit
+    * payloads — callers keep the row flagged, never drop it. */
+  def decodeAudio(bytes: Array[Byte]): Option[AudioInfo] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val bis = new java.io.ByteArrayInputStream(bytes)
+      val fileFmt = AudioSystem.getAudioFileFormat(bis)
+      bis.reset()
+      val ais = AudioSystem.getAudioInputStream(bis)
+      try {
+        val f = ais.getFormat
+        val ch = f.getChannels
+        val bits = f.getSampleSizeInBits
+        val signed = f.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+        if (bits != 16 || !signed || ch <= 0) None
+        else {
+          val declaredFrames = ais.getFrameLength
+          val frameBytes = ch * 2
+          val data = ais.readAllBytes()
+          // a truncated RIFF body (declared length > actual payload) is
+          // corrupt — flag it rather than summing a partial stream
+          if (declaredFrames >= 0 && data.length < declaredFrames * frameBytes)
+            None
+          else {
+            val nFrames = data.length / frameBytes
+            var amp = 0L; var ch0 = 0L
+            var i = 0
+            val le = !f.isBigEndian
+            while (i < nFrames * ch) {
+              val b0 = data(2 * i) & 0xff; val b1 = data(2 * i + 1) & 0xff
+              val s = (if (le) (b1 << 8) | b0 else (b0 << 8) | b1).toShort.toLong
+              amp += s
+              if (i % ch == 0) ch0 += s
+              i += 1
+            }
+            Some(AudioInfo(
+              fileFmt.getType.toString.toLowerCase(java.util.Locale.ROOT),
+              math.round(f.getSampleRate), ch, bits, nFrames.toLong, amp, ch0))
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Encode interleaved 16-bit signed PCM (`sample(ch, i)` per frame `i`)
+    * to real WAV bytes (RIFF/PCM16LE header written directly — byte-
+    * deterministic) — gates and specs plant decodable audio fixtures
+    * whose sample sums an integer SQL oracle can state. */
+  def encodeWavPcm16(sampleRate: Int, channels: Int, nFrames: Int)(
+      sample: (Int, Int) => Short): Array[Byte] = {
+    val dataLen = nFrames * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) { buf.putShort(sample(c, i)); c += 1 }
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Partition-wise REAL audio-metadata extraction (the audio twin of
+    * [[imageMeta]]): every blob through [[decodeAudio]]; bytes no reader
+    * claims come back `ok=false` with zeroed facts (row preserved).
+    * Narrow — blobs never shuffle; only this typed row flows on. */
+  def audioMeta(df: DataFrame, idCol: String, blobCol: String): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeAudio(bytes) match {
+            case Some(a) =>
+              AudioMeta(id, bytes.length.toLong, ok = true, a.format,
+                a.sample_rate, a.channels, a.bits, a.n_frames,
+                a.n_frames * 1000.0 / a.sample_rate, a.amp_sum, a.ch0_sum)
+            case None =>
+              AudioMeta(id, bytes.length.toLong, ok = false, "unknown",
+                0, 0, 0, 0L, 0.0, 0L, 0L)
+          }
+        }
+      }
+  }
+
+  /** REAL sample-derived audio features: per-channel mean amplitude
+    * (signed, normalized by 1<<15 into [-1,1)) as a dense `array<double>`
+    * embedding — audio → embedding → similarity with an actual decoder
+    * in the loop, mirroring [[imageFeatures]]. Undecodable blobs yield a
+    * null embedding (kept). */
+  def audioFeatures(df: DataFrame, idCol: String, blobCol: String,
+                    embCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val emb = decodeAudioChannelSums(bytes).orNull
+          (id, emb)
+        }
+      }
+      .toDF(idCol, embCol)
+  }
+
+  /** Per-channel mean amplitude for [[audioFeatures]] — separate from
+    * [[decodeAudio]] so the meta path stays allocation-light. */
+  private def decodeAudioChannelSums(bytes: Array[Byte]): Option[Array[Double]] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        val ch = f.getChannels
+        if (f.getSampleSizeInBits != 16 ||
+            f.getEncoding != AudioFormat.Encoding.PCM_SIGNED || ch <= 0) None
+        else {
+          val data = ais.readAllBytes()
+          val nFrames = data.length / (ch * 2)
+          if (nFrames == 0) None
+          else {
+            val sums = new Array[Double](ch)
+            val le = !f.isBigEndian
+            var i = 0
+            while (i < nFrames * ch) {
+              val b0 = data(2 * i) & 0xff; val b1 = data(2 * i + 1) & 0xff
+              sums(i % ch) +=
+                (if (le) (b1 << 8) | b0 else (b0 << 8) | b1).toShort.toInt
+              i += 1
+            }
+            Some(sums.map(_ / nFrames / (1 << 15)))
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** STUB decode — the video / compressed-audio codec path (mp4/mp3/etc
+    * libraries genuinely aren't in this container) and the fallback for
+    * bytes neither real decoder claims: deterministic fake "format" from
+    * the first byte, dimensions from header bytes. A real media library
+    * call replaces this body (per-partition, so codec state/buffers are
+    * reused across the batch); images and PCM audio never reach it —
+    * [[decodeMeta]] routes them through the real [[decodeImage]] /
+    * [[decodeAudio]] first. */
   def decodeStub(bytes: Array[Byte]): (String, Int, Int, Int) = {
     val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
     val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
@@ -178,8 +348,10 @@ object Multimodal {
 
   /** Partition-wise metadata extraction over (id, blob) rows → typed
     * Dataset[MediaMeta]. Images decode for REAL ([[decodeImage]] —
-    * format/width/height from actual pixels, single frame); anything no
-    * image reader claims (audio/video/other) falls back to
+    * format/width/height from actual pixels, single frame), as does PCM
+    * audio ([[decodeAudio]] — width carries the channel count, n_frames
+    * the true frame count); only bytes neither real decoder claims
+    * (video/compressed-audio codecs the JDK lacks) fall back to
     * [[decodeStub]]. The mapPartitions boundary is where a codec
     * amortizes per-task init (dictionary load, JNI handles). */
   def decodeMeta(df: DataFrame, idCol: String, blobCol: String): Dataset[MediaMeta] = {
@@ -192,9 +364,14 @@ object Multimodal {
           decodeImage(bytes) match {
             case Some(i) =>
               MediaMeta(id, bytes.length.toLong, i.format, i.width, i.height, 1)
-            case None =>
-              val (format, w, h, n) = decodeStub(bytes)
-              MediaMeta(id, bytes.length.toLong, format, w, h, n)
+            case None => decodeAudio(bytes) match {
+              case Some(a) =>
+                MediaMeta(id, bytes.length.toLong, a.format, a.channels, 0,
+                  math.min(a.n_frames, Int.MaxValue.toLong).toInt)
+              case None =>
+                val (format, w, h, n) = decodeStub(bytes)
+                MediaMeta(id, bytes.length.toLong, format, w, h, n)
+            }
           }
         }
       }

@@ -385,6 +385,48 @@ object GateQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // REAL audio decode (multimodal.Multimodal.decodeAudio — the JDK's
+    // javax.sound.sampled, zero extra dependencies, round-8's imageio
+    // play repeated for WAV/PCM): each nation key gets a synthesized
+    // PCM16 WAV (key-derived rate/channels/length and a key-derived
+    // sample ramp), decoded distributed-side back to format, rate,
+    // channels, frame count, duration, and EXACT integer sample sums
+    // (total + channel 0). Two corrupt classes stay flagged rows, never
+    // dropped: garbage bytes (id%10==4) and a TRUNCATED RIFF whose
+    // header declares more frames than the payload carries (id%10==9).
+    // The oracle states every sum in integer arithmetic from the key —
+    // one misread sample and the hash gate fails.
+    "q114_audio_decode" -> { (s, d) =>
+      import s.implicits._
+      val blobs = nation(s, d).select(col("n_nationkey").cast("long").as("id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val blob =
+              if (id % 10 == 4) // not a RIFF at all
+                Array.tabulate[Byte](32)(i => ((id * 31 + i * 7) % 251).toByte)
+              else if (id % 10 == 9) { // valid header, truncated payload
+                val full = graft.multimodal.Multimodal.encodeWavPcm16(
+                  8000, 1, 100)((_, i) => i.toShort)
+                java.util.Arrays.copyOfRange(full, 0, 60)
+              } else {
+                val ch = 1 + (id % 2).toInt
+                val nf = 50 + (id % 7).toInt * 10
+                graft.multimodal.Multimodal.encodeWavPcm16(8000, ch, nf)(
+                  (c, i) => (((id * 13 + c * 7 + i * 3) % 2001) - 1000).toShort)
+              }
+            (id, blob)
+          }
+        }.toDF("id", "blob")
+      graft.multimodal.Multimodal.audioMeta(blobs, "id", "blob").toDF()
+        .select(col("id"), col("ok").cast("int").as("ok"), col("format"),
+          col("sample_rate").cast("bigint").as("sample_rate"),
+          col("channels").cast("bigint").as("channels"),
+          col("bits").cast("bigint").as("bits"),
+          col("n_frames"), col("duration_ms"), col("amp_sum"), col("ch0_sum"))
+        .orderBy("id")
+    },
+
     // batch UDF/UDTF surface (DataStream.transform): a mapPartitions
     // row function whose effect — per-document token count and a 1→N
     // fan-out flag row per long doc (the UDTF half) — SQL can state.
@@ -620,6 +662,41 @@ object GateQueries {
         |FROM a JOIN t ON a.user_id = t.user_id AND t.ts >= a.ts
         |GROUP BY a.user_id, a.ts, a.value
         |ORDER BY a.user_id, tsd""".stripMargin,
+    // sample-exact integer restatement of the WAV fixture: both corrupt
+    // classes (garbage bytes, truncated RIFF) must surface ok=0 rows
+    "q114_audio_decode" ->
+      """WITH p AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |    CAST(1 + n_nationkey % 2 AS BIGINT) AS ch,
+        |    CAST(50 + (n_nationkey % 7) * 10 AS BIGINT) AS nf
+        |  FROM nation),
+        |s AS (SELECT id, ch, nf, unnest(range(0, nf)) AS i FROM p),
+        |sums AS (
+        |  SELECT id,
+        |    CAST(sum((id*13 + 3*i) % 2001 - 1000
+        |      + CASE WHEN ch = 2 THEN (id*13 + 7 + 3*i) % 2001 - 1000
+        |             ELSE 0 END) AS BIGINT) AS amp_sum,
+        |    CAST(sum((id*13 + 3*i) % 2001 - 1000) AS BIGINT) AS ch0_sum
+        |  FROM s GROUP BY id)
+        |SELECT p.id,
+        |  CASE WHEN p.id % 10 IN (4, 9) THEN 0 ELSE 1 END AS ok,
+        |  CASE WHEN p.id % 10 IN (4, 9) THEN 'unknown' ELSE 'wave' END
+        |    AS format,
+        |  CAST(CASE WHEN p.id % 10 IN (4, 9) THEN 0 ELSE 8000 END
+        |    AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN p.id % 10 IN (4, 9) THEN 0 ELSE p.ch END
+        |    AS BIGINT) AS channels,
+        |  CAST(CASE WHEN p.id % 10 IN (4, 9) THEN 0 ELSE 16 END
+        |    AS BIGINT) AS bits,
+        |  CAST(CASE WHEN p.id % 10 IN (4, 9) THEN 0 ELSE p.nf END
+        |    AS BIGINT) AS n_frames,
+        |  CASE WHEN p.id % 10 IN (4, 9) THEN 0.0
+        |       ELSE p.nf * 1000 / 8000.0 END AS duration_ms,
+        |  CAST(CASE WHEN p.id % 10 IN (4, 9) THEN 0 ELSE sums.amp_sum END
+        |    AS BIGINT) AS amp_sum,
+        |  CAST(CASE WHEN p.id % 10 IN (4, 9) THEN 0 ELSE sums.ch0_sum END
+        |    AS BIGINT) AS ch0_sum
+        |FROM p JOIN sums USING (id) ORDER BY id""".stripMargin,
     "q113_frame_sample" ->
       """WITH f AS (SELECT doc_id, text, length(text) AS n FROM documents),
         |i AS (SELECT doc_id, text, n,

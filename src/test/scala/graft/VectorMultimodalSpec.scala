@@ -155,6 +155,61 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows(1).width >= 16 && rows(1).width < 80)
   }
 
+  test("decodeAudio round-trips a real WAV sample-exactly (javax.sound.sampled)") {
+    // 3 frames, 2 channels, known shorts: sums are hand-checkable
+    val wav = Multimodal.encodeWavPcm16(8000, 2, 3)(
+      (c, i) => (100 * (i + 1) * (if (c == 0) 1 else -1)).toShort)
+    val a = Multimodal.decodeAudio(wav).get
+    assert(a.format == "wave")
+    assert(a.sample_rate == 8000 && a.channels == 2 && a.bits == 16)
+    assert(a.n_frames == 3L)
+    assert(a.ch0_sum == 600L)  // 100 + 200 + 300
+    assert(a.amp_sum == 0L)    // channel 1 mirrors channel 0 negated
+  }
+
+  test("decodeAudio: corrupt, truncated, and empty bytes yield None, never throw") {
+    assert(Multimodal.decodeAudio("not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio(Array.emptyByteArray).isEmpty)
+    // valid RIFF header, payload cut short: header declares 100 frames
+    val full = Multimodal.encodeWavPcm16(8000, 1, 100)((_, i) => i.toShort)
+    assert(Multimodal.decodeAudio(
+      java.util.Arrays.copyOfRange(full, 0, 60)).isEmpty)
+  }
+
+  test("audioMeta keeps corrupt rows (ok=false) alongside decoded ones") {
+    val s = spark
+    import s.implicits._
+    val wav = Multimodal.encodeWavPcm16(16000, 1, 4)((_, i) => (10 * i).toShort)
+    val df = Seq((1L, wav), (2L, "garbage".getBytes)).toDF("id", "blob")
+    val rows = Multimodal.audioMeta(df, "id", "blob").collect().sortBy(_.id)
+    assert(rows.length == 2)
+    assert(rows(0).ok && rows(0).format == "wave" && rows(0).sample_rate == 16000)
+    assert(rows(0).n_frames == 4L && rows(0).amp_sum == 60L)
+    assert(rows(0).duration_ms == 0.25)
+    assert(!rows(1).ok && rows(1).format == "unknown" && rows(1).channels == 0)
+  }
+
+  test("audioFeatures: per-channel mean amplitude is sample-exact") {
+    val s = spark
+    import s.implicits._
+    val wav = Multimodal.encodeWavPcm16(8000, 2, 2)(
+      (c, i) => (if (c == 0) 1 << 14 else -(1 << 13)).toShort)
+    val df = Seq((1L, wav), (2L, "junk".getBytes)).toDF("id", "blob")
+    val out = Multimodal.audioFeatures(df, "id", "blob").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(out(1L).get.toSeq == Seq(0.5, -0.25))
+    assert(out(2L).isEmpty)
+  }
+
+  test("decodeMeta routes PCM audio through the real decoder") {
+    val s = spark
+    import s.implicits._
+    val wav = Multimodal.encodeWavPcm16(8000, 2, 7)((_, _) => 1.toShort)
+    val df = Seq((1L, wav)).toDF("id", "blob")
+    val m = Multimodal.decodeMeta(df, "id", "blob").collect().head
+    assert(m.format == "wave" && m.width == 2 && m.n_frames == 7)
+  }
+
   test("frameSample covers the blob with stride") {
     val f = Multimodal.frameSample(blobs().limit(5), "doc_id", "blob",
       frameSize = 32, every = 2).collect()
