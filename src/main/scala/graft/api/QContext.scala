@@ -149,6 +149,19 @@ class QContext(val spark: SparkSession) {
       r.option("snapshot-id", id.toString)).load(table))
   }
 
+  /** Snapshot-ID / time-travel reads WITHOUT an iceberg runtime jar:
+    * [[graft.sources.Snapshots]]' parquet-manifest tables cover
+    * `read_iceberg`'s capability (reference df.py:802-832) in this
+    * offline container — same manifest-over-immutable-parquet design,
+    * plain parquet scan underneath (pushdown/pruning intact). */
+  def readSnapshot(dir: String, snapshotId: Option[Long] = None): DataStream =
+    new DataStream(graft.sources.Snapshots.read(spark, dir, snapshotId))
+
+  /** Commit a new snapshot (overwrite|append); returns the snapshot id. */
+  def writeSnapshot(ds: DataStream, dir: String,
+                    mode: String = "overwrite"): Long =
+    graft.sources.Snapshots.write(ds.df, dir, mode)
+
   /** Paginated REST API as a source (reference `read_rest_get/post`,
     * df.py:655-663 + dataset/crypto_dataset.py:4-83). The fetcher is
     * injectable (page index → JSON body, None = exhausted); pages are

@@ -427,6 +427,36 @@ object GateQueries {
         .orderBy("id")
     },
 
+    // Snapshot / time-travel reads (sources.Snapshots — the parquet-
+    // manifest cover for read_iceberg's capability, since no iceberg jar
+    // exists in this container): commit v1 = full region, v2 = OVERWRITE
+    // with keys < 3, v3 = APPEND keys >= 3 back. Reading each pinned
+    // snapshot id (and HEAD, which must equal v3) must reproduce exactly
+    // the row set each commit made visible — stated by the oracle from
+    // the region table directly. Time travel failing (e.g. v2's read
+    // seeing v3's appended files) breaks the per-snapshot sums.
+    "q115_snapshot_timetravel" -> { (s, d) =>
+      import s.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q115_snapshots").toString
+      val qc = new QContext(s)
+      val region = Tables.region(s, d)
+        .select(col("r_regionkey").cast("long").as("k"))
+      qc.writeSnapshot(new DataStream(region), dir)
+      qc.writeSnapshot(new DataStream(region.filter(col("k") < 3)), dir,
+        mode = "overwrite")
+      qc.writeSnapshot(new DataStream(region.filter(col("k") >= 3)), dir,
+        mode = "append")
+      def stat(snap: Long, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_sum"))
+          .select(lit(snap).as("snap"), col("n_rows"), col("key_sum"))
+      stat(1, qc.readSnapshot(dir, Some(1L)).df)
+        .unionByName(stat(2, qc.readSnapshot(dir, Some(2L)).df))
+        .unionByName(stat(3, qc.readSnapshot(dir, Some(3L)).df))
+        .unionByName(stat(4, qc.readSnapshot(dir).df)) // HEAD == v3
+        .orderBy("snap")
+    },
+
     // batch UDF/UDTF surface (DataStream.transform): a mapPartitions
     // row function whose effect — per-document token count and a 1→N
     // fan-out flag row per long doc (the UDTF half) — SQL can state.
@@ -662,6 +692,20 @@ object GateQueries {
         |FROM a JOIN t ON a.user_id = t.user_id AND t.ts >= a.ts
         |GROUP BY a.user_id, a.ts, a.value
         |ORDER BY a.user_id, tsd""".stripMargin,
+    // snapshots restated from region: v1 full, v2 keys<3, v3 append back
+    // to full, HEAD (snap 4 row) == v3
+    "q115_snapshot_timetravel" ->
+      """SELECT CAST(snap AS BIGINT) AS snap, n_rows,
+        |  CAST(key_sum AS BIGINT) AS key_sum FROM (
+        |  SELECT 1 AS snap, count(*) AS n_rows, sum(r_regionkey) AS key_sum
+        |  FROM region
+        |  UNION ALL
+        |  SELECT 2, count(*), sum(r_regionkey) FROM region WHERE r_regionkey < 3
+        |  UNION ALL
+        |  SELECT 3, count(*), sum(r_regionkey) FROM region
+        |  UNION ALL
+        |  SELECT 4, count(*), sum(r_regionkey) FROM region
+        |) ORDER BY snap""".stripMargin,
     // sample-exact integer restatement of the WAV fixture: both corrupt
     // classes (garbage bytes, truncated RIFF) must surface ok=0 rows
     "q114_audio_decode" ->

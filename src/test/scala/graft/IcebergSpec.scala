@@ -1,6 +1,7 @@
 package graft
 
 import graft.api.QContext
+import org.apache.spark.sql.functions.col
 
 /** End-to-end gate for the iceberg source (QContext.readIceberg,
   * reference read_iceberg df.py:802-832 + snapshot reads
@@ -34,5 +35,57 @@ class IcebergSpec extends SparkSpecBase {
     val ctx = new QContext(spark)
     assert(ctx.readIceberg("graft_local.db.t").df.count() === 3L)
     assert(ctx.readIceberg("graft_local.db.t", Some(snap1)).df.count() === 2L)
+  }
+}
+
+/** The jar-free cover for the same capability: parquet-manifest snapshot
+  * tables (graft.sources.Snapshots). Unlike IcebergSpec this RUNS here —
+  * q115 gates the operator against the DuckDB oracle; these specs pin
+  * the commit protocol's edges. */
+class SnapshotsSpec extends SparkSpecBase {
+  import graft.sources.Snapshots
+
+  private def freshDir =
+    java.nio.file.Files.createTempDirectory("graft_snapspec").toString
+
+  test("overwrite and append commits pin independent readable snapshots") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir
+    assert(Snapshots.write(Seq(1L, 2L, 3L).toDF("k"), dir) === 1L)
+    assert(Snapshots.write(Seq(10L).toDF("k"), dir, "overwrite") === 2L)
+    assert(Snapshots.write(Seq(20L, 30L).toDF("k"), dir, "append") === 3L)
+    def keys(id: Option[Long]) =
+      Snapshots.read(spark, dir, id).collect().map(_.getLong(0)).sorted.toSeq
+    assert(keys(Some(1L)) === Seq(1L, 2L, 3L))
+    assert(keys(Some(2L)) === Seq(10L))
+    assert(keys(Some(3L)) === Seq(10L, 20L, 30L))
+    assert(keys(None) === Seq(10L, 20L, 30L)) // HEAD
+    val hist = Snapshots.history(spark, dir)
+      .orderBy("snapshot_id").collect()
+    assert(hist.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(hist.map(_.getString(3)).toSeq ===
+      Seq("overwrite", "overwrite", "append"))
+    assert(hist.last.getInt(4) === 2) // append lists parent's dir + its own
+  }
+
+  test("missing snapshot id and empty table fail loudly") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir
+    intercept[IllegalArgumentException](Snapshots.read(spark, dir, None))
+    Snapshots.write(Seq(1L).toDF("k"), dir)
+    intercept[IllegalArgumentException](
+      Snapshots.read(spark, dir, Some(99L)))
+  }
+
+  test("snapshot reads keep parquet pushdown (filter reaches the scan)") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir
+    Snapshots.write((1L to 100L).toDF("k"), dir)
+    val plan = Snapshots.read(spark, dir).filter(col("k") === 5L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,5)]"), plan)
   }
 }
