@@ -135,17 +135,59 @@ object GateQueries {
     eventsStream(s, d).unionByName(sentinel)
   }
 
+  // Unstarted streaming aggregates, shared by the gates below (which
+  // drive them to completion via runToMemory) and PlanHygieneSpec (which
+  // pins their stateful-operator / watermark node counts without running
+  // them — the post-run memory-table plan the catalog-wide sweep sees
+  // carries none of the streaming shape).
+  private[graft] def q100Plan(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingOps.windowedAgg(
+      eventsStream(s, d), "tsx", "user_id", "86400 seconds",
+      "86400 seconds", "0 seconds",
+      Map("n" -> count(lit(1)), "value_sum" -> Det.dsum(col("value"))))
+
+  private[graft] def q101Plan(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingOps.sessionAgg(
+      eventsStream(s, d), "tsx", "user_id", "7200 seconds", "0 seconds",
+      Map("n" -> count(lit(1)), "value_sum" -> Det.dsum(col("value"))))
+
+  private def asofSide(ev: DataFrame, t: String): DataFrame =
+    ev.filter(col("event_type") === t)
+      .select(col("user_id").as("key"), col("tsx").as("ts"), col("value"))
+
+  private[graft] def q104Plan(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsStreamWithSentinel(s, d, et = "view")
+    graft.streaming.StreamingOps.streamingAsof(
+      asofSide(ev, "purchase"), asofSide(ev, "view"), "0 seconds")
+  }
+
+  private[graft] def q105Plan(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsStreamWithSentinel(s, d, et = "purchase")
+    graft.streaming.StreamingOps.streamingAsofForward(
+      asofSide(ev, "purchase"), asofSide(ev, "view"), "0 seconds")
+  }
+
+  private[graft] def q108Plan(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingOps.windowedAgg(
+      eventsStream(s, d), "tsx", "user_id", "86400 seconds",
+      "43200 seconds", "0 seconds",
+      Map("n" -> count(lit(1)), "value_sum" -> Det.dsum(col("value"))))
+
+  private[graft] def q109Plan(s: SparkSession, d: String): DataFrame = {
+    def src = eventsStream(s, d).select(col("user_id"), col("event_type"),
+      col("tsx"))
+    graft.streaming.StreamingOps.streamingDistinct(
+      src.unionByName(src), "tsx", "0 seconds",
+      Seq("user_id", "event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     // TRUE Structured Streaming tumbling window (StreamingOps.windowedAgg:
     // watermarked event-time window over an unbounded source) driven to
     // completion on the bounded fixture and gated against the same SQL
     // oracle as the batch form — the streaming family's first oracle gate.
     "q100_streaming_tumbling" -> { (s, d) =>
-      val agg = graft.streaming.StreamingOps.windowedAgg(
-        eventsStream(s, d), "tsx", "user_id", "86400 seconds",
-        "86400 seconds", "0 seconds",
-        Map("n" -> count(lit(1)), "value_sum" -> Det.dsum(col("value"))))
-      runToMemory(s, agg, "graft_q100_mem")
+      runToMemory(s, q100Plan(s, d), "graft_q100_mem")
         .select(col("user_id"),
           col("window_start").cast("double").as("window_start"),
           col("n"), col("value_sum"))
@@ -157,10 +199,7 @@ object GateQueries {
     // the previous one (break is strictly > gap — verified on 4.1.2),
     // which the oracle's lag-cumsum sessionization mirrors.
     "q101_streaming_session" -> { (s, d) =>
-      val agg = graft.streaming.StreamingOps.sessionAgg(
-        eventsStream(s, d), "tsx", "user_id", "7200 seconds", "0 seconds",
-        Map("n" -> count(lit(1)), "value_sum" -> Det.dsum(col("value"))))
-      runToMemory(s, agg, "graft_q101_mem")
+      runToMemory(s, q101Plan(s, d), "graft_q101_mem")
         .select(col("user_id"),
           col("session_start").cast("double").as("session_start"),
           col("session_end").cast("double").as("session_end"),
@@ -177,12 +216,7 @@ object GateQueries {
       assertEventTriplesUnique(s, d)
       // sentinel on the quote side: pushes the final watermark past all
       // real events (see eventsStreamWithSentinel); keyed -1, never joins
-      val ev = eventsStreamWithSentinel(s, d, et = "view")
-      def side(t: String) = ev.filter(col("event_type") === t)
-        .select(col("user_id").as("key"), col("tsx").as("ts"), col("value"))
-      val out = graft.streaming.StreamingOps.streamingAsof(
-        side("purchase"), side("view"), "0 seconds")
-      runToMemory(s, out, "graft_q104_mem", outputMode = "append")
+      runToMemory(s, q104Plan(s, d), "graft_q104_mem", outputMode = "append")
         .select(col("key").cast("bigint").as("user_id"),
           col("ts").cast("double").as("tsd"), col("value"),
           col("quote_ts").cast("double").as("quote_tsd"), col("quote_value"))
@@ -199,12 +233,7 @@ object GateQueries {
       assertEventTriplesUnique(s, d)
       // sentinel on the alpha side: pushes the final watermark past all
       // real events; an alpha with no tick at-or-after it never emits
-      val ev = eventsStreamWithSentinel(s, d, et = "purchase")
-      def side(t: String) = ev.filter(col("event_type") === t)
-        .select(col("user_id").as("key"), col("tsx").as("ts"), col("value"))
-      val out = graft.streaming.StreamingOps.streamingAsofForward(
-        side("purchase"), side("view"), "0 seconds")
-      runToMemory(s, out, "graft_q105_mem", outputMode = "append")
+      runToMemory(s, q105Plan(s, d), "graft_q105_mem", outputMode = "append")
         .select(col("key").cast("bigint").as("user_id"),
           col("ts").cast("double").as("tsd"), col("value"),
           col("fill_ts").cast("double").as("fill_tsd"), col("fill_value"))
@@ -260,11 +289,7 @@ object GateQueries {
     // StreamingOps.windowedAgg; this gates hop != size — each event in
     // two overlapping windows — against q44's lateral-hop oracle).
     "q108_streaming_hopping" -> { (s, d) =>
-      val agg = graft.streaming.StreamingOps.windowedAgg(
-        eventsStream(s, d), "tsx", "user_id", "86400 seconds",
-        "43200 seconds", "0 seconds",
-        Map("n" -> count(lit(1)), "value_sum" -> Det.dsum(col("value"))))
-      runToMemory(s, agg, "graft_q108_mem")
+      runToMemory(s, q108Plan(s, d), "graft_q108_mem")
         .select(col("user_id"),
           col("window_start").cast("double").as("window_start"),
           col("n"), col("value_sum"))
@@ -281,12 +306,7 @@ object GateQueries {
     // single-copy oracle.
     "q109_streaming_distinct" -> { (s, d) =>
       assertEventTriplesUnique(s, d)
-      def src = eventsStream(s, d).select(col("user_id"), col("event_type"),
-        col("tsx"))
-      val dist = graft.streaming.StreamingOps.streamingDistinct(
-        src.unionByName(src), "tsx", "0 seconds",
-        Seq("user_id", "event_type"))
-      runToMemory(s, dist, "graft_q109_mem", outputMode = "append")
+      runToMemory(s, q109Plan(s, d), "graft_q109_mem", outputMode = "append")
         .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
         .orderBy("user_id", "event_type")
     },

@@ -74,7 +74,15 @@ class PlanHygieneSpec extends SparkSpecBase {
     "tpch09" -> (3, 6), "tpch21" -> (3, 5),
     "q36_highcard_agg" -> (1, 0), "q48_cep" -> (1, 2),
     "q55_ann_lsh" -> (2, 1), "q66_lsh_near_dup" -> (4, 2),
-    "q68_ngram_jaccard" -> (5, 0), "q77_pagerank" -> (1, 0))
+    "q68_ngram_jaccard" -> (5, 0), "q77_pagerank" -> (1, 0),
+    // round-9 pins: the round-8 multimodal/CEP surfaces (all narrow +
+    // an output-sort exchange; q111's NFA adds its one key shuffle) and
+    // q47, whose unexplained 3.2× bench drift in round 8 had no plan
+    // change — the pin turns any future real drift into a spec failure
+    "q47_tumbling_event" -> (2, 0),
+    "q110_image_decode" -> (1, 0), "q111_cep_nfa_route" -> (2, 0),
+    "q112_image_resize" -> (1, 0), "q113_frame_sample" -> (1, 0),
+    "q114_audio_decode" -> (1, 0))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
@@ -87,5 +95,48 @@ class PlanHygieneSpec extends SparkSpecBase {
     }
     assert(diffs.isEmpty, "plan shape drift (run graft.tools.PlanCounts " +
       s"and update pins only if intentional):\n${diffs.mkString("\n")}")
+  }
+
+  /** Streaming-gate shape pins (round-8 verdict item 6): the catalog
+    * sweep above only sees the post-run memory-table plan, so the six
+    * streaming gates' REAL shape — exactly one watermark and exactly one
+    * stateful operator each, no stray stream-stream join — is pinned on
+    * the unstarted DataFrames' analyzed plans. An extra watermark or a
+    * second stateful operator is a silent state-store blow-up at scale.
+    * Recorded by `graft.tools.PlanCounts --streaming`. */
+  private val streamingPins: Map[String, Map[String, Int]] = {
+    def shape(agg: Int, fmgws: Int, dedup: Int, union: Int) = Map(
+      "EventTimeWatermark" -> 1, "Aggregate" -> agg,
+      "FlatMapGroupsWithState" -> fmgws, "Deduplicate" -> dedup,
+      "DeduplicateWithinWatermark" -> 0, "Join" -> 0, "Union" -> union)
+    Map(
+      "q100_streaming_tumbling" -> shape(1, 0, 0, 0),
+      "q101_streaming_session" -> shape(1, 0, 0, 0),
+      // as-of: sentinel union + the two tagged sides' union, ONE
+      // two-sided stateful operator (not a stream-stream join)
+      "q104_streaming_asof" -> shape(0, 1, 0, 3),
+      "q105_streaming_asof_fwd" -> shape(0, 1, 0, 3),
+      "q108_streaming_hopping" -> shape(1, 0, 0, 0),
+      "q109_streaming_distinct" -> shape(0, 0, 1, 1))
+  }
+
+  test("streaming gates pin exactly one watermark + one stateful operator") {
+    import graft.queries.GateQueries
+    val d = sf()
+    val built: Map[String, org.apache.spark.sql.DataFrame] = Map(
+      "q100_streaming_tumbling" -> GateQueries.q100Plan(spark, d),
+      "q101_streaming_session" -> GateQueries.q101Plan(spark, d),
+      "q104_streaming_asof" -> GateQueries.q104Plan(spark, d),
+      "q105_streaming_asof_fwd" -> GateQueries.q105Plan(spark, d),
+      "q108_streaming_hopping" -> GateQueries.q108Plan(spark, d),
+      "q109_streaming_distinct" -> GateQueries.q109Plan(spark, d))
+    val diffs = streamingPins.toSeq.sortBy(_._1).flatMap { case (name, exp) =>
+      val got = graft.tools.PlanShape.streamingNodeCounts(built(name))
+      if (got == exp) None
+      else Some(s"$name: got $got, pinned $exp")
+    }
+    assert(diffs.isEmpty, "streaming shape drift (run graft.tools.PlanCounts" +
+      s" --streaming and update pins only if intentional):\n" +
+      diffs.mkString("\n"))
   }
 }
