@@ -187,6 +187,53 @@ class SoakSpec extends SparkSpecBase {
     } finally sys.props.remove("graft.dsum.checked")
   }
 
+  test("sparseJaccardPairs: maxDf caps a stop-shingle shared by every doc") {
+    val s = spark
+    import s.implicits._
+    // 3000 docs: every doc carries the same hot 4-token prefix (its two
+    // shingles hit df=3000 — the stop-shingle skew shape: uncapped, the
+    // posting self-join would emit ~3000²/2 ≈ 4.5M candidate rows from
+    // those shingles alone) plus a 3-token tail shared with exactly ONE
+    // partner doc (df=2 shingles). With maxDf=100 the hot shingles drop
+    // and the join touches only the pair shingles: exactly 1500 pairs.
+    val n = 3000
+    val docs = (0 until n)
+      .map(i => (i.toLong, s"c0 c1 c2 c3 p${i % (n / 2)} q${i % (n / 2)} r${i % (n / 2)}"))
+      .toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.sparseJaccardPairs(
+      docs, "doc_id", "text", threshold = 0.1, shingleK = 3, maxDf = 100)
+      .collect()
+    assert(out.length === n / 2)
+    // partner pairing is exact: (i, i + n/2), every surviving pair's
+    // jaccard is the conservative 3 shared of 7 distinct shingles
+    assert(out.forall(r => r.getLong(1) == r.getLong(0) + n / 2))
+    assert(out.forall(r => math.abs(r.getDouble(2) - 3.0 / 7.0) < 1e-12))
+  }
+
+  test("lshCandidates: maxBucket caps a degenerate all-identical bucket") {
+    val s = spark
+    import s.implicits._
+    // 5000 byte-identical docs land in ONE (band, bucket) per band —
+    // uncapped that bucket alone emits 5000²/2 = 12.5M candidate pairs
+    // per band. With maxBucket=64 the degenerate buckets drop entirely
+    // while 50 small identical PAIRS (bucket size 2, under the cap)
+    // still surface — the cap bounds the blow-up without blinding the
+    // operator to ordinary duplicates.
+    val boiler = (0 until 5000)
+      .map(i => (i.toLong, "same boiler plate text everywhere always"))
+    val pairs = (0 until 100)
+      .map(i => (10000L + i, s"unique u${i / 2} v${i / 2} w${i / 2} x${i / 2} y${i / 2}"))
+    val docs = (boiler ++ pairs).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.lshCandidates(
+      docs, "doc_id", "text", numHashes = 16, shingleK = 3, numBands = 4,
+      maxBucket = Some(64)).collect()
+    assert(out.length === 50)
+    assert(out.forall { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      a >= 10000L && b == a + 1 && a % 2 == 0
+    })
+  }
+
   test("Det.dsumChecked enforces the magnitude cap it documents") {
     val s = spark
     import s.implicits._
