@@ -29,13 +29,17 @@ object Dedup {
   /** Tag every row with its content key and canonical (minimum) id among
     * rows sharing the key. `is_dup` marks rows a dedup pass would drop.
     * Keeping it as a tagging operator (rather than a filter) makes it
-    * verifiable and composable; `.filter(!col("is_dup"))` dedups. */
+    * verifiable and composable; `.filter(!col("is_dup"))` dedups.
+    *
+    * The md5 projection runs BEFORE the window's shuffle and everything
+    * else is dropped, so only (id, 128-bit key) ever crosses the wire —
+    * at corpus scale the documents themselves stay put (round-9: the
+    * previous form let `textCol` ride through the content_key exchange). */
   def exactDedupTags(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(col("content_key"))
-    df.withColumn("content_key", TextOps.md5Hex(col(textCol)))
+    df.select(col(idCol), TextOps.md5Hex(col(textCol)).as("content_key"))
       .withColumn("canonical_id", min(col(idCol)).over(w))
       .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
-      .select(col(idCol), col("content_key"), col("canonical_id"), col("is_dup"))
   }
 
   // ---- MinHash --------------------------------------------------------

@@ -207,13 +207,20 @@ object TextDedupQueries {
       val docs = documents(s, d)
         .withColumn("q", TextOps.qualityScore(col("text")))
         .filter(col("q") >= 0.5)
+      // everything the rollup needs is computed BEFORE any join/exchange
+      // (round-9: the previous form joined back to the full docs subtree,
+      // whose text column was broadcast at sf0.1 and would shuffle the
+      // corpus itself the moment the broadcast threshold breaks at scale)
+      // — so no exchange anywhere in this plan ever carries text
+      val slim = docs.select(col("doc_id"), col("lang"), col("q"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_toks"))
       val kept = Dedup.exactDedupTags(docs.select(col("doc_id"), col("text")),
           "doc_id", "text")
         .filter(!col("is_dup"))
-        .join(docs, "doc_id")
+        .join(slim, "doc_id")
       kept.groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
-        sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        sum(col("n_toks")).as("total_tokens"),
         // order-independent mean (scale 9: scores are in [0,1]) — a raw
         // avg of computed doubles drifts at the last ulp with partition
         // order, which a hash gate turns into a coin flip.

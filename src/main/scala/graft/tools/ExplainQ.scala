@@ -9,7 +9,8 @@ object ExplainQ {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
+    // override for scale profiling (e.g. target/sf1, the 10x soak copy)
+    val d = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_DIR", "/root/testdata/sf0.1")
     for (q <- args) {
       println(s"===== $q =====")
       val df = graft.SparkEntry.queries(q)(spark, d)
