@@ -381,15 +381,18 @@ object Cep extends Serializable {
         if (bound.isNullAt(0)) Double.NegativeInfinity else bound.getDouble(0)
       if (maxLog > math.log(maxCandidatesPerKey.toDouble) / math.log(2)) {
         if (autoRouteToNfa) {
-          // visible + bounded: the caller's density context carries over
-          // as a match cap (a dense key that would have failed fast here
-          // must not silently emit combinatorial output from the NFA)
+          // visible, not capped: the route must reproduce the join form's
+          // FULL result (PropertySpec pins routed == joined), and the
+          // pre-check bound is a loose candidate-tuple estimate — actual
+          // matches may be far fewer, so a derived match cap would fail
+          // legitimate dense queries. The warning keeps the density
+          // visible; callers needing a hard output bound call
+          // nfaPatternRecognize with maxMatchesPerKey directly.
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             f"CEP join-form candidate bound ~2^$maxLog%.1f exceeds " +
             f"$maxCandidatesPerKey; auto-routing to the streaming NFA " +
-            f"with maxMatchesPerKey=$maxCandidatesPerKey")
-          return patternRecognizeViaNfa(os, events, maxSpan, by,
-            maxMatchesPerKey = maxCandidatesPerKey)
+            "(match volume unbounded — the NFA caps live state, not output)")
+          return patternRecognizeViaNfa(os, events, maxSpan, by)
         }
         throw new IllegalStateException(
           f"CEP join-form candidate blow-up: a single ('$by', maxSpan-" +
