@@ -161,9 +161,17 @@ object Dedup {
     // pinned storage for the SparkContext lifetime.)
     val sh = shingleRel(df, idCol, textCol, shingleK)
     val cands = lshCandidatesFrom(sh, idCol, numHashes, numBands, None)
+    // confirm joins are SHUFFLE-hash on the id (round-9): Catalyst's
+    // size estimate used to pick broadcast with the shingle relation as
+    // build side — a corpus-derived relation that is only broadcastable
+    // by accident at toy scale (at sf1 its repeated broadcast builds
+    // dominated the soak; at 100 TB it would OOM outright). The
+    // candidate set is the small side and streams into the hash join.
     cands
-      .join(sh.select(col(idCol).as("id_1"), col("sh").as("sh_1")), "id_1")
-      .join(sh.select(col(idCol).as("id_2"), col("sh").as("sh_2")), "id_2")
+      .join(sh.select(col(idCol).as("id_1"), col("sh").as("sh_1"))
+        .hint("shuffle_hash"), "id_1")
+      .join(sh.select(col(idCol).as("id_2"), col("sh").as("sh_2"))
+        .hint("shuffle_hash"), "id_2")
       .withColumn("jaccard", jaccard(col("sh_1"), col("sh_2")))
       .filter(col("jaccard") >= threshold)
       .select("id_1", "id_2", "jaccard")

@@ -30,6 +30,10 @@ object GateQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    if (sys.env.contains("GRAFT_STREAM_PROGRESS"))
+      q.recentProgress.foreach(p => System.err.println(
+        s"[stream] $name batch=${p.batchId} rows=${p.numInputRows} " +
+        s"ms=${p.durationMs}"))
     s.table(name)
   }
 

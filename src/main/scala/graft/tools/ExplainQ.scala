@@ -3,8 +3,9 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 object ExplainQ {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -13,12 +14,15 @@ object ExplainQ {
     val d = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_DIR", "/root/testdata/sf0.1")
     for (q <- args) {
       println(s"===== $q =====")
-      val df = graft.SparkEntry.queries(q)(spark, d)
-      df.explain("formatted")
-      val t0 = System.nanoTime(); df.count()
-      println(s"--- ${q} time: ${(System.nanoTime()-t0)/1e9}")
-      val t1 = System.nanoTime(); df.count()
-      println(s"--- ${q} time2: ${(System.nanoTime()-t1)/1e9}")
+      graft.SparkEntry.queries(q)(spark, d).explain("formatted")
+      // time construction + count, like Bench.timeOnce does: streaming
+      // gates run their whole bounded stream AT construction, so timing
+      // only the count would miss the actual work
+      for (rep <- 1 to 3) {
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, d).count()
+        println(s"--- ${q} full$rep: ${(System.nanoTime()-t0)/1e9}")
+      }
     }
     spark.stop()
   }

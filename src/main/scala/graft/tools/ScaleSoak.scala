@@ -111,20 +111,43 @@ object ScaleSoak {
       fn(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    // warm both datasets once (page cache + codegen), then min-of-2
+    // warm both datasets once (page cache + codegen), then min-of-2 with
+    // the two scales INTERLEAVED per query (src,dst,src,dst): the ratio
+    // is a quotient of measurements taken seconds — not minutes — apart,
+    // so machine-wide contention drift hits both sides of the division
+    // instead of landing entirely in one sweep (round-9: a contended
+    // sf1 sweep made untouched queries read as 3× scale regressions).
     headline.foreach { q => time(q, src); time(q, dst) }
-    val r01 = headline.map(q => q -> math.min(time(q, src), time(q, src)))
-    val r1 = headline.map(q => q -> math.min(time(q, dst), time(q, dst)))
+    val measured = headline.map { q =>
+      val a01 = time(q, src); val a1 = time(q, dst)
+      val b01 = time(q, src); val b1 = time(q, dst)
+      (q, math.min(a01, b01), math.min(a1, b1))
+    }
+    // contention canary (same idea as Bench's): a trivial fixed job after
+    // each query; any sample > 3× the run's best brands the span
+    val canary = headline.map { q =>
+      val t0 = System.nanoTime()
+      graft.queries.Tables.nation(spark, src).groupBy("n_regionkey")
+        .count().filter(org.apache.spark.sql.functions.col("count") >= 0)
+        .count()
+      q -> (System.nanoTime() - t0) / 1e9
+    }
+    val canaryBase = canary.map(_._2).min
+    val contaminatedSpans = canary.collect {
+      case (q, t) if t > 3.0 * canaryBase => q
+    }
     // Locale.ROOT: comma-decimal locales would emit invalid JSON
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(d))
-    val m01 = r01.toMap
-    val entries = r1.map { case (q, t1) =>
-      val r = t1 / math.max(m01(q), 1e-9)
-      s""""$q":{"sf01_sec":${fmt(m01(q))},"sf1_sec":${fmt(t1)},"ratio":${fmt(r)}}"""
+    val entries = measured.map { case (q, t01, t1) =>
+      val r = t1 / math.max(t01, 1e-9)
+      s""""$q":{"sf01_sec":${fmt(t01)},"sf1_sec":${fmt(t1)},"ratio":${fmt(r)}}"""
     }
+    val flags = s""""contaminated":${contaminatedSpans.nonEmpty},""" +
+      s""""contaminated_spans":${contaminatedSpans.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")},"""
     val json = entries.mkString(
-      s"""{"replicas":$REPLICAS,"cpus":$cpus,"queries":{""", ",", "}}")
+      s"""{"replicas":$REPLICAS,"cpus":$cpus,$flags"queries":{""", ",", "}}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_sf1.json"), json.getBytes("UTF-8"))
     println(json)

@@ -73,7 +73,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     "tpch02" -> (5, 8), "tpch03" -> (1, 2), "tpch07" -> (4, 4),
     "tpch09" -> (3, 6), "tpch21" -> (3, 5),
     "q36_highcard_agg" -> (1, 0), "q48_cep" -> (1, 2),
-    "q55_ann_lsh" -> (2, 1), "q66_lsh_near_dup" -> (4, 2),
+    // q66 re-pinned round 9: the Jaccard-confirm joins are forced
+    // shuffle-hash — Catalyst used to broadcast the corpus-derived
+    // shingle relation (accidental at toy scale, OOM at 100 TB)
+    "q55_ann_lsh" -> (2, 1), "q66_lsh_near_dup" -> (8, 0),
     "q68_ngram_jaccard" -> (5, 0), "q77_pagerank" -> (1, 0),
     // round-9 pins: the round-8 multimodal/CEP surfaces (all narrow +
     // an output-sort exchange; q111's NFA adds its one key shuffle) and
