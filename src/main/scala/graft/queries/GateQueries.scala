@@ -22,7 +22,16 @@ object GateQueries {
   /** Drive a bounded Structured Streaming query to completion
     * (AvailableNow trigger, complete-mode memory sink) and return the
     * final result table — the harness that lets true streaming plans run
-    * under the batch DuckDB oracle gate. */
+    * under the batch DuckDB oracle gate.
+    *
+    * Cost floor (measured round 9 via GRAFT_STREAM_PROGRESS): each gate
+    * is ~1.3–1.9 s regardless of fixture size — two micro-batches (the
+    * watermark only ripens results in the batch AFTER the data batch; a
+    * bounded run cannot skip the flush batch), ~0.5 s of state-store
+    * commit + WAL even for the zero-row flush, plus query start/stop.
+    * That is Structured Streaming's fixed machinery, amortized to noise
+    * on real unbounded streams; the removable overhead (fixture asserts,
+    * sentinel rebuilds) was hoisted out of the benched path this round. */
   private def runToMemory(s: SparkSession, streamDf: DataFrame,
       name: String, outputMode: String = "complete"): DataFrame = {
     val q = streamDf.writeStream.format("memory").queryName(name)

@@ -23,12 +23,19 @@ class PlanHygieneSpec extends SparkSpecBase {
     // sketch aggregate (approx/t-digest quantiles, Welford state)
     "q54_approx_quantile", "q95_welford_udaf", "q96_tdigest")
 
-  /** Built once and shared by both tests — several catalog queries do
+  /** Built once and shared by all tests — several catalog queries do
     * eager work (sink writes, collects) at construction time, so planning
-    * the whole catalog twice would double that cost. */
-  private lazy val plans: Seq[(String, String)] =
+    * the whole catalog twice would double that cost. The DataFrames are
+    * kept (not just plan strings) so the broadcast-hint audit can walk
+    * the optimized logical plan of the same single construction. */
+  private lazy val built: Seq[(String, org.apache.spark.sql.DataFrame)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> fn(spark, sf()).queryExecution.executedPlan.toString
+      name -> fn(spark, sf())
+    }
+
+  private lazy val plans: Seq[(String, String)] =
+    built.map { case (name, df) =>
+      name -> df.queryExecution.executedPlan.toString
     }
 
   test("no query plans a cartesian product") {
@@ -59,6 +66,45 @@ class PlanHygieneSpec extends SparkSpecBase {
     }
     assert(missing.isEmpty,
       s"stale scalarCrossJoins entries (no BNLJ in plan — drop them): $missing")
+  }
+
+  /** Queries whose hint-FORCED broadcast of a corpus table is correct by
+    * operator contract: the vector NN joins broadcast the PROBE set — an
+    * embeddings scan filtered to the caller's query ids, bounded by the
+    * probe list no matter the corpus size (same class as a bounded
+    * probe side in any NN index lookup). Everything else must never
+    * force a corpus broadcast: a hint bypasses Catalyst's size
+    * statistics, so unlike an auto-broadcast (which flips to a shuffle
+    * join once files outgrow the threshold) a forced one OOMs at 100 TB
+    * unconditionally. Round-9 net, after q66's confirm joins were
+    * caught broadcasting the shingle relation. */
+  private val forcedCorpusBroadcastAllowed = Set(
+    "q50_vector_nn", "q55_ann_lsh")
+
+  test("no query hint-forces a broadcast of a raw corpus-table scan") {
+    import graft.tools.BroadcastAudit
+    // detector self-test: a deliberately forced corpus broadcast must be
+    // caught, or the sweep below proves nothing
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val bad = docs.join(
+      org.apache.spark.sql.functions.broadcast(docs.select("doc_id")), "doc_id")
+    assert(BroadcastAudit.forcedCorpusBroadcasts(bad).nonEmpty,
+      "BroadcastAudit hint-tier detector failed its self-test")
+    val byName = built.toMap
+    val offenders = built.collect {
+      case (name, df) if !forcedCorpusBroadcastAllowed(name) &&
+        BroadcastAudit.forcedCorpusBroadcasts(df).nonEmpty =>
+        s"$name: ${BroadcastAudit.forcedCorpusBroadcasts(df).mkString(",")}"
+    }
+    assert(offenders.isEmpty,
+      s"hint-forced corpus broadcasts (OOM at scale): $offenders")
+    // inverse: stale allow-list entries self-expire as failures
+    val stale = forcedCorpusBroadcastAllowed.toSeq.sorted.filter { name =>
+      !byName.get(name).exists(df =>
+        BroadcastAudit.forcedCorpusBroadcasts(df).nonEmpty)
+    }
+    assert(stale.isEmpty,
+      s"stale forcedCorpusBroadcastAllowed entries (drop them): $stale")
   }
 
   /** Pinned static plan shapes for the most expensive catalog queries
