@@ -44,18 +44,41 @@ case class AudioMeta(
     sample_rate: Int, channels: Int, bits: Int, n_frames: Long,
     duration_ms: Double, amp_sum: Long, ch0_sum: Long)
 
+/** Real decoded-video facts (uncompressed Y4M frames actually walked):
+  * pixel dimensions, frame rate as an exact rational, frame count, and
+  * EXACT integer luma sums — all frames and frame 0 — as pixel-level
+  * proof the frame walk ran. */
+case class VideoInfo(
+    width: Int, height: Int, fps_num: Int, fps_den: Int,
+    n_frames: Int, y_sum: Long, y0_sum: Long)
+
+/** Per-blob decoded-video row; `ok=false` keeps corrupt / non-video
+  * bytes (including a stream truncated mid-frame) as flagged rows (same
+  * contract as [[ImageMeta]] / [[AudioMeta]]). */
+case class VideoMeta(
+    id: Long, byte_len: Long, ok: Boolean, format: String,
+    width: Long, height: Long, fps_num: Long, fps_den: Long,
+    n_frames: Long, y_sum: Long, y0_sum: Long)
+
+/** One REAL sampled video frame: its index and exact luma-plane sum. */
+case class VideoFrameRow(id: Long, frame_idx: Int, y_sum: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata (reference reads raw blobs via
   * `read_files`, pyquokka/df.py:213-253 + unordered_readers.py:206-271,
   * and leaves decoding to user transforms — here the decode/resize/
   * frame-sample stages are first-class operators).
   *
-  * IMAGE decoding is REAL: [[Multimodal.decodeImage]] runs the JDK's own
-  * `javax.imageio` (PNG/JPEG/GIF/BMP, headless, zero extra dependencies)
-  * and reads actual pixels. Only the audio/video codec path is stubbed
-  * ([[Multimodal.decodeStub]] — those libraries genuinely aren't in this
-  * container); the stub also serves as the fallback for bytes no image
-  * reader claims, so metadata extraction is total over mixed blobs.
+  * Decoding is REAL across all three modalities, zero extra
+  * dependencies: [[Multimodal.decodeImage]] runs the JDK's own
+  * `javax.imageio` (PNG/JPEG/GIF/BMP, actual pixels),
+  * [[Multimodal.decodeAudio]] runs `javax.sound.sampled` (WAV/PCM,
+  * actual samples), and [[Multimodal.decodeVideo]] walks Y4M/YUV4MPEG2
+  * (uncompressed planar YUV, actual luma planes). Only COMPRESSED
+  * audio/video codecs (mp4/mp3/etc — libraries genuinely absent from
+  * this container) remain stubbed ([[Multimodal.decodeStub]]); the stub
+  * also serves as the fallback for bytes no real decoder claims, so
+  * metadata extraction is total over mixed blobs.
   *
   * Scale design: blobs never shuffle — metadata extraction and frame
   * sampling are narrow (per-partition) operations; only the small typed
@@ -328,14 +351,187 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** STUB decode — the video / compressed-audio codec path (mp4/mp3/etc
+  /** Walk a Y4M (YUV4MPEG2) stream: parse the header, then visit every
+    * frame's luma plane via `onFrame(frameIdx, yOffset, yLength)`.
+    * Returns `(width, height, fpsNum, fpsDen, nFrames)`, or `None` for
+    * bytes that are not Y4M, an unsupported colorspace, or a stream
+    * TRUNCATED mid-frame (a FRAME marker whose declared planes overrun
+    * the payload) — corruption flags the whole blob rather than
+    * reporting a silently short video. Y4M is raw planar YUV behind
+    * text headers, so this is a REAL pixel-level decode with zero codec
+    * dependencies — same play as [[decodeImage]] (javax.imageio) and
+    * [[decodeAudio]] (javax.sound.sampled). */
+  private def walkY4m(bytes: Array[Byte])(
+      onFrame: (Int, Int, Int) => Unit): Option[(Int, Int, Int, Int, Int)] = {
+    val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
+    val headerEnd = bytes.indexOf('\n'.toByte)
+    if (bytes.length < magic.length ||
+        !java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(bytes, 0, magic.length), magic) ||
+        headerEnd < 0) None
+    else {
+      val params = new String(bytes, magic.length, headerEnd - magic.length,
+        "US-ASCII").split(' ').filter(_.nonEmpty)
+      def num(tag: Char): Option[Int] =
+        params.collectFirst { case p if p.head == tag => p.tail }
+          .flatMap(_.toIntOption)
+      val fps = params.collectFirst { case p if p.head == 'F' => p.tail }
+        .map(_.split(':')).collect { case Array(n, d) =>
+          (n.toIntOption.getOrElse(0), d.toIntOption.getOrElse(0)) }
+        .getOrElse((0, 0))
+      val cs = params.collectFirst { case p if p.head == 'C' => p.tail }
+        .getOrElse("420jpeg") // Y4M default colorspace is 4:2:0
+      (num('W'), num('H')) match {
+        case (Some(w), Some(h)) if w > 0 && h > 0 &&
+            fps._1 > 0 && fps._2 > 0 =>
+          val ySize = w * h
+          val chromaSize =
+            if (cs.startsWith("420")) ((w + 1) / 2) * ((h + 1) / 2)
+            else if (cs.startsWith("422")) ((w + 1) / 2) * h
+            else if (cs.startsWith("444")) w * h
+            else if (cs.startsWith("mono")) 0
+            else -1 // unsupported colorspace
+          if (chromaSize < 0) None
+          else {
+            val frameBytes = ySize + 2 * chromaSize
+            val frameMagic = "FRAME".getBytes("US-ASCII")
+            var pos = headerEnd + 1
+            var n = 0
+            var corrupt = false
+            while (!corrupt && pos < bytes.length) {
+              // each frame: "FRAME"[ params]"\n" then raw planes
+              val fEnd = bytes.indexOf('\n'.toByte, pos)
+              if (pos + frameMagic.length > bytes.length || fEnd < 0 ||
+                  !java.util.Arrays.equals(java.util.Arrays.copyOfRange(
+                    bytes, pos, pos + frameMagic.length), frameMagic) ||
+                  fEnd + 1 + frameBytes > bytes.length)
+                corrupt = true
+              else {
+                onFrame(n, fEnd + 1, ySize)
+                pos = fEnd + 1 + frameBytes
+                n += 1
+              }
+            }
+            if (corrupt) None else Some((w, h, fps._1, fps._2, n))
+          }
+        case _ => None
+      }
+    }
+  }
+
+  /** Decode a Y4M video blob to [[VideoInfo]]: header facts plus exact
+    * luma sums over every frame (and frame 0 alone) — `None` for
+    * non-Y4M / unsupported / truncated bytes. */
+  def decodeVideo(bytes: Array[Byte]): Option[VideoInfo] = {
+    var ySum = 0L
+    var y0Sum = 0L
+    walkY4m(bytes) { (idx, off, len) =>
+      var i = off
+      val end = off + len
+      var s = 0L
+      while (i < end) { s += bytes(i) & 0xff; i += 1 }
+      ySum += s
+      if (idx == 0) y0Sum = s
+    }.map { case (w, h, fn, fd, n) =>
+      VideoInfo(w, h, fn, fd, n, ySum, y0Sum)
+    }
+  }
+
+  /** Encode luma `y(frame, pixelIdx)` (bytes 0-255, row-major over
+    * width*height) as a real Y4M stream with neutral (128) chroma at
+    * 4:2:0 — byte-deterministic, so gates and specs plant decodable
+    * video fixtures whose luma sums an integer SQL oracle can state.
+    * `width`/`height` must be even (the 4:2:0 contract). */
+  def encodeY4m(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+                nFrames: Int)(y: (Int, Int) => Int): Array[Byte] = {
+    require(width % 2 == 0 && height % 2 == 0,
+      s"4:2:0 needs even dimensions, got ${width}x$height")
+    val header =
+      s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C420jpeg\n"
+        .getBytes("US-ASCII")
+    val ySize = width * height
+    val chromaSize = (width / 2) * (height / 2)
+    val frameHdr = "FRAME\n".getBytes("US-ASCII")
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + nFrames * (frameHdr.length + ySize + 2 * chromaSize))
+    out.put(header)
+    var f = 0
+    while (f < nFrames) {
+      out.put(frameHdr)
+      var p = 0
+      while (p < ySize) { out.put((y(f, p) & 0xff).toByte); p += 1 }
+      var c = 0
+      while (c < 2 * chromaSize) { out.put(128.toByte); c += 1 }
+      f += 1
+    }
+    out.array()
+  }
+
+  /** Partition-wise REAL video-metadata extraction (the video twin of
+    * [[imageMeta]] / [[audioMeta]]): every blob through [[decodeVideo]];
+    * non-Y4M or truncated bytes come back `ok=false` with zeroed facts
+    * (row preserved). Narrow — blobs never shuffle; only this typed row
+    * flows on. */
+  def videoMeta(df: DataFrame, idCol: String, blobCol: String): Dataset[VideoMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeVideo(bytes) match {
+            case Some(v) =>
+              VideoMeta(id, bytes.length.toLong, ok = true, "y4m",
+                v.width, v.height, v.fps_num, v.fps_den, v.n_frames,
+                v.y_sum, v.y0_sum)
+            case None =>
+              VideoMeta(id, bytes.length.toLong, ok = false, "unknown",
+                0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+  }
+
+  /** REAL video frame sampling: every `every`-th DECODED frame of each
+    * Y4M blob as one row with its exact luma sum — the decoded upgrade
+    * of the byte-chunk [[frameSample]]. Corrupt / non-Y4M blobs yield
+    * no rows here (use [[videoMeta]]'s `ok` flag for accounting).
+    * Narrow: the per-frame reduction happens inside the partition; raw
+    * frames never shuffle. */
+  def videoFrames(df: DataFrame, idCol: String, blobCol: String,
+                  every: Int): Dataset[VideoFrameRow] = {
+    require(every > 0, s"every must be positive, got $every")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val rows = scala.collection.mutable.ArrayBuffer.empty[VideoFrameRow]
+          walkY4m(bytes) { (idx, off, len) =>
+            if (idx % every == 0) {
+              var i = off
+              val end = off + len
+              var s = 0L
+              while (i < end) { s += bytes(i) & 0xff; i += 1 }
+              rows += VideoFrameRow(id, idx, s)
+            }
+          } match {
+            case Some(_) => rows
+            case None => Nil // corrupt: no phantom frames
+          }
+        }
+      }
+  }
+
+  /** STUB decode — the COMPRESSED video/audio codec path (mp4/mp3/etc
     * libraries genuinely aren't in this container) and the fallback for
-    * bytes neither real decoder claims: deterministic fake "format" from
+    * bytes no real decoder claims: deterministic fake "format" from
     * the first byte, dimensions from header bytes. A real media library
     * call replaces this body (per-partition, so codec state/buffers are
-    * reused across the batch); images and PCM audio never reach it —
-    * [[decodeMeta]] routes them through the real [[decodeImage]] /
-    * [[decodeAudio]] first. */
+    * reused across the batch); images, PCM audio, and Y4M video never
+    * reach it — [[decodeMeta]] routes them through the real
+    * [[decodeImage]] / [[decodeAudio]] / [[decodeVideo]] first. */
   def decodeStub(bytes: Array[Byte]): (String, Int, Int, Int) = {
     val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
     val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
@@ -348,10 +544,11 @@ object Multimodal {
 
   /** Partition-wise metadata extraction over (id, blob) rows → typed
     * Dataset[MediaMeta]. Images decode for REAL ([[decodeImage]] —
-    * format/width/height from actual pixels, single frame), as does PCM
+    * format/width/height from actual pixels, single frame), as do PCM
     * audio ([[decodeAudio]] — width carries the channel count, n_frames
-    * the true frame count); only bytes neither real decoder claims
-    * (video/compressed-audio codecs the JDK lacks) fall back to
+    * the true frame count) and uncompressed Y4M video ([[decodeVideo]] —
+    * true dimensions and frame count); only bytes no real decoder
+    * claims (compressed codecs the JDK lacks: mp4/mp3/etc) fall back to
     * [[decodeStub]]. The mapPartitions boundary is where a codec
     * amortizes per-task init (dictionary load, JNI handles). */
   def decodeMeta(df: DataFrame, idCol: String, blobCol: String): Dataset[MediaMeta] = {
@@ -368,9 +565,14 @@ object Multimodal {
               case Some(a) =>
                 MediaMeta(id, bytes.length.toLong, a.format, a.channels, 0,
                   math.min(a.n_frames, Int.MaxValue.toLong).toInt)
-              case None =>
-                val (format, w, h, n) = decodeStub(bytes)
-                MediaMeta(id, bytes.length.toLong, format, w, h, n)
+              case None => decodeVideo(bytes) match {
+                case Some(v) =>
+                  MediaMeta(id, bytes.length.toLong, "y4m", v.width, v.height,
+                    v.n_frames)
+                case None =>
+                  val (format, w, h, n) = decodeStub(bytes)
+                  MediaMeta(id, bytes.length.toLong, format, w, h, n)
+              }
             }
           }
         }

@@ -490,6 +490,83 @@ object GateQueries {
         .orderBy("snap")
     },
 
+    // REAL video decode (multimodal.Multimodal.decodeVideo — Y4M /
+    // YUV4MPEG2 is raw planar YUV behind text headers, so frame-walking
+    // it needs zero codec dependencies; q110/q114's play repeated for
+    // video): each nation key gets a synthesized Y4M clip (key-derived
+    // even dimensions, frame count, and a key-derived luma ramp),
+    // decoded distributed-side back to dimensions, exact fps rational,
+    // frame count, and EXACT integer luma sums (all frames + frame 0).
+    // Two corrupt classes stay flagged rows, never dropped: garbage
+    // bytes (id%10==4) and a stream TRUNCATED mid-frame (id%10==9).
+    // The oracle states every luma sum in integer arithmetic from the
+    // key — one misread pixel or a frame-boundary off-by-one fails the
+    // hash gate.
+    "q116_video_decode" -> { (s, d) =>
+      import s.implicits._
+      val blobs = nation(s, d).select(col("n_nationkey").cast("long").as("id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val blob =
+              if (id % 10 == 4) // not Y4M at all
+                Array.tabulate[Byte](40)(i => ((id * 37 + i * 11) % 249).toByte)
+              else if (id % 10 == 9) { // valid header, cut mid-frame
+                val full = graft.multimodal.Multimodal.encodeY4m(
+                  8, 6, 25, 1, 3)((f, p) => (f + p) % 256)
+                java.util.Arrays.copyOfRange(full, 0, full.length - 10)
+              } else {
+                val w = 8 + (id % 3).toInt * 4
+                val h = 6 + (id % 2).toInt * 4
+                val nf = 3 + (id % 5).toInt
+                graft.multimodal.Multimodal.encodeY4m(w, h, 25, 1, nf)(
+                  (f, p) => ((id * 7 + f * 11 + p * 3) % 256).toInt)
+              }
+            (id, blob)
+          }
+        }.toDF("id", "blob")
+      graft.multimodal.Multimodal.videoMeta(blobs, "id", "blob").toDF()
+        .select(col("id"), col("ok").cast("int").as("ok"), col("format"),
+          col("width"), col("height"), col("fps_num"), col("fps_den"),
+          col("n_frames"), col("y_sum"), col("y0_sum"))
+        .orderBy("id")
+    },
+
+    // REAL video frame sampling (multimodal.Multimodal.videoFrames —
+    // the decoded upgrade of q113's byte-chunk sampling): every 2nd
+    // DECODED frame of each valid Y4M clip as one row with its exact
+    // luma sum; corrupt clips contribute no rows (q116 carries their
+    // ok=0 accounting). Same key-derived fixture as q116, so the oracle
+    // states each sampled frame's sum per (id, frame_idx).
+    "q117_video_frames" -> { (s, d) =>
+      import s.implicits._
+      val blobs = nation(s, d).select(col("n_nationkey").cast("long").as("id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val blob =
+              if (id % 10 == 4)
+                Array.tabulate[Byte](40)(i => ((id * 37 + i * 11) % 249).toByte)
+              else if (id % 10 == 9) {
+                val full = graft.multimodal.Multimodal.encodeY4m(
+                  8, 6, 25, 1, 3)((f, p) => (f + p) % 256)
+                java.util.Arrays.copyOfRange(full, 0, full.length - 10)
+              } else {
+                val w = 8 + (id % 3).toInt * 4
+                val h = 6 + (id % 2).toInt * 4
+                val nf = 3 + (id % 5).toInt
+                graft.multimodal.Multimodal.encodeY4m(w, h, 25, 1, nf)(
+                  (f, p) => ((id * 7 + f * 11 + p * 3) % 256).toInt)
+              }
+            (id, blob)
+          }
+        }.toDF("id", "blob")
+      graft.multimodal.Multimodal.videoFrames(blobs, "id", "blob", every = 2)
+        .toDF()
+        .select(col("id"), col("frame_idx"), col("y_sum"))
+        .orderBy("id", "frame_idx")
+    },
+
     // batch UDF/UDTF surface (DataStream.transform): a mapPartitions
     // row function whose effect — per-document token count and a 1→N
     // fan-out flag row per long doc (the UDTF half) — SQL can state.
@@ -739,6 +816,56 @@ object GateQueries {
         |  UNION ALL
         |  SELECT 4, count(*), sum(r_regionkey) FROM region
         |) ORDER BY snap""".stripMargin,
+    // pixel-exact integer restatement of the Y4M fixture: both corrupt
+    // classes (garbage bytes, truncated frame) must surface ok=0 rows
+    "q116_video_decode" ->
+      """WITH p AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |    CAST(8 + (n_nationkey % 3) * 4 AS BIGINT) AS w,
+        |    CAST(6 + (n_nationkey % 2) * 4 AS BIGINT) AS h,
+        |    CAST(3 + n_nationkey % 5 AS BIGINT) AS nf
+        |  FROM nation),
+        |fr AS (SELECT id, w, h, nf, unnest(range(0, nf)) AS f FROM p),
+        |px AS (SELECT id, f, w, h, unnest(range(0, w * h)) AS x FROM fr),
+        |sums AS (
+        |  SELECT id,
+        |    CAST(sum((id*7 + f*11 + x*3) % 256) AS BIGINT) AS y_sum,
+        |    CAST(sum(CASE WHEN f = 0 THEN (id*7 + x*3) % 256 ELSE 0 END)
+        |      AS BIGINT) AS y0_sum
+        |  FROM px GROUP BY id)
+        |SELECT p.id,
+        |  CASE WHEN p.id % 10 IN (4, 9) THEN 0 ELSE 1 END AS ok,
+        |  CASE WHEN p.id % 10 IN (4, 9) THEN 'unknown' ELSE 'y4m' END
+        |    AS format,
+        |  CAST(CASE WHEN p.id % 10 IN (4, 9) THEN 0 ELSE p.w END
+        |    AS BIGINT) AS width,
+        |  CAST(CASE WHEN p.id % 10 IN (4, 9) THEN 0 ELSE p.h END
+        |    AS BIGINT) AS height,
+        |  CAST(CASE WHEN p.id % 10 IN (4, 9) THEN 0 ELSE 25 END
+        |    AS BIGINT) AS fps_num,
+        |  CAST(CASE WHEN p.id % 10 IN (4, 9) THEN 0 ELSE 1 END
+        |    AS BIGINT) AS fps_den,
+        |  CAST(CASE WHEN p.id % 10 IN (4, 9) THEN 0 ELSE p.nf END
+        |    AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN p.id % 10 IN (4, 9) THEN 0 ELSE sums.y_sum END
+        |    AS BIGINT) AS y_sum,
+        |  CAST(CASE WHEN p.id % 10 IN (4, 9) THEN 0 ELSE sums.y0_sum END
+        |    AS BIGINT) AS y0_sum
+        |FROM p JOIN sums USING (id) ORDER BY id""".stripMargin,
+    // per-sampled-frame luma sums of the same Y4M fixture; corrupt
+    // clips (id%10 in 4,9) must contribute NO rows
+    "q117_video_frames" ->
+      """WITH p AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |    CAST(8 + (n_nationkey % 3) * 4 AS BIGINT) AS w,
+        |    CAST(6 + (n_nationkey % 2) * 4 AS BIGINT) AS h,
+        |    CAST(3 + n_nationkey % 5 AS BIGINT) AS nf
+        |  FROM nation WHERE n_nationkey % 10 NOT IN (4, 9)),
+        |fr AS (SELECT id, w, h, unnest(range(0, nf, 2)) AS f FROM p),
+        |px AS (SELECT id, f, unnest(range(0, w * h)) AS x FROM fr)
+        |SELECT id, CAST(f AS INT) AS frame_idx,
+        |  CAST(sum((id*7 + f*11 + x*3) % 256) AS BIGINT) AS y_sum
+        |FROM px GROUP BY id, f ORDER BY id, frame_idx""".stripMargin,
     // sample-exact integer restatement of the WAV fixture: both corrupt
     // classes (garbage bytes, truncated RIFF) must surface ok=0 rows
     "q114_audio_decode" ->

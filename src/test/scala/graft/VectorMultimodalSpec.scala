@@ -210,6 +210,83 @@ class MultimodalSpec extends SparkSpecBase {
     assert(m.format == "wave" && m.width == 2 && m.n_frames == 7)
   }
 
+  test("decodeVideo round-trips a real Y4M pixel-exactly") {
+    // 2 frames of 4x2 luma: y(f, p) = 10*f + p, hand-checkable sums
+    val clip = Multimodal.encodeY4m(4, 2, 30, 1, 2)((f, p) => 10 * f + p)
+    val v = Multimodal.decodeVideo(clip).get
+    assert(v.width == 4 && v.height == 2)
+    assert(v.fps_num == 30 && v.fps_den == 1)
+    assert(v.n_frames == 2)
+    assert(v.y0_sum == 28L)        // 0+1+...+7
+    assert(v.y_sum == 28L + 108L)  // frame 1: 10+11+...+17
+  }
+
+  test("decodeVideo: corrupt, truncated, and unsupported bytes yield None") {
+    assert(Multimodal.decodeVideo("not video".getBytes).isEmpty)
+    assert(Multimodal.decodeVideo(Array.emptyByteArray).isEmpty)
+    // valid header, payload cut mid-frame
+    val full = Multimodal.encodeY4m(4, 2, 25, 1, 3)((_, p) => p)
+    assert(Multimodal.decodeVideo(
+      java.util.Arrays.copyOfRange(full, 0, full.length - 5)).isEmpty)
+    // unsupported colorspace is flagged, not misparsed
+    assert(Multimodal.decodeVideo(
+      "YUV4MPEG2 W4 H2 F25:1 C999weird\nFRAME\n".getBytes).isEmpty)
+    // a truncation landing exactly on a frame boundary IS a valid
+    // shorter stream — Y4M has no declared frame count
+    val hdr = full.indexOf('\n'.toByte) + 1
+    val oneFrame = hdr + "FRAME\n".length + 4 * 2 + 2 * 2
+    val cut = Multimodal.decodeVideo(
+      java.util.Arrays.copyOfRange(full, 0, oneFrame)).get
+    assert(cut.n_frames == 1)
+  }
+
+  test("decodeVideo honors the colorspace plane sizes (C444, Cmono)") {
+    // hand-built C444 stream: 2x2 luma + full-res U, V planes
+    val c444 = "YUV4MPEG2 W2 H2 F25:1 C444\nFRAME\n".getBytes ++
+      Array[Byte](1, 2, 3, 4) ++ Array.fill[Byte](8)(9)
+    val v = Multimodal.decodeVideo(c444).get
+    assert(v.n_frames == 1 && v.y_sum == 10L)
+    // mono: no chroma planes at all
+    val mono = "YUV4MPEG2 W2 H2 F25:1 Cmono\nFRAME\n".getBytes ++
+      Array[Byte](5, 6, 7, 8) ++ "FRAME\n".getBytes ++ Array[Byte](1, 1, 1, 1)
+    val m = Multimodal.decodeVideo(mono).get
+    assert(m.n_frames == 2 && m.y_sum == 30L && m.y0_sum == 26L)
+  }
+
+  test("videoMeta keeps corrupt rows (ok=false) alongside decoded ones") {
+    val s = spark
+    import s.implicits._
+    val clip = Multimodal.encodeY4m(6, 4, 24, 1, 3)((f, p) => (f + p) % 256)
+    val df = Seq((1L, clip), (2L, "garbage".getBytes)).toDF("id", "blob")
+    val rows = Multimodal.videoMeta(df, "id", "blob").collect().sortBy(_.id)
+    assert(rows.length == 2)
+    assert(rows(0).ok && rows(0).format == "y4m" && rows(0).width == 6 &&
+      rows(0).height == 4 && rows(0).n_frames == 3)
+    assert(!rows(1).ok && rows(1).format == "unknown" && rows(1).width == 0)
+  }
+
+  test("videoFrames samples every k-th decoded frame, skipping corrupt blobs") {
+    val s = spark
+    import s.implicits._
+    // 5 frames of 2x2, y(f, p) = f: frame f sums to 4f
+    val clip = Multimodal.encodeY4m(2, 2, 25, 1, 5)((f, _) => f)
+    val df = Seq((1L, clip), (2L, "junk".getBytes)).toDF("id", "blob")
+    val rows = Multimodal.videoFrames(df, "id", "blob", every = 2).collect()
+      .sortBy(_.frame_idx)
+    assert(rows.forall(_.id == 1L))
+    assert(rows.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(rows.map(_.y_sum).toSeq == Seq(0L, 8L, 16L))
+  }
+
+  test("decodeMeta routes Y4M video through the real decoder") {
+    val s = spark
+    import s.implicits._
+    val clip = Multimodal.encodeY4m(8, 6, 25, 1, 4)((_, _) => 0)
+    val df = Seq((1L, clip)).toDF("id", "blob")
+    val m = Multimodal.decodeMeta(df, "id", "blob").collect().head
+    assert(m.format == "y4m" && m.width == 8 && m.height == 6 && m.n_frames == 4)
+  }
+
   test("frameSample covers the blob with stride") {
     val f = Multimodal.frameSample(blobs().limit(5), "doc_id", "blob",
       frameSize = 32, every = 2).collect()
