@@ -131,7 +131,8 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q47_tumbling_event" -> (2, 0),
     "q110_image_decode" -> (1, 0), "q111_cep_nfa_route" -> (2, 0),
     "q112_image_resize" -> (1, 0), "q113_frame_sample" -> (1, 0),
-    "q114_audio_decode" -> (1, 0))
+    "q114_audio_decode" -> (1, 0),
+    "q116_video_decode" -> (1, 0), "q117_video_frames" -> (1, 0))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
