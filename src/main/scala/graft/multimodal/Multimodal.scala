@@ -524,6 +524,36 @@ object Multimodal {
       }
   }
 
+  /** REAL pixel-derived video features: mean luma per frame (normalized
+    * by 255 into [0,1]) as a dense `array<double>` temporal profile —
+    * video → embedding → similarity with an actual frame walk in the
+    * loop, mirroring [[imageFeatures]] / [[audioFeatures]]. Undecodable
+    * blobs yield a null embedding (kept). */
+  def videoFeatures(df: DataFrame, idCol: String, blobCol: String,
+                    embCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val sums = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val emb = walkY4m(bytes) { (_, off, len) =>
+            var i = off
+            val end = off + len
+            var s = 0L
+            while (i < end) { s += bytes(i) & 0xff; i += 1 }
+            sums += s.toDouble / len / 255.0
+          } match {
+            case Some(_) if sums.nonEmpty => sums.toArray
+            case _ => null
+          }
+          (id, emb)
+        }
+      }
+      .toDF(idCol, embCol)
+  }
+
   /** STUB decode — the COMPRESSED video/audio codec path (mp4/mp3/etc
     * libraries genuinely aren't in this container) and the fallback for
     * bytes no real decoder claims: deterministic fake "format" from

@@ -278,6 +278,18 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows.map(_.y_sum).toSeq == Seq(0L, 8L, 16L))
   }
 
+  test("videoFeatures: per-frame mean-luma profile is pixel-exact") {
+    val s = spark
+    import s.implicits._
+    // 3 frames of 2x2, constant luma 51*(f+1): means 0.2, 0.4, 0.6
+    val clip = Multimodal.encodeY4m(2, 2, 25, 1, 3)((f, _) => 51 * (f + 1))
+    val df = Seq((1L, clip), (2L, "junk".getBytes)).toDF("id", "blob")
+    val out = Multimodal.videoFeatures(df, "id", "blob").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(out(1L).get.toSeq == Seq(0.2, 0.4, 0.6))
+    assert(out(2L).isEmpty)
+  }
+
   test("decodeMeta routes Y4M video through the real decoder") {
     val s = spark
     import s.implicits._
