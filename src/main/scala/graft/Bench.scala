@@ -73,10 +73,17 @@ object Bench {
       }
       if (ts.nonEmpty) canarySamples += (label -> ts.min)
     }
-    // untimed canary warmup, same as every catalog query gets below:
-    // the first canary executions pay plan codegen + JIT and read as a
-    // false "__init" contamination against the settled baseline
-    timeOnce(canaryFn)
+    // HEAVY untimed canary warmup: the JVM keeps re-tiering the
+    // scheduler/codegen paths for many executions, so a single warmup
+    // left __init samples 2-3.5× the late-run baseline — the 3×-of-
+    // global-min check then false-flagged an idle machine (measured
+    // round 9: ramp 0.43→0.12 s across the run while per-query numbers,
+    // each behind its own warmup + min-of-reps, were unaffected). A
+    // dozen back-to-back reps (~2 s) drives the canary far enough down
+    // the ramp that its samples compare fairly against the settled
+    // baseline; a genuinely loaded machine stays slow through all 12
+    // and still trips the 3× check.
+    (1 to 12).foreach(_ => timeOnce(canaryFn))
     (1 to 2).foreach(_ => canary("__init"))
     val reps = scala.collection.mutable.LinkedHashMap.empty[String, Vector[(Double, Boolean)]]
     SparkEntry.queries.foreach { case (name, fn) =>
