@@ -170,6 +170,42 @@ class PlanHygieneSpec extends SparkSpecBase {
       "q109_streaming_distinct" -> shape(0, 0, 1, 1))
   }
 
+  /** The 100 TB degradation sweep: at scale NO corpus table fits under
+    * the auto-broadcast threshold, so every catalog query must still
+    * plan sane joins when auto-broadcast is off entirely. A query that
+    * only avoids a cartesian product because Catalyst happened to
+    * broadcast a toy-scale side would pass every other test here and
+    * melt down on a real cluster — this sweep re-plans the catalog with
+    * `autoBroadcastJoinThreshold=-1` and rejects cartesians and
+    * non-allow-listed nested-loop joins. Hint-forced broadcasts (the
+    * one-row scalar crosses, the bounded NN probe sets) are unaffected
+    * by the threshold and stay allow-listed. MUST run after the tests
+    * above: they force `built`'s plans under the default conf first
+    * (QueryExecutions cache their plans, so ordering keeps both views
+    * consistent). */
+  test("every query degrades to shuffle joins when auto-broadcast is off") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        try {
+          val plan = fn(spark, sf()).queryExecution.executedPlan.toString
+          val cart = plan.contains("CartesianProduct")
+          val bnlj = plan.contains("BroadcastNestedLoopJoin")
+          if ((cart || bnlj) && !scalarCrossJoins(name))
+            Some(s"$name:${if (cart) "cartesian" else "bnlj"}")
+          else None
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Some(s"$name:THREW ${e.getClass.getSimpleName}")
+        }
+      }
+      assert(bad.isEmpty,
+        s"queries that depend on toy-scale auto-broadcast: $bad")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("streaming gates pin exactly one watermark + one stateful operator") {
     import graft.queries.GateQueries
     val d = sf()
