@@ -31,18 +31,33 @@ object GateQueries {
     * commit + WAL even for the zero-row flush, plus query start/stop.
     * That is Structured Streaming's fixed machinery, amortized to noise
     * on real unbounded streams; the removable overhead (fixture asserts,
-    * sentinel rebuilds) was hoisted out of the benched path this round. */
+    * sentinel rebuilds) was hoisted out of the benched path this round.
+    *
+    * State-partition sizing: the commit half of that floor is PER STATE
+    * PARTITION per micro-batch, and the partition count is fixed by
+    * `spark.sql.shuffle.partitions` at query start (recorded in the
+    * checkpoint) — a capacity decision, not semantics. The bounded
+    * gates carry KB-scale state, so the session's 32 partitions mean
+    * 64+ store commits for two micro-batches of real work; they run at
+    * 4 here, exactly as a production job sizes state partitions to key
+    * cardinality (and raises them for a 100 TB stream). The conf is
+    * set/restored around the bounded run only. */
   private def runToMemory(s: SparkSession, streamDf: DataFrame,
       name: String, outputMode: String = "complete"): DataFrame = {
-    val q = streamDf.writeStream.format("memory").queryName(name)
-      .outputMode(outputMode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    if (sys.env.contains("GRAFT_STREAM_PROGRESS"))
-      q.recentProgress.foreach(p => System.err.println(
-        s"[stream] $name batch=${p.batchId} rows=${p.numInputRows} " +
-        s"ms=${p.durationMs}"))
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(shuffleKey)
+    s.conf.set(shuffleKey, "4")
+    try {
+      val q = streamDf.writeStream.format("memory").queryName(name)
+        .outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (sys.env.contains("GRAFT_STREAM_PROGRESS"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream] $name batch=${p.batchId} rows=${p.numInputRows} " +
+          s"ms=${p.durationMs}"))
+    } finally s.conf.set(shuffleKey, prev)
     s.table(name)
   }
 
