@@ -56,17 +56,28 @@ object AdvancedRelationalQueries {
     },
 
     // TPC-H Q15 shape: scalar subquery on an aggregate max — supplier(s)
-    // achieving max revenue.
+    // achieving max revenue. Formulated as a global window over the
+    // AGGREGATED per-supplier revenue, not a separate max-subquery join:
+    // the subquery form plans the scan+aggregate pipeline TWICE (the
+    // join side carries an inferred isnotnull(l_suppkey) the max side
+    // lacks, so the exchanges never canonicalize equal and neither
+    // ReuseExchange nor AQE stage reuse fires — measured round 9, 2×
+    // the fact-table work). The window runs on rev (one row per
+    // supplier, already collapsed to a single partition by the max
+    // anyway), so the fact table is scanned and aggregated ONCE at any
+    // scale.
     "q26_scalar_max" -> { (s, d) =>
       val rev = lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1995-07-01").cast("timestamp_ntz"))
         .groupBy("l_suppkey")
         .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("total_revenue"))
-      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      val best = rev
+        .withColumn("mx", max(col("total_revenue"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .filter(col("total_revenue") === col("mx"))
       supplier(s, d)
-        .join(rev, col("s_suppkey") === col("l_suppkey"))
-        .join(broadcast(mx), col("total_revenue") === col("mx"))
+        .join(best, col("s_suppkey") === col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     },

@@ -353,7 +353,12 @@ object TpchQueries {
           .as("promo_revenue"))
     },
 
-    // Q15: top supplier (do_15:396-409): revenue view + max join.
+    // Q15: top supplier (do_15:396-409): revenue view + max. Global
+    // window over the AGGREGATED revenue view instead of a max-subquery
+    // join — the subquery form computes the lineitem scan+aggregate
+    // twice (inferred join-side isnotnull blocks exchange/stage reuse;
+    // see q26_scalar_max), while the window runs on the per-supplier
+    // rows the global max collapses to one partition anyway.
     "tpch15" -> { (s, d) =>
       val rev = lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -361,11 +366,12 @@ object TpchQueries {
         .groupBy(col("l_suppkey"))
         .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("total_revenue"))
-      val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
-      supplier(s, d).select("s_suppkey", "s_name")
-        .join(rev, col("s_suppkey") === col("l_suppkey"))
-        .join(broadcast(maxRev))
+      val best = rev
+        .withColumn("max_rev", max(col("total_revenue"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
         .filter(col("total_revenue") === col("max_rev"))
+      supplier(s, d).select("s_suppkey", "s_name")
+        .join(best, col("s_suppkey") === col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy(col("s_suppkey"))
     },
