@@ -3,6 +3,7 @@ package graft.queries
 import graft.api.DataStream
 import graft.functions.Det
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's full TPC-H application suite (reference
@@ -93,10 +94,17 @@ object TpchQueries {
           col("l_suppkey").as("ps_suppkey"))
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
       val eps = ps.join(euroSupp, col("ps_suppkey") === col("s_suppkey"))
-      val minCost = eps.groupBy(col("ps_partkey").as("mc_partkey"))
-        .agg(min(col("ps_supplycost")).as("min_cost"))
-      eps.join(minCost, col("ps_partkey") === col("mc_partkey") &&
-          col("ps_supplycost") === col("min_cost"))
+      // Per-part minimum as a window over eps, not a min-subquery join:
+      // the join form plans the whole eps pipeline (lineitem semi +
+      // groupBy + supplier join) TWICE — the keyed join-back infers
+      // isnotnull filters one copy lacks, so the exchanges never
+      // canonicalize equal and no reuse fires (same disease as tpch15,
+      // measured round 9: every input scanned twice). The window
+      // shuffles eps once by ps_partkey; min is exact, so results are
+      // bit-identical.
+      eps.withColumn("min_cost", min(col("ps_supplycost"))
+          .over(Window.partitionBy("ps_partkey")))
+        .filter(col("ps_supplycost") === col("min_cost"))
         .select("s_acctbal", "s_name", "n_name", "ps_partkey", "ps_supplycost")
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
           col("ps_partkey"))
@@ -238,17 +246,18 @@ object TpchQueries {
       val suppNat = supplier(s, d)
         .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("nation"))
-      // Per-part restriction pushed below the partsupp derivation (see
-      // tpch02): only widget parts' (part, supplier) pairs aggregate.
-      val ps = lineitem(s, d)
-        .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
-        .groupBy(col("l_partkey").as("ps_partkey"),
-          col("l_suppkey").as("ps_suppkey"))
-        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+      // The derived ps_supplycost (per-pair min over widget parts'
+      // lines) comes from a window over the SAME part-filtered detail
+      // the outer query reads — the old derive-then-join-back form
+      // scanned and shuffled lineitem twice for rows the window gets
+      // from one pass (the keyed join-back blocks exchange reuse, same
+      // disease as tpch15; measured round 9). min is exact, so the
+      // profit column is bit-identical.
       lineitem(s, d)
         .join(p, col("l_partkey") === col("p_partkey"))
-        .join(ps, col("l_partkey") === col("ps_partkey") &&
-          col("l_suppkey") === col("ps_suppkey"))
+        .withColumn("ps_supplycost",
+          min(col("l_extendedprice") / col("l_quantity"))
+            .over(Window.partitionBy("l_partkey", "l_suppkey")))
         .join(suppNat, col("l_suppkey") === col("s_suppkey"))
         .join(orders(s, d).select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
@@ -298,9 +307,19 @@ object TpchQueries {
           sum(col("l_quantity").cast("long")).as("ps_availqty"))
         .select(col("ps_partkey"),
           (col("ps_supplycost") * col("ps_availqty")).as("v"))
-      val total = ps.agg((Det.dsum(col("v")) * lit(0.0001)).as("threshold"))
-      ps.groupBy(col("ps_partkey")).agg(Det.dsum(col("v")).as("value"))
-        .join(broadcast(total))
+      // The nation total needed for the threshold is the sum of the
+      // per-part values — so compute per-part EXACT-DECIMAL partials
+      // once and take the global total as a window sum over them,
+      // instead of aggregating the ps pipeline a second time and
+      // cross-joining the one-row result (two full lineitem scans).
+      // Decimal partial sums are associative integers, so
+      // sum-of-partials == Det.dsum over all rows bit-for-bit, and the
+      // window moves only O(#parts) 16-byte rows through one task.
+      ps.groupBy(col("ps_partkey")).agg(Det.dsumWin(col("v")).as("vdec"))
+        .withColumn("value", Det.dwinFinish(col("vdec")))
+        .withColumn("threshold",
+          Det.dwinFinish(sum(col("vdec")).over(Window.partitionBy())) *
+            lit(0.0001))
         .filter(col("value") > col("threshold"))
         .select("ps_partkey", "value")
         .orderBy(col("value").desc, col("ps_partkey"))
@@ -405,35 +424,45 @@ object TpchQueries {
     // Q17: small-quantity-order revenue (do_17:422-432); p_size = 7
     // stands in for the absent p_container = 'MED BOX'.
     "tpch17" -> { (s, d) =>
-      val avgQ = lineitem(s, d)
-        .groupBy(col("l_partkey").as("aq_partkey"))
-        .agg((lit(0.2) * avg(col("l_quantity"))).as("avg_quantity"))
       val p = part(s, d)
         .filter(col("p_brand") === "Brand#23" && col("p_size") === 7)
         .select("p_partkey")
+      // The correlated avg is per-part and the part filter is per-part,
+      // so the avg over the PART-FILTERED join equals the avg over all
+      // of lineitem for every surviving part — computed as a window, it
+      // shuffles only the ~1/1000 filtered rows, where the old derived-
+      // aggregate join built per-part avgs for the ENTIRE fact table
+      // (a full extra scan + a shuffle of every partkey) and threw
+      // 99.9% of them away at the join.
       lineitem(s, d).select("l_partkey", "l_quantity", "l_extendedprice")
         .join(p, col("l_partkey") === col("p_partkey"))
-        .join(avgQ, col("l_partkey") === col("aq_partkey"))
+        .withColumn("avg_quantity",
+          lit(0.2) * avg(col("l_quantity")).over(Window.partitionBy("l_partkey")))
         .filter(col("l_quantity") < col("avg_quantity"))
         .agg((Det.dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
     },
 
     // Q18: large volume customers (do_18:434-442), threshold 300.
     "tpch18" -> { (s, d) =>
-      val big = lineitem(s, d)
-        .groupBy(col("l_orderkey").as("big_orderkey"))
-        .agg(sum(col("l_quantity")).as("sum_quant"))
-        .filter(col("sum_quant") > 300)
-        .select("big_orderkey")
-      customer(s, d).select("c_custkey", "c_name")
-        .join(orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate",
-          "o_totalprice"), col("c_custkey") === col("o_custkey"))
-        .join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
-        .join(lineitem(s, d).select("l_orderkey", "l_quantity"),
-          col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
-          col("o_orderdate"), col("o_totalprice"))
+      // Aggregate-first: the outer per-order sum IS the HAVING
+      // subquery's sum (orders and customer are key-unique, so the
+      // joins add no fan-out) — so compute it once, filter, and join
+      // the surviving handful of orders outward. The old semi-join
+      // form scanned and shuffled lineitem twice (once for the HAVING,
+      // once to re-derive the same sums after the join) for identical
+      // output. The >300 filter leaves so few orders that AQE
+      // broadcasts them against orders and customer.
+      val totals = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
         .agg(sum(col("l_quantity")).as("total_quantity"))
+        .filter(col("total_quantity") > 300)
+      orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate",
+          "o_totalprice")
+        .join(totals, col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, d).select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_quantity"))
         .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
         .limit(100)
     },
@@ -466,24 +495,23 @@ object TpchQueries {
     "tpch20" -> { (s, d) =>
       val fparts = part(s, d).filter(col("p_name").like("small%"))
         .select("p_partkey")
-      val shipped = lineitem(s, d)
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      // availqty (all lines) and the 1996-shipped half-quantity are
+      // aggregates over the SAME 'small%'-part (part, supplier) groups
+      // differing only in a row predicate — one conditional-aggregation
+      // pass computes both, where the old derive-twice-and-join form
+      // scanned and shuffled lineitem twice. A pair with no 1996
+      // shipments sums the when() to null and drops at the comparison,
+      // exactly as the old inner join dropped it.
+      val excess = lineitem(s, d)
         .join(fparts, col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg((lit(0.5) * sum(col("l_quantity"))).as("half_qty"))
-      // Per-part restriction pushed below the partsupp derivation (see
-      // tpch02): only 'small%' parts' pairs aggregate.
-      val ps = lineitem(s, d)
-        .join(fparts, col("l_partkey") === col("p_partkey"), "left_semi")
-        .groupBy(col("l_partkey").as("ps_partkey"),
-          col("l_suppkey").as("ps_suppkey"))
-        .agg(sum(col("l_quantity").cast("long")).as("ps_availqty"))
-      val excess = ps
-        .join(shipped, col("ps_partkey") === col("l_partkey") &&
-          col("ps_suppkey") === col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("ps_availqty"),
+          (lit(0.5) * sum(when(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"),
+            col("l_quantity")))).as("half_qty"))
         .filter(col("ps_availqty") > col("half_qty"))
-        .select("ps_suppkey")
+        .select(col("l_suppkey").as("ps_suppkey"))
       supplier(s, d)
         .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_18")),
           col("s_nationkey") === col("n_nationkey"))

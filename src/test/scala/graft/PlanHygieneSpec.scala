@@ -17,7 +17,7 @@ class PlanHygieneSpec extends SparkSpecBase {
   private val scalarCrossJoins = Set(
     "q28_winsorize", "q29_multi_winsorize",
     "q27_not_exists_avg",
-    "tpch11", "tpch22",
+    "tpch22",
     "q50_vector_nn", "q78_kmeans",
     // rank-bound gates: each crosses the fact table with its own one-row
     // sketch aggregate (approx/t-digest quantiles, Welford state)
@@ -116,8 +116,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     * failure instead of a noisy bench delta. Update the numbers ONLY
     * after confirming the new plan is intentional (re-run PlanCounts). */
   private val pinnedShapes = Map(
-    "tpch02" -> (5, 8), "tpch03" -> (1, 2), "tpch07" -> (4, 4),
-    "tpch09" -> (3, 6), "tpch21" -> (3, 5),
+    // tpch02/09 re-pinned round 9: the derived-min join-backs became
+    // windows over the single shared pipeline (scan-once rewrites), so
+    // the duplicated exchanges disappeared
+    "tpch02" -> (2, 4), "tpch03" -> (1, 2), "tpch07" -> (4, 4),
+    "tpch09" -> (3, 4), "tpch21" -> (3, 5),
     "q36_highcard_agg" -> (1, 0), "q48_cep" -> (1, 2),
     // q66 re-pinned round 9: the Jaccard-confirm joins are forced
     // shuffle-hash — Catalyst used to broadcast the corpus-derived
