@@ -525,6 +525,20 @@ object TpchQueries {
     // supplier EXISTS / sole-late-supplier NOT EXISTS structure is
     // preserved exactly.
     "tpch21" -> { (s, d) =>
+      // The EXISTS / NOT EXISTS pair re-expressed as exact count
+      // comparisons so each input is read once (the literal form
+      // scanned lineitem three times and orders twice — the late-CTE
+      // join-back blocks exchange reuse, same disease as tpch15):
+      //  * EXISTS another-supplier line  <=>  the order's total line
+      //    count exceeds l1's (order, supplier) pair count — computed
+      //    on pair-grain aggregates of ONE raw lineitem pass, the
+      //    window summing pair counts to order totals;
+      //  * NOT EXISTS another late supplier  <=>  every late line of
+      //    the order is l1's supplier — two window counts over `late`
+      //    itself. The explicit repartition on l_orderkey satisfies
+      //    both window distributions (subset rule), so the pair- and
+      //    order-grain counts share ONE shuffle and `late` is never
+      //    planned twice.
       val late = lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(orders(s, d).filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate"),
@@ -535,15 +549,23 @@ object TpchQueries {
         .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_19")),
           col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name")
-      val d0 = late.join(natSupp, col("l_suppkey") === col("s_suppkey"))
-      val others = lineitem(s, d)
-        .select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
-      val d1 = d0.join(others, col("l_orderkey") === col("lo2") &&
-        col("l_suppkey") =!= col("ls2"), "left_semi")
-      val late2 = late.select(col("l_orderkey").as("lo3"),
-        col("l_suppkey").as("ls3"))
-      d1.join(late2, col("l_orderkey") === col("lo3") &&
-          col("l_suppkey") =!= col("ls3"), "left_anti")
+      val soleLate = late.repartition(col("l_orderkey"))
+        .withColumn("late_pair", count(lit(1))
+          .over(Window.partitionBy("l_orderkey", "l_suppkey")))
+        .withColumn("late_order", count(lit(1))
+          .over(Window.partitionBy("l_orderkey")))
+        .filter(col("late_order") === col("late_pair"))
+        .select("l_orderkey", "l_suppkey")
+      val multiSupp = lineitem(s, d)
+        .groupBy(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
+        .agg(count(lit(1)).as("pair_cnt"))
+        .withColumn("order_cnt",
+          sum(col("pair_cnt")).over(Window.partitionBy("lo2")))
+        .filter(col("order_cnt") > col("pair_cnt"))
+        .select("lo2", "ls2")
+      soleLate.join(natSupp, col("l_suppkey") === col("s_suppkey"))
+        .join(multiSupp, col("l_orderkey") === col("lo2") &&
+          col("l_suppkey") === col("ls2"), "left_semi")
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
