@@ -46,16 +46,28 @@ object RottnestQueries {
           when(col("event_id") % 2 === 0, 1).otherwise(-1).as("direction"))
       // dropDuplicates mirrors the oracle's rn=1-per-(symbol,ts,direction)
       // semantics in the (measure-zero but possible) case where an exit
-      // lands exactly on another entry's timestamp
-      val alphas = entries.unionByName(entries.select(
-        (col("ts") + expr("INTERVAL 5 HOURS")).as("ts"), col("symbol"),
-        (-col("direction")).as("direction")))
+      // lands exactly on another entry's timestamp. Entry + exit emitted
+      // by ONE explode over the filtered scan — the union form planned
+      // the same filtered events read twice.
+      val alphas = entries.select(explode(array(
+          struct(col("ts"), col("symbol"), col("direction")),
+          struct((col("ts") + expr("INTERVAL 5 HOURS")).as("ts"),
+            col("symbol"), (-col("direction")).as("direction")))).as("a"))
+        .select(col("a.ts").as("ts"), col("a.symbol").as("symbol"),
+          col("a.direction").as("direction"))
         .dropDuplicates("symbol", "ts", "direction")
+      // fills feeds BOTH the mark-to-market join and the cash deltas —
+      // unpersisted, each consumer re-plans the whole as-of join (the
+      // tick-stream shuffle, the dominant cost, would run twice).
+      // Persist the signal-grain result instead (sparse — one row per
+      // alpha, not per tick) and release it once the day-grain equity
+      // is materialized, the q91 scoped-lifecycle pattern.
       val fills = new OrderedStream(alphas, "ts")
         .asofJoinForward(new OrderedStream(trades, "ts"), by = "symbol").df
         .filter(col("price").isNotNull)
         .select(col("symbol"), col("direction"), col("price").as("fill_price"),
           to_date(col("ts_right")).as("fill_day"))
+        .persist()
       // last tick per (symbol, day) — the mark price
       val dayLast = trades
         .withColumn("day", to_date(col("ts")))
@@ -75,16 +87,23 @@ object RottnestQueries {
         .agg(Det.dsum(col("pos") * col("price")).as("stock_equity"))
       val dcash = fills.groupBy(col("fill_day").as("day"))
         .agg((-Det.dsum(col("direction") * col("fill_price"))).as("dc"))
+      // the day axis must cover ALL traded days (cash-only days included)
+      // — a ts-only pruned scan of the tick stream; deriving it from
+      // dayLast would plan that window pipeline twice, which costs more
+      // than re-reading one pruned column
       val days = trades.select(to_date(col("ts")).as("day")).distinct()
       val cash = days.join(dcash, Seq("day"), "left")
         .withColumn("cash", sum(coalesce(col("dc"), lit(0.0))).over(
           org.apache.spark.sql.expressions.Window.orderBy(col("day"))
             .rowsBetween(org.apache.spark.sql.expressions.Window
               .unboundedPreceding, 0)))
-      cash.join(stockEq, Seq("day"), "left")
+      val out = cash.join(stockEq, Seq("day"), "left")
         .select(col("day"),
           (col("cash") + coalesce(col("stock_equity"), lit(0.0))).as("equity"))
         .orderBy(col("day"))
+        .localCheckpoint(true)
+      fills.unpersist(false)
+      out
     },
 
     // Per-day pivot of the event stream into one column per event type
