@@ -101,7 +101,13 @@ object AdvancedRelationalQueries {
 
     // TPC-H Q2 shape: min-per-group correlated subquery over a dimension
     // join tree (supplier in a region offering the region-min account
-    // balance per nation).
+    // balance per nation). Deliberately KEPT as a derive-and-broadcast
+    // join, unlike the q26/tpch15 window rewrites: the group key here is
+    // nationkey (~25 values), so a window would shuffle every supplier
+    // row into 25 skewed partitions, while this form re-scans the
+    // pruned dimension tree once and broadcasts 25 minima — the probe
+    // side never shuffles at all. ScanAudit flags the double scan; it
+    // is the cheaper shape at any scale.
     "q2b_corr_min_join" -> { (s, d) =>
       val supNation = supplier(s, d)
         .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))

@@ -56,18 +56,11 @@ object RottnestQueries {
         .select(col("a.ts").as("ts"), col("a.symbol").as("symbol"),
           col("a.direction").as("direction"))
         .dropDuplicates("symbol", "ts", "direction")
-      // fills feeds BOTH the mark-to-market join and the cash deltas —
-      // unpersisted, each consumer re-plans the whole as-of join (the
-      // tick-stream shuffle, the dominant cost, would run twice).
-      // Persist the signal-grain result instead (sparse — one row per
-      // alpha, not per tick) and release it once the day-grain equity
-      // is materialized, the q91 scoped-lifecycle pattern.
       val fills = new OrderedStream(alphas, "ts")
         .asofJoinForward(new OrderedStream(trades, "ts"), by = "symbol").df
         .filter(col("price").isNotNull)
         .select(col("symbol"), col("direction"), col("price").as("fill_price"),
           to_date(col("ts_right")).as("fill_day"))
-        .persist()
       // last tick per (symbol, day) — the mark price
       val dayLast = trades
         .withColumn("day", to_date(col("ts")))
@@ -77,33 +70,47 @@ object RottnestQueries {
             .orderBy(col("ts").desc)))
         .filter(col("__rn") === 1)
         .select(col("symbol"), col("day"), col("price"))
-      // position as of each traded (symbol, day): all fills up to that day
-      val posv = dayLast.as("dl")
-        .join(fills.as("f"), col("f.symbol") === col("dl.symbol") &&
-          col("f.fill_day") <= col("dl.day"))
-        .groupBy(col("dl.symbol"), col("dl.day").as("day"), col("dl.price"))
-        .agg(sum(col("f.direction")).as("pos"))
-      val stockEq = posv.groupBy(col("day"))
-        .agg(Det.dsum(col("pos") * col("price")).as("stock_equity"))
-      val dcash = fills.groupBy(col("fill_day").as("day"))
-        .agg((-Det.dsum(col("direction") * col("fill_price"))).as("dc"))
-      // the day axis must cover ALL traded days (cash-only days included)
-      // — a ts-only pruned scan of the tick stream; deriving it from
-      // dayLast would plan that window pipeline twice, which costs more
-      // than re-reading one pruned column
-      val days = trades.select(to_date(col("ts")).as("day")).distinct()
-      val cash = days.join(dcash, Seq("day"), "left")
-        .withColumn("cash", sum(coalesce(col("dc"), lit(0.0))).over(
+      // ONE dataflow from here: fill rows and mark rows union into a
+      // per-symbol stream ordered by day (fills of a day sort before
+      // that day's mark), positions come from a running window instead
+      // of the old fills⨝marks fill_day<=day join — which was
+      // quadratic in signals-per-symbol AND consumed fills twice, so
+      // the whole as-of join (the tick shuffle, the dominant cost)
+      // planned and ran twice. Stock equity and cash deltas fall out of
+      // one conditional aggregation per day; every traded day has a
+      // mark row (a fill's price IS a tick of that day), so this also
+      // replaces the separate day-axis scan. Cash decimals carry
+      // Det.dsum's exact bround representation so per-day sums are
+      // bit-identical to the old per-consumer Det.dsum calls.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol")).orderBy(col("day"), col("is_mark"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val u = dayLast.select(col("symbol"), col("day"), col("price"),
+          lit(null).cast("int").as("direction"),
+          lit(null).cast("decimal(25,0)").as("dc_dec"),
+          lit(1).as("is_mark"))
+        .unionByName(fills.select(col("symbol"),
+          col("fill_day").as("day"),
+          lit(null).cast("double").as("price"),
+          col("direction"),
+          bround((col("direction") * col("fill_price")) * lit(1e6), 0)
+            .cast("decimal(25,0)").as("dc_dec"),
+          lit(0).as("is_mark")))
+        .withColumn("pos", sum(col("direction")).over(w))
+      val perDay = u.groupBy(col("day")).agg(
+        Det.dsum(when(col("is_mark") === 1, col("pos") * col("price")))
+          .as("stock_equity"),
+        sum(when(col("is_mark") === 0, col("dc_dec"))).as("dc_dec_sum"))
+      perDay
+        .withColumn("cash", sum(coalesce(
+            -col("dc_dec_sum").cast("double") / lit(1e6), lit(0.0))).over(
           org.apache.spark.sql.expressions.Window.orderBy(col("day"))
             .rowsBetween(org.apache.spark.sql.expressions.Window
               .unboundedPreceding, 0)))
-      val out = cash.join(stockEq, Seq("day"), "left")
         .select(col("day"),
           (col("cash") + coalesce(col("stock_equity"), lit(0.0))).as("equity"))
         .orderBy(col("day"))
-        .localCheckpoint(true)
-      fills.unpersist(false)
-      out
     },
 
     // Per-day pivot of the event stream into one column per event type
