@@ -119,11 +119,12 @@ class PlanHygieneSpec extends SparkSpecBase {
     // tpch02/09 re-pinned round 9: the derived-min join-backs became
     // windows over the single shared pipeline (scan-once rewrites), so
     // the duplicated exchanges disappeared
-    // tpch21 re-pinned round 9: EXISTS/NOT-EXISTS as window-count
-    // comparisons — one fewer lineitem scan and one fewer broadcast,
-    // one extra pair-grain shuffle
+    // tpch21 re-pinned round 9 (twice): EXISTS/NOT-EXISTS collapsed to
+    // one conditional aggregate over a single lineitem⨝F-orders pass —
+    // two shuffles total (join + final name agg), everything else
+    // broadcast
     "tpch02" -> (2, 4), "tpch03" -> (1, 2), "tpch07" -> (4, 4),
-    "tpch09" -> (3, 4), "tpch21" -> (4, 4),
+    "tpch09" -> (3, 4), "tpch21" -> (2, 3),
     "q36_highcard_agg" -> (1, 0), "q48_cep" -> (1, 2),
     // q66 re-pinned round 9: the Jaccard-confirm joins are forced
     // shuffle-hash — Catalyst used to broadcast the corpus-derived
