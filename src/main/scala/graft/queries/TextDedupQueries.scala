@@ -245,6 +245,33 @@ object TextDedupQueries {
         .filter(col("n_terms") === terms.size)
         .select("doc_id", "n_terms")
         .orderBy("doc_id")
+    },
+
+    // MassiveText/Gopher repetition signals: duplicate-n-gram fractions
+    // (n = 1, 2, 3) per document. Pure per-row higher-order functions —
+    // at 100 TB this is scan-parallel with zero exchange (the orderBy is
+    // the gate's presentation sort only).
+    "q118_repetition" -> { (s, d) =>
+      documents(s, d).select(col("doc_id"),
+        TextOps.dupNgramFrac(col("text"), 1).as("dup_word_frac"),
+        TextOps.dupNgramFrac(col("text"), 2).as("dup_bigram_frac"),
+        TextOps.dupNgramFrac(col("text"), 3).as("dup_trigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic stratified sampling: keep a per-language percentage
+    // chosen by hashing a salted document id — reproducible across
+    // reruns/retries/engines (no RNG), and a pure narrow filter, so at
+    // 100 TB it samples during the scan with zero exchange. The salt
+    // decorrelates this sample from any other hash-of-id use.
+    "q119_stratified_sample" -> { (s, d) =>
+      val pct = when(col("lang") === "en", 50)
+        .when(col("lang") === "zh", 20).otherwise(10)
+      documents(s, d)
+        .filter(TextOps.portableHash(
+          concat(lit("sample1:"), col("doc_id").cast("string"))) % 100 < pct)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
     }
   )
 
@@ -429,6 +456,31 @@ object TextDedupQueries {
          |SELECT doc_id, CAST(2 AS BIGINT) AS n_terms
          |FROM toks
          |WHERE list_contains(t, 'join') AND list_contains(t, 'scan')
+         |ORDER BY doc_id""".stripMargin,
+
+    "q118_repetition" -> {
+      // n-grams as 1-based list_transform windows; frac = 1 - distinct/total
+      def grams(n: Int) =
+        if (n == 1) "t"
+        else {
+          val parts = (0 until n).map(j => s"t[i+$j]")
+            .mkString(", ' ', ")
+          s"list_transform(range(1, greatest(len(t)-${n - 1}, 0)+1), i -> concat($parts))"
+        }
+      def frac(g: String) =
+        s"CASE WHEN len($g) = 0 THEN 0.0 ELSE 1.0 - len(list_distinct($g))::DOUBLE / len($g)::DOUBLE END"
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |g AS (SELECT doc_id, ${grams(1)} AS g1, ${grams(2)} AS g2, ${grams(3)} AS g3 FROM toks)
+         |SELECT doc_id, ${frac("g1")} AS dup_word_frac,
+         |  ${frac("g2")} AS dup_bigram_frac,
+         |  ${frac("g3")} AS dup_trigram_frac
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    "q119_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${hashSql("(concat('sample1:', CAST(doc_id AS VARCHAR)))")} % 100 <
+         |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 20 ELSE 10 END
          |ORDER BY doc_id""".stripMargin
   )
 }

@@ -15,12 +15,13 @@ object ExplainQ {
     for (q <- args) {
       println(s"===== $q =====")
       graft.SparkEntry.queries(q)(spark, d).explain("formatted")
-      // time construction + count, like Bench.timeOnce does: streaming
-      // gates run their whole bounded stream AT construction, so timing
-      // only the count would miss the actual work
+      // time construction + Bench.force (noop write), exactly what
+      // Bench.timeOnce does: streaming gates run their whole bounded
+      // stream AT construction, and the noop sink keeps Catalyst from
+      // count-pruning windows/joins out of the timed plan
       for (rep <- 1 to 3) {
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(q)(spark, d).count()
+        graft.Bench.force(graft.SparkEntry.queries(q)(spark, d))
         println(s"--- ${q} full$rep: ${(System.nanoTime()-t0)/1e9}")
       }
     }

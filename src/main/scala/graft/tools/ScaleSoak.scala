@@ -108,7 +108,10 @@ object ScaleSoak {
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      fn(spark, dir).count()
+      // Bench.force (noop write), not count(): Catalyst prunes windows
+      // and unique-key left joins under a bare count, so a count-timed
+      // ratio would compare fragments of the as-of/backtest pipelines
+      graft.Bench.force(fn(spark, dir))
       (System.nanoTime() - t0) / 1e9
     }
     // warm both datasets once (page cache + codegen), then min-of-2 with

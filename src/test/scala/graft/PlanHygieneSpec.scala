@@ -213,6 +213,33 @@ class PlanHygieneSpec extends SparkSpecBase {
     } finally spark.conf.set(key, prev)
   }
 
+  /** Bench-fidelity pin: Catalyst prunes under a bare `df.count()` —
+    * unused window expressions vanish and a left join whose right side
+    * is aggregate-unique on the join key is eliminated outright, so a
+    * count-timed bench measures a fraction of eleven catalog queries'
+    * pipelines (both as-of joins, the left join, the shift/sliding
+    * windows, tpch09, the backtest). Bench therefore times
+    * `Bench.force` (a noop-sink write, which requires every output
+    * column). This test pins that behavior observably: an accumulator
+    * bumped inside a projected-but-never-filtered-on column must fire
+    * under Bench.force, while the same column under count() is pruned
+    * and never evaluates. */
+  test("Bench.force evaluates columns that a bare count() prunes") {
+    val acc = spark.sparkContext.longAccumulator("forceProbe")
+    val bump = org.apache.spark.sql.functions.udf { (x: Long) =>
+      acc.add(1L); x
+    }
+    val df = spark.range(100).toDF("id")
+      .withColumn("probe", bump(org.apache.spark.sql.functions.col("id")))
+    df.count()
+    assert(acc.value == 0L,
+      "count() evaluated the probe column — the pruning premise changed")
+    Bench.force(df)
+    assert(acc.value == 100L,
+      s"Bench.force evaluated ${acc.value}/100 probe rows — the noop " +
+        "write no longer forces full-column evaluation")
+  }
+
   test("streaming gates pin exactly one watermark + one stateful operator") {
     import graft.queries.GateQueries
     val d = sf()

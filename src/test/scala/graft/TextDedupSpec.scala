@@ -212,4 +212,28 @@ class TextDedupSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(out == Set((1L, 2L)))
   }
+
+  test("dupNgramFrac: hand-computed repetition fractions and short-doc edges") {
+    // "a a a b": words 4 distinct 2 -> 0.5; bigrams [a a, a a, a b] 3
+    // distinct 2 -> 1/3; trigrams [a a a, a a b] 2 distinct 2 -> 0.0.
+    // A 2-token doc has no trigram (0.0 by definition); empty doc all 0.
+    val d = docs(Seq((1L, "a a a b"), (2L, "x y"), (3L, "")))
+      .select(col("doc_id"),
+        TextOps.dupNgramFrac(col("text"), 1).as("w"),
+        TextOps.dupNgramFrac(col("text"), 2).as("b"),
+        TextOps.dupNgramFrac(col("text"), 3).as("t"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toList.sortBy(_._1)
+    assert(d == List(
+      (1L, 0.5, 1.0 - 2.0 / 3.0, 0.0),
+      (2L, 0.0, 0.0, 0.0),
+      (3L, 0.0, 0.0, 0.0)))
+  }
+
+  test("ngramArray windows overlap in order and respect token boundaries") {
+    val g = docs(Seq((1L, "one two three four")))
+      .select(TextOps.ngramArray(TextOps.tokens(col("text")), 3).as("g"))
+      .head().getSeq[String](0)
+    assert(g == Seq("one two three", "two three four"))
+  }
 }
