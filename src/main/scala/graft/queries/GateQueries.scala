@@ -61,24 +61,34 @@ object GateQueries {
     s.table(name)
   }
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  private def eventsSchema(tsType: DataType) = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming file-source view of the events table (nanos ts → µs
-    * timestamp, as Tables.events does for the batch reader). Requires
+  /** µs TIMESTAMP view of a raw `ts` column in either fixture vintage
+    * (int64-nanos or µs TIMESTAMP_NTZ — see Tables.events). */
+  private def tsxOf(tsType: DataType) = tsType match {
+    case LongType => timestamp_micros(expr("ts div 1000"))
+    case _        => col("ts").cast(TimestampType)
+  }
+
+  /** Streaming file-source view of the events table with `tsx` normalized
+    * to µs TIMESTAMP in whichever vintage the fixture shipped (see
+    * Tables.events). Nanos-long fixtures additionally need
     * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session build
     * (Verify/Bench/SharedSpark/tools) — a query constructor must not
     * mutate shared session conf (round-8 verdict). */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
-        "(events.ts is parquet TIMESTAMP(NANOS))")
+    val tsT = Tables.eventsRawTsType(s, d)
+    if (tsT == LongType)
+      require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
+          "(events.ts is parquet TIMESTAMP(NANOS))")
     // the file source wants a directory; glob-filter to the one table
-    s.readStream.schema(eventsSchema).option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("tsx", timestamp_micros(expr("ts div 1000")))
+    s.readStream.schema(eventsSchema(tsT))
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("tsx", tsxOf(tsT))
   }
 
   /** q104/q105/q109's oracles are tie-sensitive: a duplicate
@@ -144,22 +154,38 @@ object GateQueries {
     // accumulate /tmp dirs — round-8 advice): the driver-side max() scan
     // and parquet write are fixture setup, not part of the streaming
     // query Bench times.
+    val tsT = Tables.eventsRawTsType(s, d)
     val tmp = sentinelDirs.computeIfAbsent(s"$d|$et", _ => {
       // batch events table carries the µs timestamp as `ts` (Tables.events
-      // rewrites the nanos long in place; `tsx` exists only on the stream)
+      // normalizes either vintage in place; `tsx` exists only on the stream)
       val maxUs = Tables.events(s, d)
         .agg(max(expr("unix_micros(ts)"))).head().getLong(0)
       val key = java.lang.Integer.toHexString(s"$d|$et".hashCode)
       val dir = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), s"graft_wm_sentinel_$key").toString
       import s.implicits._
-      Seq((-1L, (maxUs + 5000L) * 1000L, -1L, et, 0.0, ""))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .write.mode("overwrite").parquet(dir)
+      val us = maxUs + 5000L
+      // write ts in the fixture's own vintage so the sentinel stream can
+      // share eventsStream's source schema (unionByName needs one type)
+      val row = tsT match {
+        case LongType =>
+          Seq((-1L, us * 1000L, -1L, et, 0.0, ""))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        case TimestampNTZType =>
+          Seq((-1L, java.time.LocalDateTime.ofEpochSecond(
+              us / 1000000L, ((us % 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC), -1L, et, 0.0, ""))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        case _ =>
+          Seq((-1L, java.time.Instant.EPOCH.plus(
+              us, java.time.temporal.ChronoUnit.MICROS), -1L, et, 0.0, ""))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      }
+      row.write.mode("overwrite").parquet(dir)
       dir
     })
-    val sentinel = s.readStream.schema(eventsSchema).parquet(tmp)
-      .withColumn("tsx", timestamp_micros(expr("ts div 1000")))
+    val sentinel = s.readStream.schema(eventsSchema(tsT)).parquet(tmp)
+      .withColumn("tsx", tsxOf(tsT))
     eventsStream(s, d).unionByName(sentinel)
   }
 
