@@ -100,7 +100,15 @@ object Bench {
     (1 to 12).foreach(_ => timeOnce(canaryFn))
     (1 to 2).foreach(_ => canary("__init"))
     val reps = scala.collection.mutable.LinkedHashMap.empty[String, Vector[(Double, Boolean)]]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev subset runs (comma-separated names); the recorded per-round
+    // bench always runs the full catalog (driver sets no filter)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val benched = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+    benched.foreach { case (name, fn) =>
       timeOnce(fn) // untimed warmup: per-plan codegen + JIT land here,
                    // keeping rep spread a pure contention signal
       var times = Vector.fill(3)(timeOnce(fn))

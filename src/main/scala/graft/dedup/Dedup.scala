@@ -308,6 +308,39 @@ object Dedup {
       .select(col(blockCol), col("id_1"), col("id_2"), col("cos_sim"))
   }
 
+  /** Train/test decontamination (the n-gram overlap protocol used to
+    * scrub eval benchmarks out of pretraining corpora): tag every
+    * training document with the number of distinct hashed k-gram
+    * shingles it shares with ANY test document, and a `contaminated`
+    * flag at `minOverlap`.
+    *
+    * Scale shape: an eval suite is megabytes against a 100 TB corpus, so
+    * the test side reduces to a distinct shingle-hash set and broadcasts
+    * (`broadcastTest=false` degrades to a plain shuffle join on the
+    * 8-byte gram hash for a genuinely large test side). The train side
+    * is one scan → explode → join → groupBy(id): no exchange ever
+    * carries document text, and the output is id-sized. */
+  def decontaminationTags(
+      train: DataFrame, test: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, minOverlap: Int = 1,
+      broadcastTest: Boolean = true): DataFrame = {
+    val testGrams0 = test
+      .select(explode(TextOps.shingleHashes(col(textCol), shingleK)).as("__g"))
+      .distinct()
+    val testGrams = if (broadcastTest) broadcast(testGrams0) else testGrams0
+    // shingleHashes is distinct per document, so post-join count(*) is
+    // exactly the distinct-gram overlap — no second distinct needed
+    val overlaps = train
+      .select(col(idCol), explode(TextOps.shingleHashes(col(textCol), shingleK)).as("__g"))
+      .join(testGrams, "__g")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    train.select(col(idCol))
+      .join(overlaps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key
     * (label/cluster/LSH bucket): cosine ≥ threshold, id_1 < id_2. */
   def embeddingNearDupPairs(

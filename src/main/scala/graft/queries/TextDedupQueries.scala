@@ -48,6 +48,9 @@ object TextDedupQueries {
   private val jaccardThreshold = 0.5
   private val cosineThreshold = 0.9
   private val simhashBits = 24
+  // q120: ≥5 shared trigram-shingle hashes marks a train doc contaminated
+  // (splits the sf0.01 fixture 236/450 — exercises both flag values)
+  private val decontamMinOverlap = 5
 
   /** sigᵢ expression over a shingle-hash list column `sh`. */
   private def sigSql(sh: String): Seq[String] =
@@ -248,14 +251,19 @@ object TextDedupQueries {
     },
 
     // MassiveText/Gopher repetition signals: duplicate-n-gram fractions
-    // (n = 1, 2, 3) per document. Pure per-row higher-order functions —
-    // at 100 TB this is scan-parallel with zero exchange (the orderBy is
-    // the gate's presentation sort only).
+    // (n = 1, 2, 3) per document, computed over HASHED n-grams in one
+    // projection (TextOps.dupNgramFracStruct — one tokenization, integer
+    // math, no n-gram strings; the string form benched 50 s here). Pure
+    // per-row compute — at 100 TB this is scan-parallel with zero
+    // exchange (the orderBy is the gate's presentation sort only).
     "q118_repetition" -> { (s, d) =>
-      documents(s, d).select(col("doc_id"),
-        TextOps.dupNgramFrac(col("text"), 1).as("dup_word_frac"),
-        TextOps.dupNgramFrac(col("text"), 2).as("dup_bigram_frac"),
-        TextOps.dupNgramFrac(col("text"), 3).as("dup_trigram_frac"))
+      documents(s, d)
+        .select(col("doc_id"),
+          TextOps.dupNgramFracStruct(col("text"), Seq(1, 2, 3)).as("__f"))
+        .select(col("doc_id"),
+          col("__f.n1").as("dup_word_frac"),
+          col("__f.n2").as("dup_bigram_frac"),
+          col("__f.n3").as("dup_trigram_frac"))
         .orderBy("doc_id")
     },
 
@@ -271,6 +279,19 @@ object TextDedupQueries {
         .filter(TextOps.portableHash(
           concat(lit("sample1:"), col("doc_id").cast("string"))) % 100 < pct)
         .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // train/test decontamination: a held-out split (doc_id % 10 = 0)
+    // stands in for the eval benchmark; its distinct shingle-hash set
+    // broadcasts and the corpus streams past it — the GPT-3-style
+    // n-gram scrub at its 100 TB shape (Dedup.decontaminationTags).
+    "q120_decontaminate" -> { (s, d) =>
+      val docs = documents(s, d)
+      Dedup.decontaminationTags(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleK, minOverlap = decontamMinOverlap)
         .orderBy("doc_id")
     }
   )
@@ -459,18 +480,15 @@ object TextDedupQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "q118_repetition" -> {
-      // n-grams as 1-based list_transform windows; frac = 1 - distinct/total
-      def grams(n: Int) =
-        if (n == 1) "t"
-        else {
-          val parts = (0 until n).map(j => s"t[i+$j]")
-            .mkString(", ' ', ")
-          s"list_transform(range(1, greatest(len(t)-${n - 1}, 0)+1), i -> concat($parts))"
-        }
+      // mirrors dupNgramFracStruct: hashed n-grams (same polynomial
+      // combine as the Spark side), frac = 1 - distinct/total
       def frac(g: String) =
         s"CASE WHEN len($g) = 0 THEN 0.0 ELSE 1.0 - len(list_distinct($g))::DOUBLE / len($g)::DOUBLE END"
       s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
-         |g AS (SELECT doc_id, ${grams(1)} AS g1, ${grams(2)} AS g2, ${grams(3)} AS g3 FROM toks)
+         |hs0 AS (SELECT doc_id, list_transform(t, x -> ${hashSql("x")}) AS hs FROM toks),
+         |g AS (SELECT doc_id, ${TextOps.ngramHashesSql("hs", 1)} AS g1,
+         |  ${TextOps.ngramHashesSql("hs", 2)} AS g2,
+         |  ${TextOps.ngramHashesSql("hs", 3)} AS g3 FROM hs0)
          |SELECT doc_id, ${frac("g1")} AS dup_word_frac,
          |  ${frac("g2")} AS dup_bigram_frac,
          |  ${frac("g3")} AS dup_trigram_frac
@@ -481,6 +499,20 @@ object TextDedupQueries {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${hashSql("(concat('sample1:', CAST(doc_id AS VARCHAR)))")} % 100 <
          |  CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 20 ELSE 10 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "q120_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |hs AS (SELECT doc_id, list_transform(t, x -> ${hashSql("x")}) AS hs FROM toks),
+         |sh AS (SELECT doc_id, ${TextOps.shingleHashesSql("hs", shingleK)} AS sh FROM hs),
+         |testg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 10 = 0),
+         |traing AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 10 <> 0),
+         |ov AS (SELECT doc_id, count(*) AS n_overlap FROM traing
+         |  JOIN testg USING (g) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+         |  coalesce(ov.n_overlap, 0) >= $decontamMinOverlap AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+         |LEFT JOIN ov USING (doc_id)
          |ORDER BY doc_id""".stripMargin
   )
 }

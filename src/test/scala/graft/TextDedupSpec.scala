@@ -236,4 +236,44 @@ class TextDedupSpec extends SparkSpecBase {
       .head().getSeq[String](0)
     assert(g == Seq("one two three", "two three four"))
   }
+
+  test("dupNgramFracStruct agrees with the string-exact dupNgramFrac") {
+    val d = docs(Seq(
+      (1L, "a a a b"), (2L, "x y"), (3L, ""),
+      (4L, "the cat sat on the cat sat again"),
+      (5L, "one two three one two three one two")))
+    val rows = d.select(col("doc_id"),
+        TextOps.dupNgramFracStruct(col("text"), Seq(1, 2, 3)).as("__f"),
+        TextOps.dupNgramFrac(col("text"), 1).as("s1"),
+        TextOps.dupNgramFrac(col("text"), 2).as("s2"),
+        TextOps.dupNgramFrac(col("text"), 3).as("s3"))
+      .select(col("doc_id"), col("__f.n1"), col("__f.n2"), col("__f.n3"),
+        col("s1"), col("s2"), col("s3"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(4), s"n=1 mismatch: $r")
+      assert(r.getDouble(2) == r.getDouble(5), s"n=2 mismatch: $r")
+      assert(r.getDouble(3) == r.getDouble(6), s"n=3 mismatch: $r")
+    }
+  }
+
+  test("decontaminationTags counts distinct shared shingles vs the test set") {
+    // test doc: shingles {a b c, b c d}. train 10 shares both (plus its
+    // own d e -> "c d e" unshared), train 11 shares none, train 12 is
+    // shorter than k (no shingles at all -> 0, not null).
+    val train = docs(Seq(
+      (10L, "a b c d e"), (11L, "x y z w"), (12L, "a b")))
+    val test = docs(Seq((1L, "a b c d")))
+    val out = Dedup.decontaminationTags(train, test, "doc_id", "text",
+        shingleK = 3, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toList.sortBy(_._1)
+    assert(out == List((10L, 2L, true), (11L, 0L, false), (12L, 0L, false)))
+    // broadcast off: identical result through the shuffle-join path
+    val out2 = Dedup.decontaminationTags(train, test, "doc_id", "text",
+        shingleK = 3, minOverlap = 2, broadcastTest = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toList.sortBy(_._1)
+    assert(out2 == out)
+  }
 }
