@@ -66,6 +66,10 @@ object GraftFunctions {
       "bpe_count",
       (children: Seq[Expression]) => BpeCount(children.head, children(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dsum128",
+      (children: Seq[Expression]) => DSum128(children.head),
+      "scala_udf")
   }
 }
 
@@ -90,5 +94,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[BpeCount].getCanonicalName, "bpe_count"),
       (children: Seq[Expression]) => BpeCount(children.head, children(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dsum128"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DSum128].getCanonicalName, "dsum128"),
+      (children: Seq[Expression]) => DSum128(children.head)))
   }
 }
