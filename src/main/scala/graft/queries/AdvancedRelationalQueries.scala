@@ -140,12 +140,14 @@ object AdvancedRelationalQueries {
     "q29_multi_winsorize" -> { (s, d) =>
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val li = lineitem(s, d)
+      // one percentile buffer per COLUMN (lo+hi share it), not per bound
       val bounds = li.agg(
-        expr(s"percentile(${cols.head}, 0.05)").as(s"${cols.head}_lo"),
-        cols.tail.flatMap(c => Seq(
-          expr(s"percentile($c, 0.05)").as(s"${c}_lo"),
-          expr(s"percentile($c, 0.95)").as(s"${c}_hi"))) :+
-          expr(s"percentile(${cols.head}, 0.95)").as(s"${cols.head}_hi"): _*)
+        expr(s"percentile(${cols.head}, array(0.05D, 0.95D))").as(s"${cols.head}_b"),
+        cols.tail.map(c =>
+          expr(s"percentile($c, array(0.05D, 0.95D))").as(s"${c}_b")): _*)
+        .select(cols.flatMap(c => Seq(
+          element_at(col(s"${c}_b"), 1).as(s"${c}_lo"),
+          element_at(col(s"${c}_b"), 2).as(s"${c}_hi"))): _*)
       val clipped = li.join(broadcast(bounds))
         .select(cols.map(c =>
           least(greatest(col(c), col(s"${c}_lo")), col(s"${c}_hi"))
@@ -161,9 +163,12 @@ object AdvancedRelationalQueries {
     // identical plan shape).
     "q28_winsorize" -> { (s, d) =>
       val li = lineitem(s, d)
+      // one percentile buffer for both bounds (scalar percentile() builds
+      // a full value-count map per call); the post-agg select is one row
       val bounds = li.agg(
-        expr("percentile(l_extendedprice, 0.05)").as("lo"),
-        expr("percentile(l_extendedprice, 0.95)").as("hi"))
+        expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("b"))
+        .select(element_at(col("b"), 1).as("lo"),
+          element_at(col("b"), 2).as("hi"))
       li.join(broadcast(bounds))
         .select(least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
           .as("w"))

