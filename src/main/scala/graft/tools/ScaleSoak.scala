@@ -84,7 +84,11 @@ object ScaleSoak {
     // round 8: the streaming NFA rewrite (one shuffle + sorted scan, no
     // per-key buffering) and the end-to-end curation pipeline — the two
     // paths whose 10× behavior the round's changes most need to prove
-    "q97_nfa_cep", "q74_curation_pipeline")
+    "q97_nfa_cep", "q74_curation_pipeline",
+    // round 9: hashed repetition signals (must scale scan-linear) and
+    // decontamination (broadcast gram set — ratio must track the TRAIN
+    // side only)
+    "q118_repetition", "q120_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
