@@ -18,6 +18,7 @@ object SparkEntry {
     graft.queries.TimeSeriesQueries.queries ++
     graft.queries.VectorQueries.queries ++
     graft.queries.TextDedupQueries.queries ++
+    graft.queries.CurationQueries.queries ++
     graft.queries.GraphMlQueries.queries ++
     graft.queries.RottnestQueries.queries ++
     graft.queries.ExtensionQueries.queries ++
@@ -33,6 +34,7 @@ object SparkEntry {
     graft.queries.TimeSeriesQueries.oracles ++
     graft.queries.VectorQueries.oracles ++
     graft.queries.TextDedupQueries.oracles ++
+    graft.queries.CurationQueries.oracles ++
     graft.queries.GraphMlQueries.oracles ++
     graft.queries.RottnestQueries.oracles ++
     graft.queries.ExtensionQueries.oracles ++

@@ -23,7 +23,7 @@ object TextDedupQueries {
   // ---- DuckDB fragments mirroring TextOps/Dedup -----------------------
 
   /** tokens: lower → whitespace split → drop empties. */
-  private def toksSql(text: String) =
+  private[queries] def toksSql(text: String) =
     s"""list_filter(regexp_split_to_array(lower($text), '\\s+'), t -> length(t) > 0)"""
 
   private def hashSql(s: String) = TextOps.portableHashSql(s)
@@ -35,17 +35,17 @@ object TextDedupQueries {
 
   /** jaccard over two distinct-element lists — mirrors Dedup.jaccard:
     * i / (|a|+|b|-i). */
-  private def jacSql(a: String, b: String) = {
+  private[queries] def jacSql(a: String, b: String) = {
     val i = s"len(list_intersect($a, $b))::DOUBLE"
     s"CASE WHEN len($a)::DOUBLE + len($b)::DOUBLE - $i = 0.0 THEN 0.0 ELSE " +
       s"$i / (len($a)::DOUBLE + len($b)::DOUBLE - $i) END"
   }
 
-  private val numHashes = 16
-  private val shingleK = 3
-  private val numBands = 4
-  private val rowsPerBand = numHashes / numBands
-  private val jaccardThreshold = 0.5
+  private[queries] val numHashes = 16
+  private[queries] val shingleK = 3
+  private[queries] val numBands = 4
+  private[queries] val rowsPerBand = numHashes / numBands
+  private[queries] val jaccardThreshold = 0.5
   private val cosineThreshold = 0.9
   private val simhashBits = 24
   // q120: ≥5 shared trigram-shingle hashes marks a train doc contaminated
@@ -53,20 +53,20 @@ object TextDedupQueries {
   private val decontamMinOverlap = 5
 
   /** sigᵢ expression over a shingle-hash list column `sh`. */
-  private def sigSql(sh: String): Seq[String] =
+  private[queries] def sigSql(sh: String): Seq[String] =
     Dedup.hashCoeffs(numHashes).map { case (a, b) =>
       s"coalesce(list_min(list_transform($sh, h -> ($a * h + $b) % $P)), $P)"
     }
 
   /** band-b bucket hash over a sig list column. */
-  private def bandSql(sig: String, b: Int): String =
+  private[queries] def bandSql(sig: String, b: Int): String =
     (0 until rowsPerBand).foldLeft("0") { (h, r) =>
       s"(($h) * $B + $sig[${b * rowsPerBand + r + 1}]) % $P"
     }
 
   /** Shared CTE prefix: toks → hs (token hashes) → sh (hashed shingles)
     * → sigs, mirroring TextOps.shingleHashes/Dedup.minhashSig exactly. */
-  private val sigCtes =
+  private[queries] val sigCtes =
     s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
        |hs AS (SELECT doc_id, list_transform(t, x -> ${hashSql("x")}) AS hs FROM toks),
        |sh AS (SELECT doc_id, ${TextOps.shingleHashesSql("hs", shingleK)} AS sh FROM hs),

@@ -1,0 +1,134 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond scoring/dedup: sequence
+  * packing, PII redaction, and deterministic training-order shuffling.
+  * These complete the corpus-build story the reference's pipeline
+  * pieces (scans → transforms → groupbys, `pyquokka/datastream.py`)
+  * are used for — every one is a narrow, scan-parallel shape or a
+  * single keyed exchange, so each survives 100 TB unchanged.
+  */
+object Curation {
+
+  // ---- sequence packing -----------------------------------------------
+
+  /** Pack documents into fixed-token-budget training sequences.
+    *
+    * Deterministic contract (reproducible across engines, retries and
+    * cluster sizes — the property a training run needs so a re-run
+    * materializes byte-identical batches): within each shard, documents
+    * are taken in ascending id order; a document starts a new sequence
+    * exactly when appending it would exceed `budget` tokens; a document
+    * longer than `budget` occupies a sequence alone (placed at offset 0,
+    * overflowing by fiat — truncation is the trainer's policy choice,
+    * not the packer's).
+    *
+    * Scale shape: one hash exchange on the shard key, then a sorted
+    * per-partition scan (the `stateful_transform` shape —
+    * reference executors consume per-channel sorted batches the same
+    * way, `pyquokka/executors.py`). State is three longs per shard; no
+    * text moves — callers pack (shard, id, n_tokens) and join the
+    * assignment back to content by id if needed.
+    *
+    * Returns (shard, doc_id, n_tokens, seq_id, tok_offset), one row per
+    * input document: seq_id numbers sequences within the shard from 0,
+    * tok_offset is the document's first-token position in its sequence.
+    */
+  def packSequences(df: DataFrame, shardCol: String, idCol: String,
+      nTokCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(shardCol).cast("long"), col(idCol).cast("long"),
+        col(nTokCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .repartition(col(shardCol))
+      .sortWithinPartitions(shardCol, idCol)
+      .mapPartitions { it =>
+        // multiple shards can share a partition; state resets on the
+        // shard boundary (rows arrive sorted by shard, then id)
+        var shard = Long.MinValue
+        var seq = 0L
+        var fill = 0L
+        var first = true
+        it.map { case (sh, id, n) =>
+          if (first || sh != shard) {
+            shard = sh; seq = 0L; fill = n; first = false
+            (sh, id, n, 0L, 0L)
+          } else if (fill + n > budget) {
+            seq += 1; fill = n
+            (sh, id, n, seq, 0L)
+          } else {
+            val off = fill
+            fill += n
+            (sh, id, n, seq, off)
+          }
+        }
+      }
+      .toDF(shardCol, idCol, nTokCol, "seq_id", "tok_offset")
+  }
+
+  // ---- PII redaction ---------------------------------------------------
+
+  /** PII patterns written to the portable common subset of Java regex
+    * (Spark's engine) and RE2 (the oracle's): character classes, bounded
+    * repetition and ASCII word boundaries only — no backreferences or
+    * lookaround, so both engines match identical spans and the operator
+    * is exactly verifiable. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** Simple international-ish form: +<cc> <3 digits> <4 digits>. */
+  val phonePattern = "\\+\\d[- ]\\d{3}[- ]\\d{4}"
+
+  /** Count of PII matches per class — pure per-row compute, stays in
+    * whole-stage codegen, zero exchange at any corpus size. */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(emailPattern)),
+     regexp_count(text, lit(ipv4Pattern)),
+     regexp_count(text, lit(phonePattern)))
+
+  /** Redact all PII classes, applied in a fixed order (email → IPv4 →
+    * phone) so the output is deterministic under class overlap. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  // ---- deterministic training-order shuffle ----------------------------
+
+  /** Deterministic global shuffle for training-data ordering: every row
+    * is assigned a shard and a dense position within the shard, both
+    * pure functions of (seed, id) — rerunning with the same seed on any
+    * cluster size reproduces the exact order, and changing the seed
+    * draws an independent permutation (md5 of the seeded id is the
+    * order key, so the order is uncorrelated with id order and with any
+    * other hash-of-id use in the pipeline).
+    *
+    * Scale shape: shard assignment is a narrow projection; the single
+    * exchange is a hash repartition on the shard key and the per-shard
+    * ranking is a window partitioned by shard — fully parallel across
+    * shards, no global single-partition window anywhere. numShards is
+    * the parallelism knob: size it so a shard is one training stream.
+    *
+    * Returns the input columns plus (shard, pos). */
+  def trainOrderShuffle(df: DataFrame, idCol: String, seed: String,
+      numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val idStr = col(idCol).cast("string")
+    val key = TextOps.md5Hex(concat(lit(s"$seed:"), idStr))
+    val shard = pmod(
+      TextOps.portableHash(concat(lit(s"shard:$seed:"), idStr)),
+      lit(numShards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("shard", shard)
+      .repartition(col("shard"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .drop("__key")
+  }
+}

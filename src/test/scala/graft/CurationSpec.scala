@@ -1,0 +1,94 @@
+package graft
+
+import graft.dedup.Clusters
+import graft.text.Curation
+import org.apache.spark.sql.functions._
+
+/** Curation-completion operators: connected-components cluster
+  * resolution, sequence packing, PII redaction, deterministic shuffle. */
+class CurationSpec extends SparkSpecBase {
+
+  private def pairs(rows: Seq[(Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id_1", "id_2")
+  }
+
+  private def nodes(ids: Seq[Long]) = {
+    val s = spark
+    import s.implicits._
+    ids.toDF("id")
+  }
+
+  test("connectedComponents collapses chains and leaves isolates alone") {
+    // chain 1-2-3-4 (1≁4 directly), pair 7-8 (reversed), isolate 9
+    val out = Clusters.connectedComponents(
+        pairs(Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 7L))),
+        "id_1", "id_2", nodes(Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L)), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
+  test("connectedComponents converges on a long chain (pointer jumping)") {
+    // a 64-node chain has diameter 63; pointer jumping must close it
+    // well inside the default 16 rounds
+    val es = (0L until 63L).map(i => (i, i + 1))
+    val out = Clusters.connectedComponents(pairs(es), "id_1", "id_2",
+        nodes(0L to 63L), "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == 64 && out.forall(_._2 == 0L))
+  }
+
+  test("packSequences: greedy fill, oversize doc alone, shard reset") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, 1L, 100L), (0L, 2L, 200L), (0L, 3L, 50L), (0L, 4L, 300L),
+      (1L, 5L, 400L), (1L, 6L, 10L))
+      .toDF("shard", "doc_id", "n_tokens")
+    val out = Curation.packSequences(df, "shard", "doc_id", "n_tokens", 256L)
+      .orderBy("shard", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 0L, 0L),   // seq 0: doc1 at 0
+      (0L, 2L, 1L, 0L),   // 100+200 > 256 → seq 1
+      (0L, 3L, 1L, 200L), // fits after doc2
+      (0L, 4L, 2L, 0L),   // 300 > 256: alone in seq 2 (overflow by fiat)
+      (1L, 5L, 0L, 0L),   // new shard resets seq numbering
+      (1L, 6L, 1L, 0L)))  // 400 already over budget → next starts seq 1
+  }
+
+  test("piiRedact scrubs all three classes; piiCounts counts them") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("write a.b@x.co or c@d.org ip 10.1.2.3 tel +1 555 0123 end")
+      .toDF("t")
+    val (ne, nip, nph) = Curation.piiCounts(col("t"))
+    val r = df.select(ne, nip, nph, Curation.piiRedact(col("t"))).head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 1 && r.getInt(2) == 1)
+    assert(r.getString(3) ==
+      "write <EMAIL> or <EMAIL> ip <IP> tel <PHONE> end")
+  }
+
+  test("trainOrderShuffle is a deterministic permutation; seeds decorrelate") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id")
+    val a = Curation.trainOrderShuffle(docs, "doc_id", "s1", 4)
+    val b = Curation.trainOrderShuffle(docs, "doc_id", "s1", 4)
+    // per-shard positions are dense 0..n-1 (a permutation, no gaps/dups)
+    val shardOk = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"),
+        countDistinct(col("pos")).as("nd"))
+      .filter(col("mx") =!= col("n") - 1 || col("nd") =!= col("n"))
+      .count()
+    assert(shardOk == 0)
+    // same seed reproduces exactly
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    // a different seed moves most rows
+    val c = Curation.trainOrderShuffle(docs, "doc_id", "s2", 4)
+    val same = a.join(c, Seq("doc_id"))
+      .filter(a("shard") === c("shard") && a("pos") === c("pos")).count()
+    assert(same < docs.count() / 10)
+  }
+}
