@@ -139,7 +139,13 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q110_image_decode" -> (1, 0), "q111_cep_nfa_route" -> (2, 0),
     "q112_image_resize" -> (1, 0), "q113_frame_sample" -> (1, 0),
     "q114_audio_decode" -> (1, 0),
-    "q116_video_decode" -> (1, 0), "q117_video_frames" -> (1, 0))
+    "q116_video_decode" -> (1, 0), "q117_video_frames" -> (1, 0),
+    // round-9 curation tier: q122/q124 are one shard exchange + the
+    // gate's presentation sort; q123 is pure projection + sort; q121's
+    // static plan is post-iteration (checkpointed labels + sort) — the
+    // CC loop's own shape is spec'd in CurationSpec, not pinnable here
+    "q121_neardup_clusters" -> (1, 0), "q122_seq_packing" -> (2, 0),
+    "q123_pii_scrub" -> (1, 0), "q124_train_shuffle" -> (2, 0))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
