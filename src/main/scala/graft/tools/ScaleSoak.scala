@@ -88,7 +88,13 @@ object ScaleSoak {
     // round 9: hashed repetition signals (must scale scan-linear) and
     // decontamination (broadcast gram set — ratio must track the TRAIN
     // side only)
-    "q118_repetition", "q120_decontaminate")
+    "q118_repetition", "q120_decontaminate",
+    // round 9 curation tier: CC iteration (rounds grow with log of the
+    // deepest dup chain, not data size — ratio must stay near-linear),
+    // packing + train shuffle (one shard exchange each, linear), PII
+    // scrub (pure projection, scan-linear)
+    "q121_neardup_clusters", "q122_seq_packing", "q123_pii_scrub",
+    "q124_train_shuffle")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
