@@ -54,9 +54,16 @@ object Clusters {
     // Symmetrized edge list, partitioned on src: each round joins labels
     // on src then re-aggregates on dst, so persisting the src layout
     // makes the per-round cost one agg shuffle + one small label join.
-    val fwd = pairs.select(col(id1).as("__src"), col(id2).as("__dst"))
-    val rev = pairs.select(col(id2).as("__src"), col(id1).as("__dst"))
-    val edges = fwd.union(rev).filter(col("__src") =!= col("__dst"))
+    // Symmetrize by EXPLODING both directions from one scan — a
+    // union of two projections would run the pair-generating pipeline
+    // (LSH candidate join + Jaccard confirm, at corpus scale the
+    // expensive part) once per branch during materialization.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(id1).as("s"), col(id2).as("d")),
+        struct(col(id2).as("s"), col(id1).as("d")))).as("__e"))
+      .select(col("__e.s").as("__src"), col("__e.d").as("__dst"))
+      .filter(col("__src") =!= col("__dst"))
       .repartition(col("__src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
