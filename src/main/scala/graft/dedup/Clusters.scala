@@ -80,24 +80,38 @@ object Clusters {
         .join(nbrMin, col("__id") === col("__id2"), "left")
         .select(col("__id"),
           least(col("__lbl"), coalesce(col("__nmin"), col("__lbl"))).as("__lbl"))
-      // pointer jump: lbl''(v) = lbl'(lbl'(v)) — chases chains in one hop
-      // (self-join on the label table, so both sides need explicit aliases)
+      // pointer jump: lbl''(v) = lbl'(lbl'(v)) — chases chains in one
+      // hop (self-join on the label table, so both sides need explicit
+      // aliases). Labels satisfy lbl(v) <= v invariantly (initialized
+      // to v, only ever lowered), so lbl'(lbl'(v)) <= lbl'(v) and the
+      // parent's label can be taken directly — no least() needed.
       val jumped = stepped.as("s")
         .join(stepped.as("p"), col("s.__lbl") === col("p.__id"))
-        .select(col("s.__id").as("__id"),
-          least(col("s.__lbl"), col("p.__lbl")).as("__lbl"))
-        // truncate lineage each round: the label table is small (two
-        // longs per node) but its plan would otherwise deepen by two
-        // joins per round
+        .select(col("s.__id").as("__id"), col("p.__lbl").as("__lbl"))
+        // LOCAL CHECKPOINT, not persist: the self-join embeds `stepped`
+        // twice and `stepped` embeds `labels` twice, so without real
+        // truncation the LOGICAL plan (and its analysis/treeString cost)
+        // grows exponentially with rounds — a persist only shortcuts the
+        // physical side. Each dead round's checkpoint blocks (two longs
+        // per node) are reclaimed by ContextCleaner once the var
+        // reassignment drops the last reference.
         .localCheckpoint(true)
       // one scalar action per round — the only driver-side data motion
-      val changed = jumped.join(labels, Seq("__id"))
-        .filter(jumped("__lbl") =!= labels("__lbl")).limit(1).count()
+      // (aliased projections keep the derived-lineage compare from
+      // tripping ambiguous-self-join detection)
+      val changed = jumped.select(col("__id"), col("__lbl").as("__new"))
+        .join(labels.select(col("__id"), col("__lbl").as("__old")), "__id")
+        .filter(col("__new") =!= col("__old")).limit(1).count()
       converged = changed == 0
       labels = jumped
       round += 1
     }
     edges.unpersist(false)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds rounds — " +
+        "labels would be silently wrong (duplicates kept). With pointer " +
+        "jumping each round doubles reach, so this graph's diameter " +
+        s"exceeds ~2^$maxRounds; raise maxRounds")
     labels.select(col("__id").as(idCol), col("__lbl").as("cluster_id"))
   }
 

@@ -119,15 +119,21 @@ object Curation {
   def trainOrderShuffle(df: DataFrame, idCol: String, seed: String,
       numShards: Int): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
+    val clash = df.columns.toSet.intersect(Set("shard", "pos", "__key"))
+    require(clash.isEmpty,
+      s"trainOrderShuffle adds columns ${clash.mkString(", ")} that the " +
+        "input already has — rename them first (withColumn would silently " +
+        "overwrite the originals)")
     val idStr = col(idCol).cast("string")
     val key = TextOps.md5Hex(concat(lit(s"$seed:"), idStr))
     val shard = pmod(
       TextOps.portableHash(concat(lit(s"shard:$seed:"), idStr)),
       lit(numShards.toLong))
+    // no explicit repartition: the window's partitionBy inserts the
+    // identical hash exchange on shard
     val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
     df.withColumn("__key", key)
       .withColumn("shard", shard)
-      .repartition(col("shard"))
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
       .drop("__key")
   }
