@@ -40,6 +40,31 @@ class CurationSpec extends SparkSpecBase {
     assert(out.length == 64 && out.forall(_._2 == 0L))
   }
 
+  test("connectedComponents throws rather than return unconverged labels") {
+    // a 16-node chain cannot finish in 1 round even with pointer jumping
+    val es = (0L until 15L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      Clusters.connectedComponents(pairs(es), "id_1", "id_2",
+        nodes(0L to 15L), "id", maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("packSequences output is invariant to the partition layout") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L).map(i => (i % 5, i, 20L + i % 60))
+      .toDF("shard", "doc_id", "n_tokens")
+    def run(parts: Int) = {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try Curation.packSequences(df, "shard", "doc_id", "n_tokens", 256L)
+        .orderBy("shard", "doc_id").collect().toSeq
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(run(2) == run(8))
+  }
+
   test("packSequences: greedy fill, oversize doc alone, shard reset") {
     val s = spark
     import s.implicits._
