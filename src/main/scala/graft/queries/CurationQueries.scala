@@ -6,14 +6,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation completion operators (round 9): near-dup cluster
-  * resolution (q121), sequence packing (q122), PII redaction (q123) and
-  * deterministic training-order shuffling (q124) — the steps between
+  * resolution (q121), sequence packing (q122), PII redaction (q123),
+  * deterministic training-order shuffling (q124), per-domain caps
+  * (q125), leakage-safe split assignment over near-dup clusters (q126)
+  * and token-budget corpus mixing (q127) — the steps between
   * "pairs/scores computed" and "training batches written" that a 100 TB
   * corpus build runs after the q60-q75 scoring/dedup stages.
   */
 object CurationQueries {
   import Tables._
-  import TextDedupQueries.{toksSql, jacSql, sigCtes, bandSql,
+  import TextDedupQueries.{toksSql, jacSql, sigCtes, bandSql, hitsSql,
     numHashes, numBands, shingleK, jaccardThreshold}
 
   type Q = (SparkSession, String) => DataFrame
@@ -22,6 +24,12 @@ object CurationQueries {
   private val packBudget = 256L
   private val shuffleSeed = "r9"
   private val shuffleShards = 8
+  // q125: 15 of each source's 25 docs survive — both branches exercised
+  private val domainCap = 15
+  // q127 token budgets (sf0.01 totals: en 11757, zh 4143, others ~3.5-4k):
+  // zh's budget exceeds its total (keep-all branch), the rest are capped
+  private val mixBudgets = Seq("en" -> 6000.0, "zh" -> 5000.0)
+  private val mixDefaultBudget = 2000.0
 
   val queries: Map[String, Q] = Map(
     // near-dup clusters: LSH pairs → connected components → canonical
@@ -77,34 +85,105 @@ object CurationQueries {
         shuffleShards)
         .select("doc_id", "shard", "pos")
         .orderBy("doc_id")
+    },
+
+    // per-domain caps: no single source may contribute more than K docs
+    // — rank within source by quality (best first) and keep rank <= K.
+    // One hash exchange (the window's partitionBy); quality doubles are
+    // bit-identical cross-engine (q62 proves the expression), so the
+    // rank order is exactly reproducible.
+    "q125_domain_caps" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("q").desc, col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text")).as("q"))
+        .withColumn("q_rank", row_number().over(w).cast("long"))
+        .filter(col("q_rank") <= domainCap)
+        .select("doc_id", "source", "q_rank")
+        .orderBy("doc_id")
+    },
+
+    // leakage-safe split assignment: hash the near-dup CLUSTER id, not
+    // the doc id, so every member of a duplicate family lands in the
+    // same train/val/test split — hashing doc ids would leak near-dup test
+    // rows into train. Composition of q121's clusters + q119's
+    // deterministic hash-split.
+    "q126_leakage_safe_split" -> { (s, d) =>
+      val clusters = Clusters.nearDupClusters(documents(s, d), "doc_id",
+        "text", jaccardThreshold, numHashes, shingleK, numBands)
+      val bucket = pmod(TextOps.portableHash(
+        concat(lit("split:"), col("cluster_id").cast("string"))), lit(10L))
+      clusters
+        .select(col("doc_id"), col("cluster_id"),
+          when(bucket <= 7, "train").when(bucket === 8, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
+    // token-budget corpus mixing: per-language keep rates chosen so the
+    // sampled corpus hits a target token budget per language (the data-
+    // mixing step of a corpus build). Per-language totals are a tiny
+    // aggregate that broadcasts back; the keep decision is a pure
+    // hash-of-id filter — the corpus itself is touched by one scan.
+    "q127_corpus_mixing" -> { (s, d) =>
+      val base = documents(s, d).select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n"))
+      val budget = mixBudgets.foldRight(lit(mixDefaultBudget)) {
+        case ((l, b), acc) => when(col("lang") === l, b).otherwise(acc)
+      }
+      val totals = base.groupBy("lang").agg(sum(col("n")).as("tot"))
+        .withColumn("rate_ppm",
+          floor(least(lit(1.0), budget / col("tot").cast("double")) * 1e6)
+            .cast("long"))
+      base.join(broadcast(totals), "lang")
+        .filter(pmod(TextOps.portableHash(
+          concat(lit("mix:"), col("doc_id").cast("string"))), lit(1000000L))
+          < col("rate_ppm"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n")).as("tokens_kept"),
+          first(col("rate_ppm")).as("rate_ppm"))
+        .orderBy("lang")
     }
   )
 
   // ---- oracles --------------------------------------------------------
 
+  /** q66's confirmed-pair pipeline verbatim, then min-label reachability
+    * as a recursive closure — exactly the fixpoint the pointer-jumping
+    * Spark iteration converges to. Shared by q121 and q126. */
+  private val closureCtes =
+    s"""${sigCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |bands AS (SELECT doc_id, ${(0 until numBands).map(b => bandSql("sig", b)).mkString("[", ", ", "]")} AS bh FROM sigs),
+       |bx AS (SELECT doc_id, i AS band, bh[i] AS bucket
+       |  FROM bands CROSS JOIN (SELECT unnest(range(1, ${numBands + 1})) AS i)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+       |  FROM bx a JOIN bx b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.doc_id < b.doc_id),
+       |conf AS (SELECT id_1, id_2 FROM (
+       |  SELECT cand.id_1, cand.id_2, ${jacSql("s1.sh", "s2.sh")} AS j
+       |  FROM cand JOIN sh s1 ON cand.id_1 = s1.doc_id
+       |    JOIN sh s2 ON cand.id_2 = s2.doc_id)
+       |  WHERE j >= $jaccardThreshold),
+       |sym AS (SELECT id_1 AS a, id_2 AS b FROM conf
+       |  UNION ALL SELECT id_2, id_1 FROM conf),
+       |reach(v, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.v, sym.b FROM reach JOIN sym ON reach.r = sym.a)""".stripMargin
+
+  /** q62's composite quality formula over a CTE exposing (text, t). */
+  private val qualitySql = {
+    val stopAll = TextOps.langStopwords.flatMap(_._2)
+    "CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)::DOUBLE END * 0.5" +
+      " + least(1.0, len(t)::DOUBLE / 100.0) * 0.3" +
+      s" + least(1.0, (CASE WHEN len(t) = 0 THEN 0.0 ELSE ${hitsSql("t", stopAll)}::DOUBLE / len(t)::DOUBLE END) * 10.0) * 0.2"
+  }
+
   val oracles: Map[String, String] = Map(
-    // q66's confirmed-pair pipeline verbatim, then min-label reachability
-    // as a recursive closure — exactly the fixpoint the pointer-jumping
-    // Spark iteration converges to.
     "q121_neardup_clusters" ->
-      s"""${sigCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |bands AS (SELECT doc_id, ${(0 until numBands).map(b => bandSql("sig", b)).mkString("[", ", ", "]")} AS bh FROM sigs),
-         |bx AS (SELECT doc_id, i AS band, bh[i] AS bucket
-         |  FROM bands CROSS JOIN (SELECT unnest(range(1, ${numBands + 1})) AS i)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
-         |  FROM bx a JOIN bx b ON a.band = b.band AND a.bucket = b.bucket
-         |    AND a.doc_id < b.doc_id),
-         |conf AS (SELECT id_1, id_2 FROM (
-         |  SELECT cand.id_1, cand.id_2, ${jacSql("s1.sh", "s2.sh")} AS j
-         |  FROM cand JOIN sh s1 ON cand.id_1 = s1.doc_id
-         |    JOIN sh s2 ON cand.id_2 = s2.doc_id)
-         |  WHERE j >= $jaccardThreshold),
-         |sym AS (SELECT id_1 AS a, id_2 AS b FROM conf
-         |  UNION ALL SELECT id_2, id_1 FROM conf),
-         |reach(v, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT reach.v, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+      s"""$closureCtes
          |SELECT v AS doc_id, min(r) AS cluster_id, min(r) <> v AS is_dup
          |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
 
@@ -150,6 +229,44 @@ object CurationQueries {
          |  FROM documents)
          |SELECT doc_id, shard,
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) - 1 AS pos
-         |FROM s ORDER BY doc_id""".stripMargin
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // q62's quality formula verbatim, ranked per source
+    "q125_domain_caps" ->
+      s"""WITH toks AS (SELECT doc_id, source, text, ${toksSql("text")} AS t FROM documents),
+         |scored AS (SELECT doc_id, source, $qualitySql AS q FROM toks),
+         |ranked AS (SELECT doc_id, source, q,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS BIGINT) AS q_rank
+         |  FROM scored)
+         |SELECT doc_id, source, q_rank FROM ranked
+         |WHERE q_rank <= $domainCap ORDER BY doc_id""".stripMargin,
+
+    // q121's recursive closure, then the hash split of the cluster id
+    "q126_leakage_safe_split" ->
+      s"""$closureCtes,
+         |cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+         |b AS (SELECT doc_id, cluster_id,
+         |  ${TextOps.portableHashSql("(concat('split:', CAST(cluster_id AS VARCHAR)))")} % 10 AS bkt
+         |  FROM cl)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN bkt <= 7 THEN 'train' WHEN bkt = 8 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q127_corpus_mixing" -> {
+      val budgetSql = mixBudgets.foldRight(mixDefaultBudget.toString) {
+        case ((l, b), acc) => s"CASE WHEN lang = '$l' THEN $b ELSE $acc END"
+      }
+      s"""WITH toks AS (SELECT doc_id, lang, ${toksSql("text")} AS t FROM documents),
+         |base AS (SELECT doc_id, lang, len(t) AS n FROM toks),
+         |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM base GROUP BY lang),
+         |r AS (SELECT lang, tot,
+         |  CAST(floor(least(1.0, ($budgetSql) / CAST(tot AS DOUBLE)) * 1000000.0) AS BIGINT) AS rate_ppm
+         |  FROM tot),
+         |kept AS (SELECT b.lang, b.n, r.rate_ppm FROM base b JOIN r USING (lang)
+         |  WHERE ${TextOps.portableHashSql("(concat('mix:', CAST(doc_id AS VARCHAR)))")} % 1000000 < r.rate_ppm)
+         |SELECT lang, count(*) AS n_kept, CAST(sum(n) AS BIGINT) AS tokens_kept,
+         |  any_value(rate_ppm) AS rate_ppm
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+    }
   )
 }

@@ -28,9 +28,9 @@ object TextDedupQueries {
 
   private def hashSql(s: String) = TextOps.portableHashSql(s)
 
-  private def litList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+  private[queries] def litList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  private def hitsSql(t: String, ws: Seq[String]) =
+  private[queries] def hitsSql(t: String, ws: Seq[String]) =
     s"len(list_filter($t, t -> list_contains(${litList(ws)}, t)))"
 
   /** jaccard over two distinct-element lists — mirrors Dedup.jaccard:

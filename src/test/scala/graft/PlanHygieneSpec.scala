@@ -145,7 +145,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     // static plan is post-iteration (checkpointed labels + sort) — the
     // CC loop's own shape is spec'd in CurationSpec, not pinnable here
     "q121_neardup_clusters" -> (1, 0), "q122_seq_packing" -> (2, 0),
-    "q123_pii_scrub" -> (1, 0), "q124_train_shuffle" -> (2, 0))
+    "q123_pii_scrub" -> (1, 0), "q124_train_shuffle" -> (2, 0),
+    // q125: source-window hash + presentation sort; q126 post-iteration
+    // like q121; q127: base agg + broadcast-back + final lang agg + sort
+    "q125_domain_caps" -> (2, 0), "q126_leakage_safe_split" -> (1, 0),
+    "q127_corpus_mixing" -> (3, 1))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
