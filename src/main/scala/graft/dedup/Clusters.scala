@@ -118,12 +118,19 @@ object Clusters {
   /** End-to-end near-dup cluster resolution: LSH near-dup pairs →
     * connected components → per-document (cluster_id, is_dup) where the
     * cluster's minimum doc id is the canonical keeper.
-    * `.filter(!col("is_dup"))` is the dedup. */
+    * `.filter(!col("is_dup"))` is the dedup.
+    *
+    * Skew: run EXACT dedup first (the standard pipeline order, q74) so
+    * byte-identical documents collapse before LSH — an identical family
+    * of M docs would otherwise emit M² candidate pairs. `maxBucket`
+    * additionally caps any residual degenerate (band, bucket) the way
+    * [[Dedup.lshCandidates]] does. */
   def nearDupClusters(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
-      numHashes: Int = 16, shingleK: Int = 3, numBands: Int = 4): DataFrame = {
+      numHashes: Int = 16, shingleK: Int = 3, numBands: Int = 4,
+      maxBucket: Option[Int] = None): DataFrame = {
     val pairs = Dedup.lshNearDupPairs(df, idCol, textCol, threshold,
-      numHashes, shingleK, numBands)
+      numHashes, shingleK, numBands, maxBucket)
     connectedComponents(pairs, "id_1", "id_2", df.select(col(idCol)), idCol)
       .withColumn("is_dup", col(idCol) =!= col("cluster_id"))
   }

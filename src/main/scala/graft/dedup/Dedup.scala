@@ -149,7 +149,8 @@ object Dedup {
     * joining the (small) candidate set back to shingles. */
   def lshNearDupPairs(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
-      numHashes: Int = 16, shingleK: Int = 3, numBands: Int = 4): DataFrame = {
+      numHashes: Int = 16, shingleK: Int = 3, numBands: Int = 4,
+      maxBucket: Option[Int] = None): DataFrame = {
     // Caching the shingle ARRAYS is a net loss (columnar-cache decode of
     // array<long> costs more than recompute), so the confirm joins below
     // recompute shingles and rely on runtime exchange reuse: the bucket
@@ -160,7 +161,7 @@ object Dedup {
     // write/read cost exceeds what exchange reuse already saves — and it
     // pinned storage for the SparkContext lifetime.)
     val sh = shingleRel(df, idCol, textCol, shingleK)
-    val cands = lshCandidatesFrom(sh, idCol, numHashes, numBands, None)
+    val cands = lshCandidatesFrom(sh, idCol, numHashes, numBands, maxBucket)
     // confirm joins are SHUFFLE-hash on the id (round-9): Catalyst's
     // size estimate used to pick broadcast with the shingle relation as
     // build side — a corpus-derived relation that is only broadcastable
