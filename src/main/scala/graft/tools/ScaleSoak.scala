@@ -94,7 +94,10 @@ object ScaleSoak {
     // packing + train shuffle (one shard exchange each, linear), PII
     // scrub (pure projection, scan-linear)
     "q121_neardup_clusters", "q122_seq_packing", "q123_pii_scrub",
-    "q124_train_shuffle")
+    "q124_train_shuffle",
+    // governance tier: the per-source window and the totals-broadcast
+    // mixing filter (q126 is omitted — its cost IS q121's iteration)
+    "q125_domain_caps", "q127_corpus_mixing")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

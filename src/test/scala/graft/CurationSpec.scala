@@ -50,6 +50,22 @@ class CurationSpec extends SparkSpecBase {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("nearDupClusters maxBucket bounds a degenerate identical corpus") {
+    val s = spark
+    import s.implicits._
+    // 40 byte-identical docs: every band has one 40-doc bucket → 780
+    // pairs per band uncapped. With maxBucket=8 the degenerate buckets
+    // drop, no pairs form, and every doc stays its own cluster — the
+    // documented trade (cap recall for bounded candidates; run exact
+    // dedup first so identical families never reach LSH at all).
+    val docs = (1L to 40L).map(i => (i, "same text body for every doc"))
+      .toDF("doc_id", "text")
+    val out = graft.dedup.Clusters.nearDupClusters(docs, "doc_id", "text",
+        0.5, maxBucket = Some(8))
+      .collect()
+    assert(out.length == 40 && out.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("packSequences output is invariant to the partition layout") {
     val s = spark
     import s.implicits._
