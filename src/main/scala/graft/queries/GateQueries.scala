@@ -221,6 +221,21 @@ object GateQueries {
       asofSide(ev, "purchase"), asofSide(ev, "view"), "0 seconds")
   }
 
+  private[graft] def q128Plan(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingOps.CepEv
+    val ev = eventsStreamWithSentinel(s, d, et = "__wm__")
+      .select(col("user_id").cast("string").as("key"), col("tsx").as("ts"),
+        col("event_type").as("etype"), col("value"))
+    graft.streaming.StreamingOps.streamingCep(ev, Seq(
+      ("a", (e: CepEv) => e.etype == "view",
+        (_: CepEv, _: Map[String, CepEv]) => true),
+      ("b", (e: CepEv) => e.etype == "click",
+        (e: CepEv, ctx: Map[String, CepEv]) => e.value > ctx("a").value),
+      ("c", (e: CepEv) => e.etype == "purchase",
+        (_: CepEv, _: Map[String, CepEv]) => true)),
+      maxSpanSeconds = 86400, watermarkDelay = "0 seconds")
+  }
+
   private[graft] def q108Plan(s: SparkSession, d: String): DataFrame =
     graft.streaming.StreamingOps.windowedAgg(
       eventsStream(s, d), "tsx", "user_id", "86400 seconds",
@@ -292,6 +307,23 @@ object GateQueries {
           col("ts").cast("double").as("tsd"), col("value"),
           col("fill_ts").cast("double").as("fill_tsd"), col("fill_value"))
         .orderBy("user_id", "tsd")
+    },
+
+    // TRUE streaming CEP (StreamingOps.streamingCep: watermarked NFA —
+    // events buffer per key until the watermark passes them, then run
+    // through the batch NFA's transition function in time order) driven
+    // to completion on the bounded fixture and gated against q97's
+    // 3-way-join oracle. The sentinel (never-matching event type)
+    // pushes the final watermark past every real event so the last
+    // matches ripen.
+    "q128_streaming_cep" -> { (s, d) =>
+      assertEventTriplesUnique(s, d)
+      runToMemory(s, q128Plan(s, d), "graft_q128_mem", outputMode = "append")
+        .select(col("key").cast("bigint").as("user_id"),
+          col("a_t").cast("double").as("a_t"),
+          col("b_t").cast("double").as("b_t"),
+          col("c_t").cast("double").as("c_t"))
+        .orderBy("user_id", "a_t", "b_t", "c_t")
     },
 
     // explain(mode="graphviz") — the one remaining spec-only §2 row.
@@ -843,6 +875,20 @@ object GateQueries {
         |FROM a JOIN t ON a.user_id = t.user_id AND t.ts >= a.ts
         |GROUP BY a.user_id, a.ts, a.value
         |ORDER BY a.user_id, tsd""".stripMargin,
+    // q97's 3-way-join oracle verbatim — the streaming NFA must emit
+    // exactly the batch pattern matches once every event has ripened
+    "q128_streaming_cep" ->
+      """SELECT a.user_id, epoch(a.ts) AS a_t, epoch(b.ts) AS b_t,
+        |  epoch(c.ts) AS c_t
+        |FROM events a, events b, events c
+        |WHERE a.user_id = b.user_id AND b.user_id = c.user_id
+        |  AND a.event_type = 'view' AND b.event_type = 'click'
+        |  AND c.event_type = 'purchase'
+        |  AND b.ts > a.ts AND c.ts > b.ts
+        |  AND epoch(b.ts) <= epoch(a.ts) + 86400
+        |  AND epoch(c.ts) <= epoch(a.ts) + 86400
+        |  AND b.value > a.value
+        |ORDER BY a.user_id, a_t, b_t, c_t""".stripMargin,
     // snapshots restated from region: v1 full, v2 keys<3, v3 append back
     // to full, HEAD (snap 4 row) == v3
     "q115_snapshot_timetravel" ->

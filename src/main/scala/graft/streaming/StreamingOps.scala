@@ -248,6 +248,144 @@ object StreamingOps {
       .toDF("key", "ts", "value", "fill_ts", "fill_value")
   }
 
+  /** Event as seen by [[streamingCep]] predicates: µs event time, type
+    * tag, value. `tsd` is the event time in SECONDS as a double — the
+    * same us/1e6 IEEE division DuckDB's `epoch()` and the batch NFA's
+    * `cast(ts as double)` perform, so span comparisons written against
+    * it are bit-identical to the batch operator and the SQL oracle. */
+  case class CepEv(us: Long, etype: String, value: Double) {
+    def tsd: Double = us / 1e6
+  }
+
+  /** [[streamingCep]] keyed state: `pending` = arrived events the
+    * watermark has not passed yet; `live` = partial matches (stage name,
+    * event) in match order, newest last; `matches` = lifetime complete
+    * matches for the blow-up guard. */
+  case class CepState(
+      pending: List[(Long, String, Double)],
+      live: List[List[(String, Long, String, Double)]],
+      matches: Long)
+
+  /** True streaming CEP — the watermarked form of
+    * [[graft.ts.Cep.nfaPatternRecognize]] (reference `nfa_cep*`
+    * executors, which consume bounded SORTED streams; here arrival
+    * order is arbitrary within the watermark delay and a real
+    * event-time watermark drives processing).
+    *
+    * Semantics are identical to the batch NFA (all-matches, strictly
+    * increasing event times within a match, `maxSpan` from the first
+    * event): events buffer per key until the watermark passes them
+    * (µs-exact, like [[streamingAsof]]: ripe iff us <= wm*1000 — every
+    * not-yet-arrived event is strictly later, so the per-key
+    * time-order scan the NFA needs is complete up to the watermark),
+    * then run through the same transition function in time order.
+    * Emission is append-mode correct: a match emits exactly once, when
+    * its completing event ripens.
+    *
+    * At scale: state per key is the unripe buffer (bounded by the
+    * watermark delay × arrival rate) plus live partial matches (pruned
+    * once the watermark passes head + maxSpan, and hard-capped by
+    * `maxLiveStatesPerKey` — same dense-burst guard as batch). A quiet
+    * key flushes via event-time timeout, and a key with no pending and
+    * no live state removes itself from the store.
+    *
+    * Input columns: key (string), ts (timestamp), etype (string),
+    * value (double). Output: (key, <name>_t timestamp per stage). */
+  def streamingCep(
+      events: DataFrame,
+      pattern: Seq[(String, CepEv => Boolean, (CepEv, Map[String, CepEv]) => Boolean)],
+      maxSpanSeconds: Double,
+      watermarkDelay: String,
+      maxLiveStatesPerKey: Int = 10000,
+      maxMatchesPerKey: Long = 1000000L): DataFrame = {
+    require(pattern.nonEmpty, "streamingCep needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{StructField, StructType, StringType, TimestampType}
+    val outSchema = StructType(
+      StructField("key", StringType, nullable = false) +:
+        pattern.map(p => StructField(s"${p._1}_t", TimestampType)))
+    implicit val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    val stages = pattern.toIndexedSeq
+    val nStages = stages.length
+
+    events.select(col("key").cast("string"), col("ts"),
+        col("etype").cast("string"), col("value").cast("double"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, java.sql.Timestamp, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CepState, Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) { (key, rows, state) =>
+        val s0 = state.getOption.getOrElse(CepState(Nil, Nil, 0L))
+        var pending = s0.pending
+        rows.foreach { case (_, t, et, v) =>
+          pending = (micros(t), et, v) :: pending
+        }
+        val wm = state.getCurrentWatermarkMs()
+        val wmUs = wm * 1000
+        val (ripe, rest) = pending.sortBy(_._1).partition(_._1 <= wmUs)
+        var live = s0.live
+        var matches = s0.matches
+        val out = List.newBuilder[Row]
+        ripe.foreach { case (us, et, v) =>
+          val ev = CepEv(us, et, v)
+          // span prune + extension strictness in DOUBLE SECONDS — the
+          // batch NFA's (and the SQL oracle's) exact arithmetic
+          val now = ev.tsd
+          live = live.filter(s => now <= CepEv(s.head._2, s.head._3, s.head._4).tsd + maxSpanSeconds)
+          var fresh = List.empty[List[(String, Long, String, Double)]]
+          val extended = live.flatMap { s =>
+            val (name, self, cross) = stages(s.length)
+            val lastTsd = CepEv(s.last._2, s.last._3, s.last._4).tsd
+            lazy val ctx = s.map(e => e._1 -> CepEv(e._2, e._3, e._4)).toMap
+            if (now > lastTsd && self(ev) && cross(ev, ctx)) {
+              val ns = s :+ ((name, us, et, v))
+              if (ns.length == nStages) {
+                matches += 1
+                if (maxMatchesPerKey > 0 && matches > maxMatchesPerKey)
+                  throw new IllegalStateException(
+                    s"streaming CEP match blow-up: > $maxMatchesPerKey " +
+                    s"complete matches for key '$key' (all-matches " +
+                    "semantics are combinatorial on dense bursts)")
+                out += Row.fromSeq(key +: ns.map(e => toTs(e._2)))
+                None
+              } else Some(ns)
+            } else None
+          }
+          val (n0, self0, _) = stages(0)
+          if (self0(ev)) {
+            if (nStages == 1) {
+              matches += 1
+              out += Row.fromSeq(Seq(key, toTs(us)))
+            } else fresh = List(List((n0, us, et, v)))
+          }
+          live = extended ::: fresh ::: live
+          if (live.length > maxLiveStatesPerKey)
+            throw new IllegalStateException(
+              s"streaming CEP state blow-up: > $maxLiveStatesPerKey live " +
+              s"partial matches for key '$key' inside maxSpan=" +
+              s"$maxSpanSeconds (tighten predicates or maxSpan, or raise " +
+              "maxLiveStatesPerKey)")
+        }
+        // a live state whose head the watermark has left maxSpan behind
+        // can never be extended (every future event is > wm in µs)
+        live = live.filter(s =>
+          wmUs / 1e6 <= CepEv(s.head._2, s.head._3, s.head._4).tsd + maxSpanSeconds)
+        if (rest.isEmpty && live.isEmpty) state.remove()
+        else {
+          state.update(CepState(rest, live, matches))
+          // wake when the earliest pending event ripens, or when the
+          // earliest live state expires — whichever is sooner
+          val spanUs = (maxSpanSeconds * 1e6).toLong
+          val wake = (rest.map(_._1 / 1000 + 1) ++
+            live.map(s => (s.head._2 + spanUs) / 1000 + 1)).minOption
+          wake.foreach(w => state.setTimeoutTimestamp(math.max(w, wm + 1)))
+        }
+        out.result().iterator
+      }
+  }
+
   /** Custom keyed state machine — the reference's `stateful_transform`
     * extension point in streaming form: running count + sum per key via
     * flatMapGroupsWithState. */

@@ -184,7 +184,9 @@ class PlanHygieneSpec extends SparkSpecBase {
       "q104_streaming_asof" -> shape(0, 1, 0, 3),
       "q105_streaming_asof_fwd" -> shape(0, 1, 0, 3),
       "q108_streaming_hopping" -> shape(1, 0, 0, 0),
-      "q109_streaming_distinct" -> shape(0, 0, 1, 1))
+      "q109_streaming_distinct" -> shape(0, 0, 1, 1),
+      // streaming NFA: sentinel union + one keyed stateful operator
+      "q128_streaming_cep" -> shape(0, 1, 0, 1))
   }
 
   /** The 100 TB degradation sweep: at scale NO corpus table fits under
@@ -259,7 +261,8 @@ class PlanHygieneSpec extends SparkSpecBase {
       "q104_streaming_asof" -> GateQueries.q104Plan(spark, d),
       "q105_streaming_asof_fwd" -> GateQueries.q105Plan(spark, d),
       "q108_streaming_hopping" -> GateQueries.q108Plan(spark, d),
-      "q109_streaming_distinct" -> GateQueries.q109Plan(spark, d))
+      "q109_streaming_distinct" -> GateQueries.q109Plan(spark, d),
+      "q128_streaming_cep" -> GateQueries.q128Plan(spark, d))
     val diffs = streamingPins.toSeq.sortBy(_._1).flatMap { case (name, exp) =>
       val got = graft.tools.PlanShape.streamingNodeCounts(built(name))
       if (got == exp) None

@@ -19,6 +19,35 @@ class StreamingSpec extends SparkSpecBase {
     q.stop()
   }
 
+  test("streaming CEP matches across out-of-order batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import StreamingOps.CepEv
+    val mem = MemoryStream[(String, Timestamp, String, Double)]
+    val out = StreamingOps.streamingCep(
+      mem.toDF.toDF("key", "ts", "etype", "value"),
+      Seq(
+        ("a", (e: CepEv) => e.etype == "view",
+          (_: CepEv, _: Map[String, CepEv]) => true),
+        ("b", (e: CepEv) => e.etype == "click",
+          (e: CepEv, ctx: Map[String, CepEv]) => e.value > ctx("a").value)),
+      maxSpanSeconds = 100, watermarkDelay = "20 seconds")
+    // batch 1: the CLICK arrives before its view (cross-batch disorder);
+    // batch 2: the view (still inside the watermark delay), a click that
+    // fails the value predicate, and a watermark pusher on another key
+    mem.addData(("k1", ts(10), "click", 5.0))
+    mem.addData(("k1", ts(5), "view", 1.0), ("k1", ts(8), "click", 0.5),
+      ("k9", ts(200), "view", 0.0))
+    runToMemory(out, "cep_mem")
+    val got = spark.table("cep_mem")
+      .select(col("key"), col("a_t").cast("long"), col("b_t").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // exactly one match: view@5 -> click@10 (click@8 fails value pred;
+    // the buffered click@10 was re-ordered behind the later-arriving view)
+    assert(got == Seq(("k1", 5L, 10L)))
+  }
+
   test("streaming tumbling window agg with watermark emits closed windows") {
     val s = spark
     import s.implicits._
