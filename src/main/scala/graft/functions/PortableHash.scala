@@ -99,5 +99,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DSum128].getCanonicalName, "dsum128"),
       (children: Seq[Expression]) => DSum128(children.head)))
+    // the custom-operator tier: lowers AsofJoinNode → AsofJoinExec in
+    // every session (AsofJoin.merge also self-registers per session via
+    // experimental.extraStrategies for callers not using extensions)
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
