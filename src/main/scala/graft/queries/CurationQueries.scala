@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
   import Tables._
-  import TextDedupQueries.{toksSql, jacSql, sigCtes, bandSql, hitsSql,
+  import TextDedupQueries.{toksSql, jacSql, sigCtes, bandSql, qualitySql,
     numHashes, numBands, shingleK, jaccardThreshold}
 
   type Q = (SparkSession, String) => DataFrame
@@ -128,8 +128,14 @@ object CurationQueries {
     // aggregate that broadcasts back; the keep decision is a pure
     // hash-of-id filter — the corpus itself is touched by one scan.
     "q127_corpus_mixing" -> { (s, d) =>
+      // materialize the slim (doc_id, lang, n) projection ONCE: both the
+      // totals aggregate and the filter probe consume it, and in a lazy
+      // diamond Spark would execute the text scan + tokenize (the
+      // expensive part at corpus scale) once per consumer — exactly what
+      // a production pipeline avoids by checkpointing the projection
       val base = documents(s, d).select(col("doc_id"), col("lang"),
         TextOps.tokenCount(col("text")).cast("long").as("n"))
+        .localCheckpoint(true)
       val budget = mixBudgets.foldRight(lit(mixDefaultBudget)) {
         case ((l, b), acc) => when(col("lang") === l, b).otherwise(acc)
       }
@@ -172,14 +178,6 @@ object CurationQueries {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT reach.v, sym.b FROM reach JOIN sym ON reach.r = sym.a)""".stripMargin
-
-  /** q62's composite quality formula over a CTE exposing (text, t). */
-  private val qualitySql = {
-    val stopAll = TextOps.langStopwords.flatMap(_._2)
-    "CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)::DOUBLE END * 0.5" +
-      " + least(1.0, len(t)::DOUBLE / 100.0) * 0.3" +
-      s" + least(1.0, (CASE WHEN len(t) = 0 THEN 0.0 ELSE ${hitsSql("t", stopAll)}::DOUBLE / len(t)::DOUBLE END) * 10.0) * 0.2"
-  }
 
   val oracles: Map[String, String] = Map(
     "q121_neardup_clusters" ->

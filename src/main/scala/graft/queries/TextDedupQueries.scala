@@ -64,6 +64,16 @@ object TextDedupQueries {
       s"(($h) * $B + $sig[${b * rowsPerBand + r + 1}]) % $P"
     }
 
+  /** q62/q74/q125's composite quality formula over a relation exposing
+    * (text, t) — ONE definition so the oracles cannot desynchronize
+    * from each other (the Spark side is TextOps.qualityScore). */
+  private[queries] val qualitySql = {
+    val stopAll = TextOps.langStopwords.flatMap(_._2)
+    "CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)::DOUBLE END * 0.5" +
+      " + least(1.0, len(t)::DOUBLE / 100.0) * 0.3" +
+      s" + least(1.0, (CASE WHEN len(t) = 0 THEN 0.0 ELSE ${hitsSql("t", stopAll)}::DOUBLE / len(t)::DOUBLE END) * 10.0) * 0.2"
+  }
+
   /** Shared CTE prefix: toks → hs (token hashes) → sh (hashed shingles)
     * → sigs, mirroring TextOps.shingleHashes/Dedup.minhashSig exactly. */
   private[queries] val sigCtes =
@@ -455,12 +465,9 @@ object TextDedupQueries {
         |FROM n ORDER BY doc_id""".stripMargin,
 
     "q74_curation_pipeline" -> {
-      val stopAll = TextOps.langStopwords.flatMap(_._2)
       s"""WITH toks AS (SELECT doc_id, lang, text, ${toksSql("text")} AS t FROM documents),
          |scored AS (SELECT doc_id, lang, text, len(t) AS n_toks,
-         |  CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)::DOUBLE END * 0.5
-         |  + least(1.0, len(t)::DOUBLE / 100.0) * 0.3
-         |  + least(1.0, (CASE WHEN len(t) = 0 THEN 0.0 ELSE ${hitsSql("t", stopAll)}::DOUBLE / len(t)::DOUBLE END) * 10.0) * 0.2 AS q
+         |  $qualitySql AS q
          |  FROM toks),
          |gated AS (SELECT * FROM scored WHERE q >= 0.5),
          |kept AS (SELECT * FROM (SELECT *,

@@ -259,12 +259,10 @@ object StreamingOps {
 
   /** [[streamingCep]] keyed state: `pending` = arrived events the
     * watermark has not passed yet; `live` = partial matches (stage name,
-    * event) in match order, newest last; `matches` = lifetime complete
-    * matches for the blow-up guard. */
+    * event) in match order, newest last. */
   case class CepState(
       pending: List[(Long, String, Double)],
-      live: List[List[(String, Long, String, Double)]],
-      matches: Long)
+      live: List[List[(String, Long, String, Double)]])
 
   /** True streaming CEP — the watermarked form of
     * [[graft.ts.Cep.nfaPatternRecognize]] (reference `nfa_cep*`
@@ -317,7 +315,7 @@ object StreamingOps {
       .groupByKey(_._1)
       .flatMapGroupsWithState[CepState, Row](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) { (key, rows, state) =>
-        val s0 = state.getOption.getOrElse(CepState(Nil, Nil, 0L))
+        val s0 = state.getOption.getOrElse(CepState(Nil, Nil))
         var pending = s0.pending
         rows.foreach { case (_, t, et, v) =>
           pending = (micros(t), et, v) :: pending
@@ -326,15 +324,38 @@ object StreamingOps {
         val wmUs = wm * 1000
         val (ripe, rest) = pending.sortBy(_._1).partition(_._1 <= wmUs)
         var live = s0.live
-        var matches = s0.matches
+        var liveN = live.length
+        // dense-burst guard, PER INVOCATION: the batch NFA counts per
+        // bounded run; the streaming analog is per micro-batch — a
+        // combinatorial blow-up manifests inside one batch's ripe set,
+        // while a healthy hot key matching steadily for weeks must NOT
+        // trip a lifetime counter
+        var matches = 0L
         val out = List.newBuilder[Row]
+        def emitMatch(row: Row): Unit = {
+          matches += 1
+          if (maxMatchesPerKey > 0 && matches > maxMatchesPerKey)
+            throw new IllegalStateException(
+              s"streaming CEP match blow-up: > $maxMatchesPerKey complete " +
+              s"matches for key '$key' in one micro-batch (all-matches " +
+              "semantics are combinatorial on dense bursts)")
+          out += row
+        }
         ripe.foreach { case (us, et, v) =>
           val ev = CepEv(us, et, v)
           // span prune + extension strictness in DOUBLE SECONDS — the
           // batch NFA's (and the SQL oracle's) exact arithmetic
           val now = ev.tsd
-          live = live.filter(s => now <= CepEv(s.head._2, s.head._3, s.head._4).tsd + maxSpanSeconds)
+          val keep = List.newBuilder[List[(String, Long, String, Double)]]
+          var keepN = 0
+          live.foreach { s =>
+            if (now <= CepEv(s.head._2, s.head._3, s.head._4).tsd + maxSpanSeconds) {
+              keep += s; keepN += 1
+            }
+          }
+          live = keep.result(); liveN = keepN
           var fresh = List.empty[List[(String, Long, String, Double)]]
+          var extN = 0
           val extended = live.flatMap { s =>
             val (name, self, cross) = stages(s.length)
             val lastTsd = CepEv(s.last._2, s.last._3, s.last._4).tsd
@@ -342,26 +363,19 @@ object StreamingOps {
             if (now > lastTsd && self(ev) && cross(ev, ctx)) {
               val ns = s :+ ((name, us, et, v))
               if (ns.length == nStages) {
-                matches += 1
-                if (maxMatchesPerKey > 0 && matches > maxMatchesPerKey)
-                  throw new IllegalStateException(
-                    s"streaming CEP match blow-up: > $maxMatchesPerKey " +
-                    s"complete matches for key '$key' (all-matches " +
-                    "semantics are combinatorial on dense bursts)")
-                out += Row.fromSeq(key +: ns.map(e => toTs(e._2)))
+                emitMatch(Row.fromSeq(key +: ns.map(e => toTs(e._2))))
                 None
-              } else Some(ns)
+              } else { extN += 1; Some(ns) }
             } else None
           }
           val (n0, self0, _) = stages(0)
           if (self0(ev)) {
-            if (nStages == 1) {
-              matches += 1
-              out += Row.fromSeq(Seq(key, toTs(us)))
-            } else fresh = List(List((n0, us, et, v)))
+            if (nStages == 1) emitMatch(Row.fromSeq(Seq(key, toTs(us))))
+            else fresh = List(List((n0, us, et, v)))
           }
           live = extended ::: fresh ::: live
-          if (live.length > maxLiveStatesPerKey)
+          liveN += extN + fresh.length
+          if (liveN > maxLiveStatesPerKey)
             throw new IllegalStateException(
               s"streaming CEP state blow-up: > $maxLiveStatesPerKey live " +
               s"partial matches for key '$key' inside maxSpan=" +
@@ -374,7 +388,7 @@ object StreamingOps {
           wmUs / 1e6 <= CepEv(s.head._2, s.head._3, s.head._4).tsd + maxSpanSeconds)
         if (rest.isEmpty && live.isEmpty) state.remove()
         else {
-          state.update(CepState(rest, live, matches))
+          state.update(CepState(rest, live))
           // wake when the earliest pending event ripens, or when the
           // earliest live state expires — whichever is sooner
           val spanUs = (maxSpanSeconds * 1e6).toLong
