@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.dedup.Clusters
-import graft.text.{Curation, TextOps}
+import graft.text.{CorpusOps, Curation, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,13 @@ object CurationQueries {
   // zh's budget exceeds its total (keep-all branch), the rest are capped
   private val mixBudgets = Seq("en" -> 6000.0, "zh" -> 5000.0)
   private val mixDefaultBudget = 2000.0
+  // q129: 4-token spans in ≥2 docs are dropped (sf0.01: 341 of 6544
+  // distinct spans are frequent, 771 of ~7300 chunks drop — both
+  // branches exercised, and most docs keep a non-empty rebuild)
+  private val spanDedupTokens = 4
+  private val spanDedupMinDf = 2L
+  // q130: the fixture vocabulary is 31 tokens; K=20 leaves real OOV mass
+  private val vocabK = 20
 
   val queries: Map[String, Q] = Map(
     // near-dup clusters: LSH pairs → connected components → canonical
@@ -151,6 +158,40 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_kept"), sum(col("n")).as("tokens_kept"),
           first(col("rate_ppm")).as("rate_ppm"))
         .orderBy("lang")
+    },
+
+    // C4/CCNet cross-document span dedup: drop 4-token spans that occur
+    // verbatim in ≥2 documents, rebuild the survivors. The frequency
+    // aggregate shuffles (md5, doc_id) pairs; the rebuild is one hash
+    // exchange on doc id — span text crosses the wire exactly once.
+    "q129_span_dedup" -> { (s, d) =>
+      Curation.spanDedup(documents(s, d), "doc_id", "text",
+        spanDedupTokens, spanDedupMinDf)
+        .orderBy("doc_id")
+    },
+
+    // tokenizer vocabulary induction + per-doc OOV: top-K corpus tokens
+    // (ties broken by token text so the vocabulary is engine-exact),
+    // broadcast back over the token stream for per-document coverage.
+    "q130_vocab_oov" -> { (s, d) =>
+      val docs = documents(s, d)
+      CorpusOps.oovRates(docs, "doc_id", "text",
+        CorpusOps.topKVocab(docs, "text", vocabK))
+        .orderBy("doc_id")
+    },
+
+    // held-out bigram-LM fluency scoring (CCNet's LM-quality axis):
+    // train add-one-smoothed bigram counts on the %10≠0 split, score
+    // the held-out docs by mean transition probability. Ratio-of-
+    // integers arithmetic only (no transcendentals), so the score is
+    // bit-identical across engines; the per-doc mean is Det.dsum'd.
+    "q131_bigram_lm" -> { (s, d) =>
+      val docs = documents(s, d)
+      CorpusOps.bigramLmScore(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 
@@ -265,6 +306,68 @@ object CurationQueries {
          |SELECT lang, count(*) AS n_kept, CAST(sum(n) AS BIGINT) AS tokens_kept,
          |  any_value(rate_ppm) AS rate_ppm
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
-    }
+    },
+
+    // Mirrors Curation.spanDedup exactly: same chunking (1-based slice,
+    // short last chunk), same md5 frequency key, same single-space
+    // rebuild in chunk order.
+    "q129_span_dedup" -> {
+      val w = spanDedupTokens
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |chunks AS (SELECT doc_id, c.i AS chunk_i,
+         |    array_to_string(t[(c.i*$w+1):((c.i+1)*$w)], ' ') AS span
+         |  FROM toks, LATERAL (SELECT unnest(range((len(t)+${w - 1})//$w)) AS i) c),
+         |freq AS (SELECT md5(span) AS h FROM chunks
+         |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= $spanDedupMinDf),
+         |marked AS (SELECT ch.doc_id, ch.chunk_i, ch.span,
+         |    (f.h IS NOT NULL) AS dup
+         |  FROM chunks ch LEFT JOIN freq f ON md5(ch.span) = f.h),
+         |agg AS (SELECT doc_id, count(*) AS n_spans,
+         |    count(*) FILTER (dup) AS n_dropped,
+         |    coalesce(string_agg(span, ' ' ORDER BY chunk_i) FILTER (NOT dup), '') AS clean_text
+         |  FROM marked GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         |  coalesce(a.n_spans, 0) AS n_spans, coalesce(a.n_dropped, 0) AS n_dropped
+         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+
+    "q130_vocab_oov" ->
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+         |vocab AS (SELECT token FROM cnt ORDER BY n DESC, token ASC LIMIT $vocabK),
+         |per AS (SELECT doc_id, count(*) AS n_tokens,
+         |    count(*) FILTER (token NOT IN (SELECT token FROM vocab)) AS n_oov
+         |  FROM tok GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+         |  coalesce(p.n_oov, 0) AS n_oov,
+         |  CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0
+         |    ELSE p.n_oov::DOUBLE / p.n_tokens::DOUBLE END AS oov_rate
+         |FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Mirrors CorpusOps.bigramLmScore: add-one smoothing, prefix counts
+    // derived from the bigram counts, ratio-of-integers probabilities
+    // (no transcendentals — cross-engine bit-exact), Det-decimal mean.
+    "q131_bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |train AS (SELECT * FROM toks WHERE doc_id % 10 <> 0),
+         |sco AS (SELECT * FROM toks WHERE doc_id % 10 = 0),
+         |tb AS (SELECT doc_id, t[b.i+1] AS w1, t[b.i+2] AS w2
+         |  FROM train, LATERAL (SELECT unnest(range(len(t)-1)) AS i) b),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM tb GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT token) AS v
+         |  FROM (SELECT unnest(t) AS token FROM train)),
+         |sb AS (SELECT doc_id, t[b.i+1] AS w1, t[b.i+2] AS w2
+         |  FROM sco, LATERAL (SELECT unnest(range(len(t)-1)) AS i) b),
+         |p AS (SELECT sb.doc_id,
+         |    (coalesce(c2.c2, 0) + 1)::DOUBLE / (coalesce(c1.c1, 0) + v.v)::DOUBLE AS p
+         |  FROM sb LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v),
+         |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+         |    ${graft.functions.Det.dsumSql("p", 12)} / count(*) AS mean_p
+         |  FROM p GROUP BY doc_id)
+         |SELECT s.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(a.mean_p, 0.0) AS mean_p
+         |FROM sco s LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

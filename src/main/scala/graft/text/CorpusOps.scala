@@ -1,0 +1,125 @@
+package graft.text
+
+import graft.functions.Det
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics operators for training-data builds:
+  * tokenizer vocabulary induction with out-of-vocabulary rates, and
+  * held-out bigram language-model fluency scoring (the CCNet-style
+  * "score each document against an LM trained on the corpus" quality
+  * axis). Like the rest of the curation tier these re-express steps the
+  * reference's scan → groupby → join pipeline surface is used for
+  * (pyquokka/datastream.py) as declarative Spark plans.
+  */
+object CorpusOps {
+
+  /** Top-`k` corpus vocabulary by token frequency, deterministic at the
+    * boundary (ties broken by token text ascending — reruns and engines
+    * agree on the exact vocabulary, which a tokenizer build requires).
+    *
+    * Scale shape: one hash exchange of (token, partial count) with
+    * map-side combine, then a global top-k (TakeOrderedAndProject — k
+    * rows to the driver, never the full token table). Returns
+    * (token, n, rank) with rank 1-based. */
+  def topKVocab(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token").asc)).cast("long"))
+  }
+
+  /** Per-document out-of-vocabulary rate against a vocabulary relation
+    * exposing a `token` column (typically [[topKVocab]]'s output): the
+    * fraction of token INSTANCES not in the vocabulary — the signal a
+    * tokenizer/coverage audit wants per document. The single-partition
+    * window in topKVocab's rank never sees more than k rows; the
+    * per-doc aggregate here is one hash exchange on doc id after a
+    * broadcast lookup (vocabularies are k rows by construction).
+    *
+    * Returns (idCol, n_tokens, n_oov, oov_rate); zero-token documents
+    * get rate 0.0. */
+  def oovRates(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val marked = df
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab.select(col("token"), lit(true).as("__in"))),
+        Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+    df.select(col(idCol)).join(marked, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("n_oov").cast("double") /
+            col("n_tokens").cast("double")).as("oov_rate"))
+  }
+
+  /** (id, w1, w2) adjacent-token bigrams, built per row (scan-local —
+    * no exchange; the per-row `transform` shares one tokenization). */
+  private def bigrams(df: DataFrame, idCol: String, textCol: String) = {
+    val bgType = "array<struct<w1:string,w2:string>>"
+    df.select(col(idCol),
+        TextOps.bindOnce(TextOps.tokens(col(textCol))) { tt =>
+          // sequence(0, -1) would generate a DESCENDING ramp, not empty
+          when(size(tt) < 2, lit(null).cast(bgType))
+            .otherwise(transform(sequence(lit(0), size(tt) - lit(2)),
+              i => struct(element_at(tt, i + 1).as("w1"),
+                element_at(tt, i + 2).as("w2"))))
+        }.as("__b"))
+      .select(col(idCol), explode(col("__b")).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+  }
+
+  /** Held-out bigram-LM fluency score: train add-one-smoothed bigram
+    * counts on `train`, score each `score` document as its MEAN
+    * transition probability p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V), where
+    * c(w1·) is the bigram-prefix count and V the train vocabulary size.
+    *
+    * Mean PROBABILITY, not log-perplexity, on purpose: every term is a
+    * ratio of integers (IEEE division is exactly rounded, so Spark and
+    * any other engine produce bit-identical doubles), whereas ln/log2
+    * differ at the last ulp between libm implementations — a
+    * cross-engine-verifiable fluency score cannot contain a transcendental.
+    * The per-doc mean runs through [[Det.dsum]] (scale 12) so the sum is
+    * partition-order-independent on a cluster.
+    *
+    * Scale shape: counts are two hash aggregates over bigram/prefix keys
+    * (map-side combined; c1 derives from c2, so the corpus is bigrammed
+    * once per side); V is a one-row aggregate broadcast back; scoring is
+    * two hash joins keyed on (w1,w2)/(w1) — linear shuffle volume in
+    * corpus size, no text wider than two tokens on any exchange.
+    *
+    * Returns (idCol, n_bigrams, mean_p); documents with fewer than two
+    * tokens score 0.0. */
+  def bigramLmScore(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val c2 = bigrams(train, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("__c2")).as("__c1"))
+    val v = train
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .agg(countDistinct(col("token")).as("__v"))
+    val scored = bigrams(score, idCol, textCol)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col(idCol),
+        ((coalesce(col("__c2"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("__c1"), lit(0L)) + col("__v")).cast("double"))
+          .as("__p"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (Det.dsum(col("__p"), 12) / count(lit(1))).as("mean_p"))
+    score.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("mean_p"), lit(0.0)).as("mean_p"))
+  }
+}

@@ -71,6 +71,82 @@ object Curation {
       .toDF(shardCol, idCol, nTokCol, "seq_id", "tok_offset")
   }
 
+  // ---- cross-document span dedup (C4 / CCNet paragraph dedup) ----------
+
+  /** Remove every fixed-width token span whose exact text occurs in at
+    * least `minDocFreq` DISTINCT documents, then rebuild each document
+    * from its surviving spans — the C4 "duplicated three-sentence span"
+    * / CCNet paragraph-level dedup step, expressed over fixed token
+    * windows (the corpus here has no sentence boundaries; a caller with
+    * real paragraphs passes them pre-split the same way). Doc-internal
+    * repeats alone don't trigger removal (df counts documents, not
+    * occurrences) — that's q118's repetition signal, a different axis.
+    *
+    * Determinism: spans are tokenizer-exact chunks (TextOps.tokens,
+    * `spanTokens` per chunk, last chunk short), the rebuild joins kept
+    * spans in chunk order with single spaces — byte-identical across
+    * engines and reruns.
+    *
+    * Scale shape: the frequency aggregate shuffles (md5(span), doc_id)
+    * — 128-bit keys, never span text; the frequent-span set (df ≥
+    * threshold) is tiny by Zipf and broadcasts (`broadcastFrequent =
+    * false` switches to a shuffle join for adversarial corpora where it
+    * isn't); the rebuild is ONE hash exchange on doc id. The exploded
+    * chunk projection has two consumers (frequency agg, rebuild) — at
+    * corpus scale either persist `df` upstream or accept the second
+    * scan; tokenization is recomputed, the shuffle runs once per
+    * consumer either way.
+    *
+    * Returns (idCol, clean_text, n_spans, n_dropped). */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, minDocFreq: Long,
+      broadcastFrequent: Boolean = true): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
+    require(minDocFreq > 1, s"minDocFreq must be > 1, got $minDocFreq")
+    val spanStruct = "array<struct<chunk_i:int,span:string>>"
+    val chunks = df.select(col(idCol),
+        TextOps.bindOnce(TextOps.tokens(col(textCol))) { tt =>
+          // sequence(0, -1) would generate a DESCENDING ramp, not empty
+          when(size(tt) === 0, lit(null).cast(spanStruct))
+            .otherwise(transform(
+              sequence(lit(0),
+                // Column `/` is double division; the cast floors the
+                // (positive, exact) chunk count back to an int
+                ((size(tt) + lit(spanTokens - 1)) / lit(spanTokens))
+                  .cast("int") - lit(1)),
+              i => struct(i.cast("int").as("chunk_i"),
+                array_join(slice(tt, i * spanTokens + lit(1), lit(spanTokens)), " ")
+                  .as("span"))))
+        }.as("__c"))
+      .select(col(idCol), explode(col("__c")).as("c"))
+      .select(col(idCol), col("c.chunk_i").as("chunk_i"),
+        col("c.span").as("span"),
+        md5(col("c.span").cast("binary")).as("__h"))
+    val frequent0 = chunks
+      .groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("span_df"))
+      .filter(col("span_df") >= minDocFreq)
+      .select(col("__h"), lit(true).as("__dup"))
+    val frequent = if (broadcastFrequent) broadcast(frequent0) else frequent0
+    // one groupBy computes totals, drop counts AND the rebuild:
+    // collect_list skips the nulls the `when` leaves for dropped spans
+    val rebuilt = chunks.join(frequent, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__dup").isNull,
+              struct(col("chunk_i"), col("span"))))),
+            s => s.getField("span")),
+          " ").as("clean_text"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   // ---- PII redaction ---------------------------------------------------
 
   /** PII patterns written to the portable common subset of Java regex

@@ -132,4 +132,66 @@ class CurationSpec extends SparkSpecBase {
       .filter(a("shard") === c("shard") && a("pos") === c("pos")).count()
     assert(same < docs.count() / 10)
   }
+
+  test("spanDedup drops cross-doc spans only; rebuild preserves order") {
+    val s = spark
+    import s.implicits._
+    // span width 2: "a b"/"c d" occur in docs 1 AND 2 (dropped);
+    // doc 3 repeats "x y" internally (df=1 — kept, repetition is not
+    // cross-doc duplication); doc 4 shares nothing; doc 5 is empty
+    val docs = Seq(
+      (1L, "a b c d unique1 end1"),
+      (2L, "a b c d unique2 end2"),
+      (3L, "x y x y tail3"),
+      (4L, "solo text here"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = Curation.spanDedup(docs, "doc_id", "text", 2, 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("unique1 end1", 3L, 2L)))
+    assert(out(2L) == (("unique2 end2", 3L, 2L)))
+    assert(out(3L) == (("x y x y tail3", 3L, 0L)))
+    assert(out(4L) == (("solo text here", 2L, 0L)))
+    assert(out(5L) == (("", 0L, 0L)))
+  }
+
+  test("spanDedup shuffle-join path matches the broadcast path") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val b = Curation.spanDedup(docs, "doc_id", "text", 4, 2L)
+    val sh = Curation.spanDedup(docs, "doc_id", "text", 4, 2L,
+      broadcastFrequent = false)
+    assert(b.except(sh).count() == 0 && sh.except(b).count() == 0)
+  }
+
+  test("topKVocab breaks count ties by token text") {
+    val s = spark
+    import s.implicits._
+    // b and c tie at 2 occurrences; K=2 must take 'a' (3) then 'b'
+    val docs = Seq("a a a b b", "c c").toDF("text")
+    val v = graft.text.CorpusOps.topKVocab(docs, "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.toSeq == Seq(("a", 3L, 1L), ("b", 2L, 2L)))
+  }
+
+  test("bigramLmScore: add-one smoothing, unseen bigram and prefix") {
+    val s = spark
+    import s.implicits._
+    // train: "a b a b" → bigrams ab, ba, ab → c2(a,b)=2, c2(b,a)=1,
+    // c1(a)=2, c1(b)=1, V=2
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b"),   // seen: (2+1)/(2+2) = 0.75
+      (11L, "b b"),   // unseen bigram, seen prefix: (0+1)/(1+2) = 1/3
+      (12L, "z a"),   // unseen prefix: (0+1)/(0+2) = 0.5
+      (13L, "a")      // <2 tokens → 0 bigrams, score 0.0
+    ).toDF("doc_id", "text")
+    val out = graft.text.CorpusOps
+      .bigramLmScore(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out(10L) == ((1L, 0.75)))
+    assert(out(11L)._1 == 1L && math.abs(out(11L)._2 - 1.0 / 3.0) < 1e-9)
+    assert(out(12L) == ((1L, 0.5)))
+    assert(out(13L) == ((0L, 0.0)))
+  }
 }

@@ -21,7 +21,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q50_vector_nn", "q78_kmeans",
     // rank-bound gates: each crosses the fact table with its own one-row
     // sketch aggregate (approx/t-digest quantiles, Welford state)
-    "q54_approx_quantile", "q95_welford_udaf", "q96_tdigest")
+    "q54_approx_quantile", "q95_welford_udaf", "q96_tdigest",
+    // bigram LM: crosses the scored bigrams with the one-row train
+    // vocabulary-size aggregate
+    "q131_bigram_lm")
 
   /** Built once and shared by all tests — several catalog queries do
     * eager work (sink writes, collects) at construction time, so planning
@@ -149,7 +152,14 @@ class PlanHygieneSpec extends SparkSpecBase {
     // q125: source-window hash + presentation sort; q126 post-iteration
     // like q121; q127: base agg + broadcast-back + final lang agg + sort
     "q125_domain_caps" -> (2, 0), "q126_leakage_safe_split" -> (1, 0),
-    "q127_corpus_mixing" -> (3, 1))
+    "q127_corpus_mixing" -> (3, 1),
+    // round-9 corpus-stats tier: q129 span-frequency agg + rebuild agg +
+    // id join-back + sort, frequent-set and rebuilt-side broadcasts;
+    // q130 token-count agg + per-doc agg + sort, vocab and join-back
+    // broadcasts; q131 c2/c1 aggs, three score-side joins + per-doc agg
+    // + sort (c2/c1/join-back broadcast at fixture scale, V cross)
+    "q129_span_dedup" -> (4, 2), "q130_vocab_oov" -> (3, 2),
+    "q131_bigram_lm" -> (7, 4))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
