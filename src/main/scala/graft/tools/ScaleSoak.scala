@@ -97,7 +97,13 @@ object ScaleSoak {
     "q124_train_shuffle",
     // governance tier: the per-source window and the totals-broadcast
     // mixing filter (q126 is omitted — its cost IS q121's iteration)
-    "q125_domain_caps", "q127_corpus_mixing")
+    "q125_domain_caps", "q127_corpus_mixing",
+    // round-9 corpus-stats tier: span dedup (replication multiplies
+    // span df 10× but the frequent SET stays fixed-size — ratio must
+    // stay near-linear), vocab/OOV (count agg + broadcast probe) and
+    // the bigram LM (c2/c1 key space is fixed at 10×; only the scored
+    // token stream grows)
+    "q129_span_dedup", "q130_vocab_oov", "q131_bigram_lm")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
