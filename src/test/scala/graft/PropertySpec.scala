@@ -305,4 +305,73 @@ class PropertySpec extends SparkSpecBase {
     assert(close > far)
     assert(close > 0.4 && far < 0.5)
   }
+
+  test("spanDedup equals brute-force reference on random corpora (3 trials)") {
+    val s = spark
+    import s.implicits._
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 3) {
+      // small vocab + short docs force real cross-doc span collisions
+      val docs = (1L to 30L).map(i =>
+        (i, (1 to 3 + rnd.nextInt(9)).map(_ => vocab(rnd.nextInt(5)))
+          .mkString(" ")))
+      val w = 2 + rnd.nextInt(2) // span width 2 or 3
+      val got = graft.text.Curation
+        .spanDedup(docs.toDF("doc_id", "text"), "doc_id", "text", w, 2L)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // brute force over the same chunking
+      val chunked = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).grouped(w)
+          .map(_.mkString(" ")).toVector
+      }
+      val df = chunked.flatMap { case (id, sp) => sp.distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val expect = chunked.map { case (id, sp) =>
+        val kept = sp.filter(x => df(x) < 2)
+        id -> ((kept.mkString(" "), sp.size.toLong,
+          (sp.size - kept.size).toLong))
+      }.toMap
+      assert(got == expect, s"trial $trial (w=$w)")
+    }
+  }
+
+  test("bigramLmScore equals brute-force reference on random corpora") {
+    val s = spark
+    import s.implicits._
+    val vocab = Vector("a", "b", "c", "d")
+    def gen(n: Int) = (1 to n).map(_ =>
+      (1 to 2 + rnd.nextInt(6)).map(_ => vocab(rnd.nextInt(4))).mkString(" "))
+    val train = gen(12).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val score = gen(6).zipWithIndex.map { case (t, i) => (100L + i, t) }
+    val got = graft.text.CorpusOps.bigramLmScore(
+        train.toDF("doc_id", "text"), score.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    def bigrams(t: String) = {
+      val tk = t.split("\\s+").filter(_.nonEmpty)
+      tk.zip(tk.drop(1)).toVector
+    }
+    val c2 = train.flatMap(d => bigrams(d._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = train.flatMap(_._2.split("\\s+")).filter(_.nonEmpty).distinct.size
+    score.foreach { case (id, t) =>
+      val bg = bigrams(t)
+      val (n, mean) = got(id)
+      assert(n == bg.size.toLong)
+      if (bg.isEmpty) assert(mean == 0.0)
+      else {
+        // mirror Det.dsum's scale-12 per-term rounding
+        val exp = bg.map { b =>
+          val p = (c2.getOrElse(b, 0L) + 1).toDouble /
+            (c1.getOrElse(b._1, 0L) + v).toDouble
+          BigDecimal(math.rint(p * 1e12).toLong)
+        }.sum.toDouble / 1e12 / bg.size
+        assert(math.abs(mean - exp) < 1e-15, s"doc $id: $mean vs $exp")
+      }
+    }
+  }
 }
