@@ -1,0 +1,97 @@
+package graft.agg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT order statistics via range partitioning — the
+  * 100 TB form of `percentile()`.
+  *
+  * Spark's built-in exact `percentile` aggregates a boxed value→count
+  * OpenHashMap per partition and merges them into one final map: on a
+  * mostly-distinct double column that map is row-count-sized, the merge
+  * is single-threaded, and at corpus scale it simply OOMs (it exists
+  * for low-cardinality columns; `approx_percentile` is Spark's answer
+  * for the rest). Measured here at sf0.1 it is also 10-30× slower than
+  * a single-node columnar engine on the same data.
+  *
+  * This implementation is the classic distributed selection instead:
+  *   1. range-exchange the column (a tie-breaker column splits hot
+  *      values across partitions, so a 90%-constant column cannot pin
+  *      one reducer — value order across partitions is preserved, and
+  *      tie order is irrelevant to a rank query);
+  *   2. job 1 counts rows per range partition (no sort needed) —
+  *      prefix sums locate each wanted global rank in exactly one
+  *      partition;
+  *   3. job 2 sorts ONLY the partitions that own a wanted rank and
+  *      picks the order statistics; both jobs reuse the same shuffle
+  *      output, so the column crosses the wire once.
+  * Interpolation replicates Spark's `Percentile.getPercentile`
+  * bit-for-bit ((higher-position)*lower + (position-lower)*higher), so
+  * results are exchangeable with the built-in — and with DuckDB's
+  * `quantile_cont`, which the driver oracles verify.
+  *
+  * Memory: one range partition of doubles per task (the same "a
+  * partition fits in the executor" contract as any Tungsten sort).
+  * Driver traffic: one long per partition + one double per requested
+  * rank — bounded metadata, not data. */
+object OrderStat {
+
+  /** Exact interpolated percentiles of `c` (nulls ignored), one result
+    * per entry of `qs`. Runs two jobs over one exchange (see object
+    * doc); returns NaN entries when the column has no non-null rows. */
+  def exactPercentiles(df: DataFrame, c: String, qs: Seq[Double]): Array[Double] = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"percentile points must be in [0, 1], got $qs")
+    // tolerate non-numeric conf values (e.g. "auto" on some platforms)
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+      .toIntOption.getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    // the tie-breaker must be distinct WITHIN a value run for the range
+    // partitioner to split hot values; monotonically_increasing_id is
+    // partition-local-unique and never leaves this plan
+    val ranged = df
+      .select(col(c).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+      .withColumn("__tb", monotonically_increasing_id())
+      .repartitionByRange(parts, col("__v"), col("__tb"))
+      .rdd
+    val counts = ranged
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val n = counts.sum
+    if (n == 0L) return qs.map(_ => Double.NaN).toArray
+    val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = first global rank in partition i
+    // Spark Percentile: position = (count - 1) * percentage
+    val positions = qs.map(q => (n - 1) * q)
+    val wantedRanks = positions
+      .flatMap(p => Seq(math.floor(p).toLong, math.ceil(p).toLong))
+      .distinct.sorted
+    val byPartition: Map[Int, Seq[Long]] = wantedRanks.groupBy { r =>
+      // the partition whose [offset(i), offset(i+1)) window holds rank r
+      val i = java.util.Arrays.binarySearch(offsets, r)
+      if (i >= 0) {
+        // r is exactly some offset — skip empty partitions at that rank
+        var j = i
+        while (counts(j) == 0L) j += 1
+        j
+      } else -i - 2
+    }
+    val picked = ranged
+      .mapPartitionsWithIndex { (i, it) =>
+        byPartition.get(i) match {
+          case None => Iterator.empty
+          case Some(ranks) =>
+            val arr = it.map(_.getDouble(0)).toArray
+            java.util.Arrays.sort(arr)
+            ranks.iterator.map(r => (r, arr((r - offsets(i)).toInt)))
+        }
+      }
+      .collect().toMap
+    positions.map { p =>
+      val lower = math.floor(p).toLong
+      val higher = math.ceil(p).toLong
+      if (higher == lower) picked(lower)
+      // Spark's exact interpolation expression, replicated bit-for-bit
+      else (higher - p) * picked(lower) + (p - lower) * picked(higher)
+    }.toArray
+  }
+}

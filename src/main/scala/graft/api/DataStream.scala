@@ -268,10 +268,17 @@ class DataStream(val df: DataFrame) {
       .select(agg.toColumn.name("quantiles")).toDF())
   }
 
-  /** Exact quantile (sort-based; for oracle-verifiable correctness). */
-  def exactQuantile(c: String, quantiles: Seq[Double]): DataStream =
-    new DataStream(df.agg(expr(
-      s"percentile($c, array(${quantiles.mkString(",")}))").as("quantiles")))
+  /** Exact interpolated quantiles (oracle-verifiable correctness).
+    * EAGER: runs graft.agg.OrderStat's range-exchange selection now —
+    * the scalable exact path (Spark's `percentile` aggregate merges a
+    * value→count map that is row-count-sized on distinct doubles) —
+    * and returns the points as a one-row frame. Bit-compatible with
+    * the built-in `percentile` (same interpolation expression). */
+  def exactQuantile(c: String, quantiles: Seq[Double]): DataStream = {
+    val qs = graft.agg.OrderStat.exactPercentiles(df, c, quantiles)
+    new DataStream(df.sparkSession.range(1)
+      .select(array(qs.toSeq.map(lit): _*).as("quantiles")))
+  }
 
   // ---- sorts / top-k (datastream.py:1702-1767) ------------------------
   /** Global top-k — Spark plans this as TakeOrderedAndProject, i.e. the

@@ -140,18 +140,22 @@ object AdvancedRelationalQueries {
     "q29_multi_winsorize" -> { (s, d) =>
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val li = lineitem(s, d)
-      // one percentile buffer per COLUMN (lo+hi share it), not per bound
-      val bounds = li.agg(
-        expr(s"percentile(${cols.head}, array(0.05D, 0.95D))").as(s"${cols.head}_b"),
-        cols.tail.map(c =>
-          expr(s"percentile($c, array(0.05D, 0.95D))").as(s"${c}_b")): _*)
-        .select(cols.flatMap(c => Seq(
-          element_at(col(s"${c}_b"), 1).as(s"${c}_lo"),
-          element_at(col(s"${c}_b"), 2).as(s"${c}_hi"))): _*)
-      val clipped = li.join(broadcast(bounds))
-        .select(cols.map(c =>
-          least(greatest(col(c), col(s"${c}_lo")), col(s"${c}_hi"))
-            .as(s"${c}_w")): _*)
+      // one OrderStat selection per column, submitted CONCURRENTLY —
+      // each is an independent range exchange of one narrow column, so
+      // the four run as parallel Spark jobs (the narrow-exact path; at
+      // 10k-column width the play is approx_percentile's shared scan,
+      // q54). The bounds come back as scalars, so the clip is a pure
+      // projection — no bounds join at all.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val bounds = Await.result(
+        Future.sequence(cols.map(c => Future(
+          c -> graft.agg.OrderStat.exactPercentiles(li, c, Seq(0.05, 0.95))))),
+        Duration.Inf).toMap
+      val clipped = li.select(cols.map(c =>
+        least(greatest(col(c), lit(bounds(c)(0))), lit(bounds(c)(1)))
+          .as(s"${c}_w")): _*)
       clipped.agg(
         Det.dsum(col(s"${cols.head}_w")).as(s"${cols.head}_wsum"),
         cols.tail.map(c => Det.dsum(col(s"${c}_w")).as(s"${c}_wsum")): _*)
@@ -163,14 +167,12 @@ object AdvancedRelationalQueries {
     // identical plan shape).
     "q28_winsorize" -> { (s, d) =>
       val li = lineitem(s, d)
-      // one percentile buffer for both bounds (scalar percentile() builds
-      // a full value-count map per call); the post-agg select is one row
-      val bounds = li.agg(
-        expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("b"))
-        .select(element_at(col("b"), 1).as("lo"),
-          element_at(col("b"), 2).as("hi"))
-      li.join(broadcast(bounds))
-        .select(least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
+      // bounds via OrderStat's range-exchange selection (see q53 — the
+      // built-in percentile's value-count map is the non-scale path);
+      // scalars make the clip a pure projection, no bounds join
+      val b = graft.agg.OrderStat.exactPercentiles(
+        li, "l_extendedprice", Seq(0.05, 0.95))
+      li.select(least(greatest(col("l_extendedprice"), lit(b(0))), lit(b(1)))
           .as("w"))
         .agg(Det.dsum(col("w")).as("w_sum"), min(col("w")).as("w_min"),
           max(col("w")).as("w_max"), count(lit(1)).as("n"))

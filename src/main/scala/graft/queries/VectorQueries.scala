@@ -60,17 +60,17 @@ object VectorQueries {
     },
 
     // exact interpolated quantiles (oracle-verifiable; the approximate
-    // path is q54). ONE percentile buffer for all four points — four
-    // scalar percentile() calls each build their own value-count map
-    // over the column (measured 8.1 s vs 2.3 s at sf0.1).
+    // path is q54), via OrderStat's range-exchange selection — the
+    // scale path. The previous `percentile(col, array(...))` shared one
+    // value-count map across the four points (itself 4× faster than
+    // four scalar calls) but still merged a row-count-sized boxed map:
+    // 1.8 s at sf0.1 vs ~0.5 s for the order-statistics form, and an
+    // executor OOM at corpus scale.
     "q53_exact_quantile" -> { (s, d) =>
-      new DataStream(lineitem(s, d)).aggSql(
-        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D)) as qs")
-        .df
-        .select(element_at(col("qs"), 1).as("q25"),
-          element_at(col("qs"), 2).as("q50"),
-          element_at(col("qs"), 3).as("q75"),
-          element_at(col("qs"), 4).as("q95"))
+      val qs = graft.agg.OrderStat.exactPercentiles(
+        lineitem(s, d), "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.95))
+      s.range(1).select(lit(qs(0)).as("q25"), lit(qs(1)).as("q50"),
+        lit(qs(2)).as("q75"), lit(qs(3)).as("q95"))
     },
 
     // approximate quantiles (reference approximate_quantile,

@@ -1,0 +1,57 @@
+package graft
+
+import graft.agg.OrderStat
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** OrderStat.exactPercentiles vs Spark's built-in exact `percentile`:
+  * the range-exchange selection must be bit-identical to the aggregate
+  * it replaces (same order statistics, same interpolation expression),
+  * on real data, on hot-value (tie-heavy) data, and at the q=0/q=1
+  * edges. */
+class OrderStatSpec extends SparkSpecBase {
+
+  private def builtin(df: org.apache.spark.sql.DataFrame, c: String,
+      qs: Seq[Double]): Array[Double] =
+    df.agg(expr(s"percentile($c, array(${qs.mkString(",")}))"))
+      .head().getSeq[Double](0).toArray
+
+  test("matches built-in percentile on lineitem prices") {
+    val li = spark.read.parquet(sf() + "/lineitem.parquet")
+    val qs = Seq(0.0, 0.05, 0.25, 0.5, 0.75, 0.95, 1.0)
+    val got = OrderStat.exactPercentiles(li, "l_extendedprice", qs)
+    val exp = builtin(li, "l_extendedprice", qs)
+    assert(got.toSeq == exp.toSeq) // bit-exact, no tolerance
+  }
+
+  test("matches built-in on 90%-constant data (hot value spans partitions)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(7)
+    // one value owns 90% of rows: a range partitioner without the
+    // tie-breaker would pin it to one partition; with it the runs split
+    // and the rank arithmetic must still find the right statistics
+    val vals = (1 to 20000).map(i =>
+      if (i % 10 == 0) rnd.nextDouble() * 100 else 42.0)
+    val df = vals.toDF("v").repartition(8)
+    val qs = Seq(0.01, 0.049, 0.5, 0.9, 0.951)
+    assert(OrderStat.exactPercentiles(df, "v", qs).toSeq ==
+      builtin(df, "v", qs).toSeq)
+  }
+
+  test("single row, empty input, and null handling") {
+    val s = spark
+    import s.implicits._
+    val one = Seq(3.5).toDF("v")
+    assert(OrderStat.exactPercentiles(one, "v", Seq(0.0, 0.3, 1.0)).toSeq ==
+      Seq(3.5, 3.5, 3.5))
+    val empty = Seq.empty[Double].toDF("v")
+    assert(OrderStat.exactPercentiles(empty, "v", Seq(0.5))
+      .forall(_.isNaN))
+    // nulls ignored, like the built-in
+    val withNulls = Seq(Some(1.0), None, Some(2.0), None, Some(3.0))
+      .toDF("v")
+    assert(OrderStat.exactPercentiles(withNulls, "v", Seq(0.5)).toSeq ==
+      Seq(2.0))
+  }
+}

@@ -15,7 +15,6 @@ class PlanHygieneSpec extends SparkSpecBase {
     * bounded probe set by design (the LSH/IVF variants q55 et al. are the
     * scale path and must NOT nested-loop). */
   private val scalarCrossJoins = Set(
-    "q28_winsorize", "q29_multi_winsorize",
     "q27_not_exists_avg",
     "tpch22",
     "q50_vector_nn", "q78_kmeans",
