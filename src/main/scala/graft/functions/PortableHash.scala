@@ -70,6 +70,11 @@ object GraftFunctions {
       "dsum128",
       (children: Seq[Expression]) => DSum128(children.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "text_metrics",
+      (children: Seq[Expression]) => TextMetrics(children.head,
+        graft.text.TextOps.langStopwords.map(_._2)),
+      "scala_udf")
   }
 }
 
@@ -99,6 +104,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DSum128].getCanonicalName, "dsum128"),
       (children: Seq[Expression]) => DSum128(children.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("text_metrics"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TextMetrics].getCanonicalName, "text_metrics"),
+      (children: Seq[Expression]) => TextMetrics(children.head,
+        graft.text.TextOps.langStopwords.map(_._2))))
     // the custom-operator tier: lowers AsofJoinNode → AsofJoinExec in
     // every session (AsofJoin.merge also self-registers per session via
     // experimental.extraStrategies for callers not using extensions)

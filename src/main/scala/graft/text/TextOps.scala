@@ -121,16 +121,30 @@ object TextOps {
     "fr" -> Seq("les", "est", "dans", "pour", "avec", "une", "vous", "sur"),
     "es" -> Seq("los", "una", "por", "pero", "como", "para", "las", "del"))
 
-  /** Stopword occurrences (multiplicity-preserving) for one language. */
+  /** Stopword occurrences (multiplicity-preserving) for one language.
+    * HOF form — kept for callers holding a token array; the scoring
+    * tier below reads the compiled [[metrics]] struct instead. */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** The compiled per-document statistics struct (one byte walk inside
+    * whole-stage codegen — `graft.functions.TextMetrics`). Every
+    * scoring function below derives from it with plain scalar
+    * arithmetic, so repeated references collapse under codegen's
+    * subexpression elimination; the interpreted-HOF forms they replace
+    * measured ~270 µs/doc for langId alone. Field semantics (and their
+    * bit-exactness contract with the HOF forms) are documented on
+    * [[graft.functions.TextMetricsImpl]]. */
+  def metrics(text: Column): Column = call_function("text_metrics", text)
 
   /** N-gram/stopword heuristic language ID: the language whose stopwords
     * occur most often; ties and zero-hit docs → "unknown". Deterministic
     * priority = list order. */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val hits = langStopwords.map { case (l, ws) => l -> stopwordHits(toks, ws) }
+    val m = metrics(text)
+    val hits = langStopwords.zipWithIndex.map { case ((l, _), i) =>
+      l -> element_at(m.getField("hits"), i + 1)
+    }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
     hits.foldRight(lit("unknown")) { case ((l, h), acc) =>
       when(h === best && best > 0, lit(l)).otherwise(acc)
@@ -138,29 +152,36 @@ object TextOps {
   }
 
   // ---- quality scoring -------------------------------------------------
+  // Each ratio is the identical IEEE expression the HOF/regex forms
+  // computed (same integer inputs, same operation order), so oracle SQL
+  // and recorded hashes are unchanged.
 
-  def alphaRatio(text: Column): Column =
-    when(length(text) === 0, lit(0.0)).otherwise(
-      length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
-        length(text).cast("double"))
+  def alphaRatio(text: Column): Column = {
+    val m = metrics(text)
+    when(m.getField("n_chars") === 0, lit(0.0)).otherwise(
+      m.getField("n_alpha").cast("double") /
+        m.getField("n_chars").cast("double"))
+  }
 
-  def punctRatio(text: Column): Column =
-    when(length(text) === 0, lit(0.0)).otherwise(
-      length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /
-        length(text).cast("double"))
+  def punctRatio(text: Column): Column = {
+    val m = metrics(text)
+    when(m.getField("n_chars") === 0, lit(0.0)).otherwise(
+      m.getField("n_punct").cast("double") /
+        m.getField("n_chars").cast("double"))
+  }
 
   def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
-    val all = langStopwords.flatMap(_._2)
-    when(size(toks) === 0, lit(0.0)).otherwise(
-      stopwordHits(toks, all).cast("double") / size(toks).cast("double"))
+    val m = metrics(text)
+    when(m.getField("n_tok") === 0, lit(0.0)).otherwise(
+      m.getField("n_stop").cast("double") /
+        m.getField("n_tok").cast("double"))
   }
 
   def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, lit(0.0)).otherwise(
-      aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
-        .cast("double") / size(toks).cast("double"))
+    val m = metrics(text)
+    when(m.getField("n_tok") === 0, lit(0.0)).otherwise(
+      m.getField("sum_tok_len").cast("double") /
+        m.getField("n_tok").cast("double"))
   }
 
   /** Composite heuristic quality score in [0,1] — weights chosen as a
@@ -168,15 +189,15 @@ object TextOps {
     * stopword-informed). Deterministic double arithmetic, same operation
     * order as the oracle SQL. */
   def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
-    val lenScore = least(lit(1.0), size(toks).cast("double") / lit(100.0))
+    val m = metrics(text)
+    val lenScore = least(lit(1.0), m.getField("n_tok").cast("double") / lit(100.0))
     alphaRatio(text) * lit(0.5) + lenScore * lit(0.3) +
       least(lit(1.0), stopwordRatio(text) * lit(10.0)) * lit(0.2)
   }
 
   // ---- token counting --------------------------------------------------
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = metrics(text).getField("n_tok")
 
   /** BPE-ish regex pre-tokenizer count: letter runs, digit runs, single
     * non-alphanumeric marks. Fast upper-level approximation — for the
