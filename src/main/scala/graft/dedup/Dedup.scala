@@ -45,17 +45,15 @@ object Dedup {
   // ---- MinHash --------------------------------------------------------
 
   /** Universal-hash coefficients (aᵢ, bᵢ) — fixed constants so Spark and
-    * the SQL oracle agree. aᵢ odd, all < P; products aᵢ·h < 2^60. */
+    * the SQL oracle agree (single source: the compiled kernel). */
   def hashCoeffs(numHashes: Int): Seq[(Long, Long)] =
-    (0 until numHashes).map { i =>
-      (((2L * i + 1) * 15485863L) % P, (i.toLong * 32452843L + 7L) % P)
-    }
+    graft.functions.TextHashImpl.hashCoeffs(numHashes)
 
-  /** MinHash signature from a shingle-hash array column. */
+  /** MinHash signature from a shingle-hash array column. Compiled
+    * (`graft.functions.MinhashFromHashes`): one pass over the shingle
+    * array instead of numHashes interpreted min-fold transforms. */
   def minhashSigFromHashes(sh: Column, numHashes: Int): Column =
-    array(hashCoeffs(numHashes).map { case (a, b) =>
-      coalesce(array_min(transform(sh, h => (lit(a) * h + lit(b)) % P)), lit(P))
-    }: _*)
+    call_function("minhash_from_hashes", sh, lit(numHashes))
 
   /** MinHash signature column: sigᵢ = min over shingle hashes of
     * (aᵢ·H+bᵢ) mod P. Docs with no shingles (shorter than k tokens) get
@@ -182,14 +180,11 @@ object Dedup {
 
   /** Bits of the SimHash (bits 0..numBits-1 of the portable token hash;
     * P < 2^30 so ≤30 informative bits). Bit j is set iff a strict
-    * majority of tokens have bit j set in their hash. */
+    * majority of tokens have bit j set in their hash. Compiled
+    * (`graft.functions.SimhashHash`): one pass instead of numBits
+    * interpreted filter passes over the token-hash array. */
   def simhash(text: Column, numBits: Int = 24): Column =
-    TextOps.bindOnce(TextOps.tokenHashes(text)) { hs =>
-      (0 until numBits).map { j =>
-        when(size(filter(hs, h => shiftright(h, j) % 2 === 1)) * 2 > size(hs),
-          lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
+    call_function("simhash_hash", text, lit(numBits))
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

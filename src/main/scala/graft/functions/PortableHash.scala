@@ -75,6 +75,26 @@ object GraftFunctions {
       (children: Seq[Expression]) => TextMetrics(children.head,
         graft.text.TextOps.langStopwords.map(_._2)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes",
+      (children: Seq[Expression]) => ShingleHashes(children.head, children(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_from_hashes",
+      (children: Seq[Expression]) => MinhashFromHashes(children.head, children(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_hash",
+      (children: Seq[Expression]) => SimhashHash(children.head, children(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dup_ngram_fracs",
+      (children: Seq[Expression]) => DupNgramFracs(children.head, children(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fingerprint_hash",
+      (children: Seq[Expression]) => FingerprintHash(children.head),
+      "scala_udf")
   }
 }
 
@@ -110,6 +130,31 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[TextMetrics].getCanonicalName, "text_metrics"),
       (children: Seq[Expression]) => TextMetrics(children.head,
         graft.text.TextOps.langStopwords.map(_._2))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hashes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ShingleHashes].getCanonicalName, "shingle_hashes"),
+      (children: Seq[Expression]) => ShingleHashes(children.head, children(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_from_hashes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinhashFromHashes].getCanonicalName, "minhash_from_hashes"),
+      (children: Seq[Expression]) => MinhashFromHashes(children.head, children(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_hash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SimhashHash].getCanonicalName, "simhash_hash"),
+      (children: Seq[Expression]) => SimhashHash(children.head, children(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dup_ngram_fracs"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DupNgramFracs].getCanonicalName, "dup_ngram_fracs"),
+      (children: Seq[Expression]) => DupNgramFracs(children.head, children(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("fingerprint_hash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FingerprintHash].getCanonicalName, "fingerprint_hash"),
+      (children: Seq[Expression]) => FingerprintHash(children.head)))
     // the custom-operator tier: lowers AsofJoinNode → AsofJoinExec in
     // every session (AsofJoin.merge also self-registers per session via
     // experimental.extraStrategies for callers not using extensions)

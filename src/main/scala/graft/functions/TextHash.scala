@@ -1,0 +1,284 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled token-hash kernels for the dedup/sketch tier.
+  *
+  * Everything in MinHash/SimHash/repetition-signal land derives from
+  * one primitive: the portable polynomial hash of each whitespace token
+  * of `lower(text)`. The Column forms build that array with
+  * higher-order functions and then run more HOFs over it (16 min-folds
+  * for MinHash, 24 bit-filters for SimHash, n-gram combines for the
+  * repetition signals) — all interpreted, all dominated by per-element
+  * expression-tree walks. These kernels compute the identical integers
+  * in one compiled pass per document (same tokenizer byte-walk as
+  * [[TextMetricsImpl]], same codepoint hash as [[PortableHashImpl]],
+  * same combine/coefficient constants the oracle SQL is generated
+  * from), so every gate hash is unchanged.
+  */
+object TextHashImpl {
+  final val P = 1000000007L
+  final val B = 31L
+
+  /** MinHash universal-hash coefficients — THE source of truth
+    * (`Dedup.hashCoeffs` delegates here; the oracle SQL is generated
+    * from the same values). aᵢ odd, all < P; products aᵢ·h < 2^60. */
+  def hashCoeffs(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      (((2L * i + 1) * 15485863L) % P, (i.toLong * 32452843L + 7L) % P)
+    }
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Per-token portable hashes of `lower(text)` — one byte walk with
+    * inline UTF-8 decoding (matches `String.codePointAt` for all valid
+    * UTF-8, supplementary planes included). */
+  def tokenHashArray(text: UTF8String): Array[Long] = {
+    val low = text.toLowerCase.getBytes
+    val n = low.length
+    val out = new java.util.ArrayList[java.lang.Long](16)
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(low(i))) i += 1
+      if (i < n) {
+        var h = 0L
+        while (i < n && !isWs(low(i))) {
+          val b = low(i) & 0xFF
+          var cp = 0
+          var len = 1
+          if (b < 0x80) cp = b
+          else if ((b & 0xE0) == 0xC0) {
+            cp = ((b & 0x1F) << 6) | (low(i + 1) & 0x3F); len = 2
+          } else if ((b & 0xF0) == 0xE0) {
+            cp = ((b & 0x0F) << 12) | ((low(i + 1) & 0x3F) << 6) |
+              (low(i + 2) & 0x3F); len = 3
+          } else {
+            cp = ((b & 0x07) << 18) | ((low(i + 1) & 0x3F) << 12) |
+              ((low(i + 2) & 0x3F) << 6) | (low(i + 3) & 0x3F); len = 4
+          }
+          h = (h * B + cp) % P
+          i += len
+        }
+        out.add(h)
+      }
+    }
+    val arr = new Array[Long](out.size)
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    arr
+  }
+
+  /** Distinct hashed k-shingles, first-occurrence order — identical to
+    * `array_distinct(transform(...))` over the HOF token hashes. */
+  def shingleHashes(text: UTF8String, k: Int): ArrayData = {
+    val hs = tokenHashArray(text)
+    if (hs.length < k) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.HashSet[java.lang.Long](hs.length * 2)
+    val out = new java.util.ArrayList[java.lang.Long](hs.length)
+    var j = 0
+    while (j <= hs.length - k) {
+      var c = hs(j)
+      var r = 1
+      while (r < k) { c = (c * B + hs(j + r)) % P; r += 1 }
+      if (seen.add(c)) out.add(c)
+      j += 1
+    }
+    val arr = new Array[Long](out.size)
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** MinHash signature over a shingle-hash array: sigᵢ = min (aᵢ·h+bᵢ)
+    * mod P, sentinel P when empty — identical to the 16 min-fold HOFs. */
+  def minhashFromHashes(sh: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val sig = new Array[Long](a.length)
+    java.util.Arrays.fill(sig, P)
+    val n = sh.numElements()
+    var j = 0
+    while (j < n) {
+      val h = sh.getLong(j)
+      var i = 0
+      while (i < a.length) {
+        val v = (a(i) * h + b(i)) % P
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** SimHash: bit j set iff a strict majority of token hashes have bit
+    * j set — identical to the per-bit filter HOFs. */
+  def simhash(text: UTF8String, numBits: Int): Long = {
+    val hs = tokenHashArray(text)
+    val counts = new Array[Int](numBits)
+    var i = 0
+    while (i < hs.length) {
+      var j = 0
+      while (j < numBits) {
+        if (((hs(i) >> j) & 1L) == 1L) counts(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    var v = 0L
+    var j = 0
+    while (j < numBits) {
+      if (counts(j) * 2 > hs.length) v |= (1L << j)
+      j += 1
+    }
+    v
+  }
+
+  /** Duplicate-n-gram fractions over hashed n-grams for each n in `ns`
+    * — identical to `1.0 - distinct/total` over `ngramHashes`. */
+  def dupNgramFracs(text: UTF8String, ns: Array[Int]): GenericInternalRow = {
+    val hs = tokenHashArray(text)
+    val out = new Array[Any](ns.length)
+    var x = 0
+    while (x < ns.length) {
+      val n = ns(x)
+      val total = hs.length - n + 1
+      if (total <= 0) out(x) = 0.0
+      else {
+        val seen = new java.util.HashSet[java.lang.Long](total * 2)
+        var j = 0
+        while (j <= hs.length - n) {
+          var c = hs(j)
+          var r = 1
+          while (r < n) { c = (c * B + hs(j + r)) % P; r += 1 }
+          seen.add(c)
+          j += 1
+        }
+        out(x) = 1.0 - seen.size.toDouble / total.toDouble
+      }
+      x += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  /** Order-sensitive rolling fingerprint: fold((f·B + h) mod P) from 0
+    * — identical to the `aggregate` HOF. */
+  def fingerprint(text: UTF8String): Long = {
+    val hs = tokenHashArray(text)
+    var f = 0L
+    var i = 0
+    while (i < hs.length) { f = (f * B + hs(i)) % P; i += 1 }
+    f
+  }
+}
+
+/** Shared shape for the binary (string/array, foldable-int) kernels. */
+trait TextHashBinary extends BinaryExpression {
+  protected def fnName: String
+  protected def leftOk(dt: DataType): Boolean
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!leftOk(left.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$fnName cannot accept first argument of ${left.dataType}")
+    else if (right.dataType != IntegerType || !right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$fnName requires a foldable int second argument")
+    else TypeCheckResult.TypeCheckSuccess
+  @transient protected lazy val param: Int =
+    right.eval(null).asInstanceOf[Int]
+  override def prettyName: String = fnName
+}
+
+/** `shingle_hashes(text, k)` → array<bigint> (see [[TextHashImpl]]). */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends TextHashBinary {
+  override protected def fnName: String = "shingle_hashes"
+  override protected def leftOk(dt: DataType): Boolean = dt == StringType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any, k: Any): Any =
+    TextHashImpl.shingleHashes(t.asInstanceOf[UTF8String], param)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.functions.TextHashImpl.shingleHashes($t, $param);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `minhash_from_hashes(sh, numHashes)` → array<bigint> signature. */
+case class MinhashFromHashes(left: Expression, right: Expression)
+    extends TextHashBinary {
+  override protected def fnName: String = "minhash_from_hashes"
+  override protected def leftOk(dt: DataType): Boolean =
+    dt.isInstanceOf[ArrayType] && dt.asInstanceOf[ArrayType].elementType == LongType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @transient private lazy val (ca, cb) = {
+    val cs = TextHashImpl.hashCoeffs(param)
+    (cs.map(_._1).toArray, cs.map(_._2).toArray)
+  }
+  override def nullSafeEval(sh: Any, n: Any): Any =
+    TextHashImpl.minhashFromHashes(sh.asInstanceOf[ArrayData], ca, cb)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", ca, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", cb, "long[]")
+    nullSafeCodeGen(ctx, ev, (sh, _) =>
+      s"${ev.value} = graft.functions.TextHashImpl.minhashFromHashes($sh, $aRef, $bRef);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `simhash_hash(text, numBits)` → bigint. */
+case class SimhashHash(left: Expression, right: Expression)
+    extends TextHashBinary {
+  override protected def fnName: String = "simhash_hash"
+  override protected def leftOk(dt: DataType): Boolean = dt == StringType
+  override def dataType: DataType = LongType
+  override def nullSafeEval(t: Any, n: Any): Any =
+    TextHashImpl.simhash(t.asInstanceOf[UTF8String], param)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.functions.TextHashImpl.simhash($t, $param);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `dup_ngram_fracs(text, max_n)` → struct<n1:double,…,n<max_n>:double>
+  * — duplicate-n-gram fractions for n = 1..max_n in one pass. */
+case class DupNgramFracs(left: Expression, right: Expression)
+    extends TextHashBinary {
+  override protected def fnName: String = "dup_ngram_fracs"
+  override protected def leftOk(dt: DataType): Boolean = dt == StringType
+  override def dataType: DataType = StructType(
+    (1 to param).map(n => StructField(s"n$n", DoubleType, nullable = false)))
+  @transient private lazy val ns = (1 to param).toArray
+  override def nullSafeEval(t: Any, n: Any): Any =
+    TextHashImpl.dupNgramFracs(t.asInstanceOf[UTF8String], ns)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nsRef = ctx.addReferenceObj("dupNs", ns, "int[]")
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.functions.TextHashImpl.dupNgramFracs($t, $nsRef);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `fingerprint_hash(text)` → bigint rolling fingerprint. */
+case class FingerprintHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"fingerprint_hash requires a string argument, got ${child.dataType}")
+  override def nullSafeEval(t: Any): Any =
+    TextHashImpl.fingerprint(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextHashImpl.fingerprint($t)")
+  override protected def withNewChildInternal(newChild: Expression): FingerprintHash =
+    copy(child = newChild)
+  override def prettyName: String = "fingerprint_hash"
+}

@@ -54,19 +54,17 @@ object TextOps {
   def tokenHashes(text: Column): Column =
     transform(tokens(text), portableHash(_))
 
-  /** Hashed k-shingles, derived arithmetically from the token-hash
-    * array (no k-gram string materialization — the hash of shingle
+  /** Hashed k-shingles, derived arithmetically from the token hashes
+    * (no k-gram string materialization — the hash of shingle
     * (t_j..t_{j+k-1}) is the polynomial combine of the token hashes).
-    * This is the scale form: tokenization + char hashing happen once,
-    * shingling is pure integer math. Distinct, order-insensitive set. */
+    * Distinct, first-occurrence order. Compiled
+    * (`graft.functions.ShingleHashes`): one byte walk + integer combine
+    * per document inside codegen — the HOF form this replaced
+    * (tokenize → per-token hash transform → windowed combine →
+    * array_distinct, all interpreted) was the dedup tier's dominant
+    * per-row cost; the kernel documents the identical semantics. */
   def shingleHashes(text: Column, k: Int): Column =
-    bindOnce(tokenHashes(text)) { hs =>
-      when(size(hs) < k, array().cast("array<bigint>"))
-        .otherwise(array_distinct(transform(
-          sequence(lit(1), size(hs) - (k - 1)),
-          j => (0 until k).map(r => element_at(hs, j + r))
-            .reduceLeft((h, x) => (h * B + x) % P))))
-    }
+    call_function("shingle_hashes", text, lit(k))
 
   /** DuckDB fragment mirroring [[shingleHashes]] over a token-hash list
     * expression `hs`. */
@@ -226,10 +224,10 @@ object TextOps {
 
   /** Order-sensitive rolling fingerprint over token hashes:
     * F = fold(tokens, (f, t) -> (f*31 + portableHash(t)) mod P).
-    * Cheap (per-token short-string hash + one fold) and portable. */
+    * Compiled (`graft.functions.FingerprintHash` — one pass, identical
+    * values to the aggregate-HOF form it replaced). */
   def fingerprint(text: Column): Column =
-    aggregate(transform(tokens(text), portableHash(_)), lit(0L),
-      (f, h) => (f * B + h) % P)
+    call_function("fingerprint_hash", text)
 
   // ---- repetition signals ----------------------------------------------
 
@@ -291,14 +289,11 @@ object TextOps {
     * compares exactly. Keep the result bound via [[bindOnce]] and
     * extract fields in a SEPARATE select: CollapseProject leaves the
     * expensive struct un-inlined, so it evaluates once per row. */
-  def dupNgramFracStruct(text: Column, ns: Seq[Int]): Column =
-    bindOnce(tokenHashes(text)) { hs =>
-      struct(ns.map { n =>
-        bindOnce(ngramHashes(hs, n)) { g =>
-          when(size(g) === 0, lit(0.0)).otherwise(
-            lit(1.0) - size(array_distinct(g)).cast("double") /
-              size(g).cast("double"))
-        }.as(s"n$n")
-      }: _*)
-    }
+  def dupNgramFracStruct(text: Column, ns: Seq[Int]): Column = {
+    // compiled kernel computes a dense 1..max(ns) struct in one pass
+    // (graft.functions.DupNgramFracs); project the requested ns out
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"n-gram sizes must be >= 1: $ns")
+    val m = call_function("dup_ngram_fracs", text, lit(ns.max))
+    struct(ns.map(n => m.getField(s"n$n").as(s"n$n")): _*)
+  }
 }
