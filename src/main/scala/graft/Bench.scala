@@ -92,12 +92,28 @@ object Bench {
     // left __init samples 2-3.5× the late-run baseline — the 3×-of-
     // global-min check then false-flagged an idle machine (measured
     // round 9: ramp 0.43→0.12 s across the run while per-query numbers,
-    // each behind its own warmup + min-of-reps, were unaffected). A
-    // dozen back-to-back reps (~2 s) drives the canary far enough down
-    // the ramp that its samples compare fairly against the settled
-    // baseline; a genuinely loaded machine stays slow through all 12
-    // and still trips the 3× check.
-    (1 to 12).foreach(_ => timeOnce(canaryFn))
+    // each behind its own warmup + min-of-reps, were unaffected).
+    // ADAPTIVE: a fixed dozen reps proved not always enough (a later
+    // clean-machine run still rode the ramp into the first two query
+    // spans at 0.29 s vs an eventual 0.09 s floor — false contamination
+    // again); warm until the last three reps form a plateau (max within
+    // 1.3× of min — a still-descending ramp keeps failing this), capped
+    // at 60 reps so a genuinely loaded machine exits the loop slow and
+    // still trips the 3× check downstream.
+    {
+      val window = scala.collection.mutable.Queue.empty[Double]
+      var n = 0
+      var done = false
+      while (!done && n < 60) {
+        val (t, ok) = timeOnce(canaryFn)
+        if (ok) {
+          window.enqueue(t)
+          if (window.size > 3) window.dequeue()
+          done = window.size == 3 && window.max <= window.min * 1.3
+        }
+        n += 1
+      }
+    }
     (1 to 2).foreach(_ => canary("__init"))
     val reps = scala.collection.mutable.LinkedHashMap.empty[String, Vector[(Double, Boolean)]]
     // dev subset runs (comma-separated names); the recorded per-round
@@ -123,6 +139,41 @@ object Bench {
       reps(name) = times
       canary(name) // canary AFTER the query: times the span it just ran in
     }
+    def flaggedSpans: Vector[String] = {
+      val base = if (canarySamples.isEmpty) 0.0 else canarySamples.map(_._2).min
+      canarySamples.collect {
+        case (label, t) if base > 0 && t > 3.0 * base => label
+      }.distinct.toVector
+    }
+    // SELF-HEALING RETRY (round 9): across 151 spans on a shared host, a
+    // single transient hiccup (one GC pause, one co-tenant burst) flagged
+    // some one random span in otherwise-clean back-to-back runs, branding
+    // the whole record not-a-result. A transient is distinguishable from
+    // real load by RE-RUNNING the flagged query at the end of the run:
+    // if its fresh canary span is clean, the retry reps replace the
+    // perturbed ones and the flag clears; under sustained contention the
+    // retry's canary trips again and the run stays honestly contaminated.
+    flaggedSpans.filter(reps.contains).foreach { name =>
+      val fn = benched(name)
+      timeOnce(fn)
+      val retry = Vector.fill(3)(timeOnce(fn))
+      val nBefore = canarySamples.length
+      canary(name)
+      val retryClean = canarySamples.drop(nBefore).forall { case (_, t) =>
+        val base = canarySamples.map(_._2).min
+        t <= 3.0 * base
+      }
+      if (retryClean && retry.exists(_._2)) {
+        reps(name) = retry
+        // drop the perturbed span samples so the flag reflects the retry
+        val keep = canarySamples.zipWithIndex.filterNot { case ((l, t), i) =>
+          l == name && i < nBefore &&
+            t > 3.0 * canarySamples.map(_._2).min
+        }.map(_._1)
+        canarySamples.clear()
+        canarySamples ++= keep
+      }
+    }
     val mins = reps.map { case (k, v) =>
       val ok = v.collect { case (t, true) => t }
       k -> (if (ok.nonEmpty) ok.min else -1.0)
@@ -131,9 +182,7 @@ object Bench {
     val total = mins.values.filter(_ >= 0).sum
     val canaryBase = if (canarySamples.isEmpty) 0.0
                      else canarySamples.map(_._2).min
-    val contaminatedSpans = canarySamples.collect {
-      case (label, t) if canaryBase > 0 && t > 3.0 * canaryBase => label
-    }.distinct.toVector
+    val contaminatedSpans = flaggedSpans
     val contaminated = contaminatedSpans.nonEmpty
     // Locale.ROOT: the f-interpolator is locale-sensitive and a
     // comma-decimal default locale would emit invalid JSON
