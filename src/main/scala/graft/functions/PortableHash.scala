@@ -95,6 +95,10 @@ object GraftFunctions {
       "fingerprint_hash",
       (children: Seq[Expression]) => FingerprintHash(children.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tokens_of",
+      (children: Seq[Expression]) => TokensOf(children.head),
+      "scala_udf")
   }
 }
 
@@ -155,6 +159,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FingerprintHash].getCanonicalName, "fingerprint_hash"),
       (children: Seq[Expression]) => FingerprintHash(children.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("tokens_of"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TokensOf].getCanonicalName, "tokens_of"),
+      (children: Seq[Expression]) => TokensOf(children.head)))
     // the custom-operator tier: lowers AsofJoinNode → AsofJoinExec in
     // every session (AsofJoin.merge also self-registers per session via
     // experimental.extraStrategies for callers not using extensions)

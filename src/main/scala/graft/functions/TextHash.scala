@@ -74,6 +74,25 @@ object TextHashImpl {
     arr
   }
 
+  /** Token strings of `lower(text)` — identical to
+    * `filter(split(lower(text), "\\s+"), length > 0)`. */
+  def tokensOf(text: UTF8String): ArrayData = {
+    val low = text.toLowerCase
+    val bytes = low.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[UTF8String](16)
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(bytes(i))) i += 1
+        out.add(UTF8String.fromBytes(bytes, start, i - start))
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Distinct hashed k-shingles, first-occurrence order — identical to
     * `array_distinct(transform(...))` over the HOF token hashes. */
   def shingleHashes(text: UTF8String, k: Int): ArrayData = {
@@ -264,6 +283,23 @@ case class DupNgramFracs(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** `tokens_of(text)` → array<string> lower-cased whitespace tokens. */
+case class TokensOf(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tokens_of requires a string argument, got ${child.dataType}")
+  override def nullSafeEval(t: Any): Any =
+    TextHashImpl.tokensOf(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextHashImpl.tokensOf($t)")
+  override protected def withNewChildInternal(newChild: Expression): TokensOf =
+    copy(child = newChild)
+  override def prettyName: String = "tokens_of"
 }
 
 /** `fingerprint_hash(text)` → bigint rolling fingerprint. */

@@ -25,9 +25,11 @@ object TextOps {
 
   // ---- tokenization ----------------------------------------------------
 
-  /** Lower-cased whitespace tokens, empties removed. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+  /** Lower-cased whitespace tokens, empties removed. Compiled
+    * (`graft.functions.TokensOf` — identical to
+    * `filter(split(lower(text), "\\s+"), length > 0)`, whose split +
+    * filter HOF pair is interpreted). */
+  def tokens(text: Column): Column = call_function("tokens_of", text)
 
   /** Distinct word k-grams ("shingles") joined by single spaces — the
     * MinHash/Jaccard unit (SURVEY §2 parity-plus dedup). */
