@@ -103,7 +103,12 @@ object ScaleSoak {
     // stay near-linear), vocab/OOV (count agg + broadcast probe) and
     // the bigram LM (c2/c1 key space is fixed at 10×; only the scored
     // token stream grows)
-    "q129_span_dedup", "q130_vocab_oov", "q131_bigram_lm")
+    "q129_span_dedup", "q130_vocab_oov", "q131_bigram_lm",
+    // round-9 perf rewrites: OrderStat's range-exchange selection
+    // (counts + pick jobs must scale with the column, not the value
+    // space) and the compiled text kernels (scan-linear by design)
+    "q28_winsorize", "q53_exact_quantile", "q61_langid", "q65_minhash",
+    "q67_simhash")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
