@@ -37,6 +37,12 @@ object CurationQueries {
   private val spanDedupMinDf = 2L
   // q130: the fixture vocabulary is 31 tokens; K=20 leaves real OOV mass
   private val vocabK = 20
+  // q132: 8-token chunks, 3-token overlap (stride 5) — ~50-token docs
+  // yield ~10 chunks incl. short tails, and sub-chunk docs exist
+  private val chunkTokens = 8
+  private val chunkOverlap = 3
+  // q133: 5 docs per language (languages have ~100 docs at sf0.01)
+  private val evalK = 5
 
   val queries: Map[String, Q] = Map(
     // near-dup clusters: LSH pairs → connected components → canonical
@@ -177,6 +183,24 @@ object CurationQueries {
       val docs = documents(s, d)
       CorpusOps.oovRates(docs, "doc_id", "text",
         CorpusOps.topKVocab(docs, "text", vocabK))
+        .orderBy("doc_id")
+    },
+
+    // retrieval/RAG chunking: overlapping fixed-token windows, pure
+    // per-row array build + explode — zero exchange at any corpus size.
+    "q132_doc_chunking" -> { (s, d) =>
+      Curation.chunkDocuments(documents(s, d), "doc_id", "text",
+        chunkTokens, chunkOverlap)
+        .orderBy("doc_id", "chunk_i")
+    },
+
+    // exact-k per-stratum sampling (eval-set construction): salted-hash
+    // rank within each language, keep the k smallest — reproducible
+    // across engines/cluster sizes, unlike a rate sample (q119).
+    "q133_eval_sample" -> { (s, d) =>
+      Curation.exactKPerStratum(
+        documents(s, d).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", evalK, "r9")
         .orderBy("doc_id")
     },
 
@@ -344,6 +368,35 @@ object CurationQueries {
          |  CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0
          |    ELSE p.n_oov::DOUBLE / p.n_tokens::DOUBLE END AS oov_rate
          |FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Curation.chunkDocuments: same chunk-count formula
+    // (integer-floor division), same 1-based inclusive slices, same
+    // single-space rebuild.
+    "q132_doc_chunking" -> {
+      val (ch, ov) = (chunkTokens, chunkOverlap)
+      val st = ch - ov
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |par AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+         |k AS (SELECT doc_id, t, n,
+         |    greatest(1, (n - $ov + ${st - 1}) // $st) AS nc FROM par),
+         |ch AS (SELECT doc_id, c.i AS chunk_i, (c.i*$st) AS tok_start,
+         |    least(n - c.i*$st, $ch) AS n_chunk_tokens,
+         |    array_to_string(t[(c.i*$st+1):(c.i*$st + least(n - c.i*$st, $ch))], ' ') AS chunk_text
+         |  FROM k, LATERAL (SELECT unnest(range(nc)) AS i) c)
+         |SELECT doc_id, chunk_i, tok_start, n_chunk_tokens, chunk_text
+         |FROM ch ORDER BY doc_id, chunk_i""".stripMargin
+    },
+
+    // Mirrors Curation.exactKPerStratum: md5 of the salted id string,
+    // rank within stratum, keep k.
+    "q133_eval_sample" ->
+      s"""WITH r AS (SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5(concat('evalk:r9:', CAST(doc_id AS VARCHAR))), doc_id)
+         |      AS sample_rank
+         |  FROM documents)
+         |SELECT doc_id, lang, sample_rank FROM r
+         |WHERE sample_rank <= $evalK ORDER BY doc_id""".stripMargin,
 
     // Mirrors CorpusOps.bigramLmScore: add-one smoothing, prefix counts
     // derived from the bigram counts, ratio-of-integers probabilities

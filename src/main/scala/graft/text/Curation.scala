@@ -147,6 +147,85 @@ object Curation {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
+  // ---- retrieval-corpus chunking ---------------------------------------
+
+  /** Split documents into overlapping fixed-token windows — the
+    * retrieval/RAG corpus-preparation step (and the context-window
+    * pre-split of long documents before packing). Chunk i covers tokens
+    * [i·stride, i·stride + chunkTokens) with stride = chunkTokens −
+    * overlapTokens; the number of chunks is ceil((nTok − overlap) /
+    * stride) (min 1 for any non-empty doc), so no trailing chunk is
+    * fully contained in its predecessor. Deterministic: pure arithmetic
+    * over the token array, byte-identical rebuilds across engines.
+    *
+    * Scale shape: a narrow per-row array build + explode — zero
+    * exchange at any corpus size (the output is bigger than the input
+    * by ~chunk/stride; that's the operator's contract, not a shuffle).
+    *
+    * Returns (idCol, chunk_i, tok_start, n_chunk_tokens, chunk_text);
+    * empty documents yield no chunks. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val chunkType =
+      "array<struct<chunk_i:int,tok_start:int,n_chunk_tokens:int,chunk_text:string>>"
+    df.select(col(idCol),
+        TextOps.bindOnce(TextOps.tokens(col(textCol))) { tt =>
+          val nChunks =
+            ((size(tt) - lit(overlapTokens) + lit(stride - 1)) / lit(stride))
+              .cast("int")
+          when(size(tt) === 0, lit(null).cast(chunkType))
+            .otherwise(transform(
+              sequence(lit(0), greatest(nChunks, lit(1)) - lit(1)),
+              i => {
+                val start = i * stride
+                val len = least(size(tt) - start, lit(chunkTokens))
+                struct(i.cast("int").as("chunk_i"),
+                  start.cast("int").as("tok_start"),
+                  len.cast("int").as("n_chunk_tokens"),
+                  array_join(slice(tt, start + lit(1), len), " ")
+                    .as("chunk_text"))
+              }))
+        }.as("__c"))
+      .select(col(idCol), explode(col("__c")).as("c"))
+      .select(col(idCol), col("c.chunk_i").as("chunk_i"),
+        col("c.tok_start").as("tok_start"),
+        col("c.n_chunk_tokens").as("n_chunk_tokens"),
+        col("c.chunk_text").as("chunk_text"))
+  }
+
+  // ---- exact-k per-stratum sampling ------------------------------------
+
+  /** Deterministic exact-k sample per stratum — eval/holdout-set
+    * construction, where "about p%" (q119's rate sampler) isn't enough
+    * and the set must be reproducible: rows are ranked inside each
+    * stratum by a salted hash of their id (uncorrelated with any other
+    * hash-of-id use) and the k smallest are kept. Same seed ⇒ the same
+    * k rows on any cluster size or engine.
+    *
+    * Scale shape: one hash exchange on the stratum key + a per-stratum
+    * window — the q125 domain-cap shape with a hash rank instead of a
+    * quality rank. Returns the input columns plus `sample_rank`
+    * (1-based within the stratum). */
+  def exactKPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int, seed: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val clash = df.columns.toSet.intersect(Set("sample_rank", "__sk"))
+    require(clash.isEmpty,
+      s"exactKPerStratum adds columns ${clash.mkString(", ")} the input " +
+        "already has — rename them first")
+    val key = TextOps.md5Hex(
+      concat(lit(s"evalk:$seed:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("__sk"), col(idCol))
+    df.withColumn("__sk", key)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .drop("__sk")
+  }
+
   // ---- PII redaction ---------------------------------------------------
 
   /** PII patterns written to the portable common subset of Java regex

@@ -163,6 +163,40 @@ class CurationSpec extends SparkSpecBase {
     assert(b.except(sh).count() == 0 && sh.except(b).count() == 0)
   }
 
+  test("chunkDocuments: overlap windows, short tails, sub-chunk docs") {
+    val s = spark
+    import s.implicits._
+    // chunk=4, overlap=2, stride=2
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens → ceil(5/2)=3 chunks
+      (2L, "a b"),           // 2 tokens (< chunk) → 1 chunk
+      (3L, "")               // empty → no chunks
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, "doc_id", "text", 4, 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4))).toSet
+    assert(out == Set(
+      (1L, 0, 0, 4, "a b c d"),
+      (1L, 1, 2, 4, "c d e f"),
+      (1L, 2, 4, 3, "e f g"),
+      (2L, 0, 0, 2, "a b")))
+  }
+
+  test("exactKPerStratum: exactly k per stratum, seed-reproducible") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "lang")
+    val a = Curation.exactKPerStratum(docs, "lang", "doc_id", 3, "s1")
+    val perStratum = a.groupBy("lang").count().collect()
+    assert(perStratum.nonEmpty && perStratum.forall(_.getLong(1) == 3L))
+    val b = Curation.exactKPerStratum(docs, "lang", "doc_id", 3, "s1")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    // a different seed draws a mostly different sample
+    val c = Curation.exactKPerStratum(docs, "lang", "doc_id", 3, "s2")
+    assert(a.select("doc_id").intersect(c.select("doc_id")).count() <
+      a.count())
+  }
+
   test("topKVocab breaks count ties by token text") {
     val s = spark
     import s.implicits._

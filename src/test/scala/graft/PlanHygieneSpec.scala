@@ -158,7 +158,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     // broadcasts; q131 c2/c1 aggs, three score-side joins + per-doc agg
     // + sort (c2/c1/join-back broadcast at fixture scale, V cross)
     "q129_span_dedup" -> (4, 2), "q130_vocab_oov" -> (3, 2),
-    "q131_bigram_lm" -> (7, 4))
+    "q131_bigram_lm" -> (7, 4),
+    // q132: narrow chunk build + presentation sort; q133: stratum
+    // window hash + presentation sort
+    "q132_doc_chunking" -> (1, 0), "q133_eval_sample" -> (2, 0))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
