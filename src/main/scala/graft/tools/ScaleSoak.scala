@@ -145,28 +145,50 @@ object ScaleSoak {
     // instead of landing entirely in one sweep (round-9: a contended
     // sf1 sweep made untouched queries read as 3× scale regressions).
     headline.foreach { q => time(q, src); time(q, dst) }
-    val measured = headline.map { q =>
+    def measure(q: String): (Double, Double) = {
       val a01 = time(q, src); val a1 = time(q, dst)
       val b01 = time(q, src); val b1 = time(q, dst)
-      (q, math.min(a01, b01), math.min(a1, b1))
+      (math.min(a01, b01), math.min(a1, b1))
     }
-    // contention canary (same idea as Bench's): a trivial fixed job after
-    // each query; any sample > 3× the run's best brands the span
-    val canary = headline.map { q =>
+    // contention canary (same idea as Bench's, sampled IN the span it
+    // labels — a trivial fixed job after each query; any sample > 3× the
+    // run's best brands the span)
+    def canaryOnce(): Double = {
       val t0 = System.nanoTime()
       graft.queries.Tables.nation(spark, src).groupBy("n_regionkey")
         .count().filter(org.apache.spark.sql.functions.col("count") >= 0)
         .count()
-      q -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val canaryBase = canary.map(_._2).min
-    val contaminatedSpans = canary.collect {
+    val measured = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val canarySamples = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    headline.foreach { q =>
+      measured(q) = measure(q)
+      canarySamples(q) = canaryOnce()
+    }
+    // self-healing retry (mirrors graft.Bench): one transient host
+    // hiccup out of ~35 spans shouldn't brand the sweep — re-measure a
+    // flagged span at the end; only a retry whose own canary is also
+    // slow keeps the flag (sustained load stays honestly contaminated)
+    def base = canarySamples.values.min
+    canarySamples.collect {
+      case (q, t) if t > 3.0 * base => q
+    }.toVector.foreach { q =>
+      val retry = measure(q)
+      val c = canaryOnce()
+      if (c <= 3.0 * math.min(base, c)) {
+        measured(q) = retry
+        canarySamples(q) = c
+      }
+    }
+    val canaryBase = canarySamples.values.min
+    val contaminatedSpans = canarySamples.collect {
       case (q, t) if t > 3.0 * canaryBase => q
-    }
+    }.toVector
     // Locale.ROOT: comma-decimal locales would emit invalid JSON
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(d))
-    val entries = measured.map { case (q, t01, t1) =>
+    val entries = measured.map { case (q, (t01, t1)) =>
       val r = t1 / math.max(t01, 1e-9)
       s""""$q":{"sf01_sec":${fmt(t01)},"sf1_sec":${fmt(t1)},"ratio":${fmt(r)}}"""
     }
