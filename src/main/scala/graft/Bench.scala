@@ -153,6 +153,21 @@ object Bench {
     // if its fresh canary span is clean, the retry reps replace the
     // perturbed ones and the flag clears; under sustained contention the
     // retry's canary trips again and the run stays honestly contaminated.
+    // a flagged __init (no query attached) heals by re-sampling alone:
+    // the sample exists only to witness the pre-sweep machine state
+    flaggedSpans.filterNot(reps.contains).foreach { label =>
+      val nBefore = canarySamples.length
+      canary(label)
+      val fresh = canarySamples.drop(nBefore)
+      val base = canarySamples.map(_._2).min
+      if (fresh.forall(_._2 <= 3.0 * base)) {
+        val keep = canarySamples.zipWithIndex.filterNot { case ((l, t), i) =>
+          l == label && i < nBefore && t > 3.0 * base
+        }.map(_._1)
+        canarySamples.clear()
+        canarySamples ++= keep
+      }
+    }
     flaggedSpans.filter(reps.contains).foreach { name =>
       val fn = benched(name)
       timeOnce(fn)
