@@ -1,0 +1,141 @@
+package graft
+
+import graft.text.TextOps
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The compiled text kernels (TokensOf, ShingleHashes, TextMetrics,
+  * SimhashHash, DupNgramFracs, FingerprintHash, MinhashFromHashes)
+  * replaced higher-order-function Column forms whose semantics the
+  * DuckDB oracles mirror. The driver fixture is pure ASCII, so the
+  * kernels' inline UTF-8 decoding and codepoint counting would
+  * otherwise ship untested on multibyte input — this spec pins
+  * kernel == HOF equality on unicode (2/3/4-byte sequences,
+  * supplementary plane), mixed ASCII whitespace, and empty/edge
+  * strings. */
+class TextKernelSpec extends SparkSpecBase {
+
+  private val docs = Seq(
+    "héllo wörld héllo",                       // 2-byte sequences
+    "漢字 テスト 漢字 の",                        // 3-byte sequences
+    "mixed ascii héllo 漢字 𝔘nicode", // 4-byte supplementary
+    "tabs\tand\nnewlines seps\r here",   // every Java \s class
+    "  leading and trailing  ",
+    "UPPER Case MiXeD",
+    "single",
+    " ",
+    "")
+
+  private def df = {
+    val s = spark
+    import s.implicits._
+    docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+  }
+
+  // ---- the original HOF forms, rebuilt inline as the reference -------
+
+  private def hofTokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  private def hofTokenHashes(text: Column): Column =
+    transform(hofTokens(text), TextOps.portableHash(_))
+
+  private def hofShingleHashes(text: Column, k: Int): Column =
+    TextOps.bindOnce(hofTokenHashes(text)) { hs =>
+      when(size(hs) < k, array().cast("array<bigint>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(hs) - (k - 1)),
+          j => (0 until k).map(r => element_at(hs, j + r))
+            .reduceLeft((h, x) => (h * TextOps.B + x) % TextOps.P))))
+    }
+
+  test("tokens_of equals the split+filter HOF on unicode input") {
+    val out = df.select(
+      TextOps.tokens(col("text")).as("a"), hofTokens(col("text")).as("b"))
+      .collect()
+    out.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("shingle_hashes equals the HOF pipeline on unicode input") {
+    for (k <- Seq(1, 2, 3)) {
+      val out = df.select(TextOps.shingleHashes(col("text"), k).as("a"),
+        hofShingleHashes(col("text"), k).as("b")).collect()
+      out.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"k=$k"))
+    }
+  }
+
+  test("text_metrics fields equal the regex/HOF formulas on unicode input") {
+    val toks = hofTokens(col("text"))
+    val all = TextOps.langStopwords.flatMap(_._2)
+    val out = df.select(
+      TextOps.metrics(col("text")).as("m"),
+      length(col("text")).as("len"),
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).as("alpha"),
+      length(regexp_replace(col("text"), "[^.,;:!?]", "")).as("punct"),
+      size(toks).as("ntok"),
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L),
+        (a, x) => a + x).as("sumlen"),
+      TextOps.stopwordHits(toks, all).as("nstop"))
+      .collect()
+    out.foreach { r =>
+      val m = r.getStruct(0)
+      assert(m.getAs[Int]("n_chars") == r.getInt(1))
+      assert(m.getAs[Int]("n_alpha") == r.getInt(2))
+      assert(m.getAs[Int]("n_punct") == r.getInt(3))
+      assert(m.getAs[Int]("n_tok") == r.getInt(4))
+      assert(m.getAs[Long]("sum_tok_len") == r.getLong(5))
+      assert(m.getAs[Int]("n_stop") == r.getInt(6))
+    }
+  }
+
+  test("simhash/fingerprint/minhash kernels equal HOF forms on unicode") {
+    val numBits = 24
+    val hofSimhash = TextOps.bindOnce(hofTokenHashes(col("text"))) { hs =>
+      (0 until numBits).map { j =>
+        when(size(filter(hs, h => shiftright(h, j) % 2 === 1)) * 2 > size(hs),
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val hofFp = aggregate(hofTokenHashes(col("text")), lit(0L),
+      (f, h) => (f * TextOps.B + h) % TextOps.P)
+    val hofSig = TextOps.bindOnce(hofShingleHashes(col("text"), 2)) { sh =>
+      array(graft.functions.TextHashImpl.hashCoeffs(8).map { case (a, b) =>
+        coalesce(array_min(transform(sh, h => (lit(a) * h + lit(b)) % TextOps.P)),
+          lit(TextOps.P))
+      }: _*)
+    }
+    val out = df.select(
+      graft.dedup.Dedup.simhash(col("text"), numBits).as("s1"),
+      hofSimhash.as("s2"),
+      TextOps.fingerprint(col("text")).as("f1"), hofFp.as("f2"),
+      graft.dedup.Dedup.minhashSigFromHashes(
+        TextOps.shingleHashes(col("text"), 2), 8).as("m1"),
+      hofSig.as("m2"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(2) == r.getLong(3))
+      assert(r.getSeq[Long](4) == r.getSeq[Long](5))
+    }
+  }
+
+  test("dup_ngram_fracs equals the HOF fractions on unicode input") {
+    def hofFrac(n: Int) =
+      TextOps.bindOnce(TextOps.ngramHashes(hofTokenHashes(col("text")), n)) { g =>
+        when(size(g) === 0, lit(0.0)).otherwise(
+          lit(1.0) - size(array_distinct(g)).cast("double") /
+            size(g).cast("double"))
+      }
+    val out = df.select(
+      TextOps.dupNgramFracStruct(col("text"), Seq(1, 2, 3)).as("a"),
+      hofFrac(1).as("f1"), hofFrac(2).as("f2"), hofFrac(3).as("f3"))
+      .collect()
+    out.foreach { r =>
+      val a = r.getStruct(0)
+      assert(a.getDouble(0) == r.getDouble(1))
+      assert(a.getDouble(1) == r.getDouble(2))
+      assert(a.getDouble(2) == r.getDouble(3))
+    }
+  }
+}
