@@ -99,6 +99,11 @@ object GraftFunctions {
       "tokens_of",
       (children: Seq[Expression]) => TokensOf(children.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_windows",
+      (children: Seq[Expression]) =>
+        TokenWindows(children.head, children(1), children(2)),
+      "scala_udf")
   }
 }
 
@@ -164,6 +169,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[TokensOf].getCanonicalName, "tokens_of"),
       (children: Seq[Expression]) => TokensOf(children.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("token_windows"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TokenWindows].getCanonicalName, "token_windows"),
+      (children: Seq[Expression]) =>
+        TokenWindows(children.head, children(1), children(2))))
     // the custom-operator tier: lowers AsofJoinNode → AsofJoinExec in
     // every session (AsofJoin.merge also self-registers per session via
     // experimental.extraStrategies for callers not using extensions)

@@ -93,6 +93,34 @@ object TextHashImpl {
     new GenericArrayData(out.toArray)
   }
 
+  /** Token windows (see [[TokenWindows]]): width tokens every stride,
+    * rebuilt with single spaces — identical strings/counts to the HOF
+    * slice + array_join build over [[tokensOf]]. */
+  def tokenWindows(text: UTF8String, width: Int, stride: Int): ArrayData = {
+    val toks = tokensOf(text)
+    val n = toks.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val overlap = width - stride
+    val k = math.max(1L, (n.toLong - overlap + stride - 1) / stride).toInt
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      val start = i * stride
+      val len = math.min(n - start, width)
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < len) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(start + j).toString)
+        j += 1
+      }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](i, start, len, UTF8String.fromString(sb.toString)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct hashed k-shingles, first-occurrence order — identical to
     * `array_distinct(transform(...))` over the HOF token hashes. */
   def shingleHashes(text: UTF8String, k: Int): ArrayData = {
@@ -283,6 +311,45 @@ case class DupNgramFracs(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** `token_windows(text, width, stride)` → array<struct<chunk_i:int,
+  * tok_start:int, n_tokens:int, span:string>>: token windows of `width`
+  * every `stride` tokens, K = max(1, ceil((nTok − (width − stride)) /
+  * stride)) windows for non-empty docs (no trailing window fully
+  * contained in its predecessor), empty array for empty docs. With
+  * width == stride these are `Curation.spanDedup`'s disjoint chunks;
+  * with stride < width they are `chunkDocuments`'s overlapping RAG
+  * windows — one compiled pass instead of the interpreted
+  * transform/slice/array_join HOF build. */
+case class TokenWindows(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("chunk_i", IntegerType, nullable = false),
+    StructField("tok_start", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("span", StringType, nullable = false))) match {
+    case st => ArrayType(st, containsNull = false)
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"token_windows requires a string first argument, got ${first.dataType}")
+    else if (Seq(second, third).exists(e => e.dataType != IntegerType || !e.foldable))
+      TypeCheckResult.TypeCheckFailure(
+        "token_windows requires foldable int width/stride arguments")
+    else TypeCheckResult.TypeCheckSuccess
+  @transient private lazy val width: Int = second.eval(null).asInstanceOf[Int]
+  @transient private lazy val stride: Int = third.eval(null).asInstanceOf[Int]
+  override def nullSafeEval(t: Any, w: Any, s: Any): Any =
+    TextHashImpl.tokenWindows(t.asInstanceOf[UTF8String], width, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _, _) =>
+      s"${ev.value} = graft.functions.TextHashImpl.tokenWindows($t, $width, $stride);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): TokenWindows =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "token_windows"
 }
 
 /** `tokens_of(text)` → array<string> lower-cased whitespace tokens. */

@@ -103,22 +103,11 @@ object Curation {
       broadcastFrequent: Boolean = true): DataFrame = {
     require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
     require(minDocFreq > 1, s"minDocFreq must be > 1, got $minDocFreq")
-    val spanStruct = "array<struct<chunk_i:int,span:string>>"
+    // compiled chunk build (graft.functions.TokenWindows, width ==
+    // stride == spanTokens → disjoint chunks, short last chunk)
     val chunks = df.select(col(idCol),
-        TextOps.bindOnce(TextOps.tokens(col(textCol))) { tt =>
-          // sequence(0, -1) would generate a DESCENDING ramp, not empty
-          when(size(tt) === 0, lit(null).cast(spanStruct))
-            .otherwise(transform(
-              sequence(lit(0),
-                // Column `/` is double division; the cast floors the
-                // (positive, exact) chunk count back to an int
-                ((size(tt) + lit(spanTokens - 1)) / lit(spanTokens))
-                  .cast("int") - lit(1)),
-              i => struct(i.cast("int").as("chunk_i"),
-                array_join(slice(tt, i * spanTokens + lit(1), lit(spanTokens)), " ")
-                  .as("span"))))
-        }.as("__c"))
-      .select(col(idCol), explode(col("__c")).as("c"))
+        explode(call_function("token_windows", col(textCol),
+          lit(spanTokens), lit(spanTokens))).as("c"))
       .select(col(idCol), col("c.chunk_i").as("chunk_i"),
         col("c.span").as("span"),
         md5(col("c.span").cast("binary")).as("__h"))
@@ -170,31 +159,15 @@ object Curation {
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"overlap must be in [0, chunkTokens), got $overlapTokens")
     val stride = chunkTokens - overlapTokens
-    val chunkType =
-      "array<struct<chunk_i:int,tok_start:int,n_chunk_tokens:int,chunk_text:string>>"
+    // compiled window build (graft.functions.TokenWindows — the K =
+    // max(1, ceil((nTok − overlap)/stride)) contract lives there)
     df.select(col(idCol),
-        TextOps.bindOnce(TextOps.tokens(col(textCol))) { tt =>
-          val nChunks =
-            ((size(tt) - lit(overlapTokens) + lit(stride - 1)) / lit(stride))
-              .cast("int")
-          when(size(tt) === 0, lit(null).cast(chunkType))
-            .otherwise(transform(
-              sequence(lit(0), greatest(nChunks, lit(1)) - lit(1)),
-              i => {
-                val start = i * stride
-                val len = least(size(tt) - start, lit(chunkTokens))
-                struct(i.cast("int").as("chunk_i"),
-                  start.cast("int").as("tok_start"),
-                  len.cast("int").as("n_chunk_tokens"),
-                  array_join(slice(tt, start + lit(1), len), " ")
-                    .as("chunk_text"))
-              }))
-        }.as("__c"))
-      .select(col(idCol), explode(col("__c")).as("c"))
+        explode(call_function("token_windows", col(textCol),
+          lit(chunkTokens), lit(stride))).as("c"))
       .select(col(idCol), col("c.chunk_i").as("chunk_i"),
         col("c.tok_start").as("tok_start"),
-        col("c.n_chunk_tokens").as("n_chunk_tokens"),
-        col("c.chunk_text").as("chunk_text"))
+        col("c.n_tokens").as("n_chunk_tokens"),
+        col("c.span").as("chunk_text"))
   }
 
   // ---- exact-k per-stratum sampling ------------------------------------
