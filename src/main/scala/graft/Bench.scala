@@ -153,6 +153,14 @@ object Bench {
     // if its fresh canary span is clean, the retry reps replace the
     // perturbed ones and the flag clears; under sustained contention the
     // retry's canary trips again and the run stays honestly contaminated.
+    // Every heal is RECORDED (round-9 advice): the perturbed reps and
+    // canary samples it replaced land in bench.json's `healed_spans`, so
+    // a healed run is distinguishable from a never-flagged one and an
+    // "intermittent but recurring" pattern stays visible across rounds.
+    // (label, original reps, retry reps, perturbed canary, fresh canary)
+    val heals = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Vector[(Double, Boolean)], Vector[(Double, Boolean)],
+              Vector[Double], Vector[Double])]
     // a flagged __init (no query attached) heals by re-sampling alone:
     // the sample exists only to witness the pre-sweep machine state
     flaggedSpans.filterNot(reps.contains).foreach { label =>
@@ -161,6 +169,11 @@ object Bench {
       val fresh = canarySamples.drop(nBefore)
       val base = canarySamples.map(_._2).min
       if (fresh.forall(_._2 <= 3.0 * base)) {
+        val perturbed = canarySamples.zipWithIndex.collect {
+          case ((l, t), i) if l == label && i < nBefore && t > 3.0 * base => t
+        }.toVector
+        heals += ((label, Vector.empty, Vector.empty, perturbed,
+          fresh.map(_._2).toVector))
         val keep = canarySamples.zipWithIndex.filterNot { case ((l, t), i) =>
           l == label && i < nBefore && t > 3.0 * base
         }.map(_._1)
@@ -174,16 +187,22 @@ object Bench {
       val retry = Vector.fill(3)(timeOnce(fn))
       val nBefore = canarySamples.length
       canary(name)
-      val retryClean = canarySamples.drop(nBefore).forall { case (_, t) =>
+      val fresh = canarySamples.drop(nBefore)
+      val retryClean = fresh.forall { case (_, t) =>
         val base = canarySamples.map(_._2).min
         t <= 3.0 * base
       }
       if (retryClean && retry.exists(_._2)) {
+        val base = canarySamples.map(_._2).min
+        val perturbed = canarySamples.zipWithIndex.collect {
+          case ((l, t), i) if l == name && i < nBefore && t > 3.0 * base => t
+        }.toVector
+        heals += ((name, reps(name), retry, perturbed,
+          fresh.map(_._2).toVector))
         reps(name) = retry
         // drop the perturbed span samples so the flag reflects the retry
         val keep = canarySamples.zipWithIndex.filterNot { case ((l, t), i) =>
-          l == name && i < nBefore &&
-            t > 3.0 * canarySamples.map(_._2).min
+          l == name && i < nBefore && t > 3.0 * base
         }.map(_._1)
         canarySamples.clear()
         canarySamples ++= keep
@@ -221,10 +240,18 @@ object Bench {
     def strArr(v: Vector[String]) = v.map("\"" + _ + "\"").mkString("[", ",", "]")
     val canaryJson = s"""{"baseline":${fmt(canaryBase)},"samples":[${
       canarySamples.map { case (l, t) => s"""["$l",${fmt(t)}]""" }.mkString(",")}]}"""
+    def repArr(v: Vector[(Double, Boolean)]) =
+      v.map { case (t, ok) => if (ok) fmt(t) else "-1" }.mkString("[", ",", "]")
+    val healsJson = heals.map { case (l, o, r, pc, fc) =>
+      s"""{"span":"$l","orig_reps":${repArr(o)},"retry_reps":${repArr(r)},""" +
+        s""""orig_canary":[${pc.map(fmt).mkString(",")}],""" +
+        s""""retry_canary":[${fc.map(fmt).mkString(",")}]}"""
+    }.mkString("[", ",", "]")
     val flags = s""""contaminated":$contaminated,"contaminated_spans":${
-      strArr(contaminatedSpans)},"errors":${strArr(errors)}"""
+      strArr(contaminatedSpans)},"healed_spans":${
+      strArr(heals.map(_._1).toVector)},"errors":${strArr(errors)}"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$flags}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$flags,"canary":$canaryJson,"reps":$repsJson,"spread":$spreads}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$flags,"canary":$canaryJson,"reps":$repsJson,"spread":$spreads,"heals":$healsJson}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))

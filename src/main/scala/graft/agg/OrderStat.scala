@@ -38,8 +38,17 @@ object OrderStat {
 
   /** Exact interpolated percentiles of `c` (nulls ignored), one result
     * per entry of `qs`. Runs two jobs over one exchange (see object
-    * doc); returns NaN entries when the column has no non-null rows. */
-  def exactPercentiles(df: DataFrame, c: String, qs: Seq[Double]): Array[Double] = {
+    * doc); returns NaN entries when the column has no non-null rows.
+    * Call sites that must mirror the built-in `percentile`'s null-on-
+    * empty-input contract (round-9 advice: DataStream.exactQuantile)
+    * use [[exactPercentilesOpt]], which makes the empty case explicit. */
+  def exactPercentiles(df: DataFrame, c: String, qs: Seq[Double]): Array[Double] =
+    exactPercentilesOpt(df, c, qs).getOrElse(qs.map(_ => Double.NaN).toArray)
+
+  /** [[exactPercentiles]] with the empty-input case explicit: `None`
+    * when the column has no non-null rows (where the built-in
+    * `percentile` aggregate returns null), `Some(points)` otherwise. */
+  def exactPercentilesOpt(df: DataFrame, c: String, qs: Seq[Double]): Option[Array[Double]] = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"percentile points must be in [0, 1], got $qs")
     // tolerate non-numeric conf values (e.g. "auto" on some platforms)
@@ -58,7 +67,7 @@ object OrderStat {
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
       .collect().sortBy(_._1).map(_._2)
     val n = counts.sum
-    if (n == 0L) return qs.map(_ => Double.NaN).toArray
+    if (n == 0L) return None
     val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = first global rank in partition i
     // Spark Percentile: position = (count - 1) * percentage
     val positions = qs.map(q => (n - 1) * q)
@@ -86,12 +95,12 @@ object OrderStat {
         }
       }
       .collect().toMap
-    positions.map { p =>
+    Some(positions.map { p =>
       val lower = math.floor(p).toLong
       val higher = math.ceil(p).toLong
       if (higher == lower) picked(lower)
       // Spark's exact interpolation expression, replicated bit-for-bit
       else (higher - p) * picked(lower) + (p - lower) * picked(higher)
-    }.toArray
+    }.toArray)
   }
 }

@@ -269,15 +269,20 @@ class DataStream(val df: DataFrame) {
   }
 
   /** Exact interpolated quantiles (oracle-verifiable correctness).
-    * EAGER: runs graft.agg.OrderStat's range-exchange selection now —
-    * the scalable exact path (Spark's `percentile` aggregate merges a
-    * value→count map that is row-count-sized on distinct doubles) —
-    * and returns the points as a one-row frame. Bit-compatible with
-    * the built-in `percentile` (same interpolation expression). */
+    * EAGER — unlike every other DataStream method: it runs
+    * graft.agg.OrderStat's range-exchange selection jobs AT CALL TIME
+    * (the scalable exact path — Spark's `percentile` aggregate merges a
+    * value→count map that is row-count-sized on distinct doubles) and
+    * returns the points as a one-row frame; no later action is needed
+    * to trigger the work. Bit-compatible with the built-in `percentile`
+    * (same interpolation expression) INCLUDING the empty-input case: a
+    * column with no non-null rows yields null points, not NaN. */
   def exactQuantile(c: String, quantiles: Seq[Double]): DataStream = {
-    val qs = graft.agg.OrderStat.exactPercentiles(df, c, quantiles)
+    val points = graft.agg.OrderStat.exactPercentilesOpt(df, c, quantiles)
+      .map(_.toSeq.map(lit))
+      .getOrElse(quantiles.map(_ => lit(null).cast("double")))
     new DataStream(df.sparkSession.range(1)
-      .select(array(qs.toSeq.map(lit): _*).as("quantiles")))
+      .select(array(points: _*).as("quantiles")))
   }
 
   // ---- sorts / top-k (datastream.py:1702-1767) ------------------------

@@ -76,6 +76,20 @@ object Det {
         lit(" — exact scaled-integer representation impossible; " +
           "lower the scale or pre-aggregate")))).otherwise(c), scale)
   }
+  /** Weighted [[dsum]]: exactly the integer total that summing `w`
+    * copies of each value would produce — per-row half-even round to
+    * `scale` decimals, multiply by the (long) weight in exact integer
+    * arithmetic, int128 sum. Lets a call site pre-aggregate duplicate
+    * rows to (value, multiplicity) and keep the result BIT-IDENTICAL to
+    * the per-instance form (long multiply is exact while
+    * |value|·10^scale · w < 2^63 — at scale 12 that is w ≲ 9.2e6 per
+    * distinct |value| ≤ 1 row, far above any per-key repeat factor). */
+  def dsumWeighted(c: Column, w: Column, scale: Int = 6): Column = {
+    val p = lit(math.pow(10, scale))
+    org.apache.spark.sql.functions.call_function(
+      "dsum128", bround(c * p, 0).cast("long") * w.cast("long"))
+      .cast("double") / p
+  }
   /** Window-safe [[dsum]] half: a bare aggregate (no trailing cast /
     * divide) so `.over(w)` applies; finish with [[dwinFinish]]. */
   def dsumWin(c: Column): Column =

@@ -338,6 +338,13 @@ case class TokenWindows(first: Expression, second: Expression, third: Expression
     else if (Seq(second, third).exists(e => e.dataType != IntegerType || !e.foldable))
       TypeCheckResult.TypeCheckFailure(
         "token_windows requires foldable int width/stride arguments")
+    // validate at ANALYSIS time (round-9 advice): stride = 0 would divide
+    // by zero mid-job, stride > width would emit an empty trailing window
+    // (start >= n, n_tokens = 0) violating the documented K contract —
+    // only the Curation wrappers used to enforce the range
+    else if (width < 1 || stride < 1 || stride > width)
+      TypeCheckResult.TypeCheckFailure(
+        s"token_windows requires 1 <= stride <= width, got width=$width stride=$stride")
     else TypeCheckResult.TypeCheckSuccess
   @transient private lazy val width: Int = second.eval(null).asInstanceOf[Int]
   @transient private lazy val stride: Int = third.eval(null).asInstanceOf[Int]

@@ -146,13 +146,19 @@ object AdvancedRelationalQueries {
       // 10k-column width the play is approx_percentile's shared scan,
       // q54). The bounds come back as scalars, so the clip is a pure
       // projection — no bounds join at all.
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.{Await, Future, blocking}
       import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
+      import scala.concurrent.duration._
+      // blocking{}: each Future parks on collect(); without the marker
+      // four parked collects could exhaust the shared fork-join pool's
+      // target parallelism (round-9 advice) — blocking{} lets it grow
+      // compensatory threads. The finite Await keeps a wedged job from
+      // hanging the bench forever: fail loudly, not silently.
       val bounds = Await.result(
-        Future.sequence(cols.map(c => Future(
-          c -> graft.agg.OrderStat.exactPercentiles(li, c, Seq(0.05, 0.95))))),
-        Duration.Inf).toMap
+        Future.sequence(cols.map(c => Future(blocking {
+          c -> graft.agg.OrderStat.exactPercentiles(li, c, Seq(0.05, 0.95))
+        }))),
+        10.minutes).toMap
       val clipped = li.select(cols.map(c =>
         least(greatest(col(c), lit(bounds(c)(0))), lit(bounds(c)(1)))
           .as(s"${c}_w")): _*)

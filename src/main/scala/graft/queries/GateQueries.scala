@@ -182,6 +182,18 @@ object GateQueries {
             .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       }
       row.write.mode("overwrite").parquet(dir)
+      // deterministic path ⇒ reruns overwrite instead of accumulating;
+      // still sweep it at JVM exit so /tmp holds nothing between runs
+      // (round-9 verdict hygiene item). Registered once per dir build.
+      java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.list(p).forEach(rm(_))
+          java.nio.file.Files.deleteIfExists(p)
+        }
+        try rm(java.nio.file.Paths.get(dir))
+        catch { case _: Throwable => () }
+      }))
       dir
     })
     val sentinel = s.readStream.schema(eventsSchema(tsT)).parquet(tmp)

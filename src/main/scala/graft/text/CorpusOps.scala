@@ -92,9 +92,16 @@ object CorpusOps {
     *
     * Scale shape: counts are two hash aggregates over bigram/prefix keys
     * (map-side combined; c1 derives from c2, so the corpus is bigrammed
-    * once per side); V is a one-row aggregate broadcast back; scoring is
-    * two hash joins keyed on (w1,w2)/(w1) — linear shuffle volume in
-    * corpus size, no text wider than two tokens on any exchange.
+    * once per side); V is a one-row aggregate broadcast back. The score
+    * side pre-aggregates to distinct (id, w1, w2) with multiplicity n
+    * BEFORE the c2/c1 probes — a document repeating a bigram k times
+    * joins once, not k times, so the join input is the per-doc DISTINCT
+    * bigram count (sublinear in token count on natural text) while the
+    * mean stays over the full instance multiset via [[Det.dsumWeighted]]
+    * (bit-identical to scoring every instance: n exact-integer copies of
+    * the same rounded term). Two hash joins keyed on (w1,w2)/(w1) —
+    * linear shuffle volume in corpus size, no text wider than two tokens
+    * on any exchange.
     *
     * Returns (idCol, n_bigrams, mean_p); documents with fewer than two
     * tokens score 0.0. */
@@ -107,16 +114,19 @@ object CorpusOps {
       .select(explode(TextOps.tokens(col(textCol))).as("token"))
       .agg(countDistinct(col("token")).as("__v"))
     val scored = bigrams(score, idCol, textCol)
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__n"))
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(v))
-      .select(col(idCol),
+      .select(col(idCol), col("__n"),
         ((coalesce(col("__c2"), lit(0L)) + lit(1L)).cast("double") /
           (coalesce(col("__c1"), lit(0L)) + col("__v")).cast("double"))
           .as("__p"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        (Det.dsum(col("__p"), 12) / count(lit(1))).as("mean_p"))
+      .agg(sum(col("__n")).as("n_bigrams"),
+        (Det.dsumWeighted(col("__p"), col("__n"), 12) / sum(col("__n")))
+          .as("mean_p"))
     score.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

@@ -152,13 +152,18 @@ object ScaleSoak {
     }
     // contention canary (same idea as Bench's, sampled IN the span it
     // labels — a trivial fixed job after each query; any sample > 3× the
-    // run's best brands the span)
+    // run's best brands the span). Min-of-2 like Bench's: a one-off GC
+    // pause in the µ-scale canary itself shouldn't brand the span, while
+    // sustained contention slows both back-to-back runs and still trips.
     def canaryOnce(): Double = {
-      val t0 = System.nanoTime()
-      graft.queries.Tables.nation(spark, src).groupBy("n_regionkey")
-        .count().filter(org.apache.spark.sql.functions.col("count") >= 0)
-        .count()
-      (System.nanoTime() - t0) / 1e9
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        graft.queries.Tables.nation(spark, src).groupBy("n_regionkey")
+          .count().filter(org.apache.spark.sql.functions.col("count") >= 0)
+          .count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(one(), one())
     }
     val measured = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val canarySamples = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -169,14 +174,20 @@ object ScaleSoak {
     // self-healing retry (mirrors graft.Bench): one transient host
     // hiccup out of ~35 spans shouldn't brand the sweep — re-measure a
     // flagged span at the end; only a retry whose own canary is also
-    // slow keeps the flag (sustained load stays honestly contaminated)
+    // slow keeps the flag (sustained load stays honestly contaminated).
+    // Heals are RECORDED (round-9 advice): original + retry measurements
+    // land in the output's `heals` so a healed sweep is distinguishable
+    // from a never-flagged one.
     def base = canarySamples.values.min
+    val heals = scala.collection.mutable.ArrayBuffer
+      .empty[(String, (Double, Double), (Double, Double), Double, Double)]
     canarySamples.collect {
       case (q, t) if t > 3.0 * base => q
     }.toVector.foreach { q =>
       val retry = measure(q)
       val c = canaryOnce()
-      if (c <= 3.0 * math.min(base, c)) {
+      if (c <= 3.0 * base) {
+        heals += ((q, measured(q), retry, canarySamples(q), c))
         measured(q) = retry
         canarySamples(q) = c
       }
@@ -192,9 +203,14 @@ object ScaleSoak {
       val r = t1 / math.max(t01, 1e-9)
       s""""$q":{"sf01_sec":${fmt(t01)},"sf1_sec":${fmt(t1)},"ratio":${fmt(r)}}"""
     }
+    val healsJson = heals.map { case (q, (o01, o1), (r01, r1), oc, rc) =>
+      s"""{"span":"$q","orig":[${fmt(o01)},${fmt(o1)}],""" +
+        s""""retry":[${fmt(r01)},${fmt(r1)}],""" +
+        s""""orig_canary":${fmt(oc)},"retry_canary":${fmt(rc)}}"""
+    }.mkString("[", ",", "]")
     val flags = s""""contaminated":${contaminatedSpans.nonEmpty},""" +
       s""""contaminated_spans":${contaminatedSpans.map("\"" + _ + "\"")
-        .mkString("[", ",", "]")},"""
+        .mkString("[", ",", "]")},"heals":$healsJson,"""
     val json = entries.mkString(
       s"""{"replicas":$REPLICAS,"cpus":$cpus,$flags"queries":{""", ",", "}}")
     java.nio.file.Files.write(

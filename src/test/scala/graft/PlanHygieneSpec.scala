@@ -155,10 +155,12 @@ class PlanHygieneSpec extends SparkSpecBase {
     // round-9 corpus-stats tier: q129 span-frequency agg + rebuild agg +
     // id join-back + sort, frequent-set and rebuilt-side broadcasts;
     // q130 token-count agg + per-doc agg + sort, vocab and join-back
-    // broadcasts; q131 c2/c1 aggs, three score-side joins + per-doc agg
-    // + sort (c2/c1/join-back broadcast at fixture scale, V cross)
+    // broadcasts; q131 c2/c1 aggs, score-side (id,w1,w2,n) pre-agg
+    // (round-10: one extra map-combined exchange that shrinks the c2/c1
+    // join probes to per-doc DISTINCT bigrams) + three joins + per-doc
+    // agg + sort (c2/c1/join-back broadcast at fixture scale, V cross)
     "q129_span_dedup" -> (4, 2), "q130_vocab_oov" -> (3, 2),
-    "q131_bigram_lm" -> (7, 4),
+    "q131_bigram_lm" -> (8, 4),
     // q132: narrow chunk build + presentation sort; q133: stratum
     // window hash + presentation sort
     "q132_doc_chunking" -> (1, 0), "q133_eval_sample" -> (2, 0))
