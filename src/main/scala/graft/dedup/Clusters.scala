@@ -70,7 +70,13 @@ object Clusters {
     var labels = nodes.select(col(idCol).as("__id"), col(idCol).as("__lbl"))
     var round = 0
     var converged = false
+    // round-10: per-round stage timing behind an env flag, so a noisy
+    // bench rep (round-9 verdict: q126's 1.8-10.1 s reps, which did not
+    // reproduce on a quiet machine — spread 1.16 at 3 reps) can be
+    // attributed to a specific round/step instead of guessed at
+    val progress = sys.env.contains("GRAFT_CC_PROGRESS")
     while (round < maxRounds && !converged) {
+      val t0 = System.nanoTime()
       // neighbor-min: lbl'(v) = min(lbl(v), min over (u,v)∈E of lbl(u))
       val nbrMin = edges
         .join(labels, col("__src") === col("__id"))
@@ -96,6 +102,7 @@ object Clusters {
         // per node) are reclaimed by ContextCleaner once the var
         // reassignment drops the last reference.
         .localCheckpoint(true)
+      val tCkpt = System.nanoTime()
       // one scalar action per round — the only driver-side data motion
       // (aliased projections keep the derived-lineage compare from
       // tripping ambiguous-self-join detection)
@@ -105,6 +112,10 @@ object Clusters {
       converged = changed == 0
       labels = jumped
       round += 1
+      if (progress) println(f"[cc] round $round%d: " +
+        f"step+jump+checkpoint ${(tCkpt - t0) / 1e9}%.3fs " +
+        f"convergence-count ${(System.nanoTime() - tCkpt) / 1e9}%.3fs " +
+        f"converged=$converged")
     }
     edges.unpersist(false)
     if (!converged) throw new IllegalStateException(

@@ -189,6 +189,54 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Near-dup pairs over any 64-bit hash column (image dHash —
+    * [[graft.multimodal.Multimodal.imagePHash]] — or a 64-bit simhash)
+    * by hamming-LSH banding: split the hash into `numBands` contiguous
+    * bit bands and bucket-join on (band, band bits). LOSSLESS candidate
+    * generation by pigeonhole — two hashes within `maxHamming` bits
+    * differ in at most `maxHamming` bands, so whenever
+    * `maxHamming < numBands` they agree on at least one band and the
+    * band join finds every qualifying pair (enforced, not probabilistic
+    * like MinHash banding). Confirm is `bit_count(xor)` on the hashes
+    * riding the banded rows — no join-back.
+    *
+    * Scale shape (100 TB of images): only (band, bits, id, hash) — four
+    * longs — ever shuffles, numBands rows per image; the self-join's two
+    * sides are the identical exchange so ReuseExchange hashes each image
+    * once. `maxBucket` caps degenerate buckets (solid-color boilerplate
+    * images collide on every band) exactly like [[lshCandidates]]. */
+  def hammingNearDupPairs(
+      df: DataFrame, idCol: String, hashCol: String, maxHamming: Int,
+      numBands: Int = 4, maxBucket: Option[Int] = None): DataFrame = {
+    require(numBands > maxHamming,
+      s"numBands ($numBands) must exceed maxHamming ($maxHamming) — the " +
+        "pigeonhole recall guarantee needs one undisturbed band")
+    require(64 % numBands == 0,
+      s"numBands ($numBands) must divide 64 (contiguous equal-width bands)")
+    val bandBits = 64 / numBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
+    val banded0 = df
+      .select(col(idCol), col(hashCol).cast("long").as("__h"))
+      .where(col("__h").isNotNull)
+      .select(col(idCol), col("__h"),
+        posexplode(array((0 until numBands).map(b =>
+          shiftrightunsigned(col("__h"), b * bandBits)
+            .bitwiseAND(lit(mask))): _*)).as(Seq("band", "bits")))
+    val banded = maxBucket.fold(banded0) { cap =>
+      val w = Window.partitionBy(col("band"), col("bits"))
+      banded0.withColumn("__bn", count(lit(1)).over(w))
+        .filter(col("__bn") <= cap).drop("__bn")
+    }
+    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bits") === col("b.bits") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_1"), col(s"b.$idCol").as("id_2"),
+        hamming(col("a.__h"), col("b.__h")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   // ---- n-gram Jaccard (blocked) ---------------------------------------
 
   /** All-pairs n-gram Jaccard within a blocking key (e.g. source):

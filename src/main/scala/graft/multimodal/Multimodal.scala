@@ -201,6 +201,78 @@ object Multimodal {
       }
   }
 
+  /** REAL 64-bit difference hash (dHash) over decoded pixels — the
+    * standard image near-dup fingerprint: per-pixel integer luma
+    * ((77r + 151g + 28b) >> 8; weights sum to 256 so gray stays exact),
+    * area-average downsample to a 9×8 grid (exact integer block
+    * sums / integer division — no float resampling, so the hash is
+    * bit-reproducible across engines and architectures), then bit
+    * y*8+x set iff cell(x+1, y) > cell(x, y). Near-identical images
+    * differ in few bits, so hamming distance is the similarity axis
+    * ([[graft.dedup.Dedup.hammingNearDupPairs]] is the scale path).
+    * `None` when no installed reader claims the bytes or the image is
+    * smaller than the 9×8 grid (no meaningful gradient signature). */
+  def dHash64(bytes: Array[Byte]): Option[Long] = {
+    if (!maybeImage(bytes)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w < 9 || h < 8) return None
+      // cell(cx, cy) covers x in [floor(cx·w/9), floor((cx+1)·w/9)) —
+      // pixel x maps to cell floor(x·9/w), one row-buffered pass
+      val sums = new Array[Long](72)
+      val counts = new Array[Long](72)
+      val rowBuf = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        val cy = (y.toLong * 8 / h).toInt
+        var x = 0
+        while (x < w) {
+          val p = rowBuf(x)
+          val luma = (77 * ((p >> 16) & 0xff) + 151 * ((p >> 8) & 0xff) +
+            28 * (p & 0xff)) >> 8
+          val c = cy * 9 + (x.toLong * 9 / w).toInt
+          sums(c) += luma; counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          val a = sums(cy * 9 + cx) / counts(cy * 9 + cx)
+          val b = sums(cy * 9 + cx + 1) / counts(cy * 9 + cx + 1)
+          if (b > a) hash |= 1L << (cy * 8 + cx)
+          cx += 1
+        }
+        cy += 1
+      }
+      Some(hash)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Partition-wise perceptual hashing: (id, ok, phash) with a null
+    * phash (ok=false) for blobs [[dHash64]] declines — rows kept, never
+    * dropped. Narrow (no blob shuffle): only the 1-long hash flows into
+    * the downstream hamming band join. */
+  def imagePHash(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        dHash64(bytes) match {
+          case Some(hs) => (id, true, Some(hs))
+          case None     => (id, false, None: Option[Long])
+        }
+      }).toDF(idCol, "ok", "phash")
+  }
+
   /** REAL pixel-derived features: per-channel mean intensity in [0,1]
     * as a dense `array<double>` embedding — compatible with every vector
     * operator (nnJoin / annJoin / embedding near-dup), i.e. the

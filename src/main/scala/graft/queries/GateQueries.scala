@@ -262,6 +262,52 @@ object GateQueries {
       Seq("user_id", "event_type"))
   }
 
+  /** q134/q135 fixture: per-doc synthesized PNGs whose dHash is an
+    * exact integer function of doc_id (see the q134 gate comment).
+    * The planted 64-bit hash for id (g = id/5, j = id%5):
+    * base byte y = (g·(y+3)·37 + y) mod 256 (mod 128 for y = 7, keeping
+    * the value positive in signed 64-bit on both engines), assembled
+    * little-endian; then XOR the nested variant mask
+    * Σ_{k<j} 2^(8k + g mod 8). Rows with id%10==7 get garbage bytes. */
+  private def phashBlobs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 5
+        val j = (id % 5).toInt
+        val blob: Array[Byte] =
+          if (id % 10 == 7)
+            Array.tabulate[Byte](24)(i => ((id * 37 + i * 11) % 253).toByte)
+          else {
+            var hash = 0L
+            var y = 0
+            while (y < 8) {
+              val m = if (y == 7) 128 else 256
+              hash |= ((g * (y + 3) * 37 + y) % m) << (8 * y)
+              y += 1
+            }
+            var k = 0
+            while (k < j) { hash ^= 1L << (8 * k + (g % 8).toInt); k += 1 }
+            val sc = 1 + (g % 3).toInt
+            val bits = hash // capture for the closure
+            // realize the bits as a 9-cell gray walk per row: cell 0 is
+            // 0, each set bit steps +16 — dHash's strict > reads back
+            // exactly the planted bit. s×s solid blocks make the
+            // area-average exact at every scale.
+            graft.multimodal.Multimodal.encodePng(9 * sc, 8 * sc) { (px, py) =>
+              val cy = py / sc; val cx = px / sc
+              var v = 0; var x = 0
+              while (x < cx) {
+                if (((bits >> (cy * 8 + x)) & 1L) == 1L) v += 16
+                x += 1
+              }
+              (v << 16) | (v << 8) | v
+            }
+          }
+        (id, blob)
+      }).toDF("doc_id", "blob")
+  }
+
   val queries: Map[String, Q] = Map(
     // TRUE Structured Streaming tumbling window (StreamingOps.windowedAgg:
     // watermarked event-time window over an unbounded source) driven to
@@ -652,6 +698,42 @@ object GateQueries {
         .orderBy("id", "frame_idx")
     },
 
+    // Image perceptual-hash near-dup (round-10 — completes multimodal
+    // dedup): REAL dHash over REAL decoded pixels (Multimodal.dHash64),
+    // gated hash-exactly. Each doc gets a synthesized grayscale PNG
+    // whose dHash is a pure integer function of the id: group g = id/5
+    // shares a base 64-bit pattern (8 key-derived bytes), variant
+    // j = id%5 flips j NESTED bits (bit 8k + g%8 for k < j), so within-
+    // group hamming distances are exactly |j1 − j2|; the gray cells walk
+    // +16 per set bit, so the decode→luma→downsample→compare pipeline
+    // must reproduce every planted bit. Three image scales (9×8, 18×16,
+    // 27×24 — s = 1 + g%3) exercise both the identity and the
+    // block-average downsample paths; id%10==7 rows are garbage bytes
+    // kept as flagged rows. The oracle states the full 64-bit hash in
+    // BIGINT arithmetic — one misread pixel or downsample off-by-one
+    // flips a bit and fails the hash gate.
+    "q134_image_phash" -> { (s, d) =>
+      graft.multimodal.Multimodal.imagePHash(phashBlobs(s, d), "doc_id", "blob")
+        .select(col("doc_id"), col("ok").cast("int").as("ok"), col("phash"))
+        .orderBy("doc_id")
+    },
+
+    // The hamming-LSH banding pipeline over those hashes
+    // (Dedup.hammingNearDupPairs): 4×16-bit bands, bucket-join, confirm
+    // hamming ≤ 2. Banding is LOSSLESS at this threshold (pigeonhole:
+    // ≤ 2 flipped bits leave ≥ 2 of 4 bands untouched), so the oracle
+    // can state the result as the brute-force pair set — every within-
+    // group pair with |j1 − j2| ≤ 2 (minus corrupt rows), plus any
+    // accidental cross-group collision BOTH engines would count.
+    "q135_image_neardup" -> { (s, d) =>
+      val ph = graft.multimodal.Multimodal
+        .imagePHash(phashBlobs(s, d), "doc_id", "blob")
+        .where(col("ok"))
+      graft.dedup.Dedup.hammingNearDupPairs(ph, "doc_id", "phash",
+          maxHamming = 2, numBands = 4)
+        .orderBy("id_1", "id_2")
+    },
+
     // batch UDF/UDTF surface (DataStream.transform): a mapPartitions
     // row function whose effect — per-document token count and a 1→N
     // fan-out flag row per long doc (the UDTF half) — SQL can state.
@@ -824,7 +906,40 @@ object GateQueries {
     }
   )
 
+  /** q134/q135's planted dHash as DuckDB BIGINT arithmetic (mirrors
+    * [[phashBlobs]]): little-endian byte assembly XOR the nested
+    * variant mask. All terms stay under 2^63 (byte 7 is mod 128). */
+  private val phashSqlExpr: String = {
+    val baseTerms = (0 until 8).map { y =>
+      val m = if (y == 7) 128 else 256
+      s"((g * ${(y + 3) * 37} + $y) % $m) * ${1L << (8 * y)}"
+    }.mkString(" + ")
+    val maskTerms = (0 until 4).map { k =>
+      s"CASE WHEN j > $k THEN (CAST(1 AS BIGINT) << " +
+        s"CAST(${8 * k} + g % 8 AS INTEGER)) ELSE 0 END"
+    }.mkString(" + ")
+    s"xor($baseTerms, $maskTerms)"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q134_image_phash" ->
+      s"""WITH p AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS j
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 10 = 7 THEN 0 ELSE 1 END AS ok,
+         |  CASE WHEN doc_id % 10 = 7 THEN NULL ELSE $phashSqlExpr END AS phash
+         |FROM p ORDER BY doc_id""".stripMargin,
+    // banding at maxHamming=2 < 4 bands is lossless (pigeonhole), so
+    // the oracle is the brute-force hamming join over the same hashes
+    "q135_image_neardup" ->
+      s"""WITH p AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS j
+         |  FROM documents WHERE doc_id % 10 <> 7),
+         |h AS (SELECT doc_id, $phashSqlExpr AS phash FROM p)
+         |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 2
+         |ORDER BY id_1, id_2""".stripMargin,
     "q100_streaming_tumbling" ->
       s"""SELECT user_id,
         |  floor(epoch(ts) / 86400) * 86400 AS window_start,

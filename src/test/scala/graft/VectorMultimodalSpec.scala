@@ -382,3 +382,95 @@ class MultimodalSpec extends SparkSpecBase {
     assert(viaRange == directRange)
   }
 }
+
+/** Image perceptual hashing (round 10): dHash64's integer pipeline and
+  * the hamming-LSH band join's lossless-recall / cap contracts. */
+class ImagePHashSpec extends SparkSpecBase {
+  import graft.dedup.Dedup
+  import org.apache.spark.sql.functions.col
+
+  // a deterministic 64-bit pattern realized as a gray walk (the q134
+  // fixture construction, locally): row y cells step +16 per set bit
+  private def imageFor(bits: Long, scale: Int): Array[Byte] =
+    Multimodal.encodePng(9 * scale, 8 * scale) { (px, py) =>
+      val cy = py / scale; val cx = px / scale
+      var v = 0; var x = 0
+      while (x < cx) {
+        if (((bits >> (cy * 8 + x)) & 1L) == 1L) v += 16
+        x += 1
+      }
+      (v << 16) | (v << 8) | v
+    }
+
+  test("dHash64 reads back every planted bit at all downsample scales") {
+    val patterns = Seq(0L, -1L, 0x5a5a5a5a5a5a5a5aL, 0x0123456789abcdefL)
+    for (bits <- patterns; s <- Seq(1, 2, 3)) {
+      assert(Multimodal.dHash64(imageFor(bits, s)).contains(bits),
+        s"pattern ${bits.toHexString} at scale $s")
+    }
+  }
+
+  test("dHash64 scale invariance and single-bit sensitivity") {
+    val base = 0x00ff00ff00ff00ffL
+    // the same content at different resolutions hashes identically
+    val h1 = Multimodal.dHash64(imageFor(base, 1)).get
+    val h3 = Multimodal.dHash64(imageFor(base, 3)).get
+    assert(h1 == h3 && h1 == base)
+    // flipping one planted bit moves the hash by exactly that bit
+    val flipped = Multimodal.dHash64(imageFor(base ^ (1L << 37), 2)).get
+    assert(java.lang.Long.bitCount(flipped ^ h1) == 1)
+  }
+
+  test("dHash64 declines garbage bytes and sub-grid images") {
+    assert(Multimodal.dHash64(Array.tabulate[Byte](32)(_.toByte)).isEmpty)
+    assert(Multimodal.dHash64(
+      Multimodal.encodePng(4, 4)((_, _) => 0x808080)).isEmpty)
+  }
+
+  test("hammingNearDupPairs equals brute force (lossless banding) on random hashes") {
+    val s = spark
+    import s.implicits._
+    // pseudo-random 64-bit hashes plus planted near-dup chains
+    val rnd = new scala.util.Random(7)
+    val hs = (0L until 60L).map(i => i -> rnd.nextLong()) ++
+      (0 until 6).flatMap { g =>
+        val base = rnd.nextLong()
+        (0 until 3).map(j => (100L + g * 10 + j) -> (base ^ ((1L << j) - 1)))
+      }
+    val df = hs.toDF("id", "h")
+    val got = Dedup.hammingNearDupPairs(df, "id", "h", maxHamming = 3,
+      numBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (i1, h1) <- hs; (i2, h2) <- hs if i1 < i2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= 3
+    } yield (i1, i2, d.toLong)).toSet
+    assert(got == brute && brute.nonEmpty)
+  }
+
+  test("hammingNearDupPairs maxBucket caps degenerate all-identical buckets") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 50L).map(i => i -> 42L).toDF("id", "h")
+    val uncapped = Dedup.hammingNearDupPairs(df, "id", "h", 1).count()
+    assert(uncapped == 50L * 49 / 2)
+    // cap semantics match lshCandidates: a bucket OVER the cap is
+    // dropped whole (conservative, like stop-shingle maxDf) — with every
+    // bucket degenerate, no pair survives
+    val capped = Dedup.hammingNearDupPairs(df, "id", "h", 1,
+      maxBucket = Some(10)).count()
+    assert(capped == 0L)
+  }
+
+  test("imagePHash keeps undecodable rows flagged with a null hash") {
+    val s = spark
+    import s.implicits._
+    val blobs = Seq(
+      (1L, imageFor(123L, 1)),
+      (2L, Array.tabulate[Byte](16)(_.toByte))).toDF("id", "blob")
+    val rows = Multimodal.imagePHash(blobs, "id", "blob")
+      .orderBy("id").collect()
+    assert(rows(0).getBoolean(1) && rows(0).getLong(2) == 123L)
+    assert(!rows(1).getBoolean(1) && rows(1).isNullAt(2))
+  }
+}
