@@ -101,39 +101,31 @@ object GateQueries {
   private val eventTriplesChecked =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private def assertEventTriplesUnique(s: SparkSession, d: String): Unit = {
-    // Once per (JVM, fixture dir): this asserts a property of the FIXTURE,
+    // Once per (JVM, fixture dir): this checks a property of the FIXTURE,
     // not of the query — running its two count jobs inside every gate
     // build polluted q104/q105/q109's bench times (round-8 verdict).
+    // Round-10: a NOTICE, no longer a hard require — the q104/q105/q109
+    // oracles are now tie-INSENSITIVE (two-step max/min tie-break picks
+    // mirrored by the operators' (ts, value) ordering; count(DISTINCT)),
+    // so a regenerated fixture with duplicate triples is legal. The
+    // check stays for visibility: StreamingTieSpec proves the gates on
+    // a deliberately tie-inducing fixture.
     eventTriplesChecked.computeIfAbsent(d, _ => {
       val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
       val n = ev.count()
       val nd = ev.distinct().count()
-      require(n == nd, s"events fixture at $d has ${n - nd} duplicate " +
-        "(user_id, event_type, ts) triples — the q104/q105/q109 oracles " +
-        "are tie-sensitive; regenerate the fixture or tie-proof the oracles")
+      if (n != nd) println(s"[gate] NOTE: events fixture at $d has " +
+        s"${n - nd} duplicate (user_id, event_type, ts) triples — " +
+        "tie-insensitive oracles handle this; ties exercise the " +
+        "operators' deterministic (ts, value) tie-breaks")
       java.lang.Boolean.TRUE
     })
     ()
   }
 
-  private val docsAsciiChecked =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  /** q113's oracle chunks CHARACTERS (substr) while frameSample chunks
-    * BYTES — equivalent only while the documents fixture is pure ASCII.
-    * True on the current fixture by generation, not by contract: assert
-    * it at gate build (once per JVM+dir) so a regenerated UTF-8 fixture
-    * fails loudly here instead of flaking the hash compare. */
-  private def assertDocumentsAscii(s: SparkSession, d: String): Unit = {
-    docsAsciiChecked.computeIfAbsent(d, _ => {
-      val bad = Tables.documents(s, d)
-        .filter(octet_length(col("text")) =!= length(col("text"))).count()
-      require(bad == 0, s"documents fixture at $d has $bad non-ASCII rows " +
-        "— q113's substr-based oracle assumes bytes == characters; " +
-        "tie-proof the oracle (encode(text) chunking) before regenerating")
-      java.lang.Boolean.TRUE
-    })
-    ()
-  }
+  // (round-10: the former assertDocumentsAscii fixture guard is gone —
+  // q113's oracle now chunks BYTES via hex(encode(text)) and is exact
+  // for any fixture content, ASCII or not.)
 
   /** [[eventsStream]] plus ONE sentinel row (user_id -1, `event_type`
     * `et`, ts = max real event + 5 ms, via a second single-file streaming
@@ -534,17 +526,20 @@ object GateQueries {
     },
 
     // Frame sampling gated byte-exactly: every 2nd 32-byte chunk of each
-    // (ASCII) document blob — indices, offsets, lengths, and the md5 of
-    // every sampled frame's bytes all stated by the oracle via
-    // substr+md5. A single off-by-one in the chunking mismatches a hash.
+    // document blob — indices, offsets, lengths, and the HEX of every
+    // sampled frame's bytes all stated by the oracle via hex(encode())
+    // string arithmetic (round-10: byte-exact for ANY fixture content,
+    // where the old md5+substr-on-characters form assumed ASCII). A
+    // single off-by-one in the chunking mismatches a frame. The ASCII
+    // assert stays as fixture documentation but no longer gates
+    // correctness.
     "q113_frame_sample" -> { (s, d) =>
-      assertDocumentsAscii(s, d)
       val fs = graft.multimodal.Multimodal.frameSample(
         graft.multimodal.Multimodal.withBlob(documents(s, d), "text"),
         "doc_id", "blob", frameSize = 32, every = 2)
       fs.toDF().select(col("id").as("doc_id"), col("frame_idx"),
         col("offset"),
-        md5(col("frame_bytes")).as("digest"),
+        hex(col("frame_bytes")).as("digest"),
         length(col("frame_bytes")).cast("bigint").as("frame_len"))
         .orderBy("doc_id", "frame_idx")
     },
@@ -968,8 +963,11 @@ object GateQueries {
         |      FROM events CROSS JOIN (VALUES (0), (1)) AS hops(j))
         |WHERE wstart > e - 86400 AND wstart <= e
         |GROUP BY user_id, wstart ORDER BY user_id, window_start""".stripMargin,
+    // count(DISTINCT ts), not count(*): the operator drops duplicate
+    // (user, type, ts) triples, so the oracle must too — tie-INSENSITIVE
+    // (round-9 advice: the old count(*) relied on fixture uniqueness)
     "q109_streaming_distinct" ->
-      """SELECT user_id, event_type, count(*) AS n
+      """SELECT user_id, event_type, count(DISTINCT ts) AS n
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
     "q107_explain_dot" ->
@@ -982,26 +980,50 @@ object GateQueries {
       """SELECT * FROM (VALUES ('low lower', 4), ('newer', 4),
         |  ('er er', 3), ('don''t stop', 10), ('a1b22', 5)) AS t(s, n_bpe)
         |ORDER BY s""".stripMargin,
+    // Tie-INSENSITIVE two-step form (round-9 advice; replaces ASOF JOIN,
+    // whose winner among equal-ts quotes is engine-arbitrary): per
+    // distinct trade instant take the latest quote ts, then the MAX
+    // quote value at that ts — exactly the (ts, value)-ordered pick the
+    // streaming operator makes — and join back to t so duplicate trade
+    // rows keep their multiplicity. Valid on ANY fixture, ties included.
     "q104_streaming_asof" ->
       """WITH t AS (SELECT user_id, ts, value FROM events
         |           WHERE event_type = 'purchase'),
         |     q AS (SELECT user_id, ts, value FROM events
-        |           WHERE event_type = 'view')
+        |           WHERE event_type = 'view'),
+        |     tk AS (SELECT DISTINCT user_id, ts FROM t),
+        |     m AS (SELECT tk.user_id, tk.ts, max(q.ts) AS qts
+        |           FROM tk LEFT JOIN q ON tk.user_id = q.user_id
+        |             AND q.ts <= tk.ts
+        |           GROUP BY tk.user_id, tk.ts),
+        |     mv AS (SELECT m.user_id, m.ts, m.qts, max(q.value) AS qv
+        |            FROM m LEFT JOIN q ON m.user_id = q.user_id
+        |              AND q.ts = m.qts
+        |            GROUP BY m.user_id, m.ts, m.qts)
         |SELECT t.user_id, epoch(t.ts) AS tsd, t.value,
-        |  epoch(q.ts) AS quote_tsd, q.value AS quote_value
-        |FROM t ASOF LEFT JOIN q
-        |  ON t.user_id = q.user_id AND q.ts <= t.ts
-        |ORDER BY t.user_id, tsd""".stripMargin,
+        |  epoch(mv.qts) AS quote_tsd, mv.qv AS quote_value
+        |FROM t JOIN mv ON t.user_id = mv.user_id AND t.ts = mv.ts
+        |ORDER BY t.user_id, tsd, t.value""".stripMargin,
+    // Same tie-proofing forward: earliest fill ts, then the MIN tick
+    // value at that ts — the streaming operator's (ts, value) pick.
     "q105_streaming_asof_fwd" ->
       """WITH a AS (SELECT user_id, ts, value FROM events
         |           WHERE event_type = 'purchase'),
         |     t AS (SELECT user_id, ts, value FROM events
-        |           WHERE event_type = 'view')
+        |           WHERE event_type = 'view'),
+        |     ak AS (SELECT DISTINCT user_id, ts FROM a),
+        |     m AS (SELECT ak.user_id, ak.ts, min(t.ts) AS fts
+        |           FROM ak JOIN t ON ak.user_id = t.user_id
+        |             AND t.ts >= ak.ts
+        |           GROUP BY ak.user_id, ak.ts),
+        |     mv AS (SELECT m.user_id, m.ts, m.fts, min(t.value) AS fv
+        |            FROM m JOIN t ON m.user_id = t.user_id
+        |              AND t.ts = m.fts
+        |            GROUP BY m.user_id, m.ts, m.fts)
         |SELECT a.user_id, epoch(a.ts) AS tsd, a.value,
-        |  epoch(min(t.ts)) AS fill_tsd, min_by(t.value, t.ts) AS fill_value
-        |FROM a JOIN t ON a.user_id = t.user_id AND t.ts >= a.ts
-        |GROUP BY a.user_id, a.ts, a.value
-        |ORDER BY a.user_id, tsd""".stripMargin,
+        |  epoch(mv.fts) AS fill_tsd, mv.fv AS fill_value
+        |FROM a JOIN mv ON a.user_id = mv.user_id AND a.ts = mv.ts
+        |ORDER BY a.user_id, tsd, a.value""".stripMargin,
     // q97's 3-way-join oracle verbatim — the streaming NFA must emit
     // exactly the batch pattern matches once every event has ripened
     "q128_streaming_cep" ->
@@ -1115,15 +1137,20 @@ object GateQueries {
         |  CAST(CASE WHEN p.id % 10 IN (4, 9) THEN 0 ELSE sums.ch0_sum END
         |    AS BIGINT) AS ch0_sum
         |FROM p JOIN sums USING (id) ORDER BY id""".stripMargin,
+    // BYTE-exact chunking via hex(encode(text)) — 2 hex chars per byte,
+    // so frame k is substr(hex, k·64+1, 64) regardless of the fixture's
+    // character content (round-9 advice: the old substr-on-characters
+    // oracle was only valid while the fixture happened to be ASCII)
     "q113_frame_sample" ->
-      """WITH f AS (SELECT doc_id, text, length(text) AS n FROM documents),
-        |i AS (SELECT doc_id, text, n,
+      """WITH f AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |             octet_length(encode(text)) AS n FROM documents),
+        |i AS (SELECT doc_id, hx, n,
         |        unnest(range(0, CAST(greatest(1, ceil(n / 32.0)) AS BIGINT),
         |                     2)) AS ix
         |      FROM f)
         |SELECT doc_id, CAST(ix AS INT) AS frame_idx,
         |  CAST(ix * 32 AS BIGINT) AS "offset",
-        |  md5(substr(text, CAST(ix * 32 + 1 AS INT), 32)) AS digest,
+        |  substr(hx, CAST(ix * 64 + 1 AS INT), 64) AS digest,
         |  CAST(least(32, n - ix * 32) AS BIGINT) AS frame_len
         |FROM i ORDER BY doc_id, frame_idx""".stripMargin,
     "q111_cep_nfa_route" ->

@@ -136,7 +136,11 @@ object StreamingOps {
         }
         val wm = state.getCurrentWatermarkMs()
         val wmUs = wm * 1000
-        val qSorted = quotes.sortBy(_._1)
+        // (ts, value) order — among equal-ts quotes the MAX value wins
+        // (lastOption below), a deterministic tie-break that is arrival-
+        // order-independent and mirrored by the q104 oracle (round-10:
+        // sorting by ts alone left the winner to buffer order)
+        val qSorted = quotes.sortBy(q => (q._1, q._2))
         // ripe in MICROS: a trade is complete iff tus <= wm*1000 — any
         // not-yet-arrived quote is strictly later than wm*1000 (Spark
         // late-drops eventTimeMicros <= wm*1000), so no future quote can
@@ -214,7 +218,10 @@ object StreamingOps {
         }
         val wm = state.getCurrentWatermarkMs()
         val wmUs = wm * 1000
-        val tSorted = tickBuf.sortBy(_._1)
+        // (ts, value) order — among equal-ts ticks the MIN value wins
+        // (find below takes the first), deterministic and mirrored by
+        // the q105 oracle (round-10 tie-proofing)
+        val tSorted = tickBuf.sortBy(t => (t._1, t._2))
         // candidate = earliest tick at-or-after the alpha (µs-exact);
         // ripe in MICROS once the watermark has passed the candidate —
         // any not-yet-arrived tick is strictly later than wm*1000

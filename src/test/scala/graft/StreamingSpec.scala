@@ -269,3 +269,94 @@ class StreamingSpec extends SparkSpecBase {
     assert(last.getLong(0) == 3L && last.getDouble(1) == 7.0)
   }
 }
+
+/** Round-10 tie-proofing: the q104/q105 gates must survive a fixture
+  * with duplicate (key, ts) rows — the operators break ties by
+  * (ts, value) deterministically (max value for the backward quote pick,
+  * min value for the forward fill), independent of arrival order, and
+  * the rewritten two-step oracles state exactly those picks. */
+class StreamingTieSpec extends SparkSpecBase {
+  import graft.streaming.StreamingOps
+  import java.sql.Timestamp
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("backward asof tie: equal-ts quotes resolve to max value, any arrival order") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val tr = MemoryStream[(String, Timestamp, Double)]
+    val qu = MemoryStream[(String, Timestamp, Double)]
+    val out = StreamingOps.streamingAsof(
+      tr.toDF.toDF("key", "ts", "value"),
+      qu.toDF.toDF("key", "ts", "value"), "0 seconds")
+    val q = out.writeStream.format("memory").queryName("tie_asof")
+      .outputMode("append").start()
+    // key A: low value quote arrives FIRST; key B: high value first —
+    // both must resolve identically (max value 99.0 at the tied ts)
+    qu.addData(("A", ts(5), 11.0), ("A", ts(5), 99.0),
+               ("B", ts(5), 99.0), ("B", ts(5), 11.0))
+    tr.addData(("A", ts(10), 1.0), ("B", ts(10), 1.0))
+    q.processAllAvailable()
+    tr.addData(("Z", ts(100), 0.0))
+    q.processAllAvailable()
+    qu.addData(("Z", ts(200), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql(
+      "SELECT key, quote_value FROM tie_asof WHERE key IN ('A','B') ORDER BY key")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rows == Seq(("A", 99.0), ("B", 99.0)))
+  }
+
+  test("forward asof tie: equal-ts ticks resolve to min value, any arrival order") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val al = MemoryStream[(String, Timestamp, Double)]
+    val tk = MemoryStream[(String, Timestamp, Double)]
+    val out = StreamingOps.streamingAsofForward(
+      al.toDF.toDF("key", "ts", "value"),
+      tk.toDF.toDF("key", "ts", "value"), "0 seconds")
+    val q = out.writeStream.format("memory").queryName("tie_fwd")
+      .outputMode("append").start()
+    tk.addData(("A", ts(15), 42.0), ("A", ts(15), 7.0),
+               ("B", ts(15), 7.0), ("B", ts(15), 42.0))
+    al.addData(("A", ts(10), 1.0), ("B", ts(10), 1.0))
+    q.processAllAvailable()
+    tk.addData(("Z", ts(100), 0.0))
+    q.processAllAvailable()
+    tk.addData(("Z", ts(200), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql(
+      "SELECT key, fill_value FROM tie_fwd WHERE key IN ('A','B') ORDER BY key")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rows == Seq(("A", 7.0), ("B", 7.0)))
+  }
+
+  test("duplicate trade rows keep their multiplicity (oracle join-back parity)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val tr = MemoryStream[(String, Timestamp, Double)]
+    val qu = MemoryStream[(String, Timestamp, Double)]
+    val out = StreamingOps.streamingAsof(
+      tr.toDF.toDF("key", "ts", "value"),
+      qu.toDF.toDF("key", "ts", "value"), "0 seconds")
+    val q = out.writeStream.format("memory").queryName("tie_mult")
+      .outputMode("append").start()
+    qu.addData(("A", ts(5), 50.0))
+    // the SAME trade row twice — two emitted rows, like the oracle's
+    // join-back of t to the per-(key, ts) match relation
+    tr.addData(("A", ts(10), 1.0), ("A", ts(10), 1.0))
+    q.processAllAvailable()
+    tr.addData(("Z", ts(100), 0.0))
+    q.processAllAvailable()
+    qu.addData(("Z", ts(200), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val n = s.sql("SELECT * FROM tie_mult WHERE key = 'A'").count()
+    assert(n == 2)
+  }
+}
