@@ -190,38 +190,63 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Near-dup pairs over any 64-bit hash column (image dHash —
-    * [[graft.multimodal.Multimodal.imagePHash]] — or a 64-bit simhash)
-    * by hamming-LSH banding: split the hash into `numBands` contiguous
-    * bit bands and bucket-join on (band, band bits). LOSSLESS candidate
-    * generation by pigeonhole — two hashes within `maxHamming` bits
-    * differ in at most `maxHamming` bands, so whenever
-    * `maxHamming < numBands` they agree on at least one band and the
-    * band join finds every qualifying pair (enforced, not probabilistic
-    * like MinHash banding). Confirm is `bit_count(xor)` on the hashes
-    * riding the banded rows — no join-back.
+    * [[graft.multimodal.Multimodal.imagePHash]] — audio/video
+    * fingerprints, or a 64-bit simhash) by COMBINATION hamming-LSH
+    * banding: split the hash into `numBands` contiguous bit bands and
+    * bucket-join on every (numBands − maxHamming)-subset of bands,
+    * each subset's band values packed into one long key. LOSSLESS
+    * candidate generation by pigeonhole — `maxHamming` flipped bits
+    * disturb at most `maxHamming` bands, leaving ≥ numBands − maxHamming
+    * bands intact, so at least one join subset matches in full
+    * (enforced, not probabilistic like MinHash banding). Confirm is
+    * `bit_count(xor)` on the hashes riding the banded rows — no
+    * join-back.
     *
-    * Scale shape (100 TB of images): only (band, bits, id, hash) — four
-    * longs — ever shuffles, numBands rows per image; the self-join's two
-    * sides are the identical exchange so ReuseExchange hashes each image
-    * once. `maxBucket` caps degenerate buckets (solid-color boilerplate
-    * images collide on every band) exactly like [[lshCandidates]]. */
+    * WHY combinations, not single bands (round-10 soak finding): a
+    * single-band join keys on 64/numBands bits, so random non-dup
+    * hashes collide at a birthday rate of N²/2^(64/B) per band — at 4
+    * bands that is N²/2^16, a QUADRATIC candidate term that dominated
+    * the 10× soak (q135 ratio 4.8). Subset keys carry
+    * (numBands − maxHamming)·(64/B) bits — 32 for hamming ≤ 2 on 4
+    * bands — pushing the birthday term to N²/2^32: negligible into the
+    * billions of rows. Cost: C(numBands, numBands − maxHamming) rows
+    * per hash (6 at B=4, m=2) instead of numBands — linear, and the
+    * right trade at any corpus size.
+    *
+    * Scale shape (100 TB of images): only (subset id, key, id, hash) —
+    * four longs — ever shuffles, C(B, B−m) rows per image; the
+    * self-join's two sides are the identical exchange so ReuseExchange
+    * hashes each image once. `maxBucket` caps degenerate buckets
+    * (identical boilerplate images collide on every subset) exactly
+    * like [[lshCandidates]] — the production answer to duplicate
+    * FAMILIES, whose within-bucket pair count no key width can fix. */
   def hammingNearDupPairs(
       df: DataFrame, idCol: String, hashCol: String, maxHamming: Int,
       numBands: Int = 4, maxBucket: Option[Int] = None): DataFrame = {
+    require(maxHamming >= 1,
+      s"maxHamming ($maxHamming) must be >= 1 — use exact dedup for " +
+        "identical hashes")
     require(numBands > maxHamming,
       s"numBands ($numBands) must exceed maxHamming ($maxHamming) — the " +
-        "pigeonhole recall guarantee needs one undisturbed band")
+        "pigeonhole recall guarantee needs one undisturbed band subset")
     require(64 % numBands == 0,
       s"numBands ($numBands) must divide 64 (contiguous equal-width bands)")
     val bandBits = 64 / numBands
-    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
+    val mask = (1L << bandBits) - 1L
+    val joinBands = numBands - maxHamming
+    require(joinBands * bandBits <= 63,
+      s"subset keys need $joinBands x $bandBits bits — must fit one long")
+    val subsets = (0 until numBands).combinations(joinBands).toSeq
+    def bandOf(b: Int) =
+      shiftrightunsigned(col("__h"), b * bandBits).bitwiseAND(lit(mask))
     val banded0 = df
       .select(col(idCol), col(hashCol).cast("long").as("__h"))
       .where(col("__h").isNotNull)
       .select(col(idCol), col("__h"),
-        posexplode(array((0 until numBands).map(b =>
-          shiftrightunsigned(col("__h"), b * bandBits)
-            .bitwiseAND(lit(mask))): _*)).as(Seq("band", "bits")))
+        posexplode(array(subsets.map(s =>
+          s.foldLeft(lit(0L): Column)((acc, b) =>
+            shiftleft(acc, bandBits).bitwiseOR(bandOf(b)))): _*))
+          .as(Seq("band", "bits")))
     val banded = maxBucket.fold(banded0) { cap =>
       val w = Window.partitionBy(col("band"), col("bits"))
       banded0.withColumn("__bn", count(lit(1)).over(w))

@@ -397,6 +397,133 @@ object Multimodal {
       }
   }
 
+  /** REAL 64-bit audio fingerprint — the dHash idea on the time axis:
+    * decode PCM16, split channel 0's samples into 65 equal-share blocks
+    * (block b covers frames [b·n/65, (b+1)·n/65)), per-block integer
+    * mean amplitude (sum / count, deterministic integer division), bit
+    * k set iff mean(k+1) > mean(k). The energy-envelope signature is
+    * robust to small edits and bit-reproducible across engines —
+    * near-identical takes differ in few bits, so
+    * [[graft.dedup.Dedup.hammingNearDupPairs]] is the similarity path
+    * (same operator as image dHash). `None` for non-PCM16 / corrupt
+    * bytes or fewer than 65 frames (no meaningful envelope). */
+  def audioPHash64(bytes: Array[Byte]): Option[Long] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val bis = new java.io.ByteArrayInputStream(bytes)
+      val ais = AudioSystem.getAudioInputStream(bis)
+      try {
+        val f = ais.getFormat
+        val ch = f.getChannels
+        val bits = f.getSampleSizeInBits
+        val signed = f.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+        if (bits != 16 || !signed || ch <= 0) None
+        else {
+          val declaredFrames = ais.getFrameLength
+          val frameBytes = ch * 2
+          val data = ais.readAllBytes()
+          if (declaredFrames >= 0 && data.length < declaredFrames * frameBytes)
+            None
+          else {
+            val n = data.length / frameBytes
+            if (n < 65) None
+            else {
+              val sums = new Array[Long](65)
+              val counts = new Array[Long](65)
+              val le = !f.isBigEndian
+              var i = 0
+              while (i < n) {
+                val b0 = data(frameBytes * i) & 0xff
+                val b1 = data(frameBytes * i + 1) & 0xff
+                val s = (if (le) (b1 << 8) | b0 else (b0 << 8) | b1)
+                  .toShort.toLong
+                val blk = (i.toLong * 65 / n).toInt
+                sums(blk) += s; counts(blk) += 1
+                i += 1
+              }
+              var hash = 0L
+              var k = 0
+              while (k < 64) {
+                if (sums(k + 1) / counts(k + 1) > sums(k) / counts(k))
+                  hash |= 1L << k
+                k += 1
+              }
+              Some(hash)
+            }
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL 64-bit temporal video fingerprint: walk the Y4M frames, split
+    * them into 65 equal-share groups, per-group integer mean of the
+    * frame luma sums (frames are constant-size within a stream, so the
+    * comparison is brightness-envelope order), bit k set iff
+    * group-mean(k+1) > group-mean(k). The temporal-brightness signature
+    * pairs with [[graft.dedup.Dedup.hammingNearDupPairs]] like the
+    * image/audio hashes. `None` for non-Y4M / truncated bytes or fewer
+    * than 65 frames. */
+  def videoPHash64(bytes: Array[Byte]): Option[Long] = {
+    val frameSums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    walkY4m(bytes) { (_, off, len) =>
+      var i = off
+      val end = off + len
+      var s = 0L
+      while (i < end) { s += bytes(i) & 0xff; i += 1 }
+      frameSums += s
+    }.flatMap { case (_, _, _, _, n) =>
+      if (n < 65) None
+      else {
+        val sums = new Array[Long](65)
+        val counts = new Array[Long](65)
+        var i = 0
+        while (i < n) {
+          val g = (i.toLong * 65 / n).toInt
+          sums(g) += frameSums(i); counts(g) += 1
+          i += 1
+        }
+        var hash = 0L
+        var k = 0
+        while (k < 64) {
+          if (sums(k + 1) / counts(k + 1) > sums(k) / counts(k))
+            hash |= 1L << k
+          k += 1
+        }
+        Some(hash)
+      }
+    }
+  }
+
+  /** [[imagePHash]]'s audio twin: (id, ok, phash) via [[audioPHash64]],
+    * corrupt rows kept flagged with a null hash. */
+  def audioPHash(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        audioPHash64(bytes) match {
+          case Some(hs) => (id, true, Some(hs))
+          case None     => (id, false, None: Option[Long])
+        }
+      }).toDF(idCol, "ok", "phash")
+  }
+
+  /** [[imagePHash]]'s video twin: (id, ok, phash) via [[videoPHash64]]. */
+  def videoPHash(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        videoPHash64(bytes) match {
+          case Some(hs) => (id, true, Some(hs))
+          case None     => (id, false, None: Option[Long])
+        }
+      }).toDF(idCol, "ok", "phash")
+  }
+
   /** REAL sample-derived audio features: per-channel mean amplitude
     * (signed, normalized by 1<<15 into [-1,1)) as a dense `array<double>`
     * embedding — audio → embedding → similarity with an actual decoder

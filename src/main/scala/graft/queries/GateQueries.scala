@@ -254,13 +254,43 @@ object GateQueries {
       Seq("user_id", "event_type"))
   }
 
-  /** q134/q135 fixture: per-doc synthesized PNGs whose dHash is an
-    * exact integer function of doc_id (see the q134 gate comment).
-    * The planted 64-bit hash for id (g = id/5, j = id%5):
-    * base byte y = (g·(y+3)·37 + y) mod 256 (mod 128 for y = 7, keeping
-    * the value positive in signed 64-bit on both engines), assembled
+  /** The planted 64-bit hash for id (g = id/5, j = id%5) used by the
+    * q134-q138 perceptual-hash fixtures: base byte y =
+    * (g·mult(y) + y) mod 256 (mod 128 for y = 7, keeping the value
+    * positive in signed 64-bit on both engines), assembled
     * little-endian; then XOR the nested variant mask
-    * Σ_{k<j} 2^(8k + g mod 8). Rows with id%10==7 get garbage bytes. */
+    * Σ_{k<j} 2^(8k + g mod 8) — so within-group hamming distances are
+    * exactly |j1 − j2|. Each modality passes its own `mult` so the
+    * three fixture families carry distinct hash populations.
+    *
+    * The g/256 and g/65536 terms matter (round-10 soak finding): with
+    * g·mult alone every byte is periodic in g mod 256, so base hashes
+    * REPEAT every 256 groups — at sf1 that planted identical-hash
+    * families ~40 deep whose within-family pairs grew quadratically
+    * with corpus size (q135's first soak ratio 4.8 was mostly this
+    * fixture artifact, not the operator). Folding in the higher digits
+    * stretches the period past 2^24 groups, so the synthetic hash
+    * population scatters like a real corpus's. */
+  private def plantedHash(g: Long, j: Int, mult: Int => Int): Long = {
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      val m = if (y == 7) 128 else 256
+      hash |= ((g * mult(y) + (g / 256) * (mult(y) + 17) +
+        (g / 65536) * (mult(y) + 29) + y) % m) << (8 * y)
+      y += 1
+    }
+    var k = 0
+    while (k < j) { hash ^= 1L << (8 * k + (g % 8).toInt); k += 1 }
+    hash
+  }
+  private val imageMult: Int => Int = y => (y + 3) * 37
+  private val audioMult: Int => Int = y => (2 * y + 5) * 53
+  private val videoMult: Int => Int = y => (3 * y + 7) * 41
+
+  /** q134/q135 fixture: per-doc synthesized PNGs whose dHash is the
+    * [[plantedHash]] of doc_id (see the q134 gate comment). Rows with
+    * id%10==7 get garbage bytes. */
   private def phashBlobs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d).select(col("doc_id").cast("long")).as[Long]
@@ -271,17 +301,8 @@ object GateQueries {
           if (id % 10 == 7)
             Array.tabulate[Byte](24)(i => ((id * 37 + i * 11) % 253).toByte)
           else {
-            var hash = 0L
-            var y = 0
-            while (y < 8) {
-              val m = if (y == 7) 128 else 256
-              hash |= ((g * (y + 3) * 37 + y) % m) << (8 * y)
-              y += 1
-            }
-            var k = 0
-            while (k < j) { hash ^= 1L << (8 * k + (g % 8).toInt); k += 1 }
+            val bits = plantedHash(g, j, imageMult)
             val sc = 1 + (g % 3).toInt
-            val bits = hash // capture for the closure
             // realize the bits as a 9-cell gray walk per row: cell 0 is
             // 0, each set bit steps +16 — dHash's strict > reads back
             // exactly the planted bit. s×s solid blocks make the
@@ -295,6 +316,72 @@ object GateQueries {
               }
               (v << 16) | (v << 8) | v
             }
+          }
+        (id, blob)
+      }).toDF("doc_id", "blob")
+  }
+
+  /** q136/q138 fixture: synthesized PCM16 WAVs whose audio fingerprint
+    * is the [[plantedHash]] of doc_id — channel 0 walks a constant
+    * amplitude per 65th of the stream, +16 per set bit (strict-mean
+    * readback, same scheme as the image gray walk); 1- and 2-channel
+    * variants (channel 1 carries a constant the hash must ignore);
+    * frame counts 65/130/195 exercise the equal-share block split.
+    * Rows with id%10==3 get garbage bytes. */
+  private def audioPhashBlobs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 5
+        val j = (id % 5).toInt
+        val blob: Array[Byte] =
+          if (id % 10 == 3)
+            Array.tabulate[Byte](24)(i => ((id * 29 + i * 13) % 251).toByte)
+          else {
+            val bits = plantedHash(g, j, audioMult)
+            val m = 1 + (g % 3).toInt
+            val ch = 1 + (g % 2).toInt
+            val levels = new Array[Short](65)
+            var b = 0
+            var v = 0
+            while (b < 65) {
+              levels(b) = v.toShort
+              if (b < 64 && ((bits >> b) & 1L) == 1L) v += 16
+              b += 1
+            }
+            graft.multimodal.Multimodal.encodeWavPcm16(8000, ch, 65 * m)(
+              (c, i) => if (c == 0) levels(i / m) else 123.toShort)
+          }
+        (id, blob)
+      }).toDF("doc_id", "blob")
+  }
+
+  /** q137 fixture: synthesized Y4M clips whose temporal fingerprint is
+    * the [[plantedHash]] of doc_id — constant luma per 65th of the
+    * stream, +2 per set bit (max 128 < 256); frame counts 65/130/195.
+    * Rows with id%10==6 get garbage bytes. */
+  private def videoPhashBlobs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id / 5
+        val j = (id % 5).toInt
+        val blob: Array[Byte] =
+          if (id % 10 == 6)
+            Array.tabulate[Byte](24)(i => ((id * 43 + i * 17) % 247).toByte)
+          else {
+            val bits = plantedHash(g, j, videoMult)
+            val m = 1 + (g % 3).toInt
+            val levels = new Array[Int](65)
+            var b = 0
+            var v = 0
+            while (b < 65) {
+              levels(b) = v
+              if (b < 64 && ((bits >> b) & 1L) == 1L) v += 2
+              b += 1
+            }
+            graft.multimodal.Multimodal.encodeY4m(6, 4, 25, 1, 65 * m)(
+              (f, _) => levels(f / m))
           }
         (id, blob)
       }).toDF("doc_id", "blob")
@@ -729,6 +816,40 @@ object GateQueries {
         .orderBy("id_1", "id_2")
     },
 
+    // Audio fingerprint (round-10, q134's audio twin): REAL PCM decode →
+    // 65-block energy envelope → 64 strict-mean bits, gated hash-exactly
+    // against the planted-hash oracle. 1- and 2-channel WAVs at three
+    // frame counts; id%10==3 rows are garbage bytes kept flagged.
+    "q136_audio_phash" -> { (s, d) =>
+      graft.multimodal.Multimodal.audioPHash(audioPhashBlobs(s, d),
+          "doc_id", "blob")
+        .select(col("doc_id"), col("ok").cast("int").as("ok"), col("phash"))
+        .orderBy("doc_id")
+    },
+
+    // Temporal video fingerprint (round-10): REAL Y4M frame walk →
+    // 65-group brightness envelope → 64 strict-mean bits, gated
+    // hash-exactly. Three frame counts; id%10==6 rows garbage.
+    "q137_video_phash" -> { (s, d) =>
+      graft.multimodal.Multimodal.videoPHash(videoPhashBlobs(s, d),
+          "doc_id", "blob")
+        .select(col("doc_id"), col("ok").cast("int").as("ok"), col("phash"))
+        .orderBy("doc_id")
+    },
+
+    // Audio near-dup through the SAME hamming band-join operator as
+    // image q135 — the fingerprint family composes with the shared
+    // similarity machinery across modalities. Lossless banding at
+    // maxHamming=2 < 4 bands ⇒ brute-force oracle.
+    "q138_audio_neardup" -> { (s, d) =>
+      val ph = graft.multimodal.Multimodal
+        .audioPHash(audioPhashBlobs(s, d), "doc_id", "blob")
+        .where(col("ok"))
+      graft.dedup.Dedup.hammingNearDupPairs(ph, "doc_id", "phash",
+          maxHamming = 2, numBands = 4)
+        .orderBy("id_1", "id_2")
+    },
+
     // batch UDF/UDTF surface (DataStream.transform): a mapPartitions
     // row function whose effect — per-document token count and a 1→N
     // fan-out flag row per long doc (the UDTF half) — SQL can state.
@@ -901,13 +1022,14 @@ object GateQueries {
     }
   )
 
-  /** q134/q135's planted dHash as DuckDB BIGINT arithmetic (mirrors
-    * [[phashBlobs]]): little-endian byte assembly XOR the nested
-    * variant mask. All terms stay under 2^63 (byte 7 is mod 128). */
-  private val phashSqlExpr: String = {
+  /** [[plantedHash]] as DuckDB BIGINT arithmetic: little-endian byte
+    * assembly XOR the nested variant mask. All terms stay under 2^63
+    * (byte 7 is mod 128). One instance per modality fixture family. */
+  private def plantedHashSql(mult: Int => Int): String = {
     val baseTerms = (0 until 8).map { y =>
       val m = if (y == 7) 128 else 256
-      s"((g * ${(y + 3) * 37} + $y) % $m) * ${1L << (8 * y)}"
+      s"((g * ${mult(y)} + (g // 256) * ${mult(y) + 17} + " +
+        s"(g // 65536) * ${mult(y) + 29} + $y) % $m) * ${1L << (8 * y)}"
     }.mkString(" + ")
     val maskTerms = (0 until 4).map { k =>
       s"CASE WHEN j > $k THEN (CAST(1 AS BIGINT) << " +
@@ -915,26 +1037,36 @@ object GateQueries {
     }.mkString(" + ")
     s"xor($baseTerms, $maskTerms)"
   }
+  private val phashSqlExpr: String = plantedHashSql(imageMult)
+
+  /** Shared oracle shapes for the three modality hash gates and the
+    * near-dup pair gates: the hash column from id arithmetic alone. */
+  private def phashOracle(expr: String, corruptResidue: Int): String =
+    s"""WITH p AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS j
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN doc_id % 10 = $corruptResidue THEN 0 ELSE 1 END AS ok,
+       |  CASE WHEN doc_id % 10 = $corruptResidue THEN NULL
+       |    ELSE $expr END AS phash
+       |FROM p ORDER BY doc_id""".stripMargin
+  private def neardupOracle(expr: String, corruptResidue: Int): String =
+    s"""WITH p AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS j
+       |  FROM documents WHERE doc_id % 10 <> $corruptResidue),
+       |h AS (SELECT doc_id, $expr AS phash FROM p)
+       |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= 2
+       |ORDER BY id_1, id_2""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    "q134_image_phash" ->
-      s"""WITH p AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS j
-         |  FROM documents)
-         |SELECT doc_id,
-         |  CASE WHEN doc_id % 10 = 7 THEN 0 ELSE 1 END AS ok,
-         |  CASE WHEN doc_id % 10 = 7 THEN NULL ELSE $phashSqlExpr END AS phash
-         |FROM p ORDER BY doc_id""".stripMargin,
+    "q134_image_phash" -> phashOracle(phashSqlExpr, 7),
     // banding at maxHamming=2 < 4 bands is lossless (pigeonhole), so
     // the oracle is the brute-force hamming join over the same hashes
-    "q135_image_neardup" ->
-      s"""WITH p AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS j
-         |  FROM documents WHERE doc_id % 10 <> 7),
-         |h AS (SELECT doc_id, $phashSqlExpr AS phash FROM p)
-         |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
-         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-         |FROM h a JOIN h b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.phash, b.phash)) <= 2
-         |ORDER BY id_1, id_2""".stripMargin,
+    "q135_image_neardup" -> neardupOracle(phashSqlExpr, 7),
+    "q136_audio_phash" -> phashOracle(plantedHashSql(audioMult), 3),
+    "q137_video_phash" -> phashOracle(plantedHashSql(videoMult), 6),
+    "q138_audio_neardup" -> neardupOracle(plantedHashSql(audioMult), 3),
     "q100_streaming_tumbling" ->
       s"""SELECT user_id,
         |  floor(epoch(ts) / 86400) * 86400 AS window_start,

@@ -96,8 +96,10 @@ object ScaleSoak {
     "q121_neardup_clusters", "q122_seq_packing", "q123_pii_scrub",
     "q124_train_shuffle",
     // governance tier: the per-source window and the totals-broadcast
-    // mixing filter (q126 is omitted — its cost IS q121's iteration)
-    "q125_domain_caps", "q127_corpus_mixing",
+    // mixing filter; q126 added round 10 (verdict item 4) — it re-runs
+    // q121's CC iteration plus the split projection, so its ratio
+    // tracks the loop's end-to-end 10× behavior
+    "q125_domain_caps", "q126_leakage_safe_split", "q127_corpus_mixing",
     // round-9 corpus-stats tier: span dedup (replication multiplies
     // span df 10× but the frequent SET stays fixed-size — ratio must
     // stay near-linear), vocab/OOV (count agg + broadcast probe) and
@@ -108,7 +110,17 @@ object ScaleSoak {
     // (counts + pick jobs must scale with the column, not the value
     // space) and the compiled text kernels (scan-linear by design)
     "q28_winsorize", "q53_exact_quantile", "q61_langid", "q65_minhash",
-    "q67_simhash")
+    "q67_simhash",
+    // round-10 additions (verdict item 4): RAG chunking (zero-exchange
+    // scan-linear) and exact-k eval sampling (stratum window). q114/q116
+    // multimodal decode is NOT soakable — those fixtures key off the
+    // nation dim (25 blobs at ANY sf); the round-10 image-phash pair
+    // below covers the decode path at documents scale instead: q134 is
+    // decode-linear, q135 adds the hamming band join (signature-sized
+    // shuffles only — the 10× ratio proves the banding never goes
+    // quadratic)
+    "q132_doc_chunking", "q133_eval_sample",
+    "q134_image_phash", "q135_image_neardup")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

@@ -164,10 +164,13 @@ class PlanHygieneSpec extends SparkSpecBase {
     // q132: narrow chunk build + presentation sort; q133: stratum
     // window hash + presentation sort
     "q132_doc_chunking" -> (1, 0), "q133_eval_sample" -> (2, 0),
-    // round-10 image phash: q134 is narrow decode + presentation sort;
-    // q135's banded self-join reuses ONE (band, bits) exchange
-    // (ReuseExchange over identical subtrees) + pair distinct + sort
-    "q134_image_phash" -> (1, 0), "q135_image_neardup" -> (4, 0))
+    // round-10 perceptual hashes: q134/q136/q137 are narrow decode +
+    // presentation sort; the near-dup pair gates' banded self-join
+    // reuses ONE (subset, key) exchange (ReuseExchange over identical
+    // subtrees) + pair distinct + sort
+    "q134_image_phash" -> (1, 0), "q135_image_neardup" -> (4, 0),
+    "q136_audio_phash" -> (1, 0), "q137_video_phash" -> (1, 0),
+    "q138_audio_neardup" -> (4, 0))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap

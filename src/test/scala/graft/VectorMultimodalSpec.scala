@@ -474,3 +474,69 @@ class ImagePHashSpec extends SparkSpecBase {
     assert(!rows(1).getBoolean(1) && rows(1).isNullAt(2))
   }
 }
+
+/** Audio/video perceptual fingerprints (round 10): planted-envelope
+  * readback through the REAL decoders, mirroring ImagePHashSpec. */
+class AvPHashSpec extends SparkSpecBase {
+
+  private def audioFor(bits: Long, m: Int, channels: Int): Array[Byte] = {
+    val levels = new Array[Short](65)
+    var b = 0; var v = 0
+    while (b < 65) {
+      levels(b) = v.toShort
+      if (b < 64 && ((bits >> b) & 1L) == 1L) v += 16
+      b += 1
+    }
+    Multimodal.encodeWavPcm16(8000, channels, 65 * m)(
+      (c, i) => if (c == 0) levels(i / m) else 123.toShort)
+  }
+
+  private def videoFor(bits: Long, m: Int): Array[Byte] = {
+    val levels = new Array[Int](65)
+    var b = 0; var v = 0
+    while (b < 65) {
+      levels(b) = v
+      if (b < 64 && ((bits >> b) & 1L) == 1L) v += 2
+      b += 1
+    }
+    Multimodal.encodeY4m(6, 4, 25, 1, 65 * m)((f, _) => levels(f / m))
+  }
+
+  test("audioPHash64 reads back every planted bit; channel 1 is ignored") {
+    val patterns = Seq(0L, -1L, 0x5a5a5a5a5a5a5a5aL, 0x0123456789abcdefL)
+    for (bits <- patterns; m <- Seq(1, 2, 3); ch <- Seq(1, 2)) {
+      assert(Multimodal.audioPHash64(audioFor(bits, m, ch)).contains(bits),
+        s"pattern ${bits.toHexString} m=$m ch=$ch")
+    }
+  }
+
+  test("videoPHash64 reads back every planted bit at all frame counts") {
+    val patterns = Seq(0L, -1L, 0xdeadbeefcafe0123L)
+    for (bits <- patterns; m <- Seq(1, 2, 3)) {
+      assert(Multimodal.videoPHash64(videoFor(bits, m)).contains(bits),
+        s"pattern ${bits.toHexString} m=$m")
+    }
+  }
+
+  test("audio/video fingerprints decline corrupt or too-short streams") {
+    assert(Multimodal.audioPHash64(Array.tabulate[Byte](32)(_.toByte)).isEmpty)
+    // 64 frames < the 65-block minimum
+    assert(Multimodal.audioPHash64(
+      Multimodal.encodeWavPcm16(8000, 1, 64)((_, _) => 1.toShort)).isEmpty)
+    assert(Multimodal.videoPHash64(Array.tabulate[Byte](32)(_.toByte)).isEmpty)
+    assert(Multimodal.videoPHash64(
+      Multimodal.encodeY4m(6, 4, 25, 1, 64)((_, _) => 7)).isEmpty)
+    // truncated mid-frame: the walk flags it — no hash from a partial clip
+    val full = videoFor(-1L, 1)
+    assert(Multimodal.videoPHash64(
+      java.util.Arrays.copyOfRange(full, 0, full.length - 5)).isEmpty)
+  }
+
+  test("single-bit sensitivity: one envelope change is hamming 1 in both modalities") {
+    val base = 0x00ff00ff00ff00ffL
+    val aFlip = Multimodal.audioPHash64(audioFor(base ^ (1L << 21), 2, 1)).get
+    assert(java.lang.Long.bitCount(aFlip ^ base) == 1)
+    val vFlip = Multimodal.videoPHash64(videoFor(base ^ (1L << 42), 2)).get
+    assert(java.lang.Long.bitCount(vFlip ^ base) == 1)
+  }
+}
