@@ -448,6 +448,26 @@ class ImagePHashSpec extends SparkSpecBase {
     assert(got == brute && brute.nonEmpty)
   }
 
+  test("hammingNearDupPairs lossless at maxHamming=1 (3-band subset keys)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val hs = (0L until 40L).map(i => i -> rnd.nextLong()) ++
+      (0 until 5).flatMap { g =>
+        val base = rnd.nextLong()
+        Seq((200L + g * 10) -> base, (201L + g * 10) -> (base ^ (1L << (g * 13 % 64))))
+      }
+    val df = hs.toDF("id", "h")
+    val got = Dedup.hammingNearDupPairs(df, "id", "h", maxHamming = 1,
+      numBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (i1, h1) <- hs; (i2, h2) <- hs if i1 < i2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= 1
+    } yield (i1, i2, d.toLong)).toSet
+    assert(got == brute && brute.nonEmpty)
+  }
+
   test("hammingNearDupPairs maxBucket caps degenerate all-identical buckets") {
     val s = spark
     import s.implicits._
