@@ -331,6 +331,31 @@ class DataStream(val df: DataFrame) {
     new DataStream(graft.dedup.Dedup.embeddingNearDupPairs(
       df, idCol, vecCol, blockCol, threshold))
 
+  // ---- multimodal fingerprint delegates (round 10): perceptual hashes
+  // over a binary blob column and the shared hamming near-dup join, so
+  // the image/audio/video dedup pipeline reads as DataStream call
+  // chains like every other operator family.
+
+  /** 64-bit image dHash per blob row (real decode;
+    * graft.multimodal.Multimodal.imagePHash) → (idCol, ok, phash). */
+  def imagePHash(idCol: String, blobCol: String): DataStream =
+    new DataStream(graft.multimodal.Multimodal.imagePHash(df, idCol, blobCol))
+
+  /** 64-bit audio energy-envelope fingerprint per blob row. */
+  def audioPHash(idCol: String, blobCol: String): DataStream =
+    new DataStream(graft.multimodal.Multimodal.audioPHash(df, idCol, blobCol))
+
+  /** 64-bit video temporal-brightness fingerprint per blob row. */
+  def videoPHash(idCol: String, blobCol: String): DataStream =
+    new DataStream(graft.multimodal.Multimodal.videoPHash(df, idCol, blobCol))
+
+  /** Near-dup pairs over a 64-bit hash column via lossless combination
+    * hamming banding (graft.dedup.Dedup.hammingNearDupPairs). */
+  def hammingNearDup(idCol: String, hashCol: String, maxHamming: Int,
+      numBands: Int = 4, maxBucket: Option[Int] = None): DataStream =
+    new DataStream(graft.dedup.Dedup.hammingNearDupPairs(
+      df, idCol, hashCol, maxHamming, numBands, maxBucket))
+
   /** Salted inner equi-join for skewed keys. AQE's skew-join split
     * covers sort-merge joins at runtime; this is the manual fallback
     * when one key floods a partition anyway (hash joins, or a skew AQE

@@ -552,6 +552,27 @@ class AvPHashSpec extends SparkSpecBase {
       java.util.Arrays.copyOfRange(full, 0, full.length - 5)).isEmpty)
   }
 
+  test("DataStream fingerprint delegates match the direct implementations") {
+    val s = spark
+    import s.implicits._
+    import graft.api.DataStream
+    import org.apache.spark.sql.functions.col
+    val img = Seq((1L, Multimodal.encodePng(9, 8)((x, _) => x * 16 * 65793)),
+      (2L, "junk".getBytes)).toDF("id", "blob")
+    val ds = new DataStream(img)
+    assert(ds.imagePHash("id", "blob").collect().toSeq ==
+      Multimodal.imagePHash(img, "id", "blob").collect().toSeq)
+    val wav = Seq((1L, audioFor(77L, 1, 1))).toDF("id", "blob")
+    assert(new DataStream(wav).audioPHash("id", "blob").collect().toSeq ==
+      Multimodal.audioPHash(wav, "id", "blob").collect().toSeq)
+    val vid = Seq((1L, videoFor(77L, 1))).toDF("id", "blob")
+    assert(new DataStream(vid).videoPHash("id", "blob").collect().toSeq ==
+      Multimodal.videoPHash(vid, "id", "blob").collect().toSeq)
+    val hs = (0L until 20L).map(i => i -> (i / 4) * 1234567L).toDF("id", "h")
+    assert(new DataStream(hs).hammingNearDup("id", "h", 2).collect().toSeq ==
+      graft.dedup.Dedup.hammingNearDupPairs(hs, "id", "h", 2).collect().toSeq)
+  }
+
   test("single-bit sensitivity: one envelope change is hamming 1 in both modalities") {
     val base = 0x00ff00ff00ff00ffL
     val aFlip = Multimodal.audioPHash64(audioFor(base ^ (1L << 21), 2, 1)).get
