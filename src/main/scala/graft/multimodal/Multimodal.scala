@@ -304,7 +304,90 @@ object Multimodal {
     * oracle can state the decode's result sample-exactly. `None` for
     * bytes no installed reader claims, truncated streams, or non-16-bit
     * payloads — callers keep the row flagged, never drop it. */
+  /** Magic-byte sniff for the containers javax.sound ships readers for
+    * (WAV/AIFF/AU) — the audio twin of [[maybeImage]]: AudioSystem's
+    * provider lookup synchronizes on a global registry per call, so
+    * bytes that cannot be audio must never reach it. */
+  private def maybeAudio(b: Array[Byte]): Boolean =
+    b.length >= 12 && {
+      (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') || // wav
+      (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') || // aiff
+      (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')    // au
+    }
+
+  /** Direct RIFF/WAVE PCM16LE parse — the LOCK-FREE fast path for the
+    * overwhelmingly common corpus case. javax.sound's AudioSystem walks
+    * a synchronized global provider registry on EVERY call: measured at
+    * the round-10 sf1 soak, ~450k getAudioInputStream calls across 16
+    * threads collapsed to ~2.4k calls/s/thread and made audio decode
+    * 20× superlinear (q136 ratio 22) while the hand-walked Y4M video
+    * path scaled cleanly. Returns (sampleRate, channels, nFrames,
+    * dataOffset, truncated) for plain PCM16 WAVs; None falls through to
+    * the javax.sound path (AIFF/AU/extensible WAV). A data chunk
+    * declaring more bytes than the payload carries reports
+    * truncated=true — exactly javax.sound's declared-frame check, so
+    * the q114 corrupt-row semantics are unchanged. */
+  private def parseWavPcm16(
+      bytes: Array[Byte]): Option[(Int, Int, Long, Int, Boolean)] = {
+    if (bytes.length < 12 ||
+        bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
+        bytes(3) != 'F' ||
+        bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' ||
+        bytes(11) != 'E') return None
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    var pos = 12
+    var rate = -1; var ch = -1; var fmtOk = false
+    var dataOff = -1; var dataLen = -1L
+    while (pos + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
+      val size = u32(pos + 4)
+      val body = pos + 8
+      if (bytes(pos) == 'f' && bytes(pos + 1) == 'm' &&
+          bytes(pos + 2) == 't' && bytes(pos + 3) == ' ') {
+        if (size < 16 || body + 16 > bytes.length) return None
+        // plain PCM (tag 1), 16-bit only — anything else (extensible,
+        // float, compressed) falls through to javax.sound
+        if (u16(body) != 1 || u16(body + 14) != 16) return None
+        ch = u16(body + 2)
+        rate = u32(body + 4).toInt
+        fmtOk = ch > 0 && rate > 0
+        if (!fmtOk) return None
+      } else if (bytes(pos) == 'd' && bytes(pos + 1) == 'a' &&
+          bytes(pos + 2) == 't' && bytes(pos + 3) == 'a') {
+        dataOff = body
+        dataLen = size
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      pos = body + size.toInt + (size & 1L).toInt
+      if (pos <= body) return None // overflow / zero-size guard
+    }
+    if (!fmtOk || dataOff < 0) return None
+    val available = bytes.length - dataOff
+    val truncated = available < dataLen
+    val frames = dataLen / (ch * 2)
+    Some((rate, ch, frames, dataOff, truncated))
+  }
+
   def decodeAudio(bytes: Array[Byte]): Option[AudioInfo] = {
+    parseWavPcm16(bytes) match {
+      case Some((rate, ch, frames, dataOff, truncated)) =>
+        if (truncated) return None
+        var amp = 0L; var ch0 = 0L
+        val total = frames * ch
+        var i = 0L
+        while (i < total) {
+          val o = dataOff + 2 * i.toInt
+          val s = (((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff))
+            .toShort.toLong
+          amp += s
+          if (i % ch == 0) ch0 += s
+          i += 1
+        }
+        return Some(AudioInfo("wave", rate, ch, 16, frames, amp, ch0))
+      case None => ()
+    }
+    if (!maybeAudio(bytes)) return None
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     try {
       val bis = new java.io.ByteArrayInputStream(bytes)
@@ -408,6 +491,37 @@ object Multimodal {
     * (same operator as image dHash). `None` for non-PCM16 / corrupt
     * bytes or fewer than 65 frames (no meaningful envelope). */
   def audioPHash64(bytes: Array[Byte]): Option[Long] = {
+    // envelope bits from a (channel-0 sample at frame i) accessor —
+    // shared by the lock-free WAV fast path and the javax fallback
+    def envelope(n: Long, sample: Int => Long): Option[Long] = {
+      if (n < 65) return None
+      val sums = new Array[Long](65)
+      val counts = new Array[Long](65)
+      var i = 0
+      while (i < n) {
+        val blk = (i.toLong * 65 / n).toInt
+        sums(blk) += sample(i); counts(blk) += 1
+        i += 1
+      }
+      var hash = 0L
+      var k = 0
+      while (k < 64) {
+        if (sums(k + 1) / counts(k + 1) > sums(k) / counts(k))
+          hash |= 1L << k
+        k += 1
+      }
+      Some(hash)
+    }
+    parseWavPcm16(bytes) match {
+      case Some((_, ch, frames, dataOff, truncated)) =>
+        if (truncated) return None
+        return envelope(frames, { i =>
+          val o = dataOff + 2 * ch * i
+          (((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)).toShort.toLong
+        })
+      case None => ()
+    }
+    if (!maybeAudio(bytes)) return None
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     try {
       val bis = new java.io.ByteArrayInputStream(bytes)
@@ -425,31 +539,12 @@ object Multimodal {
           if (declaredFrames >= 0 && data.length < declaredFrames * frameBytes)
             None
           else {
-            val n = data.length / frameBytes
-            if (n < 65) None
-            else {
-              val sums = new Array[Long](65)
-              val counts = new Array[Long](65)
-              val le = !f.isBigEndian
-              var i = 0
-              while (i < n) {
-                val b0 = data(frameBytes * i) & 0xff
-                val b1 = data(frameBytes * i + 1) & 0xff
-                val s = (if (le) (b1 << 8) | b0 else (b0 << 8) | b1)
-                  .toShort.toLong
-                val blk = (i.toLong * 65 / n).toInt
-                sums(blk) += s; counts(blk) += 1
-                i += 1
-              }
-              var hash = 0L
-              var k = 0
-              while (k < 64) {
-                if (sums(k + 1) / counts(k + 1) > sums(k) / counts(k))
-                  hash |= 1L << k
-                k += 1
-              }
-              Some(hash)
-            }
+            val le = !f.isBigEndian
+            envelope(data.length / frameBytes, { i =>
+              val b0 = data(frameBytes * i) & 0xff
+              val b1 = data(frameBytes * i + 1) & 0xff
+              (if (le) (b1 << 8) | b0 else (b0 << 8) | b1).toShort.toLong
+            })
           }
         }
       } finally ais.close()
@@ -545,8 +640,26 @@ object Multimodal {
   }
 
   /** Per-channel mean amplitude for [[audioFeatures]] — separate from
-    * [[decodeAudio]] so the meta path stays allocation-light. */
+    * [[decodeAudio]] so the meta path stays allocation-light. Takes the
+    * same lock-free [[parseWavPcm16]] fast path; only non-WAV or
+    * truncated bytes reach javax.sound's synchronized registry. */
   private def decodeAudioChannelSums(bytes: Array[Byte]): Option[Array[Double]] = {
+    parseWavPcm16(bytes) match {
+      case Some((_, ch, frames, dataOff, truncated)) if !truncated =>
+        if (frames == 0) return None
+        val sums = new Array[Double](ch)
+        val total = frames * ch
+        var i = 0L
+        while (i < total) {
+          val o = dataOff + 2 * i.toInt
+          sums((i % ch).toInt) +=
+            (((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)).toShort.toInt
+          i += 1
+        }
+        return Some(sums.map(_ / frames / (1 << 15)))
+      case _ => ()
+    }
+    if (!maybeAudio(bytes)) return None
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     try {
       val ais = AudioSystem.getAudioInputStream(

@@ -120,7 +120,11 @@ object ScaleSoak {
     // shuffles only — the 10× ratio proves the banding never goes
     // quadratic)
     "q132_doc_chunking", "q133_eval_sample",
-    "q134_image_phash", "q135_image_neardup")
+    "q134_image_phash", "q135_image_neardup",
+    // the audio/video fingerprint tier — decode is scan-local (linear
+    // in blob bytes); q138 is a second band-join datapoint on the
+    // audio hash population
+    "q136_audio_phash", "q137_video_phash", "q138_audio_neardup")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
