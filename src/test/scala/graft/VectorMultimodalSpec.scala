@@ -573,6 +573,34 @@ class AvPHashSpec extends SparkSpecBase {
       graft.dedup.Dedup.hammingNearDupPairs(hs, "id", "h", 2).collect().toSeq)
   }
 
+  test("WAV fast-path parser never throws on adversarial bytes (fuzz)") {
+    // the RIFF parse is hand-rolled (round-10 lock-free fast path):
+    // random bytes, truncations, and header mutations of a valid WAV
+    // must decode to Some/None, never throw
+    val rnd = new scala.util.Random(42)
+    val valid = Multimodal.encodeWavPcm16(8000, 2, 100)(
+      (c, i) => ((c + 1) * i).toShort)
+    // sanity: fast path still decodes the pristine WAV
+    assert(Multimodal.decodeAudio(valid).exists(_.n_frames == 100L))
+    (0 until 300).foreach { k =>
+      val b = k % 3 match {
+        case 0 => // pure noise
+          Array.tabulate[Byte](rnd.nextInt(200))(_ => rnd.nextInt().toByte)
+        case 1 => // truncated valid WAV
+          java.util.Arrays.copyOfRange(valid, 0, rnd.nextInt(valid.length))
+        case _ => // valid WAV with 1-4 mutated bytes (sizes, tags, data)
+          val m = valid.clone()
+          (0 to rnd.nextInt(4)).foreach { _ =>
+            m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+          }
+          m
+      }
+      // must not throw
+      Multimodal.decodeAudio(b)
+      Multimodal.audioPHash64(b)
+    }
+  }
+
   test("single-bit sensitivity: one envelope change is hamming 1 in both modalities") {
     val base = 0x00ff00ff00ff00ffL
     val aFlip = Multimodal.audioPHash64(audioFor(base ^ (1L << 21), 2, 1)).get
