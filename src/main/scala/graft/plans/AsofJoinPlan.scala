@@ -54,9 +54,18 @@ case class AsofJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftBy)) :: ClusteredDistribution(Seq(rightBy)) :: Nil
 
+  // orderable payload attrs extend the right-side sort (round-10
+  // tie-proofing): the merge loop keeps the LAST right row with
+  // time <= left time, so among time-tied quotes the max payload tuple
+  // wins deterministically — identical to the unionTag formulation's
+  // window tie-break and to the streaming as-of's (ts, value) pick.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftBy, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightBy, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(SortOrder(rightBy, Ascending), SortOrder(rightTime, Ascending)) ++
+      rightPayload.filter(a =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(a.dataType))
+        .map(SortOrder(_, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftBy, Ascending), SortOrder(leftTime, Ascending))

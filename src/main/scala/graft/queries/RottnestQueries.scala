@@ -61,13 +61,15 @@ object RottnestQueries {
         .filter(col("price").isNotNull)
         .select(col("symbol"), col("direction"), col("price").as("fill_price"),
           to_date(col("ts_right")).as("fill_day"))
-      // last tick per (symbol, day) — the mark price
+      // last tick per (symbol, day) — the mark price. price joins the
+      // ordering (round-10 tie-proofing): among ticks tied on the day's
+      // max ts the MAX price marks, deterministically on any fixture
       val dayLast = trades
         .withColumn("day", to_date(col("ts")))
         .withColumn("__rn", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("symbol"), col("day"))
-            .orderBy(col("ts").desc)))
+            .orderBy(col("ts").desc, col("price").desc)))
         .filter(col("__rn") === 1)
         .select(col("symbol"), col("day"), col("price"))
       // ONE dataflow from here: fill rows and mark rows union into a
@@ -147,20 +149,29 @@ object RottnestQueries {
         |  UNION ALL
         |  SELECT ts + INTERVAL 5 HOUR, symbol, -direction FROM entries),
         |fills AS (
-        |  SELECT symbol, direction, fill_price, CAST(fill_ts AS DATE) AS fill_day
+        |  -- tie-insensitive two-step (round-10): earliest fill ts per
+        |  -- alpha, then the MIN price among ticks tied at that ts —
+        |  -- the forward as-of's (ts, price) tie-break, stated exactly
+        |  SELECT fa.symbol, fa.direction, tp.price AS fill_price,
+        |    CAST(fa.fill_ts AS DATE) AS fill_day
         |  FROM (
-        |    SELECT a.symbol, a.direction, t.ts AS fill_ts, t.price AS fill_price,
-        |      row_number() OVER (PARTITION BY a.symbol, a.ts, a.direction
-        |        ORDER BY t.ts) AS rn
-        |    FROM alphas a JOIN trades t
-        |      ON a.symbol = t.symbol AND t.ts >= a.ts)
-        |  WHERE rn = 1),
+        |    SELECT a.symbol, a.ts, a.direction, min(t.ts) AS fill_ts
+        |    FROM (SELECT DISTINCT symbol, ts, direction FROM alphas) a
+        |    JOIN trades t ON a.symbol = t.symbol AND t.ts >= a.ts
+        |    GROUP BY a.symbol, a.ts, a.direction) fa
+        |  JOIN (SELECT symbol, ts, min(price) AS price
+        |        FROM trades GROUP BY 1, 2) tp
+        |    ON tp.symbol = fa.symbol AND tp.ts = fa.fill_ts),
         |day_last AS (
-        |  SELECT symbol, day, price FROM (
-        |    SELECT symbol, CAST(ts AS DATE) AS day, price,
-        |      row_number() OVER (PARTITION BY symbol, CAST(ts AS DATE)
-        |        ORDER BY ts DESC) AS rn
-        |    FROM trades) WHERE rn = 1),
+        |  -- same treatment for the mark: max ts per (symbol, day),
+        |  -- then the MAX price among ticks tied at that ts
+        |  SELECT dm.symbol, dm.day, tm.price
+        |  FROM (
+        |    SELECT symbol, CAST(ts AS DATE) AS day, max(ts) AS mts
+        |    FROM trades GROUP BY 1, 2) dm
+        |  JOIN (SELECT symbol, ts, max(price) AS price
+        |        FROM trades GROUP BY 1, 2) tm
+        |    ON tm.symbol = dm.symbol AND tm.ts = dm.mts),
         |posv AS (
         |  SELECT dl.symbol, dl.day, dl.price, sum(f.direction) AS pos
         |  FROM day_last dl JOIN fills f

@@ -167,38 +167,67 @@ object TimeSeriesQueries {
       """SELECT event_id, user_id, ts, value,
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS value_shifted
         |FROM events ORDER BY event_id""".stripMargin,
+    // Tie-INSENSITIVE two-step form (round-10, mirrors q104's rewrite;
+    // replaces ASOF JOIN, whose winner among equal-ts quotes is
+    // engine-arbitrary): latest quote ts per trade instant, then the
+    // MAX quote value at that ts — exactly the operators' payload-tuple
+    // tie-break — joined back so duplicate trade rows keep multiplicity.
     "q41_asof_join" ->
       """WITH t AS (SELECT user_id, ts, event_id, value FROM events
         |           WHERE event_type = 'purchase'),
         |     q AS (SELECT user_id, ts, value FROM events
-        |           WHERE event_type = 'view')
+        |           WHERE event_type = 'view'),
+        |     tk AS (SELECT DISTINCT user_id, ts FROM t),
+        |     m AS (SELECT tk.user_id, tk.ts, max(q.ts) AS qts
+        |           FROM tk LEFT JOIN q ON tk.user_id = q.user_id
+        |             AND q.ts <= tk.ts
+        |           GROUP BY tk.user_id, tk.ts),
+        |     mv AS (SELECT m.user_id, m.ts, m.qts, max(q.value) AS qv
+        |            FROM m LEFT JOIN q ON m.user_id = q.user_id
+        |              AND q.ts = m.qts
+        |            GROUP BY m.user_id, m.ts, m.qts)
         |SELECT t.user_id, t.ts, t.event_id, t.value,
-        |  q.ts AS ts_right, q.value AS value_right
-        |FROM t ASOF LEFT JOIN q
-        |  ON t.user_id = q.user_id AND q.ts <= t.ts
+        |  mv.qts AS ts_right, mv.qv AS value_right
+        |FROM t JOIN mv ON t.user_id = mv.user_id AND t.ts = mv.ts
         |ORDER BY t.event_id""".stripMargin,
     "q49_asof_physical" ->
       """WITH t AS (SELECT user_id, ts, event_id, value FROM events
         |           WHERE event_type = 'purchase'),
         |     q AS (SELECT user_id, ts, value FROM events
-        |           WHERE event_type = 'view')
+        |           WHERE event_type = 'view'),
+        |     tk AS (SELECT DISTINCT user_id, ts FROM t),
+        |     m AS (SELECT tk.user_id, tk.ts, max(q.ts) AS qts
+        |           FROM tk LEFT JOIN q ON tk.user_id = q.user_id
+        |             AND q.ts <= tk.ts
+        |           GROUP BY tk.user_id, tk.ts),
+        |     mv AS (SELECT m.user_id, m.ts, m.qts, max(q.value) AS qv
+        |            FROM m LEFT JOIN q ON m.user_id = q.user_id
+        |              AND q.ts = m.qts
+        |            GROUP BY m.user_id, m.ts, m.qts)
         |SELECT t.user_id, t.ts, t.event_id, t.value,
-        |  q.ts AS ts_right, q.value AS value_right
-        |FROM t ASOF LEFT JOIN q
-        |  ON t.user_id = q.user_id AND q.ts <= t.ts
+        |  mv.qts AS ts_right, mv.qv AS value_right
+        |FROM t JOIN mv ON t.user_id = mv.user_id AND t.ts = mv.ts
         |ORDER BY t.event_id""".stripMargin,
     "q42_asof_tolerance" ->
       """WITH t AS (SELECT user_id, ts, event_id, value FROM events
         |           WHERE event_type = 'purchase'),
         |     q AS (SELECT user_id, ts, value FROM events
-        |           WHERE event_type = 'view')
+        |           WHERE event_type = 'view'),
+        |     tk AS (SELECT DISTINCT user_id, ts FROM t),
+        |     m AS (SELECT tk.user_id, tk.ts, max(q.ts) AS qts
+        |           FROM tk LEFT JOIN q ON tk.user_id = q.user_id
+        |             AND q.ts <= tk.ts
+        |           GROUP BY tk.user_id, tk.ts),
+        |     mv AS (SELECT m.user_id, m.ts, m.qts, max(q.value) AS qv
+        |            FROM m LEFT JOIN q ON m.user_id = q.user_id
+        |              AND q.ts = m.qts
+        |            GROUP BY m.user_id, m.ts, m.qts)
         |SELECT t.user_id, t.ts, t.event_id, t.value,
-        |  CASE WHEN epoch(t.ts) - epoch(q.ts) <= 21600
-        |       THEN q.ts END AS ts_right,
-        |  CASE WHEN epoch(t.ts) - epoch(q.ts) <= 21600
-        |       THEN q.value END AS value_right
-        |FROM t ASOF LEFT JOIN q
-        |  ON t.user_id = q.user_id AND q.ts <= t.ts
+        |  CASE WHEN epoch(t.ts) - epoch(mv.qts) <= 21600
+        |       THEN mv.qts END AS ts_right,
+        |  CASE WHEN epoch(t.ts) - epoch(mv.qts) <= 21600
+        |       THEN mv.qv END AS value_right
+        |FROM t JOIN mv ON t.user_id = mv.user_id AND t.ts = mv.ts
         |ORDER BY t.event_id""".stripMargin,
     "q43_tumbling" ->
       s"""SELECT user_id,

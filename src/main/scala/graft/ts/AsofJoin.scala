@@ -71,7 +71,13 @@ object AsofJoin {
 
     // Common layout: (by, __t, side, leftCols..., rightPayload...).
     // Side tags order ties so the same-time right row falls inside the
-    // left row's window frame in either direction.
+    // left row's window frame in either direction. Orderable payload
+    // columns extend the window ordering (round-10 tie-proofing): among
+    // right rows TIED on time, backward's last() now picks the MAX
+    // payload tuple and forward's first() the MIN — a deterministic,
+    // partition-order-independent winner that matches the streaming
+    // as-ofs' (ts, value) tie-break and lets the oracles state the pick
+    // instead of relying on fixture-time uniqueness.
     val lSide = if (forward) 0 else 1
     val rSide = 1 - lSide
     val lTagged = l
@@ -88,8 +94,13 @@ object AsofJoin {
           .map { case (c, name) => c.as(name) } ++
         rightPayload.map { case (in, out) => col(in).as(out) }: _*)
 
+    val tieBreak = rightPayload.collect {
+      case (in, out) if org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(r.schema(in).dataType) => col(out)
+    }
     val wBase = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(by)).orderBy(col("__t"), col("__side"))
+      .partitionBy(col(by))
+      .orderBy(Seq(col("__t"), col("__side")) ++ tieBreak: _*)
     val w =
       if (forward) wBase.rowsBetween(
         0, org.apache.spark.sql.expressions.Window.unboundedFollowing)

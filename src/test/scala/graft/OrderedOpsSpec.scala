@@ -219,3 +219,56 @@ class OrderedOpsSpec extends SparkSpecBase {
     assert(out.select("k").collect().map(_.getString(0)).toSeq == Seq("u1"))
   }
 }
+
+/** Round-10 batch-as-of tie-proofing (the batch twin of
+  * StreamingTieSpec): among right rows tied on time, backward picks the
+  * MAX payload tuple and forward the MIN, identically in the unionTag
+  * window formulation and the AsofJoinExec physical merge, regardless
+  * of input row order. */
+class BatchAsofTieSpec extends SparkSpecBase {
+  import graft.api.OrderedStream
+  import graft.ts.AsofJoin
+
+  private def os(rows: Seq[(String, Double, Double)], v: String) = {
+    val s = spark
+    import s.implicits._
+    new OrderedStream(rows.toDF("sym", "t", v), "t")
+  }
+
+  test("backward: equal-ts quotes resolve to max value in both formulations") {
+    val t = Seq(("A", 10.0, 1.0), ("B", 10.0, 1.0))
+    // A sees the low quote value first, B the high one first — the
+    // winner (99.0, the max at the tied ts) must not depend on order
+    val q = Seq(("A", 5.0, 11.0), ("A", 5.0, 99.0),
+                ("B", 5.0, 99.0), ("B", 5.0, 11.0))
+    val viaWindow = AsofJoin.unionTag(os(t, "px"), os(q, "bid"), by = "sym")
+      .df.select("sym", "bid").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    val viaExec = AsofJoin.merge(os(t, "px"), os(q, "bid"), by = "sym")
+      .select("sym", "bid").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    assert(viaWindow == Seq(("A", 99.0), ("B", 99.0)))
+    assert(viaExec == viaWindow)
+  }
+
+  test("forward: equal-ts ticks resolve to min value, order-independent") {
+    val a = Seq(("A", 10.0, 1.0), ("B", 10.0, 1.0))
+    val tk = Seq(("A", 15.0, 42.0), ("A", 15.0, 7.0),
+                 ("B", 15.0, 7.0), ("B", 15.0, 42.0))
+    val rows = AsofJoin.unionTagForward(os(a, "d"), os(tk, "px"), by = "sym")
+      .df.select("sym", "px").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    assert(rows == Seq(("A", 7.0), ("B", 7.0)))
+  }
+
+  test("tie at the trade's own instant still matches (inclusive <=)") {
+    val t = Seq(("A", 10.0, 1.0))
+    val q = Seq(("A", 10.0, 5.0), ("A", 10.0, 9.0))
+    val rows = AsofJoin.unionTag(os(t, "px"), os(q, "bid"), by = "sym")
+      .df.select("bid").collect().map(_.getDouble(0)).toSeq
+    assert(rows == Seq(9.0))
+    val exec = AsofJoin.merge(os(t, "px"), os(q, "bid"), by = "sym")
+      .select("bid").collect().map(_.getDouble(0)).toSeq
+    assert(exec == Seq(9.0))
+  }
+}
