@@ -986,9 +986,9 @@ object GateQueries {
 
     // N-input stateful operator (QContext.mingle): purchases and views
     // as two tagged sources, per-user stream counts plus first/last
-    // stream by time — order-sensitive state the oracle states with
-    // filtered counts and min_by/max_by ((user_id, ts) is unique, so
-    // the arg-min/max picks are deterministic in both engines).
+    // stream by time. The oracle's two-step min/max-at-the-extreme-ts
+    // form states mingle's (ts, __stream) tie order exactly, so the
+    // gate is valid on any fixture (round-10 tie-proofing).
     "q99_mingle" -> { (s, d) =>
       val ev = events(s, d).withColumn("tsd", col("ts").cast("double"))
       val purch = ev.filter(col("event_type") === "purchase")
@@ -1362,15 +1362,29 @@ object GateQueries {
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts)
         |    AS value_shifted
         |FROM events ORDER BY event_id""".stripMargin,
+    // Tie-INSENSITIVE two-step form (round-10): mingle sorts its merged
+    // iterator by (order keys, __stream), so at a tied instant the min
+    // stream id opens and the max closes — stated exactly, instead of
+    // min_by/max_by picks that relied on fixture-time uniqueness.
     "q99_mingle" ->
       """WITH m AS (
         |  SELECT user_id, ts,
         |    CASE event_type WHEN 'purchase' THEN 1 ELSE 2 END AS s
-        |  FROM events WHERE event_type IN ('purchase', 'view'))
-        |SELECT user_id,
-        |  CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
-        |  CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-        |  min_by(s, ts) AS first_stream, max_by(s, ts) AS last_stream
-        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |b AS (SELECT user_id, min(ts) AS fts, max(ts) AS lts,
+        |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |    CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |  FROM m GROUP BY user_id),
+        |f AS (SELECT m.user_id, min(m.s) AS first_stream
+        |  FROM m JOIN b ON m.user_id = b.user_id AND m.ts = b.fts
+        |  GROUP BY m.user_id),
+        |l AS (SELECT m.user_id, max(m.s) AS last_stream
+        |  FROM m JOIN b ON m.user_id = b.user_id AND m.ts = b.lts
+        |  GROUP BY m.user_id)
+        |SELECT b.user_id, b.n_purchase, b.n_view,
+        |  f.first_stream, l.last_stream
+        |FROM b JOIN f ON b.user_id = f.user_id
+        |  JOIN l ON b.user_id = l.user_id
+        |ORDER BY b.user_id""".stripMargin
   )
 }

@@ -134,18 +134,21 @@ object TimeSeriesQueries {
 
     // OHLCV candlestick aggregation (reference apps/rottnest/
     // candlestick.py:26-33: per (symbol, minute-candle) open/close/high/
-    // low/volume). open/close are min_by/max_by on the event time — a
-    // single groupBy, no window, which is the scale form (the
-    // reference's polars head/tail-by-candle needs maintained order;
-    // arg-min/max aggregates don't). (user_id, ts) is unique in the
-    // fixture, so both engines pick the same rows deterministically.
+    // low/volume). open/close are arg-min/max on (ts, value) — a single
+    // groupBy, no window, which is the scale form (the reference's
+    // polars head/tail-by-candle needs maintained order; arg-min/max
+    // aggregates don't). The composite ordering key makes the pick
+    // deterministic on ANY fixture (round-10 tie-proofing): among ticks
+    // tied at the candle's first instant the MIN value opens, at the
+    // last instant the MAX value closes — stated exactly by the
+    // oracle's two-step form.
     "q39_ohlcv" -> { (s, d) =>
       events(s, d)
         .withColumn("candle", floor(col("ts").cast("double") / 60.0).cast("long"))
         .groupBy(col("user_id"), col("candle"))
         .agg(
-          expr("min_by(value, ts)").as("open"),
-          expr("max_by(value, ts)").as("close"),
+          expr("min_by(value, struct(ts, value))").as("open"),
+          expr("max_by(value, struct(ts, value))").as("close"),
           max(col("value")).as("high"),
           min(col("value")).as("low"),
           count(lit(1)).as("n_ticks"))
@@ -156,13 +159,29 @@ object TimeSeriesQueries {
   private val evCols = "SELECT user_id, ts, event_id, event_type, value FROM events"
 
   val oracles: Map[String, String] = Map(
+    // two-step tie-insensitive open/close (round-10): min value among
+    // ticks at the candle's min ts, max value at its max ts — exactly
+    // the engine's struct(ts, value) arg-min/max picks
     "q39_ohlcv" ->
-      """SELECT user_id,
-        |  CAST(floor(epoch(ts) / 60.0) AS BIGINT) AS candle,
-        |  min_by(value, ts) AS open, max_by(value, ts) AS close,
-        |  max(value) AS high, min(value) AS low, count(*) AS n_ticks
-        |FROM events GROUP BY user_id, candle
-        |ORDER BY user_id, candle""".stripMargin,
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(ts) / 60.0) AS BIGINT) AS candle, ts, value
+        |  FROM events),
+        |b AS (SELECT user_id, candle, min(ts) AS ots, max(ts) AS cts,
+        |    max(value) AS high, min(value) AS low, count(*) AS n_ticks
+        |  FROM e GROUP BY user_id, candle),
+        |o AS (SELECT e.user_id, e.candle, min(e.value) AS open
+        |  FROM e JOIN b ON e.user_id = b.user_id AND e.candle = b.candle
+        |    AND e.ts = b.ots
+        |  GROUP BY e.user_id, e.candle),
+        |c AS (SELECT e.user_id, e.candle, max(e.value) AS close
+        |  FROM e JOIN b ON e.user_id = b.user_id AND e.candle = b.candle
+        |    AND e.ts = b.cts
+        |  GROUP BY e.user_id, e.candle)
+        |SELECT b.user_id, b.candle, o.open, c.close, b.high, b.low,
+        |  b.n_ticks
+        |FROM b JOIN o ON b.user_id = o.user_id AND b.candle = o.candle
+        |  JOIN c ON b.user_id = c.user_id AND b.candle = c.candle
+        |ORDER BY b.user_id, b.candle""".stripMargin,
     "q40_shift" ->
       """SELECT event_id, user_id, ts, value,
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS value_shifted

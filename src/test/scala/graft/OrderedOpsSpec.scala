@@ -272,3 +272,50 @@ class BatchAsofTieSpec extends SparkSpecBase {
     assert(exec == Seq(9.0))
   }
 }
+
+/** Round-10: the remaining arg-min/max gates' tie behavior, proven on
+  * deliberately tie-ful inputs. */
+class ArgExtremeTieSpec extends SparkSpecBase {
+
+  test("OHLCV open/close composite arg-min/max resolve ties deterministically") {
+    val s = spark
+    import s.implicits._
+    // two ticks at the candle's only instant: open = min value,
+    // close = max value, in BOTH insertion orders
+    for (rows <- Seq(Seq((1L, 10.0, 5.0), (1L, 10.0, 9.0)),
+                     Seq((1L, 10.0, 9.0), (1L, 10.0, 5.0)))) {
+      val r = rows.toDF("user_id", "ts", "value")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.expr(
+            "min_by(value, struct(ts, value))").as("open"),
+          org.apache.spark.sql.functions.expr(
+            "max_by(value, struct(ts, value))").as("close"))
+        .head()
+      assert(r.getDouble(1) == 5.0 && r.getDouble(2) == 9.0)
+    }
+  }
+
+  test("mingle ties at one instant: lower stream id opens, higher closes") {
+    val s = spark
+    import s.implicits._
+    val purch = Seq((7L, 10.0)).toDF("user_id", "tsd")
+    val views = Seq((7L, 10.0)).toDF("user_id", "tsd")
+    implicit val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaInt,
+      org.apache.spark.sql.Encoders.scalaInt)
+    val out = new graft.api.QContext(s)
+      .mingle[(Long, Int, Int)](Map(1 -> purch, 2 -> views),
+        Seq("user_id"), Seq("tsd")) { it =>
+        var first = 0; var last = 0; var u = 0L
+        it.foreach { case (sid, r) =>
+          u = r.getLong(0)
+          if (first == 0) first = sid
+          last = sid
+        }
+        // empty partitions see no rows — emit nothing there
+        if (first == 0) Iterator.empty else Iterator.single((u, first, last))
+      }.collect().toSeq
+    assert(out == Seq((7L, 1, 2)))
+  }
+}
