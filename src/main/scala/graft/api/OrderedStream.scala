@@ -20,9 +20,15 @@ class OrderedStream(df0: DataFrame, val timeCol: String) extends DataStream(df0)
   /** lag/lead over the sorted stream, per `by` key — the reference's
     * `shift` (orderedstream.py:13-35; its ShiftOperator is referenced but
     * never defined — we implement the evident intent). n>0 looks back
-    * (lag), n<0 looks ahead (lead). */
-  def shift(cols: Seq[String], n: Int, by: String, fill: Any = null): OrderedStream = {
-    val w = Window.partitionBy(col(by)).orderBy(col(timeCol))
+    * (lag), n<0 looks ahead (lead). `tieBreak` columns extend the window
+    * ordering (round-10): rows TIED on the time column otherwise shift
+    * in partition-internal order, which is shuffle-read-dependent — pass
+    * a unique column (an event id) to make the lag neighbor
+    * deterministic on any fixture. */
+  def shift(cols: Seq[String], n: Int, by: String, fill: Any = null,
+      tieBreak: Seq[String] = Nil): OrderedStream = {
+    val w = Window.partitionBy(col(by))
+      .orderBy(col(timeCol) +: tieBreak.map(col): _*)
     val shifted = cols.map { c =>
       val s = if (n >= 0) lag(col(c), n, fill) else lead(col(c), -n, fill)
       c + "_shifted" -> s.over(w)

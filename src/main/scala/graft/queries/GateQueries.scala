@@ -979,7 +979,7 @@ object GateQueries {
         StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("tsd", DoubleType), StructField("value", DoubleType)))
       new QContext(s).readSortedCsv(tmp, "tsd", Some(schema))
-        .shift(Seq("value"), 1, by = "user_id")
+        .shift(Seq("value"), 1, by = "user_id", tieBreak = Seq("event_id"))
         .select("event_id", "user_id", "tsd", "value", "value_shifted")
         .sort(Seq("event_id")).df
     },
@@ -1359,7 +1359,7 @@ object GateQueries {
         |ORDER BY a.user_id, a_t, b_t, c_t""".stripMargin,
     "q98_sorted_csv" ->
       """SELECT event_id, user_id, epoch(ts) AS tsd, value,
-        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts)
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |    AS value_shifted
         |FROM events ORDER BY event_id""".stripMargin,
     // Tie-INSENSITIVE two-step form (round-10): mingle sorts its merged

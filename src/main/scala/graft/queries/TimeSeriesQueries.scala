@@ -21,7 +21,9 @@ object TimeSeriesQueries {
   val queries: Map[String, Q] = Map(
     // shift / lag-lead (reference orderedstream.py:13-35).
     "q40_shift" -> { (s, d) =>
-      ordered(s, d).shift(Seq("value"), 1, by = "user_id")
+      // event_id tie-break: rows tied on ts shift deterministically
+      ordered(s, d).shift(Seq("value"), 1, by = "user_id",
+          tieBreak = Seq("event_id"))
         .select("event_id", "user_id", "ts", "value", "value_shifted")
         .sort(Seq("event_id")).df
     },
@@ -184,7 +186,8 @@ object TimeSeriesQueries {
         |ORDER BY b.user_id, b.candle""".stripMargin,
     "q40_shift" ->
       """SELECT event_id, user_id, ts, value,
-        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS value_shifted
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS value_shifted
         |FROM events ORDER BY event_id""".stripMargin,
     // Tie-INSENSITIVE two-step form (round-10, mirrors q104's rewrite;
     // replaces ASOF JOIN, whose winner among equal-ts quotes is
