@@ -294,7 +294,7 @@ object TimeSeriesQueries {
         |  CAST(sum(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS run_sum
         |FROM events
         |WINDOW w AS (PARTITION BY user_id, floor(epoch(ts) / 86400)
-        |             ORDER BY ts ROWS UNBOUNDED PRECEDING)
+        |             ORDER BY ts RANGE UNBOUNDED PRECEDING)
         |ORDER BY event_id""".stripMargin,
     "q48_cep" ->
       """SELECT a.user_id, a.event_id AS a_event_id, b.event_id AS b_event_id,

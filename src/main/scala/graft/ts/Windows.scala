@@ -84,8 +84,12 @@ object Windows {
                   Seq(max(t).as("session_end")): _*)
               .drop("__session")
           case OnEventTrigger =>
+            // RANGE, not ROWS (round-10 tie-proofing): a ROWS frame
+            // gives time-TIED events arbitrary partition-internal
+            // running totals; RANGE includes peers, so tied events see
+            // each other and the result is fixture-order-independent
             val wrun = W.partitionBy(col(by), col("__session")).orderBy(t)
-              .rowsBetween(W.unboundedPreceding, 0)
+              .rangeBetween(W.unboundedPreceding, W.currentRow)
             withSession
               .withColumns(aggs.map { case (n, a) => n -> a.over(wrun) })
               .drop("__gap", "__session")
@@ -121,8 +125,11 @@ object Windows {
       df: DataFrame, by: String, t: Column, windowId: Column,
       aggs: Map[String, Column]): DataFrame = {
     val tagged = df.withColumn("__wid", windowId)
+    // RANGE, not ROWS (round-10 tie-proofing): time-tied events include
+    // each other as frame peers, so the per-event running totals are
+    // deterministic on any fixture instead of shuffle-order-dependent
     val w = W.partitionBy(col(by), col("__wid")).orderBy(t)
-      .rowsBetween(W.unboundedPreceding, 0)
+      .rangeBetween(W.unboundedPreceding, W.currentRow)
     tagged.withColumns(aggs.map { case (n, a) => n -> a.over(w) })
       .withColumnRenamed("__wid", "window_start")
   }

@@ -319,3 +319,27 @@ class ArgExtremeTieSpec extends SparkSpecBase {
     assert(out == Seq((7L, 1, 2)))
   }
 }
+
+/** Round-10: per-event running windows include time-tied peers (RANGE
+  * frame), so running totals are fixture-order-independent. */
+class RunningWindowTieSpec extends SparkSpecBase {
+  import graft.api.OrderedStream
+  import graft.ts.{OnEventTrigger, TumblingWindow}
+  import org.apache.spark.sql.functions.{col, count, lit}
+
+  test("tied events share identical running counts in both insertion orders") {
+    val s = spark
+    import s.implicits._
+    for (rows <- Seq(Seq((1L, 10.0, 100L), (1L, 10.0, 200L), (1L, 20.0, 300L)),
+                     Seq((1L, 10.0, 200L), (1L, 10.0, 100L), (1L, 20.0, 300L)))) {
+      val out = new OrderedStream(rows.toDF("user_id", "ts", "event_id"), "ts")
+        .windowedTransform(TumblingWindow(86400), by = "user_id",
+          aggs = Map("run_n" -> count(lit(1))), trigger = OnEventTrigger)
+        .df.select("event_id", "run_n").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // both tied events see each other: run_n = 2 for each; the later
+      // event sees all three
+      assert(out == Seq((100L, 2L), (200L, 2L), (300L, 3L)))
+    }
+  }
+}
