@@ -850,6 +850,26 @@ object GateQueries {
         .orderBy("id_1", "id_2")
     },
 
+    // End-to-end multimodal dedup (round-10): phash pairs → pointer-
+    // jumping connected components → canonical keeper per image family,
+    // the image twin of q121's text pipeline. Within a fixture group
+    // the variants chain 0-1-2-3-4 through hamming-≤2 edges, so the
+    // closure must collapse multi-hop families (j=0 and j=4 are 4 bits
+    // apart — per-pair tagging cannot cluster them); the recursive-CTE
+    // oracle states the exact fixpoint. Corrupt rows carry no hash and
+    // stay out, mirrored by the oracle's residue filter.
+    "q139_image_clusters" -> { (s, d) =>
+      val ph = graft.multimodal.Multimodal
+        .imagePHash(phashBlobs(s, d), "doc_id", "blob")
+        .where(col("ok"))
+      val pairs = graft.dedup.Dedup.hammingNearDupPairs(ph, "doc_id",
+        "phash", maxHamming = 2, numBands = 4)
+      graft.dedup.Clusters.connectedComponents(pairs, "id_1", "id_2",
+          ph.select(col("doc_id")), "doc_id")
+        .withColumn("is_dup", col("doc_id") =!= col("cluster_id"))
+        .orderBy("doc_id")
+    },
+
     // batch UDF/UDTF surface (DataStream.transform): a mapPartitions
     // row function whose effect — per-document token count and a 1→N
     // fan-out flag row per long doc (the UDTF half) — SQL can state.
@@ -1064,6 +1084,26 @@ object GateQueries {
     // banding at maxHamming=2 < 4 bands is lossless (pigeonhole), so
     // the oracle is the brute-force hamming join over the same hashes
     "q135_image_neardup" -> neardupOracle(phashSqlExpr, 7),
+    // min-label reachability over the hamming-≤2 pair graph as a
+    // recursive closure — the exact fixpoint the pointer-jumping Spark
+    // iteration converges to (q121's oracle pattern on image hashes)
+    "q139_image_clusters" ->
+      s"""WITH RECURSIVE p AS (SELECT doc_id, doc_id // 5 AS g,
+         |    doc_id % 5 AS j
+         |  FROM documents WHERE doc_id % 10 <> 7),
+         |h AS (SELECT doc_id, $phashSqlExpr AS phash FROM p),
+         |conf AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2
+         |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 2),
+         |sym AS (SELECT id_1 AS a, id_2 AS b FROM conf
+         |  UNION ALL SELECT id_2, id_1 FROM conf),
+         |reach(v, r) AS (
+         |  SELECT doc_id, doc_id FROM h
+         |  UNION
+         |  SELECT reach.v, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+         |SELECT v AS doc_id, min(r) AS cluster_id,
+         |  (v <> min(r)) AS is_dup
+         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
     "q136_audio_phash" -> phashOracle(plantedHashSql(audioMult), 3),
     "q137_video_phash" -> phashOracle(plantedHashSql(videoMult), 6),
     "q138_audio_neardup" -> neardupOracle(plantedHashSql(audioMult), 3),

@@ -170,7 +170,14 @@ class PlanHygieneSpec extends SparkSpecBase {
     // subtrees) + pair distinct + sort
     "q134_image_phash" -> (1, 0), "q135_image_neardup" -> (4, 0),
     "q136_audio_phash" -> (1, 0), "q137_video_phash" -> (1, 0),
-    "q138_audio_neardup" -> (4, 0))
+    "q138_audio_neardup" -> (4, 0),
+    // q139 post-iteration like q121: checkpointed labels + flag + sort
+    "q139_image_clusters" -> (1, 0),
+    // tpch13 (round-10): per-custkey order pre-agg BELOW the broadcast
+    // left join + count-distribution agg + presentation sort — pinned so
+    // the pre-aggregation pushdown can't silently regress to the
+    // shuffle-every-order-row form
+    "tpch13" -> (3, 1))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
