@@ -859,9 +859,15 @@ object GateQueries {
     // oracle states the exact fixpoint. Corrupt rows carry no hash and
     // stay out, mirrored by the oracle's residue filter.
     "q139_image_clusters" -> { (s, d) =>
+      // checkpoint the decode ONCE (the q127 diamond rationale): the
+      // hash relation feeds both the pair generator and the node/label
+      // side of the CC iteration — lazily, the synthesize+decode scan
+      // (the expensive stage) would re-run per consumer and again for
+      // round-1 jobs of the loop
       val ph = graft.multimodal.Multimodal
         .imagePHash(phashBlobs(s, d), "doc_id", "blob")
         .where(col("ok"))
+        .localCheckpoint(true)
       val pairs = graft.dedup.Dedup.hammingNearDupPairs(ph, "doc_id",
         "phash", maxHamming = 2, numBands = 4)
       graft.dedup.Clusters.connectedComponents(pairs, "id_1", "id_2",
