@@ -276,13 +276,14 @@ class DataStream(val df: DataFrame) {
     * returns the points as a one-row frame; no later action is needed
     * to trigger the work. Bit-compatible with the built-in `percentile`
     * (same interpolation expression) INCLUDING the empty-input case: a
-    * column with no non-null rows yields null points, not NaN. */
+    * column with no non-null rows yields a NULL array — the built-in's
+    * exact shape (not an array of null points). */
   def exactQuantile(c: String, quantiles: Seq[Double]): DataStream = {
     val points = graft.agg.OrderStat.exactPercentilesOpt(df, c, quantiles)
-      .map(_.toSeq.map(lit))
-      .getOrElse(quantiles.map(_ => lit(null).cast("double")))
+      .map(qs => array(qs.toSeq.map(lit): _*))
+      .getOrElse(lit(null).cast("array<double>"))
     new DataStream(df.sparkSession.range(1)
-      .select(array(points: _*).as("quantiles")))
+      .select(points.as("quantiles")))
   }
 
   // ---- sorts / top-k (datastream.py:1702-1767) ------------------------

@@ -84,11 +84,33 @@ object Det {
     * the per-instance form (long multiply is exact while
     * |value|·10^scale · w < 2^63 — at scale 12 that is w ≲ 9.2e6 per
     * distinct |value| ≤ 1 row, far above any per-key repeat factor). */
-  def dsumWeighted(c: Column, w: Column, scale: Int = 6): Column = {
+  def dsumWeighted(c: Column, w: Column, scale: Int = 6): Column =
+    if (checkedMode) dsumWeightedChecked(c, w, scale)
+    else dsumWeightedRaw(c, w, scale)
+  private def dsumWeightedRaw(c: Column, w: Column, scale: Int): Column = {
     val p = lit(math.pow(10, scale))
     org.apache.spark.sql.functions.call_function(
       "dsum128", bround(c * p, 0).cast("long") * w.cast("long"))
       .cast("double") / p
+  }
+  /** [[dsumWeighted]] with BOTH exactness contracts enforced per row
+    * (mirrors [[dsumChecked]] under checked mode, which plain
+    * dsumWeighted previously bypassed — round-10 review): the value must
+    * have an exact scaled-integer representation, and the scaled-integer
+    * × weight product must fit a signed 64-bit long or the multiply
+    * would wrap silently in non-ANSI Spark. The product test runs in
+    * double (exact enough for a guardrail two orders below the wrap). */
+  def dsumWeightedChecked(c: Column, w: Column, scale: Int = 6): Column = {
+    val p = math.pow(10, scale)
+    val valCap = lit(math.pow(2, 53) / p)
+    val bad = abs(c) > valCap ||
+      abs(c) * lit(p) * w.cast("double") > lit(9.0e18)
+    dsumWeightedRaw(when(bad,
+      raise_error(concat(
+        lit(s"Det.dsumWeighted overflow at scale $scale: value "),
+        c.cast("string"), lit(" x weight "), w.cast("string"),
+        lit(" — exact weighted scaled-integer sum impossible; lower " +
+          "the scale or pre-split the weight")))).otherwise(c), w, scale)
   }
   /** Window-safe [[dsum]] half: a bare aggregate (no trailing cast /
     * divide) so `.over(w)` applies; finish with [[dwinFinish]]. */

@@ -125,6 +125,7 @@ object Multimodal {
     * `None` when no installed reader claims the bytes or the stream is
     * corrupt — callers keep the row and mark it, never drop it. */
   def decodeImage(bytes: Array[Byte]): Option[ImageInfo] = {
+    if (bytes == null) return None // null blob: flagged row, never a crash
     import javax.imageio.ImageIO
     if (!maybeImage(bytes)) return None
     try {
@@ -188,7 +189,8 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
+        it.map { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
           decodeImage(bytes) match {
             case Some(i) =>
               ImageMeta(id, bytes.length.toLong, ok = true, i.format,
@@ -213,6 +215,7 @@ object Multimodal {
     * `None` when no installed reader claims the bytes or the image is
     * smaller than the 9×8 grid (no meaningful gradient signature). */
   def dHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null) return None // null blob: flagged row, never a crash
     if (!maybeImage(bytes)) return None
     try {
       val img = javax.imageio.ImageIO.read(
@@ -260,13 +263,20 @@ object Multimodal {
     * phash (ok=false) for blobs [[dHash64]] declines — rows kept, never
     * dropped. Narrow (no blob shuffle): only the 1-long hash flows into
     * the downstream hamming band join. */
-  def imagePHash(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+  def imagePHash(df: DataFrame, idCol: String, blobCol: String): DataFrame =
+    phashDf(df, idCol, blobCol)(dHash64)
+
+  /** Shared (id, ok, phash) partition-wise wrapper for the three
+    * modality fingerprints (round-10 review: was three verbatim
+    * copies). Undecodable blobs stay flagged rows with a null hash. */
+  private def phashDf(df: DataFrame, idCol: String, blobCol: String)(
+      hashOf: Array[Byte] => Option[Long]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        dHash64(bytes) match {
+        hashOf(bytes) match {
           case Some(hs) => (id, true, Some(hs))
           case None     => (id, false, None: Option[Long])
         }
@@ -370,6 +380,7 @@ object Multimodal {
   }
 
   def decodeAudio(bytes: Array[Byte]): Option[AudioInfo] = {
+    if (bytes == null) return None // null blob: flagged row, never a crash
     parseWavPcm16(bytes) match {
       case Some((rate, ch, frames, dataOff, truncated)) =>
         if (truncated) return None
@@ -466,7 +477,8 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
+        it.map { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
           decodeAudio(bytes) match {
             case Some(a) =>
               AudioMeta(id, bytes.length.toLong, ok = true, a.format,
@@ -490,32 +502,37 @@ object Multimodal {
     * [[graft.dedup.Dedup.hammingNearDupPairs]] is the similarity path
     * (same operator as image dHash). `None` for non-PCM16 / corrupt
     * bytes or fewer than 65 frames (no meaningful envelope). */
-  def audioPHash64(bytes: Array[Byte]): Option[Long] = {
-    // envelope bits from a (channel-0 sample at frame i) accessor —
-    // shared by the lock-free WAV fast path and the javax fallback
-    def envelope(n: Long, sample: Int => Long): Option[Long] = {
-      if (n < 65) return None
-      val sums = new Array[Long](65)
-      val counts = new Array[Long](65)
-      var i = 0
-      while (i < n) {
-        val blk = (i.toLong * 65 / n).toInt
-        sums(blk) += sample(i); counts(blk) += 1
-        i += 1
-      }
-      var hash = 0L
-      var k = 0
-      while (k < 64) {
-        if (sums(k + 1) / counts(k + 1) > sums(k) / counts(k))
-          hash |= 1L << k
-        k += 1
-      }
-      Some(hash)
+  /** 64 strict-mean envelope bits over 65 equal-share blocks of a
+    * sequence — the shared fold behind [[audioPHash64]] (per-frame
+    * channel-0 samples) and [[videoPHash64]] (per-frame luma sums):
+    * bit k set iff integer block mean k+1 > block mean k. None below
+    * 65 elements (no meaningful envelope). */
+  private def envelope64(n: Long, sample: Int => Long): Option[Long] = {
+    if (n < 65) return None
+    val sums = new Array[Long](65)
+    val counts = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val blk = (i.toLong * 65 / n).toInt
+      sums(blk) += sample(i); counts(blk) += 1
+      i += 1
     }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (sums(k + 1) / counts(k + 1) > sums(k) / counts(k))
+        hash |= 1L << k
+      k += 1
+    }
+    Some(hash)
+  }
+
+  def audioPHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null) return None // null blob: flagged row, never a crash
     parseWavPcm16(bytes) match {
       case Some((_, ch, frames, dataOff, truncated)) =>
         if (truncated) return None
-        return envelope(frames, { i =>
+        return envelope64(frames, { i =>
           val o = dataOff + 2 * ch * i
           (((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)).toShort.toLong
         })
@@ -540,7 +557,7 @@ object Multimodal {
             None
           else {
             val le = !f.isBigEndian
-            envelope(data.length / frameBytes, { i =>
+            envelope64(data.length / frameBytes, { i =>
               val b0 = data(frameBytes * i) & 0xff
               val b1 = data(frameBytes * i + 1) & 0xff
               (if (le) (b1 << 8) | b0 else (b0 << 8) | b1).toShort.toLong
@@ -560,6 +577,7 @@ object Multimodal {
     * image/audio hashes. `None` for non-Y4M / truncated bytes or fewer
     * than 65 frames. */
   def videoPHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null) return None // null blob: flagged row, never a crash
     val frameSums = scala.collection.mutable.ArrayBuffer.empty[Long]
     walkY4m(bytes) { (_, off, len) =>
       var i = off
@@ -568,56 +586,18 @@ object Multimodal {
       while (i < end) { s += bytes(i) & 0xff; i += 1 }
       frameSums += s
     }.flatMap { case (_, _, _, _, n) =>
-      if (n < 65) None
-      else {
-        val sums = new Array[Long](65)
-        val counts = new Array[Long](65)
-        var i = 0
-        while (i < n) {
-          val g = (i.toLong * 65 / n).toInt
-          sums(g) += frameSums(i); counts(g) += 1
-          i += 1
-        }
-        var hash = 0L
-        var k = 0
-        while (k < 64) {
-          if (sums(k + 1) / counts(k + 1) > sums(k) / counts(k))
-            hash |= 1L << k
-          k += 1
-        }
-        Some(hash)
-      }
+      envelope64(n, frameSums(_))
     }
   }
 
   /** [[imagePHash]]'s audio twin: (id, ok, phash) via [[audioPHash64]],
     * corrupt rows kept flagged with a null hash. */
-  def audioPHash(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        audioPHash64(bytes) match {
-          case Some(hs) => (id, true, Some(hs))
-          case None     => (id, false, None: Option[Long])
-        }
-      }).toDF(idCol, "ok", "phash")
-  }
+  def audioPHash(df: DataFrame, idCol: String, blobCol: String): DataFrame =
+    phashDf(df, idCol, blobCol)(audioPHash64)
 
   /** [[imagePHash]]'s video twin: (id, ok, phash) via [[videoPHash64]]. */
-  def videoPHash(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(blobCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        videoPHash64(bytes) match {
-          case Some(hs) => (id, true, Some(hs))
-          case None     => (id, false, None: Option[Long])
-        }
-      }).toDF(idCol, "ok", "phash")
-  }
+  def videoPHash(df: DataFrame, idCol: String, blobCol: String): DataFrame =
+    phashDf(df, idCol, blobCol)(videoPHash64)
 
   /** REAL sample-derived audio features: per-channel mean amplitude
     * (signed, normalized by 1<<15 into [-1,1)) as a dense `array<double>`
@@ -644,6 +624,7 @@ object Multimodal {
     * same lock-free [[parseWavPcm16]] fast path; only non-WAV or
     * truncated bytes reach javax.sound's synchronized registry. */
   private def decodeAudioChannelSums(bytes: Array[Byte]): Option[Array[Double]] = {
+    if (bytes == null) return None // null blob: flagged row, never a crash
     parseWavPcm16(bytes) match {
       case Some((_, ch, frames, dataOff, truncated)) if !truncated =>
         if (frames == 0) return None
@@ -702,6 +683,7 @@ object Multimodal {
     * [[decodeAudio]] (javax.sound.sampled). */
   private def walkY4m(bytes: Array[Byte])(
       onFrame: (Int, Int, Int) => Unit): Option[(Int, Int, Int, Int, Int)] = {
+    if (bytes == null) return None // null blob: flagged row, never a crash
     val magic = "YUV4MPEG2 ".getBytes("US-ASCII")
     val headerEnd = bytes.indexOf('\n'.toByte)
     if (bytes.length < magic.length ||
@@ -762,6 +744,7 @@ object Multimodal {
     * luma sums over every frame (and frame 0 alone) — `None` for
     * non-Y4M / unsupported / truncated bytes. */
   def decodeVideo(bytes: Array[Byte]): Option[VideoInfo] = {
+    if (bytes == null) return None // null blob: flagged row, never a crash
     var ySum = 0L
     var y0Sum = 0L
     walkY4m(bytes) { (idx, off, len) =>
@@ -817,7 +800,8 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
+        it.map { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
           decodeVideo(bytes) match {
             case Some(v) =>
               VideoMeta(id, bytes.length.toLong, ok = true, "y4m",
@@ -926,7 +910,8 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
+        it.map { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
           decodeImage(bytes) match {
             case Some(i) =>
               MediaMeta(id, bytes.length.toLong, i.format, i.width, i.height, 1)
@@ -958,7 +943,8 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.flatMap { case (id, bytes) =>
+        it.flatMap { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
           val nChunks = math.max(1, (bytes.length + frameSize - 1) / frameSize)
           (0 until nChunks by every).iterator.map { i =>
             val off = i * frameSize
@@ -988,7 +974,8 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(blobCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
+        it.map { case (id, bytes0) =>
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
           val out = scaleImage(bytes, targetW, targetH)
             .getOrElse(byteStrideDownsample(bytes, targetW, targetH))
           (id, out, targetW, targetH)

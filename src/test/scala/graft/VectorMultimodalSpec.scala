@@ -601,6 +601,30 @@ class AvPHashSpec extends SparkSpecBase {
     }
   }
 
+  test("null blobs stay flagged rows across every decode/hash path (no NPE)") {
+    val s = spark
+    import s.implicits._
+    // direct byte-level entries
+    assert(Multimodal.dHash64(null).isEmpty)
+    assert(Multimodal.audioPHash64(null).isEmpty)
+    assert(Multimodal.videoPHash64(null).isEmpty)
+    assert(Multimodal.decodeAudio(null).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    assert(Multimodal.decodeVideo(null).isEmpty)
+    // DataFrame wrappers: a null blob column value must come back as a
+    // flagged row, never abort the task
+    val df = Seq((1L, audioFor(5L, 1, 1)), (2L, null: Array[Byte]))
+      .toDF("id", "blob")
+    val ph = Multimodal.audioPHash(df, "id", "blob").orderBy("id").collect()
+    assert(ph(0).getBoolean(1) && !ph(1).getBoolean(1) && ph(1).isNullAt(2))
+    val am = Multimodal.audioMeta(df, "id", "blob").collect().sortBy(_.id)
+    assert(am(1).ok == false && am(1).byte_len == 0L)
+    val im = Multimodal.imageMeta(df, "id", "blob").collect().sortBy(_.id)
+    assert(im(1).ok == false)
+    assert(Multimodal.frameSample(df, "id", "blob", 32, 2).count() >= 1)
+    assert(Multimodal.decodeMeta(df, "id", "blob").count() == 2)
+  }
+
   test("single-bit sensitivity: one envelope change is hamming 1 in both modalities") {
     val base = 0x00ff00ff00ff00ffL
     val aFlip = Multimodal.audioPHash64(audioFor(base ^ (1L << 21), 2, 1)).get
