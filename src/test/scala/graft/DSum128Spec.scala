@@ -58,4 +58,38 @@ class DSum128Spec extends AnyFunSuite {
     val e = df.filter(col("k") > 100).agg(Det.dsum(col("v"))).head()
     assert(e.isNullAt(0))
   }
+
+  test("Det.dsumWeighted(v, n) equals dsum over n exploded copies bit-for-bit") {
+    // the exactness contract the q131 pre-aggregation rewrite rests on:
+    // summing a value with integer multiplicity n must produce the SAME
+    // int128 total as summing n physical copies (weights up to the
+    // per-key repeat factors a corpus shows, values in (0, 1] like the
+    // bigram probabilities)
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 2000).map { i =>
+      (i % 11, 1.0 / (1 + (i * 7) % 97), 1L + (i * 13) % 29)
+    }
+    val grouped = rows.toDF("k", "v", "n").repartition(4)
+    val exploded = rows.flatMap { case (k, v, n) =>
+      Seq.fill(n.toInt)((k, v))
+    }.toDF("k", "v").repartition(4)
+    val a = grouped.groupBy("k")
+      .agg(Det.dsumWeighted(col("v"), col("n"), 12).as("x"))
+    val b = exploded.groupBy("k").agg(Det.dsum(col("v"), 12).as("x"))
+    val bad = a.withColumnRenamed("x", "ax").join(b, "k")
+      .filter(col("ax") =!= col("x")).count()
+    assert(bad == 0)
+    // checked variant agrees on in-range input and rejects a wrapping
+    // weight loudly
+    val c = grouped.groupBy("k")
+      .agg(Det.dsumWeightedChecked(col("v"), col("n"), 12).as("x"))
+    assert(a.exceptAll(c).count() == 0)
+    val boom = intercept[Exception] {
+      Seq((1.0, Long.MaxValue / 2)).toDF("v", "n")
+        .agg(Det.dsumWeightedChecked(col("v"), col("n"), 12)).collect()
+    }
+    assert(boom.getMessage.contains("dsumWeighted overflow") ||
+      Option(boom.getCause).exists(_.getMessage.contains("dsumWeighted overflow")))
+  }
 }
