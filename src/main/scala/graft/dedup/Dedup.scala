@@ -219,7 +219,15 @@ object Dedup {
     * hashes each image once. `maxBucket` caps degenerate buckets
     * (identical boilerplate images collide on every subset) exactly
     * like [[lshCandidates]] — the production answer to duplicate
-    * FAMILIES, whose within-bucket pair count no key width can fix. */
+    * FAMILIES, whose within-bucket pair count no key width can fix.
+    *
+    * Hash-width contract: the column must carry FULL-WIDTH 64-bit
+    * fingerprints (the modality hashes here do). A narrow hash — e.g.
+    * the 24-bit [[simhash]], whose width the DuckDB-portable token hash
+    * caps — leaves the high bands identically zero, so every row
+    * collides on any subset touching them and the join degenerates;
+    * text near-dup's scale path is MinHash-LSH ([[lshNearDupPairs]]),
+    * not banded simhash. */
   def hammingNearDupPairs(
       df: DataFrame, idCol: String, hashCol: String, maxHamming: Int,
       numBands: Int = 4, maxBucket: Option[Int] = None): DataFrame = {
