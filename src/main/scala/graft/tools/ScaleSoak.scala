@@ -119,6 +119,10 @@ object ScaleSoak {
     // decode-linear, q135 adds the hamming band join (signature-sized
     // shuffles only — the 10× ratio proves the banding never goes
     // quadratic)
+    // round-10 tie-proofing touched the as-of sort keys (payload
+    // columns extend the window/merge orderings) — prove the 10×
+    // behavior of the batch as-of and the backtest that builds on it
+    "q41_asof_join", "q80_backtest",
     "q132_doc_chunking", "q133_eval_sample",
     "q134_image_phash", "q135_image_neardup",
     // the audio/video fingerprint tier — decode is scan-local (linear
