@@ -43,6 +43,21 @@ object CurationQueries {
   private val chunkOverlap = 3
   // q133: 5 docs per language (languages have ~100 docs at sf0.01)
   private val evalK = 5
+  // q140: φ = 1/30 of the token stream (~905 at sf0.01 — the 31-token
+  // fixture vocabulary straddles it, so both branches are exercised at
+  // every sf); capacity 64 ≥ φ⁻¹ gives the exactness guarantee
+  private val hhPhiInverse = 30L
+  private val hhCapacity = 64
+  // q141: multiplier 16 — languages with ≤16 docs keep all (exercised at
+  // sf0.001), larger ones keep ⌊√(16n)⌋ (en 218 → 59 at sf0.01)
+  private val sqrtMixMultiplier = 16L
+  // q142: 5-token sliding windows in ≥2 docs; the fixture's repeated
+  // phrases give flagged windows that merge into multi-window spans
+  private val dupSpanWidth = 5
+  private val dupSpanMinDf = 2L
+  // q144: top-3 keywords — the 31-token vocabulary makes df spread wide
+  // enough that score ties exist AND break deterministically by token
+  private val keywordK = 3
 
   val queries: Map[String, Q] = Map(
     // near-dup clusters: LSH pairs → connected components → canonical
@@ -216,6 +231,55 @@ object CurationQueries {
         docs.filter(col("doc_id") % 10 === 0),
         "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // exact φ-heavy-hitters: per-partition Misra-Gries candidates +
+    // exact verify pass — the groupBy-free way to find every token at
+    // ≥ N/30 frequency when the distinct-token universe dwarfs memory.
+    "q140_heavy_hitters" -> { (s, d) =>
+      graft.agg.HeavyHitters.exactHeavyHitters(
+        documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("token")),
+        "token", hhPhiInverse, hhCapacity)
+        .orderBy("token")
+    },
+
+    // τ=0.5 temperature rebalancing: each stratum keeps min(n, ⌊√(16n)⌋)
+    // docs by salted-hash rank — integer-exact targets, reproducible set.
+    "q141_sqrt_temp_sample" -> { (s, d) =>
+      Curation.sqrtTemperatureSample(
+        documents(s, d).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", sqrtMixMultiplier, "r10")
+        .select("doc_id", "lang", "n_docs", "k_target", "sample_rank")
+        .orderBy("doc_id")
+    },
+
+    // suffix-style substring dedup: sliding 5-token windows duplicated
+    // across ≥2 docs, merged per doc into maximal spans (q129 catches
+    // only tile-aligned repeats; this catches every alignment).
+    "q142_substring_dup" -> { (s, d) =>
+      Curation.dupSubstringSpans(documents(s, d), "doc_id", "text",
+        dupSpanWidth, dupSpanMinDf)
+        .orderBy("doc_id", "span_i")
+    },
+
+    // span-level decontamination: maximal spans of train docs whose
+    // sliding windows appear verbatim in the held-out split — q120
+    // counts contamination, this locates it for redaction.
+    "q143_contamination_spans" -> { (s, d) =>
+      val docs = documents(s, d)
+      Curation.contaminationSpans(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", dupSpanWidth)
+        .orderBy("doc_id", "span_i")
+    },
+
+    // integer-exact tf-idf keyword extraction: ⌊tf·10¹²/df⌋ score (rank-
+    // equivalent to tf·N/df, transcendental-free), top-3 per doc.
+    "q144_tfidf_keywords" -> { (s, d) =>
+      CorpusOps.tfIdfKeywords(documents(s, d), "doc_id", "text", keywordK)
+        .orderBy("doc_id", "kw_rank")
     }
   )
 
@@ -421,6 +485,103 @@ object CurationQueries {
          |  FROM p GROUP BY doc_id)
          |SELECT s.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
          |  coalesce(a.mean_p, 0.0) AS mean_p
-         |FROM sco s LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+         |FROM sco s LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // The sketch-then-verify output is bit-identical to the plain exact
+    // groupBy with the derived threshold — that equivalence IS the
+    // operator's contract, so the oracle is the full aggregate.
+    "q140_heavy_hitters" ->
+      s"""WITH toks AS (SELECT ${toksSql("text")} AS t FROM documents),
+         |tok AS (SELECT unnest(t) AS token FROM toks),
+         |tot AS (SELECT count(*) AS nn FROM tok)
+         |SELECT token, count(*) AS n FROM tok GROUP BY token
+         |HAVING count(*) >= (SELECT greatest(1, nn // $hhPhiInverse) FROM tot)
+         |ORDER BY token""".stripMargin,
+
+    // Mirrors Curation.sqrtTemperatureSample: the guarded-⌊√x⌋ target,
+    // the salted md5 rank of q133's pattern.
+    "q141_sqrt_temp_sample" -> {
+      val m = sqrtMixMultiplier
+      s"""WITH t AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         |s0 AS (SELECT lang, n_docs, n_docs * $m AS x,
+         |    CAST(floor(sqrt(CAST(n_docs * $m AS DOUBLE))) AS BIGINT) AS s0 FROM t),
+         |s1 AS (SELECT lang, n_docs, x,
+         |    CASE WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END AS s1 FROM s0),
+         |k AS (SELECT lang, n_docs, least(n_docs,
+         |    CASE WHEN (s1+1)*(s1+1) <= x THEN s1 + 1 ELSE s1 END) AS k_target FROM s1),
+         |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY md5(concat('sqrtmix:r10:', CAST(doc_id AS VARCHAR))), doc_id)
+         |    AS sample_rank FROM documents)
+         |SELECT r.doc_id, r.lang, k.n_docs, k.k_target, r.sample_rank
+         |FROM r JOIN k USING (lang) WHERE sample_rank <= k_target
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // Mirrors Curation.dupSubstringSpans: sliding width-token windows,
+    // distinct-doc frequency, gaps-and-islands merge (starts are unique
+    // per doc so the running sum's frame is unambiguous).
+    "q142_substring_dup" -> {
+      val (w, d) = (dupSpanWidth, dupSpanMinDf)
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |par AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= $w),
+         |win AS (SELECT doc_id, i AS s, array_to_string(t[(i+1):(i+$w)], ' ') AS span
+         |  FROM par, LATERAL (SELECT unnest(range(n - $w + 1)) AS i)),
+         |dup AS (SELECT span FROM win GROUP BY span
+         |  HAVING count(DISTINCT doc_id) >= $d),
+         |fl AS (SELECT doc_id, s FROM win WHERE span IN (SELECT span FROM dup)),
+         |m AS (SELECT doc_id, s, max(s + $w) OVER (PARTITION BY doc_id ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM fl),
+         |isl AS (SELECT doc_id, s, sum(CASE WHEN pe IS NULL OR s > pe
+         |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s
+         |    ROWS UNBOUNDED PRECEDING) AS g FROM m),
+         |sp AS (SELECT doc_id, g, min(s) AS span_start,
+         |    max(s) + $w - min(s) AS span_len, count(*) AS n_windows
+         |  FROM isl GROUP BY doc_id, g)
+         |SELECT doc_id, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY span_start) AS span_i,
+         |  span_start, span_len, n_windows
+         |FROM sp ORDER BY doc_id, span_i""".stripMargin
+    },
+
+    // q142's window/island mirror with the flag condition swapped to
+    // "window content present in the held-out split".
+    "q143_contamination_spans" -> {
+      val w = dupSpanWidth
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |par AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= $w),
+         |win AS (SELECT doc_id, i AS s, array_to_string(t[(i+1):(i+$w)], ' ') AS span
+         |  FROM par, LATERAL (SELECT unnest(range(n - $w + 1)) AS i)),
+         |winT AS (SELECT * FROM win WHERE doc_id % 10 <> 0),
+         |winE AS (SELECT DISTINCT span FROM win WHERE doc_id % 10 = 0),
+         |fl AS (SELECT doc_id, s FROM winT
+         |  WHERE span IN (SELECT span FROM winE)),
+         |m AS (SELECT doc_id, s, max(s + $w) OVER (PARTITION BY doc_id ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM fl),
+         |isl AS (SELECT doc_id, s, sum(CASE WHEN pe IS NULL OR s > pe
+         |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s
+         |    ROWS UNBOUNDED PRECEDING) AS g FROM m),
+         |sp AS (SELECT doc_id, g, min(s) AS span_start,
+         |    max(s) + $w - min(s) AS span_len, count(*) AS n_windows
+         |  FROM isl GROUP BY doc_id, g)
+         |SELECT doc_id, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY span_start) AS span_i,
+         |  span_start, span_len, n_windows
+         |FROM sp ORDER BY doc_id, span_i""".stripMargin
+    },
+
+    // Mirrors CorpusOps.tfIdfKeywords: df derived from the (id, token)
+    // tf relation, integer-floor score, token-ascending tie-break.
+    "q144_tfidf_keywords" ->
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+         |    (tf.tf * 1000000000000) // dfq.df AS score
+         |  FROM tf JOIN dfq USING (token)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, token ASC) AS kw_rank FROM sc)
+         |SELECT doc_id, kw_rank, token, tf, df, score FROM r
+         |WHERE kw_rank <= $keywordK ORDER BY doc_id, kw_rank""".stripMargin
   )
 }

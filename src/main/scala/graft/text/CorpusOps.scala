@@ -132,4 +132,45 @@ object CorpusOps {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("mean_p"), lit(0.0)).as("mean_p"))
   }
+
+  /** Per-document top-`k` tf-idf keywords with an integer-exact score:
+    * score = ⌊tf · 10¹² / df⌋ (df = distinct documents containing the
+    * token). Rank-equivalent to classical tf · (N/df) for a fixed corpus
+    * (N is a constant positive factor), but pure integer arithmetic — no
+    * logarithm, so the ranking is bit-reproducible on any engine (the
+    * transcendental-free rule every gated score here follows); ties
+    * break by token text ascending. The 10¹² scale keeps distinct tf/df
+    * ratios distinct up to trillion-token corpora while tf · 10¹² stays
+    * far inside int64 for any real document.
+    *
+    * Scale shape: tf is one hash aggregate on (id, token); df derives
+    * from tf by a second aggregate on token (no rescan); the score join
+    * is keyed on token — `broadcastVocab` broadcasts the df side when
+    * the vocabulary is known to be small, the default shuffle join is
+    * the honest 100 TB shape (a web-scale token universe is not
+    * broadcastable); the top-k is a per-doc window on the id exchange.
+    *
+    * Returns (idCol, kw_rank, token, tf, df, score), kw_rank 1-based. */
+  def tfIdfKeywords(df: DataFrame, idCol: String, textCol: String, k: Int,
+      broadcastVocab: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = df.select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // tf is already distinct per (id, token), so count(*) IS the
+    // distinct-document frequency — no countDistinct pass needed
+    val dfreq0 = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dfreq = if (broadcastVocab) broadcast(dfreq0) else dfreq0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, Seq("token"))
+      .withColumn("score",
+        expr("tf * 1000000000000 div df"))
+      .withColumn("kw_rank", row_number().over(w).cast("long"))
+      .filter(col("kw_rank") <= k)
+      .select(col(idCol), col("kw_rank"), col("token"), col("tf"),
+        col("df"), col("score"))
+  }
 }

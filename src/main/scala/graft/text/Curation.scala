@@ -265,4 +265,167 @@ object Curation {
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
       .drop("__key")
   }
+
+  // ---- temperature-rebalanced stratum sampling -------------------------
+
+  /** Exact integer square root as a Column: ⌊√x⌋ for any long (negatives
+    * map to 0). `sqrt` is IEEE-correctly-rounded (identical in every
+    * engine) and lands within ±1 of ⌊√x⌋ for every int64; the integer
+    * guards repair that — the result is exact, so any engine computing
+    * exact ⌊√x⌋ by its own route agrees bit-for-bit. The clamp at
+    * ⌊√Long.MaxValue⌋ = 3037000499 keeps both guard squares inside
+    * int64 (3037000500² overflows; no long has a larger root). */
+  private[graft] def intSqrt(x: Column): Column = {
+    val lim = 3037000499L
+    val s0 = least(floor(sqrt(x.cast("double"))).cast("long"), lit(lim))
+    val s1 = when(s0 * s0 > x, s0 - 1L).otherwise(s0)
+    val s2 = when(s1 < lim && (s1 + 1L) * (s1 + 1L) <= x, s1 + 1L)
+      .otherwise(s1)
+    when(x <= 0L, lit(0L)).otherwise(s2)
+  }
+
+  /** Temperature-rebalanced per-stratum sampling (the multilingual
+    * τ = 0.5 mixing rule: sample sizes proportional to √n flatten a
+    * skewed stratum distribution so large strata stop drowning small
+    * ones). Each stratum keeps exactly k = min(n, ⌊√(n·multiplier)⌋)
+    * rows — pure integer arithmetic ([[intSqrt]]), so the target sizes
+    * and the sampled SET are bit-reproducible on any engine or cluster
+    * size. `multiplier` is the scale knob: strata with n ≤ multiplier
+    * keep everything, larger strata keep √(n·multiplier) (e.g. m = 16:
+    * n = 1024 → 128 kept, n = 16 → all 16).
+    *
+    * Which k rows: the salted-hash rank of [[exactKPerStratum]] — a
+    * deterministic uniform draw uncorrelated with any other hash-of-id
+    * use in the pipeline.
+    *
+    * Scale shape: stratum sizes are a tiny aggregate broadcast back; the
+    * rank is one hash exchange on the stratum key + a per-stratum window
+    * — the q125/q133 shape with a data-derived k.
+    *
+    * Returns the input columns plus (n_docs, k_target, sample_rank). */
+  def sqrtTemperatureSample(df: DataFrame, stratumCol: String, idCol: String,
+      multiplier: Long, seed: String): DataFrame = {
+    require(multiplier > 0, s"multiplier must be positive, got $multiplier")
+    val clash = df.columns.toSet
+      .intersect(Set("n_docs", "k_target", "sample_rank", "__sk"))
+    require(clash.isEmpty,
+      s"sqrtTemperatureSample adds columns ${clash.mkString(", ")} the " +
+        "input already has — rename them first")
+    val totals = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("k_target",
+        least(col("n_docs"), intSqrt(col("n_docs") * lit(multiplier))))
+    val key = TextOps.md5Hex(
+      concat(lit(s"sqrtmix:$seed:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("__sk"), col(idCol))
+    df.withColumn("__sk", key)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .join(broadcast(totals), Seq(stratumCol))
+      .filter(col("sample_rank") <= col("k_target"))
+      .drop("__sk")
+  }
+
+  // ---- cross-document duplicated-substring spans -----------------------
+
+  /** Find maximal duplicated substring spans: every `widthTokens`-token
+    * SLIDING window (stride 1, so duplicates are caught at any token
+    * alignment — the property [[spanDedup]]'s disjoint tiling gives up)
+    * is hashed; windows whose content appears in ≥ `minDocFreq` distinct
+    * documents are flagged; per document, overlapping flagged windows
+    * merge into maximal spans. This is the fixed-width form of
+    * suffix-style training-data dedup ("drop any ≥ W-token substring
+    * that repeats across the corpus"): a duplicated run of L ≥ W tokens
+    * produces L − W + 1 flagged windows that merge back into exactly the
+    * [start, start+L) span.
+    *
+    * Scale shape: the window explode is scan-local and linear in token
+    * count (one row per token position, each (id, start, 16-byte md5) —
+    * span text never leaves the scan); the frequency aggregate shuffles
+    * those narrow triples; the flagged-hash set is Zipf-tiny and
+    * broadcasts (`broadcastFrequent = false` for adversarial corpora);
+    * the merge is one hash exchange on doc id + an ordered window.
+    *
+    * Returns (idCol, span_i, span_start, span_len, n_windows): span_i
+    * numbers a document's spans by position from 1, span_len counts
+    * tokens, n_windows the flagged windows the span merged. Documents
+    * with no duplicated window produce no rows. */
+  def dupSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+      widthTokens: Int, minDocFreq: Long,
+      broadcastFrequent: Boolean = true): DataFrame = {
+    require(widthTokens > 0, s"widthTokens must be positive, got $widthTokens")
+    require(minDocFreq > 1, s"minDocFreq must be > 1, got $minDocFreq")
+    val wins = slidingWindowHashes(df, idCol, textCol, widthTokens)
+    val dup0 = wins.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__h"))
+    val dup = if (broadcastFrequent) broadcast(dup0) else dup0
+    mergeWindowIslands(wins.join(dup, Seq("__h"), "left_semi"),
+      idCol, widthTokens)
+  }
+
+  /** Span-level train/test decontamination: flag every maximal span of a
+    * `train` document whose `widthTokens`-token sliding windows appear
+    * verbatim anywhere in `test` — the positional form of [[graft.dedup.Dedup.decontaminationTags]]
+    * (which only counts overlaps): knowing WHERE the contamination sits
+    * lets a pipeline redact the span instead of dropping the document.
+    *
+    * Scale shape: the test side reduces to a distinct window-hash set
+    * and broadcasts (`broadcastTest = false` degrades to a shuffle join
+    * on the 16-byte hash for an outsized test corpus); the train side is
+    * the [[dupSubstringSpans]] shape — scan-local window hashing, narrow
+    * triples on every exchange, island merge on one doc-id exchange.
+    *
+    * Returns (idCol, span_i, span_start, span_len, n_windows) — same
+    * contract as [[dupSubstringSpans]]; clean documents produce no rows. */
+  def contaminationSpans(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, widthTokens: Int,
+      broadcastTest: Boolean = true): DataFrame = {
+    require(widthTokens > 0, s"widthTokens must be positive, got $widthTokens")
+    val testWins0 = slidingWindowHashes(test, idCol, textCol, widthTokens)
+      .select(col("__h")).distinct()
+    val testWins = if (broadcastTest) broadcast(testWins0) else testWins0
+    val flagged = slidingWindowHashes(train, idCol, textCol, widthTokens)
+      .join(testWins, Seq("__h"), "left_semi")
+    mergeWindowIslands(flagged, idCol, widthTokens)
+  }
+
+  /** (idCol, s, __h): every full-width sliding token window as
+    * (start, md5-of-span) — the compiled TokenWindows build at stride 1.
+    * Sub-width documents emit one short window — dropped, they cannot
+    * contain a width-token substring. Scan-local; span text never
+    * leaves the projection. */
+  private def slidingWindowHashes(df: DataFrame, idCol: String,
+      textCol: String, widthTokens: Int): DataFrame =
+    df.select(col(idCol),
+        explode(call_function("token_windows", col(textCol),
+          lit(widthTokens), lit(1))).as("c"))
+      .filter(col("c.n_tokens") === widthTokens)
+      .select(col(idCol), col("c.tok_start").cast("long").as("s"),
+        md5(col("c.span").cast("binary")).as("__h"))
+
+  /** Gaps-and-islands merge of flagged (idCol, s) windows into maximal
+    * [span_start, span_start + span_len) spans: a window starts a new
+    * span iff it begins past every earlier window's end (starts are
+    * unique per doc, so the running sum's default frame is
+    * deterministic). One hash exchange on doc id; all three windows
+    * reuse that partitioning. */
+  private def mergeWindowIslands(flagged: DataFrame, idCol: String,
+      widthTokens: Int): DataFrame = {
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("s"))
+    val prevEnd = max(col("s") + lit(widthTokens.toLong))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("__new",
+        when(prevEnd.isNull || col("s") > prevEnd, 1L).otherwise(0L))
+      .withColumn("__g", sum(col("__new")).over(wOrd))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("s")).as("span_start"),
+        (max(col("s")) + lit(widthTokens.toLong) - min(col("s"))).as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .withColumn("span_i", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("span_start"))).cast("long"))
+      .select(col(idCol), col("span_i"), col("span_start"),
+        col("span_len"), col("n_windows"))
+  }
 }

@@ -177,7 +177,25 @@ class PlanHygieneSpec extends SparkSpecBase {
     // left join + count-distribution agg + presentation sort — pinned so
     // the pre-aggregation pushdown can't silently regress to the
     // shuffle-every-order-row form
-    "tpch13" -> (3, 1))
+    "tpch13" -> (3, 1),
+    // q140 exact heavy hitters: candidate distinct (over the tiny
+    // checkpointed sketch) + verify groupBy + presentation sort, with
+    // the candidate set BROADCAST into the semi-join — the corpus-side
+    // shuffle key set is candidates only, never the token universe
+    "q140_heavy_hitters" -> (3, 1),
+    // q141: stratum-totals agg (broadcast back) + rank window + sort
+    "q141_sqrt_temp_sample" -> (3, 1),
+    // q142: window-hash frequency agg (2: countDistinct's two-phase) +
+    // per-doc island window + sort; flagged hashes broadcast
+    "q142_substring_dup" -> (4, 1),
+    // q143: test-side distinct (1) + island window + sort; the distinct
+    // test window-hash set broadcasts into the train-side semi-join
+    "q143_contamination_spans" -> (3, 1),
+    // q144: (id,token) tf agg + token df agg + score join + per-doc
+    // rank window + sort; Catalyst broadcasts the small df side here —
+    // at web scale its stats exceed the threshold and it shuffle-joins,
+    // which is the declared default shape
+    "q144_tfidf_keywords" -> (5, 1))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
