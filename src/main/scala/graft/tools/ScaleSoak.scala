@@ -128,7 +128,17 @@ object ScaleSoak {
     // the audio/video fingerprint tier — decode is scan-local (linear
     // in blob bytes); q138 is a second band-join datapoint on the
     // audio hash population
-    "q136_audio_phash", "q137_video_phash", "q138_audio_neardup")
+    "q136_audio_phash", "q137_video_phash", "q138_audio_neardup",
+    // round-10 corpus-frequency tier: heavy hitters (sketch pass is
+    // scan-linear with bounded state; candidate set is capacity-bounded
+    // so the verify agg's key set is FIXED at 10×), sqrt-temperature
+    // sampling (tiny totals + stratum window), sliding-window substring
+    // dedup + contamination spans (window explode is token-linear, all
+    // exchanges narrow triples; the flagged set must stay Zipf-small),
+    // tf-idf keywords (two hash aggs + token join — key spaces fixed
+    // at 10× under replication, only instance counts grow)
+    "q140_heavy_hitters", "q141_sqrt_temp_sample", "q142_substring_dup",
+    "q143_contamination_spans", "q144_tfidf_keywords")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
