@@ -374,4 +374,109 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  // ---- round-10 corpus-frequency tier ---------------------------------
+
+  /** Scalar gaps-and-islands reference: merge sorted flagged window
+    * starts into maximal (span_i, start, len, n_windows) spans. */
+  private def bruteIslands(byDoc: Map[Long, Seq[Long]], w: Int)
+      : Set[(Long, Long, Long, Long, Long)] =
+    byDoc.filter(_._2.nonEmpty).flatMap { case (id, starts0) =>
+      val starts = starts0.sorted
+      val islands = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[Long]]
+      var maxEnd = Long.MinValue
+      for (st <- starts) {
+        if (islands.isEmpty || st > maxEnd)
+          islands += scala.collection.mutable.ArrayBuffer(st)
+        else islands.last += st
+        maxEnd = math.max(maxEnd, st + w)
+      }
+      islands.zipWithIndex.map { case (g, i) =>
+        (id, (i + 1).toLong, g.min, g.max + w - g.min, g.length.toLong)
+      }
+    }.toSet
+
+  private def randDocs(nDocs: Int, alphabet: Int): Seq[(Long, String)] =
+    (1L to nDocs.toLong).map { id =>
+      val n = 6 + rnd.nextInt(20)
+      (id, (1 to n).map(_ => s"w${rnd.nextInt(alphabet)}").mkString(" "))
+    }
+
+  test("dupSubstringSpans equals brute-force window scan (5 trials)") {
+    val s = spark
+    import s.implicits._
+    val w = 3
+    for (trial <- 1 to 5) {
+      val docs = randDocs(8, 5) // tiny alphabet: dense window collisions
+      val wins = docs.flatMap { case (id, t) =>
+        t.split(" ").sliding(w).filter(_.length == w).zipWithIndex
+          .map { case (win, i) => (id, i.toLong, win.mkString(" ")) }
+      }
+      val df2 = wins.groupBy(_._3).view
+        .mapValues(_.map(_._1).distinct.size).toMap
+      val flagged = wins.filter(p => df2(p._3) >= 2)
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      val got = graft.text.Curation.dupSubstringSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text", w, 2L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == bruteIslands(flagged, w), s"trial $trial")
+    }
+  }
+
+  test("contaminationSpans equals brute-force window scan (5 trials)") {
+    val s = spark
+    import s.implicits._
+    val w = 3
+    for (trial <- 1 to 5) {
+      val train = randDocs(6, 5)
+      val test = randDocs(4, 5).map { case (id, t) => (id + 100L, t) }
+      def winsOf(t: String) =
+        t.split(" ").sliding(w).filter(_.length == w).map(_.mkString(" "))
+      val testSet = test.flatMap(p => winsOf(p._2)).toSet
+      val flagged = train.map { case (id, t) =>
+        id -> winsOf(t).zipWithIndex.collect {
+          case (win, i) if testSet(win) => i.toLong }.toSeq
+      }.toMap
+      val got = graft.text.Curation.contaminationSpans(
+          train.toDF("doc_id", "text"), test.toDF("doc_id", "text"),
+          "doc_id", "text", w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == bruteIslands(flagged, w), s"trial $trial")
+    }
+  }
+
+  test("misraGries survivors cover every item above n/(cap+1) (20 trials)") {
+    for (trial <- 1 to 20) {
+      val n = 200 + rnd.nextInt(400)
+      val cap = 3 + rnd.nextInt(8)
+      // Zipf-ish skew so genuine heavy items exist at small capacities
+      val stream = (1 to n).map(_ => s"v${(rnd.nextInt(30) * rnd.nextDouble()).toInt}")
+      val survivors = graft.agg.HeavyHitters
+        .misraGries(stream.iterator, cap).toSet
+      val counts = stream.groupBy(identity).view.mapValues(_.size).toMap
+      val mustSurvive = counts.filter(_._2 > n.toDouble / (cap + 1)).keySet
+      assert(mustSurvive.subsetOf(survivors),
+        s"trial $trial: lost ${mustSurvive.diff(survivors)} (n=$n cap=$cap)")
+    }
+  }
+
+  test("exactHeavyHitters equals groupBy across partition layouts") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 600).map(_ => s"t${(rnd.nextInt(25) * rnd.nextDouble()).toInt}")
+    for (parts <- Seq(1, 3, 13)) {
+      val items = rows.toDF("item").repartition(parts)
+      val n = rows.size
+      val threshold = math.max(1L, n / 12L)
+      val exact = rows.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= threshold).toMap
+      val got = graft.agg.HeavyHitters
+        .exactHeavyHitters(items, "item", 12L, 16)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == exact, s"parts=$parts")
+    }
+  }
 }
