@@ -176,6 +176,68 @@ object Dedup {
       .select("id_1", "id_2", "jaccard")
   }
 
+  /** Incremental near-dup tagging: tag each `incoming` document that is
+    * a Jaccard-confirmed near-duplicate of ANY `existing`-corpus
+    * document — the production shape of corpus maintenance at scale: a
+    * new batch is tagged against the standing corpus WITHOUT re-running
+    * dedup over the world (the batch-vs-corpus band join replaces the
+    * corpus self-join; cost is proportional to the batch, not the
+    * corpus². A real deployment keeps the existing side's banded
+    * signature relation materialized between batches — here it derives
+    * from text so the operator is self-contained; the shape on the wire
+    * is identical).
+    *
+    * Scale shape: both sides reduce to (id, band, bucket) triples; the
+    * asymmetric band join shuffles on (band, bucket); confirmation joins
+    * the candidate pairs (small, LSH-pruned) back to shingles with
+    * shuffle-hash joins on id exactly like [[lshNearDupPairs]]. Best
+    * match per incoming doc is tie-proof: max Jaccard, then min existing
+    * id (two-step join-back, no order-dependent arg-max).
+    *
+    * Returns one row per incoming doc: (idCol, is_dup, match_id,
+    * match_jaccard); non-dups carry nulls. */
+  def incrementalNearDupTags(
+      existing: DataFrame, incoming: DataFrame, idCol: String,
+      textCol: String, threshold: Double,
+      numHashes: Int = 16, shingleK: Int = 3, numBands: Int = 4,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val shE = shingleRel(existing, idCol, textCol, shingleK)
+    val shI = shingleRel(incoming, idCol, textCol, shingleK)
+    val bandedE0 = bandedRel(shE, idCol, numHashes, numBands)
+    // hot-bucket cap on the EXISTING side only: a boilerplate bucket of
+    // M corpus docs fans every colliding batch doc out M ways; the
+    // incoming batch is the bounded side and stays uncapped
+    val bandedE = maxBucket.fold(bandedE0) { cap =>
+      val w = Window.partitionBy(col("band"), col("bucket"))
+      bandedE0.withColumn("__bn", count(lit(1)).over(w))
+        .filter(col("__bn") <= cap).drop("__bn")
+    }
+    val bandedI = bandedRel(shI, idCol, numHashes, numBands)
+    val cands = bandedI.as("i").hint("shuffle_hash").join(bandedE.as("e"),
+        col("i.band") === col("e.band") && col("i.bucket") === col("e.bucket"))
+      .select(col(s"i.$idCol").as("in_id"), col(s"e.$idCol").as("ex_id"))
+      .distinct()
+    val confirmed = cands
+      .join(shI.select(col(idCol).as("in_id"), col("sh").as("sh_i"))
+        .hint("shuffle_hash"), "in_id")
+      .join(shE.select(col(idCol).as("ex_id"), col("sh").as("sh_e"))
+        .hint("shuffle_hash"), "ex_id")
+      .withColumn("jaccard", jaccard(col("sh_i"), col("sh_e")))
+      .filter(col("jaccard") >= threshold)
+      .select("in_id", "ex_id", "jaccard")
+    val best = confirmed.groupBy(col("in_id"))
+      .agg(max(col("jaccard")).as("match_jaccard"))
+    val matched = confirmed.join(best, Seq("in_id"))
+      .filter(col("jaccard") === col("match_jaccard"))
+      .groupBy(col("in_id"), col("match_jaccard"))
+      .agg(min(col("ex_id")).as("match_id"))
+    incoming.select(col(idCol))
+      .join(matched.withColumnRenamed("in_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        col("match_id").isNotNull.as("is_dup"),
+        col("match_id"), col("match_jaccard"))
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** Bits of the SimHash (bits 0..numBits-1 of the portable token hash;

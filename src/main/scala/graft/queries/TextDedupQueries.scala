@@ -139,6 +139,19 @@ object TextDedupQueries {
         .orderBy("id_1", "id_2")
     },
 
+    // incremental corpus maintenance: tag the new batch (doc_id%3==0)
+    // against the standing corpus (%3<>0) — a batch-vs-corpus band join
+    // (cost ∝ batch), never a corpus self-join; best match is tie-proof
+    // (max jaccard, then min existing id via two-step join-back).
+    "q145_incremental_neardup" -> { (s, d) =>
+      val docs = documents(s, d)
+      Dedup.incrementalNearDupTags(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", jaccardThreshold, numHashes, shingleK, numBands)
+        .orderBy("doc_id")
+    },
+
     // simhash per document.
     "q67_simhash" -> { (s, d) =>
       documents(s, d).select(col("doc_id"),
@@ -375,6 +388,32 @@ object TextDedupQueries {
          |  JOIN sh s2 ON cand.id_2 = s2.doc_id
          |WHERE ${jacSql("s1.sh", "s2.sh")} >= $jaccardThreshold
          |ORDER BY id_1, id_2""".stripMargin,
+
+    // q66's signature/band machinery with the self-join replaced by the
+    // batch-vs-corpus asymmetric join and the tie-proof best-match fold.
+    "q145_incremental_neardup" ->
+      s"""$sigCtes,
+         |bands AS (SELECT doc_id, ${(0 until numBands).map(b => bandSql("sig", b)).mkString("[", ", ", "]")} AS bh FROM sigs),
+         |bx AS (SELECT doc_id, i AS band, bh[i] AS bucket
+         |  FROM bands CROSS JOIN (SELECT unnest(range(1, ${numBands + 1})) AS i)),
+         |cand AS (SELECT DISTINCT i.doc_id AS in_id, e.doc_id AS ex_id
+         |  FROM bx i JOIN bx e ON i.band = e.band AND i.bucket = e.bucket
+         |  WHERE i.doc_id % 3 = 0 AND e.doc_id % 3 <> 0),
+         |conf AS (SELECT in_id, ex_id, j FROM (
+         |  SELECT cand.in_id, cand.ex_id, ${jacSql("s1.sh", "s2.sh")} AS j
+         |  FROM cand JOIN sh s1 ON cand.in_id = s1.doc_id
+         |    JOIN sh s2 ON cand.ex_id = s2.doc_id)
+         |  WHERE j >= $jaccardThreshold),
+         |best AS (SELECT in_id, max(j) AS match_jaccard FROM conf GROUP BY 1),
+         |m AS (SELECT conf.in_id, best.match_jaccard,
+         |    min(conf.ex_id) AS match_id
+         |  FROM conf JOIN best ON conf.in_id = best.in_id
+         |    AND conf.j = best.match_jaccard
+         |  GROUP BY 1, 2)
+         |SELECT d.doc_id, m.match_id IS NOT NULL AS is_dup,
+         |  m.match_id, m.match_jaccard
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+         |LEFT JOIN m ON d.doc_id = m.in_id ORDER BY doc_id""".stripMargin,
 
     "q67_simhash" ->
       s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),

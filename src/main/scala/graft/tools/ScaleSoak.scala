@@ -138,7 +138,12 @@ object ScaleSoak {
     // tf-idf keywords (two hash aggs + token join — key spaces fixed
     // at 10× under replication, only instance counts grow)
     "q140_heavy_hitters", "q141_sqrt_temp_sample", "q142_substring_dup",
-    "q143_contamination_spans", "q144_tfidf_keywords")
+    "q143_contamination_spans", "q144_tfidf_keywords",
+    // incremental batch-vs-corpus near-dup tagging: both sides grow 10×
+    // under replication but the consonant rotation keeps cross-replica
+    // similarity low — the ratio proves the asymmetric band join stays
+    // linear like q66's self-join form
+    "q145_incremental_neardup")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

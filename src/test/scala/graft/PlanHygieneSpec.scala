@@ -195,7 +195,15 @@ class PlanHygieneSpec extends SparkSpecBase {
     // rank window + sort; Catalyst broadcasts the small df side here —
     // at web scale its stats exceed the threshold and it shuffle-joins,
     // which is the declared default shape
-    "q144_tfidf_keywords" -> (5, 1))
+    "q144_tfidf_keywords" -> (5, 1),
+    // q145: every exchange carries id/band/bucket/shingle-hash columns
+    // only (the lshNearDupPairs discipline); the count is high because
+    // the asymmetric batch-vs-corpus sides cannot share exchanges the
+    // way q66's self-join does, and the tie-proof best-match fold adds
+    // an agg + join-back. Zero broadcasts: every join is shuffle-hash
+    // by hint — nothing corpus-derived may be a build side (round-9
+    // lesson on q66)
+    "q145_incremental_neardup" -> (21, 0))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap

@@ -276,4 +276,29 @@ class TextDedupSpec extends SparkSpecBase {
       .toList.sortBy(_._1)
     assert(out2 == out)
   }
+
+  test("incrementalNearDupTags tags batch-vs-corpus only, min-id on ties") {
+    val shared = "the quick brown fox jumps over the lazy dog again"
+    val existing = docs(Seq(
+      2L -> shared,                  // identical twins in the corpus:
+      1L -> shared,                  // the match must tie-break to id 1
+      3L -> "completely different corpus material sits right here"))
+    val incoming = docs(Seq(
+      10L -> shared,                                  // dup of 1 AND 2
+      11L -> "zebra yak xerus wolf vole urial tapir", // unique
+      12L -> "zebra yak xerus wolf vole urial tapir")) // intra-batch twin
+    val out = Dedup.incrementalNearDupTags(existing, incoming,
+        "doc_id", "text", 0.5, 16, 3, 4)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    // 11/12 are twins of each other but of nothing in the corpus —
+    // incremental tagging must NOT tag intra-batch duplicates
+    assert(out == Set((10L, true, Some(1L)),
+      (11L, false, None), (12L, false, None)))
+    val j = Dedup.incrementalNearDupTags(existing, incoming,
+        "doc_id", "text", 0.5, 16, 3, 4)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 10L)
+      .collect().head.getDouble(3)
+    assert(j == 1.0) // identical text: exact shingle Jaccard is exactly 1
+  }
 }
