@@ -18,6 +18,32 @@ object ExtensionQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // single-pass column profiler: row/null/exact-distinct counts +
+    // min/max for four columns from ONE aggregate over one scan —
+    // profiled columns are integer/string so the min/max string forms
+    // are engine-portable (double formatting differs across engines).
+    "q146_profile" -> { (s, d) =>
+      graft.sources.Profile.profile(documents(s, d),
+        Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("column")
+    },
+
+    // Z-order layout: Morton-interleave (l_partkey, l_suppkey), cut the
+    // Z-line into ≤64 equal ranges (scale-adaptive: the fixed-prefix cut
+    // degenerates on a small key domain), and report per-range extents
+    // of BOTH keys — the stats a reader would prune on; tight min/max on
+    // both columns at once is what a single-column sort cannot give.
+    "q147_zorder_layout" -> { (s, d) =>
+      graft.sources.Zorder.zorderRanges(
+          lineitem(s, d).select(col("l_partkey"), col("l_suppkey")),
+          "l_partkey", "l_suppkey", bits = 15, numRanges = 64)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+        .orderBy("bucket")
+    },
+
     // sink roundtrip: filter → writeParquet → re-read → aggregate. The
     // oracle aggregates the source directly, so any fidelity loss in the
     // write/read path (types, values, row count) fails the gate.
@@ -192,6 +218,29 @@ object ExtensionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // row-per-column UNION of the same exact aggregates; min/max cast
+    // to VARCHAR after aggregation, mirroring Profile's cast placement.
+    "q146_profile" -> {
+      def row(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s FROM documents""".stripMargin
+      Seq("doc_id", "lang", "source", "n_chars").map(row)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
+    "q147_zorder_layout" ->
+      s"""WITH z AS (SELECT l_partkey, l_suppkey,
+         |    (${graft.sources.Zorder.mortonSql("l_partkey", "l_suppkey", 15)}) AS zcode
+         |  FROM lineitem),
+         |mx AS (SELECT max(zcode) AS mz FROM z)
+         |SELECT (zcode * 64) // (mz + 1) AS bucket, count(*) AS n,
+         |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+         |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+         |FROM z CROSS JOIN mx GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q83_sink_roundtrip" ->
       s"""SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n,
         |  ${graft.functions.Det.dsumSql("l_extendedprice")} AS sum_price

@@ -143,7 +143,15 @@ object ScaleSoak {
     // under replication but the consonant rotation keeps cross-replica
     // similarity low — the ratio proves the asymmetric band join stays
     // linear like q66's self-join form
-    "q145_incremental_neardup")
+    "q145_incremental_neardup",
+    // single-pass profiler: the highest expected ratio in the tier
+    // (~2.9) and explained — unlike the fixed-key-space queries, its
+    // exact-distinct over doc_id (the PK, deliberately the audit's
+    // worst case) shuffles a key set that genuinely grows 10×, times
+    // the ×5 Expand of four distinct aggregates; the approx path
+    // (`exact=false`, HLL) is the open-cardinality form at corpus
+    // scale. z-order bucketing is projection + two aggs — scan-linear
+    "q146_profile", "q147_zorder_layout")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

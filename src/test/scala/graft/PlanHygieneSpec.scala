@@ -23,7 +23,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q54_approx_quantile", "q95_welford_udaf", "q96_tdigest",
     // bigram LM: crosses the scored bigrams with the one-row train
     // vocabulary-size aggregate
-    "q131_bigram_lm")
+    "q131_bigram_lm",
+    // z-order ranges: crosses the coded rows with the one-row max(zcode)
+    // aggregate that sets the equal-range width
+    "q147_zorder_layout")
 
   /** Built once and shared by all tests — several catalog queries do
     * eager work (sink writes, collects) at construction time, so planning
@@ -203,7 +206,14 @@ class PlanHygieneSpec extends SparkSpecBase {
     // an agg + join-back. Zero broadcasts: every join is shuffle-hash
     // by hint — nothing corpus-derived may be a build side (round-9
     // lesson on q66)
-    "q145_incremental_neardup" -> (21, 0))
+    "q145_incremental_neardup" -> (21, 0),
+    // q146: ONE scan — the multi-distinct profile plans as Expand +
+    // two-phase agg (1 exchange) + presentation sort; a per-question
+    // rescan would show here as extra exchanges
+    "q146_profile" -> (2, 0),
+    // q147: max(zcode) single-row agg (broadcast back) + per-bucket agg
+    // + sort; the Morton code itself is pure projection
+    "q147_zorder_layout" -> (3, 1))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
