@@ -238,6 +238,53 @@ object Dedup {
         col("match_id"), col("match_jaccard"))
   }
 
+  /** Streaming near-dup tagging: the Structured Streaming form of
+    * [[incrementalNearDupTags]] — documents are tagged against the
+    * standing corpus AS THEY ARRIVE, emitting every Jaccard-confirmed
+    * (incoming id, corpus id, jaccard) match in append mode. `incoming`
+    * must be a streaming DataFrame; `existing` is static.
+    *
+    * Streaming shape: shingling/minhash/banding are stateless per-row
+    * projections; the band probe and the shingle confirm are
+    * STREAM-STATIC joins (no stream-stream state); the single stateful
+    * operator is the dropDuplicates that collapses multi-band collisions
+    * of the same pair. Without an event-time column that dedup state is
+    * unbounded — the operator targets the bounded tag-this-batch run
+    * (AvailableNow); a forever-run should feed an arrival-time column
+    * and dropDuplicatesWithinWatermark. The per-incoming best-match fold
+    * is deliberately left to the batch operator: chaining a second
+    * stateful aggregate after the dedup is exactly the multi-stateful
+    * pattern Structured Streaming restricts, and the confirmed-pair
+    * stream already carries everything a downstream batch fold needs. */
+  def streamingNearDupTags(
+      incoming: DataFrame, existing: DataFrame, idCol: String,
+      textCol: String, threshold: Double,
+      numHashes: Int = 16, shingleK: Int = 3, numBands: Int = 4): DataFrame = {
+    require(incoming.isStreaming, "incoming must be a streaming DataFrame")
+    require(numHashes % numBands == 0,
+      s"numHashes ($numHashes) must be divisible by numBands ($numBands)")
+    val rowsPerBand = numHashes / numBands
+    val shE = shingleRel(existing, idCol, textCol, shingleK)
+    val bandedE = bandedRel(shE, idCol, numHashes, numBands)
+      .select(col(idCol).as("match_id"), col("band"), col("bucket"))
+    // the incoming side carries its shingle array through the band
+    // explode so the confirm step needs no join back into the stream
+    val bandedI = shingleRel(incoming, idCol, textCol, shingleK)
+      .select(col(idCol), col("sh"),
+        minhashSigFromHashes(col("sh"), numHashes).as("sig"))
+      .select(col(idCol), col("sh"),
+        posexplode(lshBandHashes(col("sig"), numBands, rowsPerBand))
+          .as(Seq("band", "bucket")))
+    bandedI.join(bandedE, Seq("band", "bucket"))
+      .select(col(idCol), col("match_id"), col("sh"))
+      .dropDuplicates(idCol, "match_id")
+      .join(shE.select(col(idCol).as("match_id"), col("sh").as("sh_e")),
+        Seq("match_id"))
+      .withColumn("jaccard", jaccard(col("sh"), col("sh_e")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(idCol), col("match_id"), col("jaccard"))
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** Bits of the SimHash (bits 0..numBits-1 of the portable token hash;

@@ -264,6 +264,42 @@ object GateQueries {
       "43200 seconds", "0 seconds",
       Map("n" -> count(lit(1)), "value_sum" -> Det.dsum(col("value"))))
 
+  /** The fixture's documents.parquet is a single FILE; the streaming
+    * file source lists a DIRECTORY. Copy it into a deterministic temp
+    * dir once per (JVM, fixture) — arrival-directory setup, not part of
+    * the streaming query — reusing the sentinel sweep discipline. */
+  private val docsStreamDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def documentsStreamDir(d: String): String =
+    docsStreamDirs.computeIfAbsent(d, _ => {
+      val key = java.lang.Integer.toHexString(d.hashCode)
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_docs_stream_$key")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "documents.parquet"),
+        dir.resolve("documents.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      sweepAtExit.add(dir.toString)
+      dir.toString
+    })
+
+  /** q148: streaming near-dup tagging — the incoming batch (doc_id%3==0)
+    * arrives as a parquet file STREAM and is tagged against the static
+    * corpus (%3<>0): stateless shingle/minhash/band projections, two
+    * stream-static joins, ONE stateful operator (the multi-band pair
+    * dedup). The oracle is q145's candidate+confirm pipeline as pairs. */
+  private[graft] def q148Plan(s: SparkSession, d: String): DataFrame = {
+    val docsB = documents(s, d)
+    val incoming = s.readStream.schema(docsB.schema)
+      .parquet(documentsStreamDir(d))
+      .filter(col("doc_id") % 3 === 0)
+    graft.dedup.Dedup.streamingNearDupTags(incoming,
+      docsB.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+      TextDedupQueries.jaccardThreshold, TextDedupQueries.numHashes,
+      TextDedupQueries.shingleK, TextDedupQueries.numBands)
+  }
+
   private[graft] def q109Plan(s: SparkSession, d: String): DataFrame = {
     def src = eventsStream(s, d).select(col("user_id"), col("event_type"),
       col("tsx"))
@@ -550,6 +586,13 @@ object GateQueries {
       runToMemory(s, q109Plan(s, d), "graft_q109_mem", outputMode = "append")
         .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
         .orderBy("user_id", "event_type")
+    },
+
+    // streaming corpus maintenance: documents tagged against the
+    // standing corpus as they arrive (see q148Plan).
+    "q148_streaming_dedup" -> { (s, d) =>
+      runToMemory(s, q148Plan(s, d), "graft_q148_mem", outputMode = "append")
+        .orderBy("doc_id", "match_id")
     },
 
     // REAL image decode (multimodal.Multimodal.decodeImage — the JDK's
@@ -1166,6 +1209,26 @@ object GateQueries {
       """SELECT user_id, event_type, count(DISTINCT ts) AS n
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+    // q66's candidate+confirm pipeline with the asymmetric batch/corpus
+    // split — identical to the batch q145 CTEs minus the best-match
+    // fold (the streaming operator emits confirmed PAIRS by contract).
+    "q148_streaming_dedup" -> {
+      import TextDedupQueries.{sigCtes, bandSql, jacSql,
+        numBands, jaccardThreshold}
+      s"""$sigCtes,
+         |bands AS (SELECT doc_id, ${(0 until numBands).map(b => bandSql("sig", b)).mkString("[", ", ", "]")} AS bh FROM sigs),
+         |bx AS (SELECT doc_id, i AS band, bh[i] AS bucket
+         |  FROM bands CROSS JOIN (SELECT unnest(range(1, ${numBands + 1})) AS i)),
+         |cand AS (SELECT DISTINCT i.doc_id AS doc_id, e.doc_id AS match_id
+         |  FROM bx i JOIN bx e ON i.band = e.band AND i.bucket = e.bucket
+         |  WHERE i.doc_id % 3 = 0 AND e.doc_id % 3 <> 0)
+         |SELECT cand.doc_id AS doc_id, cand.match_id AS match_id,
+         |  ${jacSql("s1.sh", "s2.sh")} AS jaccard
+         |FROM cand JOIN sh s1 ON cand.doc_id = s1.doc_id
+         |  JOIN sh s2 ON cand.match_id = s2.doc_id
+         |WHERE ${jacSql("s1.sh", "s2.sh")} >= $jaccardThreshold
+         |ORDER BY 1, 2""".stripMargin
+    },
     "q107_explain_dot" ->
       """SELECT 1 AS ok_digraph, 1 AS ok_nodes, 1 AS ok_edges,
         |  1 AS ok_scan, 1 AS ok_edge_refs, 1 AS ok_closed""".stripMargin,

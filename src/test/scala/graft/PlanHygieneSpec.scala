@@ -250,7 +250,15 @@ class PlanHygieneSpec extends SparkSpecBase {
       "q108_streaming_hopping" -> shape(1, 0, 0, 0),
       "q109_streaming_distinct" -> shape(0, 0, 1, 1),
       // streaming NFA: sentinel union + one keyed stateful operator
-      "q128_streaming_cep" -> shape(0, 1, 0, 1))
+      "q128_streaming_cep" -> shape(0, 1, 0, 1),
+      // streaming dedup tagging: NO event time (no watermark — bounded
+      // tag-this-batch contract, see Dedup.streamingNearDupTags), two
+      // stream-STATIC joins (band probe + shingle confirm; zero
+      // stream-stream state), one stateful op (multi-band pair dedup)
+      "q148_streaming_dedup" -> Map(
+        "EventTimeWatermark" -> 0, "Aggregate" -> 0,
+        "FlatMapGroupsWithState" -> 0, "Deduplicate" -> 1,
+        "DeduplicateWithinWatermark" -> 0, "Join" -> 2, "Union" -> 0))
   }
 
   /** The 100 TB degradation sweep: at scale NO corpus table fits under
@@ -326,7 +334,8 @@ class PlanHygieneSpec extends SparkSpecBase {
       "q105_streaming_asof_fwd" -> GateQueries.q105Plan(spark, d),
       "q108_streaming_hopping" -> GateQueries.q108Plan(spark, d),
       "q109_streaming_distinct" -> GateQueries.q109Plan(spark, d),
-      "q128_streaming_cep" -> GateQueries.q128Plan(spark, d))
+      "q128_streaming_cep" -> GateQueries.q128Plan(spark, d),
+      "q148_streaming_dedup" -> GateQueries.q148Plan(spark, d))
     val diffs = streamingPins.toSeq.sortBy(_._1).flatMap { case (name, exp) =>
       val got = graft.tools.PlanShape.streamingNodeCounts(built(name))
       if (got == exp) None
