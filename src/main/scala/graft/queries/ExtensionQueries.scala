@@ -44,6 +44,15 @@ object ExtensionQueries {
         .orderBy("bucket")
     },
 
+    // integer-exact equi-width histogram (profiling's distribution
+    // half): 8 bins over n_chars — data-derived non-divisible width, so
+    // the integer edge arithmetic is genuinely exercised; empty bins
+    // materialize as 0.
+    "q149_histogram" -> { (s, d) =>
+      graft.sources.Profile.histogram(documents(s, d), "n_chars", 8)
+        .orderBy("bin")
+    },
+
     // sink roundtrip: filter → writeParquet → re-read → aggregate. The
     // oracle aggregates the source directly, so any fidelity loss in the
     // write/read path (types, values, row count) fails the gate.
@@ -230,6 +239,17 @@ object ExtensionQueries {
       Seq("doc_id", "lang", "source", "n_chars").map(row)
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+
+    "q149_histogram" ->
+      """WITH v AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |b AS (SELECT min(x) AS mn, max(x) - min(x) + 1 AS w FROM v),
+        |c AS (SELECT ((x - mn) * 8) // w AS bin, count(*) AS n
+        |  FROM v CROSS JOIN b GROUP BY 1),
+        |g AS (SELECT unnest(range(8)) AS bin)
+        |SELECT g.bin, b.mn + (g.bin * b.w) // 8 AS lo,
+        |  b.mn + ((g.bin + 1) * b.w) // 8 AS hi, coalesce(c.n, 0) AS n
+        |FROM g CROSS JOIN b LEFT JOIN c USING (bin) ORDER BY bin""".stripMargin,
 
     "q147_zorder_layout" ->
       s"""WITH z AS (SELECT l_partkey, l_suppkey,

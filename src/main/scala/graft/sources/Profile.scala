@@ -49,4 +49,41 @@ object Profile {
       s"stack(${cols.size}, $stackArgs) AS " +
         "(column, n_rows, n_nulls, n_distinct, min_s, max_s)")
   }
+
+  /** Equi-width histogram of an integer column in `bins` buckets —
+    * the value-distribution half of a profiling pass (skew audits, bin
+    * boundaries for range partitioning). Bucket assignment is pure
+    * integer arithmetic: bin = (x − min) · bins div (max − min + 1), so
+    * edges and counts are bit-reproducible on any engine — no float
+    * widths, no rounding-mode drift. Empty bins are materialized with
+    * count 0 (a distribution you can chart), nulls are excluded and
+    * reported by [[profile]].
+    *
+    * Scale shape: one min/max aggregate broadcast back (scalar cross
+    * join), one hash aggregate on the bin id, and a bins-sized range
+    * join-back to surface empties — the data is scanned twice (bounds +
+    * counts), the two-pass minimum for data-derived edges.
+    *
+    * Returns (bin, lo, hi, n): lo/hi are the integer edge labels
+    * min + ⌊bin·w/bins⌋ and min + ⌊(bin+1)·w/bins⌋ (w = max−min+1) —
+    * consecutive, covering [min, max+1); a value's bin is
+    * ⌊(x−min)·bins/w⌋, which for non-divisible widths can differ from
+    * its label interval by at most one at the edges. */
+  def histogram(df: DataFrame, c: String, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val vals = df.select(col(c).cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+    val bounds = vals.agg(min(col("__x")).as("__mn"),
+      (max(col("__x")) - min(col("__x")) + 1L).as("__w"))
+    val counts = vals.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(s"(__x - __mn) * $bins div __w"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    df.sparkSession.range(bins).toDF("bin")
+      .crossJoin(broadcast(bounds))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (col("__mn") + expr(s"bin * __w div $bins")).as("lo"),
+        (col("__mn") + expr(s"(bin + 1) * __w div $bins")).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

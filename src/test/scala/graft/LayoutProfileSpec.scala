@@ -85,6 +85,25 @@ class LayoutProfileSpec extends SparkSpecBase {
     assert(got("y") == ((4L, 1L, 3L, "a", "c")))
   }
 
+  test("histogram matches a scalar reference, materializing empty bins") {
+    val s = spark
+    import s.implicits._
+    // values 3..17 skipping the middle: empty bins + non-divisible width
+    val xs = Seq(3L, 3L, 4L, 17L, 17L, 17L, 5L, 16L)
+    val bins = 4
+    val (mn, w) = (xs.min, xs.max - xs.min + 1) // w = 15: 4 uneven bins
+    val expect = (0L until bins).map { b =>
+      (b, mn + b * w / bins, mn + (b + 1) * w / bins,
+        xs.count(x => (x - mn) * bins / w == b).toLong)
+    }.toSet
+    val got = graft.sources.Profile.histogram(xs.toDF("x"), "x", bins)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == expect)
+    assert(got.exists(_._4 == 0L)) // the gap bins really are materialized
+    assert(got.toSeq.map(_._4).sum == xs.size)
+  }
+
   test("profile handles an all-null column and the approx path") {
     val s = spark
     import s.implicits._

@@ -26,7 +26,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q131_bigram_lm",
     // z-order ranges: crosses the coded rows with the one-row max(zcode)
     // aggregate that sets the equal-range width
-    "q147_zorder_layout")
+    "q147_zorder_layout",
+    // histogram: crosses values AND the bins-sized range frame with the
+    // one-row min/width bounds aggregate
+    "q149_histogram")
 
   /** Built once and shared by all tests — several catalog queries do
     * eager work (sink writes, collects) at construction time, so planning
@@ -213,7 +216,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q146_profile" -> (2, 0),
     // q147: max(zcode) single-row agg (broadcast back) + per-bucket agg
     // + sort; the Morton code itself is pure projection
-    "q147_zorder_layout" -> (3, 1))
+    "q147_zorder_layout" -> (3, 1),
+    // q149: bounds agg + bin-count agg + sort; three broadcasts — the
+    // one-row bounds into both consumers, the bin counts into the
+    // bins-sized empties join-back
+    "q149_histogram" -> (3, 3))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
