@@ -264,6 +264,25 @@ object GateQueries {
       "43200 seconds", "0 seconds",
       Map("n" -> count(lit(1)), "value_sum" -> Det.dsum(col("value"))))
 
+  /** q150/q151 fixture: a fresh merge-on-read table per invocation
+    * (fresh temp dir — reruns must not accumulate snapshots past v3),
+    * registered for the shared JVM-exit sweep. */
+  private def buildMorTable(s: SparkSession, d: String): String = {
+    import graft.sources.MergeOnRead
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q150_mor").toString
+    sweepAtExit.add(dir)
+    val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    MergeOnRead.upsert(docs.filter(col("doc_id") % 3 =!= 0), dir, "doc_id")
+    MergeOnRead.upsert(
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"), lit(" v2"))),
+      dir, "doc_id")
+    MergeOnRead.delete(
+      docs.filter(col("doc_id") % 7 === 0).select("doc_id"), dir, "doc_id")
+    dir
+  }
+
   /** The fixture's documents.parquet is a single FILE; the streaming
     * file source lists a DIRECTORY. Copy it into a deterministic temp
     * dir once per (JVM, fixture) — arrival-directory setup, not part of
@@ -764,6 +783,31 @@ object GateQueries {
         .orderBy("snap")
     },
 
+    // MERGE-ON-READ keyed upsert/delete (MergeOnRead over the snapshot
+    // layout): v1 = corpus base (%3<>0), v2 = UPSERT the %5==0 batch
+    // with edited text (overlapping keys supersede, new keys insert),
+    // v3 = DELETE the %7==0 keys (incl. no-op tombstones for keys never
+    // present). The resolved HEAD must equal the oracle's direct
+    // statement of those semantics — a wrong latest-wins order, a
+    // leaked tombstone, or a lost insert changes the hash.
+    "q150_merge_on_read" -> { (s, d) =>
+      val dir = buildMorTable(s, d)
+      graft.sources.MergeOnRead.readMerged(s, dir, "doc_id")
+        .select(col("doc_id"), col("lang"),
+          md5(col("text").cast("binary")).as("txt_md5"))
+        .orderBy("doc_id")
+    },
+
+    // snapshot diff of the same table's RESOLVED states v1 -> v3:
+    // added (new %5 keys that survived the delete), removed (base keys
+    // the delete hit), changed (base %5 keys whose text was edited);
+    // content-identical keys must NOT appear.
+    "q151_snapshot_diff" -> { (s, d) =>
+      val dir = buildMorTable(s, d)
+      graft.sources.MergeOnRead.diff(s, dir, "doc_id", 1L, 3L)
+        .orderBy("doc_id")
+    },
+
     // REAL video decode (multimodal.Multimodal.decodeVideo — Y4M /
     // YUV4MPEG2 is raw planar YUV behind text headers, so frame-walking
     // it needs zero codec dependencies; q110/q114's play repeated for
@@ -1209,6 +1253,29 @@ object GateQueries {
       """SELECT user_id, event_type, count(DISTINCT ts) AS n
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+    // The merge semantics stated directly: live keys are (base OR
+    // upserted) minus deleted; %5 keys carry the edited text.
+    "q150_merge_on_read" ->
+      """SELECT doc_id, lang,
+        |  md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END)
+        |    AS txt_md5
+        |FROM documents
+        |WHERE (doc_id % 3 <> 0 OR doc_id % 5 = 0) AND doc_id % 7 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // v1 -> v3 key-level changes from the same construction; rows the
+    // diff must NOT emit (content-identical keys) are excluded by the
+    // WHERE, so an over-reporting diff hash-fails.
+    "q151_snapshot_diff" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'removed'
+        |       WHEN doc_id % 3 = 0 THEN 'added'
+        |       ELSE 'changed' END AS change
+        |FROM documents
+        |WHERE (doc_id % 3 <> 0 AND doc_id % 7 = 0)
+        |   OR (doc_id % 5 = 0 AND doc_id % 7 <> 0)
+        |ORDER BY doc_id""".stripMargin,
+
     // q66's candidate+confirm pipeline with the asymmetric batch/corpus
     // split — identical to the batch q145 CTEs minus the best-match
     // fold (the streaming operator emits confirmed PAIRS by contract).

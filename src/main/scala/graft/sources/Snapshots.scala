@@ -96,6 +96,12 @@ object Snapshots {
         "n_data_dirs")
   }
 
+  /** Absolute data-dir paths a snapshot pins — manifest resolution for
+    * readers that need the dir list itself rather than the DataFrame
+    * (e.g. [[MergeOnRead]]'s mergeSchema read). */
+  private[sources] def dataDirsOf(root: Path, id: Long): Seq[String] =
+    readManifest(root, id).dataDirs.map(p => root.resolve(p).toString)
+
   def currentSnapshotId(dir: String): Option[Long] = {
     val head = Paths.get(dir).resolve("HEAD")
     if (Files.exists(head))

@@ -1,0 +1,74 @@
+package graft
+
+import graft.sources.MergeOnRead
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read upsert/delete over snapshot tables: latest-wins
+  * resolution, tombstones, reinstatement, time travel, compaction,
+  * and the keyed diff. */
+class MergeOnReadSpec extends SparkSpecBase {
+
+  private def rows(xs: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    xs.toDF("id", "v")
+  }
+
+  private def resolved(dir: String, snap: Option[Long] = None): Map[Long, String] =
+    MergeOnRead.readMerged(spark, dir, "id", snap)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("upsert supersedes, tombstones delete, later upsert reinstates") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mor").toString
+    MergeOnRead.upsert(rows(1L -> "a1", 2L -> "b1", 3L -> "c1"), dir, "id")
+    MergeOnRead.upsert(rows(2L -> "b2", 4L -> "d2"), dir, "id")
+    MergeOnRead.delete(Seq(3L, 4L, 99L).toDF("id"), dir, "id") // 99: no-op
+    assert(resolved(dir) == Map(1L -> "a1", 2L -> "b2"))
+    // time travel: every earlier state stays resolvable
+    assert(resolved(dir, Some(1L)) == Map(1L -> "a1", 2L -> "b1", 3L -> "c1"))
+    assert(resolved(dir, Some(2L)) ==
+      Map(1L -> "a1", 2L -> "b2", 3L -> "c1", 4L -> "d2"))
+    // reinstate a deleted key
+    MergeOnRead.upsert(rows(3L -> "c4"), dir, "id")
+    assert(resolved(dir) == Map(1L -> "a1", 2L -> "b2", 3L -> "c4"))
+  }
+
+  test("compact folds versions without changing the resolved state") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mor").toString
+    MergeOnRead.upsert(rows(1L -> "a1", 2L -> "b1"), dir, "id")
+    MergeOnRead.upsert(rows(2L -> "b2"), dir, "id")
+    MergeOnRead.delete(Seq(1L).toDF("id"), dir, "id")
+    val before = resolved(dir)
+    val cid = MergeOnRead.compact(spark, dir, "id")
+    assert(resolved(dir) == before && before == Map(2L -> "b2"))
+    // compacted snapshot pins ONE data dir; pre-compaction history lives
+    assert(graft.sources.Snapshots.history(spark, dir)
+      .filter(col("snapshot_id") === cid)
+      .head().getAs[Int]("n_data_dirs") == 1)
+    assert(resolved(dir, Some(2L)) == Map(1L -> "a1", 2L -> "b2"))
+  }
+
+  test("duplicate keys in a mutation batch are rejected loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("mor").toString
+    val e = intercept[IllegalArgumentException] {
+      MergeOnRead.upsert(rows(1L -> "x", 1L -> "y"), dir, "id")
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("diff reports added/removed/changed and omits identical keys") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mor").toString
+    MergeOnRead.upsert(rows(1L -> "same", 2L -> "old", 3L -> "gone"), dir, "id")
+    MergeOnRead.upsert(rows(2L -> "new", 4L -> "born"), dir, "id")
+    MergeOnRead.delete(Seq(3L).toDF("id"), dir, "id")
+    val got = MergeOnRead.diff(spark, dir, "id", 1L, 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+}

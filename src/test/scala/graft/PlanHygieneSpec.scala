@@ -220,7 +220,13 @@ class PlanHygieneSpec extends SparkSpecBase {
     // q149: bounds agg + bin-count agg + sort; three broadcasts — the
     // one-row bounds into both consumers, the bin counts into the
     // bins-sized empties join-back
-    "q149_histogram" -> (3, 3))
+    "q149_histogram" -> (3, 3),
+    // q150: merge-on-read resolution is ONE key exchange (the
+    // latest-wins window) + presentation sort — version chains resolve
+    // without a join; q151 adds the second snapshot's resolution and
+    // the key-digest full-outer join (shuffle — nothing broadcastable
+    // at corpus scale)
+    "q150_merge_on_read" -> (2, 0), "q151_snapshot_diff" -> (3, 0))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
