@@ -47,6 +47,9 @@ object TextDedupQueries {
   private[queries] val rowsPerBand = numHashes / numBands
   private[queries] val jaccardThreshold = 0.5
   private val cosineThreshold = 0.9
+  // q152: the embeddings fixture is noise (max within-block cosine
+  // ~0.47); 0.35 admits a sparse edge set so components really form
+  private val embClusterThreshold = 0.35
   private val simhashBits = 24
   // q120: ≥5 shared trigram-shingle hashes marks a train doc contaminated
   // (splits the sf0.01 fixture 236/450 — exercises both flag values)
@@ -177,6 +180,22 @@ object TextDedupQueries {
     "q69_embedding_neardup" -> { (s, d) =>
       Dedup.blockNearestNeighbor(embeddings(s, d), "vec_id", "embedding", "label")
         .orderBy("id_1")
+    },
+
+    // embedding-cosine cluster resolution — the vector twin of q121
+    // (text) and q139 (image): threshold pairs within the label block →
+    // pointer-jumping connected components → canonical keeper. The
+    // fixture's vectors are noise (max within-block cosine ~0.47), so
+    // the 0.35 threshold yields a sparse arbitrary graph — exactly what
+    // exercises closure semantics; retrieval quality is q50/q55's job.
+    "q152_embedding_clusters" -> { (s, d) =>
+      val emb = embeddings(s, d)
+      graft.dedup.Clusters.connectedComponents(
+          Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", "label",
+            embClusterThreshold).select("id_1", "id_2"),
+          "id_1", "id_2", emb.select(col("vec_id")), "vec_id")
+        .withColumn("is_dup", col("vec_id") =!= col("cluster_id"))
+        .orderBy("vec_id")
     },
 
     // multimodal plumbing, SQL side: opaque binary column + stats that
@@ -431,6 +450,21 @@ object TextDedupQueries {
          |  ${jacSql("a.sh", "b.sh")} AS jaccard
          |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
          |ORDER BY jaccard DESC, id_1, id_2 LIMIT 100""".stripMargin,
+
+    // q121's recursive-closure oracle over the cosine pair graph: the
+    // min-reachable fixpoint IS what pointer jumping converges to.
+    "q152_embedding_clusters" ->
+      s"""WITH RECURSIVE ne2 AS (SELECT label, vec_id,
+         |    ${VectorQueries.duckNorm("embedding")} AS nv FROM embeddings),
+         |conf AS (SELECT a.vec_id AS id_1, b.vec_id AS id_2
+         |  FROM ne2 a JOIN ne2 b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${VectorQueries.duckDot("a.nv", "b.nv")} >= $embClusterThreshold),
+         |sym AS (SELECT id_1 AS a, id_2 AS b FROM conf
+         |  UNION ALL SELECT id_2, id_1 FROM conf),
+         |reach(v, r) AS (SELECT vec_id, vec_id FROM embeddings
+         |  UNION SELECT reach.v, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+         |SELECT v AS vec_id, min(r) AS cluster_id, min(r) <> v AS is_dup
+         |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin,
 
     "q69_embedding_neardup" -> {
       s"""WITH ne AS (SELECT label, vec_id, ${VectorQueries.duckNorm("embedding")} AS nv FROM embeddings),

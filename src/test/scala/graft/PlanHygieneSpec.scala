@@ -226,7 +226,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     // without a join; q151 adds the second snapshot's resolution and
     // the key-digest full-outer join (shuffle — nothing broadcastable
     // at corpus scale)
-    "q150_merge_on_read" -> (2, 0), "q151_snapshot_diff" -> (3, 0))
+    "q150_merge_on_read" -> (2, 0), "q151_snapshot_diff" -> (3, 0),
+    // q152 post-iteration like q121/q139: checkpointed labels + sort
+    "q152_embedding_clusters" -> (1, 0))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
