@@ -280,6 +280,18 @@ object CurationQueries {
     "q144_tfidf_keywords" -> { (s, d) =>
       CorpusOps.tfIdfKeywords(documents(s, d), "doc_id", "text", keywordK)
         .orderBy("doc_id", "kw_rank")
+    },
+
+    // distribution-cut quality filter: keep each language's top 40% by
+    // quality score, the cut at an EXACT per-language 0.6-percentile
+    // (q125 caps by count; this cuts by score distribution).
+    "q153_quality_cut" -> { (s, d) =>
+      Curation.percentileThresholdFilter(
+        documents(s, d).select(col("doc_id"), col("lang"),
+          TextOps.qualityScore(col("text")).as("q")),
+        "lang", "q", 0.6)
+        .select("doc_id", "lang", "q", "threshold")
+        .orderBy("doc_id")
     }
   )
 
@@ -582,6 +594,18 @@ object CurationQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
          |    ORDER BY score DESC, token ASC) AS kw_rank FROM sc)
          |SELECT doc_id, kw_rank, token, tf, df, score FROM r
-         |WHERE kw_rank <= $keywordK ORDER BY doc_id, kw_rank""".stripMargin
+         |WHERE kw_rank <= $keywordK ORDER BY doc_id, kw_rank""".stripMargin,
+
+    // Mirrors Curation.percentileThresholdFilter: q62's bit-identical
+    // quality expression, quantile_cont cut (== Spark's exact
+    // percentile bit-for-bit — the q53-proven pairing), >= keep.
+    "q153_quality_cut" ->
+      s"""WITH toks AS (SELECT doc_id, lang, text, ${toksSql("text")} AS t FROM documents),
+         |sc AS (SELECT doc_id, lang, $qualitySql AS q FROM toks),
+         |t AS (SELECT lang, quantile_cont(q, 0.6) AS threshold
+         |  FROM sc GROUP BY 1)
+         |SELECT sc.doc_id, sc.lang, sc.q, t.threshold
+         |FROM sc JOIN t USING (lang) WHERE sc.q >= t.threshold
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -325,6 +325,38 @@ object Curation {
       .drop("__sk")
   }
 
+  // ---- percentile-threshold quality filtering --------------------------
+
+  /** Keep each stratum's top (1−p) quantile by `valueCol` — the "drop
+    * the worst 60% per language by quality score" curation step, with
+    * the cut at an EXACT per-stratum percentile so the kept set is
+    * engine-reproducible (q125's rank-cap takes a count; this takes a
+    * score distribution cut). Exactness chain: the quality doubles are
+    * bit-identical cross-engine (q62), Spark's exact `percentile`
+    * matches quantile_cont bit-for-bit (q53), and >= of identical
+    * doubles is then deterministic.
+    *
+    * Scale shape: per-stratum thresholds are a tiny aggregate broadcast
+    * back; the filter is one scan. The builtin exact percentile holds a
+    * distinct-value map per stratum — for a stratum whose value
+    * cardinality rivals memory, run [[graft.agg.OrderStat]] per stratum
+    * instead (the q29 parallel-selection pattern); strata here are
+    * languages, a handful of groups.
+    *
+    * Returns the input rows that survive, plus the stratum threshold. */
+  def percentileThresholdFilter(df: DataFrame, stratumCol: String,
+      valueCol: String, p: Double): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1), got $p")
+    val clash = df.columns.toSet.intersect(Set("threshold"))
+    require(clash.isEmpty,
+      "percentileThresholdFilter adds column threshold — rename the " +
+        "input's first")
+    val thr = df.groupBy(col(stratumCol))
+      .agg(expr(s"percentile($valueCol, $p)").as("threshold"))
+    df.join(broadcast(thr), Seq(stratumCol))
+      .filter(col(valueCol) >= col("threshold"))
+  }
+
   // ---- cross-document duplicated-substring spans -----------------------
 
   /** Find maximal duplicated substring spans: every `widthTokens`-token

@@ -64,8 +64,15 @@ object ScaleSoak {
     // direction-decorrelating, so replicas spread across LSH/IVF
     // buckets like real 10x data instead of 10-way-duplicating every
     // bucket (the same naive-copy distortion the text rotation avoids)
+    // label offset per replica: blocked vector ops (q69/q152) contract
+    // on caller-BOUNDED blocks, so 10× data means 10× more blocks of
+    // the same size — without the offset every label block grows 10×
+    // and within-block pair counts grow 100× (the first q152 soak run
+    // showed exactly that quadratic term; real blocking keys are sized,
+    // not grown)
     writeReplicated("embeddings", (d, i) => d
       .withColumn("vec_id", col("vec_id") + lit(i * OFF))
+      .withColumn("label", col("label") + lit(i * 1000))
       .withColumn("embedding",
         if (i == 0) col("embedding")
         else expr(s"concat(slice(embedding, ${i + 1}, " +
@@ -145,13 +152,19 @@ object ScaleSoak {
     // linear like q66's self-join form
     "q145_incremental_neardup",
     // single-pass profiler: the highest expected ratio in the tier
-    // (~2.9) and explained — unlike the fixed-key-space queries, its
+    // (~3) and explained — unlike the fixed-key-space queries, its
     // exact-distinct over doc_id (the PK, deliberately the audit's
     // worst case) shuffles a key set that genuinely grows 10×, times
     // the ×5 Expand of four distinct aggregates; the approx path
     // (`exact=false`, HLL) is the open-cardinality form at corpus
     // scale. z-order bucketing is projection + two aggs — scan-linear
-    "q146_profile", "q147_zorder_layout")
+    "q146_profile", "q147_zorder_layout",
+    // histogram (two tiny aggs), embedding clusters (cosine pair graph
+    // within fixed-size label blocks + id-pair CC — block count grows,
+    // block size doesn't), quality percentile cut (per-stratum exact
+    // percentile over a distinct-value map that grows with the corpus —
+    // watch this one; OrderStat-per-stratum is the escape hatch)
+    "q149_histogram", "q152_embedding_clusters", "q153_quality_cut")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

@@ -228,7 +228,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     // at corpus scale)
     "q150_merge_on_read" -> (2, 0), "q151_snapshot_diff" -> (3, 0),
     // q152 post-iteration like q121/q139: checkpointed labels + sort
-    "q152_embedding_clusters" -> (1, 0))
+    "q152_embedding_clusters" -> (1, 0),
+    // q153: per-stratum exact-percentile agg (broadcast back) + sort —
+    // the filter itself is one scan
+    "q153_quality_cut" -> (2, 1))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
