@@ -182,6 +182,24 @@ object TextDedupQueries {
         .orderBy("id_1")
     },
 
+    // triangle enumeration over the near-dup pair graph — the density
+    // signal that distinguishes tight duplicate cliques from loose
+    // chains before cluster collapse. Ordered-adjacency join (id_1 <
+    // id_2 edges, so each triangle materializes exactly once); at
+    // corpus scale the standard refinement orders vertices by degree,
+    // and the edge set is already capped by the LSH banding caps.
+    "q155_neardup_triangles" -> { (s, d) =>
+      val e = Dedup.lshNearDupPairs(documents(s, d), "doc_id", "text",
+          jaccardThreshold, numHashes, shingleK, numBands)
+        .select(col("id_1").as("a"), col("id_2").as("b"))
+      val w = e.as("x").join(e.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+      val z = e.select(col("a").as("za"), col("b").as("zb"))
+      w.join(z, col("a") === col("za") && col("c") === col("zb"))
+        .select("a", "b", "c")
+        .orderBy("a", "b", "c")
+    },
+
     // embedding-cosine cluster resolution — the vector twin of q121
     // (text) and q139 (image): threshold pairs within the label block →
     // pointer-jumping connected components → canonical keeper. The
@@ -450,6 +468,26 @@ object TextDedupQueries {
          |  ${jacSql("a.sh", "b.sh")} AS jaccard
          |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
          |ORDER BY jaccard DESC, id_1, id_2 LIMIT 100""".stripMargin,
+
+    // q66's confirmed-pair pipeline + the ordered 3-way triangle join.
+    "q155_neardup_triangles" ->
+      s"""$sigCtes,
+         |bands AS (SELECT doc_id, ${(0 until numBands).map(b => bandSql("sig", b)).mkString("[", ", ", "]")} AS bh FROM sigs),
+         |bx AS (SELECT doc_id, i AS band, bh[i] AS bucket
+         |  FROM bands CROSS JOIN (SELECT unnest(range(1, ${numBands + 1})) AS i)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+         |  FROM bx a JOIN bx b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id),
+         |conf AS (SELECT id_1, id_2 FROM (
+         |  SELECT cand.id_1, cand.id_2, ${jacSql("s1.sh", "s2.sh")} AS j
+         |  FROM cand JOIN sh s1 ON cand.id_1 = s1.doc_id
+         |    JOIN sh s2 ON cand.id_2 = s2.doc_id)
+         |  WHERE j >= $jaccardThreshold),
+         |e AS (SELECT id_1 AS a, id_2 AS b FROM conf)
+         |SELECT x.a AS a, x.b AS b, y.b AS c
+         |FROM e x JOIN e y ON x.b = y.a
+         |  JOIN e z ON x.a = z.a AND y.b = z.b
+         |ORDER BY 1, 2, 3""".stripMargin,
 
     // q121's recursive-closure oracle over the cosine pair graph: the
     // min-reachable fixpoint IS what pointer jumping converges to.

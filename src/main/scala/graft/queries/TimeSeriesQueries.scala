@@ -71,6 +71,25 @@ object TimeSeriesQueries {
         .sort(Seq("event_id")).df
     },
 
+    // cohort retention (app-tier analytics shape): users grouped by
+    // first-activity week, distinct-user counts per (cohort, weeks
+    // since) — pure integer week arithmetic (µs div week-µs), so the
+    // matrix is engine-exact. Shape: one distinct exchange on
+    // (user, week), min-per-user on the same key, a user-keyed join,
+    // one (cohort, age) aggregate — all narrow id/long columns.
+    "q154_cohort_retention" -> { (s, d) =>
+      val uw = events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+        .distinct()
+      val cohort = uw.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
+        .agg(count(lit(1)).as("n_users")) // (user, wk) distinct already
+        .orderBy("cohort_wk", "age_wk")
+    },
+
     // tumbling window, completion trigger (ts_executors.py:12-145).
     "q43_tumbling" -> { (s, d) =>
       ordered(s, d).windowedTransform(TumblingWindow(86400), by = "user_id",
@@ -251,6 +270,17 @@ object TimeSeriesQueries {
         |       THEN mv.qv END AS value_right
         |FROM t JOIN mv ON t.user_id = mv.user_id AND t.ts = mv.ts
         |ORDER BY t.event_id""".stripMargin,
+    // µs div week-µs == floor(epoch-seconds / week-seconds) for
+    // positive timestamps — both engines land on the same week index.
+    "q154_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1)
+        |SELECT c.cohort_wk, uw.wk - c.cohort_wk AS age_wk,
+        |  count(*) AS n_users
+        |FROM uw JOIN c USING (user_id) GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
     "q43_tumbling" ->
       s"""SELECT user_id,
         |  floor(epoch(ts) / 86400) * 86400 AS window_start,

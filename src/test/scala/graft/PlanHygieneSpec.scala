@@ -231,7 +231,16 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q152_embedding_clusters" -> (1, 0),
     // q153: per-stratum exact-percentile agg (broadcast back) + sort —
     // the filter itself is one scan
-    "q153_quality_cut" -> (2, 1))
+    "q153_quality_cut" -> (2, 1),
+    // q154: (user, week) distinct + min-per-user (same key) + the
+    // user join + (cohort, age) agg + sort; Catalyst broadcasts the
+    // tiny cohort side at toy scale
+    "q154_cohort_retention" -> (4, 1),
+    // q155: the pair pipeline appears three times in the static plan
+    // (the triangle join's three edge references) — ReuseExchange
+    // collapses the identical banded subtrees at runtime exactly as in
+    // q66's self-join; every exchange is id/band/hash-width
+    "q155_neardup_triangles" -> (25, 0))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
