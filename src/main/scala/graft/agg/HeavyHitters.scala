@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   * Exactness argument: per-partition Misra–Gries with `capacity` counters
   * undercounts any item by at most n_p/(capacity+1) within partition p, so
   * an item surviving NO partition has total count ≤ Σ n_p/(capacity+1) =
-  * N/(capacity+1). With threshold T = ⌊N/φ⁻¹⌋ ≥ N/φ⁻¹ − 1 and capacity ≥
-  * φ⁻¹ the sketch therefore cannot drop a true heavy hitter, the verify
-  * pass counts candidates exactly, and the output is byte-identical to the
-  * full groupBy — deterministic under any partitioning.
+  * N/(capacity+1). The guarantee therefore needs the STRICT inequality
+  * threshold > N/(capacity+1) — checked at runtime once N is known
+  * (capacity ≥ φ⁻¹ alone is not strict at the boundary; see the inline
+  * counterexample). Under that check the sketch cannot drop a true heavy
+  * hitter, the verify pass counts candidates exactly, and the output is
+  * byte-identical to the full groupBy — deterministic under any
+  * partitioning.
   */
 object HeavyHitters {
 
@@ -84,9 +87,20 @@ object HeavyHitters {
       }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
       .toDF("item", "np")
       .localCheckpoint(true)
+    // coalesce: a zero-partition input emits no per-partition total rows
     val n = sketch.filter(col("item").isNull)
-      .agg(sum(col("np"))).head().getLong(0)
+      .agg(coalesce(sum(col("np")), lit(0L))).head().getLong(0)
     val threshold = math.max(1L, n / phiInverse)
+    // The superset guarantee is threshold > N/(capacity+1) — the static
+    // capacity >= phiInverse check alone is NOT strict at the boundary
+    // (e.g. phiInverse = capacity = 3, N = 8: threshold 2 == N/(cap+1),
+    // and an item with count exactly 2 can be fully decremented away).
+    // N is known here, so enforce the exact condition and fail loudly
+    // instead of silently dropping a qualifying item.
+    require(threshold * (capacity + 1L) > n,
+      s"capacity $capacity cannot guarantee exactness for N=$n at " +
+        s"phiInverse=$phiInverse (threshold $threshold <= N/(capacity+1)) " +
+        "— raise capacity")
     val candidates = sketch.filter(col("item").isNotNull)
       .select(col("item")).distinct()
     strs.join(broadcast(candidates), Seq("item"), "left_semi")

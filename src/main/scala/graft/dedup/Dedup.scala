@@ -105,6 +105,19 @@ object Dedup {
     lshCandidatesFrom(shingleRel(df, idCol, textCol, shingleK), idCol,
       numHashes, numBands, maxBucket)
 
+  /** Optional hot-bucket cap, shared by every banding path (minhash
+    * buckets, hamming bit-keys, the incremental probe side): a (band,
+    * key) group of M rows emits M² candidate pairs, so bound
+    * boilerplate-identical populations the way sparseJaccardPairs caps
+    * stop-shingles. */
+  private def capHotBuckets(banded: DataFrame, keyCol: String,
+      maxBucket: Option[Int]): DataFrame =
+    maxBucket.fold(banded) { cap =>
+      val w = Window.partitionBy(col("band"), col(keyCol))
+      banded.withColumn("__bn", count(lit(1)).over(w))
+        .filter(col("__bn") <= cap).drop("__bn")
+    }
+
   /** [[lshCandidates]] over a pre-computed (id, sh) shingle relation —
     * lets [[lshNearDupPairs]] share one materialized shingle pass between
     * candidate generation and Jaccard confirmation. */
@@ -112,15 +125,8 @@ object Dedup {
       sh: DataFrame, idCol: String,
       numHashes: Int, numBands: Int,
       maxBucket: Option[Int]): DataFrame = {
-    val banded0 = bandedRel(sh, idCol, numHashes, numBands)
-    // optional hot-bucket cap: a bucket of M docs emits M² candidate
-    // pairs — at corpus scale, cap degenerate buckets (boilerplate-
-    // identical docs) the way sparseJaccardPairs caps stop-shingles.
-    val banded = maxBucket.fold(banded0) { cap =>
-      val w = Window.partitionBy(col("band"), col("bucket"))
-      banded0.withColumn("__bn", count(lit(1)).over(w))
-        .filter(col("__bn") <= cap).drop("__bn")
-    }
+    val banded = capHotBuckets(
+      bandedRel(sh, idCol, numHashes, numBands), "bucket", maxBucket)
     // true self-join (same plan subtree on both sides) with a shuffle
     // join forced: both sides exchange on (band, bucket) with identical
     // children, so ReuseExchange computes the signature pipeline ONCE
@@ -203,15 +209,11 @@ object Dedup {
       maxBucket: Option[Int] = None): DataFrame = {
     val shE = shingleRel(existing, idCol, textCol, shingleK)
     val shI = shingleRel(incoming, idCol, textCol, shingleK)
-    val bandedE0 = bandedRel(shE, idCol, numHashes, numBands)
     // hot-bucket cap on the EXISTING side only: a boilerplate bucket of
     // M corpus docs fans every colliding batch doc out M ways; the
     // incoming batch is the bounded side and stays uncapped
-    val bandedE = maxBucket.fold(bandedE0) { cap =>
-      val w = Window.partitionBy(col("band"), col("bucket"))
-      bandedE0.withColumn("__bn", count(lit(1)).over(w))
-        .filter(col("__bn") <= cap).drop("__bn")
-    }
+    val bandedE = capHotBuckets(
+      bandedRel(shE, idCol, numHashes, numBands), "bucket", maxBucket)
     val bandedI = bandedRel(shI, idCol, numHashes, numBands)
     val cands = bandedI.as("i").hint("shuffle_hash").join(bandedE.as("e"),
         col("i.band") === col("e.band") && col("i.bucket") === col("e.bucket"))
@@ -364,11 +366,7 @@ object Dedup {
           s.foldLeft(lit(0L): Column)((acc, b) =>
             shiftleft(acc, bandBits).bitwiseOR(bandOf(b)))): _*))
           .as(Seq("band", "bits")))
-    val banded = maxBucket.fold(banded0) { cap =>
-      val w = Window.partitionBy(col("band"), col("bits"))
-      banded0.withColumn("__bn", count(lit(1)).over(w))
-        .filter(col("__bn") <= cap).drop("__bn")
-    }
+    val banded = capHotBuckets(banded0, "bits", maxBucket)
     banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bits") === col("b.bits") &&

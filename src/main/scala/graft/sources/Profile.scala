@@ -59,31 +59,45 @@ object Profile {
     * count 0 (a distribution you can chart), nulls are excluded and
     * reported by [[profile]].
     *
-    * Scale shape: one min/max aggregate broadcast back (scalar cross
-    * join), one hash aggregate on the bin id, and a bins-sized range
-    * join-back to surface empties — the data is scanned twice (bounds +
-    * counts), the two-pass minimum for data-derived edges.
+    * Scale shape: the min/max bounds are collected driver-side (one
+    * two-long row — bounded metadata, the footer-stats discipline),
+    * which both literal-folds the bin arithmetic into the count scan
+    * AND lets the int64 overflow precondition (span · bins must fit —
+    * Spark's non-ANSI multiply would otherwise wrap values into
+    * out-of-range bins that the join-back silently drops) fail loudly
+    * before any job; then one hash aggregate on the bin id and a
+    * bins-sized join-back to surface empties. Two scans (bounds +
+    * counts), the minimum for data-derived edges.
     *
     * Returns (bin, lo, hi, n): lo/hi are the integer edge labels
     * min + ⌊bin·w/bins⌋ and min + ⌊(bin+1)·w/bins⌋ (w = max−min+1) —
     * consecutive, covering [min, max+1); a value's bin is
     * ⌊(x−min)·bins/w⌋, which for non-divisible widths can differ from
-    * its label interval by at most one at the edges. */
+    * its label interval by at most one at the edges. An empty (or
+    * all-null) column yields bins rows with null edges and n = 0. */
   def histogram(df: DataFrame, c: String, bins: Int): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
+    val spark = df.sparkSession
     val vals = df.select(col(c).cast("long").as("__x"))
       .filter(col("__x").isNotNull)
-    val bounds = vals.agg(min(col("__x")).as("__mn"),
-      (max(col("__x")) - min(col("__x")) + 1L).as("__w"))
-    val counts = vals.crossJoin(broadcast(bounds))
-      .withColumn("bin", expr(s"(__x - __mn) * $bins div __w"))
+    val b = vals.agg(min(col("__x")), max(col("__x"))).head()
+    val frame = spark.range(bins).toDF("bin")
+    if (b.isNullAt(0))
+      return frame.select(col("bin"), lit(null).cast("long").as("lo"),
+        lit(null).cast("long").as("hi"), lit(0L).as("n"))
+    val mn = b.getLong(0)
+    val w = b.getLong(1) - mn + 1L
+    require(w <= Long.MaxValue / bins,
+      s"value span $w × $bins bins overflows the int64 bin arithmetic " +
+        "— reduce bins or pre-scale the column")
+    val counts = vals
+      .withColumn("bin", expr(s"(__x - ${mn}L) * $bins div ${w}L"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
-    df.sparkSession.range(bins).toDF("bin")
-      .crossJoin(broadcast(bounds))
+    frame
       .join(counts, Seq("bin"), "left")
       .select(col("bin"),
-        (col("__mn") + expr(s"bin * __w div $bins")).as("lo"),
-        (col("__mn") + expr(s"(bin + 1) * __w div $bins")).as("hi"),
+        (lit(mn) + expr(s"bin * ${w}L div $bins")).as("lo"),
+        (lit(mn) + expr(s"(bin + 1) * ${w}L div $bins")).as("hi"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
 }

@@ -63,6 +63,12 @@ object Zorder {
   def zorderRanges(df: DataFrame, aCol: String, bCol: String, bits: Int,
       numRanges: Int): DataFrame = {
     require(numRanges > 0, s"numRanges must be positive, got $numRanges")
+    // zcode < 2^(2·bits); the bucket multiply must stay inside int64
+    // (Spark's non-ANSI long arithmetic would wrap SILENTLY into
+    // negative buckets while the oracle mirror errors or disagrees)
+    require((BigInt(numRanges) << (2 * bits)) <= (BigInt(1) << 62),
+      s"numRanges ($numRanges) × 2^${2 * bits} overflows the int64 " +
+        "bucket arithmetic — lower bits or numRanges")
     val z = df.withColumn("zcode", morton(col(aCol), col(bCol), bits))
     val mx = z.agg(max(col("zcode")).as("__mz"))
     z.crossJoin(broadcast(mx))

@@ -77,6 +77,21 @@ class FrequencySamplingSpec extends SparkSpecBase {
     assert(e.getMessage.contains("capacity"))
   }
 
+  test("exactHeavyHitters rejects the non-strict guarantee boundary") {
+    // review counterexample: phiInverse = capacity = 3, N = 8 →
+    // threshold 2 == N/(capacity+1): MG may decrement a count-2 item
+    // away entirely, so the runtime guard must refuse rather than
+    // silently drop a qualifying item
+    val s = spark
+    import s.implicits._
+    val items = Seq("a", "a", "b", "c", "d", "e", "f", "g").toDF("item")
+      .coalesce(1)
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.exactHeavyHitters(items, "item", 3L, 3)
+    }
+    assert(e.getMessage.contains("cannot guarantee"))
+  }
+
   // ---- integer square root --------------------------------------------
 
   test("intSqrt is exact across boundaries and huge inputs") {

@@ -104,6 +104,31 @@ class LayoutProfileSpec extends SparkSpecBase {
     assert(got.toSeq.map(_._4).sum == xs.size)
   }
 
+  test("histogram refuses overflowing spans; empty input yields null-edge bins") {
+    val s = spark
+    import s.implicits._
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Profile.histogram(
+        Seq(0L, Long.MaxValue - 1).toDF("x"), "x", 8)
+    }
+    assert(e.getMessage.contains("overflows"))
+    val empty = graft.sources.Profile.histogram(
+        Seq(Option.empty[Long]).toDF("x"), "x", 4)
+      .collect()
+    assert(empty.length == 4 &&
+      empty.forall(r => r.isNullAt(1) && r.isNullAt(2) && r.getLong(3) == 0L))
+  }
+
+  test("zorderRanges refuses bucket arithmetic that overflows int64") {
+    val s = spark
+    import s.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Zorder.zorderRanges(Seq((1L, 2L)).toDF("a", "b"), "a", "b",
+        bits = 31, numRanges = 64)
+    }
+    assert(e.getMessage.contains("overflows"))
+  }
+
   test("profile handles an all-null column and the approx path") {
     val s = spark
     import s.implicits._

@@ -60,6 +60,23 @@ class MergeOnReadSpec extends SparkSpecBase {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("diff sees a value moving across a null-column boundary") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mor").toString
+    // (v, w) = (null, "en") -> ("en", null): a null-skipping digest
+    // would hash both states identically and hide the change
+    MergeOnRead.upsert(
+      Seq((1L, Option.empty[String], Option("en"))).toDF("id", "v", "w"),
+      dir, "id")
+    MergeOnRead.upsert(
+      Seq((1L, Option("en"), Option.empty[String])).toDF("id", "v", "w"),
+      dir, "id")
+    val got = MergeOnRead.diff(spark, dir, "id", 1L, 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed"))
+  }
+
   test("diff reports added/removed/changed and omits identical keys") {
     val s = spark
     import s.implicits._

@@ -26,10 +26,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q131_bigram_lm",
     // z-order ranges: crosses the coded rows with the one-row max(zcode)
     // aggregate that sets the equal-range width
-    "q147_zorder_layout",
-    // histogram: crosses values AND the bins-sized range frame with the
-    // one-row min/width bounds aggregate
-    "q149_histogram")
+    "q147_zorder_layout")
 
   /** Built once and shared by all tests — several catalog queries do
     * eager work (sink writes, collects) at construction time, so planning
@@ -217,10 +214,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     // q147: max(zcode) single-row agg (broadcast back) + per-bucket agg
     // + sort; the Morton code itself is pure projection
     "q147_zorder_layout" -> (3, 1),
-    // q149: bounds agg + bin-count agg + sort; three broadcasts — the
-    // one-row bounds into both consumers, the bin counts into the
-    // bins-sized empties join-back
-    "q149_histogram" -> (3, 3),
+    // q149: the bounds are collected driver-side at build (overflow
+    // precondition + literal-folded bin arithmetic), so the returned
+    // plan is just the bin-count agg + the broadcast empties join-back
+    // (the gate's sort folds into the aggregate's exchange)
+    "q149_histogram" -> (1, 1),
     // q150: merge-on-read resolution is ONE key exchange (the
     // latest-wins window) + presentation sort — version chains resolve
     // without a join; q151 adds the second snapshot's resolution and
