@@ -164,7 +164,12 @@ object ScaleSoak {
     // block size doesn't), quality percentile cut (per-stratum exact
     // percentile over a distinct-value map that grows with the corpus —
     // watch this one; OrderStat-per-stratum is the escape hatch)
-    "q149_histogram", "q152_embedding_clusters", "q153_quality_cut")
+    "q149_histogram", "q152_embedding_clusters", "q153_quality_cut",
+    // cohort retention (distinct (user, week) keys grow 10× with the
+    // offset users — the exchange must stay linear) and triangle
+    // enumeration (edges ~10× under rotation; the ordered 3-way join
+    // must not go superlinear on the sparse pair graph)
+    "q154_cohort_retention", "q155_neardup_triangles")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
