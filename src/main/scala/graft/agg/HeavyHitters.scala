@@ -97,7 +97,10 @@ object HeavyHitters {
     // and an item with count exactly 2 can be fully decremented away).
     // N is known here, so enforce the exact condition and fail loudly
     // instead of silently dropping a qualifying item.
-    require(threshold * (capacity + 1L) > n,
+    // division form of threshold·(capacity+1) > n — overflow-free for
+    // any N and capacity (the product form wraps for huge capacities
+    // and would spuriously reject a valid configuration)
+    require(n / (capacity + 1L) < threshold,
       s"capacity $capacity cannot guarantee exactness for N=$n at " +
         s"phiInverse=$phiInverse (threshold $threshold <= N/(capacity+1)) " +
         "— raise capacity")

@@ -264,10 +264,17 @@ object GateQueries {
       "43200 seconds", "0 seconds",
       Map("n" -> count(lit(1)), "value_sum" -> Det.dsum(col("value"))))
 
-  /** q150/q151 fixture: a fresh merge-on-read table per invocation
-    * (fresh temp dir — reruns must not accumulate snapshots past v3),
-    * registered for the shared JVM-exit sweep. */
-  private def buildMorTable(s: SparkSession, d: String): String = {
+  /** q150/q151 fixture: the 3-commit merge-on-read table, built ONCE
+    * per (JVM, fixture dir) — q150, q151, and every bench rep share it
+    * (the documentsStreamDirs discipline; a per-invocation build paid
+    * 6 snapshot writes + 6 uniqueness jobs twice per catalog pass).
+    * Exactly v1..v3 ever exist, and the dir is swept at JVM exit. */
+  private val morTableDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def buildMorTable(s: SparkSession, d: String): String =
+    morTableDirs.computeIfAbsent(d, _ => buildMorTableOnce(s, d))
+
+  private def buildMorTableOnce(s: SparkSession, d: String): String = {
     import graft.sources.MergeOnRead
     val dir = java.nio.file.Files
       .createTempDirectory("graft_q150_mor").toString

@@ -75,7 +75,7 @@ object MergeOnRead {
   def readMerged(spark: SparkSession, dir: String,
       idCol: String, snapshotId: Option[Long] = None): DataFrame = {
     val raw = spark.read.option("mergeSchema", "true")
-      .parquet(dirsOf(spark, dir, snapshotId): _*)
+      .parquet(dirsOf(dir, snapshotId): _*)
     val w = Window.partitionBy(col(idCol)).orderBy(col(V).desc)
     raw.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col(DEL))
@@ -91,15 +91,16 @@ object MergeOnRead {
     def digested(id: Long) = {
       val m = readMerged(spark, dir, idCol, Some(id))
       val dataCols = m.columns.filter(_ != idCol).sorted
-      // NULLs must be visible to the digest: concat_ws silently SKIPS
-      // null arguments, so a value moving across a null-column boundary
-      // would hash identically and the change would vanish from the
-      // diff — encode each column as coalesce(value, sentinel) with
-      // control-character separators no data string contains
+      // The per-row digest must be INJECTIVE over the column tuple:
+      // hash each column first (fixed-width hex; null → "-", which no
+      // hex digest equals), then hash the joined string — no choice of
+      // data content, embedded separators, or null placement can make
+      // two different tuples collide (concat-with-separator cannot
+      // promise that, and it would additionally SKIP nulls outright)
       m.select(col(idCol),
-        md5(concat_ws("\u0001",
-          dataCols.map(c => coalesce(col(c).cast("string"),
-            lit("\u0002"))): _*).cast("binary"))
+        md5(concat_ws("|",
+          dataCols.map(c => coalesce(md5(col(c).cast("string")
+            .cast("binary")), lit("-"))): _*).cast("binary"))
           .as("__h"))
     }
     digested(fromId).as("a")
@@ -123,13 +124,12 @@ object MergeOnRead {
       dir, id, mode = "overwrite")
   }
 
-  private def dirsOf(spark: SparkSession, dir: String,
-      snapshotId: Option[Long]): Seq[String] = {
+  private def dirsOf(dir: String, snapshotId: Option[Long]): Seq[String] = {
     val root = java.nio.file.Paths.get(dir)
     val id = snapshotId.orElse(Snapshots.currentSnapshotId(dir)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $dir"))
-    // reuse Snapshots' manifest resolution via its public read path —
-    // but we need the dir list, not the DataFrame, to set mergeSchema
+    // Snapshots' manifest resolution, as the dir LIST rather than the
+    // DataFrame — readMerged needs to set mergeSchema on the read
     Snapshots.dataDirsOf(root, id)
   }
 }

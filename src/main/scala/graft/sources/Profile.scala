@@ -86,10 +86,14 @@ object Profile {
       return frame.select(col("bin"), lit(null).cast("long").as("lo"),
         lit(null).cast("long").as("hi"), lit(0L).as("n"))
     val mn = b.getLong(0)
-    val w = b.getLong(1) - mn + 1L
-    require(w <= Long.MaxValue / bins,
-      s"value span $w × $bins bins overflows the int64 bin arithmetic " +
-        "— reduce bins or pre-scale the column")
+    // the span itself can exceed int64 (e.g. min = Long.MinValue):
+    // compute it wide so the overflow guard cannot be fooled by a
+    // wrapped-negative width passing the <= check
+    val span = BigInt(b.getLong(1)) - BigInt(mn) + 1
+    require(span * bins <= BigInt(Long.MaxValue),
+      s"value span $span × $bins bins overflows the int64 bin " +
+        "arithmetic — reduce bins or pre-scale the column")
+    val w = span.toLong
     val counts = vals
       .withColumn("bin", expr(s"(__x - ${mn}L) * $bins div ${w}L"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))

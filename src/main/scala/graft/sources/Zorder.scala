@@ -45,10 +45,19 @@ object Zorder {
     * contiguous Z-range, i.e. a rectangle-ish region of the (a, b) key
     * plane. Buckets are the write granularity: co-bucketed rows are
     * close in both keys. */
+  private def requireNoClash(df: DataFrame, added: Set[String],
+      op: String): Unit = {
+    val clash = df.columns.toSet.intersect(added)
+    require(clash.isEmpty,
+      s"$op adds columns ${clash.mkString(", ")} the input already has " +
+        "— rename them first (withColumn would silently overwrite)")
+  }
+
   def zorderBuckets(df: DataFrame, aCol: String, bCol: String, bits: Int,
       bucketShift: Int): DataFrame = {
     require(bucketShift >= 0 && bucketShift < 2 * bits,
       s"bucketShift must be in [0, ${2 * bits}), got $bucketShift")
+    requireNoClash(df, Set("zcode", "bucket"), "zorderBuckets")
     df.withColumn("zcode", morton(col(aCol), col(bCol), bits))
       .withColumn("bucket", shiftright(col("zcode"), bucketShift))
   }
@@ -69,6 +78,7 @@ object Zorder {
     require((BigInt(numRanges) << (2 * bits)) <= (BigInt(1) << 62),
       s"numRanges ($numRanges) × 2^${2 * bits} overflows the int64 " +
         "bucket arithmetic — lower bits or numRanges")
+    requireNoClash(df, Set("zcode", "bucket", "__mz"), "zorderRanges")
     val z = df.withColumn("zcode", morton(col(aCol), col(bCol), bits))
     val mx = z.agg(max(col("zcode")).as("__mz"))
     z.crossJoin(broadcast(mx))
@@ -89,6 +99,7 @@ object Zorder {
   def writeZordered(df: DataFrame, path: String, aCol: String, bCol: String,
       bits: Int, numFiles: Int): Unit = {
     require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    requireNoClash(df, Set("zcode"), "writeZordered")
     df.withColumn("zcode", morton(col(aCol), col(bCol), bits))
       .repartitionByRange(numFiles, col("zcode"))
       .sortWithinPartitions(col("zcode"))

@@ -112,6 +112,13 @@ class LayoutProfileSpec extends SparkSpecBase {
         Seq(0L, Long.MaxValue - 1).toDF("x"), "x", 8)
     }
     assert(e.getMessage.contains("overflows"))
+    // span wider than int64 itself: the guard must compute the span
+    // wide, not let it wrap negative and slip through the <= check
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.Profile.histogram(
+        Seq(Long.MinValue, 1L).toDF("x"), "x", 4)
+    }
+    assert(e2.getMessage.contains("overflows"))
     val empty = graft.sources.Profile.histogram(
         Seq(Option.empty[Long]).toDF("x"), "x", 4)
       .collect()

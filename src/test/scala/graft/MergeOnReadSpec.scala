@@ -77,6 +77,19 @@ class MergeOnReadSpec extends SparkSpecBase {
     assert(got == Map(1L -> "changed"))
   }
 
+  test("diff digest is injective under embedded separators") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mor").toString
+    // ("a|b", "c") vs ("a", "b|c"): a separator-joined digest would
+    // collide; per-column hashing must see the change
+    MergeOnRead.upsert(Seq((1L, "a|b", "c")).toDF("id", "v", "w"), dir, "id")
+    MergeOnRead.upsert(Seq((1L, "a", "b|c")).toDF("id", "v", "w"), dir, "id")
+    val got = MergeOnRead.diff(spark, dir, "id", 1L, 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed"))
+  }
+
   test("diff reports added/removed/changed and omits identical keys") {
     val s = spark
     import s.implicits._
