@@ -277,6 +277,32 @@ class TextDedupSpec extends SparkSpecBase {
     assert(out2 == out)
   }
 
+  test("incrementalNearDupTags existing-side hot-bucket cap bounds fanout") {
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    // 6 identical corpus docs = one degenerate bucket per band
+    val existing = docs((1L to 6L).map(i => i -> boiler))
+    val incoming = docs(Seq(10L -> boiler))
+    val uncapped = Dedup.incrementalNearDupTags(existing, incoming,
+        "doc_id", "text", 0.5, 16, 3, 4)
+      .collect().map(r => (r.getBoolean(1), r.get(2))).head
+    assert(uncapped == ((true, 1L))) // min-id match through the hot bucket
+    // cap below the bucket size: the degenerate EXISTING bucket drops
+    // (the documented lshCandidates cap semantics), the batch doc is
+    // simply not tagged — bounded fanout, no failure
+    val capped = Dedup.incrementalNearDupTags(existing, incoming,
+        "doc_id", "text", 0.5, 16, 3, 4, maxBucket = Some(3))
+      .collect().map(r => r.getBoolean(1)).head
+    assert(!capped)
+  }
+
+  test("streamingNearDupTags rejects a batch DataFrame as the stream side") {
+    val d = docs(Seq(1L -> "a b c"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.streamingNearDupTags(d, d, "doc_id", "text", 0.5)
+    }
+    assert(e.getMessage.contains("streaming"))
+  }
+
   test("incrementalNearDupTags tags batch-vs-corpus only, min-id on ties") {
     val shared = "the quick brown fox jumps over the lazy dog again"
     val existing = docs(Seq(
