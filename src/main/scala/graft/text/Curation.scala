@@ -336,8 +336,14 @@ object Curation {
     * matches quantile_cont bit-for-bit (q53), and >= of identical
     * doubles is then deterministic.
     *
-    * Scale shape: per-stratum thresholds are a tiny aggregate broadcast
-    * back; the filter is one scan. The builtin exact percentile holds a
+    * Scale shape: the input (by contract a SLIM scored projection —
+    * ids, stratum, score) is materialized once via localCheckpoint:
+    * both the percentile aggregate and the keep filter consume it, and
+    * in a lazy diamond Spark would run the upstream scan + score
+    * expression (the expensive part at corpus scale) once per consumer
+    * — the q127 corpus-mixing rationale. Per-stratum thresholds are a
+    * tiny aggregate broadcast back; the filter is then one scan of the
+    * checkpointed projection. The builtin exact percentile holds a
     * distinct-value map per stratum — for a stratum whose value
     * cardinality rivals memory, run [[graft.agg.OrderStat]] per stratum
     * instead (the q29 parallel-selection pattern); strata here are
@@ -351,9 +357,10 @@ object Curation {
     require(clash.isEmpty,
       "percentileThresholdFilter adds column threshold — rename the " +
         "input's first")
-    val thr = df.groupBy(col(stratumCol))
+    val scored = df.localCheckpoint(true)
+    val thr = scored.groupBy(col(stratumCol))
       .agg(expr(s"percentile($valueCol, $p)").as("threshold"))
-    df.join(broadcast(thr), Seq(stratumCol))
+    scored.join(broadcast(thr), Seq(stratumCol))
       .filter(col(valueCol) >= col("threshold"))
   }
 
