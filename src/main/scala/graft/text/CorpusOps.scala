@@ -154,10 +154,15 @@ object CorpusOps {
   def tfIdfKeywords(df: DataFrame, idCol: String, textCol: String, k: Int,
       broadcastVocab: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // materialize the slim (id, token, tf) relation ONCE: both the df
+    // aggregate and the score join consume it, and the upstream
+    // tokenize + explode (the expensive part at corpus scale) must not
+    // run per consumer (the q127/q153 diamond rationale)
     val tf = df.select(col(idCol),
         explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     // tf is already distinct per (id, token), so count(*) IS the
     // distinct-document frequency — no countDistinct pass needed
     val dfreq0 = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))

@@ -194,11 +194,12 @@ class PlanHygieneSpec extends SparkSpecBase {
     // q143: test-side distinct (1) + island window + sort; the distinct
     // test window-hash set broadcasts into the train-side semi-join
     "q143_contamination_spans" -> (3, 1),
-    // q144: (id,token) tf agg + token df agg + score join + per-doc
-    // rank window + sort; Catalyst broadcasts the small df side here —
-    // at web scale its stats exceed the threshold and it shuffle-joins,
-    // which is the declared default shape
-    "q144_tfidf_keywords" -> (5, 1),
+    // q144: the (id,token) tf relation is checkpointed once (its two
+    // consumers double-ran the tokenize upstream — sf1 soak caught it
+    // at ~2x), leaving the token df agg + score join + rank window +
+    // sort; Catalyst broadcasts the small df side here — at web scale
+    // its stats exceed the threshold and it shuffle-joins
+    "q144_tfidf_keywords" -> (3, 1),
     // q145: every exchange carries id/band/bucket/shingle-hash columns
     // only (the lshNearDupPairs discipline); the count is high because
     // the asymmetric batch-vs-corpus sides cannot share exchanges the
