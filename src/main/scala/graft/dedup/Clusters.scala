@@ -126,6 +126,38 @@ object Clusters {
     labels.select(col("__id").as(idCol), col("__lbl").as("cluster_id"))
   }
 
+  /** Quality-based canonical-keeper selection: given cluster-labelled
+    * members and a per-member quality column, pick ONE keeper per
+    * cluster — the highest-quality member, ties broken by minimum id —
+    * and label every member with its cluster's keeper. This is the
+    * dedup *action*: `.filter(col("is_keeper"))` is the surviving
+    * corpus, `.filter(!col("is_keeper"))` the delete list, and
+    * `keeper_id` the replacement pointer an index rewrite needs.
+    * [[nearDupClusters]] keeps the *minimum id* as canonical (cheap,
+    * id-only); this variant keeps the *best* member — the choice
+    * quality-aware pipelines make (keep the cleanest copy of a
+    * boilerplate family, not the first-crawled one).
+    *
+    * Determinism: the arg-max key is the injective composite
+    * (quality, -id), so the keeper is unique regardless of partial-agg
+    * merge order — no tie can reach the engine.
+    *
+    * Scale shape (100 TB): `max_by`/count partial-aggregate map-side,
+    * so a degenerate million-member boilerplate cluster costs one
+    * combiner row per partition, never a single-task window over the
+    * whole cluster; the member labelling is one hash join against the
+    * one-row-per-cluster keeper table. */
+  def keepBestPerCluster(members: DataFrame, idCol: String,
+      clusterCol: String, qualityCol: String): DataFrame = {
+    val keepers = members.groupBy(col(clusterCol))
+      .agg(
+        max_by(col(idCol), struct(col(qualityCol), -col(idCol)))
+          .as("keeper_id"),
+        count(lit(1)).as("n_members"))
+    members.join(keepers, Seq(clusterCol))
+      .withColumn("is_keeper", col(idCol) === col("keeper_id"))
+  }
+
   /** End-to-end near-dup cluster resolution: LSH near-dup pairs →
     * connected components → per-document (cluster_id, is_dup) where the
     * cluster's minimum doc id is the canonical keeper.

@@ -58,6 +58,13 @@ object CurationQueries {
   // q144: top-3 keywords — the 31-token vocabulary makes df spread wide
   // enough that score ties exist AND break deterministically by token
   private val keywordK = 3
+  // q157: one rare term ('dup': df ~5% of docs at every sf) against two
+  // common ones — the rational idf spread is what the ranking exercises
+  private val bm25Terms = Seq("dup", "spark", "scan")
+  private val bm25K = 10
+  // q158: 2^10 buckets — collisions exist at the fixture vocabulary
+  // size, exercising the hash-bucket path, and keep splits both ways
+  private val classifierBuckets = 1024
 
   val queries: Map[String, Q] = Map(
     // near-dup clusters: LSH pairs → connected components → canonical
@@ -291,6 +298,40 @@ object CurationQueries {
           TextOps.qualityScore(col("text")).as("q")),
         "lang", "q", 0.6)
         .select("doc_id", "lang", "q", "threshold")
+        .orderBy("doc_id")
+    },
+
+    // quality-canonical dedup: q121's clusters, but the keeper is the
+    // highest-QUALITY member (tie: min id), not the minimum id — the
+    // keep-the-cleanest-copy action plus the delete list with
+    // replacement pointers an index rewrite needs.
+    "q156_cluster_canonical" -> { (s, d) =>
+      val docs = documents(s, d)
+      val scored = Clusters.nearDupClusters(docs, "doc_id", "text",
+          jaccardThreshold, numHashes, shingleK, numBands)
+        .join(docs.select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("q")), Seq("doc_id"))
+      Clusters.keepBestPerCluster(scored, "doc_id", "cluster_id", "q")
+        .select("doc_id", "cluster_id", "keeper_id", "is_keeper",
+          "n_members")
+        .orderBy("doc_id")
+    },
+
+    // BM25 retrieval (rational idf, transcendental-free): top-10 docs
+    // for a fixed query-term set — one rare term against two common
+    // ones exercises the idf spread.
+    "q157_bm25" -> { (s, d) =>
+      CorpusOps.bm25TopK(documents(s, d), "doc_id", "text", bm25Terms,
+        bm25K)
+        .orderBy("doc_id")
+    },
+
+    // fastText-shape hashed linear classifier: unigram+bigram feature
+    // hashing mod 1024, deterministic stand-in weight table, exact
+    // int64 dot product, keep = score >= 0.
+    "q158_quality_classifier" -> { (s, d) =>
+      CorpusOps.hashedLinearScore(documents(s, d), "doc_id", "text",
+        classifierBuckets)
         .orderBy("doc_id")
     }
   )
@@ -606,6 +647,80 @@ object CurationQueries {
          |  FROM sc GROUP BY 1)
          |SELECT sc.doc_id, sc.lang, sc.q, t.threshold
          |FROM sc JOIN t USING (lang) WHERE sc.q >= t.threshold
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // q121's recursive closure + q62's quality expression; the keeper
+    // window (q DESC, doc_id ASC) mirrors max_by's injective
+    // (q, -id) arg-max exactly.
+    "q156_cluster_canonical" ->
+      s"""$closureCtes,
+         |cl AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+         |tq AS (SELECT doc_id, text, ${toksSql("text")} AS t FROM documents),
+         |sc AS (SELECT doc_id, $qualitySql AS q FROM tq),
+         |m AS (SELECT cl.doc_id, cl.cluster_id, sc.q
+         |  FROM cl JOIN sc USING (doc_id)),
+         |r1 AS (SELECT doc_id, cluster_id, q,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY q DESC, doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_id) AS nm FROM m),
+         |k AS (SELECT cluster_id, doc_id AS keeper_id FROM r1 WHERE rn = 1)
+         |SELECT r1.doc_id, r1.cluster_id, k.keeper_id,
+         |  r1.doc_id = k.keeper_id AS is_keeper,
+         |  CAST(r1.nm AS BIGINT) AS n_members
+         |FROM r1 JOIN k USING (cluster_id) ORDER BY doc_id""".stripMargin,
+
+    // Mirrors CorpusOps.bm25TopK: identical fixed-association double
+    // expression over integer-valued stats (exact below 2^53), rational
+    // idf (N-df+1)/(df+1), 10L-cleared saturation, doc-id tie-break.
+    "q157_bm25" -> {
+      val tfSelects = bm25Terms.map(t =>
+        s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf_$t")
+      val dfSelects = bm25Terms.map(t =>
+        s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_tf_$t")
+      val termSql = bm25Terms.map { t =>
+        s"((CAST(n_docs AS DOUBLE) - CAST(df_tf_$t AS DOUBLE) + 1.0) / " +
+          s"(CAST(df_tf_$t AS DOUBLE) + 1.0)) * " +
+          s"((22.0 * CAST(tf_$t AS DOUBLE) * CAST(total_len AS DOUBLE)) / " +
+          s"(10.0 * CAST(tf_$t AS DOUBLE) * CAST(total_len AS DOUBLE) + " +
+          s"3.0 * CAST(total_len AS DOUBLE) + " +
+          s"9.0 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)))"
+      }.mkString(" + ")
+      val tfCols = bm25Terms.map(t => s"tf_$t").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         |  ${tfSelects.mkString(",\n  ")} FROM toks),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dl) AS BIGINT) AS total_len,
+         |  ${dfSelects.mkString(",\n  ")} FROM base),
+         |scored AS (SELECT doc_id, dl, $tfCols,
+         |  $termSql AS score FROM base, stats)
+         |SELECT doc_id, dl, $tfCols, score FROM scored
+         |WHERE score > 0.0 ORDER BY score DESC, doc_id LIMIT $bm25K""".stripMargin
+    },
+
+    // Mirrors CorpusOps.hashedLinearScore: same portable unigram hashes,
+    // same polynomial bigram combine, same stand-in weight table — the
+    // int64 sum is exact so keep is bit-reproducible.
+    "q158_quality_classifier" -> {
+      val P = graft.text.TextOps.P
+      val B = graft.text.TextOps.B
+      val halfP = P / 2
+      val M = classifierBuckets
+      val A = 2654435761L
+      val C = 12345L
+      def w(h: String) = s"(($h % $M) * $A + $C) % $P - $halfP"
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |hs AS (SELECT doc_id, list_transform(t, x -> ${graft.text.TextOps.portableHashSql("x")}) AS hs FROM toks),
+         |s AS (SELECT doc_id,
+         |  CAST(len(hs) + greatest(len(hs) - 1, 0) AS BIGINT) AS n_feats,
+         |  CAST(coalesce(list_sum(list_transform(hs, h -> ${w("h")})), 0)
+         |   + CASE WHEN len(hs) < 2 THEN 0
+         |     ELSE coalesce(list_sum(list_transform(range(1, len(hs)),
+         |       i -> ${w(s"((hs[i] * $B + hs[i+1]) % $P)")})), 0) END
+         |   AS BIGINT) AS score
+         |  FROM hs)
+         |SELECT doc_id, n_feats, score, score >= 0 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin
+    }
   )
 }

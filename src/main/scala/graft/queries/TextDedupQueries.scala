@@ -200,6 +200,27 @@ object TextDedupQueries {
         .orderBy("a", "b", "c")
     },
 
+    // cross-source duplicate-overlap matrix: which crawl sources
+    // duplicate each other, from the confirmed near-dup pair graph —
+    // the provenance audit a corpus build runs before deciding which
+    // source to drop. Pairs are id-pairs; the source lookup is two
+    // hash joins against the (id, source) projection; the matrix agg
+    // is map-side combined on a canonically-ordered source pair.
+    "q159_source_overlap" -> { (s, d) =>
+      val docs = documents(s, d)
+      val src = docs.select(col("doc_id").as("__sid"), col("source"))
+      Dedup.lshNearDupPairs(docs, "doc_id", "text",
+          jaccardThreshold, numHashes, shingleK, numBands)
+        .join(src.select(col("__sid"), col("source").as("__s1")),
+          col("id_1") === col("__sid")).drop("__sid")
+        .join(src.select(col("__sid"), col("source").as("__s2")),
+          col("id_2") === col("__sid")).drop("__sid")
+        .groupBy(least(col("__s1"), col("__s2")).as("source_a"),
+          greatest(col("__s1"), col("__s2")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+
     // embedding-cosine cluster resolution — the vector twin of q121
     // (text) and q139 (image): threshold pairs within the label block →
     // pointer-jumping connected components → canonical keeper. The
@@ -468,6 +489,28 @@ object TextDedupQueries {
          |  ${jacSql("a.sh", "b.sh")} AS jaccard
          |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
          |ORDER BY jaccard DESC, id_1, id_2 LIMIT 100""".stripMargin,
+
+    // q66's confirmed-pair pipeline + the canonically-ordered source
+    // pair aggregate.
+    "q159_source_overlap" ->
+      s"""$sigCtes,
+         |bands AS (SELECT doc_id, ${(0 until numBands).map(b => bandSql("sig", b)).mkString("[", ", ", "]")} AS bh FROM sigs),
+         |bx AS (SELECT doc_id, i AS band, bh[i] AS bucket
+         |  FROM bands CROSS JOIN (SELECT unnest(range(1, ${numBands + 1})) AS i)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+         |  FROM bx a JOIN bx b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id),
+         |conf AS (SELECT id_1, id_2 FROM (
+         |  SELECT cand.id_1, cand.id_2, ${jacSql("s1.sh", "s2.sh")} AS j
+         |  FROM cand JOIN sh s1 ON cand.id_1 = s1.doc_id
+         |    JOIN sh s2 ON cand.id_2 = s2.doc_id)
+         |  WHERE j >= $jaccardThreshold),
+         |p AS (SELECT least(d1.source, d2.source) AS source_a,
+         |    greatest(d1.source, d2.source) AS source_b
+         |  FROM conf JOIN documents d1 ON conf.id_1 = d1.doc_id
+         |    JOIN documents d2 ON conf.id_2 = d2.doc_id)
+         |SELECT source_a, source_b, count(*) AS n_pairs FROM p
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q66's confirmed-pair pipeline + the ordered 3-way triangle join.
     "q155_neardup_triangles" ->

@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.functions.Det
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level statistics operators for training-data builds:
@@ -131,6 +131,119 @@ object CorpusOps {
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("mean_p"), lit(0.0)).as("mean_p"))
+  }
+
+  /** BM25 retrieval scoring against a fixed query-term set, top-`k`
+    * documents — the ranking function a corpus-curation build uses for
+    * targeted retrieval (eval-set mining, topic probes) over the same
+    * token layer the dedup tier hashes.
+    *
+    * Scoring is the exact BM25 shape with k1 = 6/5, b = 3/4 and a
+    * RATIONAL idf: score = Σ_t idf_t · sat_t with
+    * idf_t = (N − df_t + 1)/(df_t + 1) and the saturation term
+    * multiplied through by 10·L to clear avgdl = L/N:
+    * sat_t = 22·tf·L / (10·tf·L + 3·L + 9·dl·N). Classical BM25 takes
+    * ln of the idf ratio; ln is a transcendental whose last ulp varies
+    * across libm implementations, so a cross-engine-verifiable score
+    * cannot contain it (the catalog-wide rule) — the rational idf keeps
+    * the same monotone df ordering. Every factor is an integer-valued
+    * double (exact below 2^53) flowing through a fixed-association
+    * expression, so any IEEE-754 engine reproduces the score
+    * bit-for-bit. Ties break by doc id.
+    *
+    * Scale shape (100 TB): per-doc tf/dl are scan-local (one tokenize
+    * per row, no exchange); the corpus stats (N, L, one df per term)
+    * are ONE single-row aggregate broadcast back; the top-k is a
+    * TakeOrderedAndProject — k rows to the driver, never a global
+    * sort. Zero data-sized shuffles end to end.
+    *
+    * Returns (idCol, dl, tf_<term>…, score) for the top-`k` docs with
+    * score > 0 (at least one query term present). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val tfCols = terms.map(t => s"tf_$t")
+    val base = df.select(Seq(
+      col(idCol),
+      TextOps.bindOnce(TextOps.tokens(col(textCol))) { tt =>
+        struct(size(tt).cast("long").as("dl") +:
+          terms.map(t =>
+            size(filter(tt, x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
+      }.as("__s")): _*)
+      .select(col(idCol) +: col("__s.dl").as("dl") +:
+        terms.map(t => col(s"__s.tf_$t").as(s"tf_$t")): _*)
+      // the stats aggregate and the scored scan both consume this slim
+      // relation; checkpoint so the tokenize runs once (q144 rationale)
+      .localCheckpoint(true)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len") +:
+        tfCols.map(c => sum(when(col(c) > 0, 1L).otherwise(0L)).as(s"df_$c")): _*)
+    val nD = col("n_docs").cast("double")
+    val lD = col("total_len").cast("double")
+    val score = terms.map { t =>
+      val tf = col(s"tf_$t").cast("double")
+      val dfv = col(s"df_tf_$t").cast("double")
+      val idf = (nD - dfv + lit(1.0)) / (dfv + lit(1.0))
+      val sat = (lit(22.0) * tf * lD) /
+        (lit(10.0) * tf * lD + lit(3.0) * lD + lit(9.0) * col("dl").cast("double") * nD)
+      idf * sat
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol) +: col("dl") +:
+        tfCols.map(col) :+ col("score"): _*)
+  }
+
+  /** Hashed linear text classifier — the fastText-style model-based
+    * quality-filter shape (hash features into buckets, dot with a
+    * weight vector, threshold): unigram token hashes plus adjacent
+    * bigram hashes (polynomial combine, the shingle-hash arithmetic
+    * with k = 2, multiplicity preserved) bucketed mod `numBuckets`,
+    * scored by a deterministic weight table
+    * w(bucket) = (bucket·2654435761 + 12345) mod P − ⌊P/2⌋.
+    * The weights are a documented stand-in for trained parameters (no
+    * training framework exists in this environment); the distributed
+    * shape — feature hashing, bucket lookup, integer dot product — is
+    * exactly what serving a real fastText/linear quality model needs,
+    * and swapping a trained table in changes one expression.
+    *
+    * The score is a sum of int64 terms — exact, associative, partition-
+    * order-free — so the keep/drop decision is bit-reproducible on any
+    * engine (no float dot product to diverge).
+    *
+    * Scale shape: pure per-row projection inside one codegen stage —
+    * no exchange, no UDF; classifier filtering at 100 TB is
+    * scan-bounded.
+    *
+    * Returns (idCol, n_feats, score, keep) with keep = score ≥ 0. */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val P = TextOps.P
+    val halfP = P / 2
+    val A = 2654435761L
+    val C = 12345L
+    def w(h: Column): Column = (pmod(h, lit(numBuckets.toLong)) * A + C) % P - halfP
+    val out = df.select(Seq(
+      col(idCol),
+      TextOps.bindOnce(TextOps.tokenHashes(col(textCol))) { hs =>
+        val uni = aggregate(hs, lit(0L), (acc, h) => acc + w(h))
+        val big = when(size(hs) < 2, lit(0L)).otherwise(
+          aggregate(
+            transform(sequence(lit(1), size(hs) - 1),
+              i => (element_at(hs, i) * TextOps.B + element_at(hs, i + 1)) % P),
+            lit(0L), (acc, h) => acc + w(h)))
+        struct(
+          (size(hs) + greatest(size(hs) - 1, lit(0))).cast("long").as("n_feats"),
+          (uni + big).as("score"))
+      }.as("__s")): _*)
+    out.select(col(idCol), col("__s.n_feats").as("n_feats"),
+      col("__s.score").as("score"), (col("__s.score") >= 0L).as("keep"))
   }
 
   /** Per-document top-`k` tf-idf keywords with an integer-exact score:

@@ -228,4 +228,71 @@ class CurationSpec extends SparkSpecBase {
     assert(out(12L) == ((1L, 0.5)))
     assert(out(13L) == ((0L, 0.0)))
   }
+
+  test("keepBestPerCluster: max quality wins, quality ties take min id") {
+    val s = spark
+    import s.implicits._
+    // cluster 1: clear max at id 3; cluster 5: tie 0.7 between 5 and 6
+    // (min id 5 must win); cluster 9: singleton keeps itself
+    val members = Seq(
+      (1L, 1L, 0.2), (2L, 1L, 0.9), (3L, 1L, 0.95),
+      (5L, 5L, 0.7), (6L, 5L, 0.7),
+      (9L, 9L, 0.1)).toDF("id", "cluster_id", "q")
+    val out = graft.dedup.Clusters
+      .keepBestPerCluster(members, "id", "cluster_id", "q")
+      .select("id", "keeper_id", "is_keeper", "n_members")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((3L, false, 3L)), 2L -> ((3L, false, 3L)),
+      3L -> ((3L, true, 3L)),
+      5L -> ((5L, true, 2L)), 6L -> ((5L, false, 2L)),
+      9L -> ((9L, true, 1L))))
+    // partition-independence of the arg-max: the injective (q, -id) key
+    // makes the merge order irrelevant
+    val out7 = graft.dedup.Clusters
+      .keepBestPerCluster(members.repartition(7), "id", "cluster_id", "q")
+      .select("id", "keeper_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out7 == out.map { case (k, v) => k -> v._1 })
+  }
+
+  test("bm25TopK: rare term outranks common term at equal tf") {
+    val s = spark
+    import s.implicits._
+    // 'rare' in 1 of 4 docs, 'common' in 3 — doc 1 (rare) must outrank
+    // doc 2 (common) despite identical tf and length
+    val docs = Seq(
+      (1L, "rare pad pad pad"), (2L, "common pad pad pad"),
+      (3L, "common pad pad"), (4L, "common x y z w")).toDF("id", "text")
+    val out = graft.text.CorpusOps
+      .bm25TopK(docs, "id", "text", Seq("rare", "common"), 10)
+      .select("id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == 4) // every doc matches a term; k caps, not pads
+    assert(out(1L) > out(2L))
+    // docs 2 and 3 differ only in length — the shorter scores higher
+    // (length normalization)
+    assert(out(3L) > out(2L))
+  }
+
+  test("hashedLinearScore: feature counts, empty and one-token docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a"), (3L, ""))
+      .toDF("id", "text")
+    val out = graft.text.CorpusOps
+      .hashedLinearScore(docs, "id", "text", 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // 3 tokens -> 3 unigrams + 2 bigrams; 1 token -> no bigram;
+    // empty doc -> zero features, score 0, keep (0 >= 0)
+    assert(out(1L)._1 == 5L && out(2L)._1 == 1L)
+    assert(out(3L) == ((0L, 0L, true)))
+    // the score is a pure function of content: same text, same score
+    val again = graft.text.CorpusOps
+      .hashedLinearScore(docs.repartition(5), "id", "text", 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == out.map { case (k, v) => k -> v._2 })
+  }
 }

@@ -26,7 +26,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q131_bigram_lm",
     // z-order ranges: crosses the coded rows with the one-row max(zcode)
     // aggregate that sets the equal-range width
-    "q147_zorder_layout")
+    "q147_zorder_layout",
+    // BM25: crosses the per-doc tf relation with the one-row corpus
+    // stats aggregate (N, L, per-term df)
+    "q157_bm25")
 
   /** Built once and shared by all tests — several catalog queries do
     * eager work (sink writes, collects) at construction time, so planning
@@ -239,7 +242,25 @@ class PlanHygieneSpec extends SparkSpecBase {
     // (the triangle join's three edge references) — ReuseExchange
     // collapses the identical banded subtrees at runtime exactly as in
     // q66's self-join; every exchange is id/band/hash-width
-    "q155_neardup_triangles" -> (25, 0))
+    "q155_neardup_triangles" -> (25, 0),
+    // q156 post-iteration like q121 (checkpointed labels) + the quality
+    // join-back + the map-combined keeper agg + the keeper join + sort;
+    // Catalyst broadcasts the tiny quality projection and the one-row-
+    // per-cluster keeper table at fixture scale
+    "q156_cluster_canonical" -> (3, 2),
+    // q157: per-doc tf/dl are scan-local behind a checkpoint; the ONLY
+    // exchange is the one-row corpus-stats aggregate (broadcast back as
+    // the scalar cross); the top-k is TakeOrderedAndProject — BM25 at
+    // corpus scale is scan-bounded
+    "q157_bm25" -> (1, 1),
+    // q158: pure per-row projection — the single exchange is the
+    // presentation sort; classifier filtering is scan-bounded
+    "q158_quality_classifier" -> (1, 0),
+    // q159: q66's banded pair pipeline (ReuseExchange collapses the
+    // identical subtrees at runtime) + two source-lookup joins + the
+    // matrix agg + sort; the (id, source) projections broadcast at
+    // fixture scale but shuffle-hash at corpus scale (declared default)
+    "q159_source_overlap" -> (9, 2))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
