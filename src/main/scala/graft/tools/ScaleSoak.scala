@@ -169,7 +169,16 @@ object ScaleSoak {
     // offset users — the exchange must stay linear) and triangle
     // enumeration (edges ~10× under rotation; the ordered 3-way join
     // must not go superlinear on the sparse pair graph)
-    "q154_cohort_retention", "q155_neardup_triangles")
+    "q154_cohort_retention", "q155_neardup_triangles",
+    // quality-canonical keeper selection (q121's CC pipeline + one
+    // map-combined arg-max + one keeper join — must track q121's
+    // ratio), BM25 (scan-bounded: per-doc tf behind a checkpoint, one
+    // single-row stats agg, TakeOrdered top-k), the hashed linear
+    // classifier (pure projection — the scan-linear floor), and the
+    // source-overlap matrix (q66's band join + two lookup joins; the
+    // pair graph grows ~10× under rotation, the matrix is 6×6)
+    "q156_cluster_canonical", "q157_bm25", "q158_quality_classifier",
+    "q159_source_overlap")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
