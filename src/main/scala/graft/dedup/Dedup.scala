@@ -525,6 +525,58 @@ object Dedup {
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** [[decontaminationTags]] with a bloom-filter prefilter — the form
+    * that survives a test corpus too large to broadcast as an exact
+    * distinct-hash set. The held-out side's distinct shingle hashes
+    * feed Spark's distributed bloom-filter aggregate (per-partition
+    * sketches OR-merged into one binary, so the built filter is
+    * partition-order independent); the corpus streams past the probe
+    * expression (codegen'd, inside the scan stage) and only the
+    * candidate grams — true overlaps plus the bounded false-positive
+    * residue — reach the exact-confirm join. The confirm join removes
+    * every false positive, so the output is BIT-IDENTICAL to the exact
+    * operator at any `numBits`, including adversarially tiny filters.
+    *
+    * Scale shape (100 TB): an exact distinct-hash broadcast costs
+    * 8 bytes per distinct test gram (gigabytes for a large benchmark
+    * suite); the bloom sketch is `numBits/8` bytes FLAT regardless of
+    * test-set size, and the join that remains is candidate-sized, not
+    * corpus-sized. This is the GPT-3-scale decontamination shape.
+    *
+    * Same contract as [[decontaminationTags]]: (idCol, n_overlap,
+    * contaminated) for every train row. */
+  def bloomDecontaminationTags(
+      train: DataFrame, test: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, minOverlap: Int = 1,
+      numBits: Long = 1L << 22): DataFrame = {
+    require(numBits > 0, s"numBits must be positive, got $numBits")
+    val testGrams = test
+      .select(explode(TextOps.shingleHashes(col(textCol), shingleK)).as("__g"))
+      .distinct()
+    // Distributed build, then ONE binary scalar (numBits/8 bytes — the
+    // same bounded-metadata driver transfer as OrderStat's per-partition
+    // counts) collected and re-shipped as a constant: `might_contain`
+    // requires a constant/scalar-subquery filter so it can deserialize
+    // the sketch once, not per row. estimatedNumItems only tunes the
+    // hash count; it never affects correctness (the confirm join is
+    // exact either way). Eager like exactQuantile: the build jobs run
+    // at call time.
+    val bf = testGrams.agg(call_function("bloom_agg",
+      col("__g"), lit(numBits / 16), lit(numBits)).as("__bf"))
+      .head.getAs[Array[Byte]](0)
+    val candidates = train
+      .select(col(idCol), explode(TextOps.shingleHashes(col(textCol), shingleK)).as("__g"))
+      .filter(call_function("bloom_might_contain", lit(bf), col("__g")))
+    val overlaps = candidates
+      .join(testGrams, "__g")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    train.select(col(idCol))
+      .join(overlaps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key
     * (label/cluster/LSH bucket): cosine ≥ threshold, id_1 < id_2. */
   def embeddingNearDupPairs(

@@ -104,6 +104,27 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         TokenWindows(children.head, children(1), children(2)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize",
+      (children: Seq[Expression]) => NfcNormalize(children.head),
+      "scala_udf")
+    // Spark ships a distributed bloom-filter build/probe pair for its
+    // runtime row-group filters but exposes no SQL surface for them;
+    // graft registers the internal expressions directly (the aggregate
+    // merges per-partition sketches with a bitwise OR, so the built
+    // filter is partition-order independent).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg",
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(children.head, children(1), children(2)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(children.head, children(1)),
+      "scala_udf")
   }
 }
 
@@ -175,6 +196,27 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         classOf[TokenWindows].getCanonicalName, "token_windows"),
       (children: Seq[Expression]) =>
         TokenWindows(children.head, children(1), children(2))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NfcNormalize].getCanonicalName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getCanonicalName, "bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(children.head, children(1), children(2))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_might_contain"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getCanonicalName, "bloom_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(children.head, children(1))))
     // the custom-operator tier: lowers AsofJoinNode → AsofJoinExec in
     // every session (AsofJoin.merge also self-registers per session via
     // experimental.extraStrategies for callers not using extensions)

@@ -333,6 +333,27 @@ object CurationQueries {
       CorpusOps.hashedLinearScore(documents(s, d), "doc_id", "text",
         classifierBuckets)
         .orderBy("doc_id")
+    },
+
+    // Unicode NFC normalization — the step before any hash-keyed dedup
+    // so composed (é) and decomposed (e+U+0301) spellings collide. The
+    // fixture text is appended a suffix that alternates decomposed /
+    // precomposed "café" by doc parity, so both the changed and the
+    // already-NFC branch are exercised at every sf; the post-NFC hash
+    // proves both engines composed to identical bytes.
+    "q161_nfc_normalize" -> { (s, d) =>
+      val raw = concat(col("text"),
+        when(col("doc_id") % 2 === 0, lit(" cafe\u0301")) // decomposed: e + combining acute
+          .otherwise(lit(" caf\u00e9"))) // precomposed é
+      documents(s, d)
+        .select(col("doc_id"), raw.as("__raw"),
+          TextOps.nfcNormalize(raw).as("__nfc"))
+        .select(col("doc_id"),
+          length(col("__raw")).cast("long").as("n_raw"),
+          length(col("__nfc")).cast("long").as("n_nfc"),
+          (col("__raw") =!= col("__nfc")).as("changed"),
+          TextOps.portableHash(col("__nfc")).as("h"))
+        .orderBy("doc_id")
     }
   )
 
@@ -721,6 +742,20 @@ object CurationQueries {
          |  FROM hs)
          |SELECT doc_id, n_feats, score, score >= 0 AS keep
          |FROM s ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // DuckDB's nfc_normalize implements the same Unicode-specified
+    // composition; the post-NFC portable hash proves byte-identity.
+    // chr(769) = U+0301 combining acute, chr(233) = precomposed é.
+    "q161_nfc_normalize" ->
+      s"""WITH r AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 2 = 0 THEN ' cafe' || chr(769)
+         |         ELSE ' caf' || chr(233) END AS raw FROM documents),
+         |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM r)
+         |SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+         |  CAST(length(nfc) AS BIGINT) AS n_nfc,
+         |  raw <> nfc AS changed,
+         |  ${graft.text.TextOps.portableHashSql("nfc")} AS h
+         |FROM n ORDER BY doc_id""".stripMargin
   )
 }

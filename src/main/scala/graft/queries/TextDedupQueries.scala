@@ -374,6 +374,24 @@ object TextDedupQueries {
         docs.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", shingleK, minOverlap = decontamMinOverlap)
         .orderBy("doc_id")
+    },
+
+    // bloom-accelerated decontamination: the q120 semantics through
+    // Spark's distributed bloom-filter build + codegen'd probe, with an
+    // exact-confirm join that removes every false positive — the form
+    // whose test-side broadcast stays numBits/8 bytes FLAT when the
+    // benchmark suite outgrows an exact distinct-hash set. numBits is
+    // deliberately tiny (2^14 ≈ 2 KiB for ~6.5k grams at sf0.01, FP
+    // rate ~50%+) so the confirm join provably does its job: the
+    // output must still be BIT-IDENTICAL to q120's oracle.
+    "q160_bloom_decontaminate" -> { (s, d) =>
+      val docs = documents(s, d)
+      Dedup.bloomDecontaminationTags(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleK, minOverlap = decontamMinOverlap,
+        numBits = 1L << 14)
+        .orderBy("doc_id")
     }
   )
 
@@ -663,6 +681,23 @@ object TextDedupQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "q120_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |hs AS (SELECT doc_id, list_transform(t, x -> ${hashSql("x")}) AS hs FROM toks),
+         |sh AS (SELECT doc_id, ${TextOps.shingleHashesSql("hs", shingleK)} AS sh FROM hs),
+         |testg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 10 = 0),
+         |traing AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 10 <> 0),
+         |ov AS (SELECT doc_id, count(*) AS n_overlap FROM traing
+         |  JOIN testg USING (g) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+         |  coalesce(ov.n_overlap, 0) >= $decontamMinOverlap AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+         |LEFT JOIN ov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // the bloom path is a pure accelerator: its exact-confirm join
+    // makes the output bit-identical to the exact operator, so the
+    // oracle IS q120's exact-decontamination SQL.
+    "q160_bloom_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
          |hs AS (SELECT doc_id, list_transform(t, x -> ${hashSql("x")}) AS hs FROM toks),
          |sh AS (SELECT doc_id, ${TextOps.shingleHashesSql("hs", shingleK)} AS sh FROM hs),

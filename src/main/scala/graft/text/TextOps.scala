@@ -31,6 +31,13 @@ object TextOps {
     * filter HOF pair is interpreted). */
   def tokens(text: Column): Column = call_function("tokens_of", text)
 
+  /** Unicode NFC canonical composition (compiled
+    * `graft.functions.NfcNormalize`) — run FIRST in any pipeline whose
+    * dedup keys/shingles must treat composed and decomposed text as
+    * equal. Engine-portable: DuckDB's `nfc_normalize` is bit-identical
+    * (the Unicode standard fully specifies the mapping). */
+  def nfcNormalize(text: Column): Column = call_function("nfc_normalize", text)
+
   /** Distinct word k-grams ("shingles") joined by single spaces — the
     * MinHash/Jaccard unit (SURVEY §2 parity-plus dedup). */
   def shingles(text: Column, k: Int): Column = {

@@ -260,7 +260,16 @@ class PlanHygieneSpec extends SparkSpecBase {
     // identical subtrees at runtime) + two source-lookup joins + the
     // matrix agg + sort; the (id, source) projections broadcast at
     // fixture scale but shuffle-hash at corpus scale (declared default)
-    "q159_source_overlap" -> (9, 2))
+    "q159_source_overlap" -> (9, 2),
+    // q160: the bloom sketch is built EAGERLY at query construction
+    // (one collected binary) so the planned query is only the
+    // codegen'd constant-filter probe + the exact-confirm join + the
+    // per-doc agg + the left join back + sort; the distinct test-gram
+    // side broadcasts at fixture scale
+    "q160_bloom_decontaminate" -> (3, 2),
+    // q161: pure projection (NFC + lengths + hash in one codegen
+    // stage); the single exchange is the presentation sort
+    "q161_nfc_normalize" -> (1, 0))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap

@@ -277,6 +277,33 @@ class TextDedupSpec extends SparkSpecBase {
     assert(out2 == out)
   }
 
+  test("bloomDecontaminationTags is bit-identical to the exact operator") {
+    val train = docs(Seq(
+      (10L, "a b c d e"), (11L, "x y z w"), (12L, "a b"),
+      (13L, "a b c q r s t"), (14L, "p q r s t u v")))
+    val test = docs(Seq((1L, "a b c d"), (2L, "q r s t u")))
+    val exact = Dedup.decontaminationTags(train, test, "doc_id", "text",
+        shingleK = 3, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    // 64 bits for ~6 grams: the false-positive rate is large by design,
+    // so this passes ONLY if the exact-confirm join removes every FP
+    for (bits <- Seq(64L, 1L << 20)) {
+      val bloom = Dedup.bloomDecontaminationTags(train, test, "doc_id",
+          "text", shingleK = 3, minOverlap = 2, numBits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+      assert(bloom == exact, s"numBits=$bits diverged")
+    }
+    // the OR-merged sketch is partition-order independent
+    val repart = Dedup.bloomDecontaminationTags(train.repartition(5),
+        test.repartition(3), "doc_id", "text",
+        shingleK = 3, minOverlap = 2, numBits = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSet
+    assert(repart == exact)
+  }
+
   test("incrementalNearDupTags existing-side hot-bucket cap bounds fanout") {
     val boiler = "alpha beta gamma delta epsilon zeta eta theta"
     // 6 identical corpus docs = one degenerate bucket per band

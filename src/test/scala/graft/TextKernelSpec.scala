@@ -138,4 +138,37 @@ class TextKernelSpec extends SparkSpecBase {
       assert(a.getDouble(2) == r.getDouble(3))
     }
   }
+
+  test("nfc_normalize composes decomposed sequences and is idempotent") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "caf\u0065\u0301"),        // e + combining acute -> \u00e9
+      (2L, "caf\u00e9"),               // already composed
+      (3L, "plain ascii"),              // NFC-invariant fast path
+      (4L, "\u0041\u030a"),           // A + combining ring -> \u00c5
+      (5L, "\u1e69"),                  // s + dot-below + dot-above, composed
+      (6L, ""),                         // empty
+      (7L, null.asInstanceOf[String]))  // null flows through
+      .toDF("id", "text")
+    val out = rows.select(col("id"),
+        TextOps.nfcNormalize(col("text")).as("n"),
+        TextOps.nfcNormalize(TextOps.nfcNormalize(col("text"))).as("nn"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(out(1L)._1 == "caf\u00e9")
+    assert(out(2L)._1 == "caf\u00e9")
+    assert(out(3L)._1 == "plain ascii")
+    assert(out(4L)._1 == "\u00c5")
+    assert(out(5L)._1 == "\u1e69")
+    assert(out(6L)._1 == "")
+    assert(out(7L)._1 == null)
+    // idempotence: NFC(NFC(x)) == NFC(x) for every row
+    out.values.foreach { case (n, nn) => assert(n == nn) }
+    // the normalized spellings now collide under the dedup hash
+    val h = rows.filter(col("id").isin(1L, 2L))
+      .select(TextOps.portableHash(TextOps.nfcNormalize(col("text"))))
+      .collect().map(_.getLong(0)).toSet
+    assert(h.size == 1)
+  }
 }
