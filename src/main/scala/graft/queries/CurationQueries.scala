@@ -354,6 +354,14 @@ object CurationQueries {
           (col("__raw") =!= col("__nfc")).as("changed"),
           TextOps.portableHash(col("__nfc")).as("h"))
         .orderBy("doc_id")
+    },
+
+    // per-source distribution drift: integer-exact total-variation
+    // distance over the corpus's top-20 tokens — the crawl-health
+    // audit run before a source enters a training mix.
+    "q163_source_drift" -> { (s, d) =>
+      CorpusOps.sourceDrift(documents(s, d), "source", "text", vocabK)
+        .orderBy("source")
     }
   )
 
@@ -756,6 +764,33 @@ object CurationQueries {
          |  CAST(length(nfc) AS BIGINT) AS n_nfc,
          |  raw <> nfc AS changed,
          |  ${graft.text.TextOps.portableHashSql("nfc")} AS h
-         |FROM n ORDER BY doc_id""".stripMargin
+         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // Mirrors CorpusOps.sourceDrift: same top-K vocab (count desc,
+    // token asc), zeros materialized via the source×vocab grid, all
+    // int64 (DuckDB's HUGEINT sums cast back); // is floor-div on the
+    // positive domain, matching Spark's `div`.
+    "q163_source_drift" ->
+      s"""WITH toks AS (SELECT source, unnest(${toksSql("text")}) AS t FROM documents),
+         |st AS (SELECT source, t, count(*) AS o FROM toks GROUP BY 1, 2),
+         |gc AS (SELECT t, sum(o) AS c FROM st GROUP BY 1),
+         |vocab AS (SELECT t, c FROM gc ORDER BY c DESC, t LIMIT $vocabK),
+         |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
+         |grid AS (SELECT s.source, v.t, CAST(v.c AS BIGINT) AS c
+         |  FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN vocab v),
+         |j AS (SELECT g.source, g.c, CAST(coalesce(st.o, 0) AS BIGINT) AS o
+         |  FROM grid g LEFT JOIN st ON g.source = st.source AND g.t = st.t),
+         |rs AS (SELECT source, CAST(sum(o) AS BIGINT) AS r_vocab
+         |  FROM j GROUP BY 1),
+         |d AS (SELECT j.source, max(rs.r_vocab) AS r_vocab,
+         |    CAST(sum(abs(j.o * nn.n - rs.r_vocab * j.c)) AS BIGINT)
+         |      AS drift_num
+         |  FROM j JOIN rs USING (source) CROSS JOIN nn GROUP BY 1)
+         |SELECT d.source, nn.n AS n_vocab_instances, d.r_vocab,
+         |  d.drift_num,
+         |  CASE WHEN d.r_vocab > 0
+         |    THEN (d.drift_num * 1000000) // (2 * nn.n * d.r_vocab) END
+         |    AS tv_millionths
+         |FROM d CROSS JOIN nn ORDER BY source""".stripMargin
   )
 }

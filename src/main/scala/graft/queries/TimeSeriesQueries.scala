@@ -90,6 +90,22 @@ object TimeSeriesQueries {
         .orderBy("cohort_wk", "age_wk")
     },
 
+    // conversion funnel view → click → purchase: per-user step entry
+    // times (min-of-step strictly after the previous entry — tie-free
+    // by construction) + depth reached. Entry times surface as epoch
+    // µs so both engines state the same integers regardless of the
+    // fixture's timestamp vintage.
+    "q162_funnel" -> { (s, d) =>
+      graft.ts.Funnel.funnel(events(s, d), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .select(col("user_id"),
+          expr("unix_micros(step_ts_1)").as("t1_us"),
+          expr("unix_micros(step_ts_2)").as("t2_us"),
+          expr("unix_micros(step_ts_3)").as("t3_us"),
+          col("max_step"))
+        .orderBy("user_id")
+    },
+
     // tumbling window, completion trigger (ts_executors.py:12-145).
     "q43_tumbling" -> { (s, d) =>
       ordered(s, d).windowedTransform(TumblingWindow(86400), by = "user_id",
@@ -280,6 +296,25 @@ object TimeSeriesQueries {
         |  count(*) AS n_users
         |FROM uw JOIN c USING (user_id) GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // strict-after min-chaining mirrors Funnel.funnel exactly; nulls
+    // are suffix-closed so depth = the CASE ladder.
+    "q162_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT v.user_id, epoch_us(v.t1) AS t1_us, epoch_us(c.t2) AS t2_us,
+        |  epoch_us(p.t3) AS t3_us,
+        |  CAST(CASE WHEN p.t3 IS NOT NULL THEN 3
+        |            WHEN c.t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT)
+        |    AS max_step
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "q43_tumbling" ->
       s"""SELECT user_id,

@@ -246,6 +246,70 @@ object CorpusOps {
       col("__s.score").as("score"), (col("__s.score") >= 0L).as("keep"))
   }
 
+  /** Per-source token-distribution drift vs the whole corpus — the
+    * audit a corpus build runs to catch a crawl source whose content
+    * shifted (spam influx, template change, language drift) before it
+    * pollutes a training mix. The statistic is an INTEGER-EXACT total
+    * variation distance over the corpus's top-`vocabK` tokens:
+    * for source s with vocab-token total R_s, token t with source
+    * count o and global count C (N = ΣC over the vocab),
+    * drift_num = Σ_t |o·N − R_s·C| and
+    * TV = drift_num / (2·N·R_s), reported as ⌊drift_num·10⁶/(2·N·R_s)⌋
+    * millionths — every step is int64 arithmetic, so the score is
+    * bit-reproducible on any engine (KL divergence needs a log; the
+    * catalog bans transcendentals from gated outputs; TV is the
+    * standard rational alternative with the same "how far from the
+    * corpus mix" reading).
+    *
+    * Zero counts are materialized (a vocab token MISSING from a source
+    * is drift, not absence of evidence): the (source × vocab) grid is
+    * built by exploding the driver-collected vocab — `vocabK` rows of
+    * bounded metadata, same transfer class as OrderStat — under each
+    * distinct source, then left-joining the observed counts.
+    *
+    * Scale shape (100 TB): the (source, token) count aggregate is
+    * map-combined (Zipf-heavy tokens cost one partial per partition);
+    * the vocab is a vocabK-row top-k; everything after operates on
+    * |sources|·vocabK rows. int64 headroom: drift_num·10⁶ needs
+    * 2·N·R_s·10⁶ < 2⁶³ — beyond ~10⁹ vocab-token instances per source,
+    * widen the final division to decimal(38,0).
+    *
+    * Returns (sourceCol, n_vocab_instances, r_vocab, drift_num,
+    * tv_millionths) ordered nowhere; callers sort. */
+  def sourceDrift(df: DataFrame, sourceCol: String, textCol: String,
+      vocabK: Int): DataFrame = {
+    require(vocabK > 0, s"vocabK must be positive, got $vocabK")
+    val st = df
+      .select(col(sourceCol), explode(TextOps.tokens(col(textCol))).as("__t"))
+      .groupBy(col(sourceCol), col("__t"))
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint(true) // vocab top-k and the grid join both read it
+    val vocabRows = st.groupBy(col("__t")).agg(sum(col("__o")).as("__c"))
+      .orderBy(col("__c").desc, col("__t")).limit(vocabK)
+      .collect()
+    val n = vocabRows.map(_.getLong(1)).sum
+    val vocabLit = array(vocabRows.map(r =>
+      struct(lit(r.getString(0)).as("__t"), lit(r.getLong(1)).as("__c"))): _*)
+    val grid = df.select(col(sourceCol)).distinct()
+      .select(col(sourceCol), explode(vocabLit).as("__v"))
+      .select(col(sourceCol), col("__v.__t").as("__t"), col("__v.__c").as("__c"))
+    val joined = grid.join(st, Seq(sourceCol, "__t"), "left")
+      .select(col(sourceCol), col("__c"),
+        coalesce(col("__o"), lit(0L)).as("__o"))
+    val rs = joined.groupBy(col(sourceCol))
+      .agg(sum(col("__o")).as("__r"))
+    joined.join(rs, Seq(sourceCol))
+      .groupBy(col(sourceCol))
+      .agg(
+        max(col("__r")).as("r_vocab"), // constant within the group
+        sum(abs(col("__o") * n - col("__r") * col("__c"))).as("drift_num"))
+      .select(col(sourceCol), lit(n).as("n_vocab_instances"),
+        col("r_vocab"), col("drift_num"),
+        when(col("r_vocab") > 0,
+          expr(s"(drift_num * 1000000L) div (2L * $n * r_vocab)"))
+          .as("tv_millionths"))
+  }
+
   /** Per-document top-`k` tf-idf keywords with an integer-exact score:
     * score = ⌊tf · 10¹² / df⌋ (df = distinct documents containing the
     * token). Rank-equivalent to classical tf · (N/df) for a fixed corpus

@@ -1,0 +1,54 @@
+package graft.ts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-step funnel analysis over an event stream — the app-tier
+  * conversion query (view → click → purchase) that sits next to cohort
+  * retention (q154) in the reference's application repertoire
+  * (reference surface: the groupby-aggregate app shapes in
+  * `/root/reference/apps/`; funnel is their canonical composition).
+  *
+  * Semantics: a user enters step 1 at their MINIMUM step-1 event time;
+  * they enter step i > 1 at their minimum step-i event time STRICTLY
+  * AFTER their step-(i−1) entry. Strict ordering means a click at the
+  * exact instant of the view does not convert — and makes the result a
+  * pure function of the event multiset (min is tie-free), so the
+  * funnel is engine-exact with no tie-break columns needed.
+  */
+object Funnel {
+
+  /** Per-user funnel entry times: (userCol, step_ts_1..step_ts_k,
+    * max_step). Rows exist only for users who reached step 1; later
+    * step columns are null once a step is missed (nulls are suffix-
+    * closed by construction).
+    *
+    * Scale shape (100 TB of events): each step is a type-filtered
+    * map-combined MIN aggregate keyed on user — a hot user (bot)
+    * contributes one partial row per partition, never a sorted
+    * per-user buffer — plus one user-keyed hash join against the
+    * previous step's (user, ts) relation, which is user-count-sized,
+    * not event-count-sized. No windows, no arrays, no skew cliff. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(steps.distinct == steps, s"steps must be distinct, got $steps")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("step_ts_1"))
+    val all = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (st, i)) =>
+        val next = events.filter(col(typeCol) === st)
+          .select(col(userCol), col(tsCol))
+          .join(acc.select(col(userCol), col(s"step_ts_$i")), Seq(userCol))
+          .filter(col(tsCol) > col(s"step_ts_$i"))
+          .groupBy(col(userCol))
+          .agg(min(col(tsCol)).as(s"step_ts_${i + 1}"))
+        acc.join(next, Seq(userCol), "left")
+    }
+    // nulls are suffix-closed, so reached-step count == deepest step
+    val depth = steps.indices.map(i =>
+      when(col(s"step_ts_${i + 1}").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    all.withColumn("max_step", depth)
+  }
+}

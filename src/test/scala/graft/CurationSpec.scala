@@ -276,6 +276,74 @@ class CurationSpec extends SparkSpecBase {
     assert(out(3L) > out(2L))
   }
 
+  test("funnel: strict-after chaining, suffix nulls, tie at entry instant") {
+    val s = spark
+    import s.implicits._
+    // user 1: full conversion; user 2: click BEFORE the view (doesn't
+    // count) and none after -> depth 1; user 3: click at the SAME
+    // instant as the view (strict > rejects it) but a later click
+    // converts, no purchase -> depth 2; user 4: never views -> absent.
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 10L),
+      (3L, "view", 10L), (3L, "click", 10L), (3L, "click", 40L),
+      (4L, "click", 10L), (4L, "purchase", 20L))
+      .toDF("user_id", "event_type", "tsn")
+      .withColumn("ts", timestamp_seconds(col("tsn")))
+    val out = graft.ts.Funnel.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .select(col("user_id"), unix_timestamp(col("step_ts_1")),
+        unix_timestamp(col("step_ts_2")), unix_timestamp(col("step_ts_3")),
+        col("max_step"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getLong(4)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((Some(10L), Some(20L), Some(30L), 3L)))
+    assert(out(2L) == ((Some(10L), None, None, 1L)))
+    assert(out(3L) == ((Some(10L), Some(40L), None, 2L)))
+    // min entry times are tie-free: any partitioning gives the same map
+    val rep = graft.ts.Funnel.funnel(ev.repartition(7), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("max_step")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == out.map { case (k, v) => k -> v._4 })
+  }
+
+  test("sourceDrift: proportional source has zero drift, zeros materialize") {
+    val s = spark
+    import s.implicits._
+    // global vocab (K=2): a (6 instances), b (3). src1 holds 2/3 of
+    // both (perfectly proportional -> drift 0); src2 holds the rest of
+    // a and b... instead make src2 all-a (no b): its missing b row must
+    // materialize. src3 has only the non-vocab token z -> r_vocab 0.
+    val docs = Seq(
+      ("s1", "a a a a b b"), ("s2", "a a b"), ("s3", "z z z"))
+      .toDF("source", "text")
+    val out = graft.text.CorpusOps.sourceDrift(docs, "source", "text", 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    // N = 6 + 3 = 9; s1: R=6, o_a=4, o_b=2 -> |4*9-6*6| + |2*9-6*3| = 0
+    assert(out("s1") == ((9L, 6L, 0L, Some(0L))))
+    // s2: R=3, o_a=2, o_b=1 -> |2*9-3*6| + |1*9-3*3| = 0 too
+    // (2:1 is also the global mix) — so rebuild with a skewed source
+    assert(out("s2") == ((9L, 3L, 0L, Some(0L))))
+    // s3: R=0 -> both zero rows materialize, drift_num 0, TV undefined
+    assert(out("s3") == ((9L, 0L, 0L, None)))
+    val skewed = Seq(("s1", "a a b b"), ("s2", "a a"))
+      .toDF("source", "text")
+    val o2 = graft.text.CorpusOps.sourceDrift(skewed, "source", "text", 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    // N=6 (a:4, b:2). s1: R=4, |2*6-4*4|+|2*6-4*2| = 4+4 = 8;
+    // TV = 8/(2*6*4) = 1/6 -> 166666 millionths
+    assert(o2("s1") == ((6L, 4L, 8L, Some(166666L))))
+    // s2: R=2, |2*6-2*4|+|0*6-2*2| = 4+4 = 8; TV = 8/24 = 1/3
+    assert(o2("s2") == ((6L, 2L, 8L, Some(333333L))))
+  }
+
   test("hashedLinearScore: feature counts, empty and one-token docs") {
     val s = spark
     import s.implicits._

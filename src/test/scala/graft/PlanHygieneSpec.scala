@@ -269,7 +269,17 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q160_bloom_decontaminate" -> (3, 2),
     // q161: pure projection (NFC + lengths + hash in one codegen
     // stage); the single exchange is the presentation sort
-    "q161_nfc_normalize" -> (1, 0))
+    "q161_nfc_normalize" -> (1, 0),
+    // q162: per step a map-combined min agg + a user-keyed join against
+    // the previous step's user-count-sized relation (broadcast at
+    // fixture scale, shuffle-hash at corpus scale) + the two left
+    // joins assembling the per-user row + sort
+    "q162_funnel" -> (7, 6),
+    // q163: the (source, token) count agg behind a checkpoint (the
+    // vocab top-k ran eagerly at build), the grid left join + the
+    // per-source R agg + the drift agg + sort; the |sources|·K-row
+    // grid side broadcasts
+    "q163_source_drift" -> (3, 2))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
