@@ -106,6 +106,23 @@ object TimeSeriesQueries {
         .orderBy("user_id")
     },
 
+    // interval-overlap join (public range join): per-event closed
+    // interval [ts, ts + (id%7+1) min], self-overlap pairs per user
+    // through the bucketed equi-join (5-min buckets) — no BNLJ, no
+    // distinct pass (exactly-once bucket emit).
+    "q164_interval_join" -> { (s, d) =>
+      val iv = events(s, d).select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("s"),
+        (expr("unix_micros(ts)") +
+          (col("event_id") % 7 + 1) * 60000000L).as("e"))
+      graft.ts.IntervalJoin.overlap(iv, iv, Seq("user_id"), "s", "e",
+          bucketWidth = 300000000L)
+        .filter(col("event_id") < col("event_id_r"))
+        .select(col("user_id"), col("event_id").as("id_1"),
+          col("event_id_r").as("id_2"))
+        .orderBy("user_id", "id_1", "id_2")
+    },
+
     // tumbling window, completion trigger (ts_executors.py:12-145).
     "q43_tumbling" -> { (s, d) =>
       ordered(s, d).windowedTransform(TumblingWindow(86400), by = "user_id",
@@ -296,6 +313,16 @@ object TimeSeriesQueries {
         |  count(*) AS n_users
         |FROM uw JOIN c USING (user_id) GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // plain inequality self-join states the same pair set the bucketed
+    // equi-join must produce exactly once.
+    "q164_interval_join" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e FROM events)
+        |SELECT a.user_id, a.event_id AS id_1, b.event_id AS id_2
+        |FROM iv a JOIN iv b ON a.user_id = b.user_id
+        |  AND a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     // strict-after min-chaining mirrors Funnel.funnel exactly; nulls
     // are suffix-closed so depth = the CASE ladder.

@@ -43,6 +43,19 @@ object VectorQueries {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    // int8-quantized ANN: the q50 plan on symmetric-quantized vectors —
+    // the quantized dot is integer-exact (127²·64 ≪ 2⁵³), so unlike
+    // the float cosine the score itself is engine-reproducible with no
+    // tolerance; 4-byte dims become 1 byte at the storage boundary.
+    "q165_quantized_nn" -> { (s, d) =>
+      val emb = embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "probe_id")
+      VectorOps.quantizedNnJoin(emb, probes, "embedding", "vec_id",
+          "probe_id", k = 10)
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
     // gramian over numeric columns (reference datastream.py:1033).
     // detScale=4: every product here is an (at most) 4-decimal grid
     // value, so the rounding is exact and the decimal sum is order-
@@ -111,6 +124,28 @@ object VectorQueries {
          |      ORDER BY sim DESC, vec_id) AS rank
          |  FROM sims)
          |SELECT probe_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
+         |ORDER BY probe_id, rank""".stripMargin,
+
+    // literal mirror of VectorOps.quantizeInt8 (one multiply, one
+    // divide, floor — deterministic IEEE) + integer-exact dot.
+    "q165_quantized_nn" ->
+      s"""WITH mm AS (SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m
+         |  FROM embeddings),
+         |qq AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CASE WHEN m = 0.0 THEN 0.0
+         |      ELSE sign(x::DOUBLE) * floor(abs(x::DOUBLE) * 127.0 / m)
+         |      END) AS qv
+         |  FROM mm),
+         |sims AS (SELECT p.vec_id AS probe_id, e.vec_id,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      i -> e.qv[i] * p.qv[i])) AS BIGINT) AS qdot
+         |  FROM qq e CROSS JOIN (SELECT * FROM qq WHERE vec_id < 5) p),
+         |ranked AS (SELECT probe_id, vec_id, qdot,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY qdot DESC, vec_id) AS rank
+         |  FROM sims)
+         |SELECT probe_id, vec_id, qdot, rank FROM ranked WHERE rank <= 10
          |ORDER BY probe_id, rank""".stripMargin,
     "q55_ann_lsh" -> {
       val b = graft.vector.Ann.bucketSql("embedding", 4, 64)

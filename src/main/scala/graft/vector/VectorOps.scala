@@ -41,6 +41,52 @@ object VectorOps {
       }
     }
 
+  /** Symmetric int8 quantization: each vector scales by 127/max|xᵢ| and
+    * truncates toward zero, yielding integers in [−127, 127] (held as
+    * exact doubles so the codegen'd [[dot]] kernel applies unchanged;
+    * a zero vector quantizes to zeros). This is the memory-side lever
+    * for 100 TB ANN: a 4-byte float dimension becomes 1 byte on disk /
+    * in shuffle (cast to `array<tinyint>` at the storage boundary),
+    * and the quantized dot is INTEGER-EXACT — 127²·d < 2⁵³ for any
+    * realistic d — so quantized scores are engine-reproducible with no
+    * float-sum ordering concerns at all, unlike the float cosine they
+    * approximate.
+    *
+    * Each step is deterministic IEEE arithmetic: one multiply, one
+    * divide, floor — mirrored literally by the DuckDB oracle. */
+  def quantizeInt8(v: Column): Column =
+    graft.text.TextOps.bindOnce(v.cast("array<double>")) { vd =>
+      graft.text.TextOps.bindOnce(array_max(transform(vd, x => abs(x)))) { m =>
+        transform(vd, x =>
+          when(m === 0.0, lit(0.0))
+            .otherwise(signum(x) * floor(abs(x) * 127.0 / m)))
+      }
+    }
+
+  /** [[nnJoin]] on int8-quantized vectors: per-probe top-k by the
+    * integer-exact quantized dot product (ties by data id). Same
+    * broadcast-probes/no-data-shuffle plan as the float form; the
+    * score column is `qdot` (int64). */
+  def quantizedNnJoin(
+      data: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      dataIdCol: String,
+      probeIdCol: String,
+      k: Int): DataFrame = {
+    val d = data.select(col(dataIdCol),
+      quantizeInt8(col(vecCol)).as("__dvec"))
+    val p = broadcast(probes.select(col(probeIdCol),
+      quantizeInt8(col(vecCol)).as("__pvec")))
+    val w = Window.partitionBy(col(probeIdCol))
+      .orderBy(col("qdot").desc, col(dataIdCol).asc)
+    d.crossJoin(p)
+      .withColumn("qdot", dot(col("__dvec"), col("__pvec")).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(probeIdCol), col(dataIdCol), col("qdot"), col("rank"))
+  }
+
   /** Brute-force cosine top-k join: for each probe vector, the k nearest
     * data vectors. Mirrors the reference's two-stage plan
     * (vector_executors.py: per-partition top-k, then global reduce):

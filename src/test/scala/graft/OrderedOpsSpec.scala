@@ -343,3 +343,48 @@ class RunningWindowTieSpec extends SparkSpecBase {
     }
   }
 }
+
+/** IntervalJoin: the bucketed-equi overlap join must equal the naive
+  * inequality join (computed driver-side) and emit each pair exactly
+  * once regardless of how many buckets a pair shares. */
+class IntervalJoinSpec extends SparkSpecBase {
+  import org.apache.spark.sql.functions.col
+
+  test("overlap equals brute force, exactly once, across widths and signs") {
+    val s = spark
+    import s.implicits._
+    // deterministic mixed fixture: long spans (many buckets), touching
+    // endpoints (closed semantics: s2 == e1 overlaps), negative
+    // coordinates, an empty interval (e < s, must drop), two keys
+    val rows = Seq(
+      (1L, 10L, 0L, 100L), (1L, 11L, 100L, 100L), (1L, 12L, 101L, 200L),
+      (1L, 13L, -50L, 5L), (1L, 14L, 60L, 40L), // empty: drops
+      (2L, 20L, 0L, 1000L), (2L, 21L, 999L, 1001L), (2L, 22L, -10L, -1L),
+      (2L, 23L, 500L, 500L))
+    val df = rows.toDF("k", "id", "s", "e")
+    val expect = (for {
+      (k1, i1, s1, e1) <- rows if e1 >= s1
+      (k2, i2, s2, e2) <- rows if e2 >= s2 && k1 == k2
+      if s1 <= e2 && s2 <= e1
+    } yield (k1, i1, i2)).toSet
+    for (w <- Seq(1L, 7L, 64L, 10000L)) {
+      val got = IntervalJoin.overlap(df, df, Seq("k"), "s", "e", w)
+        .select(col("k"), col("id"), col("id_r")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.length == got.toSet.size, s"duplicate emit at width $w")
+      assert(got.toSet == expect, s"pair set mismatch at width $w")
+    }
+  }
+
+  test("overlap joins two distinct relations with suffixed columns") {
+    val s = spark
+    import s.implicits._
+    val sessions = Seq((1L, 100L, 0L, 50L)).toDF("k", "sid", "s", "e")
+    val ads = Seq((1L, 7L, 49L, 60L), (1L, 8L, 51L, 60L))
+      .toDF("k", "aid", "s", "e")
+    val out = IntervalJoin.overlap(sessions, ads, Seq("k"), "s", "e", 16L)
+      .select("sid", "aid_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((100L, 7L))) // ad 8 starts after the session ends
+  }
+}

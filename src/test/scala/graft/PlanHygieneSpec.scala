@@ -29,7 +29,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q147_zorder_layout",
     // BM25: crosses the per-doc tf relation with the one-row corpus
     // stats aggregate (N, L, per-term df)
-    "q157_bm25")
+    "q157_bm25",
+    // quantized NN: the q50 brute-force plan (bounded broadcast probe
+    // set by design) on int8 vectors
+    "q165_quantized_nn")
 
   /** Built once and shared by all tests — several catalog queries do
     * eager work (sink writes, collects) at construction time, so planning
@@ -87,7 +90,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     * unconditionally. Round-9 net, after q66's confirm joins were
     * caught broadcasting the shingle relation. */
   private val forcedCorpusBroadcastAllowed = Set(
-    "q50_vector_nn", "q55_ann_lsh")
+    "q50_vector_nn", "q55_ann_lsh",
+    // the int8 variant of q50: same bounded probe-set broadcast
+    "q165_quantized_nn")
 
   test("no query hint-forces a broadcast of a raw corpus-table scan") {
     import graft.tools.BroadcastAudit
@@ -279,7 +284,15 @@ class PlanHygieneSpec extends SparkSpecBase {
     // vocab top-k ran eagerly at build), the grid left join + the
     // per-source R agg + the drift agg + sort; the |sources|·K-row
     // grid side broadcasts
-    "q163_source_drift" -> (3, 2))
+    "q163_source_drift" -> (3, 2),
+    // q164: the bucketed overlap join is ONE equi join (broadcast at
+    // fixture scale, (key, bucket)-hashed at corpus scale — no BNLJ
+    // despite the inequality semantics) + the presentation sort
+    "q164_interval_join" -> (1, 1),
+    // q165: q50's broadcast-probes shape — the data side never
+    // shuffles for the join; the two exchanges are the per-probe rank
+    // window and the sort
+    "q165_quantized_nn" -> (2, 1))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap

@@ -633,3 +633,53 @@ class AvPHashSpec extends SparkSpecBase {
     assert(java.lang.Long.bitCount(vFlip ^ base) == 1)
   }
 }
+
+/** Int8 quantization tier (VectorOps.quantizeInt8 / quantizedNnJoin). */
+class QuantizedVectorSpec extends SparkSpecBase {
+  import org.apache.spark.sql.functions._
+  import graft.vector.VectorOps
+
+  test("quantizeInt8: max element hits ±127, truncation, zero vector") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),  // max|x|=1 -> 63, -127, 31
+      (2L, Seq(0.0f, 0.0f, 0.0f)),    // zero vector -> zeros
+      (3L, Seq(-2.0f, 1.0f, 0.003f))) // max|x|=2 -> -127, 63, 0
+      .toDF("id", "v")
+    val out = df.select(col("id"), VectorOps.quantizeInt8(col("v")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L) == Seq(63.0, -127.0, 31.0))
+    assert(out(2L) == Seq(0.0, 0.0, 0.0))
+    assert(out(3L) == Seq(-127.0, 63.0, 0.0))
+    // every quantized value is an integer in [-127, 127]
+    out.values.flatten.foreach { q =>
+      assert(q == math.floor(q) && math.abs(q) <= 127.0)
+    }
+  }
+
+  test("quantizedNnJoin: integer-exact scores, self is rank 1, k caps") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 20L).map { i =>
+      (i, (0 until 8).map(j => ((i * 31 + j * 17) % 13).toFloat - 6.0f))
+    }.toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") < 3)
+      .withColumnRenamed("vec_id", "probe_id")
+    val out = VectorOps.quantizedNnJoin(vecs, probes, "embedding",
+      "vec_id", "probe_id", k = 5)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows.length == 15) // 3 probes x k=5
+    // a vector's quantized dot with itself dominates: rank 1 is self
+    for (p <- 0L until 3L) {
+      val r1 = rows.filter(t => t._1 == p && t._4 == 1).head
+      assert(r1._2 == p, s"probe $p rank-1 is ${r1._2}")
+    }
+    // scores are pure functions of content: partitioning-invariant
+    val rows2 = VectorOps.quantizedNnJoin(vecs.repartition(7), probes,
+        "embedding", "vec_id", "probe_id", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rows2.sorted.toSeq == rows.sorted.toSeq)
+  }
+}
