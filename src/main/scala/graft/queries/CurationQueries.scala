@@ -362,6 +362,17 @@ object CurationQueries {
     "q163_source_drift" -> { (s, d) =>
       CorpusOps.sourceDrift(documents(s, d), "source", "text", vocabK)
         .orderBy("source")
+    },
+
+    // distributed BPE tokenizer TRAINING (merge learning): 12 merges
+    // over the word-frequency-compressed corpus. Iterative argmax has
+    // no SQL-expressible oracle — this gate is the driver's rows-only
+    // surface; bit-level correctness is pinned by the spec's
+    // brute-force reference (CurationSpec) and the q106 counting
+    // kernel consumes tables of exactly this shape.
+    "q166_bpe_train" -> { (s, d) =>
+      graft.text.BpeTrain.learnMerges(documents(s, d), "text", 12)
+        .orderBy("rank")
     }
   )
 

@@ -344,6 +344,71 @@ class CurationSpec extends SparkSpecBase {
     assert(o2("s2") == ((6L, 2L, 8L, Some(333333L))))
   }
 
+  test("BPE merge learning equals the brute-force reference trainer") {
+    val s = spark
+    import s.implicits._
+    // the classic Sennrich corpus shape: shared suffixes drive merges
+    val freqs = Seq("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+    val text = freqs.flatMap { case (w, f) => Seq.fill(f)(w) }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+
+    def refMerge(t: Vector[String], a: String, b: String): Vector[String] = {
+      val res = Vector.newBuilder[String]; var i = 0
+      while (i < t.length) {
+        if (i + 1 < t.length && t(i) == a && t(i + 1) == b) {
+          res += (a + b); i += 2
+        } else { res += t(i); i += 1 }
+      }
+      res.result()
+    }
+    def refBpe(k: Int): Seq[(Long, String, String, Long)] = {
+      var st = freqs.map { case (w, f) =>
+        (w.map(_.toString).toVector, f.toLong) }
+      val out = Seq.newBuilder[(Long, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= k && !done) {
+        val pc = st.flatMap { case (t, f) =>
+          t.indices.dropRight(1).map(i => (t(i), t(i + 1)) -> f) }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        if (pc.isEmpty) done = true
+        else {
+          val ((a, b), c) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+          out += ((r.toLong, a, b, c))
+          st = st.map { case (t, f) => (refMerge(t, a, b), f) }
+          r += 1
+        }
+      }
+      out.result()
+    }
+
+    val got = graft.text.BpeTrain.learnMerges(docs, "text", 8)
+      .select("rank", "left", "right", "merged", "pair_count")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val exp = refBpe(8)
+    assert(got.map(g => (g._1, g._2, g._3, g._5)).toSeq == exp)
+    got.foreach(g => assert(g._4 == g._2 + g._3))
+    // first merges on this corpus are famously e+s, es+t (newest+widest)
+    assert((got(0)._2, got(0)._3, got(0)._5) == (("e", "s", 9L)))
+    assert((got(1)._2, got(1)._3, got(1)._5) == (("es", "t", 9L)))
+    // partitioning-invariant: the argmax key is injective
+    val got7 = graft.text.BpeTrain.learnMerges(docs.repartition(7), "text", 8)
+      .select("rank", "left", "right", "pair_count")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got7 == exp)
+    // overlap rule: "a a a" under (a,a) merges leftmost-only
+    val tri = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val m = graft.text.BpeTrain.learnMerges(tri, "text", 2)
+      .select("rank", "left", "right", "pair_count").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,a) count 4 (two per word, leftmost pairs); the merge
+    // leaves [aa, a]; round 2: (aa, a) count 2
+    assert(m(0) == ((1L, "a", "a", 4L)))
+    assert(m(1) == ((2L, "aa", "a", 2L)))
+  }
+
   test("hashedLinearScore: feature counts, empty and one-token docs") {
     val s = spark
     import s.implicits._

@@ -292,7 +292,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     // q165: q50's broadcast-probes shape — the data side never
     // shuffles for the join; the two exchanges are the per-probe rank
     // window and the sort
-    "q165_quantized_nn" -> (2, 1))
+    "q165_quantized_nn" -> (2, 1),
+    // q166: training runs EAGERLY at build (12 bounded argmax rounds
+    // over the vocab-sized word table); the planned query is the
+    // driver-local merge table + the rank sort
+    "q166_bpe_train" -> (1, 0))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
