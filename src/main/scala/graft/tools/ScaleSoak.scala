@@ -178,7 +178,19 @@ object ScaleSoak {
     // source-overlap matrix (q66's band join + two lookup joins; the
     // pair graph grows ~10× under rotation, the matrix is 6×6)
     "q156_cluster_canonical", "q157_bm25", "q158_quality_classifier",
-    "q159_source_overlap")
+    "q159_source_overlap",
+    // bloom decontamination (sketch build + codegen probe + candidate-
+    // sized confirm join — must track q120's exact-path ratio), NFC
+    // normalization (pure projection: the scan-linear floor), funnel +
+    // interval join (user-keyed; replicas add USERS, so per-user work
+    // is constant and both must stay linear), source drift (map-
+    // combined (source,token) counts; 10× instances, fixed key space),
+    // quantized NN (probe-broadcast cross: data-linear), and BPE
+    // training (12 argmax rounds over the word-type table — rotation
+    // grows types ≤10×, rounds stay fixed)
+    "q160_bloom_decontaminate", "q161_nfc_normalize", "q162_funnel",
+    "q163_source_drift", "q164_interval_join", "q165_quantized_nn",
+    "q166_bpe_train")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

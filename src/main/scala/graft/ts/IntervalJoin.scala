@@ -47,7 +47,11 @@ object IntervalJoin {
       .withColumn("__bkt", explode(sequence(fdiv(s1), fdiv(e1))))
     val rb = rightRenamed.filter(e2 >= s2)
       .withColumn("__bkt", explode(sequence(fdiv(s2), fdiv(e2))))
-    lb.join(rb, keys :+ "__bkt")
+    // both sides are corpus-derived (exploded interval relations):
+    // force shuffle-hash so a toy-scale auto-broadcast can't mask the
+    // plan that must run at 100 TB (q66's confirm-join lesson — the
+    // first 10× soak showed exactly that flip as a 3.5× ratio)
+    lb.hint("shuffle_hash").join(rb, keys :+ "__bkt")
       .filter(s1 <= e2 && s2 <= e1)
       // exactly-once: both sides cover the bucket of max(s1, s2)
       .filter(col("__bkt") === fdiv(greatest(s1, s2)))

@@ -285,10 +285,12 @@ class PlanHygieneSpec extends SparkSpecBase {
     // per-source R agg + the drift agg + sort; the |sources|·K-row
     // grid side broadcasts
     "q163_source_drift" -> (3, 2),
-    // q164: the bucketed overlap join is ONE equi join (broadcast at
-    // fixture scale, (key, bucket)-hashed at corpus scale — no BNLJ
-    // despite the inequality semantics) + the presentation sort
-    "q164_interval_join" -> (1, 1),
+    // q164: the bucketed overlap join is ONE (key, bucket)-hashed equi
+    // join, FORCED shuffle-hash on both corpus-derived exploded sides
+    // (a toy-scale auto-broadcast masked the real plan as a 3.5× soak
+    // ratio) + the presentation sort — no BNLJ despite the inequality
+    // semantics
+    "q164_interval_join" -> (3, 0),
     // q165: q50's broadcast-probes shape — the data side never
     // shuffles for the join; the two exchanges are the per-probe rank
     // window and the sort
