@@ -373,6 +373,29 @@ object CurationQueries {
     "q166_bpe_train" -> { (s, d) =>
       graft.text.BpeTrain.learnMerges(documents(s, d), "text", 12)
         .orderBy("rank")
+    },
+
+    // count-min sketch over the token stream, probed at the exact
+    // top-20: sketch state is eps⁻¹·ln(1/δ) counters FLAT regardless
+    // of corpus size; the q54-style bound flags (est ≥ true;
+    // est ≤ true + ⌈eps·N⌉) are what a SQL oracle can state.
+    "q167_count_min" -> { (s, d) =>
+      val toks = documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      graft.agg.Sketches.countMinTopK(toks, "tok", 20,
+          eps = 0.001, confidence = 0.99, seed = 42)
+        .orderBy("tok")
+    },
+
+    // DataSketches HLL per-source distinct docs: bound flag vs exact,
+    // plus MERGE consistency — per-half sketches hll_union_agg'd must
+    // land on the same estimate as the direct build (the property that
+    // makes sketch columns storable next to snapshots and unionable
+    // across days).
+    "q168_hll_distinct" -> { (s, d) =>
+      graft.agg.Sketches.hllDistinctCheck(documents(s, d), "source",
+          "doc_id", relErr = 0.05)
+        .orderBy("source")
     }
   )
 
@@ -802,6 +825,22 @@ object CurationQueries {
          |  CASE WHEN d.r_vocab > 0
          |    THEN (d.drift_num * 1000000) // (2 * nn.n * d.r_vocab) END
          |    AS tv_millionths
-         |FROM d CROSS JOIN nn ORDER BY source""".stripMargin
+         |FROM d CROSS JOIN nn ORDER BY source""".stripMargin,
+
+    // the oracle states the exact top-20 and the guarantees as literal
+    // 1s (q54's rank-bound pattern — sketch values themselves have no
+    // SQL mirror).
+    "q167_count_min" ->
+      s"""WITH toks AS (SELECT unnest(${toksSql("text")}) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS exact_count FROM toks
+         |  GROUP BY 1 ORDER BY exact_count DESC, tok LIMIT 20)
+         |SELECT tok, exact_count, CAST(1 AS BIGINT) AS ok_lower,
+         |  CAST(1 AS BIGINT) AS ok_upper
+         |FROM c ORDER BY tok""".stripMargin,
+
+    "q168_hll_distinct" ->
+      """SELECT source, count(DISTINCT doc_id) AS n_exact,
+        |  CAST(1 AS BIGINT) AS ok_bound, CAST(1 AS BIGINT) AS ok_union
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin
   )
 }

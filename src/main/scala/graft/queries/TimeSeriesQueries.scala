@@ -106,6 +106,17 @@ object TimeSeriesQueries {
         .orderBy("user_id")
     },
 
+    // session ASSIGNMENT (per-event complement of q46's session-window
+    // aggregate): each event tagged with its user's running session
+    // index, 30-min gap, (ts, event_id) total order so tied timestamps
+    // can never flip a boundary.
+    "q169_sessionize" -> { (s, d) =>
+      graft.ts.Funnel.sessionize(events(s, d), "user_id", "ts",
+          "event_id", gapSeconds = 1800L)
+        .select(col("event_id"), col("user_id"), col("session_n"))
+        .orderBy("event_id")
+    },
+
     // interval-overlap join (public range join): per-event closed
     // interval [ts, ts + (id%7+1) min], self-overlap pairs per user
     // through the bucketed equi-join (5-min buckets) — no BNLJ, no
@@ -313,6 +324,19 @@ object TimeSeriesQueries {
         |  count(*) AS n_users
         |FROM uw JOIN c USING (user_id) GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // identical lag/cumsum window in the same (ts, event_id) order.
+    "q169_sessionize" ->
+      """WITH o AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT event_id, user_id, us,
+        |    CASE WHEN us - lag(us) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM o)
+        |SELECT event_id, user_id,
+        |  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session_n
+        |FROM b ORDER BY event_id""".stripMargin,
 
     // plain inequality self-join states the same pair set the bucketed
     // equi-join must produce exactly once.

@@ -51,4 +51,28 @@ object Funnel {
       .reduce(_ + _)
     all.withColumn("max_step", depth)
   }
+
+  /** Session ASSIGNMENT (the per-event complement of the session-window
+    * aggregate `Windows`/q46): each event gets its user's running
+    * session index, a new session opening when the gap to the previous
+    * event exceeds `gapSeconds`. The event order is (tsCol, idCol) —
+    * the id tie-break makes the lag, and therefore every boundary,
+    * deterministic on fixtures with tied timestamps (tied events have
+    * gap 0 and can never split, so the INDEX each event receives is
+    * tie-order-free too).
+    *
+    * One exchange (the window's partitionBy key); state per row is a
+    * lag and a running sum — no buffering beyond Spark's window sort. */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val us = unix_micros(col(tsCol))
+    val boundary = when(
+      us - lag(us, 1).over(w) > gapSeconds * 1000000L, 1L).otherwise(0L)
+    events.withColumn("session_n",
+      sum(boundary).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)) + 1L)
+  }
 }

@@ -298,7 +298,16 @@ class PlanHygieneSpec extends SparkSpecBase {
     // q166: training runs EAGERLY at build (12 bounded argmax rounds
     // over the vocab-sized word table); the planned query is the
     // driver-local merge table + the rank sort
-    "q166_bpe_train" -> (1, 0))
+    "q166_bpe_train" -> (1, 0),
+    // q167: the CMS build + probe ran eagerly (bounded metadata); the
+    // planned query is the driver-local 20-row table + sort
+    "q167_count_min" -> (1, 0),
+    // q168: direct sketch+exact agg (countDistinct Expands the key) and
+    // the two-level union path, joined per group + sort; the 20-row
+    // group relation broadcasts
+    "q168_hll_distinct" -> (5, 1),
+    // q169: the user-keyed window exchange + the presentation sort
+    "q169_sessionize" -> (2, 0))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
