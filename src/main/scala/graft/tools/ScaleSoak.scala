@@ -190,7 +190,12 @@ object ScaleSoak {
     // grows types ≤10×, rounds stay fixed)
     "q160_bloom_decontaminate", "q161_nfc_normalize", "q162_funnel",
     "q163_source_drift", "q164_interval_join", "q165_quantized_nn",
-    "q166_bpe_train")
+    "q166_bpe_train",
+    // count-min (ONE map-combined agg, sketch state flat — the build
+    // must be scan-linear), HLL (per-source sketch + exact distinct;
+    // doc_id key set genuinely grows 10×), sessionize (user-keyed
+    // window; replicas add users so per-window work is constant)
+    "q167_count_min", "q168_hll_distinct", "q169_sessionize")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
