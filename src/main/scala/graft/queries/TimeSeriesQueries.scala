@@ -106,6 +106,14 @@ object TimeSeriesQueries {
         .orderBy("user_id")
     },
 
+    // integer-exact high-side 3σ anomaly detection on per-(user, hour)
+    // event counts: the z-score test multiplied through by n² so the
+    // flag set is pure int64 — identical on every engine.
+    "q170_rate_anomaly" -> { (s, d) =>
+      graft.ts.EventStats.anomalousHours(events(s, d), "user_id", "ts")
+        .orderBy("user_id", "hr")
+    },
+
     // session ASSIGNMENT (per-event complement of q46's session-window
     // aggregate): each event tagged with its user's running session
     // index, 30-min gap, (ts, event_id) total order so tied timestamps
@@ -323,6 +331,23 @@ object TimeSeriesQueries {
         |SELECT c.cohort_wk, uw.wk - c.cohort_wk AS age_wk,
         |  count(*) AS n_users
         |FROM uw JOIN c USING (user_id) GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // same n²-cleared moment arithmetic; µs div hour-µs == floor
+    // epoch-div on the positive domain (q154's proof).
+    "q170_rate_anomaly" ->
+      """WITH hc AS (SELECT user_id,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+        |    count(*) AS c FROM events GROUP BY 1, 2),
+        |st AS (SELECT user_id, count(*) AS n_hours, sum(c) AS total,
+        |    sum(c * c) AS q FROM hc GROUP BY 1)
+        |SELECT hc.user_id, hc.hr, hc.c,
+        |  CAST(st.n_hours AS BIGINT) AS n_hours,
+        |  CAST(st.total AS BIGINT) AS total
+        |FROM hc JOIN st USING (user_id)
+        |WHERE st.n_hours * hc.c - st.total > 0
+        |  AND (st.n_hours * hc.c - st.total) * (st.n_hours * hc.c - st.total)
+        |      > 9 * (st.n_hours * st.q - st.total * st.total)
         |ORDER BY 1, 2""".stripMargin,
 
     // identical lag/cumsum window in the same (ts, event_id) order.

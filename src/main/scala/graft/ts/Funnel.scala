@@ -76,3 +76,42 @@ object Funnel {
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)) + 1L)
   }
 }
+
+/** Event-stream health statistics. */
+object EventStats {
+
+  /** INTEGER-EXACT high-side 3σ anomaly detection over per-(user, hour)
+    * event counts — the bot/incident detector a pipeline runs before
+    * trusting engagement data. The z-score test (c − μ) > 3σ is
+    * normally float territory; multiplying through by n² turns it into
+    * pure int64 arithmetic over the user's active hours:
+    * μ = S/n, σ² = (nQ − S²)/n²  ⇒  flag ⟺ n·c − S > 0 and
+    * (n·c − S)² > 9·(n·Q − S²), with n = active hours, S = Σc, Q = Σc².
+    * Every engine lands on the identical flag set — no epsilon, no
+    * libm. (int64 headroom: needs n·c < ~3·10⁹, i.e. per-user-hour
+    * counts × active hours — satisfied by ~any real event stream;
+    * widen to decimal(38) beyond.)
+    *
+    * Scale shape: two map-combined aggregates (hour counts, then
+    * per-user moments) + one user-keyed join — a hot user costs
+    * partials per partition, never a buffered window.
+    *
+    * Returns only the flagged rows: (userCol, hr, c, n_hours, total). */
+  def anomalousHours(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val hc = events
+      .select(col(userCol),
+        expr(s"unix_micros($tsCol) div 3600000000").as("hr"))
+      .groupBy(col(userCol), col("hr"))
+      .agg(count(lit(1)).as("c"))
+    val stats = hc.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("__q"))
+    val dev = col("n_hours") * col("c") - col("total")
+    hc.join(stats, Seq(userCol))
+      .filter(dev > 0 && dev * dev >
+        lit(9L) * (col("n_hours") * col("__q") - col("total") * col("total")))
+      .select(col(userCol), col("hr"), col("c"), col("n_hours"),
+        col("total"))
+  }
+}

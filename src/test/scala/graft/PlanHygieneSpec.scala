@@ -307,7 +307,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     // group relation broadcasts
     "q168_hll_distinct" -> (5, 1),
     // q169: the user-keyed window exchange + the presentation sort
-    "q169_sessionize" -> (2, 0))
+    "q169_sessionize" -> (2, 0),
+    // q170: (user, hr) count agg + per-user moment agg + the user join
+    // (user-count-sized side broadcasts at fixture scale) + sort
+    "q170_rate_anomaly" -> (4, 1))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap

@@ -48,6 +48,29 @@ class SketchesSpec extends SparkSpecBase {
     }
   }
 
+  test("anomalousHours: n²-cleared 3σ flags exactly the hand-computed set") {
+    val s = spark
+    import s.implicits._
+    // user 1: 20 baseline hours of 1 event + one 10-event spike.
+    // n=21, S=30, Q=120; spike: dev=180, dev²=32400 > 9(21·120−900)=14580
+    // baseline: dev=21−30 < 0 — high-side only.
+    // user 2: constant 3 events over 3 hours — zero variance, zero flags.
+    val rows =
+      (0 until 20).map(h => (1L, h.toLong, 1)) ++ Seq((1L, 20L, 10)) ++
+        (0 until 3).map(h => (2L, h.toLong, 3))
+    val ev = rows.flatMap { case (u, h, c) =>
+      (0 until c).map(j => (u, h * 3600L + j)) }
+      .toDF("user_id", "tsn")
+      .withColumn("ts", timestamp_seconds(col("tsn")))
+    for (rep <- Seq(1, 7)) {
+      val out = graft.ts.EventStats.anomalousHours(
+          ev.repartition(rep), "user_id", "ts")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(out.toSeq == Seq((1L, 20L, 10L, 21L, 30L)), s"rep=$rep: ${out.toSeq}")
+    }
+  }
+
   test("sessionize: gap boundaries, tie immunity, per-user isolation") {
     val s = spark
     import s.implicits._
