@@ -32,7 +32,11 @@ object Sketches {
   def countMinTopK(df: DataFrame, valueCol: String, k: Int,
       eps: Double, confidence: Double, seed: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // Null rows are excluded from sketch, total, AND top-k alike:
+    // CountMinSketch.estimateCount(null) throws, and counting nulls in
+    // `total` would loosen the ceil(eps*N) upper-bound slack.
     val vals = df.select(col(valueCol).cast("string").as("__v"))
+      .filter(col("__v").isNotNull)
     val bytes = vals
       .agg(expr(s"count_min_sketch(__v, ${eps}d, ${confidence}d, $seed)")
         .as("__cms"))
@@ -64,7 +68,7 @@ object Sketches {
   def hllDistinctCheck(df: DataFrame, groupCol: String, valueCol: String,
       relErr: Double): DataFrame = {
     val base = df.select(col(groupCol), col(valueCol).as("__v"),
-      (abs(hash(col(valueCol))) % 2).as("__half"))
+      pmod(hash(col(valueCol)), lit(2)).as("__half"))
     val direct = base.groupBy(col(groupCol))
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(__v))").as("__est"),
         countDistinct(col("__v")).as("n_exact"))

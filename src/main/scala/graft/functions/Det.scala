@@ -104,7 +104,7 @@ object Det {
     val p = math.pow(10, scale)
     val valCap = lit(math.pow(2, 53) / p)
     val bad = abs(c) > valCap ||
-      abs(c) * lit(p) * w.cast("double") > lit(9.0e18)
+      abs(c) * lit(p) * abs(w.cast("double")) > lit(9.0e18)
     dsumWeightedRaw(when(bad,
       raise_error(concat(
         lit(s"Det.dsumWeighted overflow at scale $scale: value "),

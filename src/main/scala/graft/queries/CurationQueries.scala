@@ -365,11 +365,11 @@ object CurationQueries {
     },
 
     // distributed BPE tokenizer TRAINING (merge learning): 12 merges
-    // over the word-frequency-compressed corpus. Iterative argmax has
-    // no SQL-expressible oracle — this gate is the driver's rows-only
-    // surface; bit-level correctness is pinned by the spec's
-    // brute-force reference (CurationSpec) and the q106 counting
-    // kernel consumes tables of exactly this shape.
+    // over the word-frequency-compressed corpus, hash-gated against an
+    // unrolled 12-round DuckDB trainer (see bpeTrainOracle); bit-level
+    // correctness is additionally pinned by the spec's brute-force
+    // reference (CurationSpec) and the q106 counting kernel consumes
+    // tables of exactly this shape.
     "q166_bpe_train" -> { (s, d) =>
       graft.text.BpeTrain.learnMerges(documents(s, d), "text", 12)
         .orderBy("rank")
@@ -424,7 +424,43 @@ object CurationQueries {
        |  UNION
        |  SELECT reach.v, sym.b FROM reach JOIN sym ON reach.r = sym.a)""".stripMargin
 
+  /** Unrolled `numMerges`-round DuckDB BPE trainer (round-11: replaces
+    * q166's rows-only gate with a full cross-engine hash gate). Each
+    * word's symbol sequence is ONE string: a single chr(31) at the word
+    * edges and a double chr(31) between symbols. Tokens are
+    * whitespace-split so symbol text can never contain the separator,
+    * which makes `replace(s, SEP||l||SEP||SEP||r||SEP, SEP||l||r||SEP)`
+    * exactly the engine's leftmost-non-overlapping merge fold (DuckDB
+    * replace scans left-to-right and resumes AFTER each match, so
+    * "a a a" under (a,a) yields ["aa","a"], and back-to-back pairs
+    * re-match because the shared boundary keeps one of its two
+    * separators). MATERIALIZED is load-bearing: s(k-1) is referenced
+    * twice per round, so inlined CTEs would re-expand 2^numMerges
+    * times (the prototype ran >120 s inlined, 0.3 s materialized). */
+  private def bpeTrainOracle(numMerges: Int): String = {
+    val sep = "chr(31)"
+    val base =
+      s"""toks AS MATERIALIZED (SELECT unnest(${toksSql("text")}) AS w FROM documents),
+         |w0 AS MATERIALIZED (SELECT w, count(*) AS f FROM toks GROUP BY 1),
+         |s0 AS MATERIALIZED (SELECT $sep || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), $sep||$sep) || $sep AS s, f FROM w0)""".stripMargin
+    val rounds = (1 to numMerges).map { k =>
+      val pair = s"p$k AS MATERIALIZED (SELECT p.l AS l, p.r AS r, CAST(sum(f) AS BIGINT) AS c FROM (\n" +
+        s"  SELECT f, unnest(list_transform(range(1, len(toks)), i -> {'l': toks[i], 'r': toks[i + 1]})) AS p\n" +
+        s"  FROM (SELECT f, string_split(trim(s, $sep), $sep||$sep) AS toks FROM s${k - 1})) GROUP BY 1, 2),\n" +
+        s"m$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1)"
+      if (k == numMerges) pair // the last rewrite is never read
+      else pair + ",\n" +
+        s"s$k AS MATERIALIZED (SELECT replace(s, $sep||m.l||$sep||$sep||m.r||$sep, $sep||m.l||m.r||$sep) AS s, f FROM s${k - 1} CROSS JOIN m$k m)"
+    }
+    val sel = (1 to numMerges).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right", l || r AS merged, c AS pair_count FROM m$k"""
+    }.mkString("\nUNION ALL\n")
+    "WITH " + (base +: rounds).mkString(",\n") + "\n" + sel + "\nORDER BY rank"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q166_bpe_train" -> bpeTrainOracle(12),
+
     "q121_neardup_clusters" ->
       s"""$closureCtes
          |SELECT v AS doc_id, min(r) AS cluster_id, min(r) <> v AS is_dup

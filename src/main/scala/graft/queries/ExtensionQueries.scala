@@ -232,7 +232,7 @@ object ExtensionQueries {
     "q146_profile" -> {
       def row(c: String) =
         s"""SELECT '$c' AS "column", count(*) AS n_rows,
-           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            |  count(DISTINCT $c) AS n_distinct,
            |  CAST(min($c) AS VARCHAR) AS min_s,
            |  CAST(max($c) AS VARCHAR) AS max_s FROM documents""".stripMargin

@@ -91,5 +91,14 @@ class DSum128Spec extends AnyFunSuite {
     }
     assert(boom.getMessage.contains("dsumWeighted overflow") ||
       Option(boom.getCause).exists(_.getMessage.contains("dsumWeighted overflow")))
+    // a large-magnitude NEGATIVE weight must trip the same guard: the
+    // unsigned-ness bug made the guard product negative and let the
+    // scaled multiply wrap silently (round-11 ADVICE regression)
+    val boomNeg = intercept[Exception] {
+      Seq((1.0, -(Long.MaxValue / 2))).toDF("v", "n")
+        .agg(Det.dsumWeightedChecked(col("v"), col("n"), 12)).collect()
+    }
+    assert(boomNeg.getMessage.contains("dsumWeighted overflow") ||
+      Option(boomNeg.getCause).exists(_.getMessage.contains("dsumWeighted overflow")))
   }
 }

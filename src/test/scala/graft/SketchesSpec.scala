@@ -34,6 +34,23 @@ class SketchesSpec extends SparkSpecBase {
     tiny.foreach(l => assert(l == 1L))
   }
 
+  test("countMinTopK: null values excluded from sketch, total, and top-k") {
+    val s = spark
+    import s.implicits._
+    // null-heavy: 50 nulls would crash estimateCount(null) and inflate
+    // the eps*N slack if counted (round-11 ADVICE regression)
+    val df = (Seq.fill(50)(null: String) ++ Seq.fill(8)("a") ++
+      Seq.fill(3)("b")).toDF("tok")
+    val out = Sketches.countMinTopK(df, "tok", 5,
+        eps = 0.01, confidence = 0.99, seed = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.map(_._1).toSet == Set("a", "b"), out.toSeq.toString)
+    val byTok = out.map(t => t._1 -> t).toMap
+    assert(byTok("a")._2 == 8L && byTok("b")._2 == 3L)
+    out.foreach { t => assert(t._3 == 1L && t._4 == 1L, s"flags: $t") }
+  }
+
   test("hllDistinctCheck: exact at small cardinality, union path consistent") {
     val s = spark
     import s.implicits._
