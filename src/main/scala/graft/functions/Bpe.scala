@@ -87,6 +87,93 @@ object BpeImpl {
   }
 }
 
+/** Symbol-array rewrite kernel behind [[BpeMergeBatch]]: apply an
+  * ordered merge list to a token/symbol array, each merge as one
+  * leftmost-non-overlapping left-to-right pass (identical semantics to
+  * [[BpeImpl.count]]'s inner rewrite and to the training fold it
+  * replaces — "a a a" under (a,a) yields ["aa","a"]). */
+object BpeMergeImpl {
+  def applyMerges(tokens: ArrayData, ls: Array[UTF8String],
+      rs: Array[UTF8String], ms: Array[UTF8String]): ArrayData = {
+    val n = tokens.numElements()
+    var cur = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) { cur.add(tokens.getUTF8String(i)); i += 1 }
+    var k = 0
+    while (k < ls.length && cur.size > 1) {
+      val next = new java.util.ArrayList[UTF8String](cur.size)
+      var j = 0
+      while (j < cur.size) {
+        if (j < cur.size - 1 && cur.get(j) == ls(k) && cur.get(j + 1) == rs(k)) {
+          next.add(ms(k)); j += 2
+        } else { next.add(cur.get(j)); j += 1 }
+      }
+      cur = next; k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      cur.toArray(new Array[AnyRef](cur.size)))
+  }
+}
+
+/** Catalyst expression `bpe_merge_batch(tokens, merges)`: rewrite a
+  * symbol array by an ordered merge list (see [[BpeMergeImpl]]).
+  * `merges` must be a foldable array of `"left" + NUL + "right"`
+  * strings in application order. Replaces the former nested
+  * higher-order-function fold in `graft.text.BpeTrain` — one compiled
+  * call regardless of batch size, so batched training rounds stay
+  * inside whole-stage codegen instead of stacking B lambda layers. */
+case class BpeMergeBatch(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    left.dataType match {
+      case ArrayType(StringType, _) => right.dataType match {
+        case ArrayType(StringType, _) if right.foldable =>
+          TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          "bpe_merge_batch requires a foldable array<string> merges list")
+      }
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"bpe_merge_batch requires array<string> tokens, got ${left.dataType}")
+    }
+
+  @transient private lazy val (ls, rs, ms): (Array[UTF8String],
+      Array[UTF8String], Array[UTF8String]) = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val l = new Array[UTF8String](n)
+    val r = new Array[UTF8String](n)
+    val m = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val parts = arr.getUTF8String(i).toString.split("\u0000", 2)
+      require(parts.length == 2,
+        s"bpe_merge_batch merge entry lacks a NUL separator: ${arr.getUTF8String(i)}")
+      l(i) = UTF8String.fromString(parts(0))
+      r(i) = UTF8String.fromString(parts(1))
+      m(i) = UTF8String.fromString(parts(0) + parts(1))
+      i += 1
+    }
+    (l, r, m)
+  }
+
+  override def nullSafeEval(tokens: Any, merges: Any): Any =
+    BpeMergeImpl.applyMerges(tokens.asInstanceOf[ArrayData], ls, rs, ms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lsRef = ctx.addReferenceObj("bpeMergeLs", ls, "org.apache.spark.unsafe.types.UTF8String[]")
+    val rsRef = ctx.addReferenceObj("bpeMergeRs", rs, "org.apache.spark.unsafe.types.UTF8String[]")
+    val msRef = ctx.addReferenceObj("bpeMergeMs", ms, "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.functions.BpeMergeImpl.applyMerges($t, $lsRef, $rsRef, $msRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeMergeBatch =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "bpe_merge_batch"
+}
+
 /** Catalyst expression `bpe_count(text, merges)`: exact BPE token count
   * (see [[BpeImpl]]). `merges` must be a foldable array of
   * `"left" + NUL + "right"` strings in rank order — use

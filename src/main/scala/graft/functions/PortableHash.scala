@@ -67,6 +67,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => BpeCount(children.head, children(1)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_merge_batch",
+      (children: Seq[Expression]) => BpeMergeBatch(children.head, children(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dsum128",
       (children: Seq[Expression]) => DSum128(children.head),
       "scala_udf")
@@ -149,6 +153,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[BpeCount].getCanonicalName, "bpe_count"),
       (children: Seq[Expression]) => BpeCount(children.head, children(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_merge_batch"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BpeMergeBatch].getCanonicalName, "bpe_merge_batch"),
+      (children: Seq[Expression]) => BpeMergeBatch(children.head, children(1))))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("dsum128"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

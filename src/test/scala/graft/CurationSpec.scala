@@ -409,6 +409,60 @@ class CurationSpec extends SparkSpecBase {
     assert(m(1) == ((2L, "aa", "a", 2L)))
   }
 
+  test("BPE batched learning is bit-equal to sequential at any batchCap") {
+    val s = spark
+    import s.implicits._
+    // general brute-force sequential trainer (one merge per round)
+    def refMerge(t: Vector[String], a: String, b: String): Vector[String] = {
+      val res = Vector.newBuilder[String]; var i = 0
+      while (i < t.length) {
+        if (i + 1 < t.length && t(i) == a && t(i + 1) == b) {
+          res += (a + b); i += 2
+        } else { res += t(i); i += 1 }
+      }
+      res.result()
+    }
+    def refBpe(freqs: Seq[(String, Long)], k: Int): Seq[(Long, String, String, Long)] = {
+      var st = freqs.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      val out = Seq.newBuilder[(Long, String, String, Long)]
+      var r = 1; var done = false
+      while (r <= k && !done) {
+        val pc = st.flatMap { case (t, f) =>
+          t.indices.dropRight(1).map(i => (t(i), t(i + 1)) -> f) }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        if (pc.isEmpty) done = true
+        else {
+          val ((a, b), c) = pc.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+          out += ((r.toLong, a, b, c)); st = st.map { case (t, f) => (refMerge(t, a, b), f) }
+          r += 1
+        }
+      }
+      out.result()
+    }
+    // random tie-HEAVY corpora over a 2-letter alphabet: equal counts
+    // everywhere, so the c* trim (not just disjointness) carries the
+    // exactness proof; include the hand-built boundary-tie corpus
+    val rnd = new scala.util.Random(20260815)
+    val corpora = Seq(Seq("xab" -> 10L, "cd" -> 10L)) ++ (1 to 8).map { _ =>
+      Vector.fill(6)((1 to (1 + rnd.nextInt(5)))
+        .map(_ => if (rnd.nextBoolean()) "a" else "b").mkString)
+        .groupBy(identity).toSeq.map { case (w, g) => w -> g.size.toLong }
+    }
+    for (freqs <- corpora) {
+      val text = freqs.flatMap { case (w, f) =>
+        Seq.fill(f.toInt)(w) }.mkString(" ")
+      val docs = Seq((1L, text)).toDF("doc_id", "text")
+      val exp = refBpe(freqs, 6)
+      for (cap <- Seq(1, 3, 64)) {
+        val got = graft.text.BpeTrain.learnMerges(docs, "text", 6, batchCap = cap)
+          .select("rank", "left", "right", "pair_count")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3))).toSeq
+        assert(got == exp, s"cap=$cap corpus=$freqs")
+      }
+    }
+  }
+
   test("hashedLinearScore: feature counts, empty and one-token docs") {
     val s = spark
     import s.implicits._
