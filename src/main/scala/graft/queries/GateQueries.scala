@@ -140,7 +140,7 @@ object GateQueries {
   /** Sentinel dirs to delete at JVM exit — ONE shared shutdown hook
     * over a concurrent set (round-10 review: the first cut registered a
     * Thread per dir and leaked a DirectoryStream per level). */
-  private lazy val sweepAtExit: java.util.Set[String] = {
+  private[queries] lazy val sweepAtExit: java.util.Set[String] = {
     val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
       dirs.forEach { dir =>

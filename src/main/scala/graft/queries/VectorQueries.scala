@@ -12,6 +12,21 @@ object VectorQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** q171 fixture: the persisted IVF index, built ONCE per (JVM,
+    * fixture dir) — both probe passes and every bench rep share
+    * snapshot v1 (the buildMorTable discipline); swept at JVM exit. */
+  private val ivfDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def builtIvfIndex(s: SparkSession, d: String): String =
+    ivfDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q171_ivf").toString
+      GateQueries.sweepAtExit.add(dir)
+      graft.vector.IvfIndex.build(embeddings(s, d), "embedding", "vec_id",
+        dir, nlist = 8, seed = 42L)
+      dir
+    })
+
   /** DuckDB mirror of VectorOps.normalized: unit-scaled double list. */
   private[queries] def duckNorm(v: String): String =
     s"list_transform($v, x -> x::DOUBLE / " +
@@ -54,6 +69,61 @@ object VectorQueries {
       VectorOps.quantizedNnJoin(emb, probes, "embedding", "vec_id",
           "probe_id", k = 10)
         .orderBy(col("probe_id"), col("rank"))
+    },
+
+    // PERSISTENT IVF index (vector.IvfIndex over the Snapshots layer —
+    // the stored-index half of the reference's Lance IVF_PQ pushdown,
+    // df.py:1264-1318): the index is BUILT ONCE (memoized per fixture;
+    // both probe passes and every bench rep reuse snapshot v1), probed
+    // twice, and cross-checked against the per-query-refit ivfJoin and
+    // the exact brute force. KMeans cells have no SQL mirror, so the
+    // gate is q54's bound-flag pattern: the oracle states the flags as
+    // literal 1s while the engine computes them from real comparisons —
+    // probe-twice stability, stored-vs-refit row equality, self-match
+    // in top-k (a probe's own cell is by construction its rank-1 cell),
+    // recall ≥ 0.4 vs brute force, and index version pinned at 1 (a
+    // second build would bump HEAD and fail ok_version).
+    "q171_ivf_persistent" -> { (s, d) =>
+      val dir = builtIvfIndex(s, d)
+      val emb = embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "probe_id")
+      def stored() = graft.vector.IvfIndex
+        .probe(probes, "embedding", "probe_id", dir, k = 10, nprobe = 3)
+        .select(col("probe_id"), col("id").as("vec_id"), col("rank"))
+      val s1 = stored(); val s2 = stored()
+      val rebuilt = graft.vector.Ann.ivfJoin(emb, probes, "embedding",
+          "vec_id", "probe_id", k = 10, nlist = 8, nprobe = 3, seed = 42L)
+        .select(col("probe_id"), col("vec_id"), col("rank"))
+      val exact = VectorOps.nnJoin(emb, probes, "embedding", "vec_id",
+          "probe_id", k = 10)
+        .select(col("probe_id"), col("vec_id"))
+      // per-probe multiset equality of (vec_id, rank): signed tags sum
+      // to zero in every group iff the two sides agree
+      def setEq(x: DataFrame, y: DataFrame, flag: String) =
+        x.withColumn("__s", lit(1)).unionByName(y.withColumn("__s", lit(-1)))
+          .groupBy(col("probe_id"), col("vec_id"), col("rank"))
+          .agg(sum(col("__s")).as("__d"))
+          .groupBy(col("probe_id"))
+          .agg((max(abs(col("__d"))) === 0).cast("long").as(flag))
+      val stable = setEq(s1, s2, "ok_stable")
+      val refit = setEq(s1, rebuilt, "ok_refit")
+      val self = s1.groupBy(col("probe_id"))
+        .agg(max(when(col("vec_id") === col("probe_id"), 1L).otherwise(0L))
+          .as("ok_self"))
+      val recall = exact.join(
+          s1.select(col("probe_id"), col("vec_id")).withColumn("__hit", lit(1L)),
+          Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg((sum(coalesce(col("__hit"), lit(0L))) * 10L >=
+          count(lit(1)) * 4L).cast("long").as("ok_recall"))
+      val okVersion =
+        if (graft.vector.IvfIndex.currentVersion(dir).contains(1L)) 1L else 0L
+      stable.join(refit, "probe_id").join(self, "probe_id")
+        .join(recall, "probe_id")
+        .select(col("probe_id"), lit(okVersion).as("ok_version"),
+          col("ok_stable"), col("ok_refit"), col("ok_self"), col("ok_recall"))
+        .orderBy("probe_id")
     },
 
     // gramian over numeric columns (reference datastream.py:1033).
@@ -112,6 +182,14 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q54's rank-bound pattern: the oracle states the engine-computed
+    // consistency flags as literal 1s (KMeans cells have no SQL mirror)
+    "q171_ivf_persistent" ->
+      """SELECT vec_id AS probe_id, CAST(1 AS BIGINT) AS ok_version,
+        |  CAST(1 AS BIGINT) AS ok_stable, CAST(1 AS BIGINT) AS ok_refit,
+        |  CAST(1 AS BIGINT) AS ok_self, CAST(1 AS BIGINT) AS ok_recall
+        |FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""".stripMargin,
+
     "q50_vector_nn" ->
       s"""WITH ne AS (SELECT vec_id, ${duckNorm("embedding")} AS nv FROM embeddings),
          |sims AS (

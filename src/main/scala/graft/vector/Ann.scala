@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 /** Approximate nearest-neighbor search via random-hyperplane LSH — the
   * scale path next to [[VectorOps.nnJoin]]'s brute force (reference pushes
   * ANN into a Lance IVF_PQ index, pyquokka/df.py:1264-1318 +
-  * datastream.py:454-476; we have no index store, so we bucket with
-  * sign-LSH: same candidate-pruning intent, pure Spark expressions).
+  * datastream.py:454-476; sign-LSH buckets give the same
+  * candidate-pruning intent in pure Spark expressions, and the
+  * persisted-index half of the Lance shape lives in [[IvfIndex]]).
   *
   * Scale design: bucketing turns the |data|×|probes| cross product into a
   * hash join on bucket ids — each data row is hashed once (codegen'd
@@ -48,6 +49,60 @@ object Ann {
     * compression. Deterministic for a fixed seed. At scale the model is
     * fit on a sample and the cell assignment is a narrow projection; the
     * probe-side cell fan-out replaces the all-pairs cross product. */
+  /** Coarse-quantizer fit shared by [[ivfJoin]] (per-query) and
+    * [[IvfIndex.build]] (persisted): returns the assigned data frame
+    * (idCol, __cell, __dvec normalized) and the centroid arrays in cell
+    * order. */
+  private[vector] def fitQuantizer(data: DataFrame, vecCol: String,
+      idCol: String, nlist: Int, seed: Long): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = data.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__arr"))
+      .withColumn("__feat", array_to_vector(col("__arr")))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__feat").setPredictionCol("__cell").fit(feat)
+    val assigned = model.transform(feat)
+      .select(col(idCol), col("__cell"),
+        VectorOps.normalized(col("__arr")).as("__dvec"))
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Broadcast probe side: each probe row exploded to its `nprobe`
+    * nearest cells under the assignment metric (Euclidean): rank by
+    * 2·x·c − |c|², the distance terms that vary with c — computed as
+    * expressions over the small literal centroids. Emits
+    * (probeIdCol, __pvec normalized, __cell). */
+  private[vector] def probeCells(probes: DataFrame, vecCol: String,
+      probeIdCol: String, centers: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
+    val cellScores = centers.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.toIndexedSeq.map(lit): _*)
+      val c2 = c.map(x => x * x).sum
+      struct((VectorOps.dot(col("__arr"), cLit) * 2.0 - lit(c2)).as("score"),
+        lit(i).as("cell"))
+    }
+    broadcast(probes.select(col(probeIdCol),
+        col(vecCol).cast("array<double>").as("__arr"))
+      .withColumn("__cells",
+        slice(reverse(array_sort(array(cellScores.toIndexedSeq: _*))), 1, nprobe))
+      .withColumn("__pvec", VectorOps.normalized(col("__arr")))
+      .select(col(probeIdCol), col("__pvec"),
+        explode(col("__cells.cell")).as("__cell")))
+  }
+
+  /** Cell-joined cosine top-k: (probeId, dataId, sim, rank ≤ k). */
+  private[vector] def topKWithinCells(assigned: DataFrame, p: DataFrame,
+      dataIdCol: String, probeIdCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(probeIdCol))
+      .orderBy(col("sim").desc, col(dataIdCol).asc)
+    assigned.join(p, "__cell")
+      .withColumn("sim", VectorOps.dot(col("__dvec"), col("__pvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(probeIdCol), col(dataIdCol), col("sim"), col("rank"))
+  }
+
   def ivfJoin(
       data: DataFrame,
       probes: DataFrame,
@@ -58,40 +113,9 @@ object Ann {
       nlist: Int = 16,
       nprobe: Int = 4,
       seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = data.select(col(dataIdCol),
-      col(vecCol).cast("array<double>").as("__arr"))
-      .withColumn("__feat", array_to_vector(col("__arr")))
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("__feat").setPredictionCol("__cell").fit(feat)
-    val assigned = model.transform(feat)
-      .select(col(dataIdCol), col("__cell"),
-        VectorOps.normalized(col("__arr")).as("__dvec"))
-    val centers = model.clusterCenters.map(_.toArray)
-    // nprobe nearest cells per probe under the assignment metric
-    // (Euclidean): rank by 2·x·c − |c|², the distance terms that vary
-    // with c — computed as expressions over the small literal centroids
-    val cellScores = centers.zipWithIndex.map { case (c, i) =>
-      val cLit = array(c.toIndexedSeq.map(lit): _*)
-      val c2 = c.map(x => x * x).sum
-      struct((VectorOps.dot(col("__arr"), cLit) * 2.0 - lit(c2)).as("score"),
-        lit(i).as("cell"))
-    }
-    val p = broadcast(probes.select(col(probeIdCol),
-        col(vecCol).cast("array<double>").as("__arr"))
-      .withColumn("__cells",
-        slice(reverse(array_sort(array(cellScores.toIndexedSeq: _*))), 1, nprobe))
-      .withColumn("__pvec", VectorOps.normalized(col("__arr")))
-      .select(col(probeIdCol), col("__pvec"),
-        explode(col("__cells.cell")).as("__cell")))
-    val w = Window.partitionBy(col(probeIdCol))
-      .orderBy(col("sim").desc, col(dataIdCol).asc)
-    assigned.join(p, "__cell")
-      .withColumn("sim", VectorOps.dot(col("__dvec"), col("__pvec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(probeIdCol), col(dataIdCol), col("sim"), col("rank"))
+    val (assigned, centers) = fitQuantizer(data, vecCol, dataIdCol, nlist, seed)
+    val p = probeCells(probes, vecCol, probeIdCol, centers, nprobe)
+    topKWithinCells(assigned, p, dataIdCol, probeIdCol, k)
   }
 
   /** ANN top-k cosine join: probes matched only against same-bucket data

@@ -1,0 +1,90 @@
+package graft
+
+import graft.vector.{Ann, IvfIndex, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF index: build/probe, version pinning, rebuild
+  * semantics (vector.IvfIndex over the Snapshots layer). */
+class IvfIndexSpec extends SparkSpecBase {
+
+  private def emb() =
+    spark.read.parquet(sf() + "/embeddings.parquet")
+
+  test("stored probe equals the per-query-refit ivfJoin row for row") {
+    val e = emb()
+    val probes = e.filter(col("vec_id") < 10)
+      .withColumnRenamed("vec_id", "probe_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_spec_eq").toString
+    val v = IvfIndex.build(e, "embedding", "vec_id", dir, nlist = 8)
+    assert(v == 1L)
+    assert(IvfIndex.currentVersion(dir).contains(1L))
+    val stored = IvfIndex.probe(probes, "embedding", "probe_id", dir,
+        k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val refit = Ann.ivfJoin(e, probes, "embedding", "vec_id", "probe_id",
+        k = 5, nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(stored == refit)
+    // probing again reads the same snapshot: identical rows, HEAD still v1
+    val again = IvfIndex.probe(probes, "embedding", "probe_id", dir,
+        k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(again == stored)
+    assert(IvfIndex.currentVersion(dir).contains(1L))
+  }
+
+  test("rebuild bumps the version; old version stays probeable (time travel)") {
+    val e = emb()
+    val probes = e.filter(col("vec_id") < 5)
+      .withColumnRenamed("vec_id", "probe_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_spec_tt").toString
+    IvfIndex.build(e, "embedding", "vec_id", dir, nlist = 8)
+    val v1 = IvfIndex.probe(probes, "embedding", "probe_id", dir,
+        k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rebuild with a different quantizer: new snapshot, HEAD moves
+    val v2id = IvfIndex.build(e, "embedding", "vec_id", dir, nlist = 4)
+    assert(v2id == 2L && IvfIndex.currentVersion(dir).contains(2L))
+    // pinned v1 probe reproduces the original result exactly
+    val v1again = IvfIndex.probe(probes, "embedding", "probe_id", dir,
+        k = 5, nprobe = 3, snapshotId = Some(1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v1again == v1)
+    // HEAD probe uses the v2 quantizer — structurally valid (self found)
+    val v2 = IvfIndex.probe(probes, "embedding", "probe_id", dir,
+        k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert((0L until 5L).forall(p => v2.contains((p, p))),
+      "self-match must land in its own cell at any index version")
+  }
+
+  test("probing an empty index directory fails loudly") {
+    val e = emb().filter(col("vec_id") < 3)
+      .withColumnRenamed("vec_id", "probe_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_spec_none").toString
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndex.probe(e, "embedding", "probe_id", dir, k = 3)
+    }
+    assert(ex.getMessage.contains("no IVF index"))
+  }
+
+  test("stored probe recall vs brute force clears the q171 floor") {
+    val e = emb()
+    val probes = e.filter(col("vec_id") < 10)
+      .withColumnRenamed("vec_id", "probe_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_spec_recall").toString
+    IvfIndex.build(e, "embedding", "vec_id", dir, nlist = 8)
+    val exact = VectorOps.nnJoin(e, probes, "embedding", "vec_id",
+        "probe_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stored = IvfIndex.probe(probes, "embedding", "probe_id", dir,
+        k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect stored).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+}

@@ -32,7 +32,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q157_bm25",
     // quantized NN: the q50 brute-force plan (bounded broadcast probe
     // set by design) on int8 vectors
-    "q165_quantized_nn")
+    "q165_quantized_nn",
+    // persistent-IVF gate: contains q50's exact brute-force sub-plan as
+    // its recall baseline
+    "q171_ivf_persistent")
 
   /** Built once and shared by all tests — several catalog queries do
     * eager work (sink writes, collects) at construction time, so planning
@@ -91,6 +94,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     * caught broadcasting the shingle relation. */
   private val forcedCorpusBroadcastAllowed = Set(
     "q50_vector_nn", "q55_ann_lsh",
+    // stored-IVF probe + its refit/exact cross-checks: the same bounded
+    // probe-set broadcast on all three sub-plans
+    "q171_ivf_persistent",
     // the int8 variant of q50: same bounded probe-set broadcast
     "q165_quantized_nn")
 
@@ -310,7 +316,13 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q169_sessionize" -> (2, 0),
     // q170: (user, hr) count agg + per-user moment agg + the user join
     // (user-count-sized side broadcasts at fixture scale) + sort
-    "q170_rate_anomaly" -> (4, 1))
+    "q170_rate_anomaly" -> (4, 1),
+    // q171: four flag sub-plans (probe-twice stability, stored-vs-refit
+    // equality, self-match, recall) each aggregate per probe and join
+    // back on the 5-row probe key — the stored-index scans themselves
+    // never shuffle for the cell join (broadcast probe side, q50's
+    // shape)
+    "q171_ivf_persistent" -> (11, 7))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
