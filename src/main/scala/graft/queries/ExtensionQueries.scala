@@ -17,7 +17,62 @@ object ExtensionQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** q172 fixture: orders + customer written ONCE per (JVM, fixture) as
+    * co-bucketed, bucket-sorted catalog tables (8 buckets on the join
+    * key) — the buildMorTable discipline; every probe and bench rep
+    * reuses the layout. */
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  /** The in-memory catalog forgets tables at JVM exit but the warehouse
+    * directory persists, so a fresh JVM's saveAsTable would hit
+    * LOCATION_ALREADY_EXISTS — clear both before writing. */
+  private def dropStaleTable(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new org.apache.hadoop.fs.Path(
+      s.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+  }
+
+  private def bucketedPair(s: SparkSession, d: String): (String, String) =
+    bucketedTables.computeIfAbsent(d, _ => {
+      val key = java.lang.Integer.toHexString(d.hashCode)
+      val ot = s"graft_orders_bk_$key"
+      val ct = s"graft_customer_bk_$key"
+      dropStaleTable(s, ot); dropStaleTable(s, ct)
+      new DataStream(orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+        .writeBucketed(ot, Seq("o_custkey"), 8, sortCols = Seq("o_custkey"))
+      new DataStream(customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment")))
+        .writeBucketed(ct, Seq("c_custkey"), 8, sortCols = Seq("c_custkey"))
+      (ot, ct)
+    })
+
   val queries: Map[String, Q] = Map(
+    // co-located bucketed join (SURVEY §2.4 — the reference
+    // pre-partitions both sides with its hash partitioner so the join
+    // never re-exchanges; Spark persists that layout in the catalog
+    // via bucketBy). The ZERO-SHUFFLE property IS the gate: the bare
+    // join plan must contain no hash-partitioning exchange (both
+    // bucketed scans already satisfy the join's distribution), stated
+    // as a flag the oracle pins to 1. The MERGE hint keeps Catalyst
+    // from auto-broadcasting the toy-scale dimension side, which would
+    // make the flag vacuous — at 100 TB this sort-merge-over-buckets
+    // path is the one that runs.
+    "q172_bucketed_join" -> { (s, d) =>
+      val (ot, ct) = bucketedPair(s, d)
+      val j = s.table(ot).hint("MERGE")
+        .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+      val noShuffle = !j.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning")
+      j.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.Det.dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("ok_no_shuffle", lit(if (noShuffle) 1L else 0L))
+        .orderBy("c_mktsegment")
+    },
+
     // single-pass column profiler: row/null/exact-distinct counts +
     // min/max for four columns from ONE aggregate over one scan —
     // profiled columns are integer/string so the min/max string forms
@@ -227,6 +282,15 @@ object ExtensionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the values come straight off the source tables; the zero-shuffle
+    // plan property is engine-side, stated as a literal 1
+    "q172_bucketed_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  ${graft.functions.Det.dsumSql("o_totalprice")} AS sum_price,
+         |  CAST(1 AS BIGINT) AS ok_no_shuffle
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
     // row-per-column UNION of the same exact aggregates; min/max cast
     // to VARCHAR after aggregation, mirroring Profile's cast placement.
     "q146_profile" -> {

@@ -195,7 +195,13 @@ object ScaleSoak {
     // must be scan-linear), HLL (per-source sketch + exact distinct;
     // doc_id key set genuinely grows 10×), sessionize (user-keyed
     // window; replicas add users so per-window work is constant)
-    "q167_count_min", "q168_hll_distinct", "q169_sessionize")
+    "q167_count_min", "q168_hll_distinct", "q169_sessionize",
+    // rate anomaly ((user,hr) then per-user moment aggs — replicas add
+    // users, per-user hour count fixed), persistent-IVF gate (index
+    // built once on the 10× corpus; probe cost is cell-sized), bucketed
+    // join (bucket count fixed, bucket size grows linearly — the
+    // exchange-free join must stay scan-linear)
+    "q170_rate_anomaly", "q171_ivf_persistent", "q172_bucketed_join")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

@@ -322,7 +322,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     // back on the 5-row probe key — the stored-index scans themselves
     // never shuffle for the cell join (broadcast probe side, q50's
     // shape)
-    "q171_ivf_persistent" -> (11, 7))
+    "q171_ivf_persistent" -> (11, 7),
+    // q172: the JOIN itself is exchange-free (co-bucketed scans satisfy
+    // its distribution — that property is the gate's flag); the two
+    // exchanges are the mktsegment aggregate and the presentation sort
+    "q172_bucketed_join" -> (2, 0))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
