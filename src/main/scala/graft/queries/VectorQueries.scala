@@ -27,6 +27,23 @@ object VectorQueries {
       dir
     })
 
+  /** q174 fixture: base index (vec_id >= 5) + one incremental append
+    * (vec_id < 5) — built ONCE per (JVM, fixture dir). */
+  private val ivfAppendDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def builtIvfAppendIndex(s: SparkSession, d: String): String =
+    ivfAppendDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q174_ivf_append").toString
+      GateQueries.sweepAtExit.add(dir)
+      val emb = embeddings(s, d)
+      graft.vector.IvfIndex.build(emb.filter(col("vec_id") >= 5),
+        "embedding", "vec_id", dir, nlist = 8, seed = 42L)
+      graft.vector.IvfIndex.append(emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", dir)
+      dir
+    })
+
   /** DuckDB mirror of VectorOps.normalized: unit-scaled double list. */
   private[queries] def duckNorm(v: String): String =
     s"list_transform($v, x -> x::DOUBLE / " +
@@ -35,6 +52,16 @@ object VectorQueries {
   /** Dot of two pre-normalized list columns (= cosine). */
   private[queries] def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+
+  /** Per-probe multiset equality of (vec_id, rank): signed tags sum to
+    * zero in every group iff the two sides agree — shared by the
+    * q171/q173 consistency flags. */
+  private def probeSetEq(x: DataFrame, y: DataFrame, flag: String): DataFrame =
+    x.withColumn("__s", lit(1)).unionByName(y.withColumn("__s", lit(-1)))
+      .groupBy(col("probe_id"), col("vec_id"), col("rank"))
+      .agg(sum(col("__s")).as("__d"))
+      .groupBy(col("probe_id"))
+      .agg((max(abs(col("__d"))) === 0).cast("long").as(flag))
 
   val queries: Map[String, Q] = Map(
     // brute-force cosine top-k nn join (reference vector_nn_join,
@@ -98,16 +125,8 @@ object VectorQueries {
       val exact = VectorOps.nnJoin(emb, probes, "embedding", "vec_id",
           "probe_id", k = 10)
         .select(col("probe_id"), col("vec_id"))
-      // per-probe multiset equality of (vec_id, rank): signed tags sum
-      // to zero in every group iff the two sides agree
-      def setEq(x: DataFrame, y: DataFrame, flag: String) =
-        x.withColumn("__s", lit(1)).unionByName(y.withColumn("__s", lit(-1)))
-          .groupBy(col("probe_id"), col("vec_id"), col("rank"))
-          .agg(sum(col("__s")).as("__d"))
-          .groupBy(col("probe_id"))
-          .agg((max(abs(col("__d"))) === 0).cast("long").as(flag))
-      val stable = setEq(s1, s2, "ok_stable")
-      val refit = setEq(s1, rebuilt, "ok_refit")
+      val stable = probeSetEq(s1, s2, "ok_stable")
+      val refit = probeSetEq(s1, rebuilt, "ok_refit")
       val self = s1.groupBy(col("probe_id"))
         .agg(max(when(col("vec_id") === col("probe_id"), 1L).otherwise(0L))
           .as("ok_self"))
@@ -123,6 +142,69 @@ object VectorQueries {
         .join(recall, "probe_id")
         .select(col("probe_id"), lit(okVersion).as("ok_version"),
           col("ok_stable"), col("ok_refit"), col("ok_self"), col("ok_recall"))
+        .orderBy("probe_id")
+    },
+
+    // q171's index probed through the cell-PARTITION-PRUNED scan path:
+    // assignments are hive-partitioned by cell, the probe collects its
+    // (bounded: nprobe × |probes|) cell union and filters BEFORE the
+    // join, so Spark prunes the non-probed cells' directories at
+    // planning — a probe touching p of nlist cells reads p/nlist of
+    // the index bytes at any corpus size. Gated on (a) row equality
+    // with the unpruned plan per probe, (b) the executed plan actually
+    // carrying a cell partition filter (flag computed from the plan at
+    // build, q172's pattern).
+    "q173_ivf_pruned" -> { (s, d) =>
+      val dir = builtIvfIndex(s, d)
+      val emb = embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "probe_id")
+      def run(prune: Boolean) = graft.vector.IvfIndex
+        .probe(probes, "embedding", "probe_id", dir, k = 10, nprobe = 3,
+          prunePartitions = prune)
+        .select(col("probe_id"), col("id").as("vec_id"), col("rank"))
+      val pruned = run(true)
+      val plan = pruned.queryExecution.executedPlan.toString
+      val okPlanPruned =
+        if ("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined)
+          1L else 0L
+      probeSetEq(pruned, run(false), "ok_same_unpruned")
+        .select(col("probe_id"), lit(okPlanPruned).as("ok_plan_pruned"),
+          col("ok_same_unpruned"))
+        .orderBy("probe_id")
+    },
+
+    // INCREMENTAL index maintenance (the Lance append semantics): the
+    // fixture builds on vec_id >= 5 and APPENDS the vec_id < 5 batch —
+    // assigned to the existing centroids with the probe side's own
+    // cell ranking (so a fresh vector's cell IS its probe's rank-1
+    // cell), committed as an append snapshot: batch-sized write, no
+    // refit, no table rewrite. Gated on: appended vectors self-found
+    // at HEAD, ABSENT from pinned v1 (time travel), version == 2, and
+    // the exactly-once invariant n_index == count(embeddings) — a real
+    // value the oracle states from the source table.
+    "q174_ivf_append" -> { (s, d) =>
+      val dir = builtIvfAppendIndex(s, d)
+      val emb = embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "probe_id")
+      def probeAt(v: Long) = graft.vector.IvfIndex
+        .probe(probes, "embedding", "probe_id", dir, k = 5, nprobe = 2,
+          snapshotId = Some(v))
+        .select(col("probe_id"), col("id").as("vec_id"))
+      def selfFlag(df: DataFrame, flag: String, expect: Long) =
+        df.groupBy(col("probe_id"))
+          .agg((max(when(col("vec_id") === col("probe_id"), 1L)
+            .otherwise(0L)) === expect).cast("long").as(flag))
+      val okVersion =
+        if (graft.vector.IvfIndex.currentVersion(dir).contains(2L)) 1L else 0L
+      val nIndex = graft.sources.Snapshots
+        .read(s, s"$dir/assignments", Some(2L)).count()
+      selfFlag(probeAt(2L), "ok_self_head", 1L)
+        .join(selfFlag(probeAt(1L), "ok_absent_v1", 0L), "probe_id")
+        .select(col("probe_id"), lit(okVersion).as("ok_version"),
+          col("ok_self_head"), col("ok_absent_v1"),
+          lit(nIndex).as("n_index"))
         .orderBy("probe_id")
     },
 
@@ -188,6 +270,20 @@ object VectorQueries {
       """SELECT vec_id AS probe_id, CAST(1 AS BIGINT) AS ok_version,
         |  CAST(1 AS BIGINT) AS ok_stable, CAST(1 AS BIGINT) AS ok_refit,
         |  CAST(1 AS BIGINT) AS ok_self, CAST(1 AS BIGINT) AS ok_recall
+        |FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""".stripMargin,
+
+    "q173_ivf_pruned" ->
+      """SELECT vec_id AS probe_id, CAST(1 AS BIGINT) AS ok_plan_pruned,
+        |  CAST(1 AS BIGINT) AS ok_same_unpruned
+        |FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""".stripMargin,
+
+    // flags plus ONE real value: the exactly-once assignment count,
+    // stated directly from the source table
+    "q174_ivf_append" ->
+      """SELECT vec_id AS probe_id, CAST(1 AS BIGINT) AS ok_version,
+        |  CAST(1 AS BIGINT) AS ok_self_head,
+        |  CAST(1 AS BIGINT) AS ok_absent_v1,
+        |  (SELECT count(*) FROM embeddings) AS n_index
         |FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""".stripMargin,
 
     "q50_vector_nn" ->

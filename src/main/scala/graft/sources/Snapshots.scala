@@ -45,7 +45,13 @@ object Snapshots {
     * `mode="overwrite"` starts the visible file set fresh;
     * `mode="append"` extends the parent snapshot's. Returns the new
     * snapshot id (1-based). */
-  def write(df: DataFrame, dir: String, mode: String = "overwrite"): Long = {
+  /** `partitionBy`: hive-style partition dirs INSIDE each commit dir
+    * (`data/v<id>/col=value/…`) — readers filtering on the partition
+    * columns prune whole directories within every snapshot (Spark
+    * discovers partitions beneath each manifest-listed root). All
+    * commits of one table must use the same partitioning. */
+  def write(df: DataFrame, dir: String, mode: String = "overwrite",
+      partitionBy: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append",
       s"snapshot write mode must be overwrite|append, got $mode")
     val root = Paths.get(dir)
@@ -53,7 +59,9 @@ object Snapshots {
     val parent = currentSnapshotId(dir)
     val id = parent.getOrElse(0L) + 1L
     val dataDir = s"data/v$id"
-    df.write.mode("errorifexists").parquet(root.resolve(dataDir).toString)
+    val w = df.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(root.resolve(dataDir).toString)
     val parentDirs =
       if (mode == "append")
         parent.map(p => readManifest(root, p).dataDirs).getOrElse(Nil)
@@ -80,7 +88,14 @@ object Snapshots {
     val id = snapshotId.orElse(currentSnapshotId(dir)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $dir"))
     val snap = readManifest(root, id)
-    spark.read.parquet(snap.dataDirs.map(p => root.resolve(p).toString): _*)
+    // one scan per commit dir, unioned: a multi-path read would try to
+    // infer ONE partition scheme across roots and throw
+    // CONFLICTING_DIRECTORY_STRUCTURES for hive-partitioned commits
+    // (each data/v<id> is its own partition root); per-dir reads keep
+    // partition discovery local and filters/pruning still push into
+    // every branch of the union
+    snap.dataDirs.map(p => spark.read.parquet(root.resolve(p).toString))
+      .reduce(_ unionByName _)
   }
 
   /** Snapshot history (id, parent, timestamp, operation, n_data_dirs) as

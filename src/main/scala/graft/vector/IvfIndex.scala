@@ -1,7 +1,7 @@
 package graft.vector
 
 import graft.sources.Snapshots
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** PERSISTENT IVF ANN index — the stored-index half of the reference's
@@ -9,29 +9,32 @@ import org.apache.spark.sql.functions._
   * index built by datastream.py:454-476; `Ann.ivfJoin` covers the
   * algorithm but re-trains the quantizer per query). The index is two
   * [[Snapshots]] tables under one directory, so it inherits snapshot
-  * semantics for free: rebuilds are new snapshot versions, probes can
-  * pin an index version (time travel), and a rebuild racing a probe is
-  * the snapshot layer's already-proven commit protocol.
+  * semantics for free: rebuilds and appends are new snapshot versions,
+  * probes can pin an index version (time travel), and a rebuild racing
+  * a probe is the snapshot layer's already-proven commit protocol.
   *
   * {{{
   *   <dir>/centroids/    (cell int, centroid array<double>)   — nlist rows
-  *   <dir>/assignments/  (id long, cell int, nvec array<double>)
+  *   <dir>/assignments/  (id long, nvec array<double>) PARTITIONED BY cell
   * }}}
   *
   * Scale design: the k-means fit and cell assignment are paid ONCE at
   * build; every probe reads the tiny centroid table (bounded driver
   * metadata, like OrderStat's picked ranks), ranks its nprobe cells as
-  * literal-centroid expressions, and hash-joins the assignment table on
-  * `cell` — the per-probe cost of `Ann.ivfJoin` minus the training.
-  * The assignment table is written partitioned by nothing but read
-  * through a cell-keyed join, so at 100 TB the natural refinement is a
-  * cell-bucketed write; the snapshot layer already supports committing
-  * that layout. */
+  * literal-centroid expressions, and joins the assignment table on
+  * `cell`. The assignment table is written hive-partitioned BY CELL, and
+  * the probe filters on the (bounded) union of probed cells BEFORE the
+  * join — Spark prunes the non-probed cells' directories at planning, so
+  * a probe touching p cells reads p/nlist of the index bytes no matter
+  * the corpus size. [[append]] is the incremental-maintenance path: new
+  * vectors are assigned to the EXISTING centroids (no refit — the Lance
+  * append semantics) and committed as an append snapshot; the quantizer
+  * drifts only when a rebuild is explicitly requested. */
 object IvfIndex {
 
-  /** Fit the coarse quantizer and persist centroids + assignments as
-    * one index version. Returns the snapshot id (identical for both
-    * tables — enforced). */
+  /** Fit the coarse quantizer and persist centroids + cell-partitioned
+    * assignments as one index version. Returns the snapshot id
+    * (identical for both tables — enforced). */
   def build(data: DataFrame, vecCol: String, idCol: String, dir: String,
       nlist: Int = 16, seed: Long = 42L): Long = {
     val spark = data.sparkSession
@@ -43,12 +46,38 @@ object IvfIndex {
     val aId = Snapshots.write(
       assigned.select(col(idCol).as("id"), col("__cell").as("cell"),
         col("__dvec").as("nvec")),
-      s"$dir/assignments", mode = "overwrite")
+      s"$dir/assignments", mode = "overwrite", partitionBy = Seq("cell"))
     val cId = Snapshots.write(centroids, s"$dir/centroids", mode = "overwrite")
     require(aId == cId,
       s"index tables diverged: assignments v$aId vs centroids v$cId " +
         s"under $dir — rebuild the index directory")
     cId
+  }
+
+  /** Incrementally index a batch: assign `newData` to the CURRENT
+    * version's centroids (nearest cell under the same 2·x·c − |c|²
+    * ranking the probe side uses, so a fresh vector's own cell is by
+    * construction its probe's rank-1 cell) and commit as an append
+    * snapshot of the assignments plus a re-listed centroid version —
+    * batch-sized write, no refit, no table rewrite. Returns the new
+    * index version. */
+  def append(newData: DataFrame, vecCol: String, idCol: String,
+      dir: String): Long = {
+    val spark = newData.sparkSession
+    val (id, centers) = readCentroids(spark, dir, None)
+    val assigned = assignCells(newData, vecCol, idCol, centers)
+    val aId = Snapshots.write(assigned, s"$dir/assignments",
+      mode = "append", partitionBy = Seq("cell"))
+    // centroids are unchanged but re-committed so both tables keep one
+    // version number per index state (nlist tiny rows)
+    import spark.implicits._
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+    val cId = Snapshots.write(centroids, s"$dir/centroids", mode = "overwrite")
+    require(aId == cId && aId == id + 1,
+      s"index tables diverged on append: v$aId vs v$cId (parent v$id)")
+    aId
   }
 
   /** Current index version, if any. */
@@ -60,11 +89,52 @@ object IvfIndex {
     * Returns (probeId, id, sim, rank) — the exact shape of
     * [[Ann.ivfJoin]], and (for the same data, nlist, seed and session)
     * the exact same rows, since the stored quantizer IS the one
-    * ivfJoin would refit. */
+    * ivfJoin would refit. `prunePartitions` (on by default) collects
+    * the union of probed cells — bounded by nprobe × the probe count,
+    * and the probe side is bounded by contract (it broadcasts) — and
+    * filters the cell-partitioned scan down to exactly those
+    * directories; pass false to measure the unpruned plan. */
   def probe(probes: DataFrame, vecCol: String, probeIdCol: String,
       dir: String, k: Int, nprobe: Int = 4,
-      snapshotId: Option[Long] = None): DataFrame = {
+      snapshotId: Option[Long] = None,
+      prunePartitions: Boolean = true): DataFrame = {
     val spark = probes.sparkSession
+    val (id, centers) = readCentroids(spark, dir, snapshotId)
+    val assigned0 = Snapshots.read(spark, s"$dir/assignments", Some(id))
+      .select(col("id"), col("cell").as("__cell"), col("nvec").as("__dvec"))
+    val p = Ann.probeCells(probes, vecCol, probeIdCol, centers, nprobe)
+    val assigned =
+      if (!prunePartitions) assigned0
+      else {
+        // bounded collect: ≤ nprobe × |probes| cell ids
+        val cells = p.select(col("__cell")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        assigned0.filter(col("__cell").isin(cells.map(Int.box): _*))
+      }
+    Ann.topKWithinCells(assigned, p, "id", probeIdCol, k)
+  }
+
+  /** Nearest-cell assignment under the probe-side ranking (top-1 of
+    * [[Ann.probeCells]]'s score), emitted in the assignments schema. */
+  private def assignCells(df: DataFrame, vecCol: String, idCol: String,
+      centers: Array[Array[Double]]): DataFrame = {
+    val cellScores = centers.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.toIndexedSeq.map(lit): _*)
+      val c2 = c.map(x => x * x).sum
+      struct((VectorOps.dot(col("__arr"), cLit) * 2.0 - lit(c2)).as("score"),
+        lit(i).as("cell"))
+    }
+    df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("__arr"))
+      .withColumn("cell",
+        element_at(reverse(array_sort(array(cellScores.toIndexedSeq: _*))), 1)
+          .getField("cell"))
+      .select(col("id"), col("cell"),
+        VectorOps.normalized(col("__arr")).as("nvec"))
+  }
+
+  private def readCentroids(spark: SparkSession, dir: String,
+      snapshotId: Option[Long]): (Long, Array[Array[Double]]) = {
     val id = snapshotId.orElse(currentVersion(dir)).getOrElse(
       throw new IllegalArgumentException(s"no IVF index at $dir"))
     // nlist centroid rows: bounded metadata, same transfer class as
@@ -73,9 +143,6 @@ object IvfIndex {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
-    val assigned = Snapshots.read(spark, s"$dir/assignments", Some(id))
-      .select(col("id"), col("cell").as("__cell"), col("nvec").as("__dvec"))
-    val p = Ann.probeCells(probes, vecCol, probeIdCol, centers, nprobe)
-    Ann.topKWithinCells(assigned, p, "id", probeIdCol, k)
+    (id, centers)
   }
 }

@@ -60,6 +60,56 @@ class IvfIndexSpec extends SparkSpecBase {
       "self-match must land in its own cell at any index version")
   }
 
+  test("append assigns to existing centroids; both versions stay probeable") {
+    val e = emb()
+    val base = e.filter(col("vec_id") >= 5)
+    val batch = e.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_spec_append").toString
+    assert(IvfIndex.build(base, "embedding", "vec_id", dir, nlist = 8) == 1L)
+    assert(IvfIndex.append(batch, "embedding", "vec_id", dir) == 2L)
+    assert(IvfIndex.currentVersion(dir).contains(2L))
+    // appended vectors probe to themselves: assignment uses the probe
+    // side's own cell ranking, so a fresh vector's cell IS its rank-1
+    // probed cell
+    val probes = batch.withColumnRenamed("vec_id", "probe_id")
+    val got = IvfIndex.probe(probes, "embedding", "probe_id", dir,
+        k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert((0L until 5L).forall(p => got.contains((p, p))))
+    // the old version does NOT contain the appended batch (time travel)
+    val v1 = IvfIndex.probe(probes, "embedding", "probe_id", dir,
+        k = 3, nprobe = 2, snapshotId = Some(1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!(0L until 5L).exists(p => v1.contains((p, p))))
+    // exactly-once: every vector assigned exactly once at HEAD
+    val n = graft.sources.Snapshots
+      .read(spark, s"$dir/assignments", Some(2L)).count()
+    assert(n == e.count())
+  }
+
+  test("partition-pruned probe equals the unpruned plan and prunes the scan") {
+    val e = emb()
+    val probes = e.filter(col("vec_id") < 5)
+      .withColumnRenamed("vec_id", "probe_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_spec_prune").toString
+    IvfIndex.build(e, "embedding", "vec_id", dir, nlist = 8)
+    def run(prune: Boolean) = IvfIndex.probe(probes, "embedding",
+      "probe_id", dir, k = 5, nprobe = 2, prunePartitions = prune)
+    val pruned = run(true)
+    val unpruned = run(false)
+    assert(pruned.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .toSet ==
+      unpruned.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .toSet)
+    // the pruned plan's scan carries a partition filter on cell
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"expected a cell partition filter in:\n$plan")
+  }
+
   test("probing an empty index directory fails loudly") {
     val e = emb().filter(col("vec_id") < 3)
       .withColumnRenamed("vec_id", "probe_id")

@@ -96,7 +96,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q50_vector_nn", "q55_ann_lsh",
     // stored-IVF probe + its refit/exact cross-checks: the same bounded
     // probe-set broadcast on all three sub-plans
-    "q171_ivf_persistent",
+    "q171_ivf_persistent", "q173_ivf_pruned", "q174_ivf_append",
     // the int8 variant of q50: same bounded probe-set broadcast
     "q165_quantized_nn")
 
@@ -326,7 +326,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     // q172: the JOIN itself is exchange-free (co-bucketed scans satisfy
     // its distribution — that property is the gate's flag); the two
     // exchanges are the mktsegment aggregate and the presentation sort
-    "q172_bucketed_join" -> (2, 0))
+    "q172_bucketed_join" -> (2, 0),
+    // q173/q174: two flag sub-plans each (pruned-vs-unpruned equality /
+    // HEAD-vs-v1 self flags) aggregated per probe + the probe-key join
+    // + presentation sort; probe sides broadcast (q50's shape)
+    "q173_ivf_pruned" -> (3, 2), "q174_ivf_append" -> (3, 2))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
