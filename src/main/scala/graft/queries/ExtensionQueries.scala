@@ -73,6 +73,29 @@ object ExtensionQueries {
         .orderBy("c_mktsegment")
     },
 
+    // declarative data-quality validation (sources.Validate — Deequ
+    // shape, the prescriptive half of q146's profiler): five scalar
+    // rules compile into ONE aggregate over ONE documents scan
+    // (conditional sums + the q146 Expand count-distinct), plus one
+    // referential rule as a distinct-key left join over orders →
+    // customer. Rules are chosen to exercise BOTH verdicts: in_range
+    // and in_set have real nonzero violation counts the oracle states
+    // exactly; the rest certify clean.
+    "q175_validate" -> { (s, d) =>
+      import graft.sources.Validate
+      import graft.sources.Validate._
+      val rules: Seq[Rule] = Seq(
+        NotNull("text"),
+        Unique(Seq("doc_id")),
+        InRange("n_chars", 1L, 300L),
+        Matches("lang", "^[a-z][a-z]$"),
+        InSet("source", (0 until 10).map(i => s"src$i")))
+      Validate.check(documents(s, d), rules)
+        .unionByName(Validate.referencedIn(orders(s, d), "o_custkey",
+          customer(s, d), "c_custkey", ruleNo = 5L))
+        .orderBy("rule_no")
+    },
+
     // single-pass column profiler: row/null/exact-distinct counts +
     // min/max for four columns from ONE aggregate over one scan —
     // profiled columns are integer/string so the min/max string forms
@@ -282,6 +305,35 @@ object ExtensionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // every rule restated as plain SQL aggregates; violation counts are
+    // exact integers (nonzero for in_range / in_set on this fixture)
+    "q175_validate" -> {
+      def row(no: Int, rule: String, column: String, v: String,
+          from: String = "documents") =
+        s"""SELECT CAST($no AS BIGINT) AS rule_no, '$rule' AS rule,
+           |  '$column' AS "column", count(*) AS n_rows,
+           |  CAST($v AS BIGINT) AS n_violations,
+           |  CAST(CASE WHEN $v = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok
+           |FROM $from""".stripMargin
+      Seq(
+        row(0, "not_null", "text",
+          "sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)"),
+        row(1, "unique", "doc_id", "count(*) - count(DISTINCT doc_id)"),
+        row(2, "in_range[1,300]", "n_chars",
+          "sum(CASE WHEN n_chars IS NOT NULL AND (n_chars < 1 OR n_chars > 300) THEN 1 ELSE 0 END)"),
+        row(3, "matches[^[a-z][a-z]$]", "lang",
+          "sum(CASE WHEN lang IS NOT NULL AND NOT regexp_matches(lang, '^[a-z][a-z]$') THEN 1 ELSE 0 END)"),
+        row(4, "in_set[10]", "source",
+          "sum(CASE WHEN source IS NOT NULL AND source NOT IN " +
+            (0 until 10).map(i => s"'src$i'").mkString("(", ", ", ")") +
+            " THEN 1 ELSE 0 END)"),
+        row(5, "referenced_in[c_custkey]", "o_custkey",
+          "sum(CASE WHEN o_custkey IS NOT NULL AND o_custkey NOT IN " +
+            "(SELECT c_custkey FROM customer) THEN 1 ELSE 0 END)",
+          from = "orders"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY rule_no")
+    },
+
     // the values come straight off the source tables; the zero-shuffle
     // plan property is engine-side, stated as a literal 1
     "q172_bucketed_join" ->

@@ -330,7 +330,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     // q173/q174: two flag sub-plans each (pruned-vs-unpruned equality /
     // HEAD-vs-v1 self flags) aggregated per probe + the probe-key join
     // + presentation sort; probe sides broadcast (q50's shape)
-    "q173_ivf_pruned" -> (3, 2), "q174_ivf_append" -> (3, 2))
+    "q173_ivf_pruned" -> (3, 2), "q174_ivf_append" -> (3, 2),
+    // q175: one Expand aggregate for all five scalar rules (two-stage)
+    // + the FK branch's key agg and its dim join (dim side broadcasts
+    // at fixture scale) + the union's presentation sort
+    "q175_validate" -> (5, 1))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
