@@ -44,6 +44,19 @@ object VectorQueries {
       dir
     })
 
+  /** q176 fixture: the IVF_PQ index, built ONCE per (JVM, fixture). */
+  private val pqDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def builtPqIndex(s: SparkSession, d: String): String =
+    pqDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q176_pq").toString
+      GateQueries.sweepAtExit.add(dir)
+      graft.vector.PqIndex.build(embeddings(s, d), "embedding", "vec_id",
+        dir, nlist = 8, m = 16, dim = 64, seed = 42L)
+      dir
+    })
+
   /** DuckDB mirror of VectorOps.normalized: unit-scaled double list. */
   private[queries] def duckNorm(v: String): String =
     s"list_transform($v, x -> x::DOUBLE / " +
@@ -208,6 +221,50 @@ object VectorQueries {
         .orderBy("probe_id")
     },
 
+    // IVF_PQ (vector.PqIndex — the PQ half that completes the
+    // reference's Lance IVF_PQ shape): 16 per-subspace 16-code
+    // codebooks pack every 64-dim vector into ONE int64 (32×
+    // compression at the storage boundary — the only payload the probe
+    // join moves besides ids), probed by asymmetric-distance tables
+    // precomputed once per probe row on the broadcast side, over the
+    // cell-pruned partition layout. KMeans codebooks have no SQL
+    // mirror → q54-pattern flags: probe-twice stability, per-probe
+    // recall ≥ 0.2 vs exact brute force at k=10/nprobe=4, version
+    // pinned at 1, the one-long-per-vector storage property, and the
+    // exactly-once code count as a REAL value stated from the source.
+    "q176_ivf_pq" -> { (s, d) =>
+      val dir = builtPqIndex(s, d)
+      val emb = embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "probe_id")
+      def stored() = graft.vector.PqIndex
+        .probe(probes, "embedding", "probe_id", dir, k = 10, nprobe = 4)
+        .select(col("probe_id"), col("id").as("vec_id"), col("rank"))
+      val s1 = stored()
+      val exact = VectorOps.nnJoin(emb, probes, "embedding", "vec_id",
+          "probe_id", k = 10)
+        .select(col("probe_id"), col("vec_id"))
+      val stable = probeSetEq(s1, stored(), "ok_stable")
+      val recall = exact.join(
+          s1.select(col("probe_id"), col("vec_id")).withColumn("__hit", lit(1L)),
+          Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg((sum(coalesce(col("__hit"), lit(0L))) * 10L >=
+          count(lit(1)) * 2L).cast("long").as("ok_recall"))
+      val codes = graft.sources.Snapshots.read(s, s"$dir/codes", Some(1L))
+      val okVersion =
+        if (graft.vector.PqIndex.currentVersion(dir).contains(1L)) 1L else 0L
+      val okOneLong =
+        if (codes.schema("code").dataType ==
+          org.apache.spark.sql.types.LongType) 1L else 0L
+      val nCodes = codes.count()
+      stable.join(recall, "probe_id")
+        .select(col("probe_id"), lit(okVersion).as("ok_version"),
+          lit(okOneLong).as("ok_one_long"), col("ok_stable"),
+          col("ok_recall"), lit(nCodes).as("n_codes"))
+        .orderBy("probe_id")
+    },
+
     // gramian over numeric columns (reference datastream.py:1033).
     // detScale=4: every product here is an (at most) 4-decimal grid
     // value, so the rounding is exact and the decimal sum is order-
@@ -275,6 +332,13 @@ object VectorQueries {
     "q173_ivf_pruned" ->
       """SELECT vec_id AS probe_id, CAST(1 AS BIGINT) AS ok_plan_pruned,
         |  CAST(1 AS BIGINT) AS ok_same_unpruned
+        |FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""".stripMargin,
+
+    "q176_ivf_pq" ->
+      """SELECT vec_id AS probe_id, CAST(1 AS BIGINT) AS ok_version,
+        |  CAST(1 AS BIGINT) AS ok_one_long, CAST(1 AS BIGINT) AS ok_stable,
+        |  CAST(1 AS BIGINT) AS ok_recall,
+        |  (SELECT count(*) FROM embeddings) AS n_codes
         |FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""".stripMargin,
 
     // flags plus ONE real value: the exactly-once assignment count,

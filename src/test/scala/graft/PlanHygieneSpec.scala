@@ -33,9 +33,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     // quantized NN: the q50 brute-force plan (bounded broadcast probe
     // set by design) on int8 vectors
     "q165_quantized_nn",
-    // persistent-IVF gate: contains q50's exact brute-force sub-plan as
-    // its recall baseline
-    "q171_ivf_persistent")
+    // persistent-IVF / IVF_PQ gates: contain q50's exact brute-force
+    // sub-plan as their recall baseline
+    "q171_ivf_persistent", "q176_ivf_pq")
 
   /** Built once and shared by all tests — several catalog queries do
     * eager work (sink writes, collects) at construction time, so planning
@@ -97,6 +97,8 @@ class PlanHygieneSpec extends SparkSpecBase {
     // stored-IVF probe + its refit/exact cross-checks: the same bounded
     // probe-set broadcast on all three sub-plans
     "q171_ivf_persistent", "q173_ivf_pruned", "q174_ivf_append",
+    // IVF_PQ gate: ADC probes + q50's exact brute-force recall baseline
+    "q176_ivf_pq",
     // the int8 variant of q50: same bounded probe-set broadcast
     "q165_quantized_nn")
 
@@ -334,7 +336,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     // q175: one Expand aggregate for all five scalar rules (two-stage)
     // + the FK branch's key agg and its dim join (dim side broadcasts
     // at fixture scale) + the union's presentation sort
-    "q175_validate" -> (5, 1))
+    "q175_validate" -> (5, 1),
+    // q176: stability + recall flag sub-plans (each per-probe agg +
+    // probe-key join) over the PQ ADC probe + the exact-NN baseline +
+    // presentation sort; probe sides broadcast (q50's shape)
+    "q176_ivf_pq" -> (8, 4))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
