@@ -226,6 +226,31 @@ object TimeSeriesQueries {
           min(col("value")).as("low"),
           count(lit(1)).as("n_ticks"))
         .orderBy(col("user_id"), col("candle"))
+    },
+
+    // regular-grid resample + LOCF gap fill (ts/Resample.scala): hourly
+    // buckets over the sparse purchase stream — most grid rows are
+    // fills, so the gate exercises the carry, not just the bucketing.
+    // user_id < 8 bounds the output identically at every SF (the grid
+    // is span/width per key, not corpus-sized).
+    "q177_resample_locf" -> { (s, d) =>
+      val ev = events(s, d)
+        .filter(col("user_id") < 8 && col("event_type") === "purchase")
+      Resample.locf(ev, "user_id", "ts", "value", widthSec = 3600L,
+          tieBreak = Seq("event_id"))
+        .orderBy(col("user_id"), col("bucket"))
+    },
+
+    // linear-interpolation fill over the same grid: gap values are the
+    // exact IEEE expression (v0·(b1−b) + v1·(b−b0))/(b1−b0) mirrored
+    // verbatim in the oracle — both engines round identically at every
+    // step, so the driver's exact hash holds on the computed doubles.
+    "q178_resample_interp" -> { (s, d) =>
+      val ev = events(s, d)
+        .filter(col("user_id") < 8 && col("event_type") === "purchase")
+      Resample.interp(ev, "user_id", "ts", "value", widthSec = 3600L,
+          tieBreak = Seq("event_id"))
+        .orderBy(col("user_id"), col("bucket"))
     }
   )
 
@@ -448,6 +473,64 @@ object TimeSeriesQueries {
         |  AND epoch(b.ts) <= epoch(a.ts) + 86400
         |  AND epoch(c.ts) <= epoch(a.ts) + 86400
         |  AND b.value > a.value
-        |ORDER BY a.user_id, a_event_id, b_event_id, c_event_id""".stripMargin
+        |ORDER BY a.user_id, a_event_id, b_event_id, c_event_id""".stripMargin,
+
+    "q177_resample_locf" -> resampleOracle(interp = false),
+    "q178_resample_interp" -> resampleOracle(interp = true)
   )
+
+  /** Shared resample oracle: exact integer bucketing (floor-div on epoch
+    * micros, mirroring Resample.bucketExpr), the engine's (ts, event_id)
+    * last-pick via QUALIFY, per-key generate_series grid, and the two
+    * fill modes. The interp arithmetic is the verbatim IEEE shape from
+    * Resample.interp. */
+  private def resampleOracle(interp: Boolean): String = {
+    val w = 3600L * 1000000L
+    val common =
+      s"""WITH e AS (SELECT user_id,
+         |    make_timestamp((epoch_us(ts) // $w) * $w) AS b,
+         |    ts, event_id, value FROM events
+         |  WHERE user_id < 8 AND event_type = 'purchase'),
+         |cnt AS (SELECT user_id, b, count(*) AS n_obs FROM e GROUP BY 1, 2),
+         |lv AS (SELECT user_id, b, value AS v FROM e
+         |  QUALIFY row_number() OVER (PARTITION BY user_id, b
+         |    ORDER BY ts DESC, event_id DESC) = 1),
+         |span AS (SELECT user_id, min(b) AS mn, max(b) AS mx
+         |  FROM e GROUP BY 1),
+         |grid AS (SELECT user_id,
+         |  unnest(generate_series(mn, mx, INTERVAL 3600 SECOND)) AS b
+         |  FROM span),
+         |j AS (SELECT g.user_id, g.b, cnt.n_obs, lv.v,
+         |    epoch_us(g.b) // $w AS bi
+         |  FROM grid g LEFT JOIN cnt USING (user_id, b)
+         |    LEFT JOIN lv USING (user_id, b))""".stripMargin
+    val fill =
+      if (!interp)
+        """SELECT user_id, b AS bucket, coalesce(n_obs, 0) AS n_obs,
+          |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+          |    ORDER BY b ROWS UNBOUNDED PRECEDING) AS value,
+          |  CAST(n_obs IS NULL AS BIGINT) AS filled
+          |FROM j""".stripMargin
+      else
+        """f AS (SELECT user_id, b, n_obs, bi, v,
+          |    last_value(CASE WHEN n_obs IS NOT NULL
+          |        THEN {'bi': bi, 'v': v} END IGNORE NULLS)
+          |      OVER (PARTITION BY user_id ORDER BY b
+          |        ROWS UNBOUNDED PRECEDING) AS p0,
+          |    first_value(CASE WHEN n_obs IS NOT NULL
+          |        THEN {'bi': bi, 'v': v} END IGNORE NULLS)
+          |      OVER (PARTITION BY user_id ORDER BY b
+          |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p1
+          |  FROM j)
+          |SELECT user_id, b AS bucket, coalesce(n_obs, 0) AS n_obs,
+          |  CASE WHEN n_obs IS NULL THEN
+          |    (p0.v * (CAST(p1.bi AS DOUBLE) - CAST(bi AS DOUBLE))
+          |     + p1.v * (CAST(bi AS DOUBLE) - CAST(p0.bi AS DOUBLE)))
+          |    / (CAST(p1.bi AS DOUBLE) - CAST(p0.bi AS DOUBLE))
+          |  ELSE v END AS value,
+          |  CAST(n_obs IS NULL AS BIGINT) AS filled
+          |FROM f""".stripMargin
+    val glue = if (interp) ",\n" else "\n"
+    common + glue + fill + "\nORDER BY user_id, bucket"
+  }
 }

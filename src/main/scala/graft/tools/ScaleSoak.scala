@@ -201,7 +201,14 @@ object ScaleSoak {
     // built once on the 10× corpus; probe cost is cell-sized), bucketed
     // join (bucket count fixed, bucket size grows linearly — the
     // exchange-free join must stay scan-linear)
-    "q170_rate_anomaly", "q171_ivf_persistent", "q172_bucketed_join")
+    "q170_rate_anomaly", "q171_ivf_persistent", "q172_bucketed_join",
+    // cell-pruned IVF probes + incremental append (index built once per
+    // fixture dir; probe cost is cell-sized so the ratio tracks cell
+    // growth, not corpus growth), rule validation (one Expand agg + the
+    // FK key agg — both map-combined, scan-linear), and the PQ form of
+    // the stored index (ADC probe moves one long per candidate vector —
+    // the ratio proves the nprobe pruning holds at 10×)
+    "q173_ivf_pruned", "q174_ivf_append", "q175_validate", "q176_ivf_pq")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

@@ -340,7 +340,13 @@ class PlanHygieneSpec extends SparkSpecBase {
     // q176: stability + recall flag sub-plans (each per-probe agg +
     // probe-key join) over the PQ ADC probe + the exact-NN baseline +
     // presentation sort; probe sides broadcast (q50's shape)
-    "q176_ivf_pq" -> (8, 4))
+    "q176_ivf_pq" -> (8, 4),
+    // resample: (key,bucket) obs agg + key-sized span agg + the
+    // presentation sort; the grid↔obs join broadcasts at fixture scale
+    // (8 bounded keys) and the fill windows reuse the join's key
+    // partitioning — no extra exchange for LOCF or the two-sided interp
+    "q177_resample_locf" -> (3, 1),
+    "q178_resample_interp" -> (3, 1))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap

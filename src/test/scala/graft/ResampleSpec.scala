@@ -1,0 +1,66 @@
+package graft
+
+import graft.ts.Resample
+import org.apache.spark.sql.functions._
+
+/** Hand-built irregular streams through the regular-grid resampler —
+  * exact expectations for bucketing, span bounds, LOCF carry, linear
+  * interpolation, in-bucket last-pick determinism, and key isolation. */
+class ResampleSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  // key 1: observations at minutes 0, 1 (same bucket) and minute 30;
+  // key 2: single observation (degenerate one-bucket span)
+  private lazy val df = Seq(
+    (1L, 0L, 1L, 10.0), // bucket 0
+    (1L, 60L, 2L, 20.0), // bucket 0 too (later ts wins the bucket)
+    (1L, 1800L, 3L, 50.0), // bucket 3 (600s buckets)
+    (2L, 1200L, 4L, 7.0)
+  ).map { case (k, s, id, v) => (k, ts(s), id, v) }
+    .toDF("k", "t", "id", "v")
+
+  test("locf: grid spans min..max bucket per key, gaps carry forward") {
+    val out = Resample.locf(df, "k", "t", "v", widthSec = 600L,
+        tieBreak = Seq("id"))
+      .orderBy("k", "bucket")
+      .select(col("k"), (unix_micros(col("bucket")) / 1000000L).cast("long"),
+        col("n_obs"), col("value"), col("filled"))
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0L, 2L, 20.0, 0L), // last-in-bucket by (ts,id) = 20.0
+      (1L, 600L, 0L, 20.0, 1L), // gap: carried
+      (1L, 1200L, 0L, 20.0, 1L),
+      (1L, 1800L, 1L, 50.0, 0L),
+      (2L, 1200L, 1L, 7.0, 0L))) // one-bucket span: no gaps
+  }
+
+  test("interp: gap values are the exact linear blend; ends observed") {
+    val out = Resample.interp(df, "k", "t", "v", widthSec = 600L,
+        tieBreak = Seq("id"))
+      .orderBy("k", "bucket")
+      .select(col("k"), (unix_micros(col("bucket")) / 1000000L).cast("long"),
+        col("value"), col("filled"))
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // buckets 0 (v=20) .. 3 (v=50): gaps at 1,2 → 30, 40 exactly
+    assert(out === Seq(
+      (1L, 0L, 20.0, 0L), (1L, 600L, 30.0, 1L),
+      (1L, 1200L, 40.0, 1L), (1L, 1800L, 50.0, 0L),
+      (2L, 1200L, 7.0, 0L)))
+  }
+
+  test("in-bucket tie on ts resolves by the tie-break column") {
+    val tied = Seq((1L, ts(0L), 5L, 1.0), (1L, ts(0L), 9L, 2.0),
+      (1L, ts(0L), 7L, 9.0)).toDF("k", "t", "id", "v")
+    val out = Resample.locf(tied, "k", "t", "v", 600L, Seq("id"))
+      .select("value").as[Double].collect().toSeq
+    assert(out === Seq(2.0)) // max id (9) wins, not max value
+  }
+
+  test("width must be positive") {
+    intercept[IllegalArgumentException] {
+      Resample.locf(df, "k", "t", "v", 0L)
+    }
+  }
+}
