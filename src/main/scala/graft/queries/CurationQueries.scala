@@ -396,6 +396,28 @@ object CurationQueries {
       graft.agg.Sketches.hllDistinctCheck(documents(s, d), "source",
           "doc_id", relErr = 0.05)
         .orderBy("source")
+    },
+
+    // blocked Levenshtein entity resolution (dedup/EntityResolution):
+    // the record corpus is every doc's 24-char prefix plus a typo'd
+    // variant (char 10 → 'q') for every third doc — so the match graph
+    // has real multi-member entities AND organic prefix collisions.
+    // Blocking on the 4-char prefix (stable under the char-10 typo),
+    // edges at ≤ 2 edits via the bounded codegen'd levenshtein, CC via
+    // the shared pointer-jumping pipeline, min-id canonical. Oracle:
+    // the same pairs + a recursive-closure CTE.
+    "q179_entity_resolution" -> { (s, d) =>
+      val base = documents(s, d).select(col("doc_id").as("id"),
+        lower(substring(col("text"), 1, 24)).as("s"))
+      val variants = base.filter(col("id") % 3 === 0)
+        .select((col("id") + 500000000L).as("id"),
+          concat(substring(col("s"), 1, 9), lit("q"),
+            expr("substring(s, 11)")).as("s"))
+      val recs = base.unionByName(variants)
+        .withColumn("b", substring(col("s"), 1, 4))
+      graft.dedup.EntityResolution
+        .resolve(recs, "id", "s", Seq("b"), maxDist = 2)
+        .orderBy("id")
     }
   )
 
@@ -877,6 +899,31 @@ object CurationQueries {
     "q168_hll_distinct" ->
       """SELECT source, count(DISTINCT doc_id) AS n_exact,
         |  CAST(1 AS BIGINT) AS ok_bound, CAST(1 AS BIGINT) AS ok_union
-        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // same record construction, same blocked pairs (the length
+    // prefilter is implied by lev ≤ 2, so the oracle omits it), and the
+    // q121-style recursive min-reachability closure
+    "q179_entity_resolution" ->
+      """WITH RECURSIVE base AS (SELECT doc_id AS id,
+        |    lower(substring(text, 1, 24)) AS s FROM documents),
+        |recs AS (SELECT id, s FROM base
+        |  UNION ALL
+        |  SELECT id + 500000000,
+        |    concat(substring(s, 1, 9), 'q', substring(s, 11))
+        |  FROM base WHERE id % 3 = 0),
+        |blk AS (SELECT id, s, substring(s, 1, 4) AS b FROM recs),
+        |pairs AS (SELECT a.id AS id_1, b.id AS id_2
+        |  FROM blk a JOIN blk b ON a.b = b.b AND a.id < b.id
+        |  WHERE levenshtein(a.s, b.s) <= 2),
+        |sym AS (SELECT id_1 AS a, id_2 AS bb FROM pairs
+        |  UNION ALL SELECT id_2, id_1 FROM pairs),
+        |reach(v, r) AS (SELECT id, id FROM recs
+        |  UNION SELECT reach.v, sym.bb FROM reach JOIN sym ON reach.r = sym.a),
+        |ent AS (SELECT v AS id, min(r) AS entity_id FROM reach GROUP BY v),
+        |sz AS (SELECT entity_id, count(*) AS n_members FROM ent GROUP BY 1)
+        |SELECT ent.id, ent.entity_id, sz.n_members,
+        |  ent.id = ent.entity_id AS is_canonical
+        |FROM ent JOIN sz USING (entity_id) ORDER BY ent.id""".stripMargin
   )
 }

@@ -346,7 +346,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     // (8 bounded keys) and the fill windows reuse the join's key
     // partitioning — no extra exchange for LOCF or the two-sided interp
     "q177_resample_locf" -> (3, 1),
-    "q178_resample_interp" -> (3, 1))
+    "q178_resample_interp" -> (3, 1),
+    // q179 post-iteration like q121 (checkpointed CC labels) + the
+    // size agg, its label join, and the presentation sort
+    "q179_entity_resolution" -> (3, 0))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
