@@ -418,6 +418,28 @@ object CurationQueries {
       graft.dedup.EntityResolution
         .resolve(recs, "id", "s", Seq("b"), maxDist = 2)
         .orderBy("id")
+    },
+
+    // HTML boilerplate strip (Curation.htmlToText): each doc wrapped in
+    // a deterministic page — script with an embedded '<' in its code,
+    // style, comment carrying the doc id, heading, all five entities —
+    // then stripped back to visible text. The wrap AND the strip chain
+    // are mirrored verbatim in the oracle, so the md5 gates every
+    // pattern in the chain. Pure projection: the scan-linear floor.
+    "q180_html_to_text" -> { (s, d) =>
+      val html = concat(
+        lit("<html><head><script type=\"text/x\">var a = 1 < 2;" +
+          "</script><style>.x{color:red}</style></head><body><!-- doc "),
+        col("doc_id").cast("string"), lit(" --><h1>"), col("source"),
+        lit("</h1><p class=\"m\">"), col("text"),
+        lit("</p><div>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s" +
+          "&nbsp;end</div></body></html>"))
+      documents(s, d)
+        .select(col("doc_id"), Curation.htmlToText(html).as("__t"))
+        .select(col("doc_id"), length(col("__t")).as("n_chars"),
+          md5(col("__t")).as("t_md5"),
+          substring(col("__t"), 1, 32).as("head"))
+        .orderBy("doc_id")
     }
   )
 
@@ -924,6 +946,20 @@ object CurationQueries {
         |sz AS (SELECT entity_id, count(*) AS n_members FROM ent GROUP BY 1)
         |SELECT ent.id, ent.entity_id, sz.n_members,
         |  ent.id = ent.entity_id AS is_canonical
-        |FROM ent JOIN sz USING (entity_id) ORDER BY ent.id""".stripMargin
+        |FROM ent JOIN sz USING (entity_id) ORDER BY ent.id""".stripMargin,
+
+    "q180_html_to_text" ->
+      s"""WITH h AS (SELECT doc_id, concat(
+         |  '<html><head><script type="text/x">var a = 1 < 2;</script>',
+         |  '<style>.x{color:red}</style></head><body><!-- doc ',
+         |  CAST(doc_id AS VARCHAR), ' --><h1>', source,
+         |  '</h1><p class="m">', text,
+         |  '</p><div>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s',
+         |  '&nbsp;end</div></body></html>') AS html FROM documents),
+         |t AS (SELECT doc_id, ${Curation.htmlToTextSql("html")} AS tt
+         |  FROM h)
+         |SELECT doc_id, length(tt) AS n_chars, md5(tt) AS t_md5,
+         |  substring(tt, 1, 32) AS head
+         |FROM t ORDER BY doc_id""".stripMargin
   )
 }

@@ -227,6 +227,55 @@ object Curation {
         ipv4Pattern, "<IP>"),
       phonePattern, "<PHONE>")
 
+  // ---- HTML boilerplate extraction --------------------------------------
+
+  /** HTML→text patterns, constrained to the Java-regex ∩ RE2 common
+    * subset (no backreferences, explicit whitespace class instead of
+    * `\s` whose definition differs between the engines) so the exact
+    * chain mirrors into DuckDB oracle SQL. Script/style lose their
+    * CONTENT (it is code, not prose); comments and tags drop; the five
+    * standard entities decode with `&amp;` LAST (so `&amp;lt;` decodes
+    * to the literal `&lt;`, not `<` — no double decode). */
+  val scriptPattern = "(?is)<script[^>]*>.*?</script>"
+  val stylePattern = "(?is)<style[^>]*>.*?</style>"
+  val commentPattern = "(?s)<!--.*?-->"
+  val tagPattern = "<[^>]*>"
+  val wsRunPattern = "[ \\t\\r\\n]+"
+  /** (search, replacement) entity decodes, in application order. */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Extract visible text from HTML: drop script/style bodies, comments
+    * and tags (tags become spaces so adjacent block elements don't fuse
+    * words), decode the standard entities, collapse whitespace runs,
+    * trim. Pure per-row compute — a chain of codegen'd regexp_replace /
+    * replace, zero exchange at any corpus size. Not a parser: good for
+    * boilerplate-strip curation, not for DOM-aware extraction. */
+  def htmlToText(html: Column): Column = {
+    val noCode = regexp_replace(
+      regexp_replace(html, scriptPattern, " "), stylePattern, " ")
+    val noTags = regexp_replace(
+      regexp_replace(noCode, commentPattern, " "), tagPattern, " ")
+    val decoded = htmlEntities.foldLeft(noTags) { case (c, (s, r)) =>
+      replace(c, lit(s), lit(r))
+    }
+    trim(regexp_replace(decoded, wsRunPattern, " "))
+  }
+
+  /** DuckDB mirror of [[htmlToText]] — the same chain, same order, over
+    * the given SQL expression. */
+  def htmlToTextSql(e: String): String = {
+    def rr(inner: String, pat: String) =
+      s"regexp_replace($inner, '$pat', ' ', 'g')"
+    val noTags = rr(rr(rr(rr(e, scriptPattern), stylePattern),
+      commentPattern), tagPattern)
+    val decoded = htmlEntities.foldLeft(noTags) { case (c, (s, r)) =>
+      s"replace($c, '$s', '${r.replace("'", "''")}')"
+    }
+    s"trim(regexp_replace($decoded, '$wsRunPattern', ' ', 'g'))"
+  }
+
   // ---- deterministic training-order shuffle ----------------------------
 
   /** Deterministic global shuffle for training-data ordering: every row

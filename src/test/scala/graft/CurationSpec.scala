@@ -112,6 +112,25 @@ class CurationSpec extends SparkSpecBase {
       "write <EMAIL> or <EMAIL> ip <IP> tel <PHONE> end")
   }
 
+  test("htmlToText: code bodies drop, tags space, entities decode once") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "<html><head><SCRIPT a=\"b\">if (1 < 2) { x(); }\nmore</script>" +
+        "<style>.a{}</style></head><body><!-- hidden\ntext -->" +
+        "<h1>Title</h1><p>one</p><p>two &amp;lt; three&nbsp;&#39;s " +
+        "&quot;q&quot; &lt;b&gt;</p></body></html>",
+      "plain   text\twith\n\nruns", "").toDF("h")
+    val r = df.select(Curation.htmlToText(col("h"))).as[String]
+      .collect().toSeq
+    // &amp;lt; decodes to the LITERAL "&lt;" (no double decode); the
+    // real &lt;b&gt; decodes to <b> but only AFTER tag-strip, so it
+    // survives as text
+    assert(r === Seq(
+      "Title one two &lt; three 's \"q\" <b>",
+      "plain text with runs", ""))
+  }
+
   test("trainOrderShuffle is a deterministic permutation; seeds decorrelate") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
       .select("doc_id")

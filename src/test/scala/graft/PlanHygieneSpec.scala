@@ -349,7 +349,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q178_resample_interp" -> (3, 1),
     // q179 post-iteration like q121 (checkpointed CC labels) + the
     // size agg, its label join, and the presentation sort
-    "q179_entity_resolution" -> (3, 0))
+    "q179_entity_resolution" -> (3, 0),
+    // q180: pure projection (codegen'd strip chain) + presentation sort
+    "q180_html_to_text" -> (1, 0))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
