@@ -251,6 +251,17 @@ object TimeSeriesQueries {
       Resample.interp(ev, "user_id", "ts", "value", widthSec = 3600L,
           tieBreak = Seq("event_id"))
         .orderBy(col("user_id"), col("bucket"))
+    },
+
+    // trailing-24h hourly active-user / event-volume rollup
+    // (ts/Trailing.scala): exact distinct via bounded ×24 cover
+    // expansion, zeros materialized. The oracle states the window
+    // directly as a BETWEEN range join over the same (user, hour)
+    // dedup.
+    "q181_trailing_distinct" -> { (s, d) =>
+      Trailing.trailingCounts(events(s, d), "ts", "user_id",
+          widthSec = 3600L, nBuckets = 24)
+        .orderBy(col("bucket"))
     }
   )
 
@@ -476,7 +487,18 @@ object TimeSeriesQueries {
         |ORDER BY a.user_id, a_event_id, b_event_id, c_event_id""".stripMargin,
 
     "q177_resample_locf" -> resampleOracle(interp = false),
-    "q178_resample_interp" -> resampleOracle(interp = true)
+    "q178_resample_interp" -> resampleOracle(interp = true),
+
+    "q181_trailing_distinct" ->
+      """WITH uh AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS mn, max(h) AS mx FROM uh),
+        |grid AS (SELECT unnest(generate_series(mn, mx)) AS bucket FROM b)
+        |SELECT g.bucket,
+        |  CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_ids,
+        |  CAST(coalesce(sum(u.n), 0) AS BIGINT) AS n_events
+        |FROM grid g LEFT JOIN uh u ON u.h BETWEEN g.bucket - 23 AND g.bucket
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** Shared resample oracle: exact integer bucketing (floor-div on epoch

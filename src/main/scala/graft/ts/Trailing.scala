@@ -1,0 +1,55 @@
+package graft.ts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Trailing-window rollups on a regular bucket grid — the "distinct
+  * users in the last 24 h, hourly" family. Exact, not sketched: the
+  * classic distributed shape is bounded expansion — each distinct
+  * (id, bucket) observation covers the `nBuckets` trailing windows it
+  * can influence, so the cost is (distinct observations) × window
+  * factor, never a per-window re-scan and never a driver loop. The
+  * window factor is the CALLER's knob (24 for hourly/day), the same
+  * bounded-amplification contract as the dedup tier's bands.
+  *
+  * Output: one row per grid bucket between the stream's first and last
+  * observation (gap buckets materialize with zero counts —
+  * distribution-shift monitors need the zeros), with
+  *   - `n_ids`: exact distinct ids observed in the trailing window,
+  *   - `n_events`: total events in the trailing window.
+  *
+  * Scale shape: one map-combined (id, bucket) dedup, one ×nBuckets
+  * explode carrying (id, target-bucket) longs only, one two-phase
+  * distinct count per target bucket; the per-bucket event counts ride
+  * the same explode on bucket-sized rows. The grid itself explodes from
+  * the ONE-ROW global span aggregate (no scalar cross join), and the
+  * final outer join is bucket-count-sized on both sides. */
+object Trailing {
+
+  def trailingCounts(df: DataFrame, tsCol: String, idCol: String,
+      widthSec: Long, nBuckets: Int): DataFrame = {
+    require(widthSec > 0, s"width must be positive, got $widthSec")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val w = widthSec * 1000000L
+    val bucket = (unix_micros(col(tsCol)) / w).cast("long")
+    // distinct (id, bucket) observations + per-bucket event totals in
+    // one aggregate
+    val obs = df.select(col(idCol).as("__id"), bucket.as("__b"))
+      .groupBy(col("__id"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    // every window this observation lands in: targets __b .. __b+n-1
+    val cover = obs.select(col("__id"), col("__n"),
+      explode(expr(s"sequence(__b, __b + ${nBuckets - 1})")).as("__t"))
+    val counts = cover.groupBy(col("__t"))
+      .agg(count_distinct(col("__id")).as("n_ids"),
+        sum(col("__n")).as("n_events"))
+    // grid from the one-row span aggregate — targets past the stream
+    // end are clipped by the join
+    val grid = obs.agg(min(col("__b")).as("__mn"), max(col("__b")).as("__mx"))
+      .select(explode(expr("sequence(__mn, __mx)")).as("bucket"))
+    grid.join(counts, grid("bucket") === counts("__t"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_ids"), lit(0L)).as("n_ids"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+}

@@ -351,7 +351,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     // size agg, its label join, and the presentation sort
     "q179_entity_resolution" -> (3, 0),
     // q180: pure projection (codegen'd strip chain) + presentation sort
-    "q180_html_to_text" -> (1, 0))
+    "q180_html_to_text" -> (1, 0),
+    // q181: (id,bucket) dedup agg + two-phase distinct on the cover +
+    // the one-row span agg + presentation sort; the bucket-sized
+    // grid↔counts join broadcasts
+    "q181_trailing_distinct" -> (4, 1))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap

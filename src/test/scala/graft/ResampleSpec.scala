@@ -63,4 +63,19 @@ class ResampleSpec extends SparkSpecBase {
       Resample.locf(df, "k", "t", "v", 0L)
     }
   }
+
+  test("trailingCounts: window membership, dedup, zeros, clipping") {
+    import graft.ts.Trailing
+    // buckets (60s): u1 twice in b0, once in b3; u2 in b0. Window = 2.
+    val ev = Seq((1L, 5L), (1L, 50L), (2L, 10L), (1L, 190L))
+      .map { case (u, s) => (u, ts(s)) }.toDF("u", "t")
+    val out = Trailing.trailingCounts(ev, "t", "u", widthSec = 60L,
+        nBuckets = 2)
+      .orderBy("bucket").as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 2L, 3L), // u1×2 + u2×1 in b0
+      (1L, 2L, 3L), // trailing {b0,b1}: same events
+      (2L, 0L, 0L), // gap: nothing in {b1,b2}
+      (3L, 1L, 1L))) // u1 in b3; b4 clipped (past stream end)
+  }
 }
