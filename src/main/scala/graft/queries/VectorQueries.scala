@@ -317,6 +317,19 @@ object VectorQueries {
           .cast("int").as(s"ok_$qcol")
       li.join(broadcast(qs))
         .agg(ok(0.25, "q25"), ok(0.5, "q50"), ok(0.75, "q75"), ok(0.95, "q95"))
+    },
+
+    // deterministic contrastive negative mining (Curation
+    // .negativeSample): for each of the 20 anchor vectors, the 5
+    // different-label pool rows with the smallest salted pair-hash —
+    // a pure function of (seed, anchor, candidate), stated verbatim by
+    // the oracle's window. Anchors broadcast (the q50 bounded-batch
+    // contract); candidates stream scan-linear.
+    "q182_negative_sampling" -> { (s, d) =>
+      val emb = embeddings(s, d).select(col("vec_id"), col("label"))
+      graft.text.Curation.negativeSample(emb, "vec_id", "label",
+          emb.filter(col("vec_id") < 20), k = 5, seed = "r11")
+        .orderBy(col("anchor_id"), col("neg_rank"))
     }
   )
 
@@ -431,6 +444,20 @@ object VectorQueries {
     // q54 emits rank-bound 0/1 flags (see the query comment): any valid
     // ε-approximate sketch yields all-1s, which the oracle states exactly.
     "q54_approx_quantile" ->
-      """SELECT 1 AS ok_q25, 1 AS ok_q50, 1 AS ok_q75, 1 AS ok_q95""".stripMargin
+      """SELECT 1 AS ok_q25, 1 AS ok_q50, 1 AS ok_q75, 1 AS ok_q95""".stripMargin,
+
+    "q182_negative_sampling" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, label AS al
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT a.anchor_id, e.vec_id AS neg_id,
+        |    md5(concat('neg:r11:', CAST(a.anchor_id AS VARCHAR), ':',
+        |      CAST(e.vec_id AS VARCHAR))) AS h
+        |  FROM a JOIN embeddings e ON e.label <> a.al),
+        |r AS (SELECT anchor_id, neg_id,
+        |    CAST(row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY h, neg_id) AS BIGINT) AS neg_rank
+        |  FROM c)
+        |SELECT anchor_id, neg_id, neg_rank FROM r WHERE neg_rank <= 5
+        |ORDER BY anchor_id, neg_rank""".stripMargin
   )
 }

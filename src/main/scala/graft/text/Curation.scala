@@ -199,6 +199,41 @@ object Curation {
       .drop("__sk")
   }
 
+  /** Deterministic negative sampling for contrastive training pairs:
+    * for each anchor, the k pool rows with a DIFFERENT label whose
+    * salted pair-hash is smallest. A pure function of (seed, anchor id,
+    * candidate id) — the same negatives on any cluster size or engine,
+    * and changing the seed draws an independent set (the property rate
+    * samplers can't give a pair-mining pipeline).
+    *
+    * Scale shape: the anchor batch is the CALLER-bounded side (the q50
+    * probe contract — mine negatives per training batch, not for the
+    * whole corpus at once) and broadcasts; candidates stream past it
+    * scan-linear, and the per-anchor window reduces to k rows. For very
+    * large pools, pre-filtering candidates to `pair-hash <
+    * threshold` is loss-free as long as ≥ k survivors remain per anchor
+    * (the k smallest hashes all clear any such threshold) — that knob
+    * stays with the caller because only the caller knows pool × batch.
+    *
+    * Output: (`anchor_id`, `neg_id`, `neg_rank` 1-based). */
+  def negativeSample(pool: DataFrame, idCol: String, labelCol: String,
+      anchors: DataFrame, k: Int, seed: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(labelCol).as("__albl"))
+    val key = TextOps.md5Hex(concat(lit(s"neg:$seed:"),
+      col("anchor_id").cast("string"), lit(":"),
+      col(idCol).cast("string")))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("__nk"), col(idCol))
+    pool.select(col(idCol), col(labelCol))
+      .join(broadcast(a), col(labelCol) =!= col("__albl"))
+      .withColumn("__nk", key)
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("anchor_id"), col(idCol).as("neg_id"), col("neg_rank"))
+  }
+
   // ---- PII redaction ---------------------------------------------------
 
   /** PII patterns written to the portable common subset of Java regex

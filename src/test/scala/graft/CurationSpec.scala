@@ -131,6 +131,25 @@ class CurationSpec extends SparkSpecBase {
       "plain text with runs", ""))
   }
 
+  test("negativeSample: k different-label rows, deterministic, seed-dep") {
+    val s = spark
+    import s.implicits._
+    val pool = (0L until 40L).map(i => (i, (i % 4).toInt)).toDF("id", "lbl")
+    val anchors = pool.filter(col("id") < 3)
+    def run(seed: String) =
+      Curation.negativeSample(pool, "id", "lbl", anchors, k = 4, seed)
+        .orderBy("anchor_id", "neg_rank")
+        .as[(Long, Long, Long)].collect().toSeq
+    val r = run("s1")
+    assert(r.size === 12 && r.map(_._1).distinct === Seq(0L, 1L, 2L))
+    // never a same-label negative; ranks dense 1..4
+    val lbl = pool.as[(Long, Int)].collect().toMap
+    assert(r.forall { case (a, n, _) => lbl(a) != lbl(n) })
+    assert(r.groupBy(_._1).values.forall(_.map(_._3).sorted == Seq(1L, 2L, 3L, 4L)))
+    assert(run("s1") === r) // reproducible
+    assert(run("s2") !== r) // seed draws a different set
+  }
+
   test("trainOrderShuffle is a deterministic permutation; seeds decorrelate") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
       .select("doc_id")

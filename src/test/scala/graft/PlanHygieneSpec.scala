@@ -35,7 +35,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q165_quantized_nn",
     // persistent-IVF / IVF_PQ gates: contain q50's exact brute-force
     // sub-plan as their recall baseline
-    "q171_ivf_persistent", "q176_ivf_pq")
+    "q171_ivf_persistent", "q176_ivf_pq",
+    // negative mining: different-label theta join against the bounded
+    // broadcast anchor batch (the q50 probe contract)
+    "q182_negative_sampling")
 
   /** Built once and shared by all tests — several catalog queries do
     * eager work (sink writes, collects) at construction time, so planning
@@ -100,7 +103,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     // IVF_PQ gate: ADC probes + q50's exact brute-force recall baseline
     "q176_ivf_pq",
     // the int8 variant of q50: same bounded probe-set broadcast
-    "q165_quantized_nn")
+    "q165_quantized_nn",
+    // negative mining: the anchor batch is the bounded broadcast side
+    "q182_negative_sampling")
 
   test("no query hint-forces a broadcast of a raw corpus-table scan") {
     import graft.tools.BroadcastAudit
@@ -355,7 +360,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     // q181: (id,bucket) dedup agg + two-phase distinct on the cover +
     // the one-row span agg + presentation sort; the bucket-sized
     // grid↔counts join broadcasts
-    "q181_trailing_distinct" -> (4, 1))
+    "q181_trailing_distinct" -> (4, 1),
+    // q182: anchor-batch broadcast NLJ + per-anchor rank window +
+    // presentation sort
+    "q182_negative_sampling" -> (2, 1))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
