@@ -177,6 +177,21 @@ class QContext(val spark: SparkSession) {
     new DataStream(spark.read.json(spark.createDataset(records)))
   }
 
+  /** [[readRest]] with the retry/backoff discipline a rate-limited
+    * paginated API needs (the reference's crypto fetch loop re-requests
+    * on 429/5xx; dataset/crypto_dataset.py:4-83): each page is attempted
+    * up to `1 + maxRetries` times, sleeping `backoffMs · 2^attempt`
+    * between attempts, but ONLY for failures `isTransient` accepts —
+    * a 404/parse error fails fast. `sleep` is injectable so retry
+    * schedules are unit-testable without wall-clock; pagination stays a
+    * bounded driver-side control loop exactly like [[readRest]]. */
+  def readRestRetry(fetchPage: Int => Option[String],
+      maxPages: Int = 10000, maxRetries: Int = 3, backoffMs: Long = 100L,
+      isTransient: Throwable => Boolean = QContext.defaultTransient,
+      sleep: Long => Unit = Thread.sleep): DataStream =
+    readRest(QContext.withRetry(fetchPage, maxRetries, backoffMs,
+      isTransient, sleep), maxPages)
+
   /** N-input custom stateful operator — the reference's `mingle`
     * (df.py:837-849, its "internal as much as it can" multi-source
     * StatefulNode; the runtime hands each Executor `(batches, stream_id)`,
@@ -229,4 +244,42 @@ class QContext(val spark: SparkSession) {
 
 object QContext {
   def apply(spark: SparkSession): QContext = new QContext(spark)
+
+  /** Transient HTTP failure (the retryable class: 429 rate limits,
+    * 5xx, timeouts). The fetcher throws it; the retry loop honors it. */
+  final class TransientHttpError(val status: Int, message: String)
+    extends RuntimeException(message)
+
+  /** Default retry classification: [[TransientHttpError]] and I/O
+    * hiccups retry; everything else (auth errors, parse bugs) is
+    * permanent and fails fast. */
+  def defaultTransient(t: Throwable): Boolean = t match {
+    case _: TransientHttpError => true
+    case _: java.io.IOException => true
+    case _ => false
+  }
+
+  /** Wrap a page fetcher with bounded exponential-backoff retry.
+    * Attempt a+1 sleeps `backoffMs · 2^a` first; after `maxRetries`
+    * failed retries the last transient error propagates (the caller
+    * sees the real failure, not a swallowed empty page). */
+  def withRetry(fetch: Int => Option[String], maxRetries: Int,
+      backoffMs: Long, isTransient: Throwable => Boolean,
+      sleep: Long => Unit): Int => Option[String] = {
+    require(maxRetries >= 0, s"maxRetries must be >= 0, got $maxRetries")
+    require(backoffMs >= 0, s"backoffMs must be >= 0, got $backoffMs")
+    page => {
+      var attempt = 0
+      var out: Option[Option[String]] = None
+      while (out.isEmpty) {
+        try out = Some(fetch(page))
+        catch {
+          case t: Throwable if isTransient(t) && attempt < maxRetries =>
+            sleep(backoffMs << attempt)
+            attempt += 1
+        }
+      }
+      out.get
+    }
+  }
 }

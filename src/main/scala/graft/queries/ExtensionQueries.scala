@@ -248,6 +248,44 @@ object ExtensionQueries {
         .orderBy(col("n_nationkey"))
     },
 
+    // REST source under rate limiting (readRestRetry): every even page
+    // 429s on its first attempt and succeeds on the retry; the gate
+    // proves the rows arrive complete AND the retry schedule is exactly
+    // the contract — per-page attempt counts and the recorded backoff
+    // sleeps are checked against the closed-form expectation and stated
+    // as flags (the row payload re-gates the q89 pagination path).
+    "q183_rest_retry" -> { (s, d) =>
+      val rows = nation(s, d).select(col("n_nationkey"), col("n_name"))
+        .collect().map(r =>
+          (r.getAs[Number](0).longValue(), r.getString(1))).sortBy(_._1)
+        .map { case (k, n) => s"""{"n_nationkey":$k,"n_name":"$n"}""" }
+      val pages = rows.grouped(5).map(_.mkString("\n")).toVector
+      val attempts = scala.collection.mutable.Map.empty[Int, Int]
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val fetch: Int => Option[String] = { i =>
+        val n = attempts.updateWith(i)(c => Some(c.getOrElse(0) + 1)).get
+        if (n == 1 && i % 2 == 0)
+          throw new graft.api.QContext.TransientHttpError(429, "rate limited")
+        pages.lift(i)
+      }
+      val ds = new graft.api.QContext(s).readRestRetry(fetch,
+        maxPages = 100, maxRetries = 2, backoffMs = 8L,
+        sleep = ms => sleeps += ms)
+      // pagination touches pages 0..pages.size (inclusive terminator);
+      // even pages take 2 attempts, odd take 1; one 8 ms first-backoff
+      // sleep per even page and nothing else
+      val touched = 0 to pages.size
+      val okAttempts =
+        if (touched.forall(i => attempts(i) == (if (i % 2 == 0) 2 else 1))
+          && attempts.size == touched.size) 1L else 0L
+      val okSleeps =
+        if (sleeps.toSeq == touched.filter(_ % 2 == 0).map(_ => 8L)) 1L
+        else 0L
+      ds.df.select(col("n_nationkey"), col("n_name"),
+          lit(okAttempts).as("ok_attempts"), lit(okSleeps).as("ok_sleeps"))
+        .orderBy(col("n_nationkey"))
+    },
+
     // local-materialization entry (from_polars/pandas/arrow): a literal
     // row set vs a VALUES oracle.
     "q90_fromseq" -> { (s, d) =>
@@ -397,6 +435,13 @@ object ExtensionQueries {
 
     "q89_rest_source" ->
       "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+
+    // retry accounting is engine-side (closed-form attempt/sleep
+    // checks), stated as flags; the payload is the real nation table
+    "q183_rest_retry" ->
+      """SELECT n_nationkey, n_name, CAST(1 AS BIGINT) AS ok_attempts,
+        |  CAST(1 AS BIGINT) AS ok_sleeps
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q90_fromseq" ->
       """SELECT * FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5),

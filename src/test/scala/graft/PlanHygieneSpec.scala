@@ -363,7 +363,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q181_trailing_distinct" -> (4, 1),
     // q182: anchor-batch broadcast NLJ + per-anchor rank window +
     // presentation sort
-    "q182_negative_sampling" -> (2, 1))
+    "q182_negative_sampling" -> (2, 1),
+    // q183: driver-side paginated fetch + the presentation sort
+    "q183_rest_retry" -> (1, 0))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap

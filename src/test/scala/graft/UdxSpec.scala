@@ -50,4 +50,36 @@ class UdxSpec extends SparkSpecBase {
     assert(d.count() == 3)
     assert(d.df.agg(sum("px")).head().getDouble(0) == 33.5)
   }
+
+  test("withRetry: exponential backoff, bounded attempts, fast-fail") {
+    import graft.api.QContext
+    // recovers: two 429s then success; sleeps double 8 → 16
+    var sleeps = Vector.empty[Long]
+    var calls = 0
+    val flaky = QContext.withRetry({ _: Int =>
+      calls += 1
+      if (calls <= 2) throw new QContext.TransientHttpError(429, "slow down")
+      Some("ok")
+    }, maxRetries = 2, backoffMs = 8L, QContext.defaultTransient,
+      sleeps :+= _)
+    assert(flaky(0) === Some("ok") && sleeps === Vector(8L, 16L))
+
+    // exhaustion: the LAST transient error propagates, attempts = 1+max
+    var n = 0
+    val dead = QContext.withRetry({ _: Int =>
+      n += 1; throw new QContext.TransientHttpError(503, s"try $n")
+    }, maxRetries = 2, backoffMs = 0L, QContext.defaultTransient, _ => ())
+    val e = intercept[QContext.TransientHttpError] { dead(0) }
+    assert(e.getMessage === "try 3" && n === 3)
+
+    // permanent errors never retry, never sleep
+    var slept = false
+    var m = 0
+    val perm = QContext.withRetry({ _: Int =>
+      m += 1; throw new IllegalStateException("bad auth")
+    }, maxRetries = 5, backoffMs = 8L, QContext.defaultTransient,
+      _ => slept = true)
+    intercept[IllegalStateException] { perm(0) }
+    assert(m === 1 && !slept)
+  }
 }
