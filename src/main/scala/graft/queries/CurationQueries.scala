@@ -420,6 +420,15 @@ object CurationQueries {
         .orderBy("id")
     },
 
+    // collocation mining (CorpusOps.collocations): corpus top-20
+    // bigrams by the integer-scaled PMI argument (log-free ranking —
+    // q144's discipline), minCount 3 against the hapax degenerate top.
+    "q184_collocations" -> { (s, d) =>
+      CorpusOps.collocations(documents(s, d), "doc_id", "text",
+          k = 20, minCount = 3L)
+        .orderBy(col("score").desc, col("w1"), col("w2"))
+    },
+
     // HTML boilerplate strip (Curation.htmlToText): each doc wrapped in
     // a deterministic page — script with an embedded '<' in its code,
     // style, comment carrying the doc id, heading, all five entities —
@@ -947,6 +956,21 @@ object CurationQueries {
         |SELECT ent.id, ent.entity_id, sz.n_members,
         |  ent.id = ent.entity_id AS is_canonical
         |FROM ent JOIN sz USING (entity_id) ORDER BY ent.id""".stripMargin,
+
+    "q184_collocations" ->
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |tb AS (SELECT t[b.i+1] AS w1, t[b.i+2] AS w2
+         |  FROM toks, LATERAL (SELECT unnest(range(len(t)-1)) AS i) b),
+         |bg AS (SELECT w1, w2, count(*) AS c_xy FROM tb GROUP BY 1, 2
+         |  HAVING count(*) >= 3),
+         |uni AS (SELECT unnest(t) AS w FROM toks),
+         |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+         |n AS (SELECT count(*) AS nn FROM uni)
+         |SELECT bg.w1, bg.w2, bg.c_xy, x.c AS c_x, y.c AS c_y,
+         |  CAST(bg.c_xy * n.nn * 1000000 // (x.c * y.c) AS BIGINT) AS score
+         |FROM bg JOIN uc x ON bg.w1 = x.w JOIN uc y ON bg.w2 = y.w
+         |  CROSS JOIN n
+         |ORDER BY score DESC, bg.w1, bg.w2 LIMIT 20""".stripMargin,
 
     "q180_html_to_text" ->
       s"""WITH h AS (SELECT doc_id, concat(

@@ -133,6 +133,41 @@ object CorpusOps {
         coalesce(col("mean_p"), lit(0.0)).as("mean_p"))
   }
 
+  /** Collocation mining: the corpus's top-`k` adjacent-token bigrams by
+    * pointwise mutual information, with PMI in the catalog's
+    * transcendental-free integer form (q144's discipline): since log is
+    * monotone, ranking by PMI equals ranking by its argument, scored as
+    * `score = c_xy · N · 10^6 div (c_x · c_y)` — exact integer
+    * arithmetic, identical on every engine, ties broken by (w1, w2).
+    * `minCount` drops rare pairs (PMI's classic degenerate top: two
+    * hapaxes that co-occur once).
+    *
+    * Scale shape: one bigram hash agg + one unigram hash agg (both
+    * map-combined), two token-keyed joins, the one-row N aggregate
+    * broadcast back, TakeOrdered top-k. Domain bound: the long score
+    * needs c_xy·N·10^6 < 2^63 — run per corpus shard (or drop the
+    * scale factor) past ~10^12 tokens.
+    *
+    * Returns (w1, w2, c_xy, c_x, c_y, score), score-descending. */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Long): DataFrame = {
+    require(k > 0 && minCount >= 1, s"bad k=$k / minCount=$minCount")
+    val bg = bigrams(df, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val uni = df.select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__c"))
+    val n = uni.agg(sum(col("__c")).as("__n"))
+    bg.join(uni.select(col("w").as("w1"), col("__c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("__c").as("c_y")), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr("c_xy * __n * 1000000 div (c_x * c_y)"))
+      .orderBy(col("score").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        col("score"))
+  }
+
   /** BM25 retrieval scoring against a fixed query-term set, top-`k`
     * documents — the ranking function a corpus-curation build uses for
     * targeted retrieval (eval-set mining, topic probes) over the same

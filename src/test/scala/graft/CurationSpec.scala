@@ -131,6 +131,27 @@ class CurationSpec extends SparkSpecBase {
       "plain text with runs", ""))
   }
 
+  test("collocations: PMI argument ranks glued pairs above frequent ones") {
+    val s = spark
+    import s.implicits._
+    // "tick tock" always adjacent (3×); "the the" frequent but from a
+    // high-count unigram; "rare pair" below minCount
+    val docs = Seq(
+      (1L, "tick tock the the the the rare pair"),
+      (2L, "tick tock the the the the"),
+      (3L, "tick tock the the the the")).toDF("doc_id", "text")
+    val r = graft.text.CorpusOps
+      .collocations(docs, "doc_id", "text", k = 3, minCount = 3L)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // N = 20 tokens; scores: tick→tock 3·20·1e6/(3·3), tock→the
+    // 3·20·1e6/(3·12), the→the 9·20·1e6/(12·12); "rare pair" (count 1)
+    // is filtered by minCount
+    assert(r === Seq(
+      ("tick", "tock", 3L, 3L, 3L, 6666666L),
+      ("tock", "the", 3L, 3L, 12L, 1666666L),
+      ("the", "the", 9L, 12L, 12L, 1250000L)))
+  }
+
   test("negativeSample: k different-label rows, deterministic, seed-dep") {
     val s = spark
     import s.implicits._

@@ -24,6 +24,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     // bigram LM: crosses the scored bigrams with the one-row train
     // vocabulary-size aggregate
     "q131_bigram_lm",
+    // collocations: crosses the joined bigram counts with the one-row
+    // total-token aggregate
+    "q184_collocations",
     // z-order ranges: crosses the coded rows with the one-row max(zcode)
     // aggregate that sets the equal-range width
     "q147_zorder_layout",
@@ -365,7 +368,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     // presentation sort
     "q182_negative_sampling" -> (2, 1),
     // q183: driver-side paginated fetch + the presentation sort
-    "q183_rest_retry" -> (1, 0))
+    "q183_rest_retry" -> (1, 0),
+    // q184: bigram + unigram hash aggs (the unigram side feeds both
+    // count joins and the one-row N agg) + TakeOrdered; the token-keyed
+    // count joins and N broadcast at fixture scale
+    "q184_collocations" -> (5, 3))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
