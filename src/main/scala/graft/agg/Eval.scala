@@ -1,0 +1,73 @@
+package graft.agg
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Binary-classifier evaluation aggregates — the measurement half of
+  * the quality-classifier tier (q158 trains/applies a scorer; these
+  * grade one). Everything is exact integer arithmetic until a final
+  * IEEE division, so results are bit-identical on every engine and
+  * partition layout — the catalog's Det discipline applied to eval
+  * metrics.
+  *
+  * Scale shape: both metrics reduce the corpus with ONE map-combined
+  * aggregate keyed on the score (AUC) or nothing (confusion); the AUC's
+  * ordered cumulative pass runs over DISTINCT scores — score-cardinality
+  * sized, not corpus sized (int/quantized scores keep it tiny; a
+  * continuous score column should be quantized first, which real eval
+  * pipelines do anyway). */
+object Eval {
+
+  /** Exact ROC-AUC via the tie-corrected Mann–Whitney statistic:
+    * AUC = (#concordant pairs + ½·#tied pairs) / (n_pos·n_neg),
+    * returned as the exact rational (`auc_num2`, `auc_den2`) =
+    * (2·wins + ties, 2·n_pos·n_neg) plus their IEEE quotient `auc`.
+    * One row: (n_pos, n_neg, auc_num2, auc_den2, auc).
+    *
+    * `labelCol` must be 0/1 (checked); rows with a null score or label
+    * are excluded (scoreless rows can't be ranked). */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val lbl = col(labelCol).cast("long")
+    val rows = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).as("__s"),
+        when(lbl.isin(0L, 1L), lbl)
+          .otherwise(raise_error(concat(lit(s"aucExact: $labelCol must " +
+            s"be 0/1, got "), lbl.cast("string")))).as("__y"))
+    val g = rows.groupBy(col("__s"))
+      .agg(sum(col("__y")).as("__p"),
+        sum(lit(1L) - col("__y")).as("__n"))
+    // negatives strictly below this score: an ordered cumulative pass
+    // over DISTINCT scores (one row per score value, single partition by
+    // design — see the object doc)
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("__nb", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .agg(sum(col("__p")).as("n_pos"), sum(col("__n")).as("n_neg"),
+        (sum(col("__p") * col("__nb")) * 2L + sum(col("__p") * col("__n")))
+          .as("auc_num2"))
+      .select(col("n_pos"), col("n_neg"), col("auc_num2"),
+        (col("n_pos") * col("n_neg") * 2L).as("auc_den2"))
+      .withColumn("auc",
+        col("auc_num2").cast("double") / col("auc_den2").cast("double"))
+  }
+
+  /** Confusion counts at a threshold (score ≥ t ⇒ predicted positive),
+    * plus precision/recall/F1 as exact rationals' IEEE quotients.
+    * One row: (tp, fp, fn, tn, precision, recall, f1). */
+  def confusionAt(df: DataFrame, scoreCol: String, labelCol: String,
+      threshold: Double): DataFrame = {
+    val y = col(labelCol).cast("long")
+    val pred = (col(scoreCol) >= threshold).cast("long")
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .agg(sum(pred * y).as("tp"), sum(pred * (lit(1L) - y)).as("fp"),
+        sum((lit(1L) - pred) * y).as("fn"),
+        sum((lit(1L) - pred) * (lit(1L) - y)).as("tn"))
+      .withColumn("precision",
+        col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+      .withColumn("recall",
+        col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+      .withColumn("f1", col("tp").cast("double") * 2.0 /
+        (col("tp") * 2L + col("fp") + col("fn")).cast("double"))
+  }
+}

@@ -420,6 +420,24 @@ object CurationQueries {
         .orderBy("id")
     },
 
+    // exact tie-corrected ROC-AUC (agg/Eval.scala): n_chars scoring
+    // lang='en' — heavy score ties, so the gate exercises the tie term;
+    // the rational (num2, den2) is exact integers, `auc` their IEEE
+    // quotient, all stated verbatim by the oracle's cumulative window.
+    "q185_auc_exact" -> { (s, d) =>
+      val df = documents(s, d).select(col("n_chars"),
+        (col("lang") === "en").cast("long").as("y"))
+      graft.agg.Eval.aucExact(df, "n_chars", "y")
+    },
+
+    // confusion matrix + precision/recall/F1 at threshold 150 over the
+    // same scorer — exact counts, IEEE quotients of exact integers.
+    "q186_confusion" -> { (s, d) =>
+      val df = documents(s, d).select(col("n_chars"),
+        (col("lang") === "en").cast("long").as("y"))
+      graft.agg.Eval.confusionAt(df, "n_chars", "y", threshold = 150.0)
+    },
+
     // collocation mining (CorpusOps.collocations): corpus top-20
     // bigrams by the integer-scaled PMI argument (log-free ranking —
     // q144's discipline), minCount 3 against the hapax degenerate top.
@@ -956,6 +974,39 @@ object CurationQueries {
         |SELECT ent.id, ent.entity_id, sz.n_members,
         |  ent.id = ent.entity_id AS is_canonical
         |FROM ent JOIN sz USING (entity_id) ORDER BY ent.id""".stripMargin,
+
+    "q185_auc_exact" ->
+      """WITH s AS (SELECT n_chars AS sc,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |g AS (SELECT sc, CAST(sum(y) AS BIGINT) AS p,
+        |    CAST(sum(1 - y) AS BIGINT) AS n FROM s GROUP BY 1),
+        |c AS (SELECT p, n, CAST(coalesce(sum(n) OVER (ORDER BY sc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS nb FROM g)
+        |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+        |  CAST(sum(n) AS BIGINT) AS n_neg,
+        |  CAST(sum(p * nb) * 2 + sum(p * n) AS BIGINT) AS auc_num2,
+        |  CAST(sum(p) * sum(n) * 2 AS BIGINT) AS auc_den2,
+        |  CAST(sum(p * nb) * 2 + sum(p * n) AS BIGINT)::DOUBLE /
+        |    CAST(sum(p) * sum(n) * 2 AS BIGINT)::DOUBLE AS auc
+        |FROM c""".stripMargin,
+
+    "q186_confusion" ->
+      """WITH s AS (SELECT n_chars AS sc,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN sc >= 150 THEN y ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN sc >= 150 THEN 1 - y ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN sc < 150 THEN y ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN sc < 150 THEN 1 - y ELSE 0 END) AS BIGINT) AS tn
+        |  FROM s)
+        |SELECT tp, fp, fn, tn,
+        |  tp::DOUBLE / (tp + fp)::DOUBLE AS precision,
+        |  tp::DOUBLE / (tp + fn)::DOUBLE AS recall,
+        |  tp::DOUBLE * 2.0 / (tp * 2 + fp + fn)::DOUBLE AS f1
+        |FROM a""".stripMargin,
 
     "q184_collocations" ->
       s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),

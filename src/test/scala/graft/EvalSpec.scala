@@ -1,0 +1,65 @@
+package graft
+
+import graft.agg.Eval
+import org.apache.spark.sql.functions._
+
+/** agg.Eval vs brute force: the tie-corrected Mann–Whitney AUC must
+  * equal the all-pairs definition on randomized fixtures, and the
+  * confusion counts must match direct counting. */
+class EvalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def bruteAuc(rows: Seq[(Long, Long)]): (Long, Long) = {
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    val num2 = (for (p <- pos; n <- neg) yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    (num2, 2L * pos.size * neg.size)
+  }
+
+  test("aucExact equals the all-pairs definition (ties included)") {
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { _ =>
+      // small score domain → heavy ties
+      val rows = Seq.fill(60)((rnd.nextInt(8).toLong, rnd.nextInt(2).toLong))
+      val (num2, den2) = bruteAuc(rows)
+      val got = Eval.aucExact(rows.toDF("s", "y"), "s", "y")
+        .select("n_pos", "n_neg", "auc_num2", "auc_den2")
+        .as[(Long, Long, Long, Long)].head()
+      assert((got._3, got._4) === (num2, den2))
+      assert(got._1 === rows.count(_._2 == 1L).toLong)
+    }
+  }
+
+  test("aucExact: perfect, inverted, and null-row exclusion") {
+    val perfect = Seq((10L, 1L), (9L, 1L), (2L, 0L), (1L, 0L))
+    val g = Eval.aucExact(perfect.toDF("s", "y"), "s", "y")
+      .select("auc").as[Double].head()
+    assert(g === 1.0)
+    val inv = Eval.aucExact(perfect.map { case (s, y) => (s, 1L - y) }
+      .toDF("s", "y"), "s", "y").select("auc").as[Double].head()
+    assert(inv === 0.0)
+    val withNulls = Seq((Some(10L), Some(1L)), (None, Some(0L)),
+      (Some(1L), None), (Some(2L), Some(0L))).toDF("s", "y")
+    val r = Eval.aucExact(withNulls, "s", "y")
+      .select("n_pos", "n_neg").as[(Long, Long)].head()
+    assert(r === ((1L, 1L)))
+  }
+
+  test("aucExact rejects non-binary labels") {
+    val e = intercept[Exception] {
+      Eval.aucExact(Seq((1L, 2L)).toDF("s", "y"), "s", "y").collect()
+    }
+    assert(e.getMessage.contains("must be 0/1"))
+  }
+
+  test("confusionAt: counts and quotients") {
+    val df = Seq((10L, 1L), (9L, 0L), (5L, 1L), (1L, 0L)).toDF("s", "y")
+    val r = Eval.confusionAt(df, "s", "y", threshold = 6.0).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((1L, 1L, 1L, 1L)))
+    assert(r.getDouble(4) === 0.5 && r.getDouble(5) === 0.5)
+    assert(r.getDouble(6) === 0.5) // 2·1/(2+1+1)
+  }
+}

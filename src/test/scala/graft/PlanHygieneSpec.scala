@@ -372,7 +372,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     // q184: bigram + unigram hash aggs (the unigram side feeds both
     // count joins and the one-row N agg) + TakeOrdered; the token-keyed
     // count joins and N broadcast at fixture scale
-    "q184_collocations" -> (5, 3))
+    "q184_collocations" -> (5, 3),
+    // q185: per-score agg + the single-partition cumulative pass's
+    // final one-row reduce; q186: one map-combined total agg
+    "q185_auc_exact" -> (2, 0),
+    "q186_confusion" -> (1, 0))
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap
