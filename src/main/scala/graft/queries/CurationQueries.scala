@@ -60,8 +60,8 @@ object CurationQueries {
   private val keywordK = 3
   // q157: one rare term ('dup': df ~5% of docs at every sf) against two
   // common ones — the rational idf spread is what the ranking exercises
-  private val bm25Terms = Seq("dup", "spark", "scan")
-  private val bm25K = 10
+  private[queries] val bm25Terms = Seq("dup", "spark", "scan")
+  private[queries] val bm25K = 10
   // q158: 2^10 buckets — collisions exist at the fixture vocabulary
   // size, exercising the hash-bucket path, and keep splits both ways
   private val classifierBuckets = 1024
