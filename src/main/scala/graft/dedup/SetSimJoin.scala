@@ -1,0 +1,85 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity join via prefix filtering (the AllPairs/PPJoin
+  * family) — the lossless complement to the LSH (q66, probabilistic
+  * recall) and capped posting-list (q68, `maxDf` drops hot shingles)
+  * near-dup paths: every pair with Jaccard ≥ τ is returned, none
+  * missed, with candidate generation still far below all-pairs.
+  *
+  * Principle (prefix filter): order every doc's shingle set by ONE
+  * global total order (rare-first: ascending document frequency, then
+  * hash). If J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, and two sets
+  * with overlap ≥ ⌈τ·|x|⌉ must collide within their first
+  * |x| − ⌈τ·|x|⌉ + 1 elements — so joining on PREFIX tokens only is
+  * lossless, and because prefixes hold each doc's RAREST shingles,
+  * posting lists in the candidate join are the short ones (a hot
+  * stop-shingle is ranked last and never enters a prefix unless τ is
+  * tiny). τ is a rational num/den and every filter is integer
+  * arithmetic — no float threshold can flip a pair cross-engine.
+  *
+  * Scale shape (100 TB): per-doc size and per-shingle df are window
+  * counts on the exchanges the pipeline needs anyway (the
+  * sparseJaccardPairs discipline); the candidate join carries
+  * (h, id, n) longs; verification co-counts only candidate pairs —
+  * never the corpus². Worst case remains adversarial (τ→0 with a
+  * stop-shingle corpus degrades toward all-pairs — that is inherent to
+  * EXACT similarity join; the capped/LSH operators are the escape
+  * hatch when approximate recall is acceptable). */
+object SetSimJoin {
+
+  /** All pairs with Jaccard(shingles(a), shingles(b)) ≥ tauNum/tauDen,
+    * exactly. Returns (id_1, id_2, n_1, n_2, inter, jaccard) with
+    * id_1 < id_2; jaccard is the IEEE quotient of exact integers. */
+  def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      tauNum: Int, tauDen: Int, shingleK: Int = 3): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold must be a rational in (0,1], got $tauNum/$tauDen")
+    val wDoc = Window.partitionBy(col("__id"))
+    val wHash = Window.partitionBy(col("h"))
+    val wRank = Window.partitionBy(col("__id"))
+      .orderBy(col("df").asc, col("h").asc)
+    val posting = df
+      .select(col(idCol).as("__id"),
+        explode(TextOps.shingleHashes(col(textCol), shingleK)).as("h"))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("df", count(lit(1)).over(wHash))
+      .withColumn("rk", row_number().over(wRank))
+    // prefix length p = n − ⌈τ·n⌉ + 1, in exact integers (`div` is
+    // SQL integer division — n and the τ terms are nonnegative longs)
+    val prefixLen =
+      expr(s"n - (($tauNum * n + ${tauDen - 1}) div $tauDen) + 1")
+    val prefix = posting.filter(col("rk") <= prefixLen)
+      .select(col("__id"), col("h"), col("n"))
+    // candidates: a rare-prefix collision + the τ size-ratio bound
+    // (J ≥ τ ⇒ τ·max(n₁,n₂) ≤ min(n₁,n₂)); DISTINCT because two docs
+    // may collide on several prefix shingles
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.__id") < col("b.__id") &&
+          lit(tauNum.toLong) * greatest(col("a.n"), col("b.n")) <=
+            lit(tauDen.toLong) * least(col("a.n"), col("b.n")))
+      .select(col("a.__id").as("id_1"), col("b.__id").as("id_2"),
+        col("a.n").as("n_1"), col("b.n").as("n_2"))
+      .distinct()
+    // exact verification: co-count ONLY the candidate pairs
+    val full = posting.select(col("__id"), col("h"))
+    val inter = cand
+      .join(full.as("pa"), col("pa.__id") === col("id_1"))
+      .join(full.as("pb"),
+        col("pb.__id") === col("id_2") && col("pb.h") === col("pa.h"))
+      .groupBy(col("id_1"), col("id_2"), col("n_1"), col("n_2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .filter(lit(tauDen.toLong) * col("inter") >=
+        lit(tauNum.toLong) * (col("n_1") + col("n_2") - col("inter")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_1") + col("n_2") - col("inter")).cast("double"))
+      .select(col("id_1"), col("id_2"), col("n_1"), col("n_2"),
+        col("inter"), col("jaccard"))
+  }
+}

@@ -156,6 +156,18 @@ object TextDedupQueries {
         .orderBy("doc_id")
     },
 
+    // EXACT set-similarity join (AllPairs/PPJoin prefix filtering):
+    // every pair with shingle-Jaccard ≥ 1/2, none missed — the lossless
+    // complement to LSH (q66, probabilistic) and the capped posting
+    // list (q68, drops hot shingles). Candidates come only from
+    // rare-first prefix collisions; all thresholds are integer
+    // arithmetic on a rational τ. Oracle is the all-pairs brute force.
+    "q190_setsim_join" -> { (s, d) =>
+      graft.dedup.SetSimJoin.prefixJaccardJoin(documents(s, d),
+        "doc_id", "text", tauNum = 1, tauDen = 2, shingleK = shingleK)
+        .orderBy("id_1", "id_2")
+    },
+
     // token counting: whitespace + BPE-ish regex (TextOps §token counting).
     "q60_token_counts" -> { (s, d) =>
       documents(s, d).select(col("doc_id"),
@@ -739,6 +751,24 @@ object TextDedupQueries {
     // the index-backed BM25 must reproduce the corpus-scan BM25
     // bit-for-bit — its oracle IS q157's.
     "q189_index_bm25" -> CurationQueries.oracles("q157_bm25"),
+
+    // all-pairs brute force: the prefix-filtered join must return
+    // EXACTLY the pairs the exhaustive quadratic scan finds (inter > 0
+    // mirrors the operator's shared-shingle candidate requirement; a
+    // J ≥ τ > 0 pair always shares a shingle).
+    "q190_setsim_join" ->
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |hs AS (SELECT doc_id, list_transform(t, x -> ${hashSql("x")}) AS hs FROM toks),
+         |sh AS (SELECT doc_id, ${TextOps.shingleHashesSql("hs", shingleK)} AS sh FROM hs),
+         |pairs AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+         |  CAST(len(a.sh) AS BIGINT) AS n_1, CAST(len(b.sh) AS BIGINT) AS n_2,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT id_1, id_2, n_1, n_2, inter,
+         |  inter::DOUBLE / (n_1 + n_2 - inter)::DOUBLE AS jaccard
+         |FROM pairs
+         |WHERE inter > 0 AND 2 * inter >= 1 * (n_1 + n_2 - inter)
+         |ORDER BY id_1, id_2""".stripMargin,
 
     "q75_fulltext" ->
       s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents)
