@@ -326,6 +326,24 @@ object GateQueries {
       TextDedupQueries.shingleK, TextDedupQueries.numBands)
   }
 
+  /** q191: watermarked STREAM-STREAM interval join — purchases matched
+    * with the same user's views from the trailing hour. Both sides are
+    * independent streaming sources with their own watermark; the time
+    * bound on both event-time columns is what lets Spark evict both
+    * join buffers (the unbounded-state trap this gate pins shut). */
+  private[graft] def q191Plan(s: SparkSession, d: String): DataFrame = {
+    val p = eventsStream(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsx").as("p_ts"),
+        col("event_id").as("p_event_id"))
+    val v = eventsStream(s, d).filter(col("event_type") === "view")
+      .select(col("user_id"), col("tsx").as("v_ts"),
+        col("event_id").as("v_event_id"))
+    graft.streaming.StreamingOps.streamStreamIntervalJoin(
+        p, "p_ts", v, "v_ts", Seq("user_id"),
+        lookbackSec = 3600, watermarkDelay = "0 seconds")
+      .select("user_id", "p_event_id", "v_event_id")
+  }
+
   private[graft] def q109Plan(s: SparkSession, d: String): DataFrame = {
     def src = eventsStream(s, d).select(col("user_id"), col("event_type"),
       col("tsx"))
@@ -619,6 +637,14 @@ object GateQueries {
     "q148_streaming_dedup" -> { (s, d) =>
       runToMemory(s, q148Plan(s, d), "graft_q148_mem", outputMode = "append")
         .orderBy("doc_id", "match_id")
+    },
+
+    // true stream-stream interval join (q191Plan): the batch inner join
+    // with the same time-range predicate is the oracle — a bounded
+    // AvailableNow run must emit exactly the batch answer.
+    "q191_stream_stream_join" -> { (s, d) =>
+      runToMemory(s, q191Plan(s, d), "graft_q191_mem", outputMode = "append")
+        .orderBy("user_id", "p_event_id", "v_event_id")
     },
 
     // REAL image decode (multimodal.Multimodal.decodeImage — the JDK's
@@ -1282,6 +1308,15 @@ object GateQueries {
         |WHERE (doc_id % 3 <> 0 AND doc_id % 7 = 0)
         |   OR (doc_id % 5 = 0 AND doc_id % 7 <> 0)
         |ORDER BY doc_id""".stripMargin,
+
+    // the stream-stream join's batch twin: same key equality, same
+    // closed [p.ts − 1h, p.ts] window on native timestamps.
+    "q191_stream_stream_join" ->
+      """SELECT p.user_id, p.event_id AS p_event_id, v.event_id AS v_event_id
+        |FROM events p JOIN events v ON p.user_id = v.user_id
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |ORDER BY p.user_id, p_event_id, v_event_id""".stripMargin,
 
     // q66's candidate+confirm pipeline with the asymmetric batch/corpus
     // split — identical to the batch q145 CTEs minus the best-match

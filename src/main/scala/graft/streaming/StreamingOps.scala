@@ -54,6 +54,36 @@ object StreamingOps {
         col("session_window.end").as("session_end")) ++
         aggs.keys.toSeq.map(col): _*)
 
+  /** Watermarked STREAM-STREAM interval join (parity-plus — the
+    * reference joins a stream only against static state): left rows
+    * match right rows of the same key whose event time lies in
+    * [left.ts − lookbackSec, left.ts]. Inner join, append mode.
+    *
+    * Both sides carry watermarks and the join condition bounds both
+    * event-time columns, so Spark derives state-eviction watermarks for
+    * BOTH join buffers — state is O(key × lookback window), not
+    * unbounded (the requirement for a stream-stream join to run at
+    * 100 TB/day: without the time bound the right buffer grows
+    * forever). The two event-time columns must be distinctly named
+    * (they both survive into the output); key columns are deduplicated
+    * to the left side's. */
+  def streamStreamIntervalJoin(
+      left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String,
+      keys: Seq[String], lookbackSec: Long,
+      watermarkDelay: String): DataFrame = {
+    require(keys.nonEmpty, "stream-stream join needs at least one key")
+    require(leftTs != rightTs,
+      s"event-time columns must be distinctly named, both are '$leftTs'")
+    require(lookbackSec >= 0, s"lookbackSec must be >= 0, got $lookbackSec")
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lookbackSec SECONDS") &&
+      r(rightTs) <= l(leftTs)
+    keys.foldLeft(l.join(r, cond, "inner"))((df, k) => df.drop(r(k)))
+  }
+
   /** Streaming exact dedup on key columns — the reference's incremental
     * DistinctExecutor (sql_executors.py:517-554) with bounded state:
     * watermark expires seen-keys. */

@@ -359,4 +359,35 @@ class StreamingTieSpec extends SparkSpecBase {
     val n = s.sql("SELECT * FROM tie_mult WHERE key = 'A'").count()
     assert(n == 2)
   }
+
+  test("stream-stream interval join matches within the lookback, evicts outside") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val lm = MemoryStream[(Timestamp, Long, Long)]
+    val rm = MemoryStream[(Timestamp, Long, Long)]
+    // purchases at t=100 (u1), t=200 (u2); views at t=95/40 (u1), t=205 (u2)
+    lm.addData((ts(100), 1L, 10L), (ts(200), 2L, 11L))
+    rm.addData((ts(95), 1L, 20L), (ts(40), 1L, 21L), (ts(205), 2L, 22L))
+    val out = StreamingOps.streamStreamIntervalJoin(
+      lm.toDF.toDF("p_ts", "user_id", "p_id"), "p_ts",
+      rm.toDF.toDF("v_ts", "user_id", "v_id"), "v_ts",
+      Seq("user_id"), lookbackSec = 30, watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql("SELECT user_id, p_id, v_id FROM ssj_out ORDER BY p_id, v_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // u1: view@95 within [70,100] matches; view@40 outside; u2: view@205 is AFTER the purchase
+    assert(rows.toSeq == Seq((1L, 10L, 20L)))
+    // same-name event-time columns are rejected up front
+    val ex = intercept[IllegalArgumentException] {
+      StreamingOps.streamStreamIntervalJoin(
+        lm.toDF.toDF("t", "user_id", "p_id"), "t",
+        rm.toDF.toDF("t", "user_id", "v_id"), "t",
+        Seq("user_id"), 30, "0 seconds")
+    }
+    assert(ex.getMessage.contains("distinctly named"))
+  }
 }
