@@ -67,6 +67,34 @@ object CurationQueries {
   private val classifierBuckets = 1024
 
   val queries: Map[String, Q] = Map(
+    // URL canonicalization + registered-domain extraction (web-corpus
+    // curation: the dedup/grouping key for crawled pages). The fixture
+    // synthesizes URLs deterministically from doc fields — uppercase
+    // scheme/host, a default :443 on the https half and a non-default
+    // :8080 on the http half, a .co.uk multi-suffix third, tracking
+    // params first/mid/last, a fragment — then both engines normalize
+    // with the mirrored chain. Pure codegen'd projection, zero exchange.
+    "q192_url_normalize" -> { (s, d) =>
+      val id = col("doc_id").cast("string")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW."))
+          .otherwise(lit("http://")),
+        col("source"),
+        when(col("doc_id") % 3 === 0, lit(".CO.UK"))
+          .otherwise(lit(".Example.COM")),
+        when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":8080")),
+        lit("/Path/"), id,
+        lit("?utm_source=news&Id="), id,
+        when(col("doc_id") % 5 === 0, lit("&ref=tw&q=1"))
+          .otherwise(lit("&utm_campaign=x")),
+        lit("#Frag"))
+      documents(s, d).select(col("doc_id"), url.as("__url"))
+        .select(col("doc_id"),
+          Curation.urlNormalize(col("__url")).as("url_norm"),
+          Curation.registeredDomain(col("__url")).as("domain"))
+        .orderBy("doc_id")
+    },
+
     // near-dup clusters: LSH pairs → connected components → canonical
     // keeper per cluster. Chains (A~B~C with A≁C) collapse to one
     // cluster — the property per-pair tagging cannot provide.
@@ -530,6 +558,22 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q192_url_normalize" -> {
+      val id = "CAST(doc_id AS VARCHAR)"
+      val url = "concat(" +
+        "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END, " +
+        "source, " +
+        "CASE WHEN doc_id % 3 = 0 THEN '.CO.UK' ELSE '.Example.COM' END, " +
+        "CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':8080' END, " +
+        s"'/Path/', $id, '?utm_source=news&Id=', $id, " +
+        "CASE WHEN doc_id % 5 = 0 THEN '&ref=tw&q=1' ELSE '&utm_campaign=x' END, " +
+        "'#Frag')"
+      s"""WITH u AS (SELECT doc_id, $url AS url FROM documents)
+         |SELECT doc_id, ${Curation.urlNormalizeSql("url")} AS url_norm,
+         |  ${Curation.registeredDomainSql("url")} AS domain
+         |FROM u ORDER BY doc_id""".stripMargin
+    },
+
     "q166_bpe_train" -> bpeTrainOracle(12),
 
     "q121_neardup_clusters" ->

@@ -311,6 +311,103 @@ object Curation {
     s"trim(regexp_replace($decoded, '$wsRunPattern', ' ', 'g'))"
   }
 
+  // ---- URL canonicalization (web-corpus curation) ----------------------
+
+  /** Tracking query parameters stripped by [[urlNormalize]]. */
+  val trackParamPattern = "(utm_[a-z0-9_]+|fbclid|gclid|msclkid|ref)"
+  /** Two-label public suffixes that push the registered domain to three
+    * labels (a pragmatic subset of the public-suffix list — the full
+    * list is data, swap it into this alternation). */
+  val multiSuffixPattern =
+    "(co[.]uk|org[.]uk|ac[.]uk|gov[.]uk|com[.]au|net[.]au|co[.]jp|" +
+      "com[.]br|co[.]in|com[.]cn)"
+  private val schemePattern = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+  /** Canonicalize an absolute http(s) URL for dedup/grouping keys:
+    * lowercase scheme and host, drop a default port (:80 http /
+    * :443 https), drop the fragment, strip tracking query parameters
+    * ([[trackParamPattern]]) wherever they sit in the query string, and
+    * drop a left-over dangling `?`/`&`. Path and query VALUE case are
+    * preserved (they are significant). Non-http(s) input passes through
+    * trimmed and untouched. Pure per-row compute in the Java-regex ∩
+    * RE2 portable subset (no group refs in replacements — Java `$1` vs
+    * RE2 `\1` differ), zero exchange at any corpus size — same
+    * discipline as [[htmlToText]], mirrored by [[urlNormalizeSql]]. */
+  def urlNormalize(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, s"($schemePattern)", 1))
+    val rest = regexp_replace(u, schemePattern, "")
+    val hostport = lower(regexp_extract(rest, "^([^/?#]+)", 1))
+    val tail0 = regexp_replace(rest, "^[^/?#]+", "")
+    val host = when(scheme === "http://",
+        regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https://", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val noFrag = regexp_replace(tail0, "#.*$", "")
+    // strip order matters: non-first tracking params (with their `&`),
+    // then a first tracking param with a successor (keep the `?`), then
+    // a lone first tracking param, then a dangling separator
+    val t1 = regexp_replace(noFrag, s"&$trackParamPattern=[^&#]*", "")
+    val t2 = regexp_replace(t1, s"[?]$trackParamPattern=[^&#]*&", "?")
+    val t3 = regexp_replace(t2, "[?]" + trackParamPattern + "=[^&#]*$", "")
+    val t4 = regexp_replace(t3, "[?&]$", "")
+    when(scheme === "http://" || scheme === "https://",
+      concat(scheme, host, t4)).otherwise(u)
+  }
+
+  /** DuckDB mirror of [[urlNormalize]] — same chain, same order. The
+    * input expression is repeated, so feed it a (CTE) column, not a
+    * computation. */
+  def urlNormalizeSql(e: String): String = {
+    def rr(inner: String, pat: String, rep: String) =
+      s"regexp_replace($inner, '$pat', '$rep', 'g')"
+    val u = s"trim($e)"
+    val scheme = s"lower(regexp_extract($u, '($schemePattern)', 1))"
+    val rest = rr(u, schemePattern, "")
+    val hostport = s"lower(regexp_extract($rest, '^([^/?#]+)', 1))"
+    val tail0 = rr(rest, "^[^/?#]+", "")
+    val host = s"CASE WHEN $scheme = 'http://' THEN " +
+      rr(hostport, ":80$", "") +
+      s" WHEN $scheme = 'https://' THEN " + rr(hostport, ":443$", "") +
+      s" ELSE $hostport END"
+    val noFrag = rr(tail0, "#.*$", "")
+    val t1 = rr(noFrag, s"&$trackParamPattern=[^&#]*", "")
+    val t2 = rr(t1, s"[?]$trackParamPattern=[^&#]*&", "?")
+    val t3 = rr(t2, "[?]" + trackParamPattern + "=[^&#]*$", "")
+    val t4 = rr(t3, "[?&]$", "")
+    s"CASE WHEN $scheme IN ('http://', 'https://') THEN " +
+      s"concat($scheme, $host, $t4) ELSE $u END"
+  }
+
+  /** Lowercased host of an absolute URL, any port stripped. */
+  def urlHost(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(regexp_replace(trim(url), schemePattern, ""),
+        "^([^/?#]+)", 1)),
+      ":[0-9]+$", "")
+
+  /** Registered (pay-level) domain of a URL: the last two host labels,
+    * or three when the two-label suffix is in [[multiSuffixPattern]] —
+    * the per-domain-cap / domain-mix key for web corpora (q125's
+    * `source` generalized to real URLs). Empty when the host has no
+    * dot. Mirrored by [[registeredDomainSql]]. */
+  def registeredDomain(url: Column): Column = {
+    val h = urlHost(url)
+    val three = regexp_extract(h, s"([^.]+[.]$multiSuffixPattern)$$", 1)
+    val two = regexp_extract(h, "([^.]+[.][^.]+)$", 1)
+    when(length(three) > 0, three).otherwise(two)
+  }
+
+  /** DuckDB mirror of [[registeredDomain]]. */
+  def registeredDomainSql(e: String): String = {
+    val h = s"regexp_replace(lower(regexp_extract(" +
+      s"regexp_replace(trim($e), '$schemePattern', '', 'g'), " +
+      s"'^([^/?#]+)', 1)), ':[0-9]+$$', '', 'g')"
+    val three = s"regexp_extract($h, '([^.]+[.]$multiSuffixPattern)$$', 1)"
+    val two = s"regexp_extract($h, '([^.]+[.][^.]+)$$', 1)"
+    s"CASE WHEN length($three) > 0 THEN $three ELSE $two END"
+  }
+
   // ---- deterministic training-order shuffle ----------------------------
 
   /** Deterministic global shuffle for training-data ordering: every row

@@ -541,4 +541,39 @@ class CurationSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(again == out.map { case (k, v) => k -> v._2 })
   }
+
+  test("urlNormalize: ports, fragments, tracking params, passthrough") {
+    import graft.text.Curation
+    val s = spark; import s.implicits._
+    val cases = Seq(
+      // default ports stripped only for the matching scheme
+      "HTTP://Host.Com:80/a" -> "http://host.com/a",
+      "https://Host.Com:80/a" -> "https://host.com:80/a",
+      "https://HOST.com:443/a?x=1" -> "https://host.com/a?x=1",
+      // lone tracking param leaves no dangling separator
+      "http://h.com/p?utm_source=x" -> "http://h.com/p",
+      "http://h.com/p?utm_a=1&utm_b=2" -> "http://h.com/p",
+      "http://h.com/p?a=1&utm_x=2&b=3#f" -> "http://h.com/p?a=1&b=3",
+      // non-http(s) and schemeless pass through trimmed
+      "  ftp://h.com/x?utm_a=1  " -> "ftp://h.com/x?utm_a=1",
+      "not a url" -> "not a url"
+    )
+    val got = cases.map(_._1).toDF("u")
+      .select(Curation.urlNormalize(col("u"))).collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("registeredDomain: two labels, multi-suffix, portless, dotless") {
+    import graft.text.Curation
+    val s = spark; import s.implicits._
+    val cases = Seq(
+      "https://www.bbc.co.uk/news" -> "bbc.co.uk",
+      "http://a.b.example.com:8080/" -> "example.com",
+      "http://example.com" -> "example.com",
+      "http://localhost/x" -> ""
+    )
+    val got = cases.map(_._1).toDF("u")
+      .select(Curation.registeredDomain(col("u"))).collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2))
+  }
 }
