@@ -84,6 +84,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => ShingleHashes(children.head, children(1)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_hashes",
+      (children: Seq[Expression]) => NgramHashesMulti(children.head, children(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_from_hashes",
       (children: Seq[Expression]) => MinhashFromHashes(children.head, children(1)),
       "scala_udf")
@@ -174,6 +178,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[ShingleHashes].getCanonicalName, "shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children.head, children(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("ngram_hashes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NgramHashesMulti].getCanonicalName, "ngram_hashes"),
+      (children: Seq[Expression]) => NgramHashesMulti(children.head, children(1))))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_from_hashes"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

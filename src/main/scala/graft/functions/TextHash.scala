@@ -142,6 +142,25 @@ object TextHashImpl {
     new GenericArrayData(arr)
   }
 
+  /** Hashed word n-grams WITH multiplicity, document order — the
+    * multiset twin of [[shingleHashes]] (same polynomial combine, no
+    * dedup): the ROUGE/BLEU clipped-overlap unit, where a bigram
+    * occurring twice must count twice. */
+  def ngramHashesMulti(text: UTF8String, n: Int): ArrayData = {
+    val hs = tokenHashArray(text)
+    if (hs.length < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](hs.length - n + 1)
+    var j = 0
+    while (j <= hs.length - n) {
+      var c = hs(j)
+      var r = 1
+      while (r < n) { c = (c * B + hs(j + r)) % P; r += 1 }
+      out(j) = c
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature over a shingle-hash array: sigᵢ = min (aᵢ·h+bᵢ)
     * mod P, sentinel P when empty — identical to the 16 min-fold HOFs. */
   def minhashFromHashes(sh: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
@@ -251,6 +270,22 @@ case class ShingleHashes(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (t, _) =>
       s"${ev.value} = graft.functions.TextHashImpl.shingleHashes($t, $param);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `ngram_hashes(text, n)` → array<bigint> WITH multiplicity (see
+  * [[TextHashImpl.ngramHashesMulti]]). */
+case class NgramHashesMulti(left: Expression, right: Expression)
+    extends TextHashBinary {
+  override protected def fnName: String = "ngram_hashes"
+  override protected def leftOk(dt: DataType): Boolean = dt == StringType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any, k: Any): Any =
+    TextHashImpl.ngramHashesMulti(t.asInstanceOf[UTF8String], param)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.functions.TextHashImpl.ngramHashesMulti($t, $param);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

@@ -67,6 +67,21 @@ object CurationQueries {
   private val classifierBuckets = 1024
 
   val queries: Map[String, Q] = Map(
+    // ROUGE-2 overlap eval (agg/Eval.rougeN): clipped bigram overlap as
+    // exact integers, recall/precision/F1 as IEEE quotients. Pairs =
+    // each doc (candidate) vs the next doc in its source (reference) —
+    // organically overlapping word-soup, both zero- and high-overlap
+    // pairs present at every sf.
+    "q193_rouge_overlap" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      val pairs = documents(s, d)
+        .withColumn("ref", lead(col("text"), 1).over(w))
+        .filter(col("ref").isNotNull)
+      graft.agg.Eval.rougeN(pairs, "doc_id", "text", "ref", n = 2)
+        .orderBy("pair_id")
+    },
+
     // URL canonicalization + registered-domain extraction (web-corpus
     // curation: the dedup/grouping key for crawled pages). The fixture
     // synthesizes URLs deterministically from doc fields — uppercase
@@ -558,6 +573,41 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // mirrors Eval.rougeN: same token hashes, same multiset bigram
+    // combine, clipped min-count overlap, same fixed-shape quotients.
+    "q193_rouge_overlap" -> {
+      val h = graft.text.TextOps.portableHashSql("x")
+      s"""WITH base AS (SELECT doc_id, text,
+         |    lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS ref
+         |  FROM documents),
+         |p AS (SELECT doc_id AS pair_id, text AS cand, ref FROM base
+         |  WHERE ref IS NOT NULL),
+         |g AS (SELECT pair_id,
+         |  ${TextOps.ngramHashesSql(
+             s"list_transform(${toksSql("cand")}, x -> $h)", 2)} AS cgl,
+         |  ${TextOps.ngramHashesSql(
+             s"list_transform(${toksSql("ref")}, x -> $h)", 2)} AS rgl
+         |  FROM p),
+         |cc AS (SELECT pair_id, gg, count(*) AS c_c FROM
+         |  (SELECT pair_id, unnest(cgl) AS gg FROM g) GROUP BY 1, 2),
+         |rc AS (SELECT pair_id, gg, count(*) AS c_r FROM
+         |  (SELECT pair_id, unnest(rgl) AS gg FROM g) GROUP BY 1, 2),
+         |ov AS (SELECT pair_id, CAST(sum(least(c_c, c_r)) AS BIGINT) AS overlap
+         |  FROM cc JOIN rc USING (pair_id, gg) GROUP BY 1),
+         |sz AS (SELECT pair_id, CAST(len(cgl) AS BIGINT) AS n_cand,
+         |  CAST(len(rgl) AS BIGINT) AS n_ref FROM g)
+         |SELECT sz.pair_id, n_cand, n_ref,
+         |  coalesce(overlap, 0) AS overlap,
+         |  CASE WHEN n_ref = 0 THEN 0.0 ELSE
+         |    coalesce(overlap, 0)::DOUBLE / n_ref::DOUBLE END AS rouge_recall,
+         |  CASE WHEN n_cand = 0 THEN 0.0 ELSE
+         |    coalesce(overlap, 0)::DOUBLE / n_cand::DOUBLE END AS rouge_precision,
+         |  CASE WHEN n_cand + n_ref = 0 THEN 0.0 ELSE
+         |    coalesce(overlap, 0)::DOUBLE * 2.0 / (n_cand + n_ref)::DOUBLE END AS rouge_f1
+         |FROM sz LEFT JOIN ov USING (pair_id)
+         |ORDER BY pair_id""".stripMargin
+    },
+
     "q192_url_normalize" -> {
       val id = "CAST(doc_id AS VARCHAR)"
       val url = "concat(" +

@@ -75,6 +75,13 @@ object TextOps {
   def shingleHashes(text: Column, k: Int): Column =
     call_function("shingle_hashes", text, lit(k))
 
+  /** Hashed word n-grams WITH multiplicity, document order (compiled
+    * `graft.functions.NgramHashesMulti`) — the ROUGE/BLEU clipped
+    * overlap unit; [[shingleHashes]] is its distinct-set sibling.
+    * Mirrored in SQL by [[ngramHashesSql]] over the token-hash list. */
+  def ngramHashesOf(text: Column, n: Int): Column =
+    call_function("ngram_hashes", text, lit(n))
+
   /** DuckDB fragment mirroring [[shingleHashes]] over a token-hash list
     * expression `hs`. */
   def shingleHashesSql(hs: String, k: Int): String = {

@@ -62,4 +62,40 @@ class EvalSpec extends SparkSpecBase {
     assert(r.getDouble(4) === 0.5 && r.getDouble(5) === 0.5)
     assert(r.getDouble(6) === 0.5) // 2·1/(2+1+1)
   }
+
+  test("rougeN: multiplicity clipping, zero overlap, short/empty texts") {
+    val s = spark; import s.implicits._
+    val pairs = Seq(
+      // cand bigrams: (a b)x2, (b a); ref bigrams: (a b), (b c) -> clipped overlap 1
+      (1L, "a b a b", "a b c"),
+      // identical -> full overlap 3
+      (2L, "x y z w", "x y z w"),
+      // disjoint -> 0
+      (3L, "p q r", "s t u"),
+      // too short for a bigram on one side
+      (4L, "only", "a b c"),
+      (5L, "", "a b")
+    ).toDF("id", "cand", "ref")
+    val out = graft.agg.Eval.rougeN(pairs, "id", "cand", "ref", 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+         r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    // pair 1: cand has (a,b) twice but ref once -> clip to 1; (b,a) unmatched
+    assert(out(1L) == ((3L, 2L, 1L, 1.0 / 2.0, 1.0 / 3.0, 2.0 / 5.0)))
+    assert(out(2L) == ((3L, 3L, 3L, 1.0, 1.0, 1.0)))
+    assert(out(3L) == ((2L, 2L, 0L, 0.0, 0.0, 0.0)))
+    assert(out(4L) == ((0L, 2L, 0L, 0.0, 0.0, 0.0)))
+    assert(out(5L) == ((0L, 1L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("rougeN is partition-order invariant") {
+    val s = spark; import s.implicits._
+    val pairs = (1L to 40L).map(i =>
+      (i, s"w$i a b c d w${i % 7}", s"a b c z w${i % 5} d")).toDF("id", "cand", "ref")
+    val one = graft.agg.Eval.rougeN(pairs.coalesce(1), "id", "cand", "ref", 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    val many = graft.agg.Eval.rougeN(pairs.repartition(7), "id", "cand", "ref", 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    assert(one == many)
+  }
 }
