@@ -67,6 +67,19 @@ object CurationQueries {
   private val classifierBuckets = 1024
 
   val queries: Map[String, Q] = Map(
+    // Weighted PPS systematic sampling (Curation.ppsSystematicSample):
+    // rows picked where their n_chars weight interval on a salted-hash
+    // number line contains a multiple of floor(total/k) — deterministic
+    // exact-integer weighted sampling, two-phase prefix sum (no global
+    // window). The oracle states the SAME picks from one global cumsum
+    // over the identical (shard, hash, id) order.
+    "q194_pps_sample" -> { (s, d) =>
+      Curation.ppsSystematicSample(
+        documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 37, seed = "r11", numShards = 8)
+        .orderBy("doc_id")
+    },
+
     // ROUGE-2 overlap eval (agg/Eval.rougeN): clipped bigram overlap as
     // exact integers, recall/precision/F1 as IEEE quotients. Pairs =
     // each doc (candidate) vs the next doc in its source (reference) —
@@ -573,6 +586,26 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // one global cumsum over the same salted (shard, hash, id) order —
+    // must equal the engine's two-phase shard-offset prefix sum exactly.
+    "q194_pps_sample" -> {
+      val shard = TextOps.portableHashSql(
+        "(concat('pps:r11:', CAST(doc_id AS VARCHAR)))") + " % 8"
+      val ok = TextOps.portableHashSql(
+        "(concat('ppso:r11:', CAST(doc_id AS VARCHAR)))")
+      s"""WITH b AS (SELECT doc_id, n_chars AS w, $shard AS shard, $ok AS ok
+         |  FROM documents WHERE n_chars > 0),
+         |c AS (SELECT doc_id, w, sum(w) OVER (ORDER BY shard, ok, doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS aft FROM b),
+         |t AS (SELECT sum(w) AS total FROM b),
+         |p AS (SELECT doc_id, w, CAST(aft - w AS BIGINT) AS pos,
+         |  CAST((aft // (total // 37)) - ((aft - w) // (total // 37)) AS BIGINT)
+         |    AS n_hits
+         |  FROM c, t)
+         |SELECT doc_id, w AS n_chars, pos, n_hits FROM p
+         |WHERE n_hits > 0 ORDER BY doc_id""".stripMargin
+    },
+
     // mirrors Eval.rougeN: same token hashes, same multiset bigram
     // combine, clipped min-count overlap, same fixed-shape quotients.
     "q193_rouge_overlap" -> {

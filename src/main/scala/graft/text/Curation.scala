@@ -506,6 +506,72 @@ object Curation {
       .drop("__sk")
   }
 
+  /** Weighted (probability-proportional-to-size) SYSTEMATIC sampling:
+    * lay every row's weight on a deterministic number line, pick the
+    * rows whose weight interval contains a multiple of the step
+    * S = ⌊total / k⌋ — the classic PPS design (sample docs proportional
+    * to their token/byte count) with NO randomness: the line order is a
+    * salted-hash total order (shard, hash, id), so the picked SET is a
+    * pure function of (seed, corpus), reproducible across engines,
+    * cluster sizes and reruns, and every arithmetic step is exact
+    * int64 (no float inclusion probability can round differently).
+    *
+    * A row with w > S is picked with certainty; `n_hits` counts the
+    * multiples inside the interval (its with-replacement multiplicity;
+    * Σ n_hits = ⌊total/S⌋ — exactly k whenever total ≥ k², the
+    * practical regime for corpus-sized totals).
+    *
+    * Scale shape: NO global single-partition window — the prefix sum is
+    * two-phase: a per-shard window cumsum (one hash exchange on the
+    * shard key) plus per-shard offsets from a numShards-row aggregate
+    * collected driver-side (bounded metadata, the OrderStat picked-rank
+    * pattern) and broadcast back. An engine stating ONE global cumsum
+    * over the same (shard, hash, id) order produces identical
+    * positions — that equivalence is what the oracle checks.
+    *
+    * Returns (idCol, weightCol, pos, n_hits) for picked rows, pos =
+    * exclusive start of the row's weight interval. */
+  def ppsSystematicSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: String, numShards: Int = 64): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val spark = df.sparkSession
+    val idStr = col(idCol).cast("string")
+    val base = df
+      .select(col(idCol), col(weightCol).cast("long").as("__w"),
+        pmod(TextOps.portableHash(concat(lit(s"pps:$seed:"), idStr)),
+          lit(numShards.toLong)).cast("int").as("__shard"),
+        TextOps.portableHash(concat(lit(s"ppso:$seed:"), idStr))
+          .as("__ok"))
+      .filter(col("__w") > 0)
+    val wSh = Window.partitionBy(col("__shard"))
+      .orderBy(col("__ok"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("__cum", sum(col("__w")).over(wSh))
+    // shard totals: numShards rows of bounded metadata
+    val totals = base.groupBy(col("__shard"))
+      .agg(sum(col("__w")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = totals.values.sum
+    require(total >= k,
+      s"total weight $total < k=$k — every unit is already a pick")
+    val step = total / k
+    val offsets = (0 until numShards).scanLeft(0L) { (acc, s) =>
+      acc + totals.getOrElse(s, 0L)
+    }
+    import spark.implicits._
+    val offDf = (0 until numShards).map(s => (s, offsets(s)))
+      .toDF("__shard", "__off")
+    local.join(broadcast(offDf), "__shard")
+      .withColumn("__after", col("__off") + col("__cum"))
+      .withColumn("pos", col("__after") - col("__w"))
+      .withColumn("n_hits",
+        expr(s"(__after div $step) - (pos div $step)"))
+      .filter(col("n_hits") > 0)
+      .select(col(idCol), col("__w").as(weightCol), col("pos"),
+        col("n_hits"))
+  }
+
   // ---- percentile-threshold quality filtering --------------------------
 
   /** Keep each stratum's top (1−p) quantile by `valueCol` — the "drop

@@ -576,4 +576,35 @@ class CurationSpec extends SparkSpecBase {
       .select(Curation.registeredDomain(col("u"))).collect().map(_.getString(0))
     assert(got.toSeq == cases.map(_._2))
   }
+
+  test("ppsSystematicSample: exact hit total, certainty for heavy rows, determinism") {
+    import graft.text.Curation
+    val s = spark; import s.implicits._
+    val docs = (1L to 200L).map(i =>
+      (i, if (i == 7L) 5000L else 10L + (i % 13))).toDF("id", "wt")
+    val k = 9
+    val out = Curation.ppsSystematicSample(docs, "id", "wt", k, "s1", numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = docs.agg(sum(col("wt"))).head().getLong(0)
+    val step = total / k
+    // hit multiplicities add up to floor(total/step)
+    assert(out.map(_._4).sum == total / step)
+    // the heavy row (wt > step) is picked with certainty
+    assert(out.exists(_._1 == 7L))
+    // partition-layout invariance
+    val again = Curation.ppsSystematicSample(docs.repartition(13), "id", "wt",
+        k, "s1", numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a different seed draws a different set (decorrelation smoke)
+    val other = Curation.ppsSystematicSample(docs, "id", "wt", k, "s2", numShards = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(other != out.map(_._1).toSet)
+    // zero/negative weights are excluded, weight total below k rejects
+    val ex = intercept[IllegalArgumentException] {
+      Curation.ppsSystematicSample(Seq((1L, 2L)).toDF("id", "wt"),
+        "id", "wt", 5, "s1", 2)
+    }
+    assert(ex.getMessage.contains("total weight"))
+  }
 }
