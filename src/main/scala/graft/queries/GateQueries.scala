@@ -1071,6 +1071,18 @@ object GateQueries {
         .sort(Seq("l_returnflag")).df
     },
 
+    // bounded-state per-key top-k (udx.Aggregators.TopKByScore): the
+    // skew-proof Aggregator form of "best k rows per group" — state
+    // capped at k per partial, so a hot group costs k rows per
+    // partition instead of one task sorting the whole group. Gated
+    // against the window-rank oracle it replaces (same injective
+    // (score desc, id asc) order, so the sets are identical).
+    "q195_topk_aggregator" -> { (s, d) =>
+      Aggregators.topKPerKey(orders(s, d), Seq("o_orderpriority"),
+        "o_totalprice", "o_orderkey", k = 3)
+        .orderBy("o_orderpriority", "rank")
+    },
+
     // custom typed Aggregator (udx.Aggregators.WelfordMeanVar): the
     // merged Welford state must agree with exact integer moments to
     // float precision — emitted as 0/1 flags the oracle states.
@@ -1579,6 +1591,13 @@ object GateQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q95_welford_udaf" ->
       """SELECT 1 AS ok_mean, 1 AS ok_var, 1 AS ok_n""",
+    "q195_topk_aggregator" ->
+      """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank, o_orderkey,
+        |  o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
     "q96_tdigest" ->
       """SELECT 1 AS ok_q25, 1 AS ok_q50, 1 AS ok_q75, 1 AS ok_q95""",
     "q97_nfa_cep" ->

@@ -82,4 +82,35 @@ class UdxSpec extends SparkSpecBase {
     intercept[IllegalStateException] { perm(0) }
     assert(m === 1 && !slept)
   }
+
+  test("TopKByScore: equals window rank, skew-proof plan, short groups") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one hot key (80% of rows), score ties inside it
+    val df = (1L to 500L).map { i =>
+      val key = if (i % 5 == 0) s"k${i % 7}" else "hot"
+      (key, (i % 11).toDouble, i)
+    }.toDF("key", "score", "id")
+    val viaAgg = graft.udx.Aggregators
+      .topKPerKey(df.repartition(8), Seq("key"), "score", "id", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val w = Window.partitionBy("key").orderBy(col("score").desc, col("id"))
+    val viaWin = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 4)
+      .select("key", "rank", "id", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(viaAgg == viaWin)
+    // bounded state aggregates, no window/sort of the full data
+    val plan = graft.udx.Aggregators
+      .topKPerKey(df, Seq("key"), "score", "id", 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"),
+      s"expected a partial ObjectHashAggregate, no Window, in:\n$plan")
+    // groups smaller than k emit all their rows
+    val tiny = Seq(("a", 1.0, 1L), ("a", 2.0, 2L)).toDF("key", "score", "id")
+    assert(graft.udx.Aggregators
+      .topKPerKey(tiny, Seq("key"), "score", "id", 5).count() == 2)
+  }
 }
