@@ -208,7 +208,37 @@ object ScaleSoak {
     // FK key agg — both map-combined, scan-linear), and the PQ form of
     // the stored index (ADC probe moves one long per candidate vector —
     // the ratio proves the nprobe pruning holds at 10×)
-    "q173_ivf_pruned", "q174_ivf_append", "q175_validate", "q176_ivf_pq")
+    "q173_ivf_pruned", "q174_ivf_append", "q175_validate", "q176_ivf_pq",
+    // round-11 tail. resample (per-key grid join — users grow 10×,
+    // per-user grid fixed), entity resolution (blocked pairs + bounded
+    // levenshtein + shared CC: block count grows, block size ~fixed
+    // under rotation), HTML strip (pure projection — scan-linear
+    // floor), trailing distinct (bounded ×N cover over (id,bucket)
+    // dedup — user-keyed), negative sampling (fixed anchor broadcast ×
+    // pool scan: cost ∝ pool), collocations (two map-combined aggs —
+    // token key space ~fixed under rotation, instances ×10), AUC +
+    // confusion (score-keyed map-combined agg; distinct-score space
+    // fixed by construction)
+    "q177_resample_locf", "q178_resample_interp", "q179_entity_resolution",
+    "q180_html_to_text", "q181_trailing_distinct", "q182_negative_sampling",
+    "q184_collocations", "q185_auc_exact", "q186_confusion",
+    // persistent text index (built once per fixture; AND search reads
+    // the probed buckets only — cost tracks posting-list growth, not
+    // corpus bytes), append variant (batch-sized index delta), index
+    // BM25 (bucket-pruned hits + one-row stats agg + TakeOrdered)
+    "q187_text_index_search", "q188_text_index_append", "q189_index_bm25",
+    // exact set-similarity join: THE one to watch — prefix-filter
+    // candidates grow with rare-token posting lists; the ratio proves
+    // the rare-first prefix keeps the candidate join subquadratic on a
+    // 10× corpus (escape hatches: q66 LSH / q68 capped lists)
+    "q190_setsim_join",
+    // stream-stream interval join (user-keyed state, replicas add
+    // users), URL normalize (pure projection), ROUGE pairs (per-pair
+    // gram aggs — pairs ×10, pair size fixed), PPS sample (two
+    // map-combined aggs + shard window — scan-linear; picks stay k),
+    // top-k aggregator (bounded k-state per partial, flat at any skew)
+    "q191_stream_stream_join", "q192_url_normalize", "q193_rouge_overlap",
+    "q194_pps_sample", "q195_topk_aggregator")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -244,7 +274,11 @@ object ScaleSoak {
     // so machine-wide contention drift hits both sides of the division
     // instead of landing entirely in one sweep (round-9: a contended
     // sf1 sweep made untouched queries read as 3× scale regressions).
-    headline.foreach { q => time(q, src); time(q, dst) }
+    // optional args: soak only these queries (dev subset — the recorded
+    // sweep runs the full list)
+    val torun =
+      if (args.isEmpty) headline else headline.filter(args.toSet)
+    torun.foreach { q => time(q, src); time(q, dst) }
     def measure(q: String): (Double, Double) = {
       val a01 = time(q, src); val a1 = time(q, dst)
       val b01 = time(q, src); val b1 = time(q, dst)
@@ -267,7 +301,7 @@ object ScaleSoak {
     }
     val measured = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val canarySamples = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    headline.foreach { q =>
+    torun.foreach { q =>
       measured(q) = measure(q)
       canarySamples(q) = canaryOnce()
     }
