@@ -78,35 +78,26 @@ object Eval {
     * integers with IEEE-quotient scores (2·o/(n_c+n_r) for F1, one
     * fixed expression, engine-portable).
     *
-    * Scale shape: n-grams are hashed scan-side (codegen'd kernel, no
-    * n-gram strings materialize); the per-pair gram counts and the
-    * clipped sum are map-combined aggregates keyed on (pair, gram) /
-    * pair — shuffle volume ∝ total grams, and pairs are independent
-    * (any corpus of pairs parallelizes flat).
+    * Scale shape: the whole metric is ONE codegen'd per-row kernel
+    * (`rouge_overlap` — hash both sides' n-grams, count-map clip, in a
+    * single pass; no n-gram strings, no exploded (pair, gram) shuffle:
+    * the first cut's explode → count → min-sum relational form soaked
+    * at 3.3× per 10× data purely on exchange volume, this form is the
+    * scan-linear floor). Pairs are independent rows — any corpus of
+    * pairs parallelizes flat with zero exchange.
     *
     * Returns (pair_id, n_cand, n_ref, overlap, rouge_recall,
     * rouge_precision, rouge_f1). */
   def rougeN(pairs: DataFrame, pairIdCol: String, candCol: String,
       refCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val base = pairs.select(col(pairIdCol).as("pair_id"),
-      graft.text.TextOps.ngramHashesOf(col(candCol), n).as("cg"),
-      graft.text.TextOps.ngramHashesOf(col(refCol), n).as("rg"))
-    val sizes = base.select(col("pair_id"),
-      size(col("cg")).cast("long").as("n_cand"),
-      size(col("rg")).cast("long").as("n_ref"))
-    def counts(c: String, out: String) = base
-      .select(col("pair_id"), explode(col(c)).as("g"))
-      .groupBy("pair_id", "g").agg(count(lit(1)).as(out))
-    // inner join: min(c_c, c_r) is nonzero only where both sides hold
-    // the gram, so absent grams contribute exactly their true 0
-    val clipped = counts("cg", "c_c")
-      .join(counts("rg", "c_r"), Seq("pair_id", "g"))
-      .groupBy("pair_id")
-      .agg(sum(least(col("c_c"), col("c_r"))).as("overlap"))
     val oD = col("overlap").cast("double")
-    sizes.join(clipped, Seq("pair_id"), "left")
-      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+    pairs
+      .select(col(pairIdCol).as("pair_id"),
+        call_function("rouge_overlap", col(candCol), col(refCol), lit(n))
+          .as("__r"))
+      .select(col("pair_id"), col("__r.n_cand").as("n_cand"),
+        col("__r.n_ref").as("n_ref"), col("__r.overlap").as("overlap"))
       .withColumn("rouge_recall", when(col("n_ref") === 0, 0.0)
         .otherwise(oD / col("n_ref").cast("double")))
       .withColumn("rouge_precision", when(col("n_cand") === 0, 0.0)

@@ -88,6 +88,11 @@ object GraftFunctions {
       (children: Seq[Expression]) => NgramHashesMulti(children.head, children(1)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rouge_overlap",
+      (children: Seq[Expression]) =>
+        RougeOverlap(children.head, children(1), children(2)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_from_hashes",
       (children: Seq[Expression]) => MinhashFromHashes(children.head, children(1)),
       "scala_udf")
@@ -183,6 +188,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NgramHashesMulti].getCanonicalName, "ngram_hashes"),
       (children: Seq[Expression]) => NgramHashesMulti(children.head, children(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("rouge_overlap"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[RougeOverlap].getCanonicalName, "rouge_overlap"),
+      (children: Seq[Expression]) =>
+        RougeOverlap(children.head, children(1), children(2))))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_from_hashes"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -146,9 +146,39 @@ object TextHashImpl {
     * multiset twin of [[shingleHashes]] (same polynomial combine, no
     * dedup): the ROUGE/BLEU clipped-overlap unit, where a bigram
     * occurring twice must count twice. */
-  def ngramHashesMulti(text: UTF8String, n: Int): ArrayData = {
+  def ngramHashesMulti(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(ngramLongs(text, n))
+
+  /** ROUGE-N core per (candidate, reference) pair in ONE pass: hashed
+    * n-gram totals for both sides plus the clipped multiset overlap
+    * Σ_g min(count_cand(g), count_ref(g)) — identical to the
+    * explode → per-(pair, gram) count → min-sum relational form, but
+    * per-row (zero exchange at any pair count). */
+  def rougeOverlap(cand: UTF8String, ref: UTF8String,
+      n: Int): GenericInternalRow = {
+    val ch = ngramLongs(cand, n)
+    val rh = ngramLongs(ref, n)
+    var ov = 0L
+    if (ch.length > 0 && rh.length > 0) {
+      val counts = new java.util.HashMap[java.lang.Long, Int](ch.length * 2)
+      var i = 0
+      while (i < ch.length) {
+        counts.merge(ch(i), 1, (a, b) => a + b)
+        i += 1
+      }
+      var j = 0
+      while (j < rh.length) {
+        val c = counts.get(rh(j))
+        if (c != null && c > 0) { counts.put(rh(j), c - 1); ov += 1 }
+        j += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](ch.length.toLong, rh.length.toLong, ov))
+  }
+
+  private def ngramLongs(text: UTF8String, n: Int): Array[Long] = {
     val hs = tokenHashArray(text)
-    if (hs.length < n) return new GenericArrayData(Array.empty[Long])
+    if (hs.length < n) return Array.emptyLongArray
     val out = new Array[Long](hs.length - n + 1)
     var j = 0
     while (j <= hs.length - n) {
@@ -158,7 +188,7 @@ object TextHashImpl {
       out(j) = c
       j += 1
     }
-    new GenericArrayData(out)
+    out
   }
 
   /** MinHash signature over a shingle-hash array: sigᵢ = min (aᵢ·h+bᵢ)
@@ -392,6 +422,39 @@ case class TokenWindows(first: Expression, second: Expression, third: Expression
       f: Expression, s: Expression, t: Expression): TokenWindows =
     copy(first = f, second = s, third = t)
   override def prettyName: String = "token_windows"
+}
+
+/** `rouge_overlap(cand, ref, n)` → struct(n_cand, n_ref, overlap):
+  * per-row clipped n-gram overlap (see [[TextHashImpl.rougeOverlap]]). */
+case class RougeOverlap(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_cand", LongType, nullable = false),
+    StructField("n_ref", LongType, nullable = false),
+    StructField("overlap", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType != StringType || second.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        "rouge_overlap requires string candidate/reference arguments")
+    else if (third.dataType != IntegerType || !third.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "rouge_overlap requires a foldable int n argument")
+    else if (n < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"rouge_overlap requires n >= 1, got $n")
+    else TypeCheckResult.TypeCheckSuccess
+  @transient private lazy val n: Int = third.eval(null).asInstanceOf[Int]
+  override def nullSafeEval(c: Any, r: Any, nn: Any): Any =
+    TextHashImpl.rougeOverlap(c.asInstanceOf[UTF8String],
+      r.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, r, _) =>
+      s"${ev.value} = graft.functions.TextHashImpl.rougeOverlap($c, $r, $n);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): RougeOverlap =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "rouge_overlap"
 }
 
 /** `tokens_of(text)` → array<string> lower-cased whitespace tokens. */

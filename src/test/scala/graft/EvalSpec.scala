@@ -98,4 +98,30 @@ class EvalSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(6)).toMap
     assert(one == many)
   }
+
+  test("rouge_overlap kernel equals the relational explode/count/min form") {
+    val s = spark; import s.implicits._
+    val pairs = (1L to 60L).map(i =>
+      (i, s"a b c w${i % 9} a b w${i % 4} e", s"b c a b w${i % 6} e e"))
+      .toDF("id", "cand", "ref")
+    val viaKernel = graft.agg.Eval.rougeN(pairs, "id", "cand", "ref", 2)
+      .select("pair_id", "n_cand", "n_ref", "overlap")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // relational reference over the ngram_hashes multiset kernel
+    val base = pairs.select(col("id"),
+      graft.text.TextOps.ngramHashesOf(col("cand"), 2).as("cg"),
+      graft.text.TextOps.ngramHashesOf(col("ref"), 2).as("rg"))
+    val cc = base.select(col("id"), explode(col("cg")).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c_c"))
+    val rc = base.select(col("id"), explode(col("rg")).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c_r"))
+    val ov = cc.join(rc, Seq("id", "g"))
+      .groupBy("id").agg(sum(least(col("c_c"), col("c_r"))).as("ov"))
+    val viaRel = base.join(ov, Seq("id"), "left")
+      .select(col("id"), size(col("cg")).cast("long"),
+        size(col("rg")).cast("long"),
+        coalesce(col("ov"), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaKernel == viaRel)
+  }
 }
