@@ -131,6 +131,17 @@ object ExtensionQueries {
         .orderBy("bin")
     },
 
+    // equi-DEPTH histogram (quantile bucketing, the optimizer-stats
+    // shape): boundaries are the exact i/8 percentiles (q53-proven
+    // percentile ≡ quantile_cont bit-parity), bucket = #{boundaries
+    // < x} as a literal comparison chain; n_chars ties make bucket
+    // populations genuinely unequal, exercising the tie semantics.
+    "q196_equidepth_histogram" -> { (s, d) =>
+      graft.sources.Profile.histogramEquiDepth(documents(s, d),
+        "n_chars", 8)
+        .orderBy("bucket")
+    },
+
     // sink roundtrip: filter → writeParquet → re-read → aggregate. The
     // oracle aggregates the source directly, so any fidelity loss in the
     // write/read path (types, values, row count) fails the gate.
@@ -404,6 +415,31 @@ object ExtensionQueries {
         |SELECT g.bin, b.mn + (g.bin * b.w) // 8 AS lo,
         |  b.mn + ((g.bin + 1) * b.w) // 8 AS hi, coalesce(c.n, 0) AS n
         |FROM g CROSS JOIN b LEFT JOIN c USING (bin) ORDER BY bin""".stripMargin,
+
+    "q196_equidepth_histogram" -> {
+      val bins = 8
+      val bArr = (1 until bins)
+        .map(i => s"quantile_cont(x, ${i.toDouble / bins})")
+      val bSel = bArr.zipWithIndex
+        .map { case (e, i) => s"$e AS b${i + 1}" }.mkString(", ")
+      val bucketExpr = (1 until bins)
+        .map(i => s"(CASE WHEN x > b$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val loCase = "CASE g.bucket WHEN 0 THEN mn " +
+        (1 until bins).map(i => s"WHEN $i THEN b$i").mkString(" ") + " END"
+      val hiCase = s"CASE g.bucket WHEN ${bins - 1} THEN mx " +
+        (0 until bins - 1).map(i => s"WHEN $i THEN b${i + 1}").mkString(" ") +
+        " END"
+      s"""WITH v AS (SELECT n_chars::DOUBLE AS x FROM documents
+         |  WHERE n_chars IS NOT NULL),
+         |s AS (SELECT $bSel, min(x) AS mn, max(x) AS mx FROM v),
+         |a AS (SELECT CAST($bucketExpr AS BIGINT) AS bucket FROM v, s),
+         |cnt AS (SELECT bucket, count(*) AS n FROM a GROUP BY 1),
+         |g AS (SELECT unnest(range($bins)) AS bucket)
+         |SELECT g.bucket, $loCase AS lo, $hiCase AS hi,
+         |  coalesce(cnt.n, 0) AS n
+         |FROM g CROSS JOIN s LEFT JOIN cnt USING (bucket)
+         |ORDER BY g.bucket""".stripMargin
+    },
 
     "q147_zorder_layout" ->
       s"""WITH z AS (SELECT l_partkey, l_suppkey,

@@ -163,24 +163,32 @@ object GateQueries {
 
   private val sentinelDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** `offsetUs`: how far past the fixture's max event time the sentinel
+    * sits. The 5 ms default ripens window/asof state; a stream-stream
+    * OUTER join needs the sentinel a full relative-window width past
+    * the end — Spark evicts (and outer-emits) a buffered left row only
+    * once the watermark passes `ts + window width`, so a 5 ms push
+    * strands every unmatched row from the stream's last window in
+    * state forever (q198 burned this: exactly one purchase missing). */
   private def eventsStreamWithSentinel(
-      s: SparkSession, d: String, et: String): DataFrame = {
+      s: SparkSession, d: String, et: String,
+      offsetUs: Long = 5000L): DataFrame = {
     // Build the one-row sentinel file ONCE per (JVM, fixture dir, type) at
     // a deterministic path (overwritten, so reruns reuse rather than
     // accumulate /tmp dirs — round-8 advice): the driver-side max() scan
     // and parquet write are fixture setup, not part of the streaming
     // query Bench times.
     val tsT = Tables.eventsRawTsType(s, d)
-    val tmp = sentinelDirs.computeIfAbsent(s"$d|$et", _ => {
+    val tmp = sentinelDirs.computeIfAbsent(s"$d|$et|$offsetUs", _ => {
       // batch events table carries the µs timestamp as `ts` (Tables.events
       // normalizes either vintage in place; `tsx` exists only on the stream)
       val maxUs = Tables.events(s, d)
         .agg(max(expr("unix_micros(ts)"))).head().getLong(0)
-      val key = java.lang.Integer.toHexString(s"$d|$et".hashCode)
+      val key = java.lang.Integer.toHexString(s"$d|$et|$offsetUs".hashCode)
       val dir = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), s"graft_wm_sentinel_$key").toString
       import s.implicits._
-      val us = maxUs + 5000L
+      val us = maxUs + offsetUs
       // write ts in the fixture's own vintage so the sentinel stream can
       // share eventsStream's source schema (unionByName needs one type)
       val row = tsT match {
@@ -341,6 +349,38 @@ object GateQueries {
     graft.streaming.StreamingOps.streamStreamIntervalJoin(
         p, "p_ts", v, "v_ts", Seq("user_id"),
         lookbackSec = 3600, watermarkDelay = "0 seconds")
+      .select("user_id", "p_event_id", "v_event_id")
+  }
+
+  /** q198: the LEFT-OUTER stream-stream interval join — purchases with
+    * no same-user view in the trailing hour must still emit (view side
+    * null). Outer emission requires the watermark to pass each left
+    * row's ts, so both sides carry end-of-stream sentinels; the
+    * sentinel rows themselves (user_id = −1) are filtered AFTER the
+    * join, where they've already pushed the watermark. */
+  private[graft] def q198Plan(s: SparkSession, d: String): DataFrame = {
+    // sentinels a full lookback window + 5 ms past the end: eviction
+    // (and so outer emission) of a left row waits for the watermark to
+    // clear ts + lookback (see eventsStreamWithSentinel's offset doc)
+    val off = 3600L * 1000000L + 5000L
+    val p = eventsStreamWithSentinel(s, d, "purchase", off)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsx").as("p_ts"),
+        col("event_id").as("p_event_id"))
+    val v = eventsStreamWithSentinel(s, d, "view", off)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("tsx").as("v_ts"),
+        col("event_id").as("v_event_id"))
+    // NO sentinel filter inside the streaming plan: a left-column
+    // predicate pushes below the left EventTimeWatermark node and
+    // removes the sentinel BEFORE it can advance the watermark (burned
+    // here: the left wm stuck at the last real purchase and exactly
+    // one outer row never evicted). The gate drops sentinel rows from
+    // the batch result instead.
+    graft.streaming.StreamingOps.streamStreamIntervalJoin(
+        p, "p_ts", v, "v_ts", Seq("user_id"),
+        lookbackSec = 3600, watermarkDelay = "0 seconds",
+        joinType = "left_outer")
       .select("user_id", "p_event_id", "v_event_id")
   }
 
@@ -647,6 +687,15 @@ object GateQueries {
         .orderBy("user_id", "p_event_id", "v_event_id")
     },
 
+    // LEFT-OUTER stream-stream join (q198Plan): unmatched purchases
+    // emit with a null view id once the (sentinel-pushed) watermark
+    // passes them — the batch left join is the oracle.
+    "q198_stream_stream_outer" -> { (s, d) =>
+      runToMemory(s, q198Plan(s, d), "graft_q198_mem", outputMode = "append")
+        .filter(col("user_id") >= 0) // batch-side sentinel drop (q198Plan doc)
+        .orderBy("user_id", "p_event_id", "v_event_id")
+    },
+
     // REAL image decode (multimodal.Multimodal.decodeImage — the JDK's
     // javax.imageio, zero extra dependencies): each nation key gets a
     // two-tone PNG synthesized distributed-side (left/right halves in
@@ -814,6 +863,27 @@ object GateQueries {
         .unionByName(stat(3, qc.readSnapshot(dir, Some(3L)).df))
         .unionByName(stat(4, qc.readSnapshot(dir).df)) // HEAD == v3
         .orderBy("snap")
+    },
+
+    // ADD-COLUMN schema evolution over the snapshot layer: v1 commits
+    // (doc_id, lang) for the even half, v2 APPENDS (doc_id, lang,
+    // n_chars) for the odd half — a merged-schema HEAD read must
+    // surface n_chars as null exactly on the pre-evolution rows (the
+    // Iceberg/Delta add-column read semantics), and the strict default
+    // must refuse the skewed table loudly (spec-pinned).
+    "q197_schema_evolution" -> { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q197_evolve").toString
+      sweepAtExit.add(dir)
+      val docs = documents(s, d)
+      graft.sources.Snapshots.write(
+        docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang"), dir)
+      graft.sources.Snapshots.write(
+        docs.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "lang", "n_chars"),
+        dir, mode = "append")
+      graft.sources.Snapshots.read(s, dir, mergeSchema = true)
+        .orderBy("doc_id")
     },
 
     // MERGE-ON-READ keyed upsert/delete (MergeOnRead over the snapshot
@@ -1321,6 +1391,15 @@ object GateQueries {
         |   OR (doc_id % 5 = 0 AND doc_id % 7 <> 0)
         |ORDER BY doc_id""".stripMargin,
 
+    // batch left join twin; unmatched purchases carry NULL v_event_id.
+    "q198_stream_stream_outer" ->
+      """SELECT p.user_id, p.event_id AS p_event_id, v.event_id AS v_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |ORDER BY p.user_id, p_event_id, v_event_id""".stripMargin,
+
     // the stream-stream join's batch twin: same key equality, same
     // closed [p.ts − 1h, p.ts] window on native timestamps.
     "q191_stream_stream_join" ->
@@ -1432,6 +1511,12 @@ object GateQueries {
         |  UNION ALL
         |  SELECT 4, count(*), sum(r_regionkey) FROM region
         |) ORDER BY snap""".stripMargin,
+    // pre-evolution rows (even half) must surface the added column as
+    // NULL; post-evolution rows carry their committed value.
+    "q197_schema_evolution" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // pixel-exact integer restatement of the Y4M fixture: both corrupt
     // classes (garbage bytes, truncated frame) must surface ok=0 rows
     "q116_video_decode" ->

@@ -104,4 +104,54 @@ object Profile {
         (lit(mn) + expr(s"(bin + 1) * ${w}L div $bins")).as("hi"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** EQUI-DEPTH histogram: `bins` buckets whose boundaries are the
+    * exact i/bins percentiles (Spark's `percentile` ≡ DuckDB's
+    * `quantile_cont` bit-for-bit — the q53-proven parity), bucket(x) =
+    * #{boundaries < x}. The distribution half [[histogram]] doesn't
+    * give: equal-POPULATION buckets (ties permitting) instead of
+    * equal-width — the optimizer-statistics / quantile-bucketing shape.
+    *
+    * Scale: one exact-percentile aggregate (distinct-value map — for
+    * open-cardinality columns quantize first or use the t-digest tier),
+    * boundaries collected as bins-sized driver metadata (the OrderStat
+    * picked-rank pattern), then ONE scan assigns buckets via a literal
+    * comparison chain (codegen, zero exchange) + a map-combined count.
+    *
+    * Returns (bucket, lo, hi, n): lo/hi are the bucket's boundary
+    * values (bucket 0 starts at min, last ends at max); empty buckets
+    * (possible under heavy ties) materialize with n = 0. */
+  def histogramEquiDepth(df: DataFrame, c: String, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(c).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+    val qs = (1 until bins).map(i => i.toDouble / bins)
+    val frame = spark.range(bins).toDF("bucket")
+    val stats = vals.agg(
+      (if (qs.isEmpty) array().cast("array<double>")
+       else expr(s"percentile(__x, array(${qs.mkString(", ")}))")).as("__bs"),
+      min(col("__x")).as("__mn"), max(col("__x")).as("__mx")).head()
+    if (stats.isNullAt(1))
+      return frame.select(col("bucket"),
+        lit(null).cast("double").as("lo"), lit(null).cast("double").as("hi"),
+        lit(0L).as("n"))
+    val bs = if (qs.isEmpty) Seq.empty[Double]
+             else stats.getSeq[Double](0)
+    val (mn, mx) = (stats.getDouble(1), stats.getDouble(2))
+    val bucketOf = bs.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__x") > b, 1).otherwise(0)
+    }
+    val counts = vals.withColumn("bucket", bucketOf.cast("long"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val bounds = (0 until bins).map { i =>
+      (i.toLong, if (i == 0) mn else bs(i - 1),
+        if (i == bins - 1) mx else bs(i))
+    }.toDF("bucket", "lo", "hi")
+    frame.join(broadcast(bounds), Seq("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), col("lo"), col("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

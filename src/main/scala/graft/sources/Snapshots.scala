@@ -81,9 +81,17 @@ object Snapshots {
   }
 
   /** Read a snapshot of the table at `dir`: the current one by default,
-    * or exactly `snapshotId` (time travel). */
+    * or exactly `snapshotId` (time travel).
+    *
+    * `mergeSchema = true` enables ADD-COLUMN schema evolution: commits
+    * may carry columns earlier commits lack; rows from pre-evolution
+    * commits surface the new columns as null (the Iceberg/Delta
+    * add-column read semantics — each commit dir keeps its own physical
+    * schema, evolution is resolved at read). The strict default rejects
+    * skewed commits loudly instead of silently widening. */
   def read(spark: SparkSession, dir: String,
-           snapshotId: Option[Long] = None): DataFrame = {
+           snapshotId: Option[Long] = None,
+           mergeSchema: Boolean = false): DataFrame = {
     val root = Paths.get(dir)
     val id = snapshotId.orElse(currentSnapshotId(dir)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots at $dir"))
@@ -95,7 +103,7 @@ object Snapshots {
     // partition discovery local and filters/pruning still push into
     // every branch of the union
     snap.dataDirs.map(p => spark.read.parquet(root.resolve(p).toString))
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
   }
 
   /** Snapshot history (id, parent, timestamp, operation, n_data_dirs) as

@@ -71,17 +71,24 @@ object StreamingOps {
       left: DataFrame, leftTs: String,
       right: DataFrame, rightTs: String,
       keys: Seq[String], lookbackSec: Long,
-      watermarkDelay: String): DataFrame = {
+      watermarkDelay: String, joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "stream-stream join needs at least one key")
     require(leftTs != rightTs,
       s"event-time columns must be distinctly named, both are '$leftTs'")
     require(lookbackSec >= 0, s"lookbackSec must be >= 0, got $lookbackSec")
+    // left_outer: an unmatched left row emits (right columns null) once
+    // the watermark passes its ts — i.e. when no in-window right row
+    // can still arrive. A BOUNDED run needs something to push the
+    // watermark past the last real event or the tail's unmatched rows
+    // stay buffered forever (the q105 sentinel discipline).
+    require(joinType == "inner" || joinType == "left_outer",
+      s"joinType must be inner|left_outer, got $joinType")
     val l = left.withWatermark(leftTs, watermarkDelay)
     val r = right.withWatermark(rightTs, watermarkDelay)
     val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
       r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lookbackSec SECONDS") &&
       r(rightTs) <= l(leftTs)
-    keys.foldLeft(l.join(r, cond, "inner"))((df, k) => df.drop(r(k)))
+    keys.foldLeft(l.join(r, cond, joinType))((df, k) => df.drop(r(k)))
   }
 
   /** Streaming exact dedup on key columns — the reference's incremental

@@ -147,4 +147,31 @@ class LayoutProfileSpec extends SparkSpecBase {
     val ap = Profile.profile(df, Seq("x"), exact = false).collect().head
     assert(ap.getLong(3) == 2L)
   }
+
+  test("equi-depth histogram: quantile boundaries, tie skew, empty input") {
+    val s = spark; import s.implicits._
+    import graft.sources.Profile
+    // 1..100 uniform: 4 buckets of 25 each, boundaries at 25.75/50.5/75.25
+    val u = (1L to 100L).toDF("v")
+    val rows = Profile.histogramEquiDepth(u, "v", 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.map(_._4).toSeq == Seq(25L, 25L, 25L, 25L))
+    assert(rows.head._2 == 1.0 && rows.last._3 == 100.0)
+    assert(rows(0)._3 == rows(1)._2) // contiguous boundaries
+    // heavy ties: one dominant value makes populations unequal but the
+    // total is preserved and buckets stay materialized
+    val skew = ((1L to 80L).map(_ => 5L) ++ Seq(1L, 2L, 9L, 10L)).toDF("v")
+    val sk = Profile.histogramEquiDepth(skew, "v", 4)
+      .orderBy("bucket").collect()
+    assert(sk.length == 4 && sk.map(_.getLong(3)).sum == 84L)
+    // empty input: bins rows with null edges, zero counts
+    val e = Profile.histogramEquiDepth(u.filter(col("v") < 0), "v", 3)
+      .orderBy("bucket").collect()
+    assert(e.length == 3 && e.forall(r => r.isNullAt(1) && r.getLong(3) == 0L))
+    // single bucket degenerates to (min, max, n)
+    val one = Profile.histogramEquiDepth(u, "v", 1).collect()
+    assert(one.length == 1 && one.head.getDouble(1) == 1.0 &&
+      one.head.getDouble(2) == 100.0 && one.head.getLong(3) == 100L)
+  }
 }

@@ -101,4 +101,25 @@ class MergeOnReadSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
+
+  test("snapshot schema evolution: merged read nulls old rows, strict read refuses") {
+    val s = spark; import s.implicits._
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("snap_evolve").toString
+    Snapshots.write(Seq((1L, "a"), (2L, "b")).toDF("k", "x"), dir)
+    Snapshots.write(Seq((3L, "c", 30L)).toDF("k", "x", "y"), dir,
+      mode = "append")
+    val merged = Snapshots.read(spark, dir, mergeSchema = true)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(merged.toSeq == Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(30L))))
+    // the strict default refuses the skewed commits loudly
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Snapshots.read(spark, dir)
+    }
+    // time travel to v1 still reads the old schema untouched
+    assert(Snapshots.read(spark, dir, Some(1L)).columns.toSeq == Seq("k", "x"))
+  }
 }

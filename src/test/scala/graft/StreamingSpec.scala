@@ -360,6 +360,41 @@ class StreamingTieSpec extends SparkSpecBase {
     assert(n == 2)
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows after watermark clears ts+lookback") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val lm = MemoryStream[(Timestamp, Long, Long)]
+    val rm = MemoryStream[(Timestamp, Long, Long)]
+    lm.addData((ts(100), 1L, 10L), (ts(200), 2L, 11L))
+    rm.addData((ts(95), 1L, 20L))
+    val out = StreamingOps.streamStreamIntervalJoin(
+      lm.toDF.toDF("p_ts", "user_id", "p_id"), "p_ts",
+      rm.toDF.toDF("v_ts", "user_id", "v_id"), "v_ts",
+      Seq("user_id"), lookbackSec = 30, watermarkDelay = "0 seconds",
+      joinType = "left_outer")
+    val q = out.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // push BOTH watermarks a full lookback past the last purchase
+    lm.addData((ts(500), 9L, 90L))
+    rm.addData((ts(500), 9L, 91L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql(
+      "SELECT user_id, p_id, v_id FROM ssj_outer WHERE user_id < 9 ORDER BY p_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 10L, 20L), (2L, 11L, -1L)))
+    val ex = intercept[IllegalArgumentException] {
+      StreamingOps.streamStreamIntervalJoin(
+        lm.toDF.toDF("p_ts", "user_id", "p_id"), "p_ts",
+        rm.toDF.toDF("v_ts", "user_id", "v_id"), "v_ts",
+        Seq("user_id"), 30, "0 seconds", "full_outer")
+    }
+    assert(ex.getMessage.contains("inner|left_outer"))
+  }
+
   test("stream-stream interval join matches within the lookback, evicts outside") {
     val s = spark
     import s.implicits._
