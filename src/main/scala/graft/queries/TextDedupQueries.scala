@@ -122,6 +122,24 @@ object TextDedupQueries {
       dir
     })
 
+  /** q200 fixture: base + append + COMPACT (all commits folded into one
+    * fresh overwrite per table) — built ONCE per (JVM, fixture dir). */
+  private val textIdxCompactDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def builtTextCompactIndex(s: SparkSession, d: String): String =
+    textIdxCompactDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q200_textidx_compact").toString
+      GateQueries.sweepAtExit.add(dir)
+      val docs = documents(s, d)
+      graft.text.TextIndex.build(docs.filter(col("doc_id") >= 10),
+        "doc_id", "text", dir, nBuckets = 16)
+      graft.text.TextIndex.append(docs.filter(col("doc_id") < 10),
+        "doc_id", "text", dir)
+      graft.text.TextIndex.compact(s, dir)
+      dir
+    })
+
   // ---- queries --------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -142,6 +160,15 @@ object TextDedupQueries {
     // over ALL documents.
     "q188_text_index_append" -> { (s, d) =>
       val dir = builtTextAppendIndex(s, d)
+      graft.text.TextIndex.searchAnd(s, dir, idxTerms).orderBy("doc_id")
+    },
+
+    // Index maintenance: COMPACTION folds the accumulated append
+    // commits into one fresh commit per table; search from the
+    // compacted HEAD must still state exactly the raw-text membership
+    // (and the pre-compaction snapshots keep working — spec-pinned).
+    "q200_text_index_compact" -> { (s, d) =>
+      val dir = builtTextCompactIndex(s, d)
       graft.text.TextIndex.searchAnd(s, dir, idxTerms).orderBy("doc_id")
     },
 
@@ -498,6 +525,13 @@ object TextDedupQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "q188_text_index_append" ->
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents)
+         |SELECT doc_id, CAST(${idxTerms.size} AS BIGINT) AS n_terms
+         |FROM toks
+         |WHERE ${idxTerms.map(t => s"list_contains(t, '$t')").mkString(" AND ")}
+         |ORDER BY doc_id""".stripMargin,
+
+    "q200_text_index_compact" ->
       s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents)
          |SELECT doc_id, CAST(${idxTerms.size} AS BIGINT) AS n_terms
          |FROM toks

@@ -98,6 +98,17 @@ object VectorQueries {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    // Sign-random-projection (JL) dimensionality reduction: 64 → 8
+    // dims through a hash-derived ±1 matrix (no RNG — both engines
+    // build the identical matrix from the seed). Pure codegen'd
+    // projection, zero exchange; the oracle states the same fixed
+    // left-associated sum chain with the same literal signs.
+    "q199_jl_projection" -> { (s, d) =>
+      VectorOps.signRandomProjection(embeddings(s, d), "vec_id",
+        "embedding", inDim = 64, outDim = 8, seed = "jl11")
+        .orderBy("vec_id")
+    },
+
     // int8-quantized ANN: the q50 plan on symmetric-quantized vectors —
     // the quantized dot is integer-exact (127²·64 ≪ 2⁵³), so unlike
     // the float cosine the score itself is engine-reproducible with no
@@ -334,6 +345,19 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same ±1 matrix (generated from the shared jlSign constants,
+    // the Dedup.hashCoeffs precedent) over the same left-assoc chain.
+    "q199_jl_projection" -> {
+      val dims = (0 until 8).map { i =>
+        (0 until 64).map { j =>
+          s"(embedding[${j + 1}]::DOUBLE * ${VectorOps.jlSign("jl11", i, j)}.0)"
+        }.mkString("(", " + ", s") AS r$i")
+      }.mkString(",\n  ")
+      s"""SELECT vec_id,
+         |  $dims
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
+
     // q54's rank-bound pattern: the oracle states the engine-computed
     // consistency flags as literal 1s (KMeans cells have no SQL mirror)
     "q171_ivf_persistent" ->

@@ -101,6 +101,26 @@ object TextIndex {
     pId
   }
 
+  /** Maintenance rewrite: fold the accumulated append commits into ONE
+    * fresh overwrite commit per table (same rows, same bucketing) — the
+    * small-files compaction a long-lived incrementally-maintained index
+    * needs. Searches see identical results before and after; old
+    * commit dirs stay on disk (append-only storage), so a reader
+    * pinned to a pre-compaction snapshot keeps working. Returns the
+    * new snapshot id (identical across tables — enforced). */
+  def compact(spark: SparkSession, dir: String): Long = {
+    // meta is static config (append never bumps it) — only the two
+    // data tables move in lockstep
+    val pId = Snapshots.write(Snapshots.read(spark, s"$dir/postings"),
+      s"$dir/postings", partitionBy = Seq("bucket"))
+    val lId = Snapshots.write(Snapshots.read(spark, s"$dir/doclens"),
+      s"$dir/doclens")
+    require(pId == lId,
+      s"index tables diverged under $dir (postings v$pId, doclens " +
+        s"v$lId) — rebuild the index directory")
+    pId
+  }
+
   private def readNBuckets(spark: SparkSession, dir: String): Int =
     Snapshots.read(spark, s"$dir/meta").head().getInt(0)
 

@@ -167,4 +167,39 @@ object VectorOps {
         (n * n)).as(s"c_${i}_$j")
       df.agg(entries.head, entries.tail: _*)
   }
+
+  /** Sign-random-projection (Johnson–Lindenstrauss) dimensionality
+    * reduction: out_i = Σ_j s_ij · x_j with s_ij ∈ {+1, −1} drawn
+    * deterministically from the portable hash of (seed, i, j) — the
+    * Achlioptas database-friendly JL family, no RNG, so the projection
+    * matrix is a pure function of the seed and both engines (and every
+    * rerun at any parallelism) build the identical matrix. The sum is
+    * one fixed left-associated chain per output dim: deterministic
+    * IEEE, mirrored literally by the oracle.
+    *
+    * Scale shape: the matrix is outDim × inDim driver-side literals
+    * (bounded metadata, never a relation); the projection is a pure
+    * codegen'd per-row expression — zero exchange at any corpus size,
+    * and the 64→8 reduction cuts every downstream pairwise-distance
+    * operator's cost 8×.
+    *
+    * Returns (idCol, r0 … r(outDim−1)) as doubles. */
+  def signRandomProjection(df: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, outDim: Int, seed: String): DataFrame = {
+    require(inDim > 0 && outDim > 0, s"bad dims $inDim -> $outDim")
+    val cols = (0 until outDim).map { i =>
+      (0 until inDim).map { j =>
+        element_at(col(vecCol), j + 1).cast("double") *
+          lit(jlSign(seed, i, j).toDouble)
+      }.reduceLeft(_ + _).as(s"r$i")
+    }
+    df.select(col(idCol) +: cols: _*)
+  }
+
+  /** The (i, j) entry of the seed's sign matrix: ±1 from the portable
+    * hash parity — shared by the Spark expression builder and the
+    * oracle generator so both engines state the same matrix. */
+  def jlSign(seed: String, i: Int, j: Int): Int =
+    if (graft.text.TextIndex.portableHashOf(s"jl:$seed:$i:$j") % 2 == 0) 1
+    else -1
 }

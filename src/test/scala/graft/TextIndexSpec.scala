@@ -95,4 +95,28 @@ class TextIndexSpec extends SparkSpecBase {
     }
     assert(ex.getMessage.contains("diverged"))
   }
+
+  test("compact folds commits into one; pinned old snapshots still work") {
+    val dir = tmp("compact")
+    TextIndex.build(docs().filter(col("doc_id") <= 3), "doc_id", "text",
+      dir, nBuckets = 4)
+    TextIndex.append(docs().filter(col("doc_id") > 3), "doc_id", "text", dir)
+    val before = TextIndex.searchAnd(spark, dir, Seq("gamma"))
+      .collect().map(_.getLong(0)).toSet
+    val cId = TextIndex.compact(spark, dir)
+    val after = TextIndex.searchAnd(spark, dir, Seq("gamma"))
+      .collect().map(_.getLong(0)).toSet
+    assert(after == before && after.nonEmpty)
+    // the compacted snapshot reads from ONE commit dir per table
+    import graft.sources.Snapshots
+    val hist = Snapshots.history(spark, s"$dir/postings")
+      .orderBy(col("snapshot_id").desc).collect()
+    assert(hist.head.getLong(0) == cId)
+    assert(hist.head.getAs[Int]("n_data_dirs") == 1 &&
+      hist(1).getAs[Int]("n_data_dirs") == 2)
+    // a reader pinned BEFORE compaction still sees the appended state
+    val pinned = TextIndex.searchAnd(spark, dir, Seq("gamma"), Some(2L))
+      .collect().map(_.getLong(0)).toSet
+    assert(pinned == before)
+  }
 }

@@ -682,4 +682,30 @@ class QuantizedVectorSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
     assert(rows2.sorted.toSeq == rows.sorted.toSeq)
   }
+
+  test("JL sign projection: deterministic matrix, layout invariance, distance shape") {
+    val s = spark; import s.implicits._
+    import graft.vector.VectorOps
+    // matrix is a pure function of the seed
+    assert(VectorOps.jlSign("s", 3, 7) == VectorOps.jlSign("s", 3, 7))
+    assert((0 until 64).exists(j =>
+      VectorOps.jlSign("s", 0, j) != VectorOps.jlSign("t", 0, j)))
+    val vecs = (1L to 50L).map { i =>
+      (i, (0 until 64).map(j => ((i * 31 + j * 7) % 13 - 6).toFloat).toArray)
+    }.toDF("id", "v")
+    val a = VectorOps.signRandomProjection(vecs.coalesce(1), "id", "v", 64, 8, "s")
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getDouble)).toMap
+    val b = VectorOps.signRandomProjection(vecs.repartition(7), "id", "v", 64, 8, "s")
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getDouble)).toMap
+    assert(a == b)
+    // JL expectation: E[||proj||^2] = outDim/1 * ||x||^2 for +-1 signs
+    // (no scaling applied here) — check the ratio is in a loose band
+    val ratios = vecs.collect().map { r =>
+      val x = r.getSeq[Float](1).map(_.toDouble)
+      val p = a(r.getLong(0))
+      (p.map(y => y * y).sum / 8.0) / x.map(y => y * y).sum
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.5 && mean < 2.0, s"mean energy ratio $mean out of band")
+  }
 }
