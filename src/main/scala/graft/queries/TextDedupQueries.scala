@@ -195,6 +195,21 @@ object TextDedupQueries {
         .orderBy("id_1", "id_2")
     },
 
+    // Gopher/MassiveText NAMED rule filter: per-rule 0/1 flags + the
+    // keep conjunction, all exact integer arithmetic (ratio thresholds
+    // cross-multiplied). Fixture thresholds chosen so every rule
+    // splits the corpus both ways at each sf.
+    "q201_gopher_rules" -> { (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), TextOps.gopherRules(col("text")).as("__g"))
+        .select(col("doc_id"), col("__g.n_words").as("n_words"),
+          col("__g.r_word_count").as("r_word_count"),
+          col("__g.r_mean_word_len").as("r_mean_word_len"),
+          col("__g.r_stopword").as("r_stopword"),
+          col("__g.keep").as("keep"))
+        .orderBy("doc_id")
+    },
+
     // token counting: whitespace + BPE-ish regex (TextOps §token counting).
     "q60_token_counts" -> { (s, d) =>
       documents(s, d).select(col("doc_id"),
@@ -537,6 +552,23 @@ object TextDedupQueries {
          |FROM toks
          |WHERE ${idxTerms.map(t => s"list_contains(t, '$t')").mkString(" AND ")}
          |ORDER BY doc_id""".stripMargin,
+
+    // integer restatement of every rule from the token list: the same
+    // cross-multiplied thresholds over len(t) / Σ length / stop hits.
+    "q201_gopher_rules" -> {
+      val stopAll = TextOps.langStopwords.flatMap(_._2)
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt,
+         |  CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS sl,
+         |  CAST(${hitsSql("t", stopAll)} AS BIGINT) AS ns FROM toks)
+         |SELECT doc_id, nt AS n_words,
+         |  CAST(CASE WHEN nt >= 30 AND nt <= 90 THEN 1 ELSE 0 END AS INT) AS r_word_count,
+         |  CAST(CASE WHEN sl >= 4 * nt AND sl <= 5 * nt THEN 1 ELSE 0 END AS INT) AS r_mean_word_len,
+         |  CAST(CASE WHEN 20 * ns >= nt THEN 1 ELSE 0 END AS INT) AS r_stopword,
+         |  CAST(CASE WHEN nt >= 30 AND nt <= 90 AND sl >= 4 * nt
+         |    AND sl <= 5 * nt AND 20 * ns >= nt THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
 
     "q60_token_counts" ->
       s"""WITH toks AS (SELECT doc_id, text, ${toksSql("text")} AS t FROM documents)

@@ -198,6 +198,34 @@ object TextOps {
         m.getField("n_tok").cast("double"))
   }
 
+  /** Gopher/MassiveText-style NAMED rule filter — the published
+    * pretraining quality heuristics as individual boolean flags plus
+    * the conjunction, so a pipeline can audit WHICH rule dropped a
+    * document (q62's composite score answers "how good", this answers
+    * "why rejected"). Every rule is EXACT integer arithmetic on the
+    * compiled metrics struct — ratio thresholds are cross-multiplied
+    * (mean-word-length ∈ [4, 5] becomes 4·n_tok ≤ Σlen ≤ 5·n_tok), so
+    * no float threshold can flip a flag cross-engine. One codegen'd
+    * kernel call per row, zero exchange at any corpus size.
+    *
+    * Returns struct(n_words, r_word_count, r_mean_word_len,
+    * r_stopword, keep) with int 0/1 flags. */
+  def gopherRules(text: Column, minTok: Int = 30, maxTok: Int = 90,
+      mwlLowNum: Int = 4, mwlHighNum: Int = 5,
+      stopDen: Int = 20): Column = {
+    val m = bindOnce(metrics(text))(identity)
+    val nTok = m.getField("n_tok").cast("long")
+    val sumLen = m.getField("sum_tok_len")
+    val nStop = m.getField("n_stop").cast("long")
+    val rWc = (nTok >= minTok && nTok <= maxTok).cast("int")
+    val rMwl = (sumLen >= lit(mwlLowNum.toLong) * nTok &&
+      sumLen <= lit(mwlHighNum.toLong) * nTok).cast("int")
+    val rStop = (lit(stopDen.toLong) * nStop >= nTok).cast("int")
+    struct(nTok.as("n_words"), rWc.as("r_word_count"),
+      rMwl.as("r_mean_word_len"), rStop.as("r_stopword"),
+      (rWc * rMwl * rStop).cast("int").as("keep"))
+  }
+
   /** Composite heuristic quality score in [0,1] — weights chosen as a
     * plausible pretraining-filter shape (alpha-heavy, length-saturating,
     * stopword-informed). Deterministic double arithmetic, same operation

@@ -354,4 +354,28 @@ class TextDedupSpec extends SparkSpecBase {
       .collect().head.getDouble(3)
     assert(j == 1.0) // identical text: exact shingle Jaccard is exactly 1
   }
+
+  test("gopherRules: integer thresholds, per-rule flags, conjunction") {
+    val s = spark; import s.implicits._
+    import graft.text.TextOps
+    val docs = Seq(
+      // 40 tokens, mean length 4.8 (12+180=192 in [160,200]), 4 "the" -> keep
+      (1L, (Seq.fill(4)("the") ++ Seq.fill(36)("words")).mkString(" ")),
+      // too short
+      (2L, "tiny doc here"),
+      // mean word length too high (no stopwords either)
+      (3L, Seq.fill(40)("verylongword").mkString(" ")),
+      // no stopwords
+      (4L, Seq.fill(40)("word").mkString(" "))
+    ).toDF("id", "text")
+    val out = docs.select(col("id"), TextOps.gopherRules(col("text")).as("g"))
+      .select(col("id"), col("g.r_word_count"), col("g.r_mean_word_len"),
+        col("g.r_stopword"), col("g.keep"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(out(1L) == ((1, 1, 1, 1)))
+    assert(out(2L)._1 == 0 && out(2L)._4 == 0)
+    assert(out(3L)._2 == 0 && out(3L)._4 == 0)
+    assert(out(4L) == ((1, 1, 0, 0)))
+  }
 }
