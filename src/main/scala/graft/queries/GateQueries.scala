@@ -687,6 +687,24 @@ object GateQueries {
         .orderBy("user_id", "p_event_id", "v_event_id")
     },
 
+    // Snapshot table as a STREAMING source (the change-data-feed
+    // bridge): two append commits drained through the file stream must
+    // reproduce exactly the batch HEAD content — the append-only
+    // contract is require-guarded and the incremental second-drain
+    // behavior is spec-pinned (SnapshotStream test in MergeOnReadSpec).
+    "q202_snapshot_stream" -> { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q202_snapstream").toString
+      sweepAtExit.add(dir)
+      val docs = documents(s, d).select("doc_id", "lang")
+      graft.sources.Snapshots.write(docs.filter(col("doc_id") % 2 === 0), dir)
+      graft.sources.Snapshots.write(docs.filter(col("doc_id") % 2 === 1),
+        dir, mode = "append")
+      runToMemory(s, graft.sources.Snapshots.readStream(s, dir),
+        "graft_q202_mem", outputMode = "append")
+        .orderBy("doc_id")
+    },
+
     // LEFT-OUTER stream-stream join (q198Plan): unmatched purchases
     // emit with a null view id once the (sentinel-pushed) watermark
     // passes them — the batch left join is the oracle.
@@ -1390,6 +1408,10 @@ object GateQueries {
         |WHERE (doc_id % 3 <> 0 AND doc_id % 7 = 0)
         |   OR (doc_id % 5 = 0 AND doc_id % 7 <> 0)
         |ORDER BY doc_id""".stripMargin,
+
+    // the streamed table IS the documents projection, both commits.
+    "q202_snapshot_stream" ->
+      """SELECT doc_id, lang FROM documents ORDER BY doc_id""",
 
     // batch left join twin; unmatched purchases carry NULL v_event_id.
     "q198_stream_stream_outer" ->

@@ -106,6 +106,29 @@ object Snapshots {
       .reduce(_.unionByName(_, allowMissingColumns = mergeSchema))
   }
 
+  /** Treat an APPEND-ONLY snapshot table as a Structured Streaming
+    * source — the change-data-feed bridge: every append commit's files
+    * surface as new stream input, so a downstream job (index
+    * maintenance, dedup tagging, aggregation) consumes commits
+    * incrementally instead of re-scanning the table (pair with a
+    * checkpointed sink: a drain after commit N+1 reads ONLY commit
+    * N+1's files — spec-pinned).
+    *
+    * Append-only is a hard contract, enforced here: an overwrite
+    * commit leaves its predecessors' files on disk (time travel needs
+    * them), and a file stream over the data directory would keep
+    * replaying rows the table no longer contains. */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    val ops = history(spark, dir)
+      .orderBy(org.apache.spark.sql.functions.col("snapshot_id"))
+      .select("operation").collect().map(_.getString(0))
+    require(ops.drop(1).forall(_ == "append"),
+      s"readStream requires an append-only table; $dir has " +
+        s"post-initial overwrite commits (${ops.mkString(", ")})")
+    val schema = read(spark, dir).schema
+    spark.readStream.schema(schema).parquet(s"$dir/data/*")
+  }
+
   /** Snapshot history (id, parent, timestamp, operation, n_data_dirs) as
     * a DataFrame — the reference exposes table history the same way. */
   def history(spark: SparkSession, dir: String): DataFrame = {

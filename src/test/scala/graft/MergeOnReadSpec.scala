@@ -122,4 +122,35 @@ class MergeOnReadSpec extends SparkSpecBase {
     // time travel to v1 still reads the old schema untouched
     assert(Snapshots.read(spark, dir, Some(1L)).columns.toSeq == Seq("k", "x"))
   }
+
+  test("snapshot readStream consumes commits incrementally, refuses overwrites") {
+    val s = spark; import s.implicits._
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("snap_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("snap_stream_ck").toString
+    Snapshots.write((1L to 5L).map(i => (i, s"a$i")).toDF("k", "x"), dir)
+    val sink = java.nio.file.Files.createTempDirectory("snap_stream_out").toString
+    def drain(): Long = {
+      val q = Snapshots.readStream(s, dir).writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val n = q.recentProgress.map(_.numInputRows).sum
+      q.stop(); n
+    }
+    assert(drain() == 5L)
+    Snapshots.write((6L to 8L).map(i => (i, s"a$i")).toDF("k", "x"), dir,
+      mode = "append")
+    // checkpointed second drain reads ONLY the new commit's rows
+    assert(drain() == 3L)
+    assert(s.read.parquet(sink).count() == 8L)
+    // an overwrite commit poisons the stream contract -> loud refusal
+    Snapshots.write(Seq((9L, "z")).toDF("k", "x"), dir)
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.readStream(s, dir)
+    }
+    assert(ex.getMessage.contains("append-only"))
+  }
 }
