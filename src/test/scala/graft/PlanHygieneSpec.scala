@@ -33,6 +33,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     // BM25: crosses the per-doc tf relation with the one-row corpus
     // stats aggregate (N, L, per-term df)
     "q157_bm25",
+    // index-backed BM25: the same one-row stats cross, with the stats
+    // row built from the persisted postings/doclens instead of a scan
+    "q189_index_bm25",
     // quantized NN: the q50 brute-force plan (bounded broadcast probe
     // set by design) on int8 vectors
     "q165_quantized_nn",

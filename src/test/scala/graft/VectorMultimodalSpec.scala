@@ -690,8 +690,13 @@ class QuantizedVectorSpec extends SparkSpecBase {
     assert(VectorOps.jlSign("s", 3, 7) == VectorOps.jlSign("s", 3, 7))
     assert((0 until 64).exists(j =>
       VectorOps.jlSign("s", 0, j) != VectorOps.jlSign("t", 0, j)))
+    // decorrelated pseudo-random entries (the first cut's periodic
+    // (i*31+j*7) mod 13 fixture correlated with the sign matrix and
+    // blew the energy band to 5.3x)
     val vecs = (1L to 50L).map { i =>
-      (i, (0 until 64).map(j => ((i * 31 + j * 7) % 13 - 6).toFloat).toArray)
+      (i, (0 until 64).map { j =>
+        ((((i * 73856093L) ^ (j * 19349663L)) % 1000L) / 100.0 - 5.0).toFloat
+      }.toArray)
     }.toDF("id", "v")
     val a = VectorOps.signRandomProjection(vecs.coalesce(1), "id", "v", 64, 8, "s")
       .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getDouble)).toMap
