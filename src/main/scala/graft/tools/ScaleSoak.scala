@@ -243,7 +243,17 @@ object ScaleSoak {
     // map-combined aggs + shard window — scan-linear; picks stay k),
     // top-k aggregator (bounded k-state per partial, flat at any skew)
     "q191_stream_stream_join", "q192_url_normalize", "q193_rouge_overlap",
-    "q194_pps_sample", "q195_topk_aggregator")
+    "q194_pps_sample", "q195_topk_aggregator",
+    // equi-depth histogram (exact percentile over the n_chars
+    // distinct-value map — fixed under replication — + one assignment
+    // scan), schema evolution + snapshot stream + index compact (write-
+    // path gates: cost is the fixture table write, scan-linear), outer
+    // stream-stream join (streaming floor + user-keyed state), JL
+    // projection + gopher rules (pure codegen projections — the
+    // scan-linear floor)
+    "q196_equidepth_histogram", "q197_schema_evolution",
+    "q198_stream_stream_outer", "q199_jl_projection",
+    "q200_text_index_compact", "q201_gopher_rules", "q202_snapshot_stream")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
