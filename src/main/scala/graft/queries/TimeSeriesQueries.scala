@@ -106,6 +106,24 @@ object TimeSeriesQueries {
         .orderBy("user_id")
     },
 
+    // A/B experiment readout: salted-hash variant assignment, per-arm
+    // user/conversion counts, and the pooled two-proportion z² as an
+    // EXACT int64 rational — significance at the rational 5% χ²₁ cut
+    // is a pure integer comparison.
+    "q203_ab_test" -> { (s, d) =>
+      graft.ts.EventStats.abTest(events(s, d), "user_id", "purchase",
+        "event_type", seed = "r11")
+    },
+
+    // first-order Markov transition matrix of user behavior: adjacent
+    // event-type pairs in (ts, event_id) order, row-normalized by the
+    // from-type marginal.
+    "q204_transition_matrix" -> { (s, d) =>
+      graft.ts.EventStats.transitionMatrix(events(s, d), "user_id",
+        "ts", "event_type", "event_id")
+        .orderBy("from_type", "to_type")
+    },
+
     // integer-exact high-side 3σ anomaly detection on per-(user, hour)
     // event counts: the z-score test multiplied through by n² so the
     // flag set is pure int64 — identical on every engine.
@@ -368,6 +386,46 @@ object TimeSeriesQueries {
         |  count(*) AS n_users
         |FROM uw JOIN c USING (user_id) GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // same salted hash, same cross-multiplied z² rational.
+    "q203_ab_test" -> {
+      val v = graft.text.TextOps.portableHashSql(
+        "(concat('ab:r11:', CAST(user_id AS VARCHAR)))") + " % 2"
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |    VEXPR AS v
+        |  FROM events GROUP BY user_id),
+        |arms AS (SELECT v, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(conv) AS BIGINT) AS c FROM u GROUP BY v),
+        |j AS (SELECT a.n AS n_a, a.c AS c_a, b.n AS n_b, b.c AS c_b
+        |  FROM arms a, arms b WHERE a.v = 0 AND b.v = 1),
+        |z AS (SELECT *,
+        |  CAST((c_a*n_b - c_b*n_a) * (c_a*n_b - c_b*n_a) * (n_a+n_b) AS BIGINT) AS z2_num,
+        |  CAST(n_a*n_b * (c_a+c_b) * (n_a+n_b-c_a-c_b) AS BIGINT) AS z2_den
+        |  FROM j)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  c_a::DOUBLE / n_a::DOUBLE AS rate_a,
+        |  c_b::DOUBLE / n_b::DOUBLE AS rate_b,
+        |  z2_num, z2_den,
+        |  CAST(CASE WHEN z2_den > 0 AND 1000 * z2_num >= 3841 * z2_den
+        |    THEN 1 ELSE 0 END AS INT) AS significant
+        |FROM z""".stripMargin.replace("VEXPR", v)
+    },
+
+    // identical lead window in the same (ts, event_id) order.
+    "q204_transition_matrix" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, n, n_from,
+        |  n::DOUBLE / n_from::DOUBLE AS p
+        |FROM c JOIN m USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
     // same n²-cleared moment arithmetic; µs div hour-µs == floor
     // epoch-div on the positive domain (q154's proof).

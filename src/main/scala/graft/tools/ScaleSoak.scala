@@ -253,7 +253,12 @@ object ScaleSoak {
     // scan-linear floor)
     "q196_equidepth_histogram", "q197_schema_evolution",
     "q198_stream_stream_outer", "q199_jl_projection",
-    "q200_text_index_compact", "q201_gopher_rules", "q202_snapshot_stream")
+    "q200_text_index_compact", "q201_gopher_rules", "q202_snapshot_stream",
+    // A/B readout (one distinct-user agg then a 2-row reduce — users
+    // ×10, per-user work fixed) and the transition matrix (user-keyed
+    // lead window + map-combined pair counts over a FIXED 3×3 type
+    // space)
+    "q203_ab_test", "q204_transition_matrix")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

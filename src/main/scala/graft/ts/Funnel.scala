@@ -97,6 +97,83 @@ object EventStats {
     * partials per partition, never a buffered window.
     *
     * Returns only the flagged rows: (userCol, hr, c, n_hours, total). */
+  /** A/B experiment readout with an INTEGER-EXACT two-proportion test:
+    * users assigned to variants by salted hash (deterministic,
+    * reproducible — the assignment IS the experiment's audit trail),
+    * conversion = the user emitted `convType`. The pooled two-
+    * proportion z² statistic clears its floats by cross-multiplying:
+    *   z² = (c₁n₂ − c₂n₁)²·(n₁+n₂) / (n₁n₂·c·(n−c))
+    * with n = n₁+n₂, c = c₁+c₂ — an exact rational of int64 products,
+    * so significance at a rational threshold (z² ≥ 3841/1000 ≈ the
+    * two-sided 5% χ²₁ cut) is a pure integer comparison no engine can
+    * flip. (int64 headroom: c₁n₂ < ~3·10⁹ — millions of users per arm;
+    * widen to decimal(38) beyond.)
+    *
+    * Scale shape: one distinct-(user, converted) aggregate (map-
+    * combined) then a 2-row reduction — nothing user-sized leaves the
+    * first exchange.
+    *
+    * Returns one row: (n_a, c_a, n_b, c_b, rate_a, rate_b, z2_num,
+    * z2_den, significant). */
+  def abTest(events: DataFrame, userCol: String, convType: String,
+      typeCol: String, seed: String,
+      z2Num: Long = 3841L, z2Den: Long = 1000L): DataFrame = {
+    val users = events.groupBy(col(userCol))
+      .agg(max((col(typeCol) === convType).cast("long")).as("__conv"))
+      .withColumn("__v", pmod(graft.text.TextOps.portableHash(
+        concat(lit(s"ab:$seed:"), col(userCol).cast("string"))), lit(2L)))
+    val arms = users.groupBy(col("__v"))
+      .agg(count(lit(1)).as("n"), sum(col("__conv")).as("c"))
+    val a = arms.filter(col("__v") === 0)
+      .select(col("n").as("n_a"), col("c").as("c_a"))
+    val b = arms.filter(col("__v") === 1)
+      .select(col("n").as("n_b"), col("c").as("c_b"))
+    val num = (col("c_a") * col("n_b") - col("c_b") * col("n_a")) *
+      (col("c_a") * col("n_b") - col("c_b") * col("n_a")) *
+      (col("n_a") + col("n_b"))
+    val den = col("n_a") * col("n_b") *
+      (col("c_a") + col("c_b")) *
+      (col("n_a") + col("n_b") - col("c_a") - col("c_b"))
+    a.crossJoin(b)
+      .withColumn("rate_a", col("c_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("rate_b", col("c_b").cast("double") / col("n_b").cast("double"))
+      .withColumn("z2_num", num)
+      .withColumn("z2_den", den)
+      .withColumn("significant",
+        (col("z2_den") > 0 &&
+          lit(z2Den) * col("z2_num") >= lit(z2Num) * col("z2_den"))
+          .cast("int"))
+  }
+
+  /** Event-type TRANSITION MATRIX (first-order Markov chain of user
+    * behavior): per user in (ts, event id) order, count each adjacent
+    * (from → to) event-type pair; row-normalized probability is the
+    * IEEE quotient of the exact counts. Tie-broken by event id, so the
+    * sequence — and every count — is engine-reproducible.
+    *
+    * Scale shape: one user-keyed window (lead) + a map-combined pair
+    * count + a from-type marginal join — the exchange carries
+    * (user, type, ts) then (from, to) pairs. Hot users cost a window
+    * partition sort, not a cross product.
+    *
+    * Returns (from_type, to_type, n, n_from, p). */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(idCol),
+        col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val marg = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(marg, Seq("from_type"))
+      .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
+  }
+
   def anomalousHours(events: DataFrame, userCol: String,
       tsCol: String): DataFrame = {
     val hc = events

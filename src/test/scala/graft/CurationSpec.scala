@@ -607,4 +607,52 @@ class CurationSpec extends SparkSpecBase {
     }
     assert(ex.getMessage.contains("total weight"))
   }
+
+  test("abTest: exact z2 rational, significance threshold, determinism") {
+    val s = spark; import s.implicits._
+    import java.sql.Timestamp
+    def ts(x: Long) = new Timestamp(x * 1000L)
+    // 400 users, conversion iff user < 60 (correlates with the hash split
+    // only by chance) — build events: every user views, converters purchase
+    val rows = (1L to 400L).flatMap { u =>
+      Seq((u, ts(u), "view", u)) ++
+        (if (u <= 60) Seq((u, ts(u + 1), "purchase", u + 1000)) else Nil)
+    }
+    val ev = rows.toDF("user_id", "ts", "event_type", "event_id")
+    val out = graft.ts.EventStats.abTest(ev, "user_id", "purchase",
+      "event_type", "s1").collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (nA, cA, nB, cB) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nA + nB == 400L && cA + cB == 60L)
+    // z2 rational restated by hand
+    val num = (cA * nB - cB * nA) * (cA * nB - cB * nA) * (nA + nB)
+    val den = nA * nB * (cA + cB) * (nA + nB - cA - cB)
+    assert(r.getLong(6) == num && r.getLong(7) == den)
+    assert(r.getInt(8) == (if (1000L * num >= 3841L * den) 1 else 0))
+    // assignment is a pure function of (seed, user): rerun agrees
+    val again = graft.ts.EventStats.abTest(ev.repartition(7), "user_id",
+      "purchase", "event_type", "s1").collect().head
+    assert(again.getLong(0) == nA && again.getLong(1) == cA)
+  }
+
+  test("transitionMatrix: ordered pairs, marginals, tie-broken by id") {
+    val s = spark; import s.implicits._
+    import java.sql.Timestamp
+    def ts(x: Long) = new Timestamp(x * 1000L)
+    val ev = Seq(
+      (1L, ts(1), "view", 1L), (1L, ts(2), "click", 2L),
+      (1L, ts(3), "purchase", 3L),
+      // user 2: tie at ts=5 resolved by event_id: view(5,id=5) -> click(5,id=6)
+      (2L, ts(5), "view", 5L), (2L, ts(5), "click", 6L),
+      (3L, ts(9), "view", 9L) // singleton: no transition
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = graft.ts.EventStats.transitionMatrix(ev, "user_id", "ts",
+      "event_type", "event_id")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("view", "click")) == ((2L, 2L, 1.0)))
+    assert(out(("click", "purchase")) == ((1L, 1L, 1.0)))
+    assert(out.size == 2)
+  }
 }
