@@ -106,6 +106,23 @@ object TimeSeriesQueries {
         .orderBy("user_id")
     },
 
+    // NEAREST as-of (pandas direction="nearest"), completing the
+    // backward/forward family: smallest |Δt| wins, ties to backward;
+    // both directional fills ride ONE exchange (two windows on the
+    // same union layout). Emits the picked direction for audit.
+    "q205_asof_nearest" -> { (s, d) =>
+      val ev = events(s, d)
+      val trades = new OrderedStream(
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id", "value"), "ts")
+      val quotes = new OrderedStream(
+        ev.filter(col("event_type") === "view")
+          .select("user_id", "ts", "value"), "ts")
+      AsofJoin.unionTagNearest(trades, quotes, by = "user_id",
+          suffix = "_right")
+        .sort(Seq("event_id")).df
+    },
+
     // A/B experiment readout: salted-hash variant assignment, per-arm
     // user/conversion counts, and the pooled two-proportion z² as an
     // EXACT int64 rational — significance at the rational 5% χ²₁ cut
@@ -386,6 +403,43 @@ object TimeSeriesQueries {
         |  count(*) AS n_users
         |FROM uw JOIN c USING (user_id) GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // backward = q41's (max ts / max value), forward its mirror
+    // (min ts / min value, matching first() over the payload order);
+    // the choice compares the same epoch-double distances, tie → 'b'.
+    "q205_asof_nearest" ->
+      """WITH t AS (SELECT user_id, ts, event_id, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |     q AS (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'view'),
+        |     tk AS (SELECT DISTINCT user_id, ts FROM t),
+        |     b AS (SELECT tk.user_id, tk.ts, max(q.ts) AS bts
+        |           FROM tk LEFT JOIN q ON tk.user_id = q.user_id
+        |             AND q.ts <= tk.ts GROUP BY 1, 2),
+        |     bv AS (SELECT b.user_id, b.ts, b.bts, max(q.value) AS bval
+        |            FROM b LEFT JOIN q ON b.user_id = q.user_id
+        |              AND q.ts = b.bts GROUP BY 1, 2, 3),
+        |     f AS (SELECT tk.user_id, tk.ts, min(q.ts) AS fts
+        |           FROM tk LEFT JOIN q ON tk.user_id = q.user_id
+        |             AND q.ts >= tk.ts GROUP BY 1, 2),
+        |     fv AS (SELECT f.user_id, f.ts, f.fts, min(q.value) AS fval
+        |            FROM f LEFT JOIN q ON f.user_id = q.user_id
+        |              AND q.ts = f.fts GROUP BY 1, 2, 3),
+        |     sel AS (SELECT bv.user_id, bv.ts, bts, bval, fts, fval,
+        |       CASE WHEN bts IS NOT NULL AND fts IS NOT NULL THEN
+        |              CASE WHEN epoch(bv.ts) - epoch(bts)
+        |                     <= epoch(fts) - epoch(bv.ts)
+        |                   THEN 'b' ELSE 'f' END
+        |            WHEN bts IS NOT NULL THEN 'b'
+        |            WHEN fts IS NOT NULL THEN 'f' END AS asof_dir
+        |       FROM bv JOIN fv ON bv.user_id = fv.user_id
+        |         AND bv.ts = fv.ts)
+        |SELECT t.user_id, t.ts, t.event_id, t.value,
+        |  CASE asof_dir WHEN 'b' THEN bts WHEN 'f' THEN fts END AS ts_right,
+        |  CASE asof_dir WHEN 'b' THEN bval WHEN 'f' THEN fval END AS value_right,
+        |  asof_dir
+        |FROM t JOIN sel ON t.user_id = sel.user_id AND t.ts = sel.ts
+        |ORDER BY t.event_id""".stripMargin,
 
     // same salted hash, same cross-multiplied z² rational.
     "q203_ab_test" -> {

@@ -125,6 +125,95 @@ object AsofJoin {
       matched.select(leftCols.map(col) ++ outRight.map(col): _*), lt)
   }
 
+  /** NEAREST as-of (pandas `merge_asof(direction="nearest")`,
+    * completing the backward/forward family): each left row takes the
+    * right row with the smallest |Δt|, ties to the BACKWARD side.
+    * `tolerance` bounds |Δt| (units of the time column).
+    *
+    * One union-tag pass: both directions' fills are windows over the
+    * SAME (by)-partitioned (time, side, payload) order, so Spark plans
+    * ONE exchange + sort with two Window operators — nearest costs the
+    * same shuffle as one directional as-of. Side ordering puts right
+    * before left at equal times, which the backward frame includes;
+    * the forward frame misses equal-time rows, harmlessly — backward's
+    * Δt = 0 always wins the nearest choice. Equal-time right ties
+    * resolve like the directional operators: backward MAX payload
+    * (what wins at Δt ties too), forward MIN.
+    *
+    * Output: leftCols, right payload (suffixed on collision), and
+    * `asof_dir` ∈ {"b", "f", null}. */
+  def unionTagNearest(
+      left: OrderedStream,
+      right: OrderedStream,
+      by: String,
+      suffix: String = "_right",
+      tolerance: Option[Long] = None): OrderedStream = {
+    val lt = left.timeCol
+    val rt = right.timeCol
+    val l = left.df
+    val r = right.df
+    val leftCols = l.columns.toSeq
+    val rightPayload = r.columns.toSeq.filterNot(_ == by).map { c =>
+      c -> (if (leftCols.contains(c)) c + suffix else c)
+    }
+    val outRight = rightPayload.map(_._2)
+    val lTagged = l
+      .withColumn("__t", col(lt).cast(DoubleType))
+      .withColumn("__side", lit(1))
+      .select(Seq(col(by), col("__t"), col("__side")) ++
+        leftCols.filterNot(_ == by).map(col) ++
+        rightPayload.map { case (_, out) => lit(null).as(out) }: _*)
+    val rTagged = r
+      .withColumn("__t", col(rt).cast(DoubleType))
+      .withColumn("__side", lit(0))
+      .select(Seq(col(by), col("__t"), col("__side")) ++
+        leftCols.filterNot(_ == by)
+          .map(name => lit(null).as(name)) ++
+        rightPayload.map { case (in, out) => col(in).as(out) }: _*)
+    val tieBreak = rightPayload.collect {
+      case (in, out) if org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(r.schema(in).dataType) => col(out)
+    }
+    val wBase = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(by))
+      .orderBy(Seq(col("__t"), col("__side")) ++ tieBreak: _*)
+    val wB = wBase.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wF = wBase.rowsBetween(
+      0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val rOnly = (c: org.apache.spark.sql.Column) =>
+      when(col("__side") === 0, c)
+    val both = lTagged.unionByName(rTagged)
+      .withColumns((
+        outRight.flatMap { c => Seq(
+          s"__b_$c" -> last(rOnly(col(c)), ignoreNulls = true).over(wB),
+          s"__f_$c" -> first(rOnly(col(c)), ignoreNulls = true).over(wF))
+        } ++ Seq(
+          "__bt" -> last(rOnly(col("__t")), ignoreNulls = true).over(wB),
+          "__ft" -> first(rOnly(col("__t")), ignoreNulls = true).over(wF))
+      ).toMap)
+      .filter(col("__side") === 1)
+    // per-direction tolerance, then the nearest choice (tie → backward)
+    val bOk = col("__bt").isNotNull &&
+      tolerance.map(t => col("__t") - col("__bt") <= t.toDouble)
+        .getOrElse(lit(true))
+    val fOk = col("__ft").isNotNull &&
+      tolerance.map(t => col("__ft") - col("__t") <= t.toDouble)
+        .getOrElse(lit(true))
+    val dir = when(bOk && fOk,
+        when(col("__t") - col("__bt") <= col("__ft") - col("__t"), "b")
+          .otherwise("f"))
+      .when(bOk, "b").when(fOk, "f")
+    val picked = both.withColumn("asof_dir", dir)
+      .withColumns(outRight.map { c =>
+        c -> when(col("asof_dir") === "b", col(s"__b_$c"))
+          .when(col("asof_dir") === "f", col(s"__f_$c"))
+      }.toMap)
+    new OrderedStream(
+      picked.select(leftCols.map(col) ++ outRight.map(col) :+
+        col("asof_dir"): _*), lt)
+  }
+
   /** Physical-operator formulation (SURVEY §7.3 tier (c)): plans a
     * [[graft.plans.AsofJoinExec]] — co-partitioned sorted merge with O(1)
     * state per partition, no unioned null-padded rows through the sort

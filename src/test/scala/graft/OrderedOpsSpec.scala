@@ -63,6 +63,40 @@ class OrderedOpsSpec extends SparkSpecBase {
       ("B", 12.0, None)))        // B's only quote is later
   }
 
+  test("asof nearest: smallest |dt| wins, tie to backward, one exchange") {
+    import graft.ts.AsofJoin
+    val out = AsofJoin.unionTagNearest(trades(), quotes(), "sym").df
+    val rows = out.orderBy("sym", "t")
+      .select(col("sym"), col("t"), col("bid"), col("asof_dir"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      ("A", 10.0, Some(99.5), "b"),   // quote@9 (d=1) vs quote@19 (d=9)
+      ("A", 20.0, Some(100.7), "b"),  // exact-time tie: backward, d=0
+      ("A", 35.0, Some(100.7), "b"),  // only backward exists
+      ("B", 12.0, Some(199.0), "f"))) // only forward exists (quote@30)
+    // nearest must not pay a second shuffle: both windows ride one
+    // exchange over the (by)-partitioned union
+    // (a LocalRelation fixture can plan zero exchanges — the bound is
+    // what matters: nearest never pays a second directional shuffle)
+    val nEx = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    assert(nEx <= 1, s"expected at most 1 exchange, got $nEx")
+    // tolerance bounds BOTH directions
+    val tol = AsofJoin.unionTagNearest(trades(), quotes(), "sym",
+        tolerance = Some(5L)).df
+      .orderBy("sym", "t")
+      .select(col("sym"), col("t"), col("asof_dir")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), Option(r.getString(2))))
+    assert(tol.toSeq == Seq(
+      ("A", 10.0, Some("b")),  // d=1 within 5
+      ("A", 20.0, Some("b")),  // d=0
+      ("A", 35.0, None),       // backward d=15, no forward
+      ("B", 12.0, None)))      // forward d=18 > 5
+  }
+
   test("asof forward: earliest right at or after left time, per key") {
     val out = trades().asofJoinForward(quotes(), "sym").df
       .orderBy("sym", "t")
