@@ -67,6 +67,30 @@ object CurationQueries {
   private val classifierBuckets = 1024
 
   val queries: Map[String, Q] = Map(
+    // EXACT-count split assignment: largest-remainder (Hamilton)
+    // apportionment of 80/10/10 over the corpus count — split SIZES
+    // are the exact apportioned integers (q126's hash split is a rate,
+    // this is a count), membership a pure function of (seed, corpus)
+    // via the salted-md5 rank.
+    "q206_apportioned_split" -> { (s, d) =>
+      Curation.apportionedSplit(documents(s, d).select("doc_id"),
+        "doc_id", Seq("train" -> 80L, "val" -> 10L, "test" -> 10L),
+        seed = "r11", numShards = 8)
+        .orderBy("doc_id")
+    },
+
+    // fractional-EPOCH upsampling (the "2.5 epochs of source X"
+    // training-mix step): floor(e) copies + a salted-hash-chosen
+    // extra for the fractional part — a reproducible SET, not a rate.
+    "q207_epoch_upsample" -> { (s, d) =>
+      val ppm = when(col("lang") === "en", 2500000L)
+        .when(col("lang") === "zh", 1000000L).otherwise(500000L)
+      Curation.epochUpsample(
+        documents(s, d).select(col("doc_id"), ppm.as("__ppm")),
+        "doc_id", col("__ppm"), seed = "r11")
+        .orderBy("doc_id", "copy_n")
+    },
+
     // Weighted PPS systematic sampling (Curation.ppsSystematicSample):
     // rows picked where their n_chars weight interval on a salted-hash
     // number line contains a multiple of floor(total/k) — deterministic
@@ -586,6 +610,48 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the same largest-remainder arithmetic in SQL over the same
+    // (shard, md5, id) global order.
+    "q206_apportioned_split" -> {
+      val shard = TextOps.portableHashSql(
+        "(concat('apps:r11:', CAST(doc_id AS VARCHAR)))") + " % 8"
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |w(name, wt, ord) AS (VALUES ('train', 80, 0), ('val', 10, 1),
+         |  ('test', 10, 2)),
+         |b AS (SELECT name, ord, (nn.n * wt) // 100 AS base,
+         |  (nn.n * wt) % 100 AS rem FROM w, nn),
+         |lv AS (SELECT (SELECT n FROM nn) - sum(base) AS leftover FROM b),
+         |a AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, ord) AS rr
+         |  FROM b),
+         |t AS (SELECT name, ord, base + CASE WHEN rr <=
+         |  (SELECT leftover FROM lv) THEN 1 ELSE 0 END AS target FROM a),
+         |c AS (SELECT name, ord, sum(target) OVER (ORDER BY ord) AS hi,
+         |  sum(target) OVER (ORDER BY ord) - target AS lo FROM t),
+         |r AS (SELECT doc_id, row_number() OVER (ORDER BY shard, ok, doc_id)
+         |    - 1 AS rk FROM
+         |  (SELECT doc_id, $shard AS shard,
+         |     md5(concat('appo:r11:', CAST(doc_id AS VARCHAR))) AS ok
+         |   FROM documents))
+         |SELECT r.doc_id, c.name AS split FROM r
+         |JOIN c ON r.rk >= c.lo AND r.rk < c.hi
+         |ORDER BY r.doc_id""".stripMargin
+    },
+
+    // same floor + salted-hash fractional copy arithmetic.
+    "q207_epoch_upsample" -> {
+      val h = TextOps.portableHashSql(
+        "(concat('epoch:r11:', CAST(doc_id AS VARCHAR)))")
+      s"""WITH e AS (SELECT doc_id,
+         |  CASE WHEN lang = 'en' THEN 2500000
+         |       WHEN lang = 'zh' THEN 1000000 ELSE 500000 END AS ppm
+         |  FROM documents),
+         |c AS (SELECT doc_id, ppm // 1000000 +
+         |  CASE WHEN ($h) % 1000000 < ppm % 1000000 THEN 1 ELSE 0 END
+         |  AS copies FROM e)
+         |SELECT doc_id, CAST(unnest(range(copies)) AS BIGINT) AS copy_n
+         |FROM c WHERE copies > 0 ORDER BY doc_id, copy_n""".stripMargin
+    },
+
     // one global cumsum over the same salted (shard, hash, id) order —
     // must equal the engine's two-phase shard-offset prefix sum exactly.
     "q194_pps_sample" -> {

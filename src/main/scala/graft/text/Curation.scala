@@ -572,6 +572,92 @@ object Curation {
         col("n_hits"))
   }
 
+  /** EXACT-COUNT stratless split assignment by largest-remainder
+    * (Hamilton) apportionment: the corpus is divided into named splits
+    * whose SIZES are exactly the apportioned integers (⌊n·wᵢ/W⌋ plus
+    * one for the largest remainders — ties by split order), not
+    * hash-rate approximations (q126's hash split gives each row an
+    * independent 80% chance; this gives EXACTLY the 80% count). Rows
+    * rank on a salted md5 order, so membership is a pure function of
+    * (seed, corpus) — reproducible across engines and cluster sizes.
+    *
+    * Scale shape: the global rank is the ppsSystematicSample two-phase
+    * shape — per-shard window rank + numShards-row offset metadata —
+    * never a global single-partition window; targets come from ONE
+    * count (driver scalar) and the weights list.
+    *
+    * Returns (idCol, split). */
+  def apportionedSplit(df: DataFrame, idCol: String,
+      weights: Seq[(String, Long)], seed: String,
+      numShards: Int = 64): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive: $weights")
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wSum = weights.map(_._2).sum
+    val idStr = col(idCol).cast("string")
+    val base = df.select(col(idCol),
+      pmod(TextOps.portableHash(concat(lit(s"apps:$seed:"), idStr)),
+        lit(numShards.toLong)).cast("int").as("__shard"),
+      TextOps.md5Hex(concat(lit(s"appo:$seed:"), idStr)).as("__ok"))
+    val wSh = Window.partitionBy(col("__shard"))
+      .orderBy(col("__ok"), col(idCol))
+    val ranked = base.withColumn("__r", row_number().over(wSh).cast("long"))
+    val shardCounts = base.groupBy(col("__shard"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = shardCounts.values.sum
+    // largest-remainder targets, then cumulative [lo, hi) rank ranges
+    val quots = weights.map { case (name, w) => (name, n * w / wSum, (n * w) % wSum) }
+    val leftover = n - quots.map(_._2).sum
+    val bump = quots.zipWithIndex
+      .sortBy { case ((_, _, rem), i) => (-rem, i) }
+      .take(leftover.toInt).map(_._2).toSet
+    val targets = quots.zipWithIndex.map { case ((name, b, _), i) =>
+      name -> (b + (if (bump(i)) 1L else 0L))
+    }
+    val bounds = targets.scanLeft(("", 0L)) { case ((_, hi), (name, t)) =>
+      (name, hi + t)
+    }.sliding(2).map { case Seq((_, lo), (name, hi)) => (name, lo, hi) }.toSeq
+    val offsets = (0 until numShards).scanLeft(0L) { (acc, s) =>
+      acc + shardCounts.getOrElse(s, 0L)
+    }
+    val offDf = (0 until numShards).map(s => (s, offsets(s)))
+      .toDF("__shard", "__off")
+    val globalRank = col("__off") + col("__r") - 1L
+    val split = bounds.foldRight(lit(null).cast("string")) {
+      case ((name, lo, hi), acc) =>
+        when(globalRank >= lo && globalRank < hi, name).otherwise(acc)
+    }
+    ranked.join(broadcast(offDf), "__shard")
+      .select(col(idCol), split.as("split"))
+  }
+
+  /** Fractional-EPOCH upsampling (training-mix staple: "2.5 epochs of
+    * source X"): each row replicates ⌊e⌋ times plus one more for a
+    * deterministic hash-chosen fraction of rows — so 2.5 epochs means
+    * every row twice and exactly the salted-hash half a third time
+    * (reproducible SET, not a random rate). Epochs are per-row values
+    * in parts-per-million (pure integers).
+    *
+    * Scale shape: one narrow projection + posexplode — zero exchange;
+    * output rows carry (id, copy_n) so downstream shuffles dedupe
+    * nothing silently. */
+  def epochUpsample(df: DataFrame, idCol: String, epochsPpm: Column,
+      seed: String): DataFrame = {
+    val idStr = col(idCol).cast("string")
+    val frac = pmod(TextOps.portableHash(
+      concat(lit(s"epoch:$seed:"), idStr)), lit(1000000L))
+    val copies = (epochsPpm.cast("long") / lit(1000000L)).cast("long") +
+      when(frac < pmod(epochsPpm.cast("long"), lit(1000000L)), 1L)
+        .otherwise(0L)
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .select(col(idCol),
+        explode(expr("sequence(0, __copies - 1)")).as("copy_n"))
+  }
+
   // ---- percentile-threshold quality filtering --------------------------
 
   /** Keep each stratum's top (1−p) quantile by `valueCol` — the "drop

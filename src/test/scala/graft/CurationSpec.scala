@@ -655,4 +655,54 @@ class CurationSpec extends SparkSpecBase {
     assert(out(("click", "purchase")) == ((1L, 1L, 1.0)))
     assert(out.size == 2)
   }
+
+  test("apportionedSplit: exact largest-remainder counts, reproducible sets") {
+    import graft.text.Curation
+    val s = spark; import s.implicits._
+    // n = 103, weights 80/10/10: bases 82/10/10 (sum 102), remainders
+    // 40/30/30 -> the single leftover goes to 'train' (largest rem)
+    val docs = (1L to 103L).toDF("id")
+    val out = Curation.apportionedSplit(docs, "id",
+      Seq("train" -> 80L, "val" -> 10L, "test" -> 10L), "s1", numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val counts = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(counts == Map("train" -> 83, "val" -> 10, "test" -> 10))
+    // membership is a pure function of (seed, corpus)
+    val again = Curation.apportionedSplit(docs.repartition(9), "id",
+      Seq("train" -> 80L, "val" -> 10L, "test" -> 10L), "s1", numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // remainder tie broken by split order: n = 5, weights 1/1/3 ->
+    // bases 1/1/3, no leftover; n = 4 -> bases 0/0/2 rem 4/4/2,
+    // leftover 2 -> first two splits bump
+    val tiny = (1L to 4L).toDF("id")
+    val tc = Curation.apportionedSplit(tiny, "id",
+      Seq("a" -> 1L, "b" -> 1L, "c" -> 3L), "s1", 2)
+      .collect().groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(tc == Map("a" -> 1, "b" -> 1, "c" -> 2))
+  }
+
+  test("epochUpsample: floor copies + deterministic fractional extras") {
+    import graft.text.Curation
+    val s = spark; import s.implicits._
+    val docs = (1L to 200L).toDF("id")
+    val out = Curation.epochUpsample(docs, "id", lit(2500000L), "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perId = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perId.values.forall(c => c == 2 || c == 3))
+    val extras = perId.values.count(_ == 3)
+    assert(extras > 60 && extras < 140, s"~half expected, got $extras")
+    // copy_n is dense 0..copies-1
+    assert(out.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._2).sorted.toSeq == (0L until rs.length).toSeq })
+    // epochs < 1: only the hash-chosen fraction appears, once
+    val half = Curation.epochUpsample(docs, "id", lit(500000L), "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(half.forall(_._2 == 0L))
+    assert(half.length > 60 && half.length < 140)
+    // determinism across layouts
+    val again = Curation.epochUpsample(docs.repartition(7), "id",
+      lit(500000L), "s1").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(half.sorted.toSeq == again.sorted.toSeq)
+  }
 }
