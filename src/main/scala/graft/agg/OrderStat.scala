@@ -103,4 +103,36 @@ object OrderStat {
       else (higher - p) * picked(lower) + (p - lower) * picked(higher)
     }.toArray)
   }
+
+  /** Per-group EXACT lower weighted median: the smallest value v whose
+    * cumulative weight reaches half the group total (2·cumW(v) ≥ W —
+    * the textbook integer rule, no interpolation, so with int64
+    * weights the pick is pure integer arithmetic and the returned
+    * value is an INPUT value, never a computed float). Degenerates to
+    * the lower median when every weight is 1.
+    *
+    * Scale shape: one (group, value) pre-aggregate (map-combined — the
+    * exchange carries distinct values per group, not rows), then a
+    * per-group cumulative window over that distinct-value relation and
+    * a min() reduce. A group's cost is its value cardinality.
+    *
+    * Returns (groupCol, w_total, weighted_median). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val vw = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    vw.withColumn("__cum", sum(col("__w")).over(wCum))
+      .withColumn("__tot", sum(col("__w")).over(wTot))
+      .filter(lit(2L) * col("__cum") >= col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__tot")).as("w_total"),
+        min(col(valueCol)).as("weighted_median"))
+  }
 }

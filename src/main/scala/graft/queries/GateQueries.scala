@@ -334,6 +334,27 @@ object GateQueries {
       TextDedupQueries.shingleK, TextDedupQueries.numBands)
   }
 
+  /** q208 fixture: the purchases stream landed into a merge-on-read
+    * table via the foreachBatch upsert sink — built ONCE per (JVM,
+    * fixture dir); the gate reads the resolved table. */
+  private val streamUpsertDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def builtStreamUpsertTable(s: SparkSession, d: String): String =
+    streamUpsertDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q208_mor").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q208_ckpt").toString
+      sweepAtExit.add(dir); sweepAtExit.add(ckpt)
+      val src = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsx"), col("event_id"), col("value"))
+      val q = graft.streaming.StreamingOps.streamUpsertToMor(
+        src, dir, idCol = "user_id", orderCol = "tsx", checkpoint = ckpt)
+      q.awaitTermination()
+      dir
+    })
+
   /** q191: watermarked STREAM-STREAM interval join — purchases matched
     * with the same user's views from the trailing hour. Both sides are
     * independent streaming sources with their own watermark; the time
@@ -685,6 +706,26 @@ object GateQueries {
     "q191_stream_stream_join" -> { (s, d) =>
       runToMemory(s, q191Plan(s, d), "graft_q191_mem", outputMode = "append")
         .orderBy("user_id", "p_event_id", "v_event_id")
+    },
+
+    // STREAMING UPSERT into the merge-on-read table (the write
+    // direction of q202's commit stream): each micro-batch lands as
+    // one keyed upsert commit with per-batch latest-wins dedup; the
+    // resolved read must equal the batch latest-purchase-per-user
+    // statement. Cross-batch supersede is spec-pinned (StreamingSpec).
+    "q208_stream_upsert" -> { (s, d) =>
+      val dir = builtStreamUpsertTable(s, d)
+      graft.sources.MergeOnRead.readMerged(s, dir, "user_id")
+        .select(col("user_id"), col("event_id"), col("value"))
+        .orderBy("user_id")
+    },
+
+    // per-group exact lower weighted median — the value itself, never
+    // an interpolated float; integer cumulative-weight rule.
+    "q209_weighted_median" -> { (s, d) =>
+      graft.agg.OrderStat.weightedMedian(lineitem(s, d), "l_returnflag",
+        "l_quantity", "l_linenumber")
+        .orderBy("l_returnflag")
     },
 
     // Snapshot table as a STREAMING source (the change-data-feed
@@ -1412,6 +1453,32 @@ object GateQueries {
     // the streamed table IS the documents projection, both commits.
     "q202_snapshot_stream" ->
       """SELECT doc_id, lang FROM documents ORDER BY doc_id""",
+
+    // batch statement of per-batch latest-wins: max ts per user, ties
+    // by the remaining payload columns in batch order (event_id, value)
+    // descending — the sink's window mirror.
+    "q208_stream_upsert" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC, value DESC) AS rn FROM p)
+        |SELECT user_id, event_id, value FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    // the same 2·cum ≥ total rule over the (group, value) weight agg.
+    "q209_weighted_median" ->
+      """WITH vw AS (SELECT l_returnflag, l_quantity,
+        |    CAST(sum(l_linenumber) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, l_quantity, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM vw)
+        |SELECT l_returnflag, CAST(max(tot) AS BIGINT) AS w_total,
+        |  min(l_quantity) AS weighted_median
+        |FROM c WHERE 2 * cum >= tot
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // batch left join twin; unmatched purchases carry NULL v_event_id.
     "q198_stream_stream_outer" ->

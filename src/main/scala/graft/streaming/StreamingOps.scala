@@ -91,6 +91,46 @@ object StreamingOps {
     keys.foldLeft(l.join(r, cond, joinType))((df, k) => df.drop(r(k)))
   }
 
+  /** STREAMING UPSERT into a merge-on-read table — the write-direction
+    * twin of `Snapshots.readStream` (q202 reads commits as a stream;
+    * this lands a stream as commits): each micro-batch becomes one
+    * keyed upsert commit (per-batch latest-wins dedup on
+    * (orderCol desc, then the remaining columns) keeps the upsert's
+    * unique-key contract), so a live stream maintains a lakehouse
+    * table whose resolved read is always key-consistent, and every
+    * micro-batch is an auditable snapshot version.
+    *
+    * Returns the started query; stop it (or use AvailableNow) like any
+    * sink. Exactly-once caveat: a retried micro-batch commits again —
+    * upsert semantics make the replay idempotent at the KEY level
+    * (same keys re-supersede), the version history just records the
+    * retry. */
+  def streamUpsertToMor(stream: DataFrame, dir: String, idCol: String,
+      orderCol: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))
+          .orderBy(col(orderCol).desc +:
+            batch.columns.filterNot(c => c == idCol || c == orderCol)
+              .map(c => col(c).desc).toSeq: _*)
+        val latest = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        if (!latest.isEmpty) {
+          graft.sources.MergeOnRead.upsert(latest, dir, idCol)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** Streaming exact dedup on key columns — the reference's incremental
     * DistinctExecutor (sql_executors.py:517-554) with bounded state:
     * watermark expires seen-keys. */

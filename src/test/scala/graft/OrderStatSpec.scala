@@ -54,4 +54,29 @@ class OrderStatSpec extends SparkSpecBase {
     assert(OrderStat.exactPercentiles(withNulls, "v", Seq(0.5)).toSeq ==
       Seq(2.0))
   }
+
+  test("weightedMedian: cumulative-weight rule, unit-weight degeneration, groups") {
+    val s = spark; import s.implicits._
+    import graft.agg.OrderStat
+    // g1: values 1..4 with weights 1,1,5,1 -> total 8, median = 3
+    // (cum at 3 is 7 >= 4); g2 unit weights over 1..4 -> lower median 2
+    val df = Seq(
+      ("g1", 1.0, 1L), ("g1", 2.0, 1L), ("g1", 3.0, 5L), ("g1", 4.0, 1L),
+      ("g2", 1.0, 1L), ("g2", 2.0, 1L), ("g2", 3.0, 1L), ("g2", 4.0, 1L)
+    ).toDF("g", "v", "w")
+    val out = OrderStat.weightedMedian(df, "g", "v", "w")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("g1") == ((8L, 3.0)))
+    assert(out("g2") == ((4L, 2.0)))
+    // a dominant weight pins the median to its value
+    val dom = Seq(("g", 10.0, 1L), ("g", 99.0, 100L), ("g", 500.0, 1L))
+      .toDF("g", "v", "w")
+    assert(OrderStat.weightedMedian(dom, "g", "v", "w")
+      .head().getDouble(2) == 99.0)
+    // duplicate values pool their weights; nulls drop
+    val dup = Seq(("g", 5.0, 2L), ("g", 5.0, 2L), ("g", 1.0, 3L))
+      .toDF("g", "v", "w")
+    assert(OrderStat.weightedMedian(dup, "g", "v", "w")
+      .head().getDouble(2) == 5.0)
+  }
 }

@@ -360,6 +360,30 @@ class StreamingTieSpec extends SparkSpecBase {
     assert(n == 2)
   }
 
+  test("streamUpsertToMor: later micro-batch supersedes, commits are versions") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val dir = java.nio.file.Files.createTempDirectory("mor_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mor_sink_ck").toString
+    val q = StreamingOps.streamUpsertToMor(
+      mem.toDF.toDF("k", "ts", "v"), dir, "k", "ts", ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // batch 1: two keys, an in-batch duplicate for k=1 (latest ts wins)
+    mem.addData((1L, ts(10), 1.0), (1L, ts(20), 2.0), (2L, ts(5), 9.0))
+    q.processAllAvailable()
+    // batch 2: k=1 superseded again, k=3 inserted
+    mem.addData((1L, ts(30), 3.0), (3L, ts(1), 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = graft.sources.MergeOnRead.readMerged(s, dir, "k")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out == Map(1L -> 3.0, 2L -> 9.0, 3L -> 7.0))
+    // each micro-batch is one auditable upsert commit
+    assert(graft.sources.Snapshots.history(s, dir).count() == 2L)
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched rows after watermark clears ts+lookback") {
     val s = spark
     import s.implicits._
