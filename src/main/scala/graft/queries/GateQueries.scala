@@ -85,10 +85,19 @@ object GateQueries {
       require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
         "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
           "(events.ts is parquet TIMESTAMP(NANOS))")
-    // the file source wants a directory; glob-filter to the one table
-    s.readStream.schema(eventsSchema(tsT))
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("tsx", tsxOf(tsT))
+    // two fixture layouts exist: a flat single file `events.parquet`
+    // (driver testdata — glob-filter the parent dir to the one table)
+    // and a DIRECTORY `events.parquet/part-*.parquet` (the soak's
+    // replicated sf1 — a name glob on part files matches nothing and
+    // silently yields an EMPTY stream; burned by q208's soak)
+    val asDir = java.nio.file.Paths.get(d, "events.parquet")
+    val src =
+      if (java.nio.file.Files.isDirectory(asDir))
+        s.readStream.schema(eventsSchema(tsT)).parquet(asDir.toString)
+      else
+        s.readStream.schema(eventsSchema(tsT))
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+    src.withColumn("tsx", tsxOf(tsT))
   }
 
   /** Fixture-uniqueness NOTICE (historical: through round 9 the

@@ -258,7 +258,15 @@ object ScaleSoak {
     // ×10, per-user work fixed) and the transition matrix (user-keyed
     // lead window + map-combined pair counts over a FIXED 3×3 type
     // space)
-    "q203_ab_test", "q204_transition_matrix")
+    "q203_ab_test", "q204_transition_matrix",
+    // nearest as-of (one exchange, two windows — must track q41's
+    // ratio), apportioned split + epoch upsample (hash projections +
+    // one sharded window / posexplode — scan-linear), streaming MoR
+    // upsert (write-path fixture + resolved read), weighted median
+    // (distinct-(group, value) agg — l_quantity's value space is
+    // FIXED, so the cum window is flat at 10×)
+    "q205_asof_nearest", "q206_apportioned_split", "q207_epoch_upsample",
+    "q208_stream_upsert", "q209_weighted_median")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
