@@ -847,6 +847,51 @@ object Multimodal {
       }
   }
 
+  /** SCENE-CUT detection over REAL Y4M decode: a cut at frame f when
+    * the absolute luma-sum change from frame f−1 reaches
+    * `tauPerPixel` per pixel — the integer cross-multiplied form
+    * |Σy_f − Σy_{f−1}| ≥ τ·(w·h), so the flag set is exact int64 and
+    * engine-reproducible (the shot-boundary step of a video-curation
+    * pipeline: split clips at cuts before frame-sampling). One frame
+    * walk per blob scan-side (sums + plane length in one pass), one
+    * per-video lag window; corrupt blobs contribute no rows.
+    *
+    * Returns (id, frame_idx ≥ 1, y_sum, prev_sum, cut 0/1). */
+  def sceneCuts(df: DataFrame, idCol: String, blobCol: String,
+      tauPerPixel: Int): DataFrame = {
+    require(tauPerPixel > 0, s"tauPerPixel must be positive, got $tauPerPixel")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val frames = df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val rows = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Long, Int)]
+          walkY4m(bytes) { (idx, off, len) =>
+            var i = off
+            val end = off + len
+            var s = 0L
+            while (i < end) { s += bytes(i) & 0xff; i += 1 }
+            rows += ((id, idx, s, len))
+          } match {
+            case Some(_) => rows
+            case None => Nil
+          }
+        }
+      }.toDF("id", "frame_idx", "y_sum", "y_len")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("prev_sum", lag(col("y_sum"), 1).over(w))
+      .filter(col("prev_sum").isNotNull)
+      .withColumn("cut",
+        (abs(col("y_sum") - col("prev_sum")) >=
+          lit(tauPerPixel.toLong) * col("y_len")).cast("int"))
+      .select(col("id"), col("frame_idx"), col("y_sum"), col("prev_sum"),
+        col("cut"))
+  }
+
   /** REAL pixel-derived video features: mean luma per frame (normalized
     * by 255 into [0,1]) as a dense `array<double>` temporal profile —
     * video → embedding → similarity with an actual frame walk in the

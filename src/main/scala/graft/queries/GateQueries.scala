@@ -1027,6 +1027,39 @@ object GateQueries {
     // luma sum; corrupt clips contribute no rows (q116 carries their
     // ok=0 accounting). Same key-derived fixture as q116, so the oracle
     // states each sampled frame's sum per (id, frame_idx).
+    // Video SCENE-CUT detection over REAL Y4M decode: the q117 fixture
+    // (incl. both corrupt classes, which must contribute zero rows)
+    // frame-walked to per-frame luma sums, adjacent diffs flagged at
+    // the integer |Δ| ≥ 8·(w·h) bound — the shot-boundary step before
+    // clip splitting / frame sampling in a video-curation pipeline.
+    "q210_scene_cuts" -> { (s, d) =>
+      import s.implicits._
+      val blobs = nation(s, d).select(col("n_nationkey").cast("long").as("id"))
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val blob =
+              if (id % 10 == 4)
+                Array.tabulate[Byte](40)(i => ((id * 37 + i * 11) % 249).toByte)
+              else if (id % 10 == 9) {
+                val full = graft.multimodal.Multimodal.encodeY4m(
+                  8, 6, 25, 1, 3)((f, p) => (f + p) % 256)
+                java.util.Arrays.copyOfRange(full, 0, full.length - 10)
+              } else {
+                val w = 8 + (id % 3).toInt * 4
+                val h = 6 + (id % 2).toInt * 4
+                val nf = 3 + (id % 5).toInt
+                graft.multimodal.Multimodal.encodeY4m(w, h, 25, 1, nf)(
+                  (f, p) => ((id * 7 + f * 11 + p * 3) % 256).toInt)
+              }
+            (id, blob)
+          }
+        }.toDF("id", "blob")
+      graft.multimodal.Multimodal.sceneCuts(blobs, "id", "blob",
+          tauPerPixel = 8)
+        .orderBy("id", "frame_idx")
+    },
+
     "q117_video_frames" -> { (s, d) =>
       import s.implicits._
       val blobs = nation(s, d).select(col("n_nationkey").cast("long").as("id"))
@@ -1653,6 +1686,29 @@ object GateQueries {
         |FROM p JOIN sums USING (id) ORDER BY id""".stripMargin,
     // per-sampled-frame luma sums of the same Y4M fixture; corrupt
     // clips (id%10 in 4,9) must contribute NO rows
+    // per-frame sums from the generator formula + lag — the cut flag's
+    // integer |Δ| ≥ τ·(w·h) restated exactly; corrupt ids excluded.
+    "q210_scene_cuts" ->
+      """WITH p AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id,
+        |    CAST(8 + (n_nationkey % 3) * 4 AS BIGINT) AS w,
+        |    CAST(6 + (n_nationkey % 2) * 4 AS BIGINT) AS h,
+        |    CAST(3 + n_nationkey % 5 AS BIGINT) AS nf
+        |  FROM nation WHERE n_nationkey % 10 NOT IN (4, 9)),
+        |fr AS (SELECT id, w, h, unnest(range(0, nf)) AS f FROM p),
+        |px AS (SELECT id, f, w, h, unnest(range(0, w * h)) AS x FROM fr),
+        |s AS (SELECT id, f, w, h,
+        |    CAST(sum((id*7 + f*11 + x*3) % 256) AS BIGINT) AS y_sum
+        |  FROM px GROUP BY id, f, w, h),
+        |lg AS (SELECT id, f, w, h, y_sum,
+        |    lag(y_sum) OVER (PARTITION BY id ORDER BY f) AS prev_sum
+        |  FROM s)
+        |SELECT id, CAST(f AS INT) AS frame_idx, y_sum, prev_sum,
+        |  CAST(CASE WHEN abs(y_sum - prev_sum) >= 8 * w * h
+        |    THEN 1 ELSE 0 END AS INT) AS cut
+        |FROM lg WHERE prev_sum IS NOT NULL
+        |ORDER BY id, frame_idx""".stripMargin,
+
     "q117_video_frames" ->
       """WITH p AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS id,

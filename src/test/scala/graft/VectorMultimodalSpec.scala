@@ -713,4 +713,20 @@ class QuantizedVectorSpec extends SparkSpecBase {
     val mean = ratios.sum / ratios.length
     assert(mean > 0.5 && mean < 2.0, s"mean energy ratio $mean out of band")
   }
+
+  test("sceneCuts: designed cut flags, no phantom rows from corrupt blobs") {
+    val s = spark; import s.implicits._
+    import graft.multimodal.Multimodal
+    // 4x2 video: frame lumas 0, 200, 201, 10 -> diffs 200, 1, 191;
+    // tau=8/pixel means |d|*8 = 1600 sums... per-pixel tau 8 -> cut iff
+    // |sum_f - sum_prev| >= 8*8 = 64: diffs are 200*8=1600, 1*8=8, 191*8=1528
+    val lumas = Array(0, 200, 201, 10)
+    val good = Multimodal.encodeY4m(4, 2, 25, 1, 4)((f, _) => lumas(f))
+    val corrupt = Array.tabulate[Byte](32)(i => (i * 7).toByte)
+    val blobs = Seq((1L, good), (2L, corrupt)).toDF("id", "blob")
+    val out = Multimodal.sceneCuts(blobs, "id", "blob", tauPerPixel = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(4)))
+    assert(out.forall(_._1 == 1L), "corrupt blob must contribute no rows")
+    assert(out.sortBy(_._2).toSeq == Seq((1L, 1, 1), (1L, 2, 0), (1L, 3, 1)))
+  }
 }
