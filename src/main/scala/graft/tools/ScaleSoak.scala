@@ -266,7 +266,11 @@ object ScaleSoak {
     // (distinct-(group, value) agg — l_quantity's value space is
     // FIXED, so the cum window is flat at 10×)
     "q205_asof_nearest", "q206_apportioned_split", "q207_epoch_upsample",
-    "q208_stream_upsert", "q209_weighted_median")
+    "q208_stream_upsert", "q209_weighted_median",
+    // scene cuts: nation-keyed fixture (25 blobs at ANY sf — like
+    // q114/q116, the soak proves the fixed floor, not data scaling;
+    // the decode walk is blob-linear by construction)
+    "q210_scene_cuts")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
