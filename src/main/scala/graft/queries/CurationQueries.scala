@@ -67,6 +67,25 @@ object CurationQueries {
   private val classifierBuckets = 1024
 
   val queries: Map[String, Q] = Map(
+    // deterministic stratified k-fold CV assignment: per-language
+    // salted-md5 rank mod 5 — fold sizes within a stratum differ by at
+    // most one, membership a pure function of (seed, corpus).
+    "q211_kfold_assign" -> { (s, d) =>
+      Curation.kFoldAssign(documents(s, d).select("doc_id", "lang"),
+        "lang", "doc_id", k = 5, seed = "r11")
+        .orderBy("doc_id")
+    },
+
+    // per-group quantile transform: n_chars percentile-rank normalized
+    // to [0,1] per language — (rank-1)/(n-1) with id tie-break, an
+    // IEEE quotient of exact integers.
+    "q212_quantile_transform" -> { (s, d) =>
+      Curation.quantileTransform(
+        documents(s, d).select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // EXACT-count split assignment: largest-remainder (Hamilton)
     // apportionment of 80/10/10 over the corpus count — split SIZES
     // are the exact apportioned integers (q126's hash split is a rate,
@@ -610,6 +629,26 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // same md5 order, same rank-mod-k arithmetic.
+    "q211_kfold_assign" ->
+      """SELECT doc_id, lang,
+        |  CAST((row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(concat('fold:r11:', CAST(doc_id AS VARCHAR))),
+        |      doc_id) - 1) % 5 AS BIGINT) AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same (value, id) rank and (rank-1)/(n-1) quotient.
+    "q212_quantile_transform" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS q_rank,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, q_rank,
+        |  CASE WHEN n = 1 THEN 0.0
+        |    ELSE (q_rank - 1)::DOUBLE / (n - 1)::DOUBLE END AS quantile
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     // the same largest-remainder arithmetic in SQL over the same
     // (shard, md5, id) global order.
     "q206_apportioned_split" -> {

@@ -634,6 +634,61 @@ object Curation {
       .select(col(idCol), split.as("split"))
   }
 
+  /** Deterministic STRATIFIED K-FOLD assignment (cross-validation
+    * folds): within each stratum, rows rank on a salted md5 order and
+    * fold = rank mod k — fold sizes within a stratum differ by at most
+    * one (exact balance, not hash-rate approximation), and the
+    * assignment is a pure function of (seed, corpus). One hash
+    * exchange on the stratum key + a per-stratum window — the
+    * q125/q133 shape.
+    *
+    * Returns the input columns plus `fold` ∈ [0, k). */
+  def kFoldAssign(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int, seed: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val clash = df.columns.toSet.intersect(Set("fold", "__fk"))
+    require(clash.isEmpty,
+      s"kFoldAssign adds columns ${clash.mkString(", ")} the input " +
+        "already has — rename them first")
+    val key = TextOps.md5Hex(
+      concat(lit(s"fold:$seed:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__fk"), col(idCol))
+    df.withColumn("__fk", key)
+      .withColumn("fold",
+        pmod(row_number().over(w).cast("long") - 1L, lit(k.toLong)))
+      .drop("__fk")
+  }
+
+  /** Per-group QUANTILE TRANSFORM (percentile-rank normalization, the
+    * feature-engineering step that maps any distribution to [0, 1]):
+    * each value maps to (rank − 1) / (n − 1) with `rank` its 1-based
+    * position in the group's (value, id) order — an IEEE quotient of
+    * exact integers, endpoints exactly 0 and 1, singleton groups 0.
+    * Ties break by id so the rank — and the quotient — is
+    * engine-reproducible (the averaged-tie variant is a different
+    * contract; this one keeps the map injective per row).
+    *
+    * One hash exchange + per-group window. Returns the input columns
+    * plus (q_rank, quantile). */
+  def quantileTransform(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val clash = df.columns.toSet.intersect(Set("q_rank", "quantile", "__n"))
+    require(clash.isEmpty,
+      s"quantileTransform adds columns ${clash.mkString(", ")} the " +
+        "input already has — rename them first")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    df.withColumn("q_rank", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("quantile",
+        when(col("__n") === 1, 0.0)
+          .otherwise((col("q_rank") - 1L).cast("double") /
+            (col("__n") - 1L).cast("double")))
+      .drop("__n")
+  }
+
   /** Fractional-EPOCH upsampling (training-mix staple: "2.5 epochs of
     * source X"): each row replicates ⌊e⌋ times plus one more for a
     * deterministic hash-chosen fraction of rows — so 2.5 epochs means

@@ -682,6 +682,57 @@ class CurationSpec extends SparkSpecBase {
     assert(tc == Map("a" -> 1, "b" -> 1, "c" -> 2))
   }
 
+  test("kFoldAssign: exact per-stratum balance, deterministic, disjoint") {
+    import graft.text.Curation
+    val s = spark; import s.implicits._
+    // two strata of 11 and 7 rows; k=3 -> fold sizes {4,4,3} and {3,2,2}
+    val df = ((1L to 11L).map(i => (i, "a")) ++
+      (100L to 106L).map(i => (i, "b"))).toDF("id", "g")
+    val out = Curation.kFoldAssign(df, "g", "id", k = 3, seed = "s1")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.forall(t => t._3 >= 0 && t._3 < 3))
+    val sizes = out.groupBy(t => (t._2, t._3)).view.mapValues(_.length)
+    assert(sizes.values.forall(n => n >= 2 && n <= 4))
+    // within each stratum, fold sizes differ by at most one
+    for (g <- Seq("a", "b")) {
+      val ns = (0L to 2L).map(f => sizes.getOrElse((g, f), 0))
+      assert(ns.max - ns.min <= 1, s"stratum $g sizes $ns")
+    }
+    // pure function of (seed, corpus): layout-invariant
+    val again = Curation.kFoldAssign(df.repartition(7), "g", "id", 3, "s1")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a different seed shuffles membership (folds differ for some row)
+    val other = Curation.kFoldAssign(df, "g", "id", 3, "s2")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.exists(t => other(t._1) != t._3))
+    // column-clash guard
+    intercept[IllegalArgumentException] {
+      Curation.kFoldAssign(df.withColumn("fold", lit(1)), "g", "id", 3, "s")
+    }
+  }
+
+  test("quantileTransform: endpoints exact, ties id-broken, singleton 0") {
+    import graft.text.Curation
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L),
+      (4L, "a", 40L), (9L, "b", 7L)).toDF("id", "g", "v")
+    val out = Curation.quantileTransform(df, "g", "v", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    // group a: ranks 1..4 over (v, id) order -> quantiles 0, 1/3, 2/3, 1
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L, 1L))
+    assert(out(0)._3 == 0.0 && out(3)._3 == 1.0)
+    assert(out(1)._3 == 1.0 / 3 && out(2)._3 == 2.0 / 3)
+    // singleton group maps to 0
+    assert(out(4)._3 == 0.0)
+    // layout invariance
+    val again = Curation.quantileTransform(df.repartition(5), "g", "v", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("epochUpsample: floor copies + deterministic fractional extras") {
     import graft.text.Curation
     val s = spark; import s.implicits._
