@@ -77,6 +77,34 @@ object VectorQueries {
       .agg((max(abs(col("__d"))) === 0).cast("long").as(flag))
 
   val queries: Map[String, Q] = Map(
+    // hybrid retrieval: reciprocal-rank fusion of the q157 BM25 lexical
+    // ranking with the q50 cosine vector ranking, per probe — the
+    // integer-exact `scale div (K + rank)` RRF score makes the fused
+    // value itself cross-engine-reproducible, not just the order.
+    "q213_hybrid_rrf" -> { (s, d) =>
+      val C = 50
+      val emb = embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 3)
+        .withColumnRenamed("vec_id", "probe_id")
+      val vecTop = VectorOps.nnJoin(emb, probes, "embedding", "vec_id",
+          "probe_id", k = C)
+        .select(col("probe_id"), col("vec_id").as("doc_id"), col("rank"))
+      // the lexical list is global (fixed query-term set) and top-C
+      // bounded; rank it once, then fan it out to the 3 probes — a
+      // broadcast of ≤ C rows, never corpus-sized
+      val txtRank = graft.text.CorpusOps.bm25TopK(Tables.documents(s, d),
+          "doc_id", "text", CurationQueries.bm25Terms, C)
+        .select(col("doc_id"), row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id").asc)).as("rank"))
+      val txtPerProbe = probes.select(col("probe_id"))
+        .crossJoin(broadcast(txtRank))
+      graft.text.CorpusOps.rrfFuse(vecTop, txtPerProbe, "probe_id",
+          "doc_id", "rank", k = 10)
+        .withColumnRenamed("r_a", "r_vec").withColumnRenamed("r_b", "r_txt")
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
     // brute-force cosine top-k nn join (reference vector_nn_join,
     // datastream.py:396-476); probes = first 5 vectors of the table.
     "q50_vector_nn" -> { (s, d) =>

@@ -390,4 +390,53 @@ object CorpusOps {
       .select(col(idCol), col("kw_rank"), col("token"), col("tf"),
         col("df"), col("score"))
   }
+  /** Reciprocal-rank fusion (RRF) of two top-C rank lists — the hybrid
+    * retrieval combiner that merges a lexical ranking (BM25, q157) with
+    * a vector ranking (cosine ANN, q50/q55) per probe:
+    * score(d) = Σ_list 1/(K + rank_list(d)), unranked lists contribute
+    * 0. Computed INTEGER-EXACT as `scale div (K + rank)` (int64 floor
+    * division, positive domain) so the fused score — not just the
+    * order — is engine-reproducible. K = 60 is the standard RRF
+    * constant; `scale` = 10¹² keeps three distinct contributions well
+    * below 2⁶³ while separating every (K + rank) value below ~10⁶.
+    *
+    * Inputs are two rank relations (groupCol, idCol, rankCol) with
+    * rank ≥ 1 (each group's list is the caller-bounded top-C — the
+    * fusion never sees the corpus, only 2·C rows per group). Missing
+    * ranks surface as the sentinel 0, NOT null, so downstream hashes
+    * and cross-engine compares never meet engine-specific null
+    * ordering.
+    *
+    * Scale shape (100 TB): one hash full-outer join on (group, id)
+    * over top-C-bounded lists + a per-group window over ≤ 2·C rows —
+    * cost ∝ probes·C regardless of corpus size; the expensive parts
+    * (BM25 stats, ANN pruning) stay in their own scale-shaped
+    * operators upstream.
+    *
+    * Returns (groupCol, idCol, r_a, r_b, rrf, rank), rank 1-based by
+    * (rrf desc, id asc), filtered to the fused top-`k`. */
+  def rrfFuse(a: DataFrame, b: DataFrame, groupCol: String, idCol: String,
+      rankCol: String, k: Int, kRrf: Long = 60L,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(kRrf >= 0 && scale > 0, s"bad kRrf=$kRrf / scale=$scale")
+    def side(df: DataFrame, as: String) =
+      df.select(col(groupCol).as("__g"), col(idCol).as("__i"),
+        col(rankCol).cast("long").as(as))
+    // USING-join coalesces the (group, id) key across both sides
+    val j = side(a, "r_a").join(side(b, "r_b"), Seq("__g", "__i"),
+        "full_outer")
+      .select(col("__g").as(groupCol), col("__i").as(idCol),
+        coalesce(col("r_a"), lit(0L)).as("r_a"),
+        coalesce(col("r_b"), lit(0L)).as("r_b"))
+    def contrib(r: String) = expr(
+      s"CASE WHEN $r > 0 THEN $scale div ($kRrf + $r) " +
+        "ELSE CAST(0 AS BIGINT) END")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+    j.withColumn("rrf", (contrib("r_a") + contrib("r_b")).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }
