@@ -628,7 +628,7 @@ object CurationQueries {
     "WITH " + (base +: rounds).mkString(",\n") + "\n" + sel + "\nORDER BY rank"
   }
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = Map(
     // same md5 order, same rank-mod-k arithmetic.
     "q211_kfold_assign" ->
       """SELECT doc_id, lang,

@@ -528,7 +528,7 @@ object TextDedupQueries {
     s"CASE $whens ELSE 'unknown' END"
   }
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = Map(
     // membership stated from raw text — the index is invisible to the
     // oracle, which is the point: the stored structure must reproduce
     // exactly what a corpus scan would say.

@@ -90,15 +90,18 @@ object VectorQueries {
           "probe_id", k = C)
         .select(col("probe_id"), col("vec_id").as("doc_id"), col("rank"))
       // the lexical list is global (fixed query-term set) and top-C
-      // bounded; rank it once, then fan it out to the 3 probes — a
-      // broadcast of ≤ C rows, never corpus-sized
+      // bounded; rank it once, then fan it out to the probes with a pure
+      // projection — the probe ids are a bounded driver set (the q50
+      // probe-batch contract), so explode(lit(ids)) replaces any join
       val txtRank = graft.text.CorpusOps.bm25TopK(Tables.documents(s, d),
           "doc_id", "text", CurationQueries.bm25Terms, C)
         .select(col("doc_id"), row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("score").desc, col("doc_id").asc)).as("rank"))
-      val txtPerProbe = probes.select(col("probe_id"))
-        .crossJoin(broadcast(txtRank))
+      val probeIds: Array[Long] = probes.select(col("probe_id"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      val txtPerProbe = txtRank.select(
+        explode(lit(probeIds)).as("probe_id"), col("doc_id"), col("rank"))
       graft.text.CorpusOps.rrfFuse(vecTop, txtPerProbe, "probe_id",
           "doc_id", "rank", k = 10)
         .withColumnRenamed("r_a", "r_vec").withColumnRenamed("r_b", "r_txt")
@@ -372,7 +375,68 @@ object VectorQueries {
     }
   )
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = Map(
+    // RRF hybrid fusion: the q50 cosine-rank CTE (probes = vec_id < 3,
+    // top-50) + the q157 rational-BM25 CTE (top-50, score > 0) fused by
+    // the integer-exact `scale // (60 + rank)` contribution, sentinel 0
+    // for a missing side, rrf-desc/doc-id tie-break, top-10 cut.
+    "q213_hybrid_rrf" -> {
+      val terms = CurationQueries.bm25Terms
+      val tfSelects = terms.map(t =>
+        s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf_$t")
+      val dfSelects = terms.map(t =>
+        s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_tf_$t")
+      val termSql = terms.map { t =>
+        s"((CAST(n_docs AS DOUBLE) - CAST(df_tf_$t AS DOUBLE) + 1.0) / " +
+          s"(CAST(df_tf_$t AS DOUBLE) + 1.0)) * " +
+          s"((22.0 * CAST(tf_$t AS DOUBLE) * CAST(total_len AS DOUBLE)) / " +
+          s"(10.0 * CAST(tf_$t AS DOUBLE) * CAST(total_len AS DOUBLE) + " +
+          s"3.0 * CAST(total_len AS DOUBLE) + " +
+          s"9.0 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)))"
+      }.mkString(" + ")
+      s"""WITH ne AS (SELECT vec_id, ${duckNorm("embedding")} AS nv FROM embeddings),
+         |sims AS (
+         |  SELECT p.vec_id AS probe_id, e.vec_id AS doc_id,
+         |    ${duckDot("e.nv", "p.nv")} AS sim
+         |  FROM ne e CROSS JOIN (SELECT * FROM ne WHERE vec_id < 3) p),
+         |vrank AS (
+         |  SELECT probe_id, doc_id, CAST(rnk AS BIGINT) AS r_vec
+         |  FROM (SELECT probe_id, doc_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY sim DESC, doc_id) AS rnk FROM sims)
+         |  WHERE rnk <= 50),
+         |toks AS (SELECT doc_id, ${TextDedupQueries.toksSql("text")} AS t FROM documents),
+         |tbase AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         |  ${tfSelects.mkString(",\n  ")} FROM toks),
+         |tstats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dl) AS BIGINT) AS total_len,
+         |  ${dfSelects.mkString(",\n  ")} FROM tbase),
+         |tscored AS (SELECT doc_id, $termSql AS score FROM tbase, tstats),
+         |trank AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |    AS BIGINT) AS r_txt
+         |  FROM (SELECT doc_id, score FROM tscored WHERE score > 0.0
+         |        ORDER BY score DESC, doc_id LIMIT 50)),
+         |tp AS (SELECT p.probe_id, t.doc_id, t.r_txt
+         |  FROM (SELECT DISTINCT vec_id AS probe_id FROM embeddings
+         |        WHERE vec_id < 3) p CROSS JOIN trank t),
+         |fused AS (SELECT coalesce(v.probe_id, t.probe_id) AS probe_id,
+         |    coalesce(v.doc_id, t.doc_id) AS doc_id,
+         |    coalesce(v.r_vec, 0) AS r_vec, coalesce(t.r_txt, 0) AS r_txt
+         |  FROM vrank v FULL OUTER JOIN tp t
+         |    ON v.probe_id = t.probe_id AND v.doc_id = t.doc_id),
+         |sc AS (SELECT probe_id, doc_id, r_vec, r_txt,
+         |    CAST(CASE WHEN r_vec > 0 THEN 1000000000000 // (60 + r_vec)
+         |          ELSE 0 END
+         |      + CASE WHEN r_txt > 0 THEN 1000000000000 // (60 + r_txt)
+         |          ELSE 0 END AS BIGINT) AS rrf
+         |  FROM fused)
+         |SELECT probe_id, doc_id, r_vec, r_txt, rrf, CAST(rnk AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY rrf DESC, doc_id) AS rnk FROM sc)
+         |WHERE rnk <= 10 ORDER BY probe_id, rank""".stripMargin
+    },
+
     // the same ±1 matrix (generated from the shared jlSign constants,
     // the Dedup.hashCoeffs precedent) over the same left-assoc chain.
     "q199_jl_projection" -> {

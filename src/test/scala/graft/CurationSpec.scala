@@ -335,6 +335,46 @@ class CurationSpec extends SparkSpecBase {
     assert(out(3L) > out(2L))
   }
 
+  test("rrfFuse: full-outer sentinel-0 semantics, integer score, tie-break, top-k cut") {
+    val s = spark
+    import s.implicits._
+    // group g: doc 10 in both lists, doc 11 vector-only, doc 12
+    // lexical-only; group h: single doc to prove group isolation
+    val vec = Seq(("g", 10L, 1L), ("g", 11L, 2L), ("h", 30L, 1L))
+      .toDF("grp", "id", "r")
+    val txt = Seq(("g", 10L, 2L), ("g", 12L, 1L))
+      .toDF("grp", "id", "r")
+    val out = graft.text.CorpusOps
+      .rrfFuse(vec, txt, "grp", "id", "r", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val S = 1000000000000L
+    def c(r: Long) = if (r > 0) S / (60 + r) else 0L
+    // both-sides doc sums both contributions; single-side docs carry a
+    // 0 sentinel for the missing rank
+    assert(out(("g", 10L)) == ((1L, 2L, c(1) + c(2), 1L)))
+    // c(1) > c(2): the lexical-only doc at rank 1 outranks the
+    // vector-only doc at rank 2
+    assert(out(("g", 12L)) == ((0L, 1L, c(1), 2L)))
+    assert(out(("g", 11L)) == ((2L, 0L, c(2), 3L)))
+    assert(out(("h", 30L)) == ((1L, 0L, c(1), 1L)))
+    // 11 and 12 tie on rrf (c(2) vs c(1)? no — c(2) < c(1)); build an
+    // exact tie instead: two vector-only docs at the same rank cannot
+    // exist, so tie via symmetric single-side ranks
+    val tieA = Seq(("g", 1L, 5L)).toDF("grp", "id", "r")
+    val tieB = Seq(("g", 2L, 5L)).toDF("grp", "id", "r")
+    val tied = graft.text.CorpusOps
+      .rrfFuse(tieA, tieB, "grp", "id", "r", k = 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(5)).toMap
+    // equal rrf -> id ascending breaks the tie deterministically
+    assert(tied == Map(1L -> 1L, 2L -> 2L))
+    // top-k cut: k=1 keeps only the best fused doc per group
+    val cut = graft.text.CorpusOps
+      .rrfFuse(vec, txt, "grp", "id", "r", k = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(cut == Set(("g", 10L), ("h", 30L)))
+  }
+
   test("funnel: strict-after chaining, suffix nulls, tie at entry instant") {
     val s = spark
     import s.implicits._

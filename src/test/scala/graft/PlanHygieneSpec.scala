@@ -46,7 +46,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q171_ivf_persistent", "q176_ivf_pq",
     // negative mining: different-label theta join against the bounded
     // broadcast anchor batch (the q50 probe contract)
-    "q182_negative_sampling")
+    "q182_negative_sampling",
+    // hybrid RRF: contains q157's one-row corpus-stats cross inside its
+    // bm25TopK sub-plan (the lexical fan-out itself is an explode
+    // projection, not a join)
+    "q213_hybrid_rrf")
 
   /** Built once and shared by all tests — several catalog queries do
     * eager work (sink writes, collects) at construction time, so planning
@@ -113,7 +117,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     // the int8 variant of q50: same bounded probe-set broadcast
     "q165_quantized_nn",
     // negative mining: the anchor batch is the bounded broadcast side
-    "q182_negative_sampling")
+    "q182_negative_sampling",
+    // hybrid RRF: contains q50's nnJoin sub-plan, whose broadcast side
+    // is the bounded probe set (vec_id < 3) by the probe-batch contract
+    "q213_hybrid_rrf")
 
   test("no query hint-forces a broadcast of a raw corpus-table scan") {
     import graft.tools.BroadcastAudit
