@@ -454,8 +454,8 @@ object TimeSeriesQueries {
         |j AS (SELECT a.n AS n_a, a.c AS c_a, b.n AS n_b, b.c AS c_b
         |  FROM arms a, arms b WHERE a.v = 0 AND b.v = 1),
         |z AS (SELECT *,
-        |  CAST((c_a*n_b - c_b*n_a) * (c_a*n_b - c_b*n_a) * (n_a+n_b) AS BIGINT) AS z2_num,
-        |  CAST(n_a*n_b * (c_a+c_b) * (n_a+n_b-c_a-c_b) AS BIGINT) AS z2_den
+        |  CAST((c_a*n_b - c_b*n_a) * (c_a*n_b - c_b*n_a) * (n_a+n_b) AS DECIMAL(38,0)) AS z2_num,
+        |  CAST(n_a*n_b * (c_a+c_b) * (n_a+n_b-c_a-c_b) AS DECIMAL(38,0)) AS z2_den
         |  FROM j)
         |SELECT n_a, c_a, n_b, c_b,
         |  c_a::DOUBLE / n_a::DOUBLE AS rate_a,

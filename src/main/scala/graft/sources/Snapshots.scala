@@ -125,6 +125,31 @@ object Snapshots {
     require(ops.drop(1).forall(_ == "append"),
       s"readStream requires an append-only table; $dir has " +
         s"post-initial overwrite commits (${ops.mkString(", ")})")
+    // the data/* glob matches files directly under each commit dir —
+    // a hive-PARTITIONED table (write(..., partitionBy)) nests files
+    // one level deeper under col=val/ dirs whose partition column
+    // exists only in the directory name, so the stream would miss the
+    // column (or the files entirely); reject it loudly here
+    val root = Paths.get(dir)
+    val hasPartitionDirs = currentSnapshotId(dir).toSeq
+      .flatMap(id => readManifest(root, id).dataDirs)
+      .exists { p =>
+        val d = root.resolve(p)
+        Files.isDirectory(d) && {
+          val s = Files.list(d)
+          try s.anyMatch(c => Files.isDirectory(c))
+          finally s.close()
+        }
+      }
+    require(!hasPartitionDirs,
+      s"readStream supports only UNPARTITIONED snapshot tables; $dir " +
+        "has hive-partition subdirectories under its commit dirs " +
+        "(partition columns live in dir names the flat data/* glob " +
+        "cannot resolve)")
+    // NOTE: the append-only contract is checked ONCE, at stream
+    // construction — an overwrite commit made AFTER the stream starts
+    // is not detected (the old files keep replaying); coordinate
+    // writers accordingly.
     val schema = read(spark, dir).schema
     spark.readStream.schema(schema).parquet(s"$dir/data/*")
   }

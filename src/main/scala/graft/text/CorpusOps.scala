@@ -197,29 +197,38 @@ object CorpusOps {
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.distinct.size == terms.size,
+      s"bm25TopK terms must be distinct (duplicates would alias-clash): $terms")
     require(k > 0, s"k must be positive, got $k")
-    val tfCols = terms.map(t => s"tf_$t")
+    // internal columns named by term INDEX (tf_0, …): a raw term with
+    // '.', a space, or a backtick would mis-resolve in col()/struct
+    // field access; the output aliases back to tf_<term> via as(),
+    // which never parses (q157/q189 pin those output names)
+    val ti = terms.zipWithIndex
     val base = df.select(Seq(
       col(idCol),
       TextOps.bindOnce(TextOps.tokens(col(textCol))) { tt =>
         struct(size(tt).cast("long").as("dl") +:
-          terms.map(t =>
-            size(filter(tt, x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
+          ti.map { case (t, i) =>
+            size(filter(tt, x => x === lit(t))).cast("long").as(s"tf_$i")
+          }: _*)
       }.as("__s")): _*)
       .select(col(idCol) +: col("__s.dl").as("dl") +:
-        terms.map(t => col(s"__s.tf_$t").as(s"tf_$t")): _*)
+        ti.map { case (_, i) => col(s"__s.tf_$i").as(s"tf_$i") }: _*)
       // the stats aggregate and the scored scan both consume this slim
       // relation; checkpoint so the tokenize runs once (q144 rationale)
       .localCheckpoint(true)
     val stats = base.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_len") +:
-        tfCols.map(c => sum(when(col(c) > 0, 1L).otherwise(0L)).as(s"df_$c")): _*)
+        ti.map { case (_, i) =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_tf_$i")
+        }: _*)
     val nD = col("n_docs").cast("double")
     val lD = col("total_len").cast("double")
-    val score = terms.map { t =>
-      val tf = col(s"tf_$t").cast("double")
-      val dfv = col(s"df_tf_$t").cast("double")
+    val score = ti.map { case (_, i) =>
+      val tf = col(s"tf_$i").cast("double")
+      val dfv = col(s"df_tf_$i").cast("double")
       val idf = (nD - dfv + lit(1.0)) / (dfv + lit(1.0))
       val sat = (lit(22.0) * tf * lD) /
         (lit(10.0) * tf * lD + lit(3.0) * lD + lit(9.0) * col("dl").cast("double") * nD)
@@ -231,7 +240,8 @@ object CorpusOps {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
       .select(col(idCol) +: col("dl") +:
-        tfCols.map(col) :+ col("score"): _*)
+        ti.map { case (t, i) => col(s"tf_$i").as(s"tf_$t") } :+
+        col("score"): _*)
   }
 
   /** Hashed linear text classifier — the fastText-style model-based

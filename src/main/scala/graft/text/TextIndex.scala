@@ -130,16 +130,19 @@ object TextIndex {
   def searchAnd(spark: SparkSession, dir: String, terms: Seq[String],
       snapshotId: Option[Long] = None): DataFrame = {
     require(terms.nonEmpty, "searchAnd needs at least one term")
+    // dedupe up front: a repeated term must not inflate the AND arity
+    // (countDistinct could never reach a duplicated terms.size)
+    val ts = terms.distinct
     val nb = readNBuckets(spark, dir)
-    val buckets = terms.map(bucketOf(_, nb)).distinct
+    val buckets = ts.map(bucketOf(_, nb)).distinct
     Snapshots.read(spark, s"$dir/postings", snapshotId)
       .filter(col("bucket").isin(buckets.map(Int.box): _*) &&
-        col("tok").isin(terms: _*))
+        col("tok").isin(ts: _*))
       .groupBy("doc_id")
       // countDistinct (not count): append-mode re-index of an id stays
       // a membership test instead of inflating the term tally
       .agg(countDistinct(col("tok")).as("n_terms"))
-      .filter(col("n_terms") === terms.size)
+      .filter(col("n_terms") === ts.size)
       .select("doc_id", "n_terms")
   }
 
@@ -162,18 +165,25 @@ object TextIndex {
   def searchBm25(spark: SparkSession, dir: String, terms: Seq[String],
       k: Int, snapshotId: Option[Long] = None): DataFrame = {
     require(terms.nonEmpty, "searchBm25 needs at least one term")
+    require(terms.distinct.size == terms.size,
+      s"searchBm25 terms must be distinct (duplicates would alias-clash): $terms")
     require(k > 0, s"k must be positive, got $k")
     val nb = readNBuckets(spark, dir)
     val buckets = terms.map(bucketOf(_, nb)).distinct
     val lens = Snapshots.read(spark, s"$dir/doclens", snapshotId)
       .select(col("doc_id"), col("n_toks").as("dl"))
-    // terms-wide tf pivot over the pruned hits: tf_<t> = stored tf for
-    // the (doc, term) posting, 0 when the doc lacks the term — exactly
-    // the per-doc counters bm25TopK computes scan-side. Docs with no
-    // query term never enter (score > 0 excludes them anyway).
-    val tfAggs = terms.map { t =>
+    // terms-wide tf pivot over the pruned hits: internal columns are
+    // named by term INDEX (tf_0, tf_1, …) — a raw term containing '.',
+    // a space, or a backtick would mis-resolve in col() — and aliased
+    // back to tf_<term> only in the final select (as() never parses).
+    // tf_i = stored tf for the (doc, term_i) posting, 0 when the doc
+    // lacks the term — exactly the per-doc counters bm25TopK computes
+    // scan-side. Docs with no query term never enter (score > 0
+    // excludes them anyway).
+    val ti = terms.zipWithIndex
+    val tfAggs = ti.map { case (t, i) =>
       sum(when(col("tok") === t, col("tf").cast("long")).otherwise(0L))
-        .as(s"tf_$t")
+        .as(s"tf_$i")
     }
     val hits = Snapshots.read(spark, s"$dir/postings", snapshotId)
       .filter(col("bucket").isin(buckets.map(Int.box): _*) &&
@@ -183,17 +193,17 @@ object TextIndex {
     // df_t = docs with tf_t > 0: identical over hits and over the full
     // corpus (absent docs contribute tf = 0). N and L come from doclens
     // so they count EVERY document, matching bm25TopK's stats row.
-    val dfAggs = terms.map { t =>
-      sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_tf_$t")
+    val dfAggs = ti.map { case (_, i) =>
+      sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_tf_$i")
     }
     val stats = hits.agg(dfAggs.head, dfAggs.tail: _*)
       .crossJoin(lens.agg(count(lit(1)).as("n_docs"),
         sum(col("dl")).as("total_len")))
     val nD = col("n_docs").cast("double")
     val lD = col("total_len").cast("double")
-    val score = terms.map { t =>
-      val tf = col(s"tf_$t").cast("double")
-      val dfv = col(s"df_tf_$t").cast("double")
+    val score = ti.map { case (_, i) =>
+      val tf = col(s"tf_$i").cast("double")
+      val dfv = col(s"df_tf_$i").cast("double")
       val idf = (nD - dfv + lit(1.0)) / (dfv + lit(1.0))
       val sat = (lit(22.0) * tf * lD) /
         (lit(10.0) * tf * lD + lit(3.0) * lD +
@@ -207,6 +217,7 @@ object TextIndex {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id") +: col("dl") +:
-        terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
+        ti.map { case (t, i) => col(s"tf_$i").as(s"tf_$t") } :+
+        col("score"): _*)
   }
 }

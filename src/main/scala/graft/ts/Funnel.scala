@@ -103,18 +103,26 @@ object EventStats {
     * conversion = the user emitted `convType`. The pooled two-
     * proportion z² statistic clears its floats by cross-multiplying:
     *   z² = (c₁n₂ − c₂n₁)²·(n₁+n₂) / (n₁n₂·c·(n−c))
-    * with n = n₁+n₂, c = c₁+c₂ — an exact rational of int64 products,
-    * so significance at a rational threshold (z² ≥ 3841/1000 ≈ the
-    * two-sided 5% χ²₁ cut) is a pure integer comparison no engine can
-    * flip. (int64 headroom: c₁n₂ < ~3·10⁹ — millions of users per arm;
-    * widen to decimal(38) beyond.)
+    * with n = n₁+n₂, c = c₁+c₂ — an exact rational computed in
+    * DECIMAL(38,0) (128-bit), so significance at a rational threshold
+    * (z² ≥ 3841/1000 ≈ the two-sided 5% χ²₁ cut) is a pure integer
+    * comparison no engine can flip. Headroom: the worst-case bound
+    * (|c₁n₂−c₂n₁| at its n₁n₂ maximum, i.e. p̂₁=1 ∧ p̂₂=0) keeps all
+    * products inside 38 digits for n ≲ 1.7·10⁷ total users; in the
+    * realistic regime (|p̂₁−p̂₂| ≤ 0.1) the binding term is
+    * z2Num·n₁n₂·c·(n−c) and exactness holds to n ≈ 8·10⁸. Beyond,
+    * the readout is LOUD, never wrong: under ANSI the decimal multiply
+    * throws; under non-ANSI the null-guard raises an explicit error
+    * instead of emitting a silently-wrapped flag.
     *
     * Scale shape: one distinct-(user, converted) aggregate (map-
-    * combined) then a 2-row reduction — nothing user-sized leaves the
-    * first exchange.
+    * combined) then ONE unconditional single-row reduction — both arms
+    * come from conditional sums, so an empty arm (or an empty event
+    * set) still yields the one readout row with n=0 and null rates,
+    * never zero rows.
     *
     * Returns one row: (n_a, c_a, n_b, c_b, rate_a, rate_b, z2_num,
-    * z2_den, significant). */
+    * z2_den, significant); z2_num/z2_den are DECIMAL(38,0). */
   def abTest(events: DataFrame, userCol: String, convType: String,
       typeCol: String, seed: String,
       z2Num: Long = 3841L, z2Den: Long = 1000L): DataFrame = {
@@ -122,27 +130,33 @@ object EventStats {
       .agg(max((col(typeCol) === convType).cast("long")).as("__conv"))
       .withColumn("__v", pmod(graft.text.TextOps.portableHash(
         concat(lit(s"ab:$seed:"), col(userCol).cast("string"))), lit(2L)))
-    val arms = users.groupBy(col("__v"))
-      .agg(count(lit(1)).as("n"), sum(col("__conv")).as("c"))
-    val a = arms.filter(col("__v") === 0)
-      .select(col("n").as("n_a"), col("c").as("c_a"))
-    val b = arms.filter(col("__v") === 1)
-      .select(col("n").as("n_b"), col("c").as("c_b"))
-    val num = (col("c_a") * col("n_b") - col("c_b") * col("n_a")) *
-      (col("c_a") * col("n_b") - col("c_b") * col("n_a")) *
-      (col("n_a") + col("n_b"))
-    val den = col("n_a") * col("n_b") *
-      (col("c_a") + col("c_b")) *
-      (col("n_a") + col("n_b") - col("c_a") - col("c_b"))
-    a.crossJoin(b)
-      .withColumn("rate_a", col("c_a").cast("double") / col("n_a").cast("double"))
-      .withColumn("rate_b", col("c_b").cast("double") / col("n_b").cast("double"))
+    def armSum(v: Int, e: org.apache.spark.sql.Column) =
+      coalesce(sum(when(col("__v") === v, e)), lit(0L))
+    val row = users.agg(
+      armSum(0, lit(1L)).as("n_a"), armSum(0, col("__conv")).as("c_a"),
+      armSum(1, lit(1L)).as("n_b"), armSum(1, col("__conv")).as("c_b"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val diff = dec(col("c_a")) * dec(col("n_b")) -
+      dec(col("c_b")) * dec(col("n_a"))
+    val num = diff * diff * dec(col("n_a") + col("n_b"))
+    val den = dec(col("n_a")) * dec(col("n_b")) *
+      dec(col("c_a") + col("c_b")) *
+      dec(col("n_a") + col("n_b") - col("c_a") - col("c_b"))
+    val lhs = dec(lit(z2Den)) * col("z2_num")
+    val rhs = dec(lit(z2Num)) * col("z2_den")
+    row
+      .withColumn("rate_a", when(col("n_a") > 0,
+        col("c_a").cast("double") / col("n_a").cast("double")))
+      .withColumn("rate_b", when(col("n_b") > 0,
+        col("c_b").cast("double") / col("n_b").cast("double")))
       .withColumn("z2_num", num)
       .withColumn("z2_den", den)
       .withColumn("significant",
-        (col("z2_den") > 0 &&
-          lit(z2Den) * col("z2_num") >= lit(z2Num) * col("z2_den"))
-          .cast("int"))
+        when(col("z2_num").isNull || col("z2_den").isNull ||
+            lhs.isNull || rhs.isNull,
+          raise_error(lit("abTest: decimal(38) overflow — arm sizes " +
+            "exceed the exact range; subsample or widen the test")))
+          .otherwise((col("z2_den") > 0 && lhs >= rhs).cast("int")))
   }
 
   /** Event-type TRANSITION MATRIX (first-order Markov chain of user

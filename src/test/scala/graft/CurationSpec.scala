@@ -665,15 +665,26 @@ class CurationSpec extends SparkSpecBase {
     val r = out.head
     val (nA, cA, nB, cB) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     assert(nA + nB == 400L && cA + cB == 60L)
-    // z2 rational restated by hand
+    // z2 rational restated by hand (decimal(38,0) in the readout)
     val num = (cA * nB - cB * nA) * (cA * nB - cB * nA) * (nA + nB)
     val den = nA * nB * (cA + cB) * (nA + nB - cA - cB)
-    assert(r.getLong(6) == num && r.getLong(7) == den)
+    assert(r.getDecimal(6).longValueExact == num &&
+      r.getDecimal(7).longValueExact == den)
     assert(r.getInt(8) == (if (1000L * num >= 3841L * den) 1 else 0))
     // assignment is a pure function of (seed, user): rerun agrees
     val again = graft.ts.EventStats.abTest(ev.repartition(7), "user_id",
       "purchase", "event_type", "s1").collect().head
     assert(again.getLong(0) == nA && again.getLong(1) == cA)
+    // empty arm / empty input: ONE row with zero counts and null rates,
+    // never zero rows (the readout must not silently vanish)
+    val empty = graft.ts.EventStats.abTest(
+      ev.filter($"user_id" < 0), "user_id", "purchase", "event_type", "s1")
+      .collect()
+    assert(empty.length == 1)
+    val e = empty.head
+    assert(e.getLong(0) == 0L && e.getLong(2) == 0L)
+    assert(e.isNullAt(4) && e.isNullAt(5)) // rates null, not 0/0
+    assert(e.getInt(8) == 0) // den = 0 -> not significant, no error
   }
 
   test("transitionMatrix: ordered pairs, marginals, tie-broken by id") {

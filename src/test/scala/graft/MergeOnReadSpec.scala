@@ -153,4 +153,19 @@ class MergeOnReadSpec extends SparkSpecBase {
     }
     assert(ex.getMessage.contains("append-only"))
   }
+
+  test("snapshot readStream refuses hive-partitioned tables loudly") {
+    val s = spark; import s.implicits._
+    import graft.sources.Snapshots
+    // partitioned layout nests files under data/v1/p=…/ — the flat
+    // data/* stream glob would miss the partition column (it exists
+    // only in dir names), so construction must refuse, not misread
+    val dir = java.nio.file.Files.createTempDirectory("snap_part").toString
+    Snapshots.write(Seq((1L, "a", 0), (2L, "b", 1)).toDF("k", "x", "p"),
+      dir, partitionBy = Seq("p"))
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.readStream(s, dir)
+    }
+    assert(ex.getMessage.contains("UNPARTITIONED"))
+  }
 }

@@ -36,8 +36,6 @@ class PlanHygieneSpec extends SparkSpecBase {
     // index-backed BM25: the same one-row stats cross, with the stats
     // row built from the persisted postings/doclens instead of a scan
     "q189_index_bm25",
-    // A/B readout: crosses the two one-row per-arm aggregates
-    "q203_ab_test",
     // quantized NN: the q50 brute-force plan (bounded broadcast probe
     // set by design) on int8 vectors
     "q165_quantized_nn",
