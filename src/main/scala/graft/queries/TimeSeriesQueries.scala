@@ -297,6 +297,33 @@ object TimeSeriesQueries {
       Trailing.trailingCounts(events(s, d), "ts", "user_id",
           widthSec = 3600L, nBuckets = 24)
         .orderBy(col("bucket"))
+    },
+
+    // q181's SCALE companion (round-11 verdict item 4): HLL-sketch
+    // trailing distinct — the cover expansion carries per-bucket
+    // sketches, never per-id rows, so the exchange is grid-sized at
+    // any id cardinality. Gated q54-style: the oracle states the
+    // engine-computed consistency flags as literal 1s (an HLL estimate
+    // has no SQL mirror) plus ONE real value, the exact n_events, which
+    // must ride the sketch path unchanged; ok_ids pins the estimate
+    // within max(2, 10%) of the exact distinct count (HLL rsd ~1.6 %
+    // at lgK 12 — deterministic, no RNG, so the flag cannot flake).
+    "q214_trailing_approx" -> { (s, d) =>
+      val ev = events(s, d)
+      val exact = Trailing.trailingCounts(ev, "ts", "user_id",
+          widthSec = 3600L, nBuckets = 24)
+        .select(col("bucket"), col("n_ids").as("__exact_ids"),
+          col("n_events").as("__exact_ev"))
+      Trailing.approxTrailingCounts(ev, "ts", "user_id",
+          widthSec = 3600L, nBuckets = 24)
+        .join(exact, "bucket")
+        .select(col("bucket"), col("__exact_ev").as("n_events"),
+          (col("n_events") === col("__exact_ev")).cast("long")
+            .as("ok_events"),
+          (abs(col("n_ids") - col("__exact_ids")) <=
+            greatest(lit(2L), (col("__exact_ids").cast("double") * 0.1)
+              .cast("long"))).cast("long").as("ok_ids"))
+        .orderBy(col("bucket"))
     }
   )
 
@@ -609,6 +636,19 @@ object TimeSeriesQueries {
         |SELECT g.bucket,
         |  CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_ids,
         |  CAST(coalesce(sum(u.n), 0) AS BIGINT) AS n_events
+        |FROM grid g LEFT JOIN uh u ON u.h BETWEEN g.bucket - 23 AND g.bucket
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q54's bound-flag pattern: exact n_events restated from the raw
+    // events; the HLL-vs-exact flags are stated as literal 1s.
+    "q214_trailing_approx" ->
+      """WITH uh AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS mn, max(h) AS mx FROM uh),
+        |grid AS (SELECT unnest(generate_series(mn, mx)) AS bucket FROM b)
+        |SELECT g.bucket,
+        |  CAST(coalesce(sum(u.n), 0) AS BIGINT) AS n_events,
+        |  CAST(1 AS BIGINT) AS ok_events, CAST(1 AS BIGINT) AS ok_ids
         |FROM grid g LEFT JOIN uh u ON u.h BETWEEN g.bucket - 23 AND g.bucket
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )

@@ -277,7 +277,12 @@ object ScaleSoak {
     // strata counts grow, per-stratum work fixed) and hybrid RRF (the
     // q50 probe broadcast + q157 scan-bounded BM25 + a ≤(3·C + C)-row
     // fusion join — ratio must track the two retrieval legs)
-    "q211_kfold_assign", "q212_quantile_transform", "q213_hybrid_rrf")
+    "q211_kfold_assign", "q212_quantile_transform", "q213_hybrid_rrf",
+    // q181's HLL companion: the ratio must beat the exact form's 3.7 —
+    // its exchange is grid-sized, so only the first-pass scan grows
+    // (the gate also re-runs the exact form for its flags; the
+    // operator-only ratio is bounded above by the gate's)
+    "q214_trailing_approx")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

@@ -52,4 +52,55 @@ object Trailing {
         coalesce(col("n_ids"), lit(0L)).as("n_ids"),
         coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
+
+  /** The SCALE companion of [[trailingCounts]] (round-11 verdict item
+    * 4): same grid, same trailing-window semantics, but the distinct
+    * count is a Datasketches HLL estimate and — the structural win —
+    * the cover expansion carries per-bucket SKETCHES, not per-id rows.
+    * [[trailingCounts]]'s exchange is (distinct ids × nBuckets) rows:
+    * exact by contract, and at 10× ids it does honestly 10× more
+    * distinct work (the measured 3.7 soak). Here each source bucket is
+    * first reduced to ONE (sketch, n_events) row (map-combined HLL
+    * partials), the ×nBuckets explode replicates those bucket-count-
+    * sized rows, and each window unions its nBuckets sketches — the
+    * shuffled volume is buckets × nBuckets × sketch-bytes, INDEPENDENT
+    * of id cardinality. At 100 TB (billions of ids, thousands of
+    * buckets) that is the difference between a data-sized and a
+    * grid-sized exchange.
+    *
+    * `n_events` rides the same reduced rows and stays EXACT (a sum
+    * commutes with the reduction); only `n_ids` is estimated —
+    * Datasketches HLL, deterministic for a given input multiset, with
+    * relative error ~1.04/√2^lgK (~1.6 % at the default lgK 12).
+    *
+    * Output: (bucket, n_ids, n_events) like the exact form, n_ids the
+    * HLL estimate cast to long. */
+  def approxTrailingCounts(df: DataFrame, tsCol: String, idCol: String,
+      widthSec: Long, nBuckets: Int, lgK: Int = 12): DataFrame = {
+    require(widthSec > 0, s"width must be positive, got $widthSec")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(lgK >= 4 && lgK <= 21, s"lgK out of Datasketches range: $lgK")
+    val w = widthSec * 1000000L
+    val bucket = (unix_micros(col(tsCol)) / w).cast("long")
+    // ONE row per source bucket: the HLL sketch of its ids + its event
+    // count — the only pass that touches data-sized rows, map-combined
+    val perBucket = df.select(col(idCol).as("__id"), bucket.as("__b"))
+      .groupBy(col("__b"))
+      .agg(expr(s"hll_sketch_agg(__id, $lgK)").as("__sk"),
+        count(lit(1)).as("__n"))
+    // cover expansion over SKETCH rows: buckets × nBuckets, id-free
+    val cover = perBucket.select(col("__sk"), col("__n"),
+      explode(expr(s"sequence(__b, __b + ${nBuckets - 1})")).as("__t"))
+    val counts = cover.groupBy(col("__t"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk))")
+          .cast("long").as("n_ids"),
+        sum(col("__n")).as("n_events"))
+    val grid = perBucket
+      .agg(min(col("__b")).as("__mn"), max(col("__b")).as("__mx"))
+      .select(explode(expr("sequence(__mn, __mx)")).as("bucket"))
+    grid.join(counts, grid("bucket") === counts("__t"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_ids"), lit(0L)).as("n_ids"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
 }

@@ -78,4 +78,28 @@ class ResampleSpec extends SparkSpecBase {
       (2L, 0L, 0L), // gap: nothing in {b1,b2}
       (3L, 1L, 1L))) // u1 in b3; b4 clipped (past stream end)
   }
+
+  test("approxTrailingCounts: agrees with exact at small cardinality, exact n_events") {
+    import graft.ts.Trailing
+    // same fixture as the exact test — Datasketches HLL is exact far
+    // below 2^lgK entries, so every estimate must equal the exact count
+    val ev = Seq((1L, 5L), (1L, 50L), (2L, 10L), (1L, 190L))
+      .map { case (u, s) => (u, ts(s)) }.toDF("u", "t")
+    val out = Trailing.approxTrailingCounts(ev, "t", "u", widthSec = 60L,
+        nBuckets = 2)
+      .orderBy("bucket").as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (0L, 2L, 3L), (1L, 2L, 3L), (2L, 0L, 0L), (3L, 1L, 1L)))
+    // determinism under layout: sketches merge associatively
+    val again = Trailing.approxTrailingCounts(ev.repartition(7), "t", "u",
+        widthSec = 60L, nBuckets = 2)
+      .orderBy("bucket").as[(Long, Long, Long)].collect().toSeq
+    assert(again === out)
+    // the structural claim: the cover expansion must NOT key on ids —
+    // its exchange carries one row per (source bucket, target), so the
+    // pre-union aggregate keyed on __b alone must appear in the plan
+    val plan = Trailing.approxTrailingCounts(ev, "t", "u", 60L, 2)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("hll_sketch_agg") && plan.contains("hll_union_agg"))
+  }
 }
