@@ -519,6 +519,24 @@ object CurationQueries {
         .orderBy("id")
     },
 
+    // blocking-FREE exact edit-distance join (dedup/EdJoin, the
+    // PassJoin segment pigeonhole): same corpus as q179 but no caller
+    // blocking key — candidates come from 8-char segment-key equality,
+    // so the pair set is the LOSSLESS quadratic truth (a strict
+    // superset of q179's block-limited edges when near pairs straddle
+    // prefix blocks). Oracle = the exhaustive O(n²) scan.
+    "q215_edjoin" -> { (s, d) =>
+      val base = documents(s, d).select(col("doc_id").as("id"),
+        lower(substring(col("text"), 1, 24)).as("s"))
+      val variants = base.filter(col("id") % 3 === 0)
+        .select((col("id") + 500000000L).as("id"),
+          concat(substring(col("s"), 1, 9), lit("q"),
+            expr("substring(s, 11)")).as("s"))
+      graft.dedup.EdJoin
+        .matchPairs(base.unionByName(variants), "id", "s", maxDist = 2)
+        .orderBy("id_1", "id_2")
+    },
+
     // exact tie-corrected ROC-AUC (agg/Eval.scala): n_chars scoring
     // lang='en' — heavy score ties, so the gate exercises the tie term;
     // the rational (num2, den2) is exact integers, `auc` their IEEE
@@ -1206,6 +1224,22 @@ object CurationQueries {
         |SELECT ent.id, ent.entity_id, sz.n_members,
         |  ent.id = ent.entity_id AS is_canonical
         |FROM ent JOIN sz USING (entity_id) ORDER BY ent.id""".stripMargin,
+
+    // exhaustive quadratic brute force — the lossless contract the
+    // segment-pigeonhole candidates must reproduce exactly.
+    "q215_edjoin" ->
+      """WITH base AS (SELECT doc_id AS id,
+        |    lower(substring(text, 1, 24)) AS s FROM documents),
+        |recs AS (SELECT id, s FROM base
+        |  UNION ALL
+        |  SELECT id + 500000000,
+        |    concat(substring(s, 1, 9), 'q', substring(s, 11))
+        |  FROM base WHERE id % 3 = 0)
+        |SELECT a.id AS id_1, b.id AS id_2,
+        |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        |FROM recs a JOIN recs b
+        |  ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
+        |WHERE levenshtein(a.s, b.s) <= 2 ORDER BY 1, 2""".stripMargin,
 
     "q185_auc_exact" ->
       """WITH s AS (SELECT n_chars AS sc,

@@ -282,7 +282,12 @@ object ScaleSoak {
     // its exchange is grid-sized, so only the first-pass scan grows
     // (the gate also re-runs the exact form for its flags; the
     // operator-only ratio is bounded above by the gate's)
-    "q214_trailing_approx")
+    "q214_trailing_approx",
+    // blocking-free exact ed-join: candidates from segment-key equality
+    // — the ratio proves the probe fan-out (bounded per record) keeps
+    // the candidate join corpus-linear where q179's within-block pair
+    // work is block²-bounded
+    "q215_edjoin")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
