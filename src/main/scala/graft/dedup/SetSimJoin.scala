@@ -104,4 +104,77 @@ object SetSimJoin {
       .select(col("id_1"), col("id_2"), col("n_1"), col("n_2"),
         col("inter"), col("jaccard"))
   }
+
+  /** EXACT asymmetric CONTAINMENT join: every ORDERED pair (a, b),
+    * a ≠ b, with |shingles(a) ∩ shingles(b)| ≥ ⌈τ·|shingles(a)|⌉ —
+    * "a's content is ≥τ contained in b", the quote/mirror/boilerplate-
+    * wrap detector Jaccard cannot express (a 50-shingle quote inside a
+    * 5000-shingle page has J ≈ 0.01 but containment 1.0).
+    *
+    * Same prefix-filter discipline as [[prefixJaccardJoin]], adapted to
+    * the one-sided bound: with α(a) = ⌈τ·n_a⌉ common shingles required,
+    * the SMALLEST common shingle (rare-first global order) lies within
+    * a's first n_a − α(a) + 1 shingles AND within b's first
+    * n_b − α(a) + 1 — so the a-side explodes only its prefix while the
+    * b-side keeps full rank-annotated postings (b's bound depends on
+    * a's size, unknowable at explode time) and the b-position filter
+    * runs in the join condition instead. All thresholds are exact
+    * integer arithmetic on a rational τ; verification is the same
+    * one-intersect-per-candidate kernel. LOSSLESS by the same theorem.
+    *
+    * Scale shape: identical exchanges to the Jaccard form — the only
+    * asymmetry is b's unpruned posting side, whose hot shingles meet
+    * only a-prefixes (rare-first: a stop-shingle enters an a-prefix
+    * only for a document made almost entirely of stop-shingles, the
+    * inherent worst case of any exact containment join).
+    *
+    * Returns (id_a, id_b, n_a, n_b, inter, containment), containment
+    * the IEEE quotient inter/n_a. */
+  def prefixContainmentJoin(df: DataFrame, idCol: String, textCol: String,
+      tauNum: Int, tauDen: Int, shingleK: Int = 3): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold must be a rational in (0,1], got $tauNum/$tauDen")
+    val base = df
+      .select(col(idCol).as("__id"),
+        TextOps.shingleHashes(col(textCol), shingleK).as("__sh"))
+      .withColumn("n", size(col("__sh")).cast("long"))
+      .filter(col("n") > 0)
+      .localCheckpoint(true)
+    val wHash = Window.partitionBy(col("h"))
+    val wRank = Window.partitionBy(col("__id"))
+      .orderBy(col("df").asc, col("h").asc)
+    val posting = base
+      .select(col("__id"), col("n"), explode(col("__sh")).as("h"))
+      .withColumn("df", count(lit(1)).over(wHash))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+    // α(a) = ⌈τ·n_a⌉; a-prefix length = n_a − α(a) + 1
+    val alphaA = s"(($tauNum * a.n + ${tauDen - 1}) div $tauDen)"
+    val prefixA = posting
+      .filter(col("rk") <=
+        expr(s"n - (($tauNum * n + ${tauDen - 1}) div $tauDen) + 1"))
+      .select(col("__id"), col("h"), col("n"), col("rk"))
+    val cand = prefixA.as("a")
+      .join(posting.select(col("__id"), col("h"), col("n"), col("rk"))
+          .as("b"),
+        col("a.h") === col("b.h") && col("a.__id") =!= col("b.__id") &&
+          // both remaining-suffix bounds must still reach α(a)
+          (col("a.n") - col("a.rk") + lit(1L)) >= expr(alphaA) &&
+          (col("b.n") - col("b.rk") + lit(1L)) >= expr(alphaA))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .distinct()
+    cand
+      .join(base.select(col("__id").as("id_a"), col("__sh").as("__sha")),
+        "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__sh").as("__shb")),
+        "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("__sha"), col("__shb"))).cast("long"))
+      .filter(lit(tauDen.toLong) * col("inter") >=
+        lit(tauNum.toLong) * col("n_a"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_a").cast("double"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("inter"), col("containment"))
+  }
 }

@@ -195,6 +195,16 @@ object TextDedupQueries {
         .orderBy("id_1", "id_2")
     },
 
+    // asymmetric containment join (quote/mirror detection): every
+    // ORDERED pair with |sh(a) ∩ sh(b)| ≥ ⌈0.8·|sh(a)|⌉ — the
+    // one-sided bound Jaccard cannot express. Exhaustive quadratic
+    // oracle like q190's.
+    "q216_containment_join" -> { (s, d) =>
+      graft.dedup.SetSimJoin.prefixContainmentJoin(documents(s, d),
+        "doc_id", "text", tauNum = 4, tauDen = 5, shingleK = shingleK)
+        .orderBy("id_a", "id_b")
+    },
+
     // Gopher/MassiveText NAMED rule filter: per-rule 0/1 flags + the
     // keep conjunction, all exact integer arithmetic (ratio thresholds
     // cross-multiplied). Fixture thresholds chosen so every rule
@@ -835,6 +845,21 @@ object TextDedupQueries {
          |FROM pairs
          |WHERE inter > 0 AND 2 * inter >= 1 * (n_1 + n_2 - inter)
          |ORDER BY id_1, id_2""".stripMargin,
+
+    // exhaustive ORDERED-pair brute force with the one-sided bound.
+    "q216_containment_join" ->
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |hs AS (SELECT doc_id, list_transform(t, x -> ${hashSql("x")}) AS hs FROM toks),
+         |sh AS (SELECT doc_id, ${TextOps.shingleHashesSql("hs", shingleK)} AS sh FROM hs),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+         |SELECT id_a, id_b, n_a, n_b, inter,
+         |  inter::DOUBLE / n_a::DOUBLE AS containment
+         |FROM pairs
+         |WHERE inter > 0 AND 5 * inter >= 4 * n_a
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q75_fulltext" ->
       s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents)

@@ -287,7 +287,11 @@ object ScaleSoak {
     // — the ratio proves the probe fan-out (bounded per record) keeps
     // the candidate join corpus-linear where q179's within-block pair
     // work is block²-bounded
-    "q215_edjoin")
+    "q215_edjoin",
+    // containment: q190's exchanges with an unpruned (rank-annotated)
+    // b-posting side — the ratio proves rare-first prefixes keep the
+    // asymmetric candidate join subquadratic at 10×
+    "q216_containment_join")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

@@ -70,4 +70,57 @@ class SetSimJoinSpec extends SparkSpecBase {
     assert(r.getLong(4) == 2L)                       // inter: abc, bcd
     assert(r.getDouble(5) == 2.0 / 4.0)
   }
+
+  /** Quadratic truth over the ENGINE's shingle layer (that layer has
+    * its own oracle gates — this spec pins the JOIN logic, so candidate
+    * generation must reproduce an all-pairs scan of the same sets). */
+  private def bruteContainment(recs: Seq[(Long, String)], tauNum: Int,
+      tauDen: Int): Set[(Long, Long, Long)] = {
+    val sets = recs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.text.TextOps.shingleHashes(col("text"), 3).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toSeq
+    (for {
+      (ia, a) <- sets; (ib, b) <- sets
+      if ia != ib
+      inter = (a & b).size
+      if a.nonEmpty && inter > 0 &&
+        tauDen.toLong * inter >= tauNum.toLong * a.size
+    } yield (ia, ib, inter.toLong)).toSet
+  }
+
+  test("containment join: asymmetric pairs, quote-in-page, brute-force equality") {
+    val page = "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr"
+    val docs = Seq(
+      1L -> "cc dd ee ff gg",          // 3 shingles, ALL inside page
+      2L -> page,                      // the containing page
+      3L -> "cc dd ee zz ww vv",       // partial overlap, below tau
+      4L -> "xx yy uu tt ss rr qq")    // different content
+    val got = engineContainment(docs, 4, 5)
+    val want = bruteContainment(docs, 4, 5)
+    assert(got.map(t => (t._1, t._2, t._3)) == want)
+    // the quote is contained in the page; the page is NOT contained in
+    // the quote (asymmetry is the operator's whole point)
+    assert(got.exists(t => t._1 == 1L && t._2 == 2L))
+    assert(!got.exists(t => t._1 == 2L && t._2 == 1L))
+  }
+
+  test("containment join: lossless vs brute force on the fixture corpus") {
+    val docs = graft.queries.Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val got = engineContainment(docs, 4, 5).map(t => (t._1, t._2, t._3))
+    val want = bruteContainment(docs, 4, 5)
+    assert(got == want)
+    assert(want.nonEmpty, "fixture must contain a containment >= 4/5 pair")
+  }
+
+  private def engineContainment(recs: Seq[(Long, String)], tauNum: Int,
+      tauDen: Int): Set[(Long, Long, Long)] = {
+    SetSimJoin.prefixContainmentJoin(recs.toDF("doc_id", "text"),
+        "doc_id", "text", tauNum, tauDen)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+      .toSet
+  }
 }
