@@ -939,6 +939,38 @@ object GateQueries {
     // surface n_chars as null exactly on the pre-evolution rows (the
     // Iceberg/Delta add-column read semantics), and the strict default
     // must refuse the skewed table loudly (spec-pinned).
+    // snapshot EXPIRATION (vacuum): v1/v2 overwrites + v3 append, then
+    // expire to the last two snapshots — v1's manifest AND its now-
+    // unreferenced data dir must be physically gone, v2 must stay
+    // time-travelable (v3 appends onto it), the resolved HEAD must be
+    // untouched. Flags computed engine-side from the real filesystem +
+    // reads; the oracle states them as 1s plus the surviving content.
+    "q217_snapshot_expire" -> { (s, d) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q217_expire").toString
+      sweepAtExit.add(dir)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"))
+      graft.sources.Snapshots.write(docs.filter(col("doc_id") % 3 === 0), dir)
+      graft.sources.Snapshots.write(docs.filter(col("doc_id") % 3 === 1), dir)
+      graft.sources.Snapshots.write(docs.filter(col("doc_id") % 3 === 2),
+        dir, mode = "append")
+      val (nManifests, nDirs) = graft.sources.Snapshots.expire(dir, 2)
+      val root = java.nio.file.Paths.get(dir)
+      val gone =
+        !java.nio.file.Files.exists(root.resolve("manifests/v1.json")) &&
+        !java.nio.file.Files.exists(root.resolve("data/v1"))
+      val travelOk = graft.sources.Snapshots.read(s, dir, Some(2L))
+        .count() == docs.filter(col("doc_id") % 3 === 1).count()
+      val belowLoud = scala.util.Try(
+        graft.sources.Snapshots.read(s, dir, Some(1L))).isFailure
+      graft.sources.Snapshots.read(s, dir)
+        .withColumn("ok_expired",
+          lit(nManifests == 1 && nDirs == 1 && gone).cast("long"))
+        .withColumn("ok_travel", lit(travelOk).cast("long"))
+        .withColumn("ok_below_loud", lit(belowLoud).cast("long"))
+        .orderBy("doc_id")
+    },
+
     "q197_schema_evolution" -> { (s, d) =>
       val dir = java.nio.file.Files
         .createTempDirectory("graft_q197_evolve").toString
@@ -1648,6 +1680,16 @@ object GateQueries {
       """SELECT doc_id, lang,
         |  CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // surviving HEAD content (v2 overwrite + v3 append) + the engine-
+    // computed expiration flags stated as literal 1s.
+    "q217_snapshot_expire" ->
+      """SELECT doc_id, lang,
+        |  CAST(1 AS BIGINT) AS ok_expired,
+        |  CAST(1 AS BIGINT) AS ok_travel,
+        |  CAST(1 AS BIGINT) AS ok_below_loud
+        |FROM documents WHERE doc_id % 3 IN (1, 2)
+        |ORDER BY doc_id""".stripMargin,
     // pixel-exact integer restatement of the Y4M fixture: both corrupt
     // classes (garbage bytes, truncated frame) must surface ok=0 rows
     "q116_video_decode" ->

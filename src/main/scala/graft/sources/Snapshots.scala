@@ -159,12 +159,59 @@ object Snapshots {
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = Paths.get(dir)
+    // skip-missing: [[expire]] removes manifests below the retention
+    // horizon; history reports the surviving tail
     val snaps = currentSnapshotId(dir).toSeq
-      .flatMap(h => (1L to h).map(readManifest(root, _)))
+      .flatMap(h => (1L to h)
+        .filter(id => Files.exists(root.resolve(s"manifests/v$id.json")))
+        .map(readManifest(root, _)))
     snaps.map(s => (s.id, s.parentId.getOrElse(-1L), s.timestampMs,
         s.operation, s.dataDirs.length))
       .toDF("snapshot_id", "parent_id", "timestamp_ms", "operation",
         "n_data_dirs")
+  }
+
+  /** Snapshot EXPIRATION (vacuum): drop every snapshot below the
+    * `keepLast`-deep retention horizon and physically delete the data
+    * directories no surviving snapshot references — the Iceberg
+    * `expire_snapshots` / Delta `VACUUM` maintenance op that bounds a
+    * frequently-committed table's storage at O(retained), where the
+    * default keep-everything contract is O(all commits ever).
+    *
+    * Safety: a surviving APPEND snapshot lists its ancestors' data dirs
+    * in its own manifest, so the reference set is the UNION over kept
+    * manifests — an old dir stays on disk as long as any kept snapshot
+    * pins it, no matter how old the commit that wrote it. Time travel
+    * below the horizon fails loudly afterwards ("snapshot N does not
+    * exist"); [[history]] reports the surviving tail. Not concurrency-
+    * safe against in-flight readers of expiring snapshots — run it in
+    * the table's maintenance window like any vacuum.
+    *
+    * Returns (expired manifest count, deleted data-dir count). */
+  def expire(dir: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val root = Paths.get(dir)
+    val head = currentSnapshotId(dir).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $dir"))
+    val horizon = math.max(1L, head - keepLast + 1L)
+    val all = (1L to head).filter(id =>
+      Files.exists(root.resolve(s"manifests/v$id.json")))
+    val (dead, kept) = all.partition(_ < horizon)
+    val referenced = kept.flatMap(id => readManifest(root, id).dataDirs).toSet
+    def rmTree(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        val children = try s.toArray(new Array[Path](_)) finally s.close()
+        children.foreach(rmTree)
+      }
+      Files.deleteIfExists(p)
+    }
+    val deadDirs = dead.flatMap(id => readManifest(root, id).dataDirs)
+      .distinct.filterNot(referenced)
+    deadDirs.foreach(p => rmTree(root.resolve(p)))
+    dead.foreach(id =>
+      Files.deleteIfExists(root.resolve(s"manifests/v$id.json")))
+    (dead.size, deadDirs.size)
   }
 
   /** Absolute data-dir paths a snapshot pins — manifest resolution for

@@ -291,7 +291,11 @@ object ScaleSoak {
     // containment: q190's exchanges with an unpruned (rank-annotated)
     // b-posting side — the ratio proves rare-first prefixes keep the
     // asymmetric candidate join subquadratic at 10×
-    "q216_containment_join")
+    "q216_containment_join",
+    // expire: write-path fixture (three commits + vacuum) — the soak
+    // proves the fixed maintenance floor scales with the table write,
+    // not the corpus
+    "q217_snapshot_expire")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

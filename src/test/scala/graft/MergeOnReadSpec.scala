@@ -154,6 +154,37 @@ class MergeOnReadSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("append-only"))
   }
 
+  test("expire keeps append-referenced ancestor dirs, drops the rest") {
+    val s = spark; import s.implicits._
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("snap_expire").toString
+    val root = java.nio.file.Paths.get(dir)
+    Snapshots.write(Seq((1L, "a")).toDF("k", "x"), dir)                  // v1
+    Snapshots.write(Seq((2L, "b")).toDF("k", "x"), dir, mode = "append") // v2 refs v1
+    Snapshots.write(Seq((3L, "c")).toDF("k", "x"), dir, mode = "append") // v3 refs v1,v2
+    // keepLast=1: v1/v2 manifests expire, but v3 references BOTH their
+    // data dirs — zero dirs may be deleted
+    val (m, dd) = Snapshots.expire(dir, 1)
+    assert(m == 2 && dd == 0)
+    assert(java.nio.file.Files.exists(root.resolve("data/v1")))
+    assert(Snapshots.read(s, dir).count() == 3L)
+    assert(Snapshots.history(s, dir).count() == 1L) // surviving tail
+    // overwrite then expire: the orphaned lineage's dirs all go
+    Snapshots.write(Seq((9L, "z")).toDF("k", "x"), dir) // v4 overwrite
+    val (m2, dd2) = Snapshots.expire(dir, 1)
+    assert(m2 == 1 && dd2 == 3)
+    assert(!java.nio.file.Files.exists(root.resolve("data/v1")))
+    assert(Snapshots.read(s, dir).as[(Long, String)].collect().toSet ==
+      Set((9L, "z")))
+    // below-horizon time travel fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.read(s, dir, Some(3L))
+    }
+    assert(ex.getMessage.contains("does not exist"))
+    // keepLast must be >= 1
+    intercept[IllegalArgumentException] { Snapshots.expire(dir, 0) }
+  }
+
   test("snapshot readStream refuses hive-partitioned tables loudly") {
     val s = spark; import s.implicits._
     import graft.sources.Snapshots
