@@ -200,6 +200,49 @@ object VectorQueries {
         .orderBy("probe_id")
     },
 
+    // FILTERED vector search (predicate-constrained ANN — the
+    // vector-DB `search(filter=...)` feature on the stored q171 index):
+    // top-k among the even-label ids only, PRE-filter semantics (the
+    // allowed-id semi-join runs before the top-k cut, so the probe
+    // still fills k valid results). Flags: every result satisfies the
+    // predicate, result stable across probes, recall ≥ 40% vs the
+    // exact FILTERED brute force; n_res pins the k-fill (a post-filter
+    // implementation would return < k and break the hash).
+    "q218_ivf_filtered" -> { (s, d) =>
+      val dir = builtIvfIndex(s, d)
+      val emb = embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "probe_id")
+      val allowed = emb.filter(col("label") % 2 === 0).select(col("vec_id"))
+      def f() = graft.vector.IvfIndex
+        .probeFiltered(probes, "embedding", "probe_id", dir, k = 10,
+          allowed, nprobe = 3)
+        .select(col("probe_id"), col("id").as("vec_id"), col("rank"))
+      val f1 = f(); val f2 = f()
+      val stable = probeSetEq(f1, f2, "ok_stable")
+      val pred = f1
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("probe_id"))
+        .agg((max(pmod(col("label"), lit(2))) === 0).cast("long")
+          .as("ok_pred"))
+      val exactF = VectorOps.nnJoin(emb.filter(col("label") % 2 === 0),
+          probes, "embedding", "vec_id", "probe_id", k = 10)
+        .select(col("probe_id"), col("vec_id"))
+      val recall = exactF.join(
+          f1.select(col("probe_id"), col("vec_id"))
+            .withColumn("__hit", lit(1L)),
+          Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg((sum(coalesce(col("__hit"), lit(0L))) * 10L >=
+          count(lit(1)) * 4L).cast("long").as("ok_recall"))
+      val nres = f1.groupBy(col("probe_id")).agg(count(lit(1)).as("n_res"))
+      stable.join(pred, "probe_id").join(recall, "probe_id")
+        .join(nres, "probe_id")
+        .select(col("probe_id"), col("n_res"), col("ok_stable"),
+          col("ok_pred"), col("ok_recall"))
+        .orderBy("probe_id")
+    },
+
     // q171's index probed through the cell-PARTITION-PRUNED scan path:
     // assignments are hive-partitioned by cell, the probe collects its
     // (bounded: nprobe × |probes|) cell union and filters BEFORE the
@@ -456,6 +499,12 @@ object VectorQueries {
       """SELECT vec_id AS probe_id, CAST(1 AS BIGINT) AS ok_version,
         |  CAST(1 AS BIGINT) AS ok_stable, CAST(1 AS BIGINT) AS ok_refit,
         |  CAST(1 AS BIGINT) AS ok_self, CAST(1 AS BIGINT) AS ok_recall
+        |FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""".stripMargin,
+
+    "q218_ivf_filtered" ->
+      """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_res,
+        |  CAST(1 AS BIGINT) AS ok_stable, CAST(1 AS BIGINT) AS ok_pred,
+        |  CAST(1 AS BIGINT) AS ok_recall
         |FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""".stripMargin,
 
     "q173_ivf_pruned" ->

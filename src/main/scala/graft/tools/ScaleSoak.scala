@@ -295,7 +295,10 @@ object ScaleSoak {
     // expire: write-path fixture (three commits + vacuum) — the soak
     // proves the fixed maintenance floor scales with the table write,
     // not the corpus
-    "q217_snapshot_expire")
+    "q217_snapshot_expire",
+    // filtered ANN: q171's probe cost + one id-keyed semi-join — the
+    // ratio must track q171's (the filter side is id-sized)
+    "q218_ivf_filtered")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

@@ -114,6 +114,48 @@ object IvfIndex {
     Ann.topKWithinCells(assigned, p, "id", probeIdCol, k)
   }
 
+  /** FILTERED probe (predicate-constrained ANN — the vector-DB
+    * `search(..., filter=...)` feature; Lance pushes the same shape
+    * into its scanner): top-`k` neighbors per probe AMONG the ids in
+    * `filterIds`, from the stored index. PRE-filtering semantics: the
+    * allowed-id relation joins the cell-pruned assignment scan BEFORE
+    * the top-k cut, so every probe gets k *valid* results when its
+    * probed cells hold that many — a post-filter over an unfiltered
+    * top-k would silently return fewer (or zero) the more selective
+    * the predicate gets, which is exactly the failure mode this path
+    * exists to avoid.
+    *
+    * Scale shape: identical to [[probe]] (directory-pruned cell scan,
+    * bounded probe broadcast) plus ONE id-keyed hash join against the
+    * filter relation — id-sized exchange, never vector-sized; the
+    * filter side is an arbitrary DataFrame (any predicate the caller
+    * can express upstream), not a collected set. */
+  def probeFiltered(probes: DataFrame, vecCol: String, probeIdCol: String,
+      dir: String, k: Int, filterIds: DataFrame,
+      nprobe: Int = 4, snapshotId: Option[Long] = None,
+      prunePartitions: Boolean = true): DataFrame = {
+    val spark = probes.sparkSession
+    val (id, centers) = readCentroids(spark, dir, snapshotId)
+    val fCol = filterIds.columns match {
+      case Array(c) => c
+      case cs => throw new IllegalArgumentException(
+        s"filterIds must have exactly one (id) column, got ${cs.toSeq}")
+    }
+    val assigned0 = Snapshots.read(spark, s"$dir/assignments", Some(id))
+      .select(col("id"), col("cell").as("__cell"), col("nvec").as("__dvec"))
+      .join(filterIds.select(col(fCol).as("id")).distinct(), Seq("id"),
+        "left_semi")
+    val p = Ann.probeCells(probes, vecCol, probeIdCol, centers, nprobe)
+    val assigned =
+      if (!prunePartitions) assigned0
+      else {
+        val cells = p.select(col("__cell")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        assigned0.filter(col("__cell").isin(cells.map(Int.box): _*))
+      }
+    Ann.topKWithinCells(assigned, p, "id", probeIdCol, k)
+  }
+
   /** Nearest-cell assignment under the probe-side ranking (top-1 of
     * [[Ann.probeCells]]'s score), emitted in the assignments schema. */
   private def assignCells(df: DataFrame, vecCol: String, idCol: String,

@@ -137,4 +137,37 @@ class IvfIndexSpec extends SparkSpecBase {
     val recall = (exact intersect stored).size.toDouble / exact.size
     assert(recall >= 0.4, s"recall=$recall")
   }
+
+  test("filtered probe: pre-filter semantics fill k valid results") {
+    val e = emb()
+    val probes = e.filter(col("vec_id") < 5)
+      .withColumnRenamed("vec_id", "probe_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_spec_filtered").toString
+    IvfIndex.build(e, "embedding", "vec_id", dir, nlist = 4)
+    val allowed = e.filter(col("label") % 2 === 0).select(col("vec_id"))
+    val out = IvfIndex.probeFiltered(probes, "embedding", "probe_id",
+        dir, k = 5, allowed, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // every result satisfies the predicate
+    val even = e.filter(col("label") % 2 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall { case (_, id) => even(id) })
+    // pre-filter fills k per probe (all 4 cells probed, plenty of
+    // even-label vectors) — a post-filter over an unfiltered top-5
+    // would drop below k wherever odd labels crowd the head
+    out.groupBy(_._1).foreach { case (p, rs) =>
+      assert(rs.size == 5, s"probe $p returned ${rs.size} of k=5")
+    }
+    // nprobe = all cells + filter == brute force over the filtered set
+    val exactF = VectorOps.nnJoin(e.filter(col("label") % 2 === 0),
+        probes, "embedding", "vec_id", "probe_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.toSet == exactF)
+    // filterIds must be a single-column relation
+    intercept[IllegalArgumentException] {
+      IvfIndex.probeFiltered(probes, "embedding", "probe_id", dir,
+        k = 5, e.select("vec_id", "label"), nprobe = 4)
+    }
+  }
 }

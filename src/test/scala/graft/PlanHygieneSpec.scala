@@ -42,6 +42,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     // persistent-IVF / IVF_PQ gates: contain q50's exact brute-force
     // sub-plan as their recall baseline
     "q171_ivf_persistent", "q176_ivf_pq",
+    // filtered ANN gate: q171's probe/brute-force sub-plans with the
+    // allowed-id semi-join added
+    "q218_ivf_filtered",
     // negative mining: different-label theta join against the bounded
     // broadcast anchor batch (the q50 probe contract)
     "q182_negative_sampling",
@@ -110,6 +113,8 @@ class PlanHygieneSpec extends SparkSpecBase {
     // stored-IVF probe + its refit/exact cross-checks: the same bounded
     // probe-set broadcast on all three sub-plans
     "q171_ivf_persistent", "q173_ivf_pruned", "q174_ivf_append",
+    // filtered ANN: same bounded probe-set broadcast sub-plans
+    "q218_ivf_filtered",
     // IVF_PQ gate: ADC probes + q50's exact brute-force recall baseline
     "q176_ivf_pq",
     // the int8 variant of q50: same bounded probe-set broadcast
