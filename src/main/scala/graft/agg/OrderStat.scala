@@ -135,4 +135,59 @@ object OrderStat {
       .agg(max(col("__tot")).as("w_total"),
         min(col(valueCol)).as("weighted_median"))
   }
+
+  /** Per-group EXACT interpolated median + MAD (median absolute
+    * deviation) — the robust location/scale pair behind outlier cuts
+    * that survive heavy tails where mean/σ get dragged (the robust
+    * cousin of EventStats' 3σ detector): flag x when
+    * |x − median| > k·MAD. Interpolation matches the SQL-standard
+    * median (mean of the two middle order statistics for even n), so
+    * the value — not just the rank — is engine-reproducible: both
+    * halves are picked values and the midpoint is one IEEE add/divide.
+    *
+    * Scale shape (the q209 discipline): each median pass aggregates to
+    * DISTINCT (group, value) with multiplicity first — the window sort
+    * runs over the value space, not the row count — then takes the two
+    * middle ranks from the cumulative count; MAD repeats the pass on
+    * |x − median| after one group-keyed join-back. Two value-space
+    * window sorts + two joins total; the exact form's cost contract is
+    * q53's (order statistics are worth a sort), with the sketch tier
+    * (q54/q96) as the approximate companion.
+    *
+    * Returns (groupCol, n, median, mad); null values are ignored
+    * (SQL aggregate semantics), all-null groups are absent. */
+  def groupMedianMad(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+    def medianOf(in: DataFrame, out: String): DataFrame = {
+      val vc = in.groupBy(col("__g"), col("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__g")).orderBy(col("__v"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wTot = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__g"))
+      val cum = vc.withColumn("__cum", sum(col("__c")).over(wCum))
+        .withColumn("__tot", sum(col("__c")).over(wTot))
+      // value at rank k = min value whose cumulative count reaches k
+      def atRank(k: String, name: String) =
+        cum.filter(col("__cum") >= expr(k))
+          .groupBy(col("__g"))
+          .agg(min(col("__v")).as(name), max(col("__tot")).as(s"__n$name"))
+      atRank("(__tot + 1) div 2", "__lo")
+        .join(atRank("(__tot + 2) div 2", "__hi"), Seq("__g"))
+        .select(col("__g"),
+          ((col("__lo") + col("__hi")) / lit(2.0)).as(out),
+          col("__n__lo").as("__n"))
+    }
+    val med = medianOf(base, "median")
+    val dev = base.join(med.select(col("__g"), col("median")), Seq("__g"))
+      .select(col("__g"), abs(col("__v") - col("median")).as("__v"))
+    val mad = medianOf(dev, "mad").select(col("__g"), col("mad"))
+    med.join(mad, Seq("__g"))
+      .select(col("__g").as(groupCol), col("__n").as("n"),
+        col("median"), col("mad"))
+  }
 }

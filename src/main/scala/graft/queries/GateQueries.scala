@@ -737,6 +737,16 @@ object GateQueries {
         .orderBy("l_returnflag")
     },
 
+    // per-group exact interpolated median + MAD (robust outlier
+    // location/scale): DuckDB's native median()/mad() are the literal
+    // oracle — both engines pick the same two middle order statistics
+    // and midpoint them with one IEEE add/divide.
+    "q219_group_mad" -> { (s, d) =>
+      graft.agg.OrderStat.groupMedianMad(documents(s, d), "lang",
+          "n_chars")
+        .orderBy("lang")
+    },
+
     // Snapshot table as a STREAMING source (the change-data-feed
     // bridge): two append commits drained through the file stream must
     // reproduce exactly the batch HEAD content — the append-only
@@ -1553,6 +1563,14 @@ object GateQueries {
         |  min(l_quantity) AS weighted_median
         |FROM c WHERE 2 * cum >= tot
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // native median()/mad() over the same non-null population.
+    "q219_group_mad" ->
+      """SELECT lang, CAST(count(n_chars) AS BIGINT) AS n,
+        |  median(n_chars::DOUBLE) AS median,
+        |  mad(n_chars::DOUBLE) AS mad
+        |FROM documents WHERE n_chars IS NOT NULL
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // batch left join twin; unmatched purchases carry NULL v_event_id.
     "q198_stream_stream_outer" ->

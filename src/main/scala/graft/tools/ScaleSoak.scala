@@ -298,7 +298,10 @@ object ScaleSoak {
     "q217_snapshot_expire",
     // filtered ANN: q171's probe cost + one id-keyed semi-join — the
     // ratio must track q171's (the filter side is id-sized)
-    "q218_ivf_filtered")
+    "q218_ivf_filtered",
+    // robust stats: two value-space window sorts — n_chars' distinct
+    // value set is ~fixed under replication, so the ratio must be flat
+    "q219_group_mad")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

@@ -79,4 +79,39 @@ class OrderStatSpec extends SparkSpecBase {
     assert(OrderStat.weightedMedian(dup, "g", "v", "w")
       .head().getDouble(2) == 5.0)
   }
+
+  test("groupMedianMad: interpolation, MAD, nulls, ties, layout invariance") {
+    val s = spark; import s.implicits._
+    import graft.agg.OrderStat
+    // odd: {1,3,10} -> med 3, devs {2,0,7} -> mad 2
+    // even: {1,2,4,10} -> med (2+4)/2 = 3, devs {2,1,1,7} sorted
+    //   {1,1,2,7} -> mad (1+2)/2 = 1.5
+    // const: all equal -> mad 0; null: ignored
+    val df = Seq(
+      ("odd", Some(1.0)), ("odd", Some(3.0)), ("odd", Some(10.0)),
+      ("even", Some(1.0)), ("even", Some(2.0)), ("even", Some(4.0)),
+      ("even", Some(10.0)),
+      ("const", Some(7.0)), ("const", Some(7.0)), ("const", Some(7.0)),
+      ("odd", None)
+    ).toDF("g", "v")
+    val out = OrderStat.groupMedianMad(df, "g", "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("odd") == ((3L, 3.0, 2.0)))
+    assert(out("even") == ((4L, 3.0, 1.5)))
+    assert(out("const") == ((3L, 7.0, 0.0)))
+    // tied values pool multiplicity: {2,2,2,9} -> med 2, mad 0 (devs
+    // {0,0,0,7}, middle two both 0)
+    val tied = Seq(("g", 2.0), ("g", 2.0), ("g", 2.0), ("g", 9.0))
+      .toDF("g", "v")
+    val t = OrderStat.groupMedianMad(tied, "g", "v").head()
+    assert(t.getDouble(2) == 2.0 && t.getDouble(3) == 0.0)
+    // layout invariance
+    val again = OrderStat.groupMedianMad(df.repartition(7), "g", "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(again == out)
+  }
 }
