@@ -299,6 +299,17 @@ object TimeSeriesQueries {
         .orderBy(col("bucket"))
     },
 
+    // per-key trailing EWMA over irregular hourly buckets (half-life =
+    // one bucket, horizon 50): the decayed-activity feature of the
+    // quant tier. Exact cross-engine BY CONSTRUCTION: horizon-truncated
+    // sum is the semantics, 2^-k terms scale mantissas exactly, and
+    // both engines fold in ascending-bucket order.
+    "q220_ewma" -> { (s, d) =>
+      graft.ts.Resample.ewma(events(s, d), "user_id", "ts", "value",
+          widthSec = 3600L, horizon = 50)
+        .orderBy("user_id", "bucket")
+    },
+
     // q181's SCALE companion (round-11 verdict item 4): HLL-sketch
     // trailing distinct — the cover expansion carries per-bucket
     // sketches, never per-id rows, so the exchange is grid-sized at
@@ -638,6 +649,24 @@ object TimeSeriesQueries {
         |  CAST(coalesce(sum(u.n), 0) AS BIGINT) AS n_events
         |FROM grid g LEFT JOIN uh u ON u.h BETWEEN g.bucket - 23 AND g.bucket
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same bucket sums (dsum mirror), same ordered list fold, same
+    // power-of-two decay — every IEEE add identical by construction.
+    "q220_ewma" -> {
+      val dsum = graft.functions.Det.dsumSql("value", 6)
+      s"""WITH kb AS (SELECT user_id,
+         |    epoch_us(ts) // 3600000000 AS bucket, $dsum AS v
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |h AS (SELECT user_id, bucket, v,
+         |    list(struct_pack(b := bucket, v := v))
+         |      OVER (PARTITION BY user_id ORDER BY bucket
+         |        RANGE BETWEEN 50 PRECEDING AND CURRENT ROW) AS hist
+         |  FROM kb)
+         |SELECT user_id, bucket, v,
+         |  list_sum(list_transform(hist,
+         |    p -> p.v * power(0.5, (bucket - p.b)::DOUBLE))) AS ewma
+         |FROM h ORDER BY user_id, bucket""".stripMargin
+    },
 
     // q54's bound-flag pattern: exact n_events restated from the raw
     // events; the HLL-vs-exact flags are stated as literal 1s.

@@ -301,7 +301,10 @@ object ScaleSoak {
     "q218_ivf_filtered",
     // robust stats: two value-space window sorts — n_chars' distinct
     // value set is ~fixed under replication, so the ratio must be flat
-    "q219_group_mad")
+    "q219_group_mad",
+    // EWMA: one (user, bucket) agg + a horizon-bounded window — users
+    // grow 10×, per-key state fixed, so the ratio must stay linear
+    "q220_ewma")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

@@ -109,4 +109,51 @@ object Resample {
         filled.as("value"),
         col("n_obs").isNull.cast("long").as("filled"))
   }
+
+  /** Per-key trailing EWMA over irregular event buckets — the
+    * exponentially-decayed activity feature (half-life = one bucket)
+    * quant pipelines compute next to OHLCV/backtest (reference app
+    * repertoire): for each OBSERVED (key, bucket b) row,
+    *   ewma = Σ_{0 ≤ b − bⱼ ≤ horizon} vⱼ · 2^−(b−bⱼ)
+    * over the key's per-bucket value sums vⱼ. Gaps need no
+    * materialized rows — the exponent uses bucket DISTANCE, so an
+    * absent bucket simply contributes nothing and the decay spans it.
+    *
+    * Engine-exactness, by construction rather than tolerance: the
+    * horizon-truncated sum IS the defined semantics (2^−50 ≈ 9e−16
+    * relative — truncation far below any signal, but defined, so both
+    * engines compute the SAME finite sum); each term is vⱼ · 2^−k with
+    * integer k (a power of two scales the mantissa exactly); and the
+    * fold runs in ascending-bucket order on both sides (Spark
+    * `aggregate` over a frame-ordered collect_list ≡ DuckDB list fold),
+    * so every intermediate IEEE add is identical.
+    *
+    * Scale shape: one map-combined (key, bucket) sum, then ONE per-key
+    * range-frame window whose state is ≤ horizon (bucket, value) pairs
+    * — bounded amplification, the Trailing-cover contract; keys never
+    * compare across. Returns (keyCol, bucket, v, ewma). */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      widthSec: Long, horizon: Int = 50): DataFrame = {
+    require(widthSec > 0, s"width must be positive, got $widthSec")
+    require(horizon >= 0 && horizon <= 1000,
+      s"horizon out of range: $horizon")
+    val w = widthSec * 1000000L
+    // Det.dsum: the per-bucket value sum must be partition-order-free
+    // or the downstream IEEE fold inherits a nondeterministic seed
+    val obs = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol),
+        (unix_micros(col(tsCol)) / w).cast("long").as("bucket"))
+      .agg(graft.functions.Det.dsum(col(valueCol).cast("double"), 6)
+        .as("v"))
+    val frame = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rangeBetween(-horizon.toLong, 0)
+    obs
+      .withColumn("__hist",
+        collect_list(struct(col("bucket").as("b"), col("v"))).over(frame))
+      .withColumn("ewma", expr(
+        "aggregate(__hist, cast(0.0 as double), " +
+          "(acc, p) -> acc + p.v * power(0.5, cast(bucket - p.b as double)))"))
+      .select(col(keyCol), col("bucket"), col("v"), col("ewma"))
+  }
 }

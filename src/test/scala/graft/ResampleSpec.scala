@@ -79,6 +79,42 @@ class ResampleSpec extends SparkSpecBase {
       (3L, 1L, 1L))) // u1 in b3; b4 clipped (past stream end)
   }
 
+  test("ewma: gap decay, horizon truncation, key isolation, layout invariance") {
+    import graft.ts.Resample
+    // key a: v=8 at b0, v=4 at b1, gap, v=2 at b3 (60s buckets)
+    //   b0: 8; b1: 4 + 8/2 = 8; b3: 2 + 4/4 + 8/8 = 4
+    // key b: single obs — isolated from a's history
+    val ev = Seq(
+      ("a", 5L, 8.0), ("a", 70L, 4.0), ("a", 190L, 2.0),
+      ("b", 10L, 16.0))
+      .map { case (k, s, v) => (k, ts(s), v) }.toDF("k", "t", "v")
+    val out = Resample.ewma(ev, "k", "t", "v", widthSec = 60L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out(("a", 0L)) == 8.0)
+    assert(out(("a", 1L)) == 8.0)
+    assert(out(("a", 3L)) == 4.0)
+    assert(out(("b", 0L)) == 16.0)
+    // horizon truncation: an observation exactly horizon+1 buckets back
+    // contributes NOTHING (the truncated sum is the semantics)
+    val far = Seq(("k", 0L, 1024.0), ("k", 60L * 3, 1.0))
+      .map { case (k, s, v) => (k, ts(s), v) }.toDF("k", "t", "v")
+    val cut = Resample.ewma(far, "k", "t", "v", widthSec = 60L, horizon = 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(cut(3L) == 1.0) // 1024 at distance 3 > horizon 2: dropped
+    // multiple events in one bucket sum first (dsum), then decay
+    val multi = Seq(("k", 1L, 1.5), ("k", 2L, 2.5), ("k", 61L, 0.0))
+      .map { case (k, s, v) => (k, ts(s), v) }.toDF("k", "t", "v")
+    val m = Resample.ewma(multi, "k", "t", "v", widthSec = 60L)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(m(0L) == 4.0 && m(1L) == 2.0)
+    // layout invariance (dsum bucket seed + ordered fold)
+    val again = Resample.ewma(ev.repartition(7), "k", "t", "v", 60L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(again == out)
+  }
+
   test("approxTrailingCounts: agrees with exact at small cardinality, exact n_events") {
     import graft.ts.Trailing
     // same fixture as the exact test — Datasketches HLL is exact far
