@@ -107,4 +107,59 @@ object Eval {
           .otherwise(oD * 2.0 /
             (col("n_cand") + col("n_ref")).cast("double")))
   }
+
+  /** Retrieval evaluation at cutoff `k` — the ranked-list metrics that
+    * grade the engine's own search surfaces (ANN probes, BM25, hybrid
+    * RRF) against a relevance set: per query,
+    *   - `n_rel`: relevant docs (judged set size),
+    *   - `n_hit_k`: relevant docs among the top-k results,
+    *   - `p_at_k` = n_hit_k / k,  `r_at_k` = n_hit_k / n_rel,
+    *   - `rr` = 1 / rank of the FIRST relevant result (0 when none) —
+    *     the reciprocal-rank each query contributes to MRR.
+    * All counts are exact integers; the ratios are single IEEE
+    * quotients (the catalog's transcendental-free eval discipline —
+    * NDCG is deliberately out: its log2 discount cannot be made
+    * engine-exact). Macro-averaging is one `avg` away and is left to
+    * the caller so the per-query readout stays inspectable.
+    *
+    * Queries with results but no judged-relevant docs report
+    * n_rel = 0, r_at_k = 0, rr = 0 (not dropped — a silent drop would
+    * inflate the macro mean). Queries in `qrels` with NO results at
+    * all likewise surface with zero hits.
+    *
+    * Scale shape: one left join of top-k results against qrels on
+    * (query, doc) — both relations id-sized — plus one map-combined
+    * per-query aggregate and one qrels-size aggregate joined back;
+    * no windows, no per-query buffering. */
+  def retrievalMetrics(results: DataFrame, qrels: DataFrame,
+      queryCol: String, docCol: String, rankCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val res = results
+      .select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(rankCol).cast("long").as("__r"))
+      .filter(col("__r") <= k)
+    val rel = qrels
+      .select(col(queryCol).as("__q"), col(docCol).as("__d")).distinct()
+    val nRel = rel.groupBy(col("__q")).agg(count(lit(1)).as("n_rel"))
+    val hits = res.join(rel.withColumn("__rel", lit(1L)),
+        Seq("__q", "__d"), "left")
+      .groupBy(col("__q"))
+      .agg(sum(coalesce(col("__rel"), lit(0L))).as("n_hit_k"),
+        min(when(col("__rel") === 1L, col("__r"))).as("__first"))
+    // full outer: queries with no results and queries with no judged
+    // docs both surface
+    nRel.join(hits, Seq("__q"), "full_outer")
+      .select(col("__q").as(queryCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_hit_k"), lit(0L)).as("n_hit_k"))
+      .withColumn("p_at_k", col("n_hit_k").cast("double") / lit(k.toDouble))
+      .withColumn("r_at_k", when(col("n_rel") === 0, 0.0)
+        .otherwise(col("n_hit_k").cast("double") / col("n_rel").cast("double")))
+      .join(hits.select(col("__q").as(queryCol), col("__first")),
+        Seq(queryCol), "left")
+      .withColumn("rr", when(col("__first").isNull, 0.0)
+        .otherwise(lit(1.0) / col("__first").cast("double")))
+      .drop("__first")
+  }
 }

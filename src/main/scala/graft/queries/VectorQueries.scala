@@ -200,6 +200,27 @@ object VectorQueries {
         .orderBy("probe_id")
     },
 
+    // retrieval evaluation (precision@k / recall@k / reciprocal rank)
+    // of the engine's own search surface: q50's cosine top-10 graded
+    // against label-match relevance (same-label docs, self excluded).
+    // Exact-integer counts, single-IEEE-quotient ratios — NDCG's log2
+    // discount is deliberately out of the catalog's exactness bar.
+    "q221_retrieval_eval" -> { (s, d) =>
+      val emb = embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "probe_id")
+      val results = VectorOps.nnJoin(emb, probes, "embedding", "vec_id",
+          "probe_id", k = 10)
+        .select(col("probe_id"), col("vec_id"), col("rank"))
+      val qrels = probes.select(col("probe_id"), col("label").as("__pl"))
+        .join(emb.select(col("vec_id"), col("label")),
+          col("label") === col("__pl") && col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"))
+      graft.agg.Eval.retrievalMetrics(results, qrels, "probe_id",
+          "vec_id", "rank", k = 10)
+        .orderBy("probe_id")
+    },
+
     // FILTERED vector search (predicate-constrained ANN — the
     // vector-DB `search(filter=...)` feature on the stored q171 index):
     // top-k among the even-label ids only, PRE-filter semantics (the
@@ -500,6 +521,39 @@ object VectorQueries {
         |  CAST(1 AS BIGINT) AS ok_stable, CAST(1 AS BIGINT) AS ok_refit,
         |  CAST(1 AS BIGINT) AS ok_self, CAST(1 AS BIGINT) AS ok_recall
         |FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""".stripMargin,
+
+    // q50's ranked CTE + the label-match relevance set + the exact
+    // count/quotient metric arithmetic, restated directly.
+    "q221_retrieval_eval" ->
+      s"""WITH ne AS (SELECT vec_id, ${duckNorm("embedding")} AS nv FROM embeddings),
+         |sims AS (
+         |  SELECT p.vec_id AS probe_id, e.vec_id, ${duckDot("e.nv", "p.nv")} AS sim
+         |  FROM ne e CROSS JOIN (SELECT * FROM ne WHERE vec_id < 5) p),
+         |res AS (SELECT probe_id, vec_id, rank FROM (
+         |    SELECT probe_id, vec_id, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+         |    FROM sims) WHERE rank <= 10),
+         |rel AS (SELECT p.vec_id AS probe_id, e.vec_id
+         |  FROM embeddings e JOIN embeddings p
+         |    ON p.vec_id < 5 AND e.label = p.label AND e.vec_id <> p.vec_id),
+         |nr AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_rel
+         |  FROM rel GROUP BY 1),
+         |h AS (SELECT res.probe_id,
+         |    CAST(sum(CASE WHEN rel.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hit_k,
+         |    min(CASE WHEN rel.vec_id IS NOT NULL THEN res.rank END) AS fr
+         |  FROM res LEFT JOIN rel
+         |    ON res.probe_id = rel.probe_id AND res.vec_id = rel.vec_id
+         |  GROUP BY 1)
+         |SELECT coalesce(nr.probe_id, h.probe_id) AS probe_id,
+         |  coalesce(n_rel, 0) AS n_rel, coalesce(n_hit_k, 0) AS n_hit_k,
+         |  coalesce(n_hit_k, 0)::DOUBLE / 10.0 AS p_at_k,
+         |  CASE WHEN coalesce(n_rel, 0) = 0 THEN 0.0
+         |    ELSE coalesce(n_hit_k, 0)::DOUBLE / n_rel::DOUBLE END AS r_at_k,
+         |  CASE WHEN fr IS NULL THEN 0.0
+         |    ELSE 1.0 / fr::DOUBLE END AS rr
+         |FROM nr FULL OUTER JOIN h ON nr.probe_id = h.probe_id
+         |ORDER BY probe_id""".stripMargin,
 
     "q218_ivf_filtered" ->
       """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_res,

@@ -304,7 +304,11 @@ object ScaleSoak {
     "q219_group_mad",
     // EWMA: one (user, bucket) agg + a horizon-bounded window — users
     // grow 10×, per-key state fixed, so the ratio must stay linear
-    "q220_ewma")
+    "q220_ewma",
+    // retrieval eval: q50's probe cost + two id-sized joins — the
+    // label-relevance set grows 10× (labels offset per replica keep
+    // per-label populations fixed), ratio must track q50's
+    "q221_retrieval_eval")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

@@ -124,4 +124,41 @@ class EvalSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(viaKernel == viaRel)
   }
+
+  test("retrievalMetrics: hits, first-relevant rank, zero-rel and no-result queries") {
+    val s = spark; import s.implicits._
+    // q1: rel {10, 11, 12}; top-3 results hit 11 at rank 2 and 12 at
+    //   rank 3 -> n_hit 2, p@3 = 2/3, r@3 = 2/3, rr = 1/2
+    // q2: rel {20}; results never hit -> rr 0, r@3 0
+    // q3: results but NO judged docs -> n_rel 0, r@3 0 (not dropped)
+    // q4: judged but NO results -> zero hits row
+    val results = Seq(
+      (1L, 99L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 10L, 4L),
+      (2L, 98L, 1L), (2L, 97L, 2L),
+      (3L, 96L, 1L)
+    ).toDF("q", "d", "r")
+    val qrels = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (4L, 40L))
+      .toDF("q", "d")
+    val out = graft.agg.Eval.retrievalMetrics(results, qrels, "q", "d",
+        "r", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out(1L) == ((3L, 2L, 2.0 / 3.0, 2.0 / 3.0, 0.5)))
+    assert(out(2L) == ((1L, 0L, 0.0, 0.0, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0.0, 0.0, 0.0)))
+    assert(out(4L) == ((1L, 0L, 0.0, 0.0, 0.0)))
+    // rank-4 relevant doc 10 is outside k=3 everywhere above; at k=5
+    // it counts and q1's hits rise to 3
+    val k5 = graft.agg.Eval.retrievalMetrics(results, qrels, "q", "d",
+        "r", k = 5)
+      .filter($"q" === 1L).head()
+    assert(k5.getLong(2) == 3L && k5.getDouble(5) == 0.5)
+    // duplicate qrel rows must not double-count
+    val dupQ = qrels.union(qrels)
+    val dup = graft.agg.Eval.retrievalMetrics(results, dupQ, "q", "d",
+        "r", k = 3)
+      .filter($"q" === 1L).head()
+    assert(dup.getLong(1) == 3L && dup.getLong(2) == 2L)
+  }
 }
