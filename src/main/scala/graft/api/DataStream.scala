@@ -268,6 +268,23 @@ class DataStream(val df: DataFrame) {
       .select(agg.toColumn.name("quantiles")).toDF())
   }
 
+  /** PER-GROUP merging t-digest quantiles — the grouped approximate
+    * companion to the exact per-group order statistics (q219's
+    * median/MAD, q53's global selection): one sketch per group, built
+    * from mergeable partials (map-combined — a hot group costs one
+    * digest per partition, never a buffered sort), `values(i)` aligned
+    * with `quantiles(i)`. The open-cardinality scale path when groups ×
+    * values outgrow the exact window sorts. */
+  def tdigestQuantileBy(groupCol: String, c: String,
+      quantiles: Seq[Double], compression: Int = 100): DataStream = {
+    val agg = new graft.agg.TDigestQuantiles(quantiles, compression)
+    val u = org.apache.spark.sql.functions.udaf(agg,
+      org.apache.spark.sql.Encoders.scalaDouble)
+    new DataStream(df.groupBy(col(groupCol))
+      .agg(u(col(c).cast("double")).as("__qv"))
+      .select(col(groupCol), col("__qv.values").as("values")))
+  }
+
   /** Exact interpolated quantiles (oracle-verifiable correctness).
     * EAGER — unlike every other DataStream method: it runs
     * graft.agg.OrderStat's range-exchange selection jobs AT CALL TIME

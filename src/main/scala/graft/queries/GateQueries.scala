@@ -1334,6 +1334,25 @@ object GateQueries {
         .agg(ok(0, 0.25), ok(1, 0.5), ok(2, 0.75), ok(3, 0.95))
     },
 
+    // PER-GROUP t-digest quantiles (q96's rank-bound gate, grouped):
+    // one mergeable sketch per l_returnflag, each estimate pinned by
+    // the per-group CDF check |F(q_p) − p| ≤ 0.05 engine-side; the
+    // oracle states the flags as literal 1s per group.
+    "q222_group_tdigest" -> { (s, d) =>
+      val li = lineitem(s, d)
+      val ps = Seq(0.25, 0.5, 0.75)
+      val qs = new DataStream(li)
+        .tdigestQuantileBy("l_returnflag", "l_extendedprice", ps, 100).df
+      def ok(i: Int, p: Double) =
+        (abs(sum(when(col("l_extendedprice") <= element_at(col("values"),
+          i + 1), 1L).otherwise(0L)).cast("double") / count(lit(1)) - lit(p))
+          <= lit(0.05)).cast("int").as(s"ok_q${(p * 100).toInt}")
+      li.join(qs, "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(ok(0, 0.25), ok(1, 0.5), ok(2, 0.75))
+        .orderBy("l_returnflag")
+    },
+
     // NFA CEP formulation (ts.Cep.nfaPatternRecognize) on the q48
     // pattern; the oracle is the 3-way-join statement of the same
     // semantics, so the linear scan is gated against SQL directly.
@@ -1899,6 +1918,10 @@ object GateQueries {
         |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
     "q96_tdigest" ->
       """SELECT 1 AS ok_q25, 1 AS ok_q50, 1 AS ok_q75, 1 AS ok_q95""",
+
+    "q222_group_tdigest" ->
+      """SELECT DISTINCT l_returnflag, 1 AS ok_q25, 1 AS ok_q50,
+        |  1 AS ok_q75 FROM lineitem ORDER BY l_returnflag""".stripMargin,
     "q97_nfa_cep" ->
       """SELECT a.user_id, epoch(a.ts) AS a_t, epoch(b.ts) AS b_t,
         |  epoch(c.ts) AS c_t

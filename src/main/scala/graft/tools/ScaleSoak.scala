@@ -308,7 +308,10 @@ object ScaleSoak {
     // retrieval eval: q50's probe cost + two id-sized joins — the
     // label-relevance set grows 10× (labels offset per replica keep
     // per-label populations fixed), ratio must track q50's
-    "q221_retrieval_eval")
+    "q221_retrieval_eval",
+    // grouped t-digest: map-combined sketch partials — flat state per
+    // group, the ratio must be scan-linear
+    "q222_group_tdigest")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

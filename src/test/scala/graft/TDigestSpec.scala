@@ -57,4 +57,32 @@ class TDigestSpec extends SparkSpecBase {
     val one = s.createDataset(Seq(42.0)).select(agg.toColumn).head()
     assert(one.values.head == 42.0)
   }
+
+  test("grouped t-digest: per-group sketches, close to exact, layout invariant") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // two groups with disjoint ranges: the sketches must not bleed
+    val rows = (1 to 2000).map(i => ("lo", i.toDouble)) ++
+      (1 to 2000).map(i => ("hi", 100000.0 + i))
+    val df = rows.toDF("g", "v")
+    val out = new graft.api.DataStream(df)
+      .tdigestQuantileBy("g", "v", Seq(0.25, 0.5, 0.75)).df
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(out("lo").forall(q => q >= 1.0 && q <= 2000.0))
+    assert(out("hi").forall(q => q >= 100001.0 && q <= 102000.0))
+    // within 1% of the exact per-group quantiles
+    for ((g, lo) <- Seq(("lo", 0.0), ("hi", 100000.0)); (p, i) <- Seq(
+        (0.25, 0), (0.5, 1), (0.75, 2))) {
+      val exact = lo + 2000.0 * p
+      assert(math.abs(out(g)(i) - exact) <= 20.0,
+        s"$g q$p: ${out(g)(i)} vs $exact")
+    }
+    // partial-merge layout invariance: same data, different partitions
+    val again = new graft.api.DataStream(df.repartition(13))
+      .tdigestQuantileBy("g", "v", Seq(0.25, 0.5, 0.75)).df
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    for (g <- Seq("lo", "hi"); i <- 0 to 2)
+      assert(math.abs(again(g)(i) - out(g)(i)) <= 20.0)
+  }
 }
