@@ -1,6 +1,6 @@
 package graft.agg
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -106,6 +106,51 @@ object Eval {
         when(col("n_cand") + col("n_ref") === 0, 0.0)
           .otherwise(oD * 2.0 /
             (col("n_cand") + col("n_ref")).cast("double")))
+  }
+
+  /** Two-sample χ² DRIFT readout over a categorical column — the
+    * distribution-shift monitor a pipeline runs between corpus slices
+    * (yesterday vs today, source A vs source B) before trusting a new
+    * batch. PSI's ln() is transcendental, so the catalog's exactness
+    * bar picks the χ² statistic instead: per category i with counts
+    * (aᵢ, bᵢ) and side totals (N_a, N_b),
+    *   contribᵢ = Dᵢ² / (N_a · N_b · (aᵢ + bᵢ)),  Dᵢ = aᵢ·N_b − bᵢ·N_a
+    * (the algebraic collapse of Σ (obs−exp)²/exp over both sides) —
+    * Dᵢ² runs in DECIMAL(38,0) (N up to ~3·10⁹ before precision loss)
+    * and the final quotient is one deterministic IEEE division, so the
+    * per-category readout is engine-reproducible with no tolerance.
+    * Σ contribᵢ ~ χ²(k−1) under no-drift; the per-category rows ARE
+    * the actionable output (which categories moved), the caller sums
+    * for the omnibus test.
+    *
+    * Categories absent on one side carry count 0 there (full-outer
+    * union) — the strongest drift signal must not silently drop.
+    *
+    * Scale shape: two map-combined category counts + two one-row
+    * totals broadcast back; the exchange is category-sized. */
+  def chiSquareDrift(a: DataFrame, b: DataFrame,
+      catCol: String): DataFrame = {
+    def side(df: DataFrame, n: String) = df
+      .filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("__c"))
+      .agg(count(lit(1)).as(n))
+    val ca = side(a, "n_a"); val cb = side(b, "n_b")
+    val joined = ca.join(cb, Seq("__c"), "full_outer")
+      .select(col("__c"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tot = joined.agg(sum(col("n_a")).as("__ta"),
+      sum(col("n_b")).as("__tb"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val d = dec(col("n_a")) * dec(col("__tb")) -
+      dec(col("n_b")) * dec(col("__ta"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("contrib",
+        (d * d).cast("double") /
+          (dec(col("__ta")) * dec(col("__tb")) *
+            dec(col("n_a") + col("n_b"))).cast("double"))
+      .select(col("__c").as(catCol), col("n_a"), col("n_b"),
+        col("contrib"))
   }
 
   /** Retrieval evaluation at cutoff `k` — the ranked-list metrics that

@@ -519,6 +519,19 @@ object CurationQueries {
         .orderBy("id")
     },
 
+    // two-sample χ² drift readout: lang distribution of the even-id
+    // half vs the odd-id half of the corpus — per-category exact-D²
+    // contributions (decimal(38) numerator, one IEEE division), the
+    // transcendental-free stand-in for PSI drift monitors.
+    "q223_chi2_drift" -> { (s, d) =>
+      val docs = documents(s, d)
+      graft.agg.Eval.chiSquareDrift(
+        docs.filter(col("doc_id") % 2 === 0).select(col("lang")),
+        docs.filter(col("doc_id") % 2 === 1).select(col("lang")),
+        "lang")
+        .orderBy("lang")
+    },
+
     // blocking-FREE exact edit-distance join (dedup/EdJoin, the
     // PassJoin segment pigeonhole): same corpus as q179 but no caller
     // blocking key — candidates come from 8-char segment-key equality,
@@ -1224,6 +1237,27 @@ object CurationQueries {
         |SELECT ent.id, ent.entity_id, sz.n_members,
         |  ent.id = ent.entity_id AS is_canonical
         |FROM ent JOIN sz USING (entity_id) ORDER BY ent.id""".stripMargin,
+
+    // the same D² rational in HUGEINT (DuckDB's int128 ≈ decimal(38)),
+    // one double division — identical IEEE result.
+    "q223_chi2_drift" ->
+      """WITH a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_a
+        |  FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+        |  GROUP BY 1),
+        |b AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_b
+        |  FROM documents WHERE doc_id % 2 = 1 AND lang IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (SELECT coalesce(a.lang, b.lang) AS lang,
+        |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |  FROM a FULL OUTER JOIN b ON a.lang = b.lang),
+        |t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
+        |SELECT lang, n_a, n_b,
+        |  ((n_a::HUGEINT * tb::HUGEINT - n_b::HUGEINT * ta::HUGEINT)
+        |    * (n_a::HUGEINT * tb::HUGEINT - n_b::HUGEINT * ta::HUGEINT)
+        |  )::DOUBLE
+        |  / (ta::HUGEINT * tb::HUGEINT * (n_a + n_b)::HUGEINT)::DOUBLE
+        |  AS contrib
+        |FROM j, t ORDER BY lang""".stripMargin,
 
     // exhaustive quadratic brute force — the lossless contract the
     // segment-pigeonhole candidates must reproduce exactly.

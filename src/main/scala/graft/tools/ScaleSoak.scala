@@ -311,7 +311,9 @@ object ScaleSoak {
     "q221_retrieval_eval",
     // grouped t-digest: map-combined sketch partials — flat state per
     // group, the ratio must be scan-linear
-    "q222_group_tdigest")
+    "q222_group_tdigest",
+    // chi-square drift: two map-combined category counts — scan-linear
+    "q223_chi2_drift")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

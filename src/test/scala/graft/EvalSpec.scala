@@ -125,6 +125,39 @@ class EvalSpec extends SparkSpecBase {
     assert(viaKernel == viaRel)
   }
 
+  test("chiSquareDrift: hand-computed contribs, one-sided category, null drop") {
+    val s = spark; import s.implicits._
+    // A: x x x y   (Na=4)   B: x y y y (Nb=4)
+    // x: D = 3*4 - 1*4 = 8, contrib = 64 / (4*4*4) = 1.0
+    // y: D = 1*4 - 3*4 = -8, contrib = 64 / (4*4*4) = 1.0
+    val a = Seq("x", "x", "x", "y").toDF("c")
+    val b = Seq("x", "y", "y", "y").toDF("c")
+    val out = graft.agg.Eval.chiSquareDrift(a, b, "c")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("x") == ((3L, 1L, 1.0)))
+    assert(out("y") == ((1L, 3L, 1.0)))
+    // a category absent on one side surfaces with count 0 (maximum
+    // drift signal); nulls are ignored entirely
+    val a2 = Seq(Some("x"), Some("x"), None).toDF("c")
+    val b2 = Seq(Some("z"), Some("z")).toDF("c")
+    val o2 = graft.agg.Eval.chiSquareDrift(a2, b2, "c")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // x: D = 2*2 - 0*2 = 4 -> 16/(2*2*2) = 2.0; z symmetric
+    assert(o2("x") == ((2L, 0L, 2.0)))
+    assert(o2("z") == ((0L, 2L, 2.0)))
+    // identical distributions -> zero drift everywhere
+    val same = graft.agg.Eval.chiSquareDrift(a, a, "c")
+      .collect().map(_.getDouble(3))
+    assert(same.forall(_ == 0.0))
+    // layout invariance (counts are exact integers)
+    val again = graft.agg.Eval.chiSquareDrift(a.repartition(5),
+        b.repartition(3), "c")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(again == out.map { case (k, v) => k -> v._3 })
+  }
+
   test("retrievalMetrics: hits, first-relevant rank, zero-rel and no-result queries") {
     val s = spark; import s.implicits._
     // q1: rel {10, 11, 12}; top-3 results hit 11 at rank 2 and 12 at

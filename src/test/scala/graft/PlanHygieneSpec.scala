@@ -54,7 +54,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     // hybrid RRF: contains q157's one-row corpus-stats cross inside its
     // bm25TopK sub-plan (the lexical fan-out itself is an explode
     // projection, not a join)
-    "q213_hybrid_rrf")
+    "q213_hybrid_rrf",
+    // chi-square drift: crosses the category counts with the one-row
+    // side-totals aggregate
+    "q223_chi2_drift")
 
   /** Built once and shared by all tests — several catalog queries do
     * eager work (sink writes, collects) at construction time, so planning
