@@ -144,11 +144,18 @@ object Eval {
     def dec(c: Column) = c.cast("decimal(38,0)")
     val d = dec(col("n_a")) * dec(col("__tb")) -
       dec(col("n_b")) * dec(col("__ta"))
+    val d2 = d * d
+    val den = dec(col("__ta")) * dec(col("__tb")) *
+      dec(col("n_a") + col("n_b"))
     joined.crossJoin(broadcast(tot))
+      // same loud guard as EventStats.abTest: beyond ~3e9 rows/side the
+      // decimal(38,0) multiply overflows — ANSI throws, non-ANSI yields
+      // NULL; never let the contribution silently null out.
       .withColumn("contrib",
-        (d * d).cast("double") /
-          (dec(col("__ta")) * dec(col("__tb")) *
-            dec(col("n_a") + col("n_b"))).cast("double"))
+        when(d2.isNull || den.isNull,
+          raise_error(lit("chiSquareDrift: decimal(38) overflow — " +
+            "side totals exceed the exact range; subsample the sides")))
+          .otherwise(d2.cast("double") / den.cast("double")))
       .select(col("__c").as(catCol), col("n_a"), col("n_b"),
         col("contrib"))
   }
@@ -180,10 +187,16 @@ object Eval {
       queryCol: String, docCol: String, rankCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // Ranks are 1-based (rank 0 would make rr = 1/0); rows outside
+    // [1, k] are out of scope by definition. Duplicate (query, doc)
+    // rows within the top-k (a retrieval surface that returns the same
+    // doc twice) collapse to their best rank so n_hit_k counts DOCS,
+    // never rows — p_at_k can't exceed 1.
     val res = results
       .select(col(queryCol).as("__q"), col(docCol).as("__d"),
         col(rankCol).cast("long").as("__r"))
-      .filter(col("__r") <= k)
+      .filter(col("__r") >= 1 && col("__r") <= k)
+      .groupBy(col("__q"), col("__d")).agg(min(col("__r")).as("__r"))
     val rel = qrels
       .select(col(queryCol).as("__q"), col(docCol).as("__d")).distinct()
     val nRel = rel.groupBy(col("__q")).agg(count(lit(1)).as("n_rel"))

@@ -280,7 +280,11 @@ class DataStream(val df: DataFrame) {
     val agg = new graft.agg.TDigestQuantiles(quantiles, compression)
     val u = org.apache.spark.sql.functions.udaf(agg,
       org.apache.spark.sql.Encoders.scalaDouble)
-    new DataStream(df.groupBy(col(groupCol))
+    // NULL filter up front: the primitive-Double udaf would decode a
+    // NULL as 0.0 and silently fold it into the digest. SQL aggregate
+    // semantics ignore nulls; a group whose values are ALL null is
+    // dropped (same contract as groupMedianMad).
+    new DataStream(df.filter(col(c).isNotNull).groupBy(col(groupCol))
       .agg(u(col(c).cast("double")).as("__qv"))
       .select(col(groupCol), col("__qv.values").as("values")))
   }

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Exact edit-distance similarity self-join WITHOUT caller blocking —
@@ -141,6 +141,4 @@ object EdJoin {
       .filter(col("dist") >= 0)
       .select(col("id_1"), col("id_2"), col("dist"))
   }
-
-  private def unused(c: Column): Column = c
 }

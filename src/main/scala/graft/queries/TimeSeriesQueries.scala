@@ -498,7 +498,8 @@ object TimeSeriesQueries {
         |SELECT n_a, c_a, n_b, c_b,
         |  c_a::DOUBLE / n_a::DOUBLE AS rate_a,
         |  c_b::DOUBLE / n_b::DOUBLE AS rate_b,
-        |  z2_num, z2_den,
+        |  CAST(z2_num AS DOUBLE) AS z2_num,
+        |  CAST(z2_den AS DOUBLE) AS z2_den,
         |  CAST(CASE WHEN z2_den > 0 AND 1000 * z2_num >= 3841 * z2_den
         |    THEN 1 ELSE 0 END AS INT) AS significant
         |FROM z""".stripMargin.replace("VEXPR", v)

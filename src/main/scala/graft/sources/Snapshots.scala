@@ -184,8 +184,12 @@ object Snapshots {
     * pins it, no matter how old the commit that wrote it. Time travel
     * below the horizon fails loudly afterwards ("snapshot N does not
     * exist"); [[history]] reports the surviving tail. Not concurrency-
-    * safe against in-flight readers of expiring snapshots — run it in
-    * the table's maintenance window like any vacuum.
+    * safe against in-flight readers of expiring snapshots OR racing
+    * WRITERS: a commit landing between the horizon computation and the
+    * deletes could reference a dir being vacuumed, so HEAD is re-read
+    * just before deleting and the vacuum aborts (loudly) if it
+    * advanced — a cheap guard, not a lock; run it in the table's
+    * maintenance window like any vacuum.
     *
     * Returns (expired manifest count, deleted data-dir count). */
   def expire(dir: String, keepLast: Int): (Int, Int) = {
@@ -208,6 +212,13 @@ object Snapshots {
     }
     val deadDirs = dead.flatMap(id => readManifest(root, id).dataDirs)
       .distinct.filterNot(referenced)
+    // racing-writer guard: the dead set was computed against `head`; a
+    // concurrent commit may reference dirs we are about to delete.
+    val headNow = currentSnapshotId(dir).getOrElse(-1L)
+    if (headNow != head)
+      throw new IllegalStateException(
+        s"expire: HEAD advanced $head -> $headNow during vacuum at " +
+          s"$dir; aborting before any delete — re-run in a quiet window")
     deadDirs.foreach(p => rmTree(root.resolve(p)))
     dead.foreach(id =>
       Files.deleteIfExists(root.resolve(s"manifests/v$id.json")))

@@ -122,7 +122,9 @@ object EventStats {
     * never zero rows.
     *
     * Returns one row: (n_a, c_a, n_b, c_b, rate_a, rate_b, z2_num,
-    * z2_den, significant); z2_num/z2_den are DECIMAL(38,0). */
+    * z2_den, significant); z2_num/z2_den are computed in DECIMAL(38,0)
+    * (and `significant` decided on the exact decimals) but EMITTED as
+    * DOUBLE for cross-engine representation stability. */
   def abTest(events: DataFrame, userCol: String, convType: String,
       typeCol: String, seed: String,
       z2Num: Long = 3841L, z2Den: Long = 1000L): DataFrame = {
@@ -142,21 +144,30 @@ object EventStats {
     val den = dec(col("n_a")) * dec(col("n_b")) *
       dec(col("c_a") + col("c_b")) *
       dec(col("n_a") + col("n_b") - col("c_a") - col("c_b"))
-    val lhs = dec(lit(z2Den)) * col("z2_num")
-    val rhs = dec(lit(z2Num)) * col("z2_den")
+    val lhs = dec(lit(z2Den)) * col("__z2_num")
+    val rhs = dec(lit(z2Num)) * col("__z2_den")
     row
       .withColumn("rate_a", when(col("n_a") > 0,
         col("c_a").cast("double") / col("n_a").cast("double")))
       .withColumn("rate_b", when(col("n_b") > 0,
         col("c_b").cast("double") / col("n_b").cast("double")))
-      .withColumn("z2_num", num)
-      .withColumn("z2_den", den)
+      .withColumn("__z2_num", num)
+      .withColumn("__z2_den", den)
       .withColumn("significant",
-        when(col("z2_num").isNull || col("z2_den").isNull ||
+        when(col("__z2_num").isNull || col("__z2_den").isNull ||
             lhs.isNull || rhs.isNull,
           raise_error(lit("abTest: decimal(38) overflow — arm sizes " +
             "exceed the exact range; subsample or widen the test")))
-          .otherwise((col("z2_den") > 0 && lhs >= rhs).cast("int")))
+          .otherwise((col("__z2_den") > 0 && lhs >= rhs).cast("int")))
+      // The exactness contract lives in `significant` (the DECIMAL
+      // comparison above); the emitted statistic columns are DOUBLE so
+      // the result representation is engine-stable (a DECIMAL output
+      // column is the one type whose canonical text differs between
+      // engines' hashers — learned the hard way in round 12).
+      .withColumn("z2_num", col("__z2_num").cast("double"))
+      .withColumn("z2_den", col("__z2_den").cast("double"))
+      .select("n_a", "c_a", "n_b", "c_b", "rate_a", "rate_b",
+        "z2_num", "z2_den", "significant")
   }
 
   /** Event-type TRANSITION MATRIX (first-order Markov chain of user
