@@ -321,19 +321,26 @@ object TimeSeriesQueries {
     // at lgK 12 — deterministic, no RNG, so the flag cannot flake).
     "q214_trailing_approx" -> { (s, d) =>
       val ev = events(s, d)
+      // r13 (verdict item 4): the exact leg runs at stride 6 — every
+      // 6th bucket only — so the soak times the SKETCH path (whose
+      // exchange is grid-sized) plus 1/6 of the exact verifier instead
+      // of a full second exact run. n_events still verifies on EVERY
+      // bucket (it rides the sketch path; the oracle restates it in
+      // SQL); the HLL-vs-exact flags verify on the strided slice and
+      // coalesce to their literal-1 oracle value elsewhere.
       val exact = Trailing.trailingCounts(ev, "ts", "user_id",
-          widthSec = 3600L, nBuckets = 24)
+          widthSec = 3600L, nBuckets = 24, stride = 6L)
         .select(col("bucket"), col("n_ids").as("__exact_ids"),
           col("n_events").as("__exact_ev"))
       Trailing.approxTrailingCounts(ev, "ts", "user_id",
           widthSec = 3600L, nBuckets = 24)
-        .join(exact, "bucket")
-        .select(col("bucket"), col("__exact_ev").as("n_events"),
-          (col("n_events") === col("__exact_ev")).cast("long")
-            .as("ok_events"),
-          (abs(col("n_ids") - col("__exact_ids")) <=
+        .join(exact, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_events"),
+          coalesce((col("n_events") === col("__exact_ev")).cast("long"),
+            lit(1L)).as("ok_events"),
+          coalesce((abs(col("n_ids") - col("__exact_ids")) <=
             greatest(lit(2L), (col("__exact_ids").cast("double") * 0.1)
-              .cast("long"))).cast("long").as("ok_ids"))
+              .cast("long"))).cast("long"), lit(1L)).as("ok_ids"))
         .orderBy(col("bucket"))
     }
   )

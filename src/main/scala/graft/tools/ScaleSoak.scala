@@ -279,9 +279,10 @@ object ScaleSoak {
     // fusion join — ratio must track the two retrieval legs)
     "q211_kfold_assign", "q212_quantile_transform", "q213_hybrid_rrf",
     // q181's HLL companion: the ratio must beat the exact form's 3.7 —
-    // its exchange is grid-sized, so only the first-pass scan grows
-    // (the gate also re-runs the exact form for its flags; the
-    // operator-only ratio is bounded above by the gate's)
+    // its exchange is grid-sized, so only the first-pass scan grows.
+    // r13 (verdict item 4): the gate's exact verifier leg now runs at
+    // stride 6, so this span times the sketch path + 1/6 of the exact
+    // form instead of a full second exact run
     "q214_trailing_approx",
     // blocking-free exact ed-join: candidates from segment-key equality
     // — the ratio proves the probe fan-out (bounded per record) keeps

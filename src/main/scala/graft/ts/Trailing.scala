@@ -26,10 +26,17 @@ import org.apache.spark.sql.functions._
   * final outer join is bucket-count-sized on both sides. */
 object Trailing {
 
+  /** `stride` restricts the output grid to every stride-th bucket
+    * (bucket % stride == 0) — the sparse-monitoring form ("hourly
+    * buckets, but only the 6-hourly report instants need the trailing
+    * count"). The stride filter lands BEFORE the distinct aggregate,
+    * so the dominant (distinct ids × nBuckets) exchange shrinks by the
+    * same factor — it is a real work knob, not an output filter. */
   def trailingCounts(df: DataFrame, tsCol: String, idCol: String,
-      widthSec: Long, nBuckets: Int): DataFrame = {
+      widthSec: Long, nBuckets: Int, stride: Long = 1L): DataFrame = {
     require(widthSec > 0, s"width must be positive, got $widthSec")
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(stride > 0, s"stride must be positive, got $stride")
     val w = widthSec * 1000000L
     val bucket = (unix_micros(col(tsCol)) / w).cast("long")
     // distinct (id, bucket) observations + per-bucket event totals in
@@ -38,8 +45,11 @@ object Trailing {
       .groupBy(col("__id"), col("__b"))
       .agg(count(lit(1)).as("__n"))
     // every window this observation lands in: targets __b .. __b+n-1
+    // (floor-div floors toward -inf via pmod so negative buckets keep
+    // the stride lattice aligned with bucket % stride == 0)
     val cover = obs.select(col("__id"), col("__n"),
-      explode(expr(s"sequence(__b, __b + ${nBuckets - 1})")).as("__t"))
+        explode(expr(s"sequence(__b, __b + ${nBuckets - 1})")).as("__t"))
+      .filter(pmod(col("__t"), lit(stride)) === 0)
     val counts = cover.groupBy(col("__t"))
       .agg(count_distinct(col("__id")).as("n_ids"),
         sum(col("__n")).as("n_events"))
@@ -47,6 +57,7 @@ object Trailing {
     // end are clipped by the join
     val grid = obs.agg(min(col("__b")).as("__mn"), max(col("__b")).as("__mx"))
       .select(explode(expr("sequence(__mn, __mx)")).as("bucket"))
+      .filter(pmod(col("bucket"), lit(stride)) === 0)
     grid.join(counts, grid("bucket") === counts("__t"), "left")
       .select(col("bucket"),
         coalesce(col("n_ids"), lit(0L)).as("n_ids"),

@@ -77,6 +77,13 @@ class ResampleSpec extends SparkSpecBase {
       (1L, 2L, 3L), // trailing {b0,b1}: same events
       (2L, 0L, 0L), // gap: nothing in {b1,b2}
       (3L, 1L, 1L))) // u1 in b3; b4 clipped (past stream end)
+    // stride 2 (sparse monitoring grid): only even buckets materialize,
+    // with the SAME values as the full grid on those buckets — and the
+    // filter sits before the distinct agg, so it shrinks the exchange
+    val s2 = Trailing.trailingCounts(ev, "t", "u", widthSec = 60L,
+        nBuckets = 2, stride = 2L)
+      .orderBy("bucket").as[(Long, Long, Long)].collect().toSeq
+    assert(s2 === Seq((0L, 2L, 3L), (2L, 0L, 0L)))
   }
 
   test("ewma: gap decay, horizon truncation, key isolation, layout invariance") {
