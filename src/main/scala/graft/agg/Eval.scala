@@ -160,6 +160,76 @@ object Eval {
         col("contrib"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov DRIFT readout over a NUMERIC column —
+    * the continuous-distribution companion of [[chiSquareDrift]] (which
+    * monitors categorical columns): KS = max over x of |F_a(x) − F_b(x)|
+    * compares whole CDFs, catching location/shape shifts that category
+    * counts can't see.
+    *
+    * Exact by construction: with per-side cumulative counts (i, j) at
+    * each distinct value, F_a − F_b = i/N_a − j/N_b = (i·N_b − j·N_a) /
+    * (N_a·N_b) — so the statistic is the integer rational
+    * (`ks_num`, `ks_den`) = (max |i·N_b − j·N_a|, N_a·N_b) with ONE IEEE
+    * division for the `ks` readout. The α=0.05 rejection
+    * KS > 1.358·√((N_a+N_b)/(N_a·N_b)) squares into the pure integer
+    * comparison 10⁶·ks_num² > 1844164·(N_a+N_b)·N_a·N_b, run in
+    * DECIMAL(38,0) (exact to ~5·10⁸ rows/side; overflow raises LOUDLY —
+    * same contract as abTest/chiSquareDrift — subsample beyond).
+    *
+    * One row: (n_a, n_b, ks_num, ks_den, ks, significant).
+    *
+    * Scale shape: two map-combined per-value counts + one ordered
+    * cumulative pass over DISTINCT values — value-cardinality sized,
+    * not corpus sized (same single-partition-by-design contract as
+    * [[aucExact]]; quantize a high-cardinality continuous column
+    * first, which real drift monitors do anyway). */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def side(df: DataFrame, n: String) = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as(n))
+    val joined = side(a, "__ca").join(side(b, "__cb"), Seq("__v"),
+        "full_outer")
+      .select(col("__v"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val cumW = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cum = joined
+      .withColumn("__i", sum(col("__ca")).over(cumW))
+      .withColumn("__j", sum(col("__cb")).over(cumW))
+      .withColumn("__ta", sum(col("__ca")).over(allW))
+      .withColumn("__tb", sum(col("__cb")).over(allW))
+    val red = cum.agg(
+      max(abs(dec(col("__i")) * dec(col("__tb")) -
+        dec(col("__j")) * dec(col("__ta")))).as("__num"),
+      max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"))
+    val num2 = dec(lit(1000000L)) * col("__num") * col("__num")
+    val crit = dec(lit(1844164L)) * dec(col("n_a") + col("n_b")) *
+      dec(col("n_a")) * dec(col("n_b"))
+    // empty-input discipline (same as abTest): the readout must never
+    // vanish or go null-count — an all-empty reduce yields one row of
+    // zeros with a null ks (0/0 has no value; the flag is 0, not an
+    // ANSI divide-by-zero error).
+    red.select(coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("__num").cast("long"), lit(0L)).as("ks_num"),
+        (coalesce(col("n_a"), lit(0L)) * coalesce(col("n_b"), lit(0L)))
+          .as("ks_den"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          col("__num").cast("double") /
+            (dec(col("n_a")) * dec(col("n_b"))).cast("double")).as("ks"),
+        when(coalesce(col("n_a"), lit(0L)) === 0L ||
+            coalesce(col("n_b"), lit(0L)) === 0L, lit(0))
+          .when(num2.isNull || crit.isNull,
+            raise_error(lit("ksDrift: decimal(38) overflow — side " +
+              "totals exceed the exact range; subsample the sides")))
+          .otherwise((num2 > crit).cast("int")).as("significant"))
+  }
+
   /** Retrieval evaluation at cutoff `k` — the ranked-list metrics that
     * grade the engine's own search surfaces (ANN probes, BM25, hybrid
     * RRF) against a relevance set: per query,
@@ -219,5 +289,79 @@ object Eval {
       .withColumn("rr", when(col("__first").isNull, 0.0)
         .otherwise(lit(1.0) / col("__first").cast("double")))
       .drop("__first")
+  }
+
+  /** CALIBRATION readout over integer milli-probability scores — does a
+    * classifier's confidence mean what it says? Scores come in as
+    * integers in [0, 1000] (milli-probability: real eval pipelines
+    * quantize scores anyway, and the integer contract is what makes the
+    * readout exact — checked loudly). Per equal-width confidence bin b
+    * (`bins` of width 1000/bins, top bin closed):
+    *   - `n`: rows, `sum_y`: positives, `sum_a`: Σ milli-scores,
+    *   - `acc` = sum_y/n and `conf` = sum_a/(1000·n) (IEEE quotients),
+    *   - `gap_num` = |1000·sum_y − sum_a| — the EXACT integer numerator
+    *     of n·|acc − conf|·1000: ECE = Σ_b gap_num / (1000·N), so the
+    *     caller sums one int64 column and divides once (same
+    *     rows-are-the-readout contract as [[chiSquareDrift]]).
+    * Empty bins materialize with zeros — a confidence region the model
+    * never uses is itself a finding.
+    *
+    * Scale shape: ONE map-combined aggregate over `bins` keys + a
+    * bins-sized grid join; int64 is exact to ~9·10¹⁵ rows/bin. */
+  def calibration(df: DataFrame, milliCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0 && 1000 % bins == 0,
+      s"bins must divide 1000, got $bins")
+    val width = 1000 / bins
+    val y = col(labelCol).cast("long")
+    val aRaw = col(milliCol).cast("long")
+    val a = when(aRaw.isNull || aRaw < 0L || aRaw > 1000L,
+      raise_error(concat(lit(s"calibration: $milliCol must be an " +
+        "integer milli-probability in [0, 1000], got "),
+        coalesce(aRaw.cast("string"), lit("null"))))).otherwise(aRaw)
+    val rows = df.filter(col(labelCol).isNotNull)
+      .select(a.as("__a"),
+        when(y.isin(0L, 1L), y).otherwise(raise_error(concat(
+          lit(s"calibration: $labelCol must be 0/1, got "),
+          y.cast("string")))).as("__y"))
+    val agg = rows
+      .groupBy(least(expr(s"__a div $width"), lit(bins - 1L)).as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("sum_y"),
+        sum(col("__a")).as("sum_a"))
+    val grid = df.sparkSession.range(bins).select(col("id").as("bin"))
+    grid.join(agg, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_y"), lit(0L)).as("sum_y"),
+        coalesce(col("sum_a"), lit(0L)).as("sum_a"))
+      .withColumn("acc", when(col("n") > 0,
+        col("sum_y").cast("double") / col("n").cast("double")))
+      .withColumn("conf", when(col("n") > 0,
+        col("sum_a").cast("double") / (col("n") * 1000L).cast("double")))
+      .withColumn("gap_num", abs(col("sum_y") * 1000L - col("sum_a")))
+  }
+
+  /** Exact BRIER score over the same integer milli-probability contract
+    * as [[calibration]]: with a = 1000·p and y ∈ {0,1},
+    * (p − y)² = (a − 1000·y)²/10⁶, so Σ(a−1000y)² is an exact int64
+    * (to ~9·10¹² rows) and the score is one IEEE division. One row:
+    * (n, brier_num, brier); empty input yields (0, 0, null) — the
+    * readout never vanishes. */
+  def brierExact(df: DataFrame, milliCol: String,
+      labelCol: String): DataFrame = {
+    val y = col(labelCol).cast("long")
+    val aRaw = col(milliCol).cast("long")
+    val a = when(aRaw.isNull || aRaw < 0L || aRaw > 1000L,
+      raise_error(concat(lit(s"brierExact: $milliCol must be an " +
+        "integer milli-probability in [0, 1000], got "),
+        coalesce(aRaw.cast("string"), lit("null"))))).otherwise(aRaw)
+    val d = a - lit(1000L) * when(y.isin(0L, 1L), y)
+      .otherwise(raise_error(concat(
+        lit(s"brierExact: $labelCol must be 0/1, got "), y.cast("string"))))
+    df.filter(col(labelCol).isNotNull)
+      .agg(count(lit(1)).as("n"), coalesce(sum(d * d), lit(0L)).as("brier_num"))
+      .withColumn("brier", when(col("n") > 0,
+        col("brier_num").cast("double") /
+          (col("n") * 1000000L).cast("double")))
   }
 }

@@ -287,6 +287,70 @@ object Dedup {
       .select(col(idCol), col("match_id"), col("jaccard"))
   }
 
+  // ---- Winnowing (MOSS fingerprints) ------------------------------------
+
+  /** WINNOWED document fingerprints — Schleimer/Wilkerson/Aiken's
+    * winnowing (SIGMOD 2003, the MOSS algorithm): over the document's
+    * positional k-gram hashes, every window of `w` consecutive grams
+    * contributes its MINIMUM hash, and the distinct selected values are
+    * the fingerprint set. The guarantee the min-selection buys over
+    * "every j-th gram": any shared substring of length ≥ w+k−1 tokens
+    * between two documents yields at least one IDENTICAL fingerprint in
+    * both — local, position-insensitive, and ~|grams|/w selected values
+    * per document (w-fold smaller than the full shingle set MinHash
+    * reduces, while staying EXACT about shared spans).
+    *
+    * Tie/robustness note: classic winnowing breaks min-ties by
+    * position; this form keeps selected VALUES distinct instead, which
+    * is order-deterministic on any engine and preserves the guarantee
+    * (the shared window's minimum VALUE is selected in both documents).
+    * Documents with 0 < |grams| < w contribute their single overall
+    * minimum; gram-less documents contribute nothing.
+    *
+    * Returns exploded (idCol, fp) rows. Scale shape: a pure codegen'd
+    * per-document projection (token hashes → gram hashes → window mins,
+    * no string materialization) + one explode — scan-linear, zero
+    * exchange; downstream candidate generation is [[winnowCandidates]]. */
+  def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(w > 0, s"w must be positive, got $w")
+    val fps = TextOps.bindOnce(
+      TextOps.ngramHashes(TextOps.tokenHashes(col(textCol)), k)) { g =>
+      when(size(g) >= w,
+          array_distinct(transform(sequence(lit(1), size(g) - (w - 1)),
+            i => array_min(slice(g, i, lit(w))))))
+        .when(size(g) > 0, array(array_min(g)))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    df.select(col(idCol), explode(fps).as("fp"))
+  }
+
+  /** Candidate near-dup pairs from shared winnowed fingerprints: the
+    * banded-join shape of the LSH tier over [[winnowedFingerprints]] —
+    * pairs sharing ≥ `minShared` fingerprints, with hot fingerprints
+    * (posting list > `maxBucket`, the stop-gram analog: boilerplate
+    * shared by everything) dropped BEFORE the self-join so no bucket
+    * goes quadratic. Returns (id_1 < id_2, n_shared). Candidates, not
+    * verdicts — confirm with exact Jaccard/edit distance like the LSH
+    * path. Exchanges carry (fp, id) longs only. */
+  def winnowCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    require(minShared > 0, s"minShared must be positive, got $minShared")
+    require(maxBucket > 1, s"maxBucket must exceed 1, got $maxBucket")
+    val fps = winnowedFingerprints(df, idCol, textCol, k, w)
+    val sized = fps.groupBy(col("fp")).agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxBucket)
+    val pruned = fps.join(sized.select("fp"), Seq("fp"))
+    pruned.alias("a")
+      .join(pruned.alias("b"), col(s"a.fp") === col(s"b.fp") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_1"), col(s"b.$idCol").as("id_2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** Bits of the SimHash (bits 0..numBits-1 of the portable token hash;

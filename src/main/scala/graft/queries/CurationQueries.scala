@@ -597,6 +597,48 @@ object CurationQueries {
           md5(col("__t")).as("t_md5"),
           substring(col("__t"), 1, 32).as("head"))
         .orderBy("doc_id")
+    },
+
+    // chunk-level exact dedup + reassembly (r13): variants re-emit each
+    // %5 doc's first 32 tokens under a higher id, so their 16-token
+    // chunks exactly duplicate the source's — the min-(id, idx) keeper
+    // must keep every original intact and gut the variants.
+    "q225_chunk_dedup" -> { (s, d) =>
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val variants = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 300000000L).as("doc_id"),
+          array_join(slice(TextOps.tokens(col("text")), 1, 32), " ")
+            .as("text"))
+      Curation.chunkDedup(docs.unionByName(variants), "doc_id", "text",
+          chunkTokens = 16)
+        .orderBy("doc_id")
+    },
+
+    // winnowed (MOSS) fingerprints, exploded — every window of w=4
+    // consecutive 3-gram hashes contributes its min; the oracle
+    // restates the identical selection over the portable-hash grams.
+    "q226_winnow_fingerprints" -> { (s, d) =>
+      graft.dedup.Dedup.winnowedFingerprints(documents(s, d), "doc_id",
+          "text", k = 3, w = 4)
+        .orderBy("doc_id", "fp")
+    },
+
+    // calibration bins (r13): n_chars capped at 1000 read as a
+    // milli-probability score for lang='en' — per-bin exact integer
+    // counts, IEEE acc/conf quotients, and the exact ECE numerator.
+    "q227_calibration_bins" -> { (s, d) =>
+      val df = documents(s, d).select(
+        least(col("n_chars"), lit(1000L)).as("a"),
+        (col("lang") === "en").cast("long").as("y"))
+      graft.agg.Eval.calibration(df, "a", "y", bins = 10).orderBy("bin")
+    },
+
+    // exact Brier score over the same milli-probability contract.
+    "q228_brier" -> { (s, d) =>
+      val df = documents(s, d).select(
+        least(col("n_chars"), lit(1000L)).as("a"),
+        (col("lang") === "en").cast("long").as("y"))
+      graft.agg.Eval.brierExact(df, "a", "y")
     }
   )
 
@@ -1335,6 +1377,86 @@ object CurationQueries {
          |  FROM h)
          |SELECT doc_id, length(tt) AS n_chars, md5(tt) AS t_md5,
          |  substring(tt, 1, 32) AS head
-         |FROM t ORDER BY doc_id""".stripMargin
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // q132's chunking CTE (overlap 0, width 16) + md5-keyed keeper
+    // (row_number over (doc_id, chunk_i) ≡ the engine's min-struct) +
+    // ordered string_agg reassembly.
+    "q225_chunk_dedup" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000000,
+         |    array_to_string((${toksSql("text")})[1:32], ' ')
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM base),
+         |par AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+         |k AS (SELECT doc_id, t, n, greatest(1, (n + 15) // 16) AS nc
+         |  FROM par),
+         |ch AS (SELECT doc_id, c.i AS chunk_i,
+         |    least(n - c.i*16, 16) AS n_chunk_tokens,
+         |    array_to_string(t[(c.i*16+1):(c.i*16 + least(n - c.i*16, 16))],
+         |      ' ') AS chunk_text
+         |  FROM k, LATERAL (SELECT unnest(range(nc)) AS i) c),
+         |keyed AS (SELECT *, md5(chunk_text) AS kk FROM ch),
+         |dec AS (SELECT *, row_number() OVER (PARTITION BY kk
+         |    ORDER BY doc_id, chunk_i) = 1 AS keep FROM keyed)
+         |SELECT doc_id,
+         |  coalesce(string_agg(CASE WHEN keep THEN chunk_text END, ' '
+         |    ORDER BY chunk_i), '') AS kept_text,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_dropped,
+         |  CAST(sum(CASE WHEN keep THEN n_chunk_tokens ELSE 0 END)
+         |    AS BIGINT) AS n_kept_tokens
+         |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the identical winnowing selection over portable-hash 3-grams:
+    // per-window list_min, distinct values, small-doc single-min case.
+    "q226_winnow_fingerprints" ->
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |hs AS (SELECT doc_id, list_transform(t,
+         |    x -> ${TextOps.portableHashSql("x")}) AS hs FROM toks),
+         |g AS (SELECT doc_id, ${TextOps.ngramHashesSql("hs", 3)} AS g
+         |  FROM hs),
+         |f AS (SELECT doc_id, CASE
+         |    WHEN len(g) >= 4 THEN list_distinct(list_transform(
+         |      range(1, len(g) - 4 + 2), i -> list_min(g[i:i+3])))
+         |    WHEN len(g) > 0 THEN [list_min(g)]
+         |    ELSE []::BIGINT[] END AS fps FROM g)
+         |SELECT doc_id, unnest(fps) AS fp FROM f
+         |ORDER BY doc_id, fp""".stripMargin,
+
+    // per-bin exact integers + IEEE quotients + the exact ECE numerator
+    // |1000·Σy − Σa| per bin; empty bins ride the grid join as zeros.
+    "q227_calibration_bins" ->
+      """WITH s AS (SELECT least(n_chars, 1000) AS a,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE lang IS NOT NULL),
+        |agg AS (SELECT least(a // 100, 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sum_y,
+        |    CAST(sum(a) AS BIGINT) AS sum_a
+        |  FROM s GROUP BY 1),
+        |grid AS (SELECT unnest(range(10)) AS bin)
+        |SELECT g.bin, coalesce(n, 0) AS n, coalesce(sum_y, 0) AS sum_y,
+        |  coalesce(sum_a, 0) AS sum_a,
+        |  CASE WHEN coalesce(n, 0) > 0
+        |    THEN sum_y::DOUBLE / n::DOUBLE END AS acc,
+        |  CASE WHEN coalesce(n, 0) > 0
+        |    THEN sum_a::DOUBLE / (n * 1000)::DOUBLE END AS conf,
+        |  abs(coalesce(sum_y, 0) * 1000 - coalesce(sum_a, 0)) AS gap_num
+        |FROM grid g LEFT JOIN agg USING (bin) ORDER BY bin""".stripMargin,
+
+    // Σ(a − 1000y)² exactly, one IEEE division.
+    "q228_brier" ->
+      """WITH s AS (SELECT least(n_chars, 1000) AS a,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE lang IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(coalesce(sum((a - 1000*y)*(a - 1000*y)), 0) AS BIGINT)
+        |    AS brier_num,
+        |  CASE WHEN count(*) > 0 THEN
+        |    sum((a - 1000*y)*(a - 1000*y))::DOUBLE
+        |      / (count(*) * 1000000)::DOUBLE END AS brier
+        |FROM s""".stripMargin
   )
 }

@@ -342,6 +342,19 @@ object TimeSeriesQueries {
             greatest(lit(2L), (col("__exact_ids").cast("double") * 0.1)
               .cast("long"))).cast("long"), lit(1L)).as("ok_ids"))
         .orderBy(col("bucket"))
+    },
+
+    // two-sample Kolmogorov–Smirnov drift readout (r13): purchase-event
+    // values vs everything else — the continuous-CDF companion of
+    // q223's categorical χ². Exact integer rational (ks_num, ks_den) +
+    // one IEEE division; significance squared into pure DECIMAL(38,0)
+    // integer comparison.
+    "q224_ks_drift" -> { (s, d) =>
+      val ev = events(s, d)
+      graft.agg.Eval.ksDrift(
+        ev.filter(col("event_type") === "purchase").select(col("value")),
+        ev.filter(col("event_type") =!= "purchase").select(col("value")),
+        "value")
     }
   )
 
@@ -687,7 +700,37 @@ object TimeSeriesQueries {
         |  CAST(coalesce(sum(u.n), 0) AS BIGINT) AS n_events,
         |  CAST(1 AS BIGINT) AS ok_events, CAST(1 AS BIGINT) AS ok_ids
         |FROM grid g LEFT JOIN uh u ON u.h BETWEEN g.bucket - 23 AND g.bucket
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same KS rational in HUGEINT (int128 ≈ decimal(38)): per-value
+    // side counts, one ordered cumulative pass over distinct values,
+    // max |i·N_b − j·N_a|, significance as the squared integer compare.
+    "q224_ks_drift" ->
+      """WITH a AS (SELECT value AS v, CAST(count(*) AS BIGINT) AS ca
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |b AS (SELECT value AS v, CAST(count(*) AS BIGINT) AS cb
+        |  FROM events WHERE event_type <> 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |j AS (SELECT coalesce(a.v, b.v) AS v, coalesce(ca, 0) AS ca,
+        |    coalesce(cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN b ON a.v = b.v),
+        |c AS (SELECT
+        |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS i,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS jj,
+        |    sum(ca) OVER () AS ta, sum(cb) OVER () AS tb FROM j),
+        |r AS (SELECT max(abs(i::HUGEINT * tb::HUGEINT
+        |      - jj::HUGEINT * ta::HUGEINT)) AS num,
+        |    CAST(max(ta) AS BIGINT) AS na, CAST(max(tb) AS BIGINT) AS nb
+        |  FROM c)
+        |SELECT na AS n_a, nb AS n_b, CAST(num AS BIGINT) AS ks_num,
+        |  na * nb AS ks_den,
+        |  num::DOUBLE / (na::HUGEINT * nb::HUGEINT)::DOUBLE AS ks,
+        |  CAST(CASE WHEN 1000000::HUGEINT * num * num >
+        |      1844164::HUGEINT * (na + nb)::HUGEINT
+        |        * na::HUGEINT * nb::HUGEINT
+        |    THEN 1 ELSE 0 END AS INT) AS significant
+        |FROM r""".stripMargin
   )
 
   /** Shared resample oracle: exact integer bucketing (floor-div on epoch

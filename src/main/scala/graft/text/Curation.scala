@@ -170,6 +170,57 @@ object Curation {
         col("c.span").as("chunk_text"))
   }
 
+  /** CHUNK-level exact dedup + reassembly — the sub-document form of
+    * exact dedup (Dolma/RefinedWeb-style): boilerplate repeated across
+    * documents (headers, license blocks, navigation) survives doc-level
+    * dedup because the *documents* differ; deduping fixed-token chunks
+    * removes the repeated spans while keeping each document's unique
+    * remainder. Chunks come from [[chunkDocuments]] (overlap 0, so
+    * every token belongs to exactly one chunk and reassembly is
+    * lossless-modulo-dedup); a chunk instance is KEPT iff it is the
+    * lexicographically-first occurrence of its content —
+    * min(doc_id, chunk_i) over the md5 content key — so output is
+    * deterministic on any layout and the earliest document keeps its
+    * text intact.
+    *
+    * Returns one row per input document (empty-token documents drop
+    * with their chunks): (idCol, kept_text — surviving chunks in
+    * original order, space-joined normalized tokens, '' when everything
+    * was dropped —, n_chunks, n_dropped, n_kept_tokens).
+    *
+    * Scale shape: the keeper decision is a map-combined min-struct
+    * aggregate on the 128-bit content key (skew-proof: a million-way
+    * repeated chunk reduces map-side — deliberately NOT a per-key
+    * window sort) + one key-equi join; reassembly is one doc-keyed
+    * aggregate. Text crosses two exchanges because the OUTPUT is text;
+    * the dedup decision itself moves only (key, id, idx). */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    val chunks = chunkDocuments(df, idCol, textCol, chunkTokens,
+        overlapTokens = 0)
+      .select(col(idCol), col("chunk_i"), col("n_chunk_tokens"),
+        col("chunk_text"),
+        md5(col("chunk_text").cast("binary")).as("__k"))
+    val keeper = chunks.groupBy(col("__k"))
+      .agg(min(struct(col(idCol).as("__kid"), col("chunk_i").as("__kidx")))
+        .as("__m"))
+    chunks.join(keeper, Seq("__k"))
+      .withColumn("__keep", col(idCol) === col("__m.__kid") &&
+        col("chunk_i") === col("__m.__kidx"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
+        sum(when(col("__keep"), col("n_chunk_tokens")).otherwise(0L))
+          .as("n_kept_tokens"),
+        // collect_list drops the nulls of non-kept chunks; array_sort
+        // on (chunk_i, text) structs restores document order
+        array_join(transform(array_sort(collect_list(when(col("__keep"),
+            struct(col("chunk_i"), col("chunk_text"))))),
+          s => s.getField("chunk_text")), " ").as("kept_text"))
+      .select(col(idCol), col("kept_text"), col("n_chunks"),
+        col("n_dropped"), col("n_kept_tokens"))
+  }
+
   // ---- exact-k per-stratum sampling ------------------------------------
 
   /** Deterministic exact-k sample per stratum — eval/holdout-set

@@ -314,7 +314,21 @@ object ScaleSoak {
     // group, the ratio must be scan-linear
     "q222_group_tdigest",
     // chi-square drift: two map-combined category counts — scan-linear
-    "q223_chi2_drift")
+    "q223_chi2_drift",
+    // r13. KS drift: two map-combined per-value counts + a distinct-
+    // value-sized cumulative pass — value space grows with data here
+    // (raw event values), so the ratio tracks distinct-value growth;
+    // the operator contract says quantize at open cardinality
+    "q224_ks_drift",
+    // chunk dedup: md5-keyed min-struct agg + two text exchanges (the
+    // output IS text) — must stay scan-linear like q64/q129
+    "q225_chunk_dedup",
+    // winnowing: pure codegen projection + explode — the scan-linear
+    // floor; fingerprint volume is grams/w per doc
+    "q226_winnow_fingerprints",
+    // calibration/Brier: one map-combined agg each over a fixed key
+    // space — flat-exchange scan floors
+    "q227_calibration_bins", "q228_brier")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

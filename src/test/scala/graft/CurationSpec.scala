@@ -807,4 +807,32 @@ class CurationSpec extends SparkSpecBase {
       lit(500000L), "s1").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(half.sorted.toSeq == again.sorted.toSeq)
   }
+
+  test("chunkDedup: first-occurrence keeper, ordered reassembly, layout invariance") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),   // chunks [a b][c d][e]
+      (2L, "a b x"),       // [a b] duplicates doc 1 chunk 0
+      (3L, "c d"))         // duplicates doc 1 chunk 1
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDedup(docs, "doc_id", "text", chunkTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("a b c d e", 3L, 0L, 5L))) // earliest doc intact
+    assert(out(2L) == (("x", 2L, 1L, 1L)))
+    assert(out(3L) == (("", 1L, 1L, 0L))) // fully-dropped doc stays a row
+    // keeper is min(doc_id, chunk_i), not arrival order: invariant
+    // under any partition layout
+    val again = Curation.chunkDedup(docs.repartition(7), "doc_id", "text",
+        chunkTokens = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(again == out)
+    // a within-document repeat dedups against the doc's own first copy
+    val self = Curation.chunkDedup(
+        Seq((5L, "a b a b c")).toDF("doc_id", "text"),
+        "doc_id", "text", chunkTokens = 2)
+      .collect().map(r => (r.getString(1), r.getLong(3))).head
+    assert(self == (("a b c", 1L)))
+  }
 }

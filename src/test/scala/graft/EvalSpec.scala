@@ -194,4 +194,73 @@ class EvalSpec extends SparkSpecBase {
       .filter($"q" === 1L).head()
     assert(dup.getLong(1) == 3L && dup.getLong(2) == 2L)
   }
+
+  test("ksDrift: hand rational, empty sides, layout invariance") {
+    val a = Seq(1.0, 2.0, 3.0).toDF("value")
+    val b = Seq(3.0, 4.0).toDF("value")
+    // distinct values 1,2,3,4 → |i·nb − j·na| = 2,4,3,0 → max 4
+    val r = Eval.ksDrift(a, b, "value").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 6L)
+    assert(r.getDouble(4) == 4.0 / 6.0)
+    assert(r.getInt(5) == 0) // 1e6·16 < 1844164·5·6
+    // layout invariance: the cumulative pass is over distinct values
+    val again = Eval.ksDrift(a.repartition(5), b.repartition(3), "value")
+      .head()
+    assert(again.toSeq == r.toSeq)
+    // identical sides → KS = 0
+    val same = Eval.ksDrift(a, a, "value").head()
+    assert(same.getLong(2) == 0L && same.getInt(5) == 0)
+    // one empty side → zero rational, flag 0, no divide-by-zero
+    val e1 = Eval.ksDrift(a, b.filter($"value" < 0), "value").head()
+    assert(e1.getLong(0) == 3L && e1.getLong(1) == 0L &&
+      e1.getLong(2) == 0L && e1.isNullAt(4) && e1.getInt(5) == 0)
+    // both empty → ONE row of zeros (the readout never vanishes)
+    val e2 = Eval.ksDrift(a.filter($"value" < 0), b.filter($"value" < 0),
+      "value").collect()
+    assert(e2.length == 1 && e2.head.getLong(0) == 0L &&
+      e2.head.getInt(5) == 0)
+    // a gross shift IS significant: 30 low values vs 30 high values
+    val lo = (1 to 30).map(_.toDouble).toDF("value")
+    val hi = (31 to 60).map(_.toDouble).toDF("value")
+    val sig = Eval.ksDrift(lo, hi, "value").head()
+    assert(sig.getDouble(4) == 1.0 && sig.getInt(5) == 1)
+  }
+
+  test("calibration: hand bins, empty-bin zeros, contract violations raise") {
+    val rows = Seq((50L, 0L), (149L, 1L), (950L, 1L), (1000L, 1L),
+      (1000L, 0L)).toDF("a", "y")
+    val out = Eval.calibration(rows, "a", "y", bins = 10)
+      .orderBy("bin").collect()
+    assert(out.length == 10)
+    val bin0 = out(0); val bin1 = out(1); val bin9 = out(9)
+    assert(bin0.getLong(1) == 1L && bin0.getLong(2) == 0L &&
+      bin0.getLong(3) == 50L && bin0.getLong(6) == 50L)
+    assert(bin1.getLong(3) == 149L && bin1.getLong(6) == 851L)
+    // a=1000 closes into the top bin; gap = |2·1000 − 2950|
+    assert(bin9.getLong(1) == 3L && bin9.getLong(2) == 2L &&
+      bin9.getLong(3) == 2950L && bin9.getLong(6) == 950L)
+    assert(bin9.getDouble(4) == 2.0 / 3.0 &&
+      bin9.getDouble(5) == 2950.0 / 3000.0)
+    // empty bins materialize as zeros with null acc/conf
+    assert(out(5).getLong(1) == 0L && out(5).isNullAt(4))
+    // out-of-range score and non-binary label raise loudly
+    intercept[Exception] {
+      Eval.calibration(Seq((1001L, 0L)).toDF("a", "y"), "a", "y").collect()
+    }
+    intercept[Exception] {
+      Eval.calibration(Seq((10L, 2L)).toDF("a", "y"), "a", "y").collect()
+    }
+  }
+
+  test("brierExact: hand sum, empty input row") {
+    val rows = Seq((50L, 0L), (149L, 1L), (950L, 1L), (1000L, 1L),
+      (1000L, 0L)).toDF("a", "y")
+    val r = Eval.brierExact(rows, "a", "y").head()
+    // 50² + 851² + 50² + 0² + 1000² = 1729201
+    assert(r.getLong(0) == 5L && r.getLong(1) == 1729201L)
+    assert(r.getDouble(2) == 1729201.0 / 5000000.0)
+    val e = Eval.brierExact(rows.filter($"a" < 0), "a", "y").head()
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.isNullAt(2))
+  }
 }

@@ -378,4 +378,57 @@ class TextDedupSpec extends SparkSpecBase {
     assert(out(3L)._2 == 0 && out(3L)._4 == 0)
     assert(out(4L) == ((1, 1, 0, 0)))
   }
+
+  test("winnowedFingerprints: selection identity, small docs, shared-span guarantee") {
+    // hand-verifiable via the reference fold: grams of doc 1 (k=2 over
+    // 5 tokens → 4 grams), window w=2 → mins of each adjacent pair,
+    // distinct
+    def gram(ts: Seq[String]): Seq[Long] = ts.sliding(2).map { p =>
+      (refHash(p(0)) * TextOps.B + refHash(p(1))) % TextOps.P
+    }.toSeq
+    val t1 = Seq("a", "b", "c", "d", "e")
+    val exp1 = gram(t1).sliding(2).map(_.min).toSeq.distinct.sorted
+    val out = Dedup.winnowedFingerprints(
+        docs(Seq(1L -> t1.mkString(" "))), "doc_id", "text", k = 2, w = 2)
+      .collect().map(_.getLong(1)).toSeq.sorted
+    assert(out == exp1)
+    // 0 < |grams| < w → the single overall min; < k tokens → nothing
+    val small = Dedup.winnowedFingerprints(
+      docs(Seq(2L -> "a b", 3L -> "a")), "doc_id", "text", k = 2, w = 4)
+    val sm = small.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sm.toSeq == Seq((2L, gram(Seq("a", "b")).min)))
+    // the winnowing guarantee: any shared token span of length >= w+k-1
+    // yields at least one identical fingerprint in both documents
+    val shared = "p q r s t u"  // 6 tokens >= w+k-1 = 5
+    val d = docs(Seq(
+      10L -> s"x y $shared z",
+      11L -> s"m $shared n o"))
+    val fps = Dedup.winnowedFingerprints(d, "doc_id", "text", k = 2, w = 4)
+      .collect().groupBy(_.getLong(0)).map { case (k2, v) =>
+        k2 -> v.map(_.getLong(1)).toSet }
+    assert(fps(10L).intersect(fps(11L)).nonEmpty)
+  }
+
+  test("winnowCandidates: shared-span pair surfaces, hot fingerprints capped") {
+    val shared = "p q r s t u v w"
+    val d = docs(Seq(
+      1L -> s"aa bb $shared cc",
+      2L -> s"dd $shared ee ff",
+      3L -> "gg hh ii jj kk ll mm nn oo"))
+    val pairsOut = Dedup.winnowCandidates(d, "doc_id", "text", k = 2,
+        w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOut.contains((1L, 2L)))
+    assert(!pairsOut.exists(p => p._1 == 3L || p._2 == 3L))
+    // hot-fingerprint cap: three identical docs with maxBucket 2 → every
+    // fingerprint's posting list is 3 > cap → no candidates at all
+    val hot = docs(Seq(1L -> shared, 2L -> shared, 3L -> shared))
+    val capped = Dedup.winnowCandidates(hot, "doc_id", "text", k = 2,
+      w = 4, minShared = 1, maxBucket = 2)
+    assert(capped.count() == 0L)
+    // same corpus, cap lifted → all three pairs
+    val full = Dedup.winnowCandidates(hot, "doc_id", "text", k = 2,
+      w = 4, minShared = 1, maxBucket = 10)
+    assert(full.count() == 3L)
+  }
 }
