@@ -341,6 +341,63 @@ object Eval {
       .withColumn("gap_num", abs(col("sum_y") * 1000L - col("sum_a")))
   }
 
+  /** PAIR-COUNTING clustering evaluation — grades a cluster assignment
+    * against ground-truth labels (dedup clusters vs known duplicates,
+    * embedding clusters vs class labels) without ever materializing a
+    * pair: with contingency counts n_pc (rows in predicted cluster p ∧
+    * truth class c), row/column marginals n_p / n_c and total n, the
+    * pair counts are pure combinatorics —
+    *   TP = Σ C(n_pc,2),  TP+FP = Σ C(n_p,2),  TP+FN = Σ C(n_c,2),
+    *   TN = C(n,2) − TP − FP − FN
+    * giving pair-precision/recall/F1 and the Rand index as IEEE
+    * quotients of exact int64 (exact to ~4·10⁹ rows; C(n,2) runs in
+    * n·(n−1)/2 with the multiply in DECIMAL(38,0) and a loud overflow
+    * guard). Rows with a null on either side are excluded (they belong
+    * to no pair). One row: (n, tp, fp, fn, tn, pair_precision,
+    * pair_recall, pair_f1, rand_index).
+    *
+    * Scale shape: THREE map-combined aggregates (cells, two marginals)
+    * — never all-pairs; the cell key space is (clusters × classes). */
+  def clusterPairCounts(df: DataFrame, predCol: String,
+      truthCol: String): DataFrame = {
+    val rows = df.filter(col(predCol).isNotNull && col(truthCol).isNotNull)
+      .select(col(predCol).as("__p"), col(truthCol).as("__c"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def choose2(c: Column): Column = {
+      val v = dec(c) * dec(c - 1L) / lit(2L)
+      when(c.isNull, lit(0L))
+        .when(v.isNull, raise_error(lit("clusterPairCounts: decimal(38) " +
+          "overflow — group sizes exceed the exact range")))
+        .otherwise(v.cast("long"))
+    }
+    val cells = rows.groupBy(col("__p"), col("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(choose2(col("__n"))), lit(0L)).as("tp"))
+    val predM = rows.groupBy(col("__p")).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(choose2(col("__n"))), lit(0L)).as("tpfp"))
+    val truthM = rows.groupBy(col("__c")).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(choose2(col("__n"))), lit(0L)).as("tpfn"))
+    val tot = rows.agg(count(lit(1)).as("n"))
+      .withColumn("all_pairs", choose2(col("n")))
+    // four one-row aggregates — the crossJoins are 1×1 by construction
+    val j = tot.crossJoin(broadcast(cells)).crossJoin(broadcast(predM))
+      .crossJoin(broadcast(truthM))
+      .withColumn("fp", col("tpfp") - col("tp"))
+      .withColumn("fn", col("tpfn") - col("tp"))
+      .withColumn("tn", col("all_pairs") - col("tpfp") - col("fn"))
+    j.select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("tp") + col("fp") > 0, col("tp").cast("double") /
+        (col("tp") + col("fp")).cast("double")).as("pair_precision"),
+      when(col("tp") + col("fn") > 0, col("tp").cast("double") /
+        (col("tp") + col("fn")).cast("double")).as("pair_recall"),
+      when(col("tp") * 2L + col("fp") + col("fn") > 0,
+        (col("tp") * 2L).cast("double") /
+          (col("tp") * 2L + col("fp") + col("fn")).cast("double"))
+        .as("pair_f1"),
+      when(col("all_pairs") > 0, (col("tp") + col("tn")).cast("double") /
+        col("all_pairs").cast("double")).as("rand_index"))
+  }
+
   /** Exact BRIER score over the same integer milli-probability contract
     * as [[calibration]]: with a = 1000·p and y ∈ {0,1},
     * (p − y)² = (a − 1000·y)²/10⁶, so Σ(a−1000y)² is an exact int64

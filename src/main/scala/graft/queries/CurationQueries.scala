@@ -639,6 +639,25 @@ object CurationQueries {
         least(col("n_chars"), lit(1000L)).as("a"),
         (col("lang") === "en").cast("long").as("y"))
       graft.agg.Eval.brierExact(df, "a", "y")
+    },
+
+    // winnowing candidate pairs (r13): q226's fingerprints bucket-joined
+    // with hot posting lists (> 40 docs) dropped BEFORE the self-join —
+    // the cap must bite at this corpus (word-soup shares grams) so the
+    // oracle proves the drop, not just the join.
+    "q229_winnow_candidates" -> { (s, d) =>
+      graft.dedup.Dedup.winnowCandidates(documents(s, d), "doc_id",
+          "text", k = 3, w = 4, minShared = 2, maxBucket = 40)
+        .orderBy("id_1", "id_2")
+    },
+
+    // pair-counting clustering eval (Rand-index family): lang read as a
+    // predicted clustering of the truth classes source — TP/FP/FN/TN
+    // from pure contingency combinatorics, never a materialized pair.
+    "q230_cluster_pair_eval" -> { (s, d) =>
+      graft.agg.Eval.clusterPairCounts(
+        documents(s, d).select(col("lang"), col("source")),
+        "lang", "source")
     }
   )
 
@@ -1457,6 +1476,55 @@ object CurationQueries {
         |  CASE WHEN count(*) > 0 THEN
         |    sum((a - 1000*y)*(a - 1000*y))::DOUBLE
         |      / (count(*) * 1000000)::DOUBLE END AS brier
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // q226's winnowing CTE + posting-list cap + the capped self-join.
+    "q229_winnow_candidates" ->
+      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+         |hs AS (SELECT doc_id, list_transform(t,
+         |    x -> ${TextOps.portableHashSql("x")}) AS hs FROM toks),
+         |g AS (SELECT doc_id, ${TextOps.ngramHashesSql("hs", 3)} AS g
+         |  FROM hs),
+         |f AS (SELECT doc_id, CASE
+         |    WHEN len(g) >= 4 THEN list_distinct(list_transform(
+         |      range(1, len(g) - 4 + 2), i -> list_min(g[i:i+3])))
+         |    WHEN len(g) > 0 THEN [list_min(g)]
+         |    ELSE []::BIGINT[] END AS fps FROM g),
+         |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         |ok AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 40),
+         |pr AS (SELECT fp.doc_id, fp.fp FROM fp JOIN ok USING (fp))
+         |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY id_1, id_2""".stripMargin,
+
+    // the same contingency combinatorics in HUGEINT: C(n,2) sums over
+    // cells/marginals, TN by complement, IEEE quotients.
+    "q230_cluster_pair_eval" ->
+      """WITH r AS (SELECT lang AS p, source AS c FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |cells AS (SELECT CAST(coalesce(sum(m*(m-1)//2), 0) AS BIGINT) AS tp
+        |  FROM (SELECT count(*)::HUGEINT AS m FROM r GROUP BY p, c)),
+        |pm AS (SELECT CAST(coalesce(sum(m*(m-1)//2), 0) AS BIGINT) AS tpfp
+        |  FROM (SELECT count(*)::HUGEINT AS m FROM r GROUP BY p)),
+        |cm AS (SELECT CAST(coalesce(sum(m*(m-1)//2), 0) AS BIGINT) AS tpfn
+        |  FROM (SELECT count(*)::HUGEINT AS m FROM r GROUP BY c)),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*)::HUGEINT * (count(*)::HUGEINT - 1) // 2
+        |      AS BIGINT) AS all_pairs FROM r),
+        |j AS (SELECT n, tp, tpfp - tp AS fp, tpfn - tp AS fn,
+        |    all_pairs - tpfp - (tpfn - tp) AS tn, all_pairs
+        |  FROM tot, cells, pm, cm)
+        |SELECT n, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp)::DOUBLE END
+        |    AS pair_precision,
+        |  CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn)::DOUBLE END
+        |    AS pair_recall,
+        |  CASE WHEN 2*tp + fp + fn > 0 THEN (2*tp)::DOUBLE
+        |    / (2*tp + fp + fn)::DOUBLE END AS pair_f1,
+        |  CASE WHEN all_pairs > 0 THEN (tp + tn)::DOUBLE
+        |    / all_pairs::DOUBLE END AS rand_index
+        |FROM j""".stripMargin
   )
 }

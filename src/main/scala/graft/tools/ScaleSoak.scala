@@ -328,7 +328,59 @@ object ScaleSoak {
     "q226_winnow_fingerprints",
     // calibration/Brier: one map-combined agg each over a fixed key
     // space — flat-exchange scan floors
-    "q227_calibration_bins", "q228_brier")
+    "q227_calibration_bins", "q228_brier",
+    // winnow candidates: fp posting lists grow with the corpus but the
+    // hot-list cap bounds every bucket — ratio must stay near-linear
+    // like q66's band join
+    "q229_winnow_candidates",
+    // cluster pair eval: three map-combined aggs — scan-linear floor
+    "q230_cluster_pair_eval",
+    // ---- r13 soak-breadth batch (verdict item 7): every remaining
+    // catalog query whose cost scales with data, so no regression can
+    // hide in the unsoaked half. EXEMPT as fixed-floor by construction
+    // (documented here so the exemption is auditable):
+    //   q70/q71/q82/q110/q112/q113/q114/q116/q117/q139 — nation-keyed
+    //     multimodal fixtures (25 blobs at ANY sf; the documents-scale
+    //     decode path is soaked via q134-q138);
+    //   q89/q183 — injectable REST fixtures (fixed page set, no data);
+    //   q90_fromseq — literal in-memory rows; q107_explain_dot — plan
+    //     string only.
+    // Relational/TPC-H floor + the remaining app-parity queries:
+    "q100_streaming_tumbling", "q101_streaming_session", "q102_transform",
+    "q103_transform_sql", "q104_streaming_asof", "q105_streaming_asof_fwd",
+    "q106_bpe_exact", "q108_streaming_hopping", "q109_streaming_distinct",
+    "q10_topk", "q111_cep_nfa_route", "q115_snapshot_timetravel",
+    "q119_stratified_sample", "q11_union", "q128_streaming_cep",
+    "q12_case_agg", "q13_clip", "q148_streaming_dedup",
+    "q14_rename_drop", "q150_merge_on_read", "q151_snapshot_diff",
+    "q15_with_columns", "q16_cube", "q17_rollup",
+    "q18_window_rank", "q19_intersect",
+    "q1_agg", "q20_except", "q21_global_agg",
+    "q22_sort", "q23_corr_subquery", "q24_outer_count_dist",
+    "q25_having_topk", "q26_scalar_max", "q27_not_exists_avg",
+    "q29_multi_winsorize", "q2_filter_project", "q2b_corr_min_join",
+    "q2c_grouping_sets", "q30_string_funcs", "q31_like_regex",
+    "q32_datetime_funcs", "q33_date_offset", "q34_json_extract",
+    "q35_arithmetic", "q37_group_stats", "q38_top2_per_group",
+    "q39_ohlcv", "q3_join_inner", "q40_shift",
+    "q42_asof_tolerance", "q43_tumbling", "q44_hopping",
+    "q45_sliding", "q46_session", "q47_tumbling_event",
+    "q49_asof_physical", "q4_join_semi", "q50_vector_nn",
+    "q51_gramian", "q52_covariance", "q54_approx_quantile",
+    "q5_join_anti", "q60_token_counts", "q62_quality",
+    "q63_fingerprint", "q64_exact_dedup", "q69_embedding_neardup",
+    "q6_join_left", "q72_wordcount", "q73_normalized_dedup",
+    "q75_fulltext", "q76_sql_api", "q77_pagerank",
+    "q78_kmeans", "q79_matmul", "q7_multijoin",
+    "q81_pivot", "q83_sink_roundtrip", "q84_stateful_totals",
+    "q85_cogroup_stats", "q86_csv_roundtrip", "q87_json_roundtrip",
+    "q88_binary_files", "q8_distinct", "q91_compute_reuse",
+    "q92_orc_roundtrip", "q93_salted_join", "q94_salted_agg",
+    "q95_welford_udaf", "q96_tdigest", "q98_sorted_csv",
+    "q99_mingle", "q9_count_distinct", "tpch02",
+    "tpch04", "tpch06", "tpch11",
+    "tpch12", "tpch14", "tpch15",
+    "tpch16", "tpch20", "tpch22")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

@@ -253,6 +253,37 @@ class EvalSpec extends SparkSpecBase {
     }
   }
 
+  test("clusterPairCounts: hand contingency, identity and degenerate clusterings") {
+    val rows = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "y"),
+      ("b", "y")).toDF("p", "c")
+    val r = Eval.clusterPairCounts(rows, "p", "c").head()
+    // cells C(2,2)+C(1,2)+C(2,2)=2; pred 3+1=4; truth 1+3=4; tot C(5,2)=10
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((5L, 2L, 2L, 2L, 4L)))
+    assert(r.getDouble(5) == 0.5 && r.getDouble(6) == 0.5 &&
+      r.getDouble(7) == 0.5 && r.getDouble(8) == 0.6)
+    // perfect clustering: pred == truth → FP = FN = 0, Rand = 1
+    val perfect = Eval.clusterPairCounts(
+      rows.select(col("c").as("p"), col("c")), "p", "c").head()
+    assert(perfect.getLong(2) == 0L && perfect.getLong(3) == 0L &&
+      perfect.getDouble(8) == 1.0)
+    // all-singletons prediction: TP = FP = 0, precision null, recall 0
+    val s = spark; import s.implicits._
+    val single = Eval.clusterPairCounts(
+      Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("p", "c"), "p", "c")
+      .head()
+    assert(single.getLong(1) == 0L && single.getLong(2) == 0L &&
+      single.isNullAt(5) && single.getDouble(6) == 0.0)
+    // empty input: one row of zeros, null ratios — never vanishes
+    val e = Eval.clusterPairCounts(rows.filter(col("p") === "zz"),
+      "p", "c").head()
+    assert(e.getLong(0) == 0L && e.getLong(4) == 0L && e.isNullAt(8))
+    // layout invariance
+    val again = Eval.clusterPairCounts(rows.repartition(7), "p", "c")
+      .head()
+    assert(again.toSeq == r.toSeq)
+  }
+
   test("brierExact: hand sum, empty input row") {
     val rows = Seq((50L, 0L), (149L, 1L), (950L, 1L), (1000L, 1L),
       (1000L, 0L)).toDF("a", "y")

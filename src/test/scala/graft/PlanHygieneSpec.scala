@@ -57,7 +57,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q213_hybrid_rrf",
     // chi-square drift: crosses the category counts with the one-row
     // side-totals aggregate
-    "q223_chi2_drift")
+    "q223_chi2_drift",
+    // cluster pair eval: four one-row aggregates (cells/marginals/total
+    // pair sums) crossed into the single readout row
+    "q230_cluster_pair_eval")
 
   /** Built once and shared by all tests — several catalog queries do
     * eager work (sink writes, collects) at construction time, so planning
