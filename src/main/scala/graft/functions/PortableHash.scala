@@ -121,6 +121,10 @@ object GraftFunctions {
       "nfc_normalize",
       (children: Seq[Expression]) => NfcNormalize(children.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "normalize_doc_text",
+      (children: Seq[Expression]) => NormalizeDocText(children.head),
+      "scala_udf")
     // Spark ships a distributed bloom-filter build/probe pair for its
     // runtime row-group filters but exposes no SQL surface for them;
     // graft registers the internal expressions directly (the aggregate
@@ -230,6 +234,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NfcNormalize].getCanonicalName, "nfc_normalize"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("normalize_doc_text"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NormalizeDocText].getCanonicalName, "normalize_doc_text"),
+      (children: Seq[Expression]) => NormalizeDocText(children.head)))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -261,6 +261,14 @@ object TextOps {
     * stripped, whitespace collapsed — catches trivially-reformatted
     * duplicates that byte-exact hashing misses. */
   def normalizeText(text: Column): Column =
+    call_function("normalize_doc_text", text)
+
+  /** Pure-built-in regex form of [[normalizeText]] — identical output
+    * (the q73 oracle states this exact composition in DuckDB); kept as
+    * the spec cross-check of the compiled one-pass kernel, which the
+    * Q73Probe stage split measured at ~4× the cost of the rest of the
+    * dedup pipeline combined. */
+  def normalizeTextRef(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "),
       " +", " "))
 

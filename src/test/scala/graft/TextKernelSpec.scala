@@ -171,4 +171,31 @@ class TextKernelSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet
     assert(h.size == 1)
   }
+
+  test("normalize_doc_text equals the two-regex reference composition") {
+    // the unicode/whitespace/edge fixtures above, plus the digit and
+    // punctuation-run shapes the dedup normalization exists for
+    val s = spark
+    import s.implicits._
+    val extra = (docs ++ Seq(
+      "Hello, World!! 42 -- foo_bar",
+      "a..b..c  1;2;3",
+      "...!!!???",                 // all separators → empty
+      "é漢𝔘",                     // only multibyte → empty
+      "x", "X ", " 9 "))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val rows = extra.select(
+        TextOps.normalizeText(col("text")).as("a"),
+        TextOps.normalizeTextRef(col("text")).as("b"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"kernel '${r.getString(0)}' != regex '${r.getString(1)}'"))
+    // and on the real corpus: byte-identical across every document
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(TextOps.normalizeText(col("text")).as("a"),
+        TextOps.normalizeTextRef(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(corpus == 0L)
+  }
 }
