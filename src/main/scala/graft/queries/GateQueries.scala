@@ -319,10 +319,29 @@ object GateQueries {
       val dir = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), s"graft_docs_stream_$key")
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(d, "documents.parquet"),
-        dir.resolve("documents.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val src = java.nio.file.Paths.get(d, "documents.parquet")
+      // the driver fixtures are single parquet FILES; Spark-written
+      // fixtures (ScaleSoak's target/sf1) are parquet DIRECTORIES —
+      // Files.copy of a directory copies an EMPTY dir, which silently
+      // fed the sf1 stream zero rows (caught round 13: q148's sf1 soak
+      // measured an empty stream at ratio 0.22). Flatten part files.
+      if (java.nio.file.Files.isDirectory(src)) {
+        val it = java.nio.file.Files.list(src).iterator()
+        var i = 0
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            java.nio.file.Files.copy(p,
+              dir.resolve(f"part_$i%05d.parquet"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            i += 1
+          }
+        }
+        require(i > 0, s"documentsStreamDir: no part files under $src")
+      } else {
+        java.nio.file.Files.copy(src, dir.resolve("documents.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       sweepAtExit.add(dir.toString)
       dir.toString
     })
