@@ -287,6 +287,36 @@ object Dedup {
       .select(col(idCol), col("match_id"), col("jaccard"))
   }
 
+  /** PAIR-SET evaluation — grades one candidate-pair generator against a
+    * truth pair set (LSH candidates vs the exact PPJoin, winnowing
+    * candidates vs exact edit-distance pairs, any approximate tier vs
+    * its lossless sibling): pairs are normalized to unordered (min, max)
+    * and deduped on both sides, then ONE full-outer key join + one
+    * reduce yields (n_cand, n_true, n_hit) with precision/recall as
+    * IEEE quotients. This is how a 100 TB pipeline decides its banding
+    * parameters: measure recall on a slice against the exact operator,
+    * then run the approximate tier on the world.
+    *
+    * Scale shape: two distincts + one (id, id)-keyed join — pair-sized
+    * exchanges, no text, no all-pairs. Empty inputs keep the one-row
+    * readout (null ratios, never a divide error). */
+  def pairSetEval(cand: DataFrame, truth: DataFrame): DataFrame = {
+    def norm(df: DataFrame, flag: String) = df.select(
+        least(col("id_1"), col("id_2")).as("id_1"),
+        greatest(col("id_1"), col("id_2")).as("id_2"))
+      .distinct().withColumn(flag, lit(1L))
+    norm(cand, "__c").join(norm(truth, "__t"), Seq("id_1", "id_2"),
+        "full_outer")
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("n_cand"),
+        coalesce(sum(col("__t")), lit(0L)).as("n_true"),
+        coalesce(sum(col("__c") * col("__t")), lit(0L)).as("n_hit"))
+      .select(col("n_cand"), col("n_true"), col("n_hit"),
+        when(col("n_cand") > 0, col("n_hit").cast("double") /
+          col("n_cand").cast("double")).as("cand_precision"),
+        when(col("n_true") > 0, col("n_hit").cast("double") /
+          col("n_true").cast("double")).as("recall"))
+  }
+
   // ---- Winnowing (MOSS fingerprints) ------------------------------------
 
   /** WINNOWED document fingerprints — Schleimer/Wilkerson/Aiken's
@@ -315,6 +345,20 @@ object Dedup {
       k: Int, w: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(w > 0, s"w must be positive, got $w")
+    // compiled kernel (monotonic-deque window mins, O(grams)): the HOF
+    // slice-per-window form ([[winnowedFingerprintsRef]]) ran
+    // interpreted at ~330 µs/doc — 15 s at sf0.1 — and is kept only as
+    // the spec cross-check
+    df.select(col(idCol),
+      explode(call_function("winnow_fingerprints", col(textCol),
+        lit(k), lit(w))).as("fp"))
+  }
+
+  /** Pure-built-in HOF form of [[winnowedFingerprints]] — identical
+    * output (TextKernelSpec pins kernel == HOF on unicode/edge input);
+    * the oracle states this composition in SQL. */
+  def winnowedFingerprintsRef(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
     val fps = TextOps.bindOnce(
       TextOps.ngramHashes(TextOps.tokenHashes(col(textCol)), k)) { g =>
       when(size(g) >= w,

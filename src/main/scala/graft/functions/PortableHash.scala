@@ -125,6 +125,11 @@ object GraftFunctions {
       "normalize_doc_text",
       (children: Seq[Expression]) => NormalizeDocText(children.head),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fingerprints",
+      (children: Seq[Expression]) =>
+        WinnowFingerprints(children.head, children(1), children(2)),
+      "scala_udf")
     // Spark ships a distributed bloom-filter build/probe pair for its
     // runtime row-group filters but exposes no SQL surface for them;
     // graft registers the internal expressions directly (the aggregate
@@ -239,6 +244,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NormalizeDocText].getCanonicalName, "normalize_doc_text"),
       (children: Seq[Expression]) => NormalizeDocText(children.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_fingerprints"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WinnowFingerprints].getCanonicalName, "winnow_fingerprints"),
+      (children: Seq[Expression]) =>
+        WinnowFingerprints(children.head, children(1), children(2))))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

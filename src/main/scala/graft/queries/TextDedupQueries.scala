@@ -195,6 +195,21 @@ object TextDedupQueries {
         .orderBy("id_1", "id_2")
     },
 
+    // the dedup tier grading ITSELF (r13): q66's raw LSH band
+    // candidates measured against q190's lossless PPJoin truth at the
+    // same τ=1/2 — candidate precision says how selective the banding
+    // is, recall says what the bands miss. The parameter-tuning readout
+    // a 100 TB pipeline runs on a slice before committing to a banding.
+    "q231_lsh_eval" -> { (s, d) =>
+      val docs = documents(s, d)
+      val cand = Dedup.lshCandidates(docs, "doc_id", "text",
+        numHashes, shingleK, numBands)
+      val truth = graft.dedup.SetSimJoin.prefixJaccardJoin(docs,
+          "doc_id", "text", tauNum = 1, tauDen = 2, shingleK = shingleK)
+        .select("id_1", "id_2")
+      Dedup.pairSetEval(cand, truth)
+    },
+
     // asymmetric containment join (quote/mirror detection): every
     // ORDERED pair with |sh(a) ∩ sh(b)| ≥ ⌈0.8·|sh(a)|⌉ — the
     // one-sided bound Jaccard cannot express. Exhaustive quadratic
@@ -845,6 +860,35 @@ object TextDedupQueries {
          |FROM pairs
          |WHERE inter > 0 AND 2 * inter >= 1 * (n_1 + n_2 - inter)
          |ORDER BY id_1, id_2""".stripMargin,
+
+    // q66's band-candidate CTE vs q190's brute-force truth: counts +
+    // IEEE quotients.
+    "q231_lsh_eval" ->
+      s"""$sigCtes,
+         |bands AS (SELECT doc_id, ${(0 until numBands).map(b => bandSql("sig", b)).mkString("[", ", ", "]")} AS bh FROM sigs),
+         |bx AS (SELECT doc_id, i AS band, bh[i] AS bucket
+         |  FROM bands CROSS JOIN (SELECT unnest(range(1, ${numBands + 1})) AS i)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+         |  FROM bx a JOIN bx b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id),
+         |tp AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+         |  CAST(len(a.sh) AS BIGINT) AS n_1, CAST(len(b.sh) AS BIGINT) AS n_2,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |truth AS (SELECT id_1, id_2 FROM tp
+         |  WHERE inter > 0 AND 2 * inter >= 1 * (n_1 + n_2 - inter)),
+         |m AS (SELECT
+         |  (SELECT count(*) FROM cand) AS n_cand,
+         |  (SELECT count(*) FROM truth) AS n_true,
+         |  (SELECT count(*) FROM cand JOIN truth USING (id_1, id_2))
+         |    AS n_hit)
+         |SELECT CAST(n_cand AS BIGINT) AS n_cand,
+         |  CAST(n_true AS BIGINT) AS n_true, CAST(n_hit AS BIGINT) AS n_hit,
+         |  CASE WHEN n_cand > 0 THEN n_hit::DOUBLE / n_cand::DOUBLE END
+         |    AS cand_precision,
+         |  CASE WHEN n_true > 0 THEN n_hit::DOUBLE / n_true::DOUBLE END
+         |    AS recall
+         |FROM m""".stripMargin,
 
     // exhaustive ORDERED-pair brute force with the one-sided bound.
     "q216_containment_join" ->

@@ -335,6 +335,9 @@ object ScaleSoak {
     "q229_winnow_candidates",
     // cluster pair eval: three map-combined aggs — scan-linear floor
     "q230_cluster_pair_eval",
+    // LSH self-eval: q66's candidate CTE + q190's exact truth + a
+    // pair-keyed join — the ratio tracks the two generators it grades
+    "q231_lsh_eval",
     // ---- r13 soak-breadth batch (verdict item 7): every remaining
     // catalog query whose cost scales with data, so no regression can
     // hide in the unsoaked half. EXEMPT as fixed-floor by construction

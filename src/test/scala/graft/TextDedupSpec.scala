@@ -409,6 +409,24 @@ class TextDedupSpec extends SparkSpecBase {
     assert(fps(10L).intersect(fps(11L)).nonEmpty)
   }
 
+  test("pairSetEval: normalization, dedup, hits, empty sides") {
+    val s = spark
+    import s.implicits._
+    // (2,1) normalizes onto (1,2): the candidate set is 2 pairs, 1 hit
+    val cand = Seq((1L, 2L), (3L, 4L), (2L, 1L)).toDF("id_1", "id_2")
+    val truth = Seq((1L, 2L), (5L, 6L)).toDF("id_1", "id_2")
+    val r = Dedup.pairSetEval(cand, truth).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 1L)))
+    assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 0.5)
+    // empty candidate side: precision null, recall 0 — one row always
+    val e = Dedup.pairSetEval(cand.filter($"id_1" < 0), truth).head()
+    assert(e.getLong(0) == 0L && e.getLong(1) == 2L &&
+      e.isNullAt(3) && e.getDouble(4) == 0.0)
+    val both = Dedup.pairSetEval(cand.filter($"id_1" < 0),
+      truth.filter($"id_1" < 0)).head()
+    assert(both.getLong(2) == 0L && both.isNullAt(3) && both.isNullAt(4))
+  }
+
   test("winnowCandidates: shared-span pair surfaces, hot fingerprints capped") {
     val shared = "p q r s t u v w"
     val d = docs(Seq(

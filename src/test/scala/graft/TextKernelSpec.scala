@@ -198,4 +198,24 @@ class TextKernelSpec extends SparkSpecBase {
       .filter(col("a") =!= col("b")).count()
     assert(corpus == 0L)
   }
+
+  test("winnow_fingerprints kernel equals the HOF slice/min composition") {
+    import graft.dedup.Dedup
+    // unicode/whitespace/edge fixtures + the real corpus, across k/w
+    // shapes incl. m<w (single-min) and m==0 (empty)
+    for ((k, w) <- Seq((2, 2), (3, 4), (1, 3))) {
+      val a = Dedup.winnowedFingerprints(df, "id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val b = Dedup.winnowedFingerprintsRef(df, "id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(a == b, s"kernel != HOF at k=$k w=$w")
+    }
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+      .limit(200).select(col("doc_id").as("id"), col("text"))
+    val a = graft.dedup.Dedup.winnowedFingerprints(corpus, "id", "text", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = graft.dedup.Dedup.winnowedFingerprintsRef(corpus, "id", "text", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
 }
