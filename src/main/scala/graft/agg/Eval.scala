@@ -230,6 +230,69 @@ object Eval {
           .otherwise((num2 > crit).cast("int")).as("significant"))
   }
 
+  /** Per-GROUP two-sample KS — every group's value CDF against the REST
+    * of the data in one job (per-source drift, per-model-version score
+    * shift): the multi-group form of [[ksDrift]], with the same exact
+    * integer rational per group. F_g and F_rest must be compared at
+    * EVERY global distinct value (the supremum can sit at a value the
+    * group never takes), so the evaluation grid is (groups × distinct
+    * values), built by broadcasting the group DIRECTORY (bounded by
+    * group cardinality — a monitoring dimension, never data-sized)
+    * across the distinct-value relation.
+    *
+    * One row per group: (groupCol, n, n_rest, ks_num, ks_den, ks,
+    * significant) — ks_num = max over values of
+    * |i_g·(N−n_g) − (J−i_g)·n_g|, ks_den = n_g·(N−n_g), significance
+    * squared into the DECIMAL(38,0) integer compare (loud overflow
+    * guard, ~5·10⁸ rows/side).
+    *
+    * Scale shape: one (group, value) count + one global value count,
+    * then group-PARTITIONED cumulative windows over the grid — unlike
+    * [[ksDrift]]'s single ordered pass, every group sorts in parallel;
+    * cost is groups × distinct values (quantize open-cardinality
+    * columns first, same contract as the two-sample form). */
+  def ksDriftByGroup(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+    val pv = rows.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val gv = rows.groupBy(col("__v")).agg(count(lit(1)).as("__cv"))
+    val groups = rows.groupBy(col("__g")).agg(count(lit(1)).as("__ng"))
+    val tot = rows.agg(count(lit(1)).as("__n"))
+    // grid: every (group, value) — group directory broadcast (bounded)
+    val grid = gv.join(broadcast(groups), lit(true))
+    val cum = grid
+      .join(pv, Seq("__g", "__v"), "left")
+      .withColumn("__i", sum(coalesce(col("__c"), lit(0L))).over(
+        Window.partitionBy(col("__g")).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__j", sum(col("__cv")).over(
+        Window.partitionBy(col("__g")).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val red = cum.join(broadcast(tot), lit(true))
+      .withColumn("__rest", col("__n") - col("__ng"))
+      .groupBy(col("__g"), col("__ng"), col("__rest"))
+      .agg(max(abs(dec(col("__i")) * dec(col("__rest")) -
+        dec(col("__j") - col("__i")) * dec(col("__ng")))).as("__num"))
+    val num2 = dec(lit(1000000L)) * col("__num") * col("__num")
+    val crit = dec(lit(1844164L)) * dec(col("__ng") + col("__rest")) *
+      dec(col("__ng")) * dec(col("__rest"))
+    red.select(col("__g").as(groupCol), col("__ng").as("n"),
+      col("__rest").as("n_rest"),
+      col("__num").cast("long").as("ks_num"),
+      (col("__ng") * col("__rest")).as("ks_den"),
+      when(col("__ng") > 0L && col("__rest") > 0L,
+        col("__num").cast("double") /
+          (dec(col("__ng")) * dec(col("__rest"))).cast("double")).as("ks"),
+      when(col("__ng") === 0L || col("__rest") === 0L, lit(0))
+        .when(num2.isNull || crit.isNull,
+          raise_error(lit("ksDriftByGroup: decimal(38) overflow — side " +
+            "totals exceed the exact range; subsample the sides")))
+        .otherwise((num2 > crit).cast("int")).as("significant"))
+  }
+
   /** Retrieval evaluation at cutoff `k` — the ranked-list metrics that
     * grade the engine's own search surfaces (ANN probes, BM25, hybrid
     * RRF) against a relevance set: per query,

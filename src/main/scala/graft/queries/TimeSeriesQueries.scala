@@ -355,6 +355,16 @@ object TimeSeriesQueries {
         ev.filter(col("event_type") === "purchase").select(col("value")),
         ev.filter(col("event_type") =!= "purchase").select(col("value")),
         "value")
+    },
+
+    // per-group KS (r13): every event type's value CDF vs the rest in
+    // ONE job — group-partitioned cumulative windows over the
+    // (group × distinct value) grid, exact rationals per group.
+    "q232_ks_by_group" -> { (s, d) =>
+      graft.agg.Eval.ksDriftByGroup(
+          events(s, d).select(col("event_type"), col("value")),
+          "value", "event_type")
+        .orderBy("event_type")
     }
   )
 
@@ -730,7 +740,37 @@ object TimeSeriesQueries {
         |      1844164::HUGEINT * (na + nb)::HUGEINT
         |        * na::HUGEINT * nb::HUGEINT
         |    THEN 1 ELSE 0 END AS INT) AS significant
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // the per-group grid restated: groups × distinct values, per-group
+    // cumulative i and global cumulative j, max rational per group.
+    "q232_ks_by_group" ->
+      """WITH r AS (SELECT event_type AS g, value AS v FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |pv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM r GROUP BY 1, 2),
+        |gv AS (SELECT v, CAST(count(*) AS BIGINT) AS cv FROM r GROUP BY 1),
+        |gs AS (SELECT g, CAST(count(*) AS BIGINT) AS ng FROM r GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+        |grid AS (SELECT gs.g, gs.ng, gv.v, gv.cv FROM gs CROSS JOIN gv),
+        |cum AS (SELECT g, ng, v,
+        |    sum(coalesce(pv.c, 0)) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS i,
+        |    sum(cv) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS j
+        |  FROM grid LEFT JOIN pv USING (g, v)),
+        |red AS (SELECT g, ng, (SELECT n FROM tot) - ng AS rest,
+        |    max(abs(i::HUGEINT * ((SELECT n FROM tot) - ng)::HUGEINT
+        |      - (j - i)::HUGEINT * ng::HUGEINT)) AS num
+        |  FROM cum GROUP BY 1, 2)
+        |SELECT g AS event_type, ng AS n, rest AS n_rest,
+        |  CAST(num AS BIGINT) AS ks_num, ng * rest AS ks_den,
+        |  num::DOUBLE / (ng::HUGEINT * rest::HUGEINT)::DOUBLE AS ks,
+        |  CAST(CASE WHEN 1000000::HUGEINT * num * num >
+        |      1844164::HUGEINT * (ng + rest)::HUGEINT
+        |        * ng::HUGEINT * rest::HUGEINT
+        |    THEN 1 ELSE 0 END AS INT) AS significant
+        |FROM red ORDER BY event_type""".stripMargin
   )
 
   /** Shared resample oracle: exact integer bucketing (floor-div on epoch

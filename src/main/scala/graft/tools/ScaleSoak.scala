@@ -338,6 +338,9 @@ object ScaleSoak {
     // LSH self-eval: q66's candidate CTE + q190's exact truth + a
     // pair-keyed join — the ratio tracks the two generators it grades
     "q231_lsh_eval",
+    // per-group KS: groups × distinct-values grid, group-partitioned
+    // windows — ratio tracks distinct-value growth × fixed group count
+    "q232_ks_by_group",
     // ---- r13 soak-breadth batch (verdict item 7): every remaining
     // catalog query whose cost scales with data, so no regression can
     // hide in the unsoaked half. EXEMPT as fixed-floor by construction

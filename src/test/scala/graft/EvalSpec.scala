@@ -227,6 +227,28 @@ class EvalSpec extends SparkSpecBase {
     assert(sig.getDouble(4) == 1.0 && sig.getInt(5) == 1)
   }
 
+  test("ksDriftByGroup: each group's row equals the two-sample form vs rest") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(300)((Seq("a", "b", "c")(rnd.nextInt(3)),
+      rnd.nextInt(20).toDouble + (if (rnd.nextBoolean()) 100 else 0)))
+    val df = rows.toDF("g", "v")
+    val byGroup = Eval.ksDriftByGroup(df, "v", "g").collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(byGroup.keySet == Set("a", "b", "c"))
+    Seq("a", "b", "c").foreach { g =>
+      val two = Eval.ksDrift(df.filter($"g" === g).select($"v".as("value")),
+        df.filter($"g" =!= g).select($"v".as("value")), "value").head()
+      assert(byGroup(g) == two.toSeq,
+        s"group $g: ${byGroup(g)} != two-sample ${two.toSeq}")
+    }
+    // a planted gross shift IS flagged for exactly the shifted group
+    val shifted = (rows.map { case (g, v) => (g, v) } ++
+      Seq.fill(150)(("z", 9999.0 + rnd.nextInt(5)))).toDF("g", "v")
+    val z = Eval.ksDriftByGroup(shifted, "v", "g").collect()
+      .map(r => r.getString(0) -> r.getInt(6)).toMap
+    assert(z("z") == 1)
+  }
+
   test("calibration: hand bins, empty-bin zeros, contract violations raise") {
     val rows = Seq((50L, 0L), (149L, 1L), (950L, 1L), (1000L, 1L),
       (1000L, 0L)).toDF("a", "y")
