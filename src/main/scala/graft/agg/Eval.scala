@@ -230,6 +230,52 @@ object Eval {
           .otherwise((num2 > crit).cast("int")).as("significant"))
   }
 
+  /** Per-GROUP χ² drift — every group's CATEGORY distribution against
+    * the rest of the data in one job: the multi-group form of
+    * [[chiSquareDrift]] (as [[ksDriftByGroup]] is of [[ksDrift]]).
+    * For group g and category c with count a = n_gc, the other side is
+    * b = n_c − a against totals (N_g, N − N_g); contrib is the same
+    * exact D²/(N_a·N_b·(a+b)) rational with one IEEE division.
+    * Categories a group never takes still contribute (a = 0 is the
+    * strongest drift signal) — the grid is the bounded group directory
+    * × the category directory, both broadcast.
+    *
+    * One row per (group, category): (groupCol, catCol, n_in, n_rest,
+    * contrib); Σ contrib per group ~ χ²(k−1) under no drift.
+    *
+    * Scale shape: one (group, category) count + two directory
+    * aggregates; the grid is groups × categories — monitoring
+    * dimensions, never data-sized. No windows at all. */
+  def chiSquareDriftByGroup(df: DataFrame, catCol: String,
+      groupCol: String): DataFrame = {
+    val rows = df.filter(col(catCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(catCol).as("__c"))
+    val gc = rows.groupBy(col("__g"), col("__c"))
+      .agg(count(lit(1)).as("__a"))
+    val cats = rows.groupBy(col("__c")).agg(count(lit(1)).as("__nc"))
+    val groups = rows.groupBy(col("__g")).agg(count(lit(1)).as("__ng"))
+    val tot = rows.agg(count(lit(1)).as("__n"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val grid = cats.join(broadcast(groups), lit(true))
+      .join(gc, Seq("__g", "__c"), "left")
+      .join(broadcast(tot), lit(true))
+      .withColumn("__a", coalesce(col("__a"), lit(0L)))
+      .withColumn("__b", col("__nc") - col("__a"))
+      .withColumn("__rest", col("__n") - col("__ng"))
+    val d = dec(col("__a")) * dec(col("__rest")) -
+      dec(col("__b")) * dec(col("__ng"))
+    val d2 = d * d
+    val den = dec(col("__ng")) * dec(col("__rest")) * dec(col("__nc"))
+    grid.select(col("__g").as(groupCol), col("__c").as(catCol),
+      col("__a").as("n_in"), col("__b").as("n_rest"),
+      when(col("__nc") === 0L || col("__ng") === 0L || col("__rest") === 0L,
+          lit(0.0))
+        .when(d2.isNull || den.isNull,
+          raise_error(lit("chiSquareDriftByGroup: decimal(38) overflow — " +
+            "totals exceed the exact range; subsample")))
+        .otherwise(d2.cast("double") / den.cast("double")).as("contrib"))
+  }
+
   /** Per-GROUP two-sample KS — every group's value CDF against the REST
     * of the data in one job (per-source drift, per-model-version score
     * shift): the multi-group form of [[ksDrift]], with the same exact

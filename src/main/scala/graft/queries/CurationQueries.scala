@@ -658,6 +658,15 @@ object CurationQueries {
       graft.agg.Eval.clusterPairCounts(
         documents(s, d).select(col("lang"), col("source")),
         "lang", "source")
+    },
+
+    // per-group χ² drift (r13): every source's lang distribution vs the
+    // rest of the corpus in one job — the categorical sibling of q232.
+    "q233_chi2_by_group" -> { (s, d) =>
+      graft.agg.Eval.chiSquareDriftByGroup(
+          documents(s, d).select(col("lang"), col("source")),
+          "lang", "source")
+        .orderBy("source", "lang")
     }
   )
 
@@ -1525,6 +1534,26 @@ object CurationQueries {
         |    / (2*tp + fp + fn)::DOUBLE END AS pair_f1,
         |  CASE WHEN all_pairs > 0 THEN (tp + tn)::DOUBLE
         |    / all_pairs::DOUBLE END AS rand_index
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+
+    // the per-group D² rational on the (groups × categories) grid.
+    "q233_chi2_by_group" ->
+      """WITH r AS (SELECT source AS g, lang AS c FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |gc AS (SELECT g, c, CAST(count(*) AS BIGINT) AS a
+        |  FROM r GROUP BY 1, 2),
+        |cats AS (SELECT c, CAST(count(*) AS BIGINT) AS nc FROM r GROUP BY 1),
+        |gs AS (SELECT g, CAST(count(*) AS BIGINT) AS ng FROM r GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+        |grid AS (SELECT gs.g, gs.ng, cats.c, cats.nc,
+        |    coalesce(gc.a, 0) AS a, (SELECT n FROM tot) - gs.ng AS rest
+        |  FROM gs CROSS JOIN cats LEFT JOIN gc USING (g, c))
+        |SELECT g AS source, c AS lang, a AS n_in, nc - a AS n_rest,
+        |  CASE WHEN nc = 0 OR ng = 0 OR rest = 0 THEN 0.0 ELSE
+        |    ((a::HUGEINT * rest::HUGEINT - (nc - a)::HUGEINT * ng::HUGEINT)
+        |     * (a::HUGEINT * rest::HUGEINT - (nc - a)::HUGEINT * ng::HUGEINT)
+        |    )::DOUBLE / (ng::HUGEINT * rest::HUGEINT * nc::HUGEINT)::DOUBLE
+        |  END AS contrib
+        |FROM grid ORDER BY source, lang""".stripMargin
   )
 }

@@ -341,6 +341,8 @@ object ScaleSoak {
     // per-group KS: groups × distinct-values grid, group-partitioned
     // windows — ratio tracks distinct-value growth × fixed group count
     "q232_ks_by_group",
+    // per-group χ²: directory-grid aggregates, no windows — scan-linear
+    "q233_chi2_by_group",
     // ---- r13 soak-breadth batch (verdict item 7): every remaining
     // catalog query whose cost scales with data, so no regression can
     // hide in the unsoaked half. EXEMPT as fixed-floor by construction

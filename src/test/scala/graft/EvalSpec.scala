@@ -227,6 +227,32 @@ class EvalSpec extends SparkSpecBase {
     assert(sig.getDouble(4) == 1.0 && sig.getInt(5) == 1)
   }
 
+  test("chiSquareDriftByGroup: per-group rows equal the two-sample form vs rest") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(200)((Seq("a", "b", "c")(rnd.nextInt(3)),
+      Seq("x", "y", "z", "w")(rnd.nextInt(4))))
+    val df = rows.toDF("g", "c")
+    val byGroup = Eval.chiSquareDriftByGroup(df, "c", "g").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    Seq("a", "b", "c").foreach { g =>
+      val two = Eval.chiSquareDrift(
+          df.filter($"g" === g).select($"c".as("cat")),
+          df.filter($"g" =!= g).select($"c".as("cat")), "cat")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      two.foreach { case (cat, exp) =>
+        assert(byGroup((g, cat)) == exp,
+          s"($g,$cat): ${byGroup((g, cat))} != $exp")
+      }
+    }
+    // a category one group never takes still materializes with n_in 0
+    val skew = (rows ++ Seq.fill(40)(("a", "only_a"))).toDF("g", "c")
+    val sk = Eval.chiSquareDriftByGroup(skew, "c", "g").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(sk(("b", "only_a")) == 0L && sk(("a", "only_a")) == 40L)
+  }
+
   test("ksDriftByGroup: each group's row equals the two-sample form vs rest") {
     val rnd = new scala.util.Random(11)
     val rows = Seq.fill(300)((Seq("a", "b", "c")(rnd.nextInt(3)),

@@ -61,11 +61,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     // cluster pair eval: four one-row aggregates (cells/marginals/total
     // pair sums) crossed into the single readout row
     "q230_cluster_pair_eval",
-    // per-group KS: the GROUP DIRECTORY (bounded by group cardinality —
-    // a monitoring dimension, never data-sized) broadcast-crossed with
-    // the distinct-value relation to build the evaluation grid, plus
-    // the one-row total cross
-    "q232_ks_by_group")
+    // per-group KS / χ²: the GROUP DIRECTORY (bounded by group
+    // cardinality — a monitoring dimension, never data-sized)
+    // broadcast-crossed with the distinct-value / category relation to
+    // build the evaluation grid, plus the one-row total cross
+    "q232_ks_by_group", "q233_chi2_by_group")
 
   /** Built once and shared by all tests — several catalog queries do
     * eager work (sink writes, collects) at construction time, so planning
