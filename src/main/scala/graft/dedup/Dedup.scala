@@ -301,6 +301,11 @@ object Dedup {
     * exchanges, no text, no all-pairs. Empty inputs keep the one-row
     * readout (null ratios, never a divide error). */
   def pairSetEval(cand: DataFrame, truth: DataFrame): DataFrame = {
+    Seq(("cand", cand), ("truth", truth)).foreach { case (n, df) =>
+      require(df.columns.contains("id_1") && df.columns.contains("id_2"),
+        s"pairSetEval: $n side needs (id_1, id_2) columns, " +
+          s"got ${df.columns.mkString(", ")}")
+    }
     def norm(df: DataFrame, flag: String) = df.select(
         least(col("id_1"), col("id_2")).as("id_1"),
         greatest(col("id_1"), col("id_2")).as("id_2"))

@@ -326,18 +326,22 @@ object GateQueries {
       // fed the sf1 stream zero rows (caught round 13: q148's sf1 soak
       // measured an empty stream at ratio 0.22). Flatten part files.
       if (java.nio.file.Files.isDirectory(src)) {
-        val it = java.nio.file.Files.list(src).iterator()
-        var i = 0
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.endsWith(".parquet")) {
-            java.nio.file.Files.copy(p,
-              dir.resolve(f"part_$i%05d.parquet"),
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            i += 1
-          }
+        // sorted listing: Files.list order is unspecified and the
+        // stream's batch composition should not depend on it
+        val parts = {
+          val st = java.nio.file.Files.list(src)
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .toSeq.sortBy(_.getFileName.toString)
+          } finally st.close()
         }
-        require(i > 0, s"documentsStreamDir: no part files under $src")
+        require(parts.nonEmpty, s"documentsStreamDir: no part files under $src")
+        parts.zipWithIndex.foreach { case (p, i) =>
+          java.nio.file.Files.copy(p, dir.resolve(f"part_$i%05d.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
       } else {
         java.nio.file.Files.copy(src, dir.resolve("documents.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
