@@ -19,6 +19,43 @@ import org.apache.spark.sql.functions._
   * pipelines do anyway). */
 object Eval {
 
+  private def decOf(c: Column) = c.cast("decimal(38,0)")
+
+  /** Exact int64 emission of a DECIMAL(38,0) value: the decimal-overflow
+    * guards elsewhere only fire when the DECIMAL itself nulls — a value
+    * that fits decimal(38) but not int64 would otherwise wrap (ANSI
+    * throw aside) or null silently through cast(long) (r13 review). */
+  private def asLongExact(v: Column, what: String): Column =
+    when(v.isNull || abs(v) > decOf(lit(Long.MaxValue)),
+      raise_error(lit(s"$what exceeds int64 — subsample the input")))
+      .otherwise(v.cast("long"))
+
+  /** The α=0.05 two-sample KS rejection as a pure integer comparison:
+    * KS > 1.358·√((N_a+N_b)/(N_a·N_b)) squared into
+    * 10⁶·num² > 1844164·(N_a+N_b)·N_a·N_b in DECIMAL(38,0) (exact to
+    * ~5·10⁸ rows/side; overflow raises LOUDLY). Shared by [[ksDrift]]
+    * and [[ksDriftByGroup]] so the critical constant has one home. */
+  private def ksSignificant(num: Column, na: Column, nb: Column): Column = {
+    val num2 = decOf(lit(1000000L)) * num * num
+    val crit = decOf(lit(1844164L)) * decOf(na + nb) * decOf(na) * decOf(nb)
+    when(na === 0L || nb === 0L, lit(0))
+      .when(num2.isNull || crit.isNull,
+        raise_error(lit("ks drift: decimal(38) overflow — side totals " +
+          "exceed the exact range; subsample the sides")))
+      .otherwise((num2 > crit).cast("int"))
+  }
+
+  /** The integer milli-probability contract shared by [[calibration]]
+    * and [[brierExact]]: [0, 1000], violations raise with the caller's
+    * name. */
+  private def milliScore(c: Column, fname: String, cname: String): Column = {
+    val raw = c.cast("long")
+    when(raw.isNull || raw < 0L || raw > 1000L,
+      raise_error(concat(lit(s"$fname: $cname must be an integer " +
+        "milli-probability in [0, 1000], got "),
+        coalesce(raw.cast("string"), lit("null"))))).otherwise(raw)
+  }
+
   /** Exact ROC-AUC via the tie-corrected Mann–Whitney statistic:
     * AUC = (#concordant pairs + ½·#tied pairs) / (n_pos·n_neg),
     * returned as the exact rational (`auc_num2`, `auc_den2`) =
@@ -207,27 +244,27 @@ object Eval {
       max(abs(dec(col("__i")) * dec(col("__tb")) -
         dec(col("__j")) * dec(col("__ta")))).as("__num"),
       max(col("__ta")).as("n_a"), max(col("__tb")).as("n_b"))
-    val num2 = dec(lit(1000000L)) * col("__num") * col("__num")
-    val crit = dec(lit(1844164L)) * dec(col("n_a") + col("n_b")) *
-      dec(col("n_a")) * dec(col("n_b"))
     // empty-input discipline (same as abTest): the readout must never
     // vanish or go null-count — an all-empty reduce yields one row of
     // zeros with a null ks (0/0 has no value; the flag is 0, not an
-    // ANSI divide-by-zero error).
+    // ANSI divide-by-zero error). ks_num/ks_den emit through the exact
+    // int64 gate (a wrapping long multiply would corrupt the rational
+    // silently in non-ANSI mode — r13 review).
+    val emptyish = coalesce(col("n_a"), lit(0L)) === 0L ||
+      coalesce(col("n_b"), lit(0L)) === 0L
     red.select(coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"),
-        coalesce(col("__num").cast("long"), lit(0L)).as("ks_num"),
-        (coalesce(col("n_a"), lit(0L)) * coalesce(col("n_b"), lit(0L)))
-          .as("ks_den"),
+        when(emptyish, lit(0L))
+          .otherwise(asLongExact(col("__num"), "ksDrift: ks_num"))
+          .as("ks_num"),
+        when(emptyish, lit(0L))
+          .otherwise(asLongExact(dec(col("n_a")) * dec(col("n_b")),
+            "ksDrift: ks_den")).as("ks_den"),
         when(col("n_a") > 0L && col("n_b") > 0L,
           col("__num").cast("double") /
             (dec(col("n_a")) * dec(col("n_b"))).cast("double")).as("ks"),
-        when(coalesce(col("n_a"), lit(0L)) === 0L ||
-            coalesce(col("n_b"), lit(0L)) === 0L, lit(0))
-          .when(num2.isNull || crit.isNull,
-            raise_error(lit("ksDrift: decimal(38) overflow — side " +
-              "totals exceed the exact range; subsample the sides")))
-          .otherwise((num2 > crit).cast("int")).as("significant"))
+        ksSignificant(col("__num"), coalesce(col("n_a"), lit(0L)),
+          coalesce(col("n_b"), lit(0L))).as("significant"))
   }
 
   /** Per-GROUP χ² drift — every group's CATEGORY distribution against
@@ -322,21 +359,22 @@ object Eval {
       .groupBy(col("__g"), col("__ng"), col("__rest"))
       .agg(max(abs(dec(col("__i")) * dec(col("__rest")) -
         dec(col("__j") - col("__i")) * dec(col("__ng")))).as("__num"))
-    val num2 = dec(lit(1000000L)) * col("__num") * col("__num")
-    val crit = dec(lit(1844164L)) * dec(col("__ng") + col("__rest")) *
-      dec(col("__ng")) * dec(col("__rest"))
+    // emission through the shared exact-int64 gate + the shared α=0.05
+    // rational (one home for the critical constant — r13 review)
+    val emptyish = col("__ng") === 0L || col("__rest") === 0L
     red.select(col("__g").as(groupCol), col("__ng").as("n"),
       col("__rest").as("n_rest"),
-      col("__num").cast("long").as("ks_num"),
-      (col("__ng") * col("__rest")).as("ks_den"),
+      when(emptyish, lit(0L))
+        .otherwise(asLongExact(col("__num"), "ksDriftByGroup: ks_num"))
+        .as("ks_num"),
+      when(emptyish, lit(0L))
+        .otherwise(asLongExact(dec(col("__ng")) * dec(col("__rest")),
+          "ksDriftByGroup: ks_den")).as("ks_den"),
       when(col("__ng") > 0L && col("__rest") > 0L,
         col("__num").cast("double") /
           (dec(col("__ng")) * dec(col("__rest"))).cast("double")).as("ks"),
-      when(col("__ng") === 0L || col("__rest") === 0L, lit(0))
-        .when(num2.isNull || crit.isNull,
-          raise_error(lit("ksDriftByGroup: decimal(38) overflow — side " +
-            "totals exceed the exact range; subsample the sides")))
-        .otherwise((num2 > crit).cast("int")).as("significant"))
+      ksSignificant(col("__num"), col("__ng"), col("__rest"))
+        .as("significant"))
   }
 
   /** Retrieval evaluation at cutoff `k` — the ranked-list metrics that
@@ -423,11 +461,7 @@ object Eval {
       s"bins must divide 1000, got $bins")
     val width = 1000 / bins
     val y = col(labelCol).cast("long")
-    val aRaw = col(milliCol).cast("long")
-    val a = when(aRaw.isNull || aRaw < 0L || aRaw > 1000L,
-      raise_error(concat(lit(s"calibration: $milliCol must be an " +
-        "integer milli-probability in [0, 1000], got "),
-        coalesce(aRaw.cast("string"), lit("null"))))).otherwise(aRaw)
+    val a = milliScore(col(milliCol), "calibration", milliCol)
     val rows = df.filter(col(labelCol).isNotNull)
       .select(a.as("__a"),
         when(y.isin(0L, 1L), y).otherwise(raise_error(concat(
@@ -474,10 +508,13 @@ object Eval {
     def dec(c: Column) = c.cast("decimal(38,0)")
     def choose2(c: Column): Column = {
       val v = dec(c) * dec(c - 1L) / lit(2L)
+      // asLongExact: a C(n,2) that fits decimal(38) but not int64 would
+      // otherwise null through cast(long) and silently vanish from the
+      // sum in non-ANSI mode (r13 review)
       when(c.isNull, lit(0L))
         .when(v.isNull, raise_error(lit("clusterPairCounts: decimal(38) " +
           "overflow — group sizes exceed the exact range")))
-        .otherwise(v.cast("long"))
+        .otherwise(asLongExact(v, "clusterPairCounts: pair count"))
     }
     val cells = rows.groupBy(col("__p"), col("__c"))
       .agg(count(lit(1)).as("__n"))
@@ -516,11 +553,7 @@ object Eval {
   def brierExact(df: DataFrame, milliCol: String,
       labelCol: String): DataFrame = {
     val y = col(labelCol).cast("long")
-    val aRaw = col(milliCol).cast("long")
-    val a = when(aRaw.isNull || aRaw < 0L || aRaw > 1000L,
-      raise_error(concat(lit(s"brierExact: $milliCol must be an " +
-        "integer milli-probability in [0, 1000], got "),
-        coalesce(aRaw.cast("string"), lit("null"))))).otherwise(aRaw)
+    val a = milliScore(col(milliCol), "brierExact", milliCol)
     val d = a - lit(1000L) * when(y.isin(0L, 1L), y)
       .otherwise(raise_error(concat(
         lit(s"brierExact: $labelCol must be 0/1, got "), y.cast("string"))))

@@ -306,8 +306,16 @@ object Dedup {
         s"pairSetEval: $n side needs (id_1, id_2) columns, " +
           s"got ${df.columns.mkString(", ")}")
     }
+    // null or self pairs are contract violations, not data — least/
+    // greatest would silently fold (42, NULL) into the degenerate
+    // self-pair (42, 42) and deflate precision (r13 review)
     def norm(df: DataFrame, flag: String) = df.select(
-        least(col("id_1"), col("id_2")).as("id_1"),
+        when(col("id_1").isNull || col("id_2").isNull ||
+            col("id_1") === col("id_2"),
+          raise_error(concat(lit("pairSetEval: null or self pair ("),
+            coalesce(col("id_1").cast("string"), lit("null")), lit(", "),
+            coalesce(col("id_2").cast("string"), lit("null")), lit(")"))))
+          .otherwise(least(col("id_1"), col("id_2"))).as("id_1"),
         greatest(col("id_1"), col("id_2")).as("id_2"))
       .distinct().withColumn(flag, lit(1L))
     norm(cand, "__c").join(norm(truth, "__t"), Seq("id_1", "id_2"),

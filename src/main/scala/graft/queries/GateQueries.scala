@@ -319,6 +319,18 @@ object GateQueries {
       val dir = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), s"graft_docs_stream_$key")
       java.nio.file.Files.createDirectories(dir)
+      // clear stale files first: the path is keyed by fixture dir and
+      // survives a killed run's exit sweep — leftover part files from a
+      // previous (or differently-laid-out) fixture would silently ride
+      // into the stream alongside the fresh copies (r13 review)
+      locally {
+        val st = java.nio.file.Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.toSeq
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } finally st.close()
+      }
       val src = java.nio.file.Paths.get(d, "documents.parquet")
       // the driver fixtures are single parquet FILES; Spark-written
       // fixtures (ScaleSoak's target/sf1) are parquet DIRECTORIES —

@@ -104,8 +104,10 @@ for q, sql in sorted(oracle.items()):
     cmp = cell_mismatch if strict else cell_mismatch_tolerant
     for c in gc:
         gl, el = got[c].tolist(), exp[c].tolist()
+        # scan ALL values: a DECIMAL column whose first (sorted) row is
+        # NULL must not escape the loud flag (r13 review)
         if strict and any(isinstance(x, decimal.Decimal)
-                          for x in (gl[:1] + el[:1])):
+                          for x in gl + el):
             decimal_cols.append(c)
         for a, b in zip(gl, el):
             if cmp(a, b):
