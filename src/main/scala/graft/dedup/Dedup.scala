@@ -287,6 +287,57 @@ object Dedup {
       .select(col(idCol), col("match_id"), col("jaccard"))
   }
 
+  /** MinHash FIDELITY readout — per LSH-candidate pair, the signature's
+    * Jaccard estimate against the exact shingle Jaccard, as EXACT
+    * rationals: with m matching signature positions out of H hashes and
+    * exact (inter, union), the estimation error is
+    * |m/H − inter/union| = |m·union − H·inter| / (H·union) — per-pair
+    * int64 numerator/denominator plus the two IEEE quotients. Where
+    * [[pairSetEval]] (q231) grades the BANDING's recall, this grades
+    * the SIGNATURE's accuracy — together they are the evidence for a
+    * (numHashes, numBands) choice before running the tier on the world.
+    *
+    * One row per candidate pair: (id_1, id_2, sig_matches, inter,
+    * union, est, exact_jaccard, err_num, err_den); pairs of two
+    * shingle-less documents carry null est/exact (0/0 has no value).
+    *
+    * Scale shape: [[lshCandidates]]' banded join + the same two
+    * shuffle-hash confirm joins as [[lshNearDupPairs]] — candidate-
+    * sized, never all-pairs. */
+  def minhashFidelity(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingleK: Int = 3, numBands: Int = 4,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val rel = df.select(col(idCol),
+      TextOps.bindOnce(TextOps.shingleHashes(col(textCol), shingleK)) {
+        sh => struct(sh.as("sh"), minhashSigFromHashes(sh, numHashes)
+          .as("sig"))
+      }.as("__r"))
+      .select(col(idCol), col("__r.sh").as("sh"), col("__r.sig").as("sig"))
+    val cands = lshCandidatesFrom(rel.select(col(idCol), col("sh")),
+      idCol, numHashes, numBands, maxBucket)
+    val m = size(filter(zip_with(col("sig_1"), col("sig_2"),
+      (a, b) => a === b), x => x))
+    val inter = size(array_intersect(col("sh_1"), col("sh_2")))
+    cands
+      .join(rel.select(col(idCol).as("id_1"), col("sh").as("sh_1"),
+        col("sig").as("sig_1")).hint("shuffle_hash"), "id_1")
+      .join(rel.select(col(idCol).as("id_2"), col("sh").as("sh_2"),
+        col("sig").as("sig_2")).hint("shuffle_hash"), "id_2")
+      .withColumn("sig_matches", m.cast("long"))
+      .withColumn("inter", inter.cast("long"))
+      .withColumn("union",
+        (size(col("sh_1")) + size(col("sh_2"))).cast("long") - col("inter"))
+      .select(col("id_1"), col("id_2"), col("sig_matches"), col("inter"),
+        col("union"),
+        (col("sig_matches").cast("double") / numHashes.toDouble).as("est"),
+        when(col("union") > 0L, col("inter").cast("double") /
+          col("union").cast("double")).as("exact_jaccard"),
+        when(col("union") > 0L, abs(col("sig_matches") * col("union") -
+          lit(numHashes.toLong) * col("inter"))).as("err_num"),
+        when(col("union") > 0L, lit(numHashes.toLong) * col("union"))
+          .as("err_den"))
+  }
+
   /** PAIR-SET evaluation — grades one candidate-pair generator against a
     * truth pair set (LSH candidates vs the exact PPJoin, winnowing
     * candidates vs exact edit-distance pairs, any approximate tier vs

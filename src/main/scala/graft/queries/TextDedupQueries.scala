@@ -210,6 +210,16 @@ object TextDedupQueries {
       Dedup.pairSetEval(cand, truth)
     },
 
+    // MinHash fidelity (r13): per LSH-candidate pair, the signature's
+    // Jaccard estimate vs the exact shingle Jaccard — estimation error
+    // as the exact rational |m·union − H·inter| / (H·union). q231
+    // grades the banding's recall; this grades the signature itself.
+    "q234_minhash_fidelity" -> { (s, d) =>
+      Dedup.minhashFidelity(documents(s, d), "doc_id", "text",
+          numHashes, shingleK, numBands)
+        .orderBy("id_1", "id_2")
+    },
+
     // asymmetric containment join (quote/mirror detection): every
     // ORDERED pair with |sh(a) ∩ sh(b)| ≥ ⌈0.8·|sh(a)|⌉ — the
     // one-sided bound Jaccard cannot express. Exhaustive quadratic
@@ -889,6 +899,35 @@ object TextDedupQueries {
          |  CASE WHEN n_true > 0 THEN n_hit::DOUBLE / n_true::DOUBLE END
          |    AS recall
          |FROM m""".stripMargin,
+
+    // per-candidate-pair sig-match count + exact Jaccard + the exact
+    // error rational, from the shared signature CTEs.
+    "q234_minhash_fidelity" ->
+      s"""$sigCtes,
+         |rel AS (SELECT s.doc_id, s.sh, g.sig FROM sh s
+         |  JOIN sigs g USING (doc_id)),
+         |bands AS (SELECT doc_id, ${(0 until numBands).map(b => bandSql("sig", b)).mkString("[", ", ", "]")} AS bh FROM sigs),
+         |bx AS (SELECT doc_id, i AS band, bh[i] AS bucket
+         |  FROM bands CROSS JOIN (SELECT unnest(range(1, ${numBands + 1})) AS i)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+         |  FROM bx a JOIN bx b ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id),
+         |p AS (SELECT c.id_1, c.id_2,
+         |    CAST(len(list_filter(range(1, ${numHashes + 1}),
+         |      i -> a.sig[i] = b.sig[i])) AS BIGINT) AS sig_matches,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+         |    CAST(len(a.sh) + len(b.sh)
+         |      - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS u
+         |  FROM cand c JOIN rel a ON c.id_1 = a.doc_id
+         |    JOIN rel b ON c.id_2 = b.doc_id)
+         |SELECT id_1, id_2, sig_matches, inter, u AS "union",
+         |  sig_matches::DOUBLE / $numHashes.0 AS est,
+         |  CASE WHEN u > 0 THEN inter::DOUBLE / u::DOUBLE END
+         |    AS exact_jaccard,
+         |  CASE WHEN u > 0
+         |    THEN abs(sig_matches * u - $numHashes * inter) END AS err_num,
+         |  CASE WHEN u > 0 THEN $numHashes * u END AS err_den
+         |FROM p ORDER BY id_1, id_2""".stripMargin,
 
     // exhaustive ORDERED-pair brute force with the one-sided bound.
     "q216_containment_join" ->

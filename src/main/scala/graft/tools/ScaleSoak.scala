@@ -343,6 +343,9 @@ object ScaleSoak {
     "q232_ks_by_group",
     // per-group χ²: directory-grid aggregates, no windows — scan-linear
     "q233_chi2_by_group",
+    // minhash fidelity: q66's banded join + confirm joins — must track
+    // q66's candidate-sized ratio
+    "q234_minhash_fidelity",
     // ---- r13 soak-breadth batch (verdict item 7): every remaining
     // catalog query whose cost scales with data, so no regression can
     // hide in the unsoaked half. EXEMPT as fixed-floor by construction

@@ -409,6 +409,31 @@ class TextDedupSpec extends SparkSpecBase {
     assert(fps(10L).intersect(fps(11L)).nonEmpty)
   }
 
+  test("minhashFidelity: identical docs estimate exactly, error rational holds") {
+    val d = docs(Seq(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g h",          // identical: est = exact = 1
+      3L -> "a b c d e f q r",          // shares a 6-token prefix
+      4L -> "zz yy xx ww vv uu tt ss")) // disjoint
+    val out = Dedup.minhashFidelity(d, "doc_id", "text",
+        numHashes = 16, shingleK = 3, numBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val p = out((1L, 2L))
+    assert(p.getLong(2) == 16L && p.getDouble(5) == 1.0 &&
+      p.getDouble(6) == 1.0 && p.getLong(7) == 0L)
+    // the error rational restates |m·u − H·i| / (H·u) on every pair
+    out.values.foreach { r =>
+      if (!r.isNullAt(7)) {
+        val (m, i, u) = (r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(r.getLong(7) == math.abs(m * u - 16L * i) &&
+          r.getLong(8) == 16L * u)
+        assert(r.getDouble(5) == m.toDouble / 16.0)
+      }
+    }
+    // the disjoint doc never surfaces paired with the near-dups
+    assert(!out.keySet.exists(k => k._1 == 4L || k._2 == 4L))
+  }
+
   test("pairSetEval: normalization, dedup, hits, empty sides") {
     val s = spark
     import s.implicits._
