@@ -32,9 +32,13 @@ object Eval {
 
   /** The α=0.05 two-sample KS rejection as a pure integer comparison:
     * KS > 1.358·√((N_a+N_b)/(N_a·N_b)) squared into
-    * 10⁶·num² > 1844164·(N_a+N_b)·N_a·N_b in DECIMAL(38,0) (exact to
-    * ~5·10⁸ rows/side; overflow raises LOUDLY). Shared by [[ksDrift]]
-    * and [[ksDriftByGroup]] so the critical constant has one home. */
+    * 10⁶·num² > 1844164·(N_a+N_b)·N_a·N_b in DECIMAL(38,0). Exact range
+    * (r13 advice corrected the old "~5·10⁸ rows/side" claim): num can
+    * reach KS·N_a·N_b, so the left side overflows decimal(38) once
+    * num ≳ 10¹⁶ — i.e. the bound depends on the STATISTIC, roughly
+    * KS·N_a·N_b ≤ ~10¹⁶ (at 5·10⁸ rows/side any KS ≥ ~0.04 raises);
+    * overflow raises LOUDLY, never nulls. Shared by [[ksDrift]] and
+    * [[ksDriftByGroup]] so the critical constant has one home. */
   private def ksSignificant(num: Column, na: Column, nb: Column): Column = {
     val num2 = decOf(lit(1000000L)) * num * num
     val crit = decOf(lit(1844164L)) * decOf(na + nb) * decOf(na) * decOf(nb)
@@ -45,16 +49,89 @@ object Eval {
       .otherwise((num2 > crit).cast("int"))
   }
 
-  /** The integer milli-probability contract shared by [[calibration]]
-    * and [[brierExact]]: [0, 1000], violations raise with the caller's
-    * name. */
-  private def milliScore(c: Column, fname: String, cname: String): Column = {
+  /** Loudly-integral long cast: a fractional input must RAISE, never
+    * truncate — `cast("long")` alone would silently floor a raw
+    * probability 0.9 to 0 and sail through every downstream range
+    * check with a green-but-garbage readout (r13 advice). Non-numeric
+    * garbage (cast → null on a non-null input) raises here too. */
+  private def integralLong(c: Column, fname: String,
+      cname: String): Column = {
     val raw = c.cast("long")
+    when(c.isNotNull && (raw.isNull ||
+        c.cast("double") =!= raw.cast("double")),
+      raise_error(concat(lit(s"$fname: $cname must be integral, got "),
+        c.cast("string")))).otherwise(raw)
+  }
+
+  /** The 0/1 label contract shared by every binary-label metric here:
+    * integral (0.9 must not truncate to 0 — see [[integralLong]]) and
+    * in {0, 1}, violations raise with the caller's name. */
+  private def binaryLabel(c: Column, fname: String,
+      cname: String): Column = {
+    val y = integralLong(c, fname, cname)
+    when(y.isin(0L, 1L), y).otherwise(raise_error(concat(
+      lit(s"$fname: $cname must be 0/1, got "),
+      coalesce(c.cast("string"), lit("null")))))
+  }
+
+  /** The integer milli-probability contract shared by [[calibration]]
+    * and [[brierExact]]: an INTEGRAL value in [0, 1000], violations
+    * raise with the caller's name (fractional inputs raise instead of
+    * truncating — r13 advice). */
+  private def milliScore(c: Column, fname: String, cname: String): Column = {
+    val raw = integralLong(c, fname, cname)
     when(raw.isNull || raw < 0L || raw > 1000L,
       raise_error(concat(lit(s"$fname: $cname must be an integer " +
         "milli-probability in [0, 1000], got "),
         coalesce(raw.cast("string"), lit("null"))))).otherwise(raw)
   }
+
+  /** Default ceiling for the distinct-value guards on [[ksDrift]] /
+    * [[aucExact]]: past this, the single-partition ordered reduction
+    * those operators run over DISTINCT values stops being "tiny by
+    * construction" and the operator raises instead of silently
+    * funneling an open-cardinality column through one task (r13
+    * verdict: this was the catalog's last documented-only scale
+    * contract — every other contract raises loudly). 2²⁰ distinct
+    * values sort in one task in well under a second; an un-quantized
+    * double column at 100 TB would blow far past it. */
+  val DefaultMaxDistinct: Int = 1 << 20
+
+  /** Equal-width quantizer — the SHIPPED companion of the
+    * distinct-value guards (the guard's error message names it):
+    * maps a numeric column to its bucket index over [lo, hi) with
+    * `buckets` equal widths (long, 0..buckets−1; out-of-range values
+    * clamp to the end buckets, nulls pass through). The map is
+    * MONOTONE, so [[ksDrift]]/[[aucExact]] on the quantized column are
+    * the standard binned statistic — bounded cardinality by
+    * construction, pure codegen'd arithmetic, zero extra passes. */
+  def quantize(c: Column, lo: Double, hi: Double, buckets: Int): Column = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val w = (hi - lo) / buckets
+    // explicit null passthrough: greatest/least SKIP nulls (greatest
+    // (null, 0) = 0), so without the when a null would quantize to
+    // bucket 0 instead of staying null
+    when(c.isNotNull,
+      least(greatest(floor((c - lit(lo)) / lit(w)), lit(0L)),
+        lit(buckets - 1L))).cast("long")
+  }
+
+  /** The enforcement half of the quantize-first contract: `distinct`
+    * is the one-row count of the distinct-value relation about to
+    * funnel through a single-partition ordered pass; past
+    * `maxDistinct` the guarded column RAISES (map-side, before the
+    * funnel's exchange — the projection sits below the window's
+    * shuffle) instead of letting the sort silently eat the
+    * cardinality. */
+  private def cardinalityGuard(guarded: Column, distinct: Column,
+      maxDistinct: Int, fname: String): Column =
+    when(distinct > maxDistinct.toLong,
+      raise_error(concat(lit(s"$fname: "), distinct.cast("string"),
+        lit(s" distinct values exceed maxDistinct = $maxDistinct for " +
+          "the single-partition ordered pass — quantize the column " +
+          "first (Eval.quantize) or raise maxDistinct"))))
+      .otherwise(guarded)
 
   /** Exact ROC-AUC via the tie-corrected Mann–Whitney statistic:
     * AUC = (#concordant pairs + ½·#tied pairs) / (n_pos·n_neg),
@@ -63,17 +140,31 @@ object Eval {
     * One row: (n_pos, n_neg, auc_num2, auc_den2, auc).
     *
     * `labelCol` must be 0/1 (checked); rows with a null score or label
-    * are excluded (scoreless rows can't be ranked). */
-  def aucExact(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
-    val lbl = col(labelCol).cast("long")
+    * are excluded (scoreless rows can't be ranked). The quantize-first
+    * contract is ENFORCED (r14): past `maxDistinct` distinct scores the
+    * operator raises map-side, naming [[quantize]], instead of
+    * silently funneling an open-cardinality score column through the
+    * one-task ordered pass. */
+  def aucExact(df: DataFrame, scoreCol: String, labelCol: String,
+      maxDistinct: Int = DefaultMaxDistinct): DataFrame = {
     val rows = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(col(scoreCol).as("__s"),
-        when(lbl.isin(0L, 1L), lbl)
-          .otherwise(raise_error(concat(lit(s"aucExact: $labelCol must " +
-            s"be 0/1, got "), lbl.cast("string")))).as("__y"))
-    val g = rows.groupBy(col("__s"))
+        binaryLabel(col(labelCol), "aucExact", labelCol).as("__y"))
+    val g0 = rows.groupBy(col("__s"))
       .agg(sum(col("__y")).as("__p"),
         sum(lit(1L) - col("__y")).as("__n"))
+    // distinct-score cardinality guard: the 1×1 broadcast crossJoin is
+    // directory-sized; the guarded projection sits BELOW the window's
+    // single-partition exchange, so the raise fires before the funnel.
+    // The count references g0's aggregate columns (greatest of two
+    // non-null sums — always counted) so column pruning can't shrink
+    // this branch into a DIFFERENT subtree: kept identical, its
+    // exchange is REUSED and the input is scanned once, not twice.
+    val nv = g0.agg(count(greatest(col("__p"), col("__n"))).as("__nv"))
+    val g = g0.crossJoin(broadcast(nv))
+      .withColumn("__p", cardinalityGuard(col("__p"), col("__nv"),
+        maxDistinct, "aucExact"))
+      .drop("__nv")
     // negatives strictly below this score: an ordered cumulative pass
     // over DISTINCT scores (one row per score value, single partition by
     // design — see the object doc)
@@ -94,7 +185,7 @@ object Eval {
     * One row: (tp, fp, fn, tn, precision, recall, f1). */
   def confusionAt(df: DataFrame, scoreCol: String, labelCol: String,
       threshold: Double): DataFrame = {
-    val y = col(labelCol).cast("long")
+    val y = binaryLabel(col(labelCol), "confusionAt", labelCol)
     val pred = (col(scoreCol) >= threshold).cast("long")
     df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .agg(sum(pred * y).as("tp"), sum(pred * (lit(1L) - y)).as("fp"),
@@ -210,26 +301,46 @@ object Eval {
     * division for the `ks` readout. The α=0.05 rejection
     * KS > 1.358·√((N_a+N_b)/(N_a·N_b)) squares into the pure integer
     * comparison 10⁶·ks_num² > 1844164·(N_a+N_b)·N_a·N_b, run in
-    * DECIMAL(38,0) (exact to ~5·10⁸ rows/side; overflow raises LOUDLY —
-    * same contract as abTest/chiSquareDrift — subsample beyond).
+    * DECIMAL(38,0) (exact while KS·N_a·N_b ≲ 10¹⁶ — see
+    * [[ksSignificant]]; overflow raises LOUDLY — same contract as
+    * abTest/chiSquareDrift — subsample beyond).
     *
     * One row: (n_a, n_b, ks_num, ks_den, ks, significant).
     *
     * Scale shape: two map-combined per-value counts + one ordered
     * cumulative pass over DISTINCT values — value-cardinality sized,
     * not corpus sized (same single-partition-by-design contract as
-    * [[aucExact]]; quantize a high-cardinality continuous column
-    * first, which real drift monitors do anyway). */
-  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    * [[aucExact]]). The quantize-first contract is ENFORCED (r14):
+    * past `maxDistinct` distinct values the operator raises map-side,
+    * naming [[quantize]], instead of silently funneling an
+    * open-cardinality column through the one-task cumulative pass. */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      maxDistinct: Int = DefaultMaxDistinct): DataFrame = {
     def side(df: DataFrame, n: String) = df
       .filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).as("__v"))
       .agg(count(lit(1)).as(n))
-    val joined = side(a, "__ca").join(side(b, "__cb"), Seq("__v"),
+    val joined0 = side(a, "__ca").join(side(b, "__cb"), Seq("__v"),
         "full_outer")
       .select(col("__v"),
         coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))
+    // distinct-value cardinality guard (same shape as aucExact's): the
+    // raise fires in the projection below the single-partition window
+    // exchange — before the funnel, not after the sort. The counted
+    // expression must reference both side-count columns through a
+    // NON-foldable nullable form: count(greatest(__ca,__cb)) over the
+    // non-null coalesced counts gets rewritten to count(1) and the
+    // branch pruned into a DIFFERENT subtree — this form keeps the
+    // per-side aggregates identical to the main branch's, so their
+    // exchanges are REUSED and the inputs are scanned once, not twice
+    // (plan-pinned in PlanHygieneSpec).
+    val nv = joined0.agg(count(when(
+      greatest(col("__ca"), col("__cb")) >= 0L, 1L)).as("__nv"))
+    val joined = joined0.crossJoin(broadcast(nv))
+      .withColumn("__ca", cardinalityGuard(col("__ca"), col("__nv"),
+        maxDistinct, "ksDrift"))
+      .drop("__nv")
     val cumW = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val allW = Window.orderBy(col("__v"))
@@ -327,7 +438,7 @@ object Eval {
     * significant) — ks_num = max over values of
     * |i_g·(N−n_g) − (J−i_g)·n_g|, ks_den = n_g·(N−n_g), significance
     * squared into the DECIMAL(38,0) integer compare (loud overflow
-    * guard, ~5·10⁸ rows/side).
+    * guard; exact while KS·n_g·(N−n_g) ≲ 10¹⁶ — see [[ksSignificant]]).
     *
     * Scale shape: one (group, value) count + one global value count,
     * then group-PARTITIONED cumulative windows over the grid — unlike
@@ -411,7 +522,7 @@ object Eval {
     // never rows — p_at_k can't exceed 1.
     val res = results
       .select(col(queryCol).as("__q"), col(docCol).as("__d"),
-        col(rankCol).cast("long").as("__r"))
+        integralLong(col(rankCol), "retrievalMetrics", rankCol).as("__r"))
       .filter(col("__r") >= 1 && col("__r") <= k)
       .groupBy(col("__q"), col("__d")).agg(min(col("__r")).as("__r"))
     val rel = qrels
@@ -427,12 +538,11 @@ object Eval {
     nRel.join(hits, Seq("__q"), "full_outer")
       .select(col("__q").as(queryCol),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),
-        coalesce(col("n_hit_k"), lit(0L)).as("n_hit_k"))
+        coalesce(col("n_hit_k"), lit(0L)).as("n_hit_k"),
+        col("__first"))
       .withColumn("p_at_k", col("n_hit_k").cast("double") / lit(k.toDouble))
       .withColumn("r_at_k", when(col("n_rel") === 0, 0.0)
         .otherwise(col("n_hit_k").cast("double") / col("n_rel").cast("double")))
-      .join(hits.select(col("__q").as(queryCol), col("__first")),
-        Seq(queryCol), "left")
       .withColumn("rr", when(col("__first").isNull, 0.0)
         .otherwise(lit(1.0) / col("__first").cast("double")))
       .drop("__first")
@@ -460,13 +570,10 @@ object Eval {
     require(bins > 0 && 1000 % bins == 0,
       s"bins must divide 1000, got $bins")
     val width = 1000 / bins
-    val y = col(labelCol).cast("long")
     val a = milliScore(col(milliCol), "calibration", milliCol)
     val rows = df.filter(col(labelCol).isNotNull)
       .select(a.as("__a"),
-        when(y.isin(0L, 1L), y).otherwise(raise_error(concat(
-          lit(s"calibration: $labelCol must be 0/1, got "),
-          y.cast("string")))).as("__y"))
+        binaryLabel(col(labelCol), "calibration", labelCol).as("__y"))
     val agg = rows
       .groupBy(least(expr(s"__a div $width"), lit(bins - 1L)).as("bin"))
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("sum_y"),
@@ -552,11 +659,9 @@ object Eval {
     * readout never vanishes. */
   def brierExact(df: DataFrame, milliCol: String,
       labelCol: String): DataFrame = {
-    val y = col(labelCol).cast("long")
     val a = milliScore(col(milliCol), "brierExact", milliCol)
-    val d = a - lit(1000L) * when(y.isin(0L, 1L), y)
-      .otherwise(raise_error(concat(
-        lit(s"brierExact: $labelCol must be 0/1, got "), y.cast("string"))))
+    val d = a - lit(1000L) * binaryLabel(col(labelCol), "brierExact",
+      labelCol)
     df.filter(col(labelCol).isNotNull)
       .agg(count(lit(1)).as("n"), coalesce(sum(d * d), lit(0L)).as("brier_num"))
       .withColumn("brier", when(col("n") > 0,

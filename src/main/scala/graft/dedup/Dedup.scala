@@ -298,8 +298,12 @@ object Dedup {
     * (numHashes, numBands) choice before running the tier on the world.
     *
     * One row per candidate pair: (id_1, id_2, sig_matches, inter,
-    * union, est, exact_jaccard, err_num, err_den); pairs of two
-    * shingle-less documents carry null est/exact (0/0 has no value).
+    * union, est, exact_jaccard, err_num, err_den). Shingle-less
+    * documents are EXCLUDED from the candidate relation before
+    * banding (r13 advice): an empty shingle set carries no similarity
+    * evidence, yet its sentinel signature would collide every empty
+    * doc into every band — N empty docs would emit O(N²) pairs all
+    * carrying a misleading est = 1.0 with null exact_jaccard.
     *
     * Scale shape: [[lshCandidates]]' banded join + the same two
     * shuffle-hash confirm joins as [[lshNearDupPairs]] — candidate-
@@ -313,6 +317,8 @@ object Dedup {
           .as("sig"))
       }.as("__r"))
       .select(col(idCol), col("__r.sh").as("sh"), col("__r.sig").as("sig"))
+      // see scaladoc: empty shingle sets never enter the banding
+      .filter(size(col("sh")) > 0)
     val cands = lshCandidatesFrom(rel.select(col(idCol), col("sh")),
       idCol, numHashes, numBands, maxBucket)
     val m = size(filter(zip_with(col("sig_1"), col("sig_2"),

@@ -901,12 +901,15 @@ object TextDedupQueries {
          |FROM m""".stripMargin,
 
     // per-candidate-pair sig-match count + exact Jaccard + the exact
-    // error rational, from the shared signature CTEs.
+    // error rational, from the shared signature CTEs. Shingle-less
+    // docs are excluded before banding (engine contract — no-op on
+    // these fixtures, every doc has >= shingleK tokens).
     "q234_minhash_fidelity" ->
       s"""$sigCtes,
          |rel AS (SELECT s.doc_id, s.sh, g.sig FROM sh s
-         |  JOIN sigs g USING (doc_id)),
-         |bands AS (SELECT doc_id, ${(0 until numBands).map(b => bandSql("sig", b)).mkString("[", ", ", "]")} AS bh FROM sigs),
+         |  JOIN sigs g USING (doc_id) WHERE len(s.sh) > 0),
+         |bands AS (SELECT doc_id, ${(0 until numBands).map(b => bandSql("sig", b)).mkString("[", ", ", "]")} AS bh FROM sigs
+         |  WHERE doc_id IN (SELECT doc_id FROM rel)),
          |bx AS (SELECT doc_id, i AS band, bh[i] AS bucket
          |  FROM bands CROSS JOIN (SELECT unnest(range(1, ${numBands + 1})) AS i)),
          |cand AS (SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2

@@ -365,6 +365,23 @@ object TimeSeriesQueries {
           events(s, d).select(col("event_type"), col("value")),
           "value", "event_type")
         .orderBy("event_type")
+    },
+
+    // quantize-first contract END-TO-END (r14): Eval.quantize — the
+    // escape hatch the new distinct-value guard names in its error —
+    // bounds value cardinality to 1000 equal-width buckets, then the
+    // same exact KS rational runs on the bucket indices: the binned-KS
+    // form a pipeline switches to when the raw column would trip the
+    // guard (EvalSpec proves the guard raises; this gate proves the
+    // quantized path stays driver-exact).
+    "q235_quantized_ks" -> { (s, d) =>
+      val ev = events(s, d).select(col("event_type"),
+        graft.agg.Eval.quantize(col("value"), 0.0, 1000.0, 1000)
+          .as("value"))
+      graft.agg.Eval.ksDrift(
+        ev.filter(col("event_type") === "purchase").select(col("value")),
+        ev.filter(col("event_type") =!= "purchase").select(col("value")),
+        "value")
     }
   )
 
@@ -722,6 +739,38 @@ object TimeSeriesQueries {
         |b AS (SELECT value AS v, CAST(count(*) AS BIGINT) AS cb
         |  FROM events WHERE event_type <> 'purchase' AND value IS NOT NULL
         |  GROUP BY 1),
+        |j AS (SELECT coalesce(a.v, b.v) AS v, coalesce(ca, 0) AS ca,
+        |    coalesce(cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN b ON a.v = b.v),
+        |c AS (SELECT
+        |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS i,
+        |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS jj,
+        |    sum(ca) OVER () AS ta, sum(cb) OVER () AS tb FROM j),
+        |r AS (SELECT max(abs(i::HUGEINT * tb::HUGEINT
+        |      - jj::HUGEINT * ta::HUGEINT)) AS num,
+        |    CAST(max(ta) AS BIGINT) AS na, CAST(max(tb) AS BIGINT) AS nb
+        |  FROM c)
+        |SELECT na AS n_a, nb AS n_b, CAST(num AS BIGINT) AS ks_num,
+        |  na * nb AS ks_den,
+        |  num::DOUBLE / (na::HUGEINT * nb::HUGEINT)::DOUBLE AS ks,
+        |  CAST(CASE WHEN 1000000::HUGEINT * num * num >
+        |      1844164::HUGEINT * (na + nb)::HUGEINT
+        |        * na::HUGEINT * nb::HUGEINT
+        |    THEN 1 ELSE 0 END AS INT) AS significant
+        |FROM r""".stripMargin,
+
+    // q224's rational over the quantizer's bucket indices — the
+    // equal-width clamp restated verbatim (floor/least/greatest on the
+    // same IEEE doubles).
+    "q235_quantized_ks" ->
+      """WITH q AS (SELECT event_type,
+        |    CAST(least(greatest(floor((value - 0.0) / 1.0), 0), 999)
+        |      AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT v, CAST(count(*) AS BIGINT) AS ca FROM q
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |b AS (SELECT v, CAST(count(*) AS BIGINT) AS cb FROM q
+        |  WHERE event_type <> 'purchase' GROUP BY 1),
         |j AS (SELECT coalesce(a.v, b.v) AS v, coalesce(ca, 0) AS ca,
         |    coalesce(cb, 0) AS cb
         |  FROM a FULL OUTER JOIN b ON a.v = b.v),

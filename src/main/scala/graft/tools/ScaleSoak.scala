@@ -346,6 +346,10 @@ object ScaleSoak {
     // minhash fidelity: q66's banded join + confirm joins — must track
     // q66's candidate-sized ratio
     "q234_minhash_fidelity",
+    // r14. quantized KS: the guard+quantizer path — value cardinality
+    // is CAPPED at 1000 buckets by construction, so unlike q224 the
+    // cumulative pass is flat at any scale; ratio must track the scan
+    "q235_quantized_ks",
     // ---- r13 soak-breadth batch (verdict item 7): every remaining
     // catalog query whose cost scales with data, so no regression can
     // hide in the unsoaked half. EXEMPT as fixed-floor by construction

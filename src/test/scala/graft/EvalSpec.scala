@@ -301,6 +301,78 @@ class EvalSpec extends SparkSpecBase {
     }
   }
 
+  test("fractional inputs raise instead of truncating (r13 advice)") {
+    // a raw probability 0.9 used to cast("long") → 0 and pass every
+    // range check — every integral contract must now raise on it
+    intercept[Exception] {
+      Eval.calibration(Seq((0.9, 0L)).toDF("a", "y"), "a", "y").collect()
+    }
+    intercept[Exception] {
+      Eval.brierExact(Seq((0.9, 0L)).toDF("a", "y"), "a", "y").collect()
+    }
+    // fractional LABELS likewise: 0.9 truncated to 0 and passed isin(0,1)
+    intercept[Exception] {
+      Eval.calibration(Seq((10L, 0.9)).toDF("a", "y"), "a", "y").collect()
+    }
+    intercept[Exception] {
+      Eval.aucExact(Seq((1L, 0.9)).toDF("s", "y"), "s", "y").collect()
+    }
+    intercept[Exception] {
+      Eval.confusionAt(Seq((1L, 0.9)).toDF("s", "y"), "s", "y", 0.5)
+        .collect()
+    }
+    // confusionAt now also rejects non-binary integer labels (it had
+    // NO label check before r14 — label 2 doubled into tp)
+    intercept[Exception] {
+      Eval.confusionAt(Seq((1L, 2L)).toDF("s", "y"), "s", "y", 0.5)
+        .collect()
+    }
+    // integral DOUBLES still pass every contract (1.0 == 1L exactly)
+    val ok = Eval.brierExact(Seq((1000.0, 1.0)).toDF("a", "y"), "a", "y")
+      .head()
+    assert(ok.getLong(0) == 1L && ok.getLong(1) == 0L)
+  }
+
+  test("quantize: clamped monotone bucket indices, nulls pass through") {
+    val s = spark; import s.implicits._
+    val out = Seq(Some(-5.0), Some(0.0), Some(0.999), Some(1.0),
+        Some(999.9), Some(1500.0), None).toDF("x")
+      .select(Eval.quantize(col("x"), 0.0, 1000.0, 1000).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out.toSeq == Seq(Some(0L), Some(0L), Some(0L), Some(1L),
+      Some(999L), Some(999L), None))
+  }
+
+  test("distinct-value guards raise before the single-partition pass (r14)") {
+    val s = spark; import s.implicits._
+    val a = spark.range(100).select(($"id" + 0.5).as("value"))
+    val b = spark.range(100).select(($"id" * 2 + 0.25).as("value"))
+    // over-cardinality ksDrift raises and names the quantizer
+    val e = intercept[Exception] {
+      Eval.ksDrift(a, b, "value", maxDistinct = 10).collect()
+    }
+    assert(e.getMessage.contains("quantize"),
+      s"guard message must name the quantizer: ${e.getMessage}")
+    // quantized to <= maxDistinct buckets, the same inputs pass the
+    // same guard and match the directly-computed rational
+    def q(df: org.apache.spark.sql.DataFrame) =
+      df.select(Eval.quantize($"value", 0.0, 200.0, 10).as("value"))
+    val r = Eval.ksDrift(q(a), q(b), "value", maxDistinct = 10).head()
+    val full = Eval.ksDrift(q(a), q(b), "value").head()
+    assert(r.toSeq == full.toSeq)
+    // aucExact: same guard, same shape
+    val scored = spark.range(100).select(($"id" + 0.5).as("s"),
+      ($"id" % 2).cast("long").as("y"))
+    val e2 = intercept[Exception] {
+      Eval.aucExact(scored, "s", "y", maxDistinct = 10).collect()
+    }
+    assert(e2.getMessage.contains("quantize"))
+    val qs = scored.select(Eval.quantize($"s", 0.0, 100.0, 10).as("s"),
+      $"y")
+    val ok = Eval.aucExact(qs, "s", "y", maxDistinct = 10).head()
+    assert(ok.getLong(0) == 50L && ok.getLong(1) == 50L)
+  }
+
   test("clusterPairCounts: hand contingency, identity and degenerate clusterings") {
     val rows = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "y"),
       ("b", "y")).toDF("p", "c")

@@ -65,7 +65,11 @@ class PlanHygieneSpec extends SparkSpecBase {
     // cardinality — a monitoring dimension, never data-sized)
     // broadcast-crossed with the distinct-value / category relation to
     // build the evaluation grid, plus the one-row total cross
-    "q232_ks_by_group", "q233_chi2_by_group")
+    "q232_ks_by_group", "q233_chi2_by_group",
+    // r14 quantize-first enforcement: aucExact/ksDrift cross their
+    // distinct-value relation with its own ONE-ROW cardinality count —
+    // the guard that raises before the single-partition ordered pass
+    "q185_auc_exact", "q224_ks_drift", "q235_quantized_ks")
 
   /** Built once and shared by all tests — several catalog queries do
     * eager work (sink writes, collects) at construction time, so planning
@@ -405,9 +409,41 @@ class PlanHygieneSpec extends SparkSpecBase {
     // count joins and N broadcast at fixture scale
     "q184_collocations" -> (5, 3),
     // q185: per-score agg + the single-partition cumulative pass's
-    // final one-row reduce; q186: one map-combined total agg
-    "q185_auc_exact" -> (2, 0),
+    // final one-row reduce, plus (r14) the cardinality guard's one-row
+    // count branch: its SinglePartition reduce + the 1-row broadcast;
+    // the count branch's per-score exchange is a ReusedExchange (input
+    // scanned ONCE — plan-checked), whose description string the
+    // counting regex also matches, hence 4 not 3. q186: one
+    // map-combined total agg
+    "q185_auc_exact" -> (4, 1),
     "q186_confusion" -> (1, 0))
+
+  /** The r14 cardinality guards (aucExact/ksDrift) add a one-row count
+    * branch over the same distinct-value relation; that branch MUST
+    * reuse the main branch's exchanges — without reuse every guarded
+    * eval metric scans its input twice (caught live during r14: the
+    * optimizer rewrote the count to count(1), pruned the branch into a
+    * different subtree, and doubled the scans). */
+  test("cardinality-guard branches reuse exchanges — inputs scanned once") {
+    val byName = built.toMap
+    val scanPat = "FileScan parquet".r
+    val expected = Map("q185_auc_exact" -> 1, "q224_ks_drift" -> 2,
+      "q235_quantized_ks" -> 2)
+    val bad = expected.toSeq.sortBy(_._1).flatMap { case (q, n) =>
+      val df = byName(q)
+      // AQE materializes reuse only at runtime: execute, then read the
+      // FINAL plan section (toString appends the initial plan after it)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val scans = scanPat.findAllIn(plan).size
+      if (scans == n && plan.contains("ReusedExchange")) None
+      else Some(s"$q: $scans scans (want $n), reused=" +
+        plan.contains("ReusedExchange"))
+    }
+    assert(bad.isEmpty, s"guard branch lost exchange reuse:\n" +
+      bad.mkString("\n"))
+  }
 
   test("exchange counts match pinned shapes for the top expensive queries") {
     val byName = plans.toMap

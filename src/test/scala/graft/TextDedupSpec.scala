@@ -434,6 +434,19 @@ class TextDedupSpec extends SparkSpecBase {
     assert(!out.keySet.exists(k => k._1 == 4L || k._2 == 4L))
   }
 
+  test("minhashFidelity: shingle-less docs never pair (r13 advice)") {
+    // empty-shingle docs used to get the sentinel signature, collide
+    // in every band, and emit O(N²) pairs with a misleading est = 1.0
+    val d = docs(Seq(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g h",
+      10L -> "x", 11L -> "y", 12L -> "z")) // < shingleK tokens: no shingles
+    val out = Dedup.minhashFidelity(d, "doc_id", "text",
+        numHashes = 16, shingleK = 3, numBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+
   test("pairSetEval: normalization, dedup, hits, empty sides") {
     val s = spark
     import s.implicits._
