@@ -591,6 +591,70 @@ object Eval {
       .withColumn("gap_num", abs(col("sum_y") * 1000L - col("sum_a")))
   }
 
+  /** Per-GROUP calibration — [[calibration]] × the bounded
+    * group-directory grid of [[ksDriftByGroup]]/[[chiSquareDriftByGroup]]:
+    * per-model-version or per-source calibration drift is the form a
+    * training pipeline actually monitors (a scorer can be calibrated
+    * on the pooled corpus while badly mis-calibrated on one source).
+    * One row per (group, bin) with the same exact integer columns as
+    * the two-sample form; bins a group never uses materialize with
+    * zeros (a confidence region one source never hits is itself a
+    * finding). Per-group ECE = Σ_b gap_num / (1000·n_g) — one grouped
+    * int64 sum away, left to the caller so the per-bin rows stay
+    * inspectable.
+    *
+    * Scale shape: ONE map-combined (group, bin) aggregate + the
+    * (group directory × bins) broadcast grid — monitoring dimensions,
+    * never data-sized; no windows. */
+  def calibrationByGroup(df: DataFrame, milliCol: String,
+      labelCol: String, groupCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0 && 1000 % bins == 0,
+      s"bins must divide 1000, got $bins")
+    val width = 1000 / bins
+    val rows = df.filter(col(labelCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        milliScore(col(milliCol), "calibrationByGroup", milliCol)
+          .as("__a"),
+        binaryLabel(col(labelCol), "calibrationByGroup", labelCol)
+          .as("__y"))
+    val agg = rows
+      .groupBy(col("__g"),
+        least(expr(s"__a div $width"), lit(bins - 1L)).as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("sum_y"),
+        sum(col("__a")).as("sum_a"))
+    val grid = rows.select(col("__g")).distinct()
+      .crossJoin(broadcast(
+        df.sparkSession.range(bins).select(col("id").as("bin"))))
+    grid.join(agg, Seq("__g", "bin"), "left")
+      .select(col("__g").as(groupCol), col("bin"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_y"), lit(0L)).as("sum_y"),
+        coalesce(col("sum_a"), lit(0L)).as("sum_a"))
+      .withColumn("acc", when(col("n") > 0,
+        col("sum_y").cast("double") / col("n").cast("double")))
+      .withColumn("conf", when(col("n") > 0,
+        col("sum_a").cast("double") / (col("n") * 1000L).cast("double")))
+      .withColumn("gap_num", abs(col("sum_y") * 1000L - col("sum_a")))
+  }
+
+  /** Per-GROUP exact Brier — [[brierExact]] keyed by `groupCol`: one
+    * row per group (groupCol, n, brier_num, brier). Groups come from
+    * the data itself (no grid — a group with no rows has no score);
+    * ONE map-combined aggregate, scan-linear. */
+  def brierByGroup(df: DataFrame, milliCol: String, labelCol: String,
+      groupCol: String): DataFrame = {
+    val a = milliScore(col(milliCol), "brierByGroup", milliCol)
+    val d = a - lit(1000L) * binaryLabel(col(labelCol), "brierByGroup",
+      labelCol)
+    df.filter(col(labelCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(d * d), lit(0L)).as("brier_num"))
+      .withColumn("brier", when(col("n") > 0,
+        col("brier_num").cast("double") /
+          (col("n") * 1000000L).cast("double")))
+  }
+
   /** PAIR-COUNTING clustering evaluation — grades a cluster assignment
     * against ground-truth labels (dedup clusters vs known duplicates,
     * embedding clusters vs class labels) without ever materializing a

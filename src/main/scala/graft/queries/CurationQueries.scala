@@ -667,6 +667,28 @@ object CurationQueries {
           documents(s, d).select(col("lang"), col("source")),
           "lang", "source")
         .orderBy("source", "lang")
+    },
+
+    // per-SOURCE calibration (r14): q227's bins × the bounded
+    // group-directory grid — per-source calibration drift is what a
+    // training pipeline actually monitors; unused (source, bin) cells
+    // materialize with zeros.
+    "q236_calibration_by_group" -> { (s, d) =>
+      val df = documents(s, d).select(col("source"),
+        least(col("n_chars"), lit(1000L)).as("a"),
+        (col("lang") === "en").cast("long").as("y"))
+      graft.agg.Eval.calibrationByGroup(df, "a", "y", "source",
+          bins = 10)
+        .orderBy("source", "bin")
+    },
+
+    // per-SOURCE exact Brier over the same milli-probability contract.
+    "q237_brier_by_group" -> { (s, d) =>
+      val df = documents(s, d).select(col("source"),
+        least(col("n_chars"), lit(1000L)).as("a"),
+        (col("lang") === "en").cast("long").as("y"))
+      graft.agg.Eval.brierByGroup(df, "a", "y", "source")
+        .orderBy("source")
     }
   )
 
@@ -1554,6 +1576,41 @@ object CurationQueries {
         |     * (a::HUGEINT * rest::HUGEINT - (nc - a)::HUGEINT * ng::HUGEINT)
         |    )::DOUBLE / (ng::HUGEINT * rest::HUGEINT * nc::HUGEINT)::DOUBLE
         |  END AS contrib
-        |FROM grid ORDER BY source, lang""".stripMargin
+        |FROM grid ORDER BY source, lang""".stripMargin,
+
+    // q227's bins on the (source directory × bins) grid — unused
+    // cells as zeros with null acc/conf.
+    "q236_calibration_by_group" ->
+      """WITH s AS (SELECT source AS g, least(n_chars, 1000) AS a,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |agg AS (SELECT g, least(a // 100, 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sum_y,
+        |    CAST(sum(a) AS BIGINT) AS sum_a
+        |  FROM s GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT g, b.bin FROM s
+        |  CROSS JOIN (SELECT unnest(range(10)) AS bin) b)
+        |SELECT g AS source, grid.bin, coalesce(n, 0) AS n,
+        |  coalesce(sum_y, 0) AS sum_y, coalesce(sum_a, 0) AS sum_a,
+        |  CASE WHEN coalesce(n, 0) > 0
+        |    THEN sum_y::DOUBLE / n::DOUBLE END AS acc,
+        |  CASE WHEN coalesce(n, 0) > 0
+        |    THEN sum_a::DOUBLE / (n * 1000)::DOUBLE END AS conf,
+        |  abs(coalesce(sum_y, 0) * 1000 - coalesce(sum_a, 0)) AS gap_num
+        |FROM grid LEFT JOIN agg USING (g, bin)
+        |ORDER BY source, bin""".stripMargin,
+
+    // q228's exact Σ(a − 1000y)² keyed by source.
+    "q237_brier_by_group" ->
+      """WITH s AS (SELECT source, least(n_chars, 1000) AS a,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(coalesce(sum((a - 1000*y)*(a - 1000*y)), 0) AS BIGINT)
+        |    AS brier_num,
+        |  CASE WHEN count(*) > 0 THEN
+        |    sum((a - 1000*y)*(a - 1000*y))::DOUBLE
+        |      / (count(*) * 1000000)::DOUBLE END AS brier
+        |FROM s GROUP BY source ORDER BY source""".stripMargin
   )
 }

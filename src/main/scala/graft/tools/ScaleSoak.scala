@@ -350,6 +350,9 @@ object ScaleSoak {
     // is CAPPED at 1000 buckets by construction, so unlike q224 the
     // cumulative pass is flat at any scale; ratio must track the scan
     "q235_quantized_ks",
+    // per-group calibration/Brier: one map-combined (group, bin) or
+    // per-group agg over fixed key spaces — scan-linear floors
+    "q236_calibration_by_group", "q237_brier_by_group",
     // ---- r13 soak-breadth batch (verdict item 7): every remaining
     // catalog query whose cost scales with data, so no regression can
     // hide in the unsoaked half. EXEMPT as fixed-floor by construction

@@ -404,6 +404,37 @@ class EvalSpec extends SparkSpecBase {
     assert(again.toSeq == r.toSeq)
   }
 
+  test("calibrationByGroup/brierByGroup equal the per-slice two-sample forms") {
+    val s = spark; import s.implicits._
+    val rows = Seq(("a", 50L, 0L), ("a", 149L, 1L), ("a", 950L, 1L),
+      ("b", 1000L, 1L), ("b", 1000L, 0L), ("b", 10L, 1L))
+      .toDF("g", "a", "y")
+    val byG = Eval.calibrationByGroup(rows, "a", "y", "g", bins = 10)
+    // every (group, bin) cell materializes — including all-zero bins
+    assert(byG.count() == 20L)
+    Seq("a", "b").foreach { g =>
+      val slice = Eval.calibration(rows.filter($"g" === g), "a", "y",
+        bins = 10).orderBy("bin").collect().map(_.toSeq)
+      val got = byG.filter($"g" === g).orderBy("bin")
+        .drop("g").collect().map(_.toSeq)
+      assert(got.toSeq == slice.toSeq, s"group $g calibration mismatch")
+      val bs = Eval.brierExact(rows.filter($"g" === g), "a", "y")
+        .head().toSeq
+      val bg = Eval.brierByGroup(rows, "a", "y", "g")
+        .filter($"g" === g).drop("g").head().toSeq
+      assert(bg == bs, s"group $g brier mismatch")
+    }
+    // contract violations raise with the per-group names
+    intercept[Exception] {
+      Eval.calibrationByGroup(Seq(("a", 0.9, 0L)).toDF("g", "a", "y"),
+        "a", "y", "g").collect()
+    }
+    intercept[Exception] {
+      Eval.brierByGroup(Seq(("a", 1001L, 0L)).toDF("g", "a", "y"),
+        "a", "y", "g").collect()
+    }
+  }
+
   test("brierExact: hand sum, empty input row") {
     val rows = Seq((50L, 0L), (149L, 1L), (950L, 1L), (1000L, 1L),
       (1000L, 0L)).toDF("a", "y")

@@ -69,7 +69,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     // r14 quantize-first enforcement: aucExact/ksDrift cross their
     // distinct-value relation with its own ONE-ROW cardinality count —
     // the guard that raises before the single-partition ordered pass
-    "q185_auc_exact", "q224_ks_drift", "q235_quantized_ks")
+    "q185_auc_exact", "q224_ks_drift", "q235_quantized_ks",
+    // r14 per-group calibration: the bounded source directory crossed
+    // with the 10-row literal bin range to materialize unused cells
+    "q236_calibration_by_group")
 
   /** Built once and shared by all tests — several catalog queries do
     * eager work (sink writes, collects) at construction time, so planning
