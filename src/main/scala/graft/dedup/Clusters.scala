@@ -177,4 +177,22 @@ object Clusters {
     connectedComponents(pairs, "id_1", "id_2", df.select(col(idCol)), idCol)
       .withColumn("is_dup", col(idCol) =!= col("cluster_id"))
   }
+
+  /** End-to-end WINNOWING dedup — [[nearDupClusters]] on the MOSS
+    * fingerprint tier instead of MinHash banding:
+    * [[Dedup.winnowNearDupPairs]] (capped shared-fingerprint candidates
+    * → exact Jaccard confirm) → the shared pointer-jumping CC →
+    * per-document (cluster_id, is_dup), min doc id canonical. Same
+    * output contract as the LSH form, so the two resolve
+    * interchangeably downstream (leakage-safe splits, keeper
+    * selection); [[Dedup.pairSetEval]] grades one against the other. */
+  def winnowClusters(
+      df: DataFrame, idCol: String, textCol: String, k: Int, w: Int,
+      threshold: Double, minShared: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = Dedup.winnowNearDupPairs(df, idCol, textCol, k, w,
+      threshold, minShared, maxBucket)
+    connectedComponents(pairs, "id_1", "id_2", df.select(col(idCol)), idCol)
+      .withColumn("is_dup", col(idCol) =!= col("cluster_id"))
+  }
 }

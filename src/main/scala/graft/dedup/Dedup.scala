@@ -465,6 +465,35 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Winnow-CONFIRMED near-dup pairs — the winnowing tier's analog of
+    * [[lshNearDupPairs]]: [[winnowCandidates]]' capped shared-
+    * fingerprint pairs confirmed by exact shingle Jaccard ≥
+    * `threshold`. Output contract (id_1 < id_2, jaccard) matches the
+    * LSH path exactly, so the two tiers are drop-in siblings a
+    * pipeline grades against each other with [[pairSetEval]] (q239
+    * does: winnowing's deterministic shared-span guarantee vs
+    * banding's probabilistic recall, on the same exact truth).
+    *
+    * Scale shape: the capped fingerprint-bucket join (hot posting
+    * lists dropped BEFORE the self-join) + the same two shuffle-hash
+    * confirm joins on id as the LSH path — candidate-sized exchanges,
+    * never all-pairs, no text on the wire. */
+  def winnowNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, threshold: Double, minShared: Int = 2,
+      maxBucket: Int = 1000, shingleK: Int = 3): DataFrame = {
+    val cands = winnowCandidates(df, idCol, textCol, k, w, minShared,
+      maxBucket).select("id_1", "id_2")
+    val sh = shingleRel(df, idCol, textCol, shingleK)
+    cands
+      .join(sh.select(col(idCol).as("id_1"), col("sh").as("sh_1"))
+        .hint("shuffle_hash"), "id_1")
+      .join(sh.select(col(idCol).as("id_2"), col("sh").as("sh_2"))
+        .hint("shuffle_hash"), "id_2")
+      .withColumn("jaccard", jaccard(col("sh_1"), col("sh_2")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_1", "id_2", "jaccard")
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** Bits of the SimHash (bits 0..numBits-1 of the portable token hash;

@@ -689,6 +689,34 @@ object CurationQueries {
         (col("lang") === "en").cast("long").as("y"))
       graft.agg.Eval.brierByGroup(df, "a", "y", "source")
         .orderBy("source")
+    },
+
+    // winnowing tier closed end-to-end (r14 verdict item 3): q229's
+    // capped candidates → exact shingle-Jaccard confirm → the shared
+    // pointer-jumping CC — the q121 analog on MOSS fingerprints, same
+    // per-doc (cluster_id, is_dup) contract.
+    "q238_winnow_dedup" -> { (s, d) =>
+      Clusters.winnowClusters(documents(s, d), "doc_id", "text",
+          k = 3, w = 4, threshold = jaccardThreshold, minShared = 2,
+          maxBucket = 40)
+        .orderBy("doc_id")
+    },
+
+    // the winnowing tier grading ITSELF with the r13 eval operator:
+    // winnow-CONFIRMED pairs vs q190's lossless PPJoin truth at the
+    // same τ=1/2. Precision is 1 by construction (both sides carry the
+    // exact confirm); recall measures what the w=4 min-selection +
+    // minShared=2 + hot-list cap miss — the number a pipeline reads
+    // before choosing (k, w) on a slice.
+    "q239_winnow_eval" -> { (s, d) =>
+      val docs = documents(s, d)
+      val cand = graft.dedup.Dedup.winnowNearDupPairs(docs, "doc_id",
+        "text", k = 3, w = 4, threshold = jaccardThreshold,
+        minShared = 2, maxBucket = 40).select("id_1", "id_2")
+      val truth = graft.dedup.SetSimJoin.prefixJaccardJoin(docs,
+          "doc_id", "text", tauNum = 1, tauDen = 2, shingleK = shingleK)
+        .select("id_1", "id_2")
+      graft.dedup.Dedup.pairSetEval(cand, truth)
     }
   )
 
@@ -697,6 +725,39 @@ object CurationQueries {
   /** q66's confirmed-pair pipeline verbatim, then min-label reachability
     * as a recursive closure — exactly the fixpoint the pointer-jumping
     * Spark iteration converges to. Shared by q121 and q126. */
+  /** q229's winnowing pipeline (k=3, w=4, maxBucket=40, minShared=2)
+    * as shared CTE text ending in `wcand(id_1, id_2, n_shared)` —
+    * stated once, consumed by the q229/q238/q239 oracles. */
+  private val winnowCtes =
+    s"""toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+       |hs AS (SELECT doc_id, list_transform(t,
+       |    x -> ${TextOps.portableHashSql("x")}) AS hs FROM toks),
+       |g AS (SELECT doc_id, ${TextOps.ngramHashesSql("hs", 3)} AS g
+       |  FROM hs),
+       |f AS (SELECT doc_id, CASE
+       |    WHEN len(g) >= 4 THEN list_distinct(list_transform(
+       |      range(1, len(g) - 4 + 2), i -> list_min(g[i:i+3])))
+       |    WHEN len(g) > 0 THEN [list_min(g)]
+       |    ELSE []::BIGINT[] END AS fps FROM g),
+       |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+       |ok AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 40),
+       |pr AS (SELECT fp.doc_id, fp.fp FROM fp JOIN ok USING (fp)),
+       |wcand AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  /** The exact-Jaccard confirm leg over [[winnowCtes]]' candidates
+    * (shingle relation `wsh`, confirmed pairs `wconf`) — the oracle
+    * restatement of Dedup.winnowNearDupPairs' confirm joins. */
+  private val winnowConfCtes =
+    s"""wsh AS (SELECT doc_id, ${TextOps.shingleHashesSql("hs", shingleK)} AS sh FROM hs),
+       |wconf AS (SELECT id_1, id_2 FROM (
+       |  SELECT wcand.id_1, wcand.id_2, ${jacSql("s1.sh", "s2.sh")} AS j
+       |  FROM wcand JOIN wsh s1 ON wcand.id_1 = s1.doc_id
+       |    JOIN wsh s2 ON wcand.id_2 = s2.doc_id)
+       |  WHERE j >= $jaccardThreshold)""".stripMargin
+
   private val closureCtes =
     s"""${sigCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |bands AS (SELECT doc_id, ${(0 until numBands).map(b => bandSql("sig", b)).mkString("[", ", ", "]")} AS bh FROM sigs),
@@ -1511,24 +1572,47 @@ object CurationQueries {
 
     // q226's winnowing CTE + posting-list cap + the capped self-join.
     "q229_winnow_candidates" ->
-      s"""WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
-         |hs AS (SELECT doc_id, list_transform(t,
-         |    x -> ${TextOps.portableHashSql("x")}) AS hs FROM toks),
-         |g AS (SELECT doc_id, ${TextOps.ngramHashesSql("hs", 3)} AS g
-         |  FROM hs),
-         |f AS (SELECT doc_id, CASE
-         |    WHEN len(g) >= 4 THEN list_distinct(list_transform(
-         |      range(1, len(g) - 4 + 2), i -> list_min(g[i:i+3])))
-         |    WHEN len(g) > 0 THEN [list_min(g)]
-         |    ELSE []::BIGINT[] END AS fps FROM g),
-         |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
-         |ok AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 40),
-         |pr AS (SELECT fp.doc_id, fp.fp FROM fp JOIN ok USING (fp))
-         |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
-         |  CAST(count(*) AS BIGINT) AS n_shared
-         |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING count(*) >= 2
+      s"""WITH $winnowCtes
+         |SELECT id_1, id_2, n_shared FROM wcand
          |ORDER BY id_1, id_2""".stripMargin,
+
+    // winnow candidates + the double-form Jaccard confirm + the same
+    // recursive min-label closure as q121's oracle.
+    "q238_winnow_dedup" ->
+      s"""WITH RECURSIVE $winnowCtes,
+         |$winnowConfCtes,
+         |sym AS (SELECT id_1 AS a, id_2 AS b FROM wconf
+         |  UNION ALL SELECT id_2, id_1 FROM wconf),
+         |reach(v, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.v, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+         |SELECT v AS doc_id, min(r) AS cluster_id, min(r) <> v AS is_dup
+         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+
+    // winnow-confirmed pairs vs the q190 brute-force rational truth:
+    // the q231-shaped eval readout.
+    "q239_winnow_eval" ->
+      s"""WITH $winnowCtes,
+         |$winnowConfCtes,
+         |tp AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+         |  CAST(len(a.sh) AS BIGINT) AS n_1, CAST(len(b.sh) AS BIGINT) AS n_2,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter
+         |  FROM wsh a JOIN wsh b ON a.doc_id < b.doc_id),
+         |truth AS (SELECT id_1, id_2 FROM tp
+         |  WHERE inter > 0 AND 2 * inter >= 1 * (n_1 + n_2 - inter)),
+         |m AS (SELECT
+         |  (SELECT count(*) FROM wconf) AS n_cand,
+         |  (SELECT count(*) FROM truth) AS n_true,
+         |  (SELECT count(*) FROM wconf JOIN truth USING (id_1, id_2))
+         |    AS n_hit)
+         |SELECT CAST(n_cand AS BIGINT) AS n_cand,
+         |  CAST(n_true AS BIGINT) AS n_true, CAST(n_hit AS BIGINT) AS n_hit,
+         |  CASE WHEN n_cand > 0 THEN n_hit::DOUBLE / n_cand::DOUBLE END
+         |    AS cand_precision,
+         |  CASE WHEN n_true > 0 THEN n_hit::DOUBLE / n_true::DOUBLE END
+         |    AS recall
+         |FROM m""".stripMargin,
 
     // the same contingency combinatorics in HUGEINT: C(n,2) sums over
     // cells/marginals, TN by complement, IEEE quotients.

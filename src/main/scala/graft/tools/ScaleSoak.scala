@@ -25,9 +25,24 @@ import org.apache.spark.sql.functions._
 object ScaleSoak {
 
   private val REPLICAS = 10
-  private val OFF = 10000000L // > every sf0.1 key maximum
+  private[tools] val OFF = 10000000L // > every sf0.1 key maximum
 
-  private def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
+  /** Per-replica text transform: length-preserving letter rotation that
+    * kills cross-replica shingle overlap. Two DISJOINT alphabets rotate
+    * independently — 12 × 14 = 168 distinct combinations, enough for
+    * the 100-replica spot soak ([[Spot100Soak]]); for i < 12 the second
+    * rotation is the identity, so the 10-replica sf1 fixture is
+    * byte-identical to the historical single-alphabet build. */
+  private[tools] def rotateText(c: org.apache.spark.sql.Column,
+      i: Int): org.apache.spark.sql.Column = {
+    val a1 = "etaoinshrdlc"; val a2 = "bfgjkmpquvwxyz"
+    val r1 = i % a1.length; val r2 = (i / a1.length) % a2.length
+    if (r1 == 0 && r2 == 0) c
+    else translate(c, a1 + a2,
+      a1.drop(r1) + a1.take(r1) + a2.drop(r2) + a2.take(r2))
+  }
+
+  private[tools] def buildSf1(spark: SparkSession, src: String, dst: String): Unit = {
     def raw(name: String) = spark.read.parquet(s"$src/$name.parquet")
     def writeReplicated(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
       val base = raw(name)
@@ -51,15 +66,11 @@ object ScaleSoak {
       .withColumn("l_orderkey", col("l_orderkey") + lit(i * OFF))
       .withColumn("l_partkey", col("l_partkey") + lit(i * OFF))
       .withColumn("l_suppkey", col("l_suppkey") + lit(i * OFF)))
-    // per-replica consonant rotation: length-preserving, kills
-    // cross-replica shingle overlap (see object doc)
-    val alpha = "etaoinshrdlc"
-    writeReplicated("documents", (d, i) => {
-      val rot = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
-      d.withColumn("doc_id", col("doc_id") + lit(i * OFF))
-        .withColumn("text",
-          if (i == 0) col("text") else translate(col("text"), alpha, rot))
-    })
+    // per-replica letter rotation: length-preserving, kills
+    // cross-replica shingle overlap (see rotateText)
+    writeReplicated("documents", (d, i) => d
+      .withColumn("doc_id", col("doc_id") + lit(i * OFF))
+      .withColumn("text", rotateText(col("text"), i)))
     // circular component shift per replica: norm-preserving but
     // direction-decorrelating, so replicas spread across LSH/IVF
     // buckets like real 10x data instead of 10-way-duplicating every
@@ -353,6 +364,11 @@ object ScaleSoak {
     // per-group calibration/Brier: one map-combined (group, bin) or
     // per-group agg over fixed key spaces — scan-linear floors
     "q236_calibration_by_group", "q237_brier_by_group",
+    // winnowing end-to-end: q229's capped candidate join + the
+    // id-keyed confirm joins + CC rounds — must track q229's ratio
+    // plus q121's CC behavior; q239 re-runs the exact PPJoin sibling
+    // BY DESIGN (slice-sized self-eval, not a production path)
+    "q238_winnow_dedup", "q239_winnow_eval",
     // ---- r13 soak-breadth batch (verdict item 7): every remaining
     // catalog query whose cost scales with data, so no regression can
     // hide in the unsoaked half. EXEMPT as fixed-floor by construction

@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 100×-replica spot soak (r13 verdict item 2): all standing scale
+  * evidence is 10× — this upgrades the five flagship dedup/eval
+  * pipelines to the brief's "survives 100×" bar. Synthesizes a
+  * 100-replica copy of the sf0.1 documents/events tables under
+  * `target/sf10` (the two tables the flagships read) with the same
+  * key-offset + text-rotation discipline as the sf1 build
+  * ([[ScaleSoak.rotateText]]: 168 distinct rotations, so no two of the
+  * 100 replicas share shingles), then times each flagship at sf0.1,
+  * sf1 (10×) and sf10 (100×) in one session, interleaved.
+  *
+  * The number to read is r100_10 = t(100×)/t(10×): a linear operator
+  * sits near 10 with its fixed overhead amortized; a quadratic one
+  * explodes. Writes BENCH_100x.json at the repo root.
+  *
+  * Usage: `sbt "runMain graft.tools.Spot100Soak"` (builds target/sf1
+  * via the ScaleSoak builder if absent; ~10 GiB heap recommended). */
+object Spot100Soak {
+
+  private val REPLICAS = 100
+
+  /** The five flagships named by the r13 verdict: LSH dedup, exact
+    * PPJoin, blocked entity resolution, near-dup CC clusters, HLL
+    * trailing distinct. */
+  private val flagships = Seq(
+    "q66_lsh_near_dup", "q190_setsim_join", "q179_entity_resolution",
+    "q121_neardup_clusters", "q214_trailing_approx")
+
+  private def buildSf10(spark: SparkSession, src: String,
+      dst: String): Unit = {
+    def raw(name: String) = spark.read.parquet(s"$src/$name.parquet")
+    def writeReplicated(name: String,
+        f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = raw(name)
+      (0 until REPLICAS).map(i => f(base, i)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    }
+    writeReplicated("documents", (d, i) => d
+      .withColumn("doc_id", col("doc_id") + lit(i * ScaleSoak.OFF))
+      .withColumn("text", ScaleSoak.rotateText(col("text"), i)))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    writeReplicated("events", (d, i) => d
+      .withColumn("event_id", col("event_id") + lit(i * ScaleSoak.OFF))
+      .withColumn("user_id", col("user_id") + lit(i * ScaleSoak.OFF)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val sf1 = "target/sf1"
+    val sf10 = "target/sf10"
+    val sent1 = java.nio.file.Paths.get(s"$sf1/_BUILD_COMPLETE")
+    if (!java.nio.file.Files.exists(sent1)) {
+      println("building target/sf1 (10x sf0.1)...")
+      ScaleSoak.buildSf1(spark, src, sf1)
+      java.nio.file.Files.write(sent1, Array.emptyByteArray)
+    }
+    val sent10 = java.nio.file.Paths.get(s"$sf10/_BUILD_COMPLETE")
+    if (!java.nio.file.Files.exists(sent10)) {
+      println("building target/sf10 (100x sf0.1, documents+events)...")
+      buildSf10(spark, src, sf10)
+      java.nio.file.Files.write(sent10, Array.emptyByteArray)
+    }
+    def time(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      graft.Bench.force(fn(spark, dir))
+      (System.nanoTime() - t0) / 1e9
+    }
+    val torun = if (args.isEmpty) flagships else flagships.filter(args.toSet)
+    // warm all three scales once, then min-of-2 interleaved (the
+    // ScaleSoak contention discipline)
+    torun.foreach { q => time(q, src); time(q, sf1); time(q, sf10) }
+    val rows = torun.map { q =>
+      val a01 = time(q, src); val a1 = time(q, sf1); val a10 = time(q, sf10)
+      val b01 = time(q, src); val b1 = time(q, sf1); val b10 = time(q, sf10)
+      val (t01, t1, t10) = (math.min(a01, b01), math.min(a1, b1),
+        math.min(a10, b10))
+      println(f"[spot100] $q sf0.1=$t01%.2fs sf1=$t1%.2fs sf10=$t10%.2fs " +
+        f"r10=${t1 / t01}%.2f r100_10=${t10 / t1}%.2f " +
+        f"r100=${t10 / t01}%.2f")
+      (q, t01, t1, t10)
+    }
+    def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(d))
+    val json = rows.map { case (q, t01, t1, t10) =>
+      s""""$q": {"sf01_sec": ${fmt(t01)}, "sf1_sec": ${fmt(t1)}, """ +
+        s""""sf10_sec": ${fmt(t10)}, "ratio_10x": ${fmt(t1 / t01)}, """ +
+        s""""ratio_100x_over_10x": ${fmt(t10 / t1)}, """ +
+        s""""ratio_100x": ${fmt(t10 / t01)}}"""
+    }.mkString("{\"replicas\": 100, \"queries\": {", ", ", "}}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_100x.json"),
+      json.getBytes("UTF-8"))
+    println(s"wrote BENCH_100x.json (${rows.size} queries)")
+    spark.stop()
+  }
+}

@@ -434,6 +434,41 @@ class TextDedupSpec extends SparkSpecBase {
     assert(!out.keySet.exists(k => k._1 == 4L || k._2 == 4L))
   }
 
+  test("winnowNearDupPairs/winnowClusters: confirm + resolve end-to-end") {
+    val d = docs(Seq(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h i j",   // identical to 1
+      3L -> "a b c d e f g h zz yy", // shares an 8-token prefix: j = 0.6
+      4L -> "q w e r t y u i o p"))  // disjoint
+    val pairs = graft.dedup.Dedup.winnowNearDupPairs(d, "doc_id", "text",
+        k = 3, w = 4, threshold = 0.5, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // identical docs confirm at exactly 1.0; the disjoint doc never
+    // pairs; every surfaced pair is >= the threshold (confirmed, not
+    // just candidate)
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) == 0.6)
+    assert(!pairs.keySet.exists(k => k._1 == 4L || k._2 == 4L))
+    assert(pairs.values.forall(_ >= 0.5))
+    val clusters = graft.dedup.Clusters.winnowClusters(d, "doc_id",
+        "text", k = 3, w = 4, threshold = 0.5, minShared = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    // 1-2-3 resolve to min-id cluster 1; 4 is its own keeper
+    assert(clusters(1L) == ((1L, false)) && clusters(2L) == ((1L, true))
+      && clusters(3L) == ((1L, true)) && clusters(4L) == ((4L, false)))
+    // the eval operator grades the tier against itself-as-truth as
+    // perfect — wiring check for the q239 composition
+    val ev = graft.dedup.Dedup.pairSetEval(
+      graft.dedup.Dedup.winnowNearDupPairs(d, "doc_id", "text", 3, 4,
+        0.5, minShared = 1).select("id_1", "id_2"),
+      graft.dedup.SetSimJoin.prefixJaccardJoin(d, "doc_id", "text",
+        tauNum = 1, tauDen = 2, shingleK = 3).select("id_1", "id_2"))
+      .head()
+    assert(ev.getDouble(3) == 1.0 && ev.getDouble(4) == 1.0)
+  }
+
   test("minhashFidelity: shingle-less docs never pair (r13 advice)") {
     // empty-shingle docs used to get the sentinel signature, collide
     // in every band, and emit O(N²) pairs with a misleading est = 1.0
