@@ -328,8 +328,15 @@ object TimeSeriesQueries {
       // bucket (it rides the sketch path; the oracle restates it in
       // SQL); the HLL-vs-exact flags verify on the strided slice and
       // coalesce to their literal-1 oracle value elsewhere.
+      // r14 (r13 advice): the stride lattice's OFFSET rotates with the
+      // fixture path — deterministic per run (the driver compare needs
+      // that) but different fixtures audit different bucket residues,
+      // so no bucket class is permanently unverified. The flags are 1
+      // on every bucket when the estimate holds, so the oracle is
+      // offset-invariant.
       val exact = Trailing.trailingCounts(ev, "ts", "user_id",
-          widthSec = 3600L, nBuckets = 24, stride = 6L)
+          widthSec = 3600L, nBuckets = 24, stride = 6L,
+          strideOffset = ((d.hashCode % 6) + 6) % 6)
         .select(col("bucket"), col("n_ids").as("__exact_ids"),
           col("n_events").as("__exact_ev"))
       Trailing.approxTrailingCounts(ev, "ts", "user_id",

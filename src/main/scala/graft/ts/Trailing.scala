@@ -27,16 +27,24 @@ import org.apache.spark.sql.functions._
 object Trailing {
 
   /** `stride` restricts the output grid to every stride-th bucket
-    * (bucket % stride == 0) — the sparse-monitoring form ("hourly
-    * buckets, but only the 6-hourly report instants need the trailing
-    * count"). The stride filter lands BEFORE the distinct aggregate,
-    * so the dominant (distinct ids × nBuckets) exchange shrinks by the
-    * same factor — it is a real work knob, not an output filter. */
+    * (bucket % stride == strideOffset) — the sparse-monitoring form
+    * ("hourly buckets, but only the 6-hourly report instants need the
+    * trailing count"). The stride filter lands BEFORE the distinct
+    * aggregate, so the dominant (distinct ids × nBuckets) exchange
+    * shrinks by the same factor — it is a real work knob, not an
+    * output filter. `strideOffset` shifts the lattice (r14, from r13
+    * advice): a verifier that always checks the SAME 1/stride of the
+    * buckets leaves the others permanently unaudited — rotating the
+    * offset (q214 derives it from the fixture path) walks the full
+    * grid across runs at the same cost. */
   def trailingCounts(df: DataFrame, tsCol: String, idCol: String,
-      widthSec: Long, nBuckets: Int, stride: Long = 1L): DataFrame = {
+      widthSec: Long, nBuckets: Int, stride: Long = 1L,
+      strideOffset: Long = 0L): DataFrame = {
     require(widthSec > 0, s"width must be positive, got $widthSec")
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     require(stride > 0, s"stride must be positive, got $stride")
+    require(strideOffset >= 0 && strideOffset < stride,
+      s"strideOffset must be in [0, $stride), got $strideOffset")
     val w = widthSec * 1000000L
     val bucket = (unix_micros(col(tsCol)) / w).cast("long")
     // distinct (id, bucket) observations + per-bucket event totals in
@@ -49,7 +57,7 @@ object Trailing {
     // the stride lattice aligned with bucket % stride == 0)
     val cover = obs.select(col("__id"), col("__n"),
         explode(expr(s"sequence(__b, __b + ${nBuckets - 1})")).as("__t"))
-      .filter(pmod(col("__t"), lit(stride)) === 0)
+      .filter(pmod(col("__t"), lit(stride)) === strideOffset)
     val counts = cover.groupBy(col("__t"))
       .agg(count_distinct(col("__id")).as("n_ids"),
         sum(col("__n")).as("n_events"))
@@ -57,7 +65,7 @@ object Trailing {
     // end are clipped by the join
     val grid = obs.agg(min(col("__b")).as("__mn"), max(col("__b")).as("__mx"))
       .select(explode(expr("sequence(__mn, __mx)")).as("bucket"))
-      .filter(pmod(col("bucket"), lit(stride)) === 0)
+      .filter(pmod(col("bucket"), lit(stride)) === strideOffset)
     grid.join(counts, grid("bucket") === counts("__t"), "left")
       .select(col("bucket"),
         coalesce(col("n_ids"), lit(0L)).as("n_ids"),

@@ -84,6 +84,16 @@ class ResampleSpec extends SparkSpecBase {
         nBuckets = 2, stride = 2L)
       .orderBy("bucket").as[(Long, Long, Long)].collect().toSeq
     assert(s2 === Seq((0L, 2L, 3L), (2L, 0L, 0L)))
+    // strideOffset shifts the lattice (r14): the ODD residue class,
+    // same values as the full grid on those buckets
+    val s2o = Trailing.trailingCounts(ev, "t", "u", widthSec = 60L,
+        nBuckets = 2, stride = 2L, strideOffset = 1L)
+      .orderBy("bucket").as[(Long, Long, Long)].collect().toSeq
+    assert(s2o === Seq((1L, 2L, 3L), (3L, 1L, 1L)))
+    intercept[IllegalArgumentException] {
+      Trailing.trailingCounts(ev, "t", "u", 60L, 2, stride = 2L,
+        strideOffset = 2L)
+    }
   }
 
   test("ewma: gap decay, horizon truncation, key isolation, layout invariance") {

@@ -35,3 +35,13 @@ for p in glob.glob(os.path.join(repo, "src/test/scala/graft/*.scala")):
     tests += len(re.findall(r"^\s*test\(", src, re.M))
 print(f"concrete suites: {suites}")
 print(f"test(...) call sites: {tests}")
+
+# Soak entries = queries recorded in the cumulative BENCH_sf1.json
+# (r13 verdict item: the COVERAGE prose drifted one behind the file;
+# regenerate, don't hand-maintain).
+bench = os.path.join(repo, "BENCH_sf1.json")
+if os.path.exists(bench):
+    n_soak = len(json.load(open(bench)).get("queries", {}))
+    print(f"soak entries (BENCH_sf1.json): {n_soak}")
+else:
+    print("soak entries: no BENCH_sf1.json")
