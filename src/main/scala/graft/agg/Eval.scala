@@ -180,6 +180,50 @@ object Eval {
         col("auc_num2").cast("double") / col("auc_den2").cast("double"))
   }
 
+  /** Per-GROUP exact AUC — [[aucExact]] keyed by `groupCol` (per-source
+    * or per-model-version ranking quality, the multi-group form the
+    * eval tier's KS/χ²/calibration monitors already have): the same
+    * tie-corrected Mann–Whitney rational per group, with the cumulative
+    * pass GROUP-PARTITIONED so every group sorts in parallel (the
+    * [[ksDriftByGroup]] shape — no single-task funnel). Groups with one
+    * class only emit auc = null (n_pos·n_neg = 0 ranks nothing).
+    *
+    * One row per group: (groupCol, n_pos, n_neg, auc_num2, auc_den2,
+    * auc). Scale shape: one (group, score) map-combined agg +
+    * group-partitioned cumulative windows — cost is groups × distinct
+    * scores (quantize open-cardinality scores first; the guard raises
+    * past `maxDistinct` GLOBAL distinct (group, score) keys, same
+    * contract and same exchange-reused count branch as the two-sample
+    * form). */
+  def aucByGroup(df: DataFrame, scoreCol: String, labelCol: String,
+      groupCol: String,
+      maxDistinct: Int = DefaultMaxDistinct): DataFrame = {
+    val rows = df.filter(col(scoreCol).isNotNull &&
+        col(labelCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(scoreCol).as("__s"),
+        binaryLabel(col(labelCol), "aucByGroup", labelCol).as("__y"))
+    val g0 = rows.groupBy(col("__g"), col("__s"))
+      .agg(sum(col("__y")).as("__p"),
+        sum(lit(1L) - col("__y")).as("__n"))
+    val nv = g0.agg(count(greatest(col("__p"), col("__n"))).as("__nv"))
+    val g = g0.crossJoin(broadcast(nv))
+      .withColumn("__p", cardinalityGuard(col("__p"), col("__nv"),
+        maxDistinct, "aucByGroup"))
+      .drop("__nv")
+    val w = Window.partitionBy(col("__g")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("__nb", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .groupBy(col("__g"))
+      .agg(sum(col("__p")).as("n_pos"), sum(col("__n")).as("n_neg"),
+        (sum(col("__p") * col("__nb")) * 2L + sum(col("__p") * col("__n")))
+          .as("auc_num2"))
+      .select(col("__g").as(groupCol), col("n_pos"), col("n_neg"),
+        col("auc_num2"),
+        (col("n_pos") * col("n_neg") * 2L).as("auc_den2"))
+      .withColumn("auc", when(col("auc_den2") > 0L,
+        col("auc_num2").cast("double") / col("auc_den2").cast("double")))
+  }
+
   /** Confusion counts at a threshold (score ≥ t ⇒ predicted positive),
     * plus precision/recall/F1 as exact rationals' IEEE quotients.
     * One row: (tp, fp, fn, tn, precision, recall, f1). */
@@ -443,15 +487,24 @@ object Eval {
     * Scale shape: one (group, value) count + one global value count,
     * then group-PARTITIONED cumulative windows over the grid — unlike
     * [[ksDrift]]'s single ordered pass, every group sorts in parallel;
-    * cost is groups × distinct values (quantize open-cardinality
-    * columns first, same contract as the two-sample form). */
+    * cost is groups × distinct values. The quantize-first contract is
+    * ENFORCED like the two-sample form's (r14): past `maxDistinct`
+    * distinct values the grid would explode groups-fold — the operator
+    * raises naming [[quantize]] instead (same exchange-reused count
+    * branch). */
   def ksDriftByGroup(df: DataFrame, valueCol: String,
-      groupCol: String): DataFrame = {
+      groupCol: String,
+      maxDistinct: Int = DefaultMaxDistinct): DataFrame = {
     val rows = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).as("__g"), col(valueCol).as("__v"))
     val pv = rows.groupBy(col("__g"), col("__v"))
       .agg(count(lit(1)).as("__c"))
-    val gv = rows.groupBy(col("__v")).agg(count(lit(1)).as("__cv"))
+    val gv0 = rows.groupBy(col("__v")).agg(count(lit(1)).as("__cv"))
+    val nv = gv0.agg(count(when(col("__cv") >= 0L, 1L)).as("__nv"))
+    val gv = gv0.crossJoin(broadcast(nv))
+      .withColumn("__cv", cardinalityGuard(col("__cv"), col("__nv"),
+        maxDistinct, "ksDriftByGroup"))
+      .drop("__nv")
     val groups = rows.groupBy(col("__g")).agg(count(lit(1)).as("__ng"))
     val tot = rows.agg(count(lit(1)).as("__n"))
     // grid: every (group, value) — group directory broadcast (bounded)

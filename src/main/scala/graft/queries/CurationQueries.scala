@@ -691,6 +691,18 @@ object CurationQueries {
         .orderBy("source")
     },
 
+    // per-SOURCE exact AUC (r14): q185's tie-corrected rational keyed
+    // by source with GROUP-PARTITIONED cumulative windows (every group
+    // sorts in parallel — no single-task funnel), completing the
+    // per-group eval tier (KS q232, χ² q233, calibration q236, Brier
+    // q237). One-class groups emit null auc.
+    "q240_auc_by_group" -> { (s, d) =>
+      val df = documents(s, d).select(col("source"), col("n_chars"),
+        (col("lang") === "en").cast("long").as("y"))
+      graft.agg.Eval.aucByGroup(df, "n_chars", "y", "source")
+        .orderBy("source")
+    },
+
     // winnowing tier closed end-to-end (r14 verdict item 3): q229's
     // capped candidates → exact shingle-Jaccard confirm → the shared
     // pointer-jumping CC — the q121 analog on MOSS fingerprints, same
@@ -1661,6 +1673,26 @@ object CurationQueries {
         |    )::DOUBLE / (ng::HUGEINT * rest::HUGEINT * nc::HUGEINT)::DOUBLE
         |  END AS contrib
         |FROM grid ORDER BY source, lang""".stripMargin,
+
+    // q185's rational with the cumulative window partitioned by source.
+    "q240_auc_by_group" ->
+      """WITH s AS (SELECT source AS g, n_chars AS sc,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |    AND source IS NOT NULL),
+        |gs AS (SELECT g, sc, CAST(sum(y) AS BIGINT) AS p,
+        |    CAST(sum(1 - y) AS BIGINT) AS n FROM s GROUP BY 1, 2),
+        |c AS (SELECT g, p, n, CAST(coalesce(sum(n) OVER (PARTITION BY g
+        |    ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS nb FROM gs)
+        |SELECT g AS source, CAST(sum(p) AS BIGINT) AS n_pos,
+        |  CAST(sum(n) AS BIGINT) AS n_neg,
+        |  CAST(sum(p * nb) * 2 + sum(p * n) AS BIGINT) AS auc_num2,
+        |  CAST(sum(p) * sum(n) * 2 AS BIGINT) AS auc_den2,
+        |  CASE WHEN sum(p) * sum(n) > 0 THEN
+        |    CAST(sum(p * nb) * 2 + sum(p * n) AS BIGINT)::DOUBLE /
+        |      CAST(sum(p) * sum(n) * 2 AS BIGINT)::DOUBLE END AS auc
+        |FROM c GROUP BY g ORDER BY source""".stripMargin,
 
     // q227's bins on the (source directory × bins) grid — unused
     // cells as zeros with null acc/conf.

@@ -369,6 +369,9 @@ object ScaleSoak {
     // plus q121's CC behavior; q239 re-runs the exact PPJoin sibling
     // BY DESIGN (slice-sized self-eval, not a production path)
     "q238_winnow_dedup", "q239_winnow_eval",
+    // per-group AUC: (group, score)-keyed agg + group-partitioned
+    // windows — groups × fixed score space, must track q185's ratio
+    "q240_auc_by_group",
     // ---- r13 soak-breadth batch (verdict item 7): every remaining
     // catalog query whose cost scales with data, so no regression can
     // hide in the unsoaked half. EXEMPT as fixed-floor by construction

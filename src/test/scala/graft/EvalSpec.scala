@@ -367,6 +367,12 @@ class EvalSpec extends SparkSpecBase {
       Eval.aucExact(scored, "s", "y", maxDistinct = 10).collect()
     }
     assert(e2.getMessage.contains("quantize"))
+    // per-group KS: the grid would explode groups-fold — same guard
+    val e3 = intercept[Exception] {
+      Eval.ksDriftByGroup(a.withColumn("g", $"value" > 50), "value",
+        "g", maxDistinct = 10).collect()
+    }
+    assert(e3.getMessage.contains("quantize"))
     val qs = scored.select(Eval.quantize($"s", 0.0, 100.0, 10).as("s"),
       $"y")
     val ok = Eval.aucExact(qs, "s", "y", maxDistinct = 10).head()
@@ -402,6 +408,28 @@ class EvalSpec extends SparkSpecBase {
     val again = Eval.clusterPairCounts(rows.repartition(7), "p", "c")
       .head()
     assert(again.toSeq == r.toSeq)
+  }
+
+  test("aucByGroup equals per-slice aucExact; one-class groups null") {
+    val s = spark; import s.implicits._
+    val rows = Seq(("a", 1L, 0L), ("a", 2L, 1L), ("a", 2L, 0L),
+      ("a", 3L, 1L), ("b", 5L, 1L), ("b", 1L, 0L), ("b", 2L, 0L),
+      ("c", 7L, 1L), ("c", 9L, 1L)) // c: positives only → null auc
+      .toDF("g", "sc", "y")
+    val byG = Eval.aucByGroup(rows, "sc", "y", "g")
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("a", "b").foreach { g =>
+      val slice = Eval.aucExact(rows.filter($"g" === g), "sc", "y")
+        .head().toSeq
+      assert(byG(g).toSeq.drop(1) == slice, s"group $g")
+    }
+    assert(byG("c").getLong(2) == 0L && byG("c").isNullAt(5))
+    // the same cardinality guard as the two-sample form
+    intercept[Exception] {
+      Eval.aucByGroup(spark.range(100).select(lit("g").as("g"),
+          ($"id" + 0.5).as("sc"), ($"id" % 2).cast("long").as("y")),
+        "sc", "y", "g", maxDistinct = 10).collect()
+    }
   }
 
   test("calibrationByGroup/brierByGroup equal the per-slice two-sample forms") {
