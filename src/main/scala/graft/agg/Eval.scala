@@ -111,26 +111,35 @@ object Eval {
     val w = (hi - lo) / buckets
     // explicit null passthrough: greatest/least SKIP nulls (greatest
     // (null, 0) = 0), so without the when a null would quantize to
-    // bucket 0 instead of staying null
+    // bucket 0 instead of staying null. NaN raises LOUDLY (r14 review):
+    // floor(NaN).toLong is 0 in Spark — a NaN would otherwise land
+    // silently in the BOTTOM bucket while DuckDB's least/greatest
+    // clamp it to the TOP one, a cross-engine divergence on top of the
+    // silent skew.
     when(c.isNotNull,
-      least(greatest(floor((c - lit(lo)) / lit(w)), lit(0L)),
-        lit(buckets - 1L))).cast("long")
+      when(isnan(c.cast("double")),
+        raise_error(lit("quantize: NaN input — filter or impute NaNs " +
+          "before bucketing")))
+        .otherwise(least(greatest(floor((c - lit(lo)) / lit(w)), lit(0L)),
+          lit(buckets - 1L)))).cast("long")
   }
 
   /** The enforcement half of the quantize-first contract: `distinct`
-    * is the one-row count of the distinct-value relation about to
-    * funnel through a single-partition ordered pass; past
-    * `maxDistinct` the guarded column RAISES (map-side, before the
-    * funnel's exchange — the projection sits below the window's
+    * is the one-row cardinality about to size an ordered pass or grid;
+    * past `maxDistinct` the guarded column RAISES (map-side, before
+    * the funnel's exchange — the projection sits below the window's
     * shuffle) instead of letting the sort silently eat the
-    * cardinality. */
+    * cardinality. `noun` names WHAT is being counted so each
+    * operator's error describes its own funnel (single-partition pass,
+    * per-group partition, grid axis). */
   private def cardinalityGuard(guarded: Column, distinct: Column,
-      maxDistinct: Int, fname: String): Column =
+      maxDistinct: Int, fname: String,
+      noun: String = "distinct values in the single-partition " +
+        "ordered pass"): Column =
     when(distinct > maxDistinct.toLong,
       raise_error(concat(lit(s"$fname: "), distinct.cast("string"),
-        lit(s" distinct values exceed maxDistinct = $maxDistinct for " +
-          "the single-partition ordered pass — quantize the column " +
-          "first (Eval.quantize) or raise maxDistinct"))))
+        lit(s" $noun exceed maxDistinct = $maxDistinct — quantize " +
+          "the column first (Eval.quantize) or raise maxDistinct"))))
       .otherwise(guarded)
 
   /** Exact ROC-AUC via the tie-corrected Mann–Whitney statistic:
@@ -170,14 +179,24 @@ object Eval {
     // design — see the object doc)
     val w = Window.orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // pair products run in DECIMAL(38,0) and emit through asLongExact
+    // (r14 review): raw int64 multiplies wrap silently past ~3·10⁹
+    // rows/class in non-ANSI mode — the same failure class the KS
+    // rationals were hardened against in r13
     g.withColumn("__nb", coalesce(sum(col("__n")).over(w), lit(0L)))
-      .agg(sum(col("__p")).as("n_pos"), sum(col("__n")).as("n_neg"),
-        (sum(col("__p") * col("__nb")) * 2L + sum(col("__p") * col("__n")))
-          .as("auc_num2"))
-      .select(col("n_pos"), col("n_neg"), col("auc_num2"),
-        (col("n_pos") * col("n_neg") * 2L).as("auc_den2"))
-      .withColumn("auc",
-        col("auc_num2").cast("double") / col("auc_den2").cast("double"))
+      .agg(coalesce(sum(col("__p")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("__n")), lit(0L)).as("n_neg"),
+        coalesce(sum(decOf(col("__p")) * decOf(col("__nb"))) * 2L +
+          sum(decOf(col("__p")) * decOf(col("__n"))),
+          decOf(lit(0L))).as("__num2"))
+      .select(col("n_pos"), col("n_neg"),
+        asLongExact(col("__num2"), "aucExact: auc_num2").as("auc_num2"),
+        asLongExact(decOf(col("n_pos")) * decOf(col("n_neg")) * 2L,
+          "aucExact: auc_den2").as("auc_den2"))
+      // one-class input ranks nothing: auc is null, not 0/0 = NaN
+      // (matches aucByGroup's contract — r14 review)
+      .withColumn("auc", when(col("auc_den2") > 0L,
+        col("auc_num2").cast("double") / col("auc_den2").cast("double")))
   }
 
   /** Per-GROUP exact AUC — [[aucExact]] keyed by `groupCol` (per-source
@@ -190,11 +209,12 @@ object Eval {
     *
     * One row per group: (groupCol, n_pos, n_neg, auc_num2, auc_den2,
     * auc). Scale shape: one (group, score) map-combined agg +
-    * group-partitioned cumulative windows — cost is groups × distinct
-    * scores (quantize open-cardinality scores first; the guard raises
-    * past `maxDistinct` GLOBAL distinct (group, score) keys, same
-    * contract and same exchange-reused count branch as the two-sample
-    * form). */
+    * group-partitioned cumulative windows. The funnel here is the
+    * LARGEST GROUP's window partition, so the guard measures max
+    * per-group distinct scores (r14 review — a global (group, score)
+    * count would spuriously raise on 2000 well-quantized models while
+    * missing one group with 2³⁰ raw scores); past `maxDistinct` it
+    * raises naming [[quantize]]. */
   def aucByGroup(df: DataFrame, scoreCol: String, labelCol: String,
       groupCol: String,
       maxDistinct: Int = DefaultMaxDistinct): DataFrame = {
@@ -205,21 +225,32 @@ object Eval {
     val g0 = rows.groupBy(col("__g"), col("__s"))
       .agg(sum(col("__y")).as("__p"),
         sum(lit(1L) - col("__y")).as("__n"))
-    val nv = g0.agg(count(greatest(col("__p"), col("__n"))).as("__nv"))
+    // max per-group distinct scores — the size of the biggest window
+    // partition; counting nullable sums keeps the branch's (g, s)
+    // exchange identical to the main one (reused, single scan)
+    val nv = g0.groupBy(col("__g"))
+      .agg(count(greatest(col("__p"), col("__n"))).as("__c"))
+      .agg(max(col("__c")).as("__nv"))
     val g = g0.crossJoin(broadcast(nv))
       .withColumn("__p", cardinalityGuard(col("__p"), col("__nv"),
-        maxDistinct, "aucByGroup"))
+        maxDistinct, "aucByGroup",
+        noun = "distinct scores in the largest group's ordered pass"))
       .drop("__nv")
     val w = Window.partitionBy(col("__g")).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // DECIMAL(38,0) pair products + asLongExact emission, the aucExact
+    // overflow discipline (r14 review)
     g.withColumn("__nb", coalesce(sum(col("__n")).over(w), lit(0L)))
       .groupBy(col("__g"))
-      .agg(sum(col("__p")).as("n_pos"), sum(col("__n")).as("n_neg"),
-        (sum(col("__p") * col("__nb")) * 2L + sum(col("__p") * col("__n")))
-          .as("auc_num2"))
+      .agg(coalesce(sum(col("__p")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("__n")), lit(0L)).as("n_neg"),
+        coalesce(sum(decOf(col("__p")) * decOf(col("__nb"))) * 2L +
+          sum(decOf(col("__p")) * decOf(col("__n"))),
+          decOf(lit(0L))).as("__num2"))
       .select(col("__g").as(groupCol), col("n_pos"), col("n_neg"),
-        col("auc_num2"),
-        (col("n_pos") * col("n_neg") * 2L).as("auc_den2"))
+        asLongExact(col("__num2"), "aucByGroup: auc_num2").as("auc_num2"),
+        asLongExact(decOf(col("n_pos")) * decOf(col("n_neg")) * 2L,
+          "aucByGroup: auc_den2").as("auc_den2"))
       .withColumn("auc", when(col("auc_den2") > 0L,
         col("auc_num2").cast("double") / col("auc_den2").cast("double")))
   }
@@ -675,7 +706,12 @@ object Eval {
         least(expr(s"__a div $width"), lit(bins - 1L)).as("bin"))
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("sum_y"),
         sum(col("__a")).as("sum_a"))
-    val grid = rows.select(col("__g")).distinct()
+    // group directory from the AGGREGATE, not the raw rows (r14
+    // review): every surviving row lands in some bin, so agg's __g set
+    // is exactly the directory — and deriving it from agg's subtree
+    // reuses the (group, bin) exchange instead of scanning the input a
+    // second time
+    val grid = agg.select(col("__g")).distinct()
       .crossJoin(broadcast(
         df.sparkSession.range(bins).select(col("id").as("bin"))))
     grid.join(agg, Seq("__g", "bin"), "left")

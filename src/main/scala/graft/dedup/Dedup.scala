@@ -166,12 +166,21 @@ object Dedup {
     // pinned storage for the SparkContext lifetime.)
     val sh = shingleRel(df, idCol, textCol, shingleK)
     val cands = lshCandidatesFrom(sh, idCol, numHashes, numBands, maxBucket)
-    // confirm joins are SHUFFLE-hash on the id (round-9): Catalyst's
-    // size estimate used to pick broadcast with the shingle relation as
-    // build side — a corpus-derived relation that is only broadcastable
-    // by accident at toy scale (at sf1 its repeated broadcast builds
-    // dominated the soak; at 100 TB it would OOM outright). The
-    // candidate set is the small side and streams into the hash join.
+    confirmJaccardPairs(cands, sh, idCol, threshold)
+  }
+
+  /** The exact-Jaccard CONFIRM stage shared by every candidate
+    * generator ([[lshNearDupPairs]], [[winnowNearDupPairs]]): join the
+    * (small, pruned) candidate pair set back to the shingle relation
+    * and keep pairs at Jaccard ≥ `threshold`. Confirm joins are
+    * SHUFFLE-hash on the id (round-9): Catalyst's size estimate used
+    * to pick broadcast with the shingle relation as build side — a
+    * corpus-derived relation that is only broadcastable by accident at
+    * toy scale (at sf1 its repeated broadcast builds dominated the
+    * soak; at 100 TB it would OOM outright). The candidate set is the
+    * small side and streams into the hash join. */
+  private def confirmJaccardPairs(cands: DataFrame, sh: DataFrame,
+      idCol: String, threshold: Double): DataFrame =
     cands
       .join(sh.select(col(idCol).as("id_1"), col("sh").as("sh_1"))
         .hint("shuffle_hash"), "id_1")
@@ -180,7 +189,6 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_1"), col("sh_2")))
       .filter(col("jaccard") >= threshold)
       .select("id_1", "id_2", "jaccard")
-  }
 
   /** Incremental near-dup tagging: tag each `incoming` document that is
     * a Jaccard-confirmed near-duplicate of ANY `existing`-corpus
@@ -484,14 +492,7 @@ object Dedup {
     val cands = winnowCandidates(df, idCol, textCol, k, w, minShared,
       maxBucket).select("id_1", "id_2")
     val sh = shingleRel(df, idCol, textCol, shingleK)
-    cands
-      .join(sh.select(col(idCol).as("id_1"), col("sh").as("sh_1"))
-        .hint("shuffle_hash"), "id_1")
-      .join(sh.select(col(idCol).as("id_2"), col("sh").as("sh_2"))
-        .hint("shuffle_hash"), "id_2")
-      .withColumn("jaccard", jaccard(col("sh_1"), col("sh_2")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_1", "id_2", "jaccard")
+    confirmJaccardPairs(cands, sh, idCol, threshold)
   }
 
   // ---- SimHash --------------------------------------------------------

@@ -27,12 +27,14 @@ object ScaleSoak {
   private val REPLICAS = 10
   private[tools] val OFF = 10000000L // > every sf0.1 key maximum
 
-  /** Per-replica text transform: length-preserving letter rotation that
-    * kills cross-replica shingle overlap. Two DISJOINT alphabets rotate
-    * independently — 12 × 14 = 168 distinct combinations, enough for
-    * the 100-replica spot soak ([[Spot100Soak]]); for i < 12 the second
-    * rotation is the identity, so the 10-replica sf1 fixture is
-    * byte-identical to the historical single-alphabet build. */
+  /** Per-replica text transform for the sf1 build: length-preserving
+    * letter rotation that kills cross-replica shingle overlap. For
+    * i < 12 the second rotation is the identity, so the 10-replica sf1
+    * fixture is byte-identical to the historical single-alphabet
+    * build. NOT suitable for 100 replicas — replicas with equal
+    * i mod 12 would share the whole first-alphabet letter class and
+    * hence every common-word shingle; [[Spot100Soak.permuteText]]'s
+    * full-alphabet permutation family covers that case. */
   private[tools] def rotateText(c: org.apache.spark.sql.Column,
       i: Int): org.apache.spark.sql.Column = {
     val a1 = "etaoinshrdlc"; val a2 = "bfgjkmpquvwxyz"

@@ -7,11 +7,21 @@ import org.apache.spark.sql.functions._
   * evidence is 10× — this upgrades the five flagship dedup/eval
   * pipelines to the brief's "survives 100×" bar. Synthesizes a
   * 100-replica copy of the sf0.1 documents/events tables under
-  * `target/sf10` (the two tables the flagships read) with the same
-  * key-offset + text-rotation discipline as the sf1 build
-  * ([[ScaleSoak.rotateText]]: 168 distinct rotations, so no two of the
-  * 100 replicas share shingles), then times each flagship at sf0.1,
-  * sf1 (10×) and sf10 (100×) in one session, interleaved.
+  * `target/sf10` (the two tables the flagships read), then times each
+  * flagship at sf0.1, sf1 (10×) and sf10 (100×) in one session,
+  * interleaved.
+  *
+  * Replica fidelity (r14 review fixed two corruptions in the first
+  * cut): (1) doc_id offsets use 10⁹ per replica, clear of q179's
+  * +5·10⁸ variant-id arithmetic — with the sf1-style 10⁷ offset,
+  * replica i's variant ids collided exactly with replica (i+50)'s
+  * base ids, handing entity resolution a corpus with duplicate record
+  * ids; (2) text uses [[permuteText]] — a full-alphabet permutation
+  * family, NOT the sf1 two-alphabet rotation, whose 12-rotation first
+  * class made replicas with equal residue share every common-word
+  * shingle and would have inflated cross-replica candidates
+  * superlinearly, contaminating the very linearity readout this tool
+  * exists to produce.
   *
   * The number to read is r100_10 = t(100×)/t(10×): a linear operator
   * sits near 10 with its fixed overhead amortized; a quadratic one
@@ -22,6 +32,32 @@ import org.apache.spark.sql.functions._
 object Spot100Soak {
 
   private val REPLICAS = 100
+  // per-replica key offset: must clear q179's +5e8 variant-id shift
+  // AND the sf0.1 key maxima (see the object doc)
+  private val OFF100 = 1000000000L
+
+  /** Per-replica full-alphabet permutation π_i = ρ^(i mod 26) ∘
+    * σ^(i div 26): ρ rotates the natural alphabet, σ rotates a fixed
+    * scrambled ordering. Any two distinct replicas differ on every
+    * letter when they share a ρ- or σ-power (a nonidentity rotation
+    * has no fixed points), and on all but ~1 letter otherwise — so no
+    * letter CLASS (and hence no common-word shingle family) is shared
+    * across replicas, unlike a single rotation family. i = 0 is the
+    * identity. */
+  private def permuteText(c: org.apache.spark.sql.Column,
+      i: Int): org.apache.spark.sql.Column = {
+    val nat = "abcdefghijklmnopqrstuvwxyz"
+    val scr = "qwertyuiopasdfghjklzxcvbnm"
+    val a = i % 26; val b = (i / 26) % 26
+    if (a == 0 && b == 0) c
+    else {
+      val target = nat.map { x =>
+        val sx = scr((scr.indexOf(x) + b) % 26) // σ^b
+        nat((nat.indexOf(sx) + a) % 26)         // then ρ^a
+      }.mkString
+      translate(c, nat, target)
+    }
+  }
 
   /** The five flagships named by the r13 verdict: LSH dedup, exact
     * PPJoin, blocked entity resolution, near-dup CC clusters, HLL
@@ -40,12 +76,12 @@ object Spot100Soak {
         .write.mode("overwrite").parquet(s"$dst/$name.parquet")
     }
     writeReplicated("documents", (d, i) => d
-      .withColumn("doc_id", col("doc_id") + lit(i * ScaleSoak.OFF))
-      .withColumn("text", ScaleSoak.rotateText(col("text"), i)))
+      .withColumn("doc_id", col("doc_id") + lit(i * OFF100))
+      .withColumn("text", permuteText(col("text"), i)))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     writeReplicated("events", (d, i) => d
-      .withColumn("event_id", col("event_id") + lit(i * ScaleSoak.OFF))
-      .withColumn("user_id", col("user_id") + lit(i * ScaleSoak.OFF)))
+      .withColumn("event_id", col("event_id") + lit(i * OFF100))
+      .withColumn("user_id", col("user_id") + lit(i * OFF100)))
   }
 
   def main(args: Array[String]): Unit = {

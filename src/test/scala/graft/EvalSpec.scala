@@ -341,6 +341,21 @@ class EvalSpec extends SparkSpecBase {
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     assert(out.toSeq == Seq(Some(0L), Some(0L), Some(0L), Some(1L),
       Some(999L), Some(999L), None))
+    // NaN raises loudly — floor(NaN).toLong would otherwise land it
+    // silently in bucket 0 (and DuckDB clamps NaN to the TOP bucket:
+    // a cross-engine divergence on top of the skew)
+    intercept[Exception] {
+      Seq(Double.NaN).toDF("x")
+        .select(Eval.quantize(col("x"), 0.0, 1000.0, 1000)).collect()
+    }
+  }
+
+  test("aucExact/aucByGroup: one-class input yields null auc, not NaN") {
+    val s = spark; import s.implicits._
+    val onlyPos = Seq((1L, 1L), (2L, 1L)).toDF("s", "y")
+    val r = Eval.aucExact(onlyPos, "s", "y").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L &&
+      r.getLong(3) == 0L && r.isNullAt(4))
   }
 
   test("distinct-value guards raise before the single-partition pass (r14)") {
