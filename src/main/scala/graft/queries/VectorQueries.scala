@@ -200,6 +200,16 @@ object VectorQueries {
         .orderBy("probe_id")
     },
 
+    // per-label embedding CENTROID drift (r14): the vector-column
+    // member of the drift tier — per (label, dim) exact-decimal mean
+    // vs the global mean, Det.davg keeping the float sums
+    // order-independent; which dimensions moved is the readout.
+    "q241_embedding_drift" -> { (s, d) =>
+      VectorOps.centroidDriftByGroup(embeddings(s, d), "embedding",
+          "label")
+        .orderBy("label", "dim")
+    },
+
     // retrieval evaluation (precision@k / recall@k / reciprocal rank)
     // of the engine's own search surface: q50's cosine top-10 graded
     // against label-match relevance (same-label docs, self excluded).
@@ -521,6 +531,22 @@ object VectorQueries {
         |  CAST(1 AS BIGINT) AS ok_stable, CAST(1 AS BIGINT) AS ok_refit,
         |  CAST(1 AS BIGINT) AS ok_self, CAST(1 AS BIGINT) AS ok_recall
         |FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""".stripMargin,
+
+    // per-(label, dim) exact-decimal means via the shared dsum oracle
+    // form; DuckDB zips the two unnests positionally.
+    "q241_embedding_drift" ->
+      s"""WITH r AS (SELECT label AS g,
+         |    unnest(range(len(embedding))) AS dim,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings
+         |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+         |p AS (SELECT g, dim, CAST(count(v) AS BIGINT) AS n,
+         |    ${Det.davgSql("v", 6)} AS mean FROM r GROUP BY 1, 2),
+         |gl AS (SELECT dim, ${Det.davgSql("v", 6)} AS global_mean
+         |  FROM r GROUP BY 1)
+         |SELECT p.g AS label, p.dim, p.n, p.mean, gl.global_mean,
+         |  p.mean - gl.global_mean AS gap
+         |FROM p JOIN gl USING (dim) ORDER BY label, dim""".stripMargin,
 
     // q50's ranked CTE + the label-match relevance set + the exact
     // count/quotient metric arithmetic, restated directly.

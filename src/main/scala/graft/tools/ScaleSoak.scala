@@ -374,6 +374,10 @@ object ScaleSoak {
     // per-group AUC: (group, score)-keyed agg + group-partitioned
     // windows — groups × fixed score space, must track q185's ratio
     "q240_auc_by_group",
+    // embedding centroid drift: posexplode into ONE map-combined
+    // (group, dim) agg — exchange is groups × dims partials, so the
+    // ratio must be the scan-linear floor
+    "q241_embedding_drift",
     // ---- r13 soak-breadth batch (verdict item 7): every remaining
     // catalog query whose cost scales with data, so no regression can
     // hide in the unsoaked half. EXEMPT as fixed-floor by construction

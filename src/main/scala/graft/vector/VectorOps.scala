@@ -121,6 +121,42 @@ object VectorOps {
     * per-row products rounded to s decimals, summed exactly in decimal
     * — making the result independent of partition/merge order (a raw
     * parallel double sum is not, so exact-compared outputs flake). */
+  /** Per-GROUP embedding CENTROID DRIFT — the vector-column member of
+    * the drift-monitor tier (categorical χ² q223, numeric KS q224,
+    * per-group forms q232/q233): one row per (group, dimension) with
+    * the group's mean component, the global mean component, and their
+    * gap. A source whose centroid wanders from the corpus mean is the
+    * embedding-space analog of a shifted CDF — and which DIMENSIONS
+    * moved is the actionable part, so the rows are the readout
+    * (q223's contract; fold `gap` into whatever norm you monitor).
+    *
+    * Determinism: per-dimension sums run through [[graft.functions.Det.davg]]
+    * (order-independent exact decimal sum / count), so means and gaps
+    * are bit-identical on any partition layout and engine — no
+    * float-sum order dependence.
+    *
+    * Scale shape: posexplode feeds ONE map-combined (group, dim)
+    * aggregate — the exchange carries groups × dims partials, never
+    * data-sized rows — plus a dims-sized global aggregate broadcast
+    * back. */
+  def centroidDriftByGroup(df: DataFrame, vecCol: String,
+      groupCol: String, scale: Int = 6): DataFrame = {
+    val rows = df.filter(col(vecCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        posexplode(col(vecCol)))
+      .select(col("__g"), col("pos").cast("long").as("dim"),
+        col("col").cast("double").as("__v"))
+    val per = rows.groupBy(col("__g"), col("dim"))
+      .agg(count(col("__v")).as("n"),
+        graft.functions.Det.davg(col("__v"), scale).as("mean"))
+    val glob = rows.groupBy(col("dim"))
+      .agg(graft.functions.Det.davg(col("__v"), scale).as("global_mean"))
+    per.join(broadcast(glob), Seq("dim"))
+      .select(col("__g").as(groupCol), col("dim"), col("n"), col("mean"),
+        col("global_mean"),
+        (col("mean") - col("global_mean")).as("gap"))
+  }
+
   def gramian(df: DataFrame, cols: Seq[String], demean: Boolean = false,
       detScale: Option[Int] = None): DataFrame = {
     def dsum(c: Column) = detScale match {

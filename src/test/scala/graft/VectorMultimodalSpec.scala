@@ -79,6 +79,28 @@ class VectorSpec extends SparkSpecBase {
     assert(r.getDouble(1) == 14.0) // x·y = 2+12
     assert(r.getDouble(2) == 20.0) // y·y = 4+16
   }
+
+  test("centroidDriftByGroup: hand means, gap arithmetic, layout invariance") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", Seq(1.0f, 0.0f)), ("a", Seq(3.0f, 2.0f)),
+      ("b", Seq(0.0f, 4.0f))).toDF("g", "v")
+    val out = VectorOps.centroidDriftByGroup(df, "v", "g")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // group a dim0: mean 2.0; global dim0: 4/3; gap exact IEEE subtract
+    assert(out(("a", 0L)) == ((2L, 2.0, 4.0 / 3.0, 2.0 - 4.0 / 3.0)))
+    assert(out(("a", 1L)) == ((2L, 1.0, 2.0, -1.0)))
+    assert(out(("b", 0L)) == ((1L, 0.0, 4.0 / 3.0, -4.0 / 3.0)))
+    assert(out(("b", 1L)) == ((1L, 4.0, 2.0, 2.0)))
+    // Det.davg: bit-identical on any partition layout
+    val again = VectorOps.centroidDriftByGroup(df.repartition(7), "v", "g")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(again == out)
+  }
 }
 
 /** Multimodal binary-column plumbing (stubbed codec). */
