@@ -124,6 +124,39 @@ object Eval {
           lit(buckets - 1L)))).cast("long")
   }
 
+  /** Equal-FREQUENCY (rank) quantizer — the skew-proof companion of
+    * the equal-width [[quantize]]: a heavy-tailed column under
+    * equal-width bucketing collapses into one bucket and the binned KS
+    * goes blind; here the boundaries are EXACT percentiles
+    * (`OrderStat.exactPercentiles` — the distributed range-exchange
+    * selection, never the value→count-map builtin that OOMs at open
+    * cardinality), so every bucket holds ~1/buckets of the mass.
+    * Assignment = count of boundaries strictly below the value — the
+    * q196 equi-depth contract, bit-compatible with DuckDB's
+    * `quantile_cont`. Returns `df` plus `outCol` (long in
+    * [0, buckets); null values stay null; NaN raises loudly, same as
+    * [[quantize]]). The boundary collect is (buckets − 1) doubles —
+    * bounded metadata, never data. */
+  def quantizeByRank(df: DataFrame, c: String, buckets: Int,
+      outCol: String): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val x = col(c).cast("double")
+    OrderStat.exactPercentilesOpt(
+      df.select(x.as("__q")).filter(!isnan(col("__q"))), "__q", qs) match {
+      case None => // no non-null rows: every bucket is null
+        df.withColumn(outCol, lit(null).cast("long"))
+      case Some(bs) =>
+        val idx = bs.foldLeft(lit(0L)) { (acc, b) =>
+          acc + when(x > b, 1L).otherwise(0L)
+        }
+        df.withColumn(outCol, when(x.isNotNull,
+          when(isnan(x), raise_error(lit("quantizeByRank: NaN input — " +
+            "filter or impute NaNs before bucketing")))
+            .otherwise(idx)))
+    }
+  }
+
   /** The enforcement half of the quantize-first contract: `distinct`
     * is the one-row cardinality about to size an ordered pass or grid;
     * past `maxDistinct` the guarded column RAISES (map-side, before

@@ -389,6 +389,20 @@ object TimeSeriesQueries {
         ev.filter(col("event_type") === "purchase").select(col("value")),
         ev.filter(col("event_type") =!= "purchase").select(col("value")),
         "value")
+    },
+
+    // the RANK-quantized form (r14): equal-frequency buckets from
+    // exact percentiles (OrderStat's distributed selection) — the
+    // skew-proof quantizer for the same guard, fitted on the pooled
+    // column then split into sides like q235.
+    "q242_rank_quantized_ks" -> { (s, d) =>
+      val ev = graft.agg.Eval.quantizeByRank(
+        events(s, d).select(col("event_type"), col("value")),
+        "value", buckets = 16, outCol = "vq")
+      graft.agg.Eval.ksDrift(
+        ev.filter(col("event_type") === "purchase").select(col("vq")),
+        ev.filter(col("event_type") =!= "purchase").select(col("vq")),
+        "vq")
     }
   )
 
@@ -797,6 +811,42 @@ object TimeSeriesQueries {
         |        * na::HUGEINT * nb::HUGEINT
         |    THEN 1 ELSE 0 END AS INT) AS significant
         |FROM r""".stripMargin,
+
+    // rank buckets from quantile_cont boundaries (bit-compatible with
+    // OrderStat's interpolation), assignment = boundaries strictly
+    // below, then the q224 rational on bucket indices.
+    "q242_rank_quantized_ks" -> {
+      val qs = (1 until 16).map(_.toDouble / 16).mkString(", ")
+      s"""WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS x
+         |  FROM events WHERE value IS NOT NULL),
+         |bs AS (SELECT quantile_cont(x, [$qs]) AS b FROM v),
+         |q AS (SELECT event_type,
+         |    CAST(len(list_filter(bs.b, e -> x > e)) AS BIGINT) AS vq
+         |  FROM v CROSS JOIN bs),
+         |a AS (SELECT vq AS v, CAST(count(*) AS BIGINT) AS ca FROM q
+         |  WHERE event_type = 'purchase' GROUP BY 1),
+         |b AS (SELECT vq AS v, CAST(count(*) AS BIGINT) AS cb FROM q
+         |  WHERE event_type <> 'purchase' GROUP BY 1),
+         |j AS (SELECT coalesce(a.v, b.v) AS v, coalesce(ca, 0) AS ca,
+         |    coalesce(cb, 0) AS cb
+         |  FROM a FULL OUTER JOIN b ON a.v = b.v),
+         |c AS (SELECT
+         |    sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS i,
+         |    sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS jj,
+         |    sum(ca) OVER () AS ta, sum(cb) OVER () AS tb FROM j),
+         |r AS (SELECT max(abs(i::HUGEINT * tb::HUGEINT
+         |      - jj::HUGEINT * ta::HUGEINT)) AS num,
+         |    CAST(max(ta) AS BIGINT) AS na, CAST(max(tb) AS BIGINT) AS nb
+         |  FROM c)
+         |SELECT na AS n_a, nb AS n_b, CAST(num AS BIGINT) AS ks_num,
+         |  na * nb AS ks_den,
+         |  num::DOUBLE / (na::HUGEINT * nb::HUGEINT)::DOUBLE AS ks,
+         |  CAST(CASE WHEN 1000000::HUGEINT * num * num >
+         |      1844164::HUGEINT * (na + nb)::HUGEINT
+         |        * na::HUGEINT * nb::HUGEINT
+         |    THEN 1 ELSE 0 END AS INT) AS significant
+         |FROM r""".stripMargin
+    },
 
     // the per-group grid restated: groups × distinct values, per-group
     // cumulative i and global cumulative j, max rational per group.

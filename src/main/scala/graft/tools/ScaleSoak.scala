@@ -378,6 +378,10 @@ object ScaleSoak {
     // (group, dim) agg — exchange is groups × dims partials, so the
     // ratio must be the scan-linear floor
     "q241_embedding_drift",
+    // rank-quantized KS: OrderStat's two selection jobs (range
+    // exchange crossed once) + the 16-bucket KS — ratio tracks the
+    // selection, which is scan-linear by construction
+    "q242_rank_quantized_ks",
     // ---- r13 soak-breadth batch (verdict item 7): every remaining
     // catalog query whose cost scales with data, so no regression can
     // hide in the unsoaked half. EXEMPT as fixed-floor by construction

@@ -350,6 +350,31 @@ class EvalSpec extends SparkSpecBase {
     }
   }
 
+  test("quantizeByRank: equal-frequency buckets, skew-proof, null/NaN contract") {
+    val s = spark; import s.implicits._
+    // heavy tail: equal-width would put 90% in bucket 0 — rank buckets
+    // spread the mass ~evenly
+    val skew = ((1 to 90).map(_.toDouble / 100) ++
+      Seq(1e6, 2e6, 3e6, 4e6, 5e6, 6e6, 7e6, 8e6, 9e6, 1e7)).toDF("x")
+    val out = Eval.quantizeByRank(skew, "x", buckets = 4, outCol = "b")
+      .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    assert(out.values.forall(n => n >= 20 && n <= 30), s"skewed: $out")
+    // null passes through; NaN raises
+    val withNull = Seq(Some(1.0), None).toDF("x")
+    val r = Eval.quantizeByRank(withNull, "x", 4, "b")
+      .orderBy("x").collect()
+    assert(!r(1).isNullAt(1) && r(0).isNullAt(1))
+    intercept[Exception] {
+      Eval.quantizeByRank(Seq(1.0, Double.NaN).toDF("x"), "x", 4, "b")
+        .collect()
+    }
+    // empty input: all-null buckets, no crash
+    val e = Eval.quantizeByRank(skew.filter($"x" < 0), "x", 4, "b")
+    assert(e.count() == 0L)
+  }
+
   test("aucExact/aucByGroup: one-class input yields null auc, not NaN") {
     val s = spark; import s.implicits._
     val onlyPos = Seq((1L, 1L), (2L, 1L)).toDF("s", "y")

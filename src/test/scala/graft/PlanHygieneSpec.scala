@@ -70,7 +70,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     // distinct-value relation with its own ONE-ROW cardinality count —
     // the guard that raises before the single-partition ordered pass
     "q185_auc_exact", "q224_ks_drift", "q235_quantized_ks",
-    "q240_auc_by_group",
+    "q240_auc_by_group", "q242_rank_quantized_ks",
     // r14 per-group calibration: the bounded source directory crossed
     // with the 10-row literal bin range to materialize unused cells
     "q236_calibration_by_group")
