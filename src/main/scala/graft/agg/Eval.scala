@@ -140,20 +140,31 @@ object Eval {
   def quantizeByRank(df: DataFrame, c: String, buckets: Int,
       outCol: String): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val qs = (1 until buckets).map(_.toDouble / buckets)
     val x = col(c).cast("double")
+    // the NaN raise applies on EVERY path — including the no-boundary
+    // ones — so an all-NaN column raises instead of silently nulling
+    // (r14 review)
+    def guarded(idx: Column) = when(x.isNotNull,
+      when(isnan(x), raise_error(lit("quantizeByRank: NaN input — " +
+        "filter or impute NaNs before bucketing")))
+        .otherwise(idx))
+    if (buckets == 1) // no boundaries to fit: everything is bucket 0
+      return df.withColumn(outCol, guarded(lit(0L)))
+    val qs = (1 until buckets).map(_.toDouble / buckets)
     OrderStat.exactPercentilesOpt(
       df.select(x.as("__q")).filter(!isnan(col("__q"))), "__q", qs) match {
-      case None => // no non-null rows: every bucket is null
-        df.withColumn(outCol, lit(null).cast("long"))
+      case None => // no non-NaN rows: null buckets (all-NaN still raises)
+        df.withColumn(outCol, guarded(lit(null).cast("long")))
       case Some(bs) =>
-        val idx = bs.foldLeft(lit(0L)) { (acc, b) =>
-          acc + when(x > b, 1L).otherwise(0L)
-        }
-        df.withColumn(outCol, when(x.isNotNull,
-          when(isnan(x), raise_error(lit("quantizeByRank: NaN input — " +
-            "filter or impute NaNs before bucketing")))
-            .otherwise(idx)))
+        // boundaries as ONE array literal + a HOF count — constant
+        // plan size at any bucket count (r14 review: the when-chain
+        // fold grew a ~(buckets−1)-node expression per reference,
+        // exactly at the 1000-bucket counts the maxDistinct guard
+        // steers users toward); same strictly-below assignment as the
+        // oracle's list_filter and q196's equi-depth contract
+        val idx = size(filter(typedlit(bs.toSeq), b => x > b))
+          .cast("long")
+        df.withColumn(outCol, guarded(idx))
     }
   }
 

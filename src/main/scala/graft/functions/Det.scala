@@ -61,6 +61,19 @@ object Det {
     if (checkedMode) dsumChecked(c, scale) else dsumRaw(c, scale)
   /** Order-independent mean: exact decimal sum over non-null count. */
   def davg(c: Column, scale: Int = 6): Column = dsum(c, scale) / count(c)
+  /** The exact DECIMAL(38,0) INTEGER sum behind [[dsum]] (values
+    * half-even-rounded to `scale` decimals, summed exactly) — for
+    * callers that must RE-AGGREGATE partials without losing exactness:
+    * decimal adds are associative, so `sum(dsumInt(...))` over partials
+    * equals one global [[dsum]] bit-for-bit once divided back by
+    * 10^scale, where a re-sum of the double view would round. Keep the
+    * decimal INTERNAL (divide/cast before emitting — the catalog emits
+    * no DECIMAL columns). */
+  def dsumInt(c: Column, scale: Int = 6): Column = {
+    val p = lit(math.pow(10, scale))
+    org.apache.spark.sql.functions.call_function(
+      "dsum128", bround(c * p, 0).cast("long"))
+  }
   /** [[dsum]] with the magnitude contract ENFORCED per row: a |value|
     * above 2^53/10^scale has no exact scaled-integer representation, so
     * plain [[dsum]] would round it silently and the "deterministic"

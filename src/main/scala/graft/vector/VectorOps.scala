@@ -130,27 +130,46 @@ object VectorOps {
     * moved is the actionable part, so the rows are the readout
     * (q223's contract; fold `gap` into whatever norm you monitor).
     *
-    * Determinism: per-dimension sums run through [[graft.functions.Det.davg]]
-    * (order-independent exact decimal sum / count), so means and gaps
+    * Determinism: per-dimension sums run through the exact decimal
+    * integer form ([[graft.functions.Det.dsumInt]]) so means and gaps
     * are bit-identical on any partition layout and engine — no
-    * float-sum order dependence.
+    * float-sum order dependence — and the GLOBAL means re-aggregate
+    * the per-group decimal partials (exact, associative) instead of
+    * scanning and exploding the data a second time (r14 review: the
+    * first cut's separate global `davg` shared no grouping key with
+    * the per-group one, so the posexplode ran twice). A NaN component
+    * raises LOUDLY (r14 review): `bround(NaN)` would otherwise
+    * contribute a silent 0 to the sum while still counting — the
+    * corrupted readout a drift monitor exists to catch — and the
+    * oracle's decimal cast errors on NaN, a cross-engine divergence.
     *
     * Scale shape: posexplode feeds ONE map-combined (group, dim)
     * aggregate — the exchange carries groups × dims partials, never
-    * data-sized rows — plus a dims-sized global aggregate broadcast
-    * back. */
+    * data-sized rows — plus a (groups × dims)-sized re-aggregate
+    * broadcast back. */
   def centroidDriftByGroup(df: DataFrame, vecCol: String,
       groupCol: String, scale: Int = 6): DataFrame = {
+    val p = math.pow(10, scale)
     val rows = df.filter(col(vecCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).as("__g"),
         posexplode(col(vecCol)))
       .select(col("__g"), col("pos").cast("long").as("dim"),
-        col("col").cast("double").as("__v"))
-    val per = rows.groupBy(col("__g"), col("dim"))
+        when(isnan(col("col").cast("double")),
+          raise_error(lit("centroidDriftByGroup: NaN component — " +
+            "filter or impute NaNs first")))
+          .otherwise(col("col").cast("double")).as("__v"))
+    // one data-sized aggregate; everything below re-aggregates its
+    // (groups × dims) output. Exact-integer partials; the double view
+    // (cast, /10^scale, /count — Det.davg's operation order) only at
+    // emission, so the global mean is bit-identical to a direct davg.
+    val per0 = rows.groupBy(col("__g"), col("dim"))
       .agg(count(col("__v")).as("n"),
-        graft.functions.Det.davg(col("__v"), scale).as("mean"))
-    val glob = rows.groupBy(col("dim"))
-      .agg(graft.functions.Det.davg(col("__v"), scale).as("global_mean"))
+        graft.functions.Det.dsumInt(col("__v"), scale).as("__si"))
+    val per = per0.withColumn("mean",
+      col("__si").cast("double") / p / col("n"))
+    val glob = per0.groupBy(col("dim"))
+      .agg((sum(col("__si")).cast("double") / p / sum(col("n")))
+        .as("global_mean"))
     per.join(broadcast(glob), Seq("dim"))
       .select(col("__g").as(groupCol), col("dim"), col("n"), col("mean"),
         col("global_mean"),

@@ -373,6 +373,16 @@ class EvalSpec extends SparkSpecBase {
     // empty input: all-null buckets, no crash
     val e = Eval.quantizeByRank(skew.filter($"x" < 0), "x", 4, "b")
     assert(e.count() == 0L)
+    // buckets = 1: trivial single bucket, no boundary fit (r14 review)
+    val one = Eval.quantizeByRank(skew, "x", 1, "b")
+      .select("b").distinct().collect()
+    assert(one.map(_.getLong(0)).toSeq == Seq(0L))
+    // all-NaN column raises — must not silently null through the
+    // no-boundary branch (r14 review)
+    intercept[Exception] {
+      Eval.quantizeByRank(Seq(Double.NaN, Double.NaN).toDF("x"),
+        "x", 4, "b").collect()
+    }
   }
 
   test("aucExact/aucByGroup: one-class input yields null auc, not NaN") {

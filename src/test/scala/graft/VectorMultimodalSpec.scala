@@ -94,12 +94,19 @@ class VectorSpec extends SparkSpecBase {
     assert(out(("a", 1L)) == ((2L, 1.0, 2.0, -1.0)))
     assert(out(("b", 0L)) == ((1L, 0.0, 4.0 / 3.0, -4.0 / 3.0)))
     assert(out(("b", 1L)) == ((1L, 4.0, 2.0, 2.0)))
-    // Det.davg: bit-identical on any partition layout
+    // Det exact sums: bit-identical on any partition layout
     val again = VectorOps.centroidDriftByGroup(df.repartition(7), "v", "g")
       .collect().map(r => (r.getString(0), r.getLong(1)) ->
         (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
       .toMap
     assert(again == out)
+    // NaN components raise loudly — bround(NaN) would otherwise
+    // contribute a silent 0 while still counting (r14 review)
+    intercept[Exception] {
+      VectorOps.centroidDriftByGroup(
+        Seq(("a", Seq(Float.NaN, 1.0f))).toDF("g", "v"), "v", "g")
+        .collect()
+    }
   }
 }
 
