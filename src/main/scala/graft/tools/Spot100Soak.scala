@@ -59,12 +59,13 @@ object Spot100Soak {
     }
   }
 
-  /** The five flagships named by the r13 verdict: LSH dedup, exact
+  /** The five flagships named by the r13 verdict — LSH dedup, exact
     * PPJoin, blocked entity resolution, near-dup CC clusters, HLL
-    * trailing distinct. */
+    * trailing distinct — plus the r14 winnowing tier end-to-end. */
   private val flagships = Seq(
     "q66_lsh_near_dup", "q190_setsim_join", "q179_entity_resolution",
-    "q121_neardup_clusters", "q214_trailing_approx")
+    "q121_neardup_clusters", "q214_trailing_approx",
+    "q238_winnow_dedup")
 
   private def buildSf10(spark: SparkSession, src: String,
       dst: String): Unit = {
@@ -130,15 +131,31 @@ object Spot100Soak {
     }
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(d))
-    val json = rows.map { case (q, t01, t1, t10) =>
-      s""""$q": {"sf01_sec": ${fmt(t01)}, "sf1_sec": ${fmt(t1)}, """ +
+    // CUMULATIVE like ScaleSoak (a subset re-run must not clobber the
+    // recorded table); this batch's measurements win on collision
+    val prior: Seq[(String, String)] = {
+      val p = java.nio.file.Paths.get("BENCH_100x.json")
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        "\"(q[\\w]+)\": (\\{[^}]*\\})".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2)).toSeq
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    }
+    val fresh = rows.map { case (q, t01, t1, t10) =>
+      q -> (s"""{"sf01_sec": ${fmt(t01)}, "sf1_sec": ${fmt(t1)}, """ +
         s""""sf10_sec": ${fmt(t10)}, "ratio_10x": ${fmt(t1 / t01)}, """ +
         s""""ratio_100x_over_10x": ${fmt(t10 / t1)}, """ +
-        s""""ratio_100x": ${fmt(t10 / t01)}}"""
-    }.mkString("{\"replicas\": 100, \"queries\": {", ", ", "}}")
+        s""""ratio_100x": ${fmt(t10 / t01)}}""")
+    }
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    prior.foreach { case (q, v) => merged(q) = v }
+    fresh.foreach { case (q, v) => merged(q) = v }
+    val json = merged.map { case (q, v) => s""""$q": $v""" }
+      .mkString("{\"replicas\": 100, \"queries\": {", ", ", "}}")
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_100x.json"),
       json.getBytes("UTF-8"))
-    println(s"wrote BENCH_100x.json (${rows.size} queries)")
+    println(s"wrote BENCH_100x.json (${merged.size} queries)")
     spark.stop()
   }
 }
