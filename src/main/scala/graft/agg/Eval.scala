@@ -514,14 +514,34 @@ object Eval {
     * aggregates; the grid is groups × categories — monitoring
     * dimensions, never data-sized. No windows at all. */
   def chiSquareDriftByGroup(df: DataFrame, catCol: String,
-      groupCol: String): DataFrame = {
-    val rows = df.filter(col(catCol).isNotNull && col(groupCol).isNotNull)
-      .select(col(groupCol).as("__g"), col(catCol).as("__c"))
+      groupCol: String): DataFrame =
+    chiSquareDriftByGroupFromCounts(
+      df.select(col(groupCol), col(catCol), lit(1L).as("__one")),
+      groupCol, catCol, "__one")
+
+  /** [[chiSquareDriftByGroup]] over a PRE-AGGREGATED (group, category,
+    * count) relation — the form a monitor composes with counts it
+    * already maintains: q243 drains WATERMARKED per-window streaming
+    * counts and grades each window's category mix against the rest of
+    * the stream with exactly this math (drift-on-arrival); any rollup
+    * table works the same way. Duplicate (group, category) rows sum;
+    * negative counts raise loudly; same grid shape and overflow guard
+    * as the row form (which delegates here with count 1). */
+  def chiSquareDriftByGroupFromCounts(counts: DataFrame,
+      groupCol: String, catCol: String, nCol: String): DataFrame = {
+    val n0 = col(nCol).cast("long")
+    val rows = counts
+      .filter(col(catCol).isNotNull && col(groupCol).isNotNull &&
+        n0.isNotNull)
+      .select(col(groupCol).as("__g"), col(catCol).as("__c"),
+        when(n0 < 0L, raise_error(concat(
+          lit(s"chiSquareDriftByGroupFromCounts: negative count "),
+          n0.cast("string")))).otherwise(n0).as("__n0"))
     val gc = rows.groupBy(col("__g"), col("__c"))
-      .agg(count(lit(1)).as("__a"))
-    val cats = rows.groupBy(col("__c")).agg(count(lit(1)).as("__nc"))
-    val groups = rows.groupBy(col("__g")).agg(count(lit(1)).as("__ng"))
-    val tot = rows.agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n0")).as("__a"))
+    val cats = rows.groupBy(col("__c")).agg(sum(col("__n0")).as("__nc"))
+    val groups = rows.groupBy(col("__g")).agg(sum(col("__n0")).as("__ng"))
+    val tot = rows.agg(sum(col("__n0")).as("__n"))
     def dec(c: Column) = c.cast("decimal(38,0)")
     val grid = cats.join(broadcast(groups), lit(true))
       .join(gc, Seq("__g", "__c"), "left")

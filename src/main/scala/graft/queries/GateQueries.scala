@@ -244,6 +244,15 @@ object GateQueries {
       eventsStream(s, d), "tsx", "user_id", "7200 seconds", "0 seconds",
       Map("n" -> count(lit(1)), "value_sum" -> Det.dsum(col("value"))))
 
+  /** q243: watermarked tumbling per-window category counts — the
+    * streaming half of drift-on-arrival; the drained counts feed the
+    * r13/r14 grid math ([[graft.agg.Eval.chiSquareDriftByGroupFromCounts]]). */
+  private[graft] def q243Plan(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingOps.windowedAgg(
+      eventsStream(s, d), "tsx", "event_type", "86400 seconds",
+      "86400 seconds", "0 seconds",
+      Map("n" -> count(lit(1))))
+
   private def asofSide(ev: DataFrame, t: String): DataFrame =
     ev.filter(col("event_type") === t)
       .select(col("user_id").as("key"), col("tsx").as("ts"), col("value"))
@@ -601,6 +610,22 @@ object GateQueries {
           col("window_start").cast("double").as("window_start"),
           col("n"), col("value_sum"))
         .orderBy("user_id", "window_start")
+    },
+
+    // streaming DRIFT-ON-ARRIVAL (r14): a real watermarked stream
+    // rolls per-day category counts (one stateful windowed agg — the
+    // only data-sized pass), and the drained counts feed the per-group
+    // χ² grid math: each day's event-type mix graded against the rest
+    // of the stream. The counts-based Eval entry point exists for
+    // exactly this composition.
+    "q243_streaming_drift" -> { (s, d) =>
+      val counts = runToMemory(s, q243Plan(s, d), "graft_q243_mem")
+        .select(col("window_start"), col("event_type"), col("n"))
+      graft.agg.Eval.chiSquareDriftByGroupFromCounts(counts,
+          "window_start", "event_type", "n")
+        .select(col("window_start").cast("double").as("window_start"),
+          col("event_type"), col("n_in"), col("n_rest"), col("contrib"))
+        .orderBy("window_start", "event_type")
     },
 
     // Streaming session windows (StreamingOps.sessionAgg over the native
@@ -1535,6 +1560,29 @@ object GateQueries {
         |  floor(epoch(ts) / 86400) * 86400 AS window_start,
         |  count(*) AS n, ${Det.dsumSql("value")} AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY user_id, window_start""".stripMargin,
+
+    // per-day windowed counts restated in batch SQL + the q233 grid
+    // rational with the day as the group.
+    "q243_streaming_drift" ->
+      """WITH r AS (SELECT floor(epoch(ts) / 86400) * 86400 AS g,
+        |    event_type AS c
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |gc AS (SELECT g, c, CAST(count(*) AS BIGINT) AS a
+        |  FROM r GROUP BY 1, 2),
+        |cats AS (SELECT c, CAST(count(*) AS BIGINT) AS nc FROM r GROUP BY 1),
+        |gs AS (SELECT g, CAST(count(*) AS BIGINT) AS ng FROM r GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+        |grid AS (SELECT gs.g, gs.ng, cats.c, cats.nc,
+        |    coalesce(gc.a, 0) AS a, (SELECT n FROM tot) - gs.ng AS rest
+        |  FROM gs CROSS JOIN cats LEFT JOIN gc USING (g, c))
+        |SELECT g AS window_start, c AS event_type, a AS n_in,
+        |  nc - a AS n_rest,
+        |  CASE WHEN nc = 0 OR ng = 0 OR rest = 0 THEN 0.0 ELSE
+        |    ((a::HUGEINT * rest::HUGEINT - (nc - a)::HUGEINT * ng::HUGEINT)
+        |     * (a::HUGEINT * rest::HUGEINT - (nc - a)::HUGEINT * ng::HUGEINT)
+        |    )::DOUBLE / (ng::HUGEINT * rest::HUGEINT * nc::HUGEINT)::DOUBLE
+        |  END AS contrib
+        |FROM grid ORDER BY window_start, event_type""".stripMargin,
     "q101_streaming_session" ->
       s"""WITH g AS (
         |  SELECT user_id, value, epoch(ts) AS e,

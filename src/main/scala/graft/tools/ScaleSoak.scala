@@ -382,6 +382,10 @@ object ScaleSoak {
     // exchange crossed once) + the 16-bucket KS — ratio tracks the
     // selection, which is scan-linear by construction
     "q242_rank_quantized_ks",
+    // streaming drift: the q100-shaped watermarked windowed agg (state
+    // = days × types, flat) + day-grid math on drained counts — ratio
+    // must track the streaming replay floor
+    "q243_streaming_drift",
     // ---- r13 soak-breadth batch (verdict item 7): every remaining
     // catalog query whose cost scales with data, so no regression can
     // hide in the unsoaked half. EXEMPT as fixed-floor by construction

@@ -71,6 +71,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     // the guard that raises before the single-partition ordered pass
     "q185_auc_exact", "q224_ks_drift", "q235_quantized_ks",
     "q240_auc_by_group", "q242_rank_quantized_ks",
+    // streaming drift: the drained counts run q233's grid math (the
+    // day directory broadcast + one-row total cross)
+    "q243_streaming_drift",
     // r14 per-group calibration: the bounded source directory crossed
     // with the 10-row literal bin range to materialize unused cells
     "q236_calibration_by_group")
@@ -476,6 +479,9 @@ class PlanHygieneSpec extends SparkSpecBase {
       "DeduplicateWithinWatermark" -> 0, "Join" -> 0, "Union" -> union)
     Map(
       "q100_streaming_tumbling" -> shape(1, 0, 0, 0),
+      // q243's streaming leg is q100's shape keyed by event_type (the
+      // drift math runs post-drain on the memory table)
+      "q243_streaming_drift" -> shape(1, 0, 0, 0),
       "q101_streaming_session" -> shape(1, 0, 0, 0),
       // as-of: sentinel union + the two tagged sides' union, ONE
       // two-sided stateful operator (not a stream-stream join)
@@ -563,6 +569,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     val d = sf()
     val built: Map[String, org.apache.spark.sql.DataFrame] = Map(
       "q100_streaming_tumbling" -> GateQueries.q100Plan(spark, d),
+      "q243_streaming_drift" -> GateQueries.q243Plan(spark, d),
       "q101_streaming_session" -> GateQueries.q101Plan(spark, d),
       "q104_streaming_asof" -> GateQueries.q104Plan(spark, d),
       "q105_streaming_asof_fwd" -> GateQueries.q105Plan(spark, d),
