@@ -530,13 +530,16 @@ object Eval {
   def chiSquareDriftByGroupFromCounts(counts: DataFrame,
       groupCol: String, catCol: String, nCol: String): DataFrame = {
     val n0 = col(nCol).cast("long")
+    // negative or NULL counts raise (a null in a rollup is a broken
+    // rollup, not data) — the same loud-contract bar as every other
+    // operator here
     val rows = counts
-      .filter(col(catCol).isNotNull && col(groupCol).isNotNull &&
-        n0.isNotNull)
+      .filter(col(catCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).as("__g"), col(catCol).as("__c"),
-        when(n0 < 0L, raise_error(concat(
-          lit(s"chiSquareDriftByGroupFromCounts: negative count "),
-          n0.cast("string")))).otherwise(n0).as("__n0"))
+        when(n0.isNull || n0 < 0L, raise_error(concat(
+          lit(s"chiSquareDriftByGroupFromCounts: negative or null count "),
+          coalesce(n0.cast("string"), lit("null")))))
+          .otherwise(n0).as("__n0"))
     val gc = rows.groupBy(col("__g"), col("__c"))
       .agg(sum(col("__n0")).as("__a"))
     val cats = rows.groupBy(col("__c")).agg(sum(col("__n0")).as("__nc"))

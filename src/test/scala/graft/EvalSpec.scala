@@ -385,6 +385,37 @@ class EvalSpec extends SparkSpecBase {
     }
   }
 
+  test("chiSquareDriftByGroupFromCounts: equals the row form; bad counts raise") {
+    val s = spark; import s.implicits._
+    val rows = Seq(("d1", "a"), ("d1", "a"), ("d1", "b"), ("d2", "b"),
+      ("d2", "c")).toDF("g", "c")
+    val viaRows = Eval.chiSquareDriftByGroup(rows, "c", "g")
+      .orderBy("g", "c").collect().map(_.toSeq)
+    val counts = rows.groupBy("g", "c").count()
+    val viaCounts = Eval.chiSquareDriftByGroupFromCounts(counts, "g",
+        "c", "count")
+      .orderBy("g", "c").collect().map(_.toSeq)
+    assert(viaCounts.toSeq == viaRows.toSeq)
+    // duplicate (group, category) rows sum
+    val dup = Eval.chiSquareDriftByGroupFromCounts(
+        counts.unionByName(counts.limit(0)).unionByName(
+          Seq(("d1", "a", 0L)).toDF("g", "c", "count")),
+        "g", "c", "count")
+      .orderBy("g", "c").collect().map(_.toSeq)
+    assert(dup.toSeq == viaRows.toSeq)
+    // negative and null counts raise loudly
+    intercept[Exception] {
+      Eval.chiSquareDriftByGroupFromCounts(
+        Seq(("d1", "a", -1L)).toDF("g", "c", "n"), "g", "c", "n")
+        .collect()
+    }
+    intercept[Exception] {
+      Eval.chiSquareDriftByGroupFromCounts(
+        Seq(("d1", "a", Option.empty[Long])).toDF("g", "c", "n"),
+        "g", "c", "n").collect()
+    }
+  }
+
   test("aucExact/aucByGroup: one-class input yields null auc, not NaN") {
     val s = spark; import s.implicits._
     val onlyPos = Seq((1L, 1L), (2L, 1L)).toDF("s", "y")
