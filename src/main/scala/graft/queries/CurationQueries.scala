@@ -1453,8 +1453,9 @@ object CurationQueries {
         |  CAST(sum(n) AS BIGINT) AS n_neg,
         |  CAST(sum(p * nb) * 2 + sum(p * n) AS BIGINT) AS auc_num2,
         |  CAST(sum(p) * sum(n) * 2 AS BIGINT) AS auc_den2,
-        |  CAST(sum(p * nb) * 2 + sum(p * n) AS BIGINT)::DOUBLE /
-        |    CAST(sum(p) * sum(n) * 2 AS BIGINT)::DOUBLE AS auc
+        |  CASE WHEN sum(p) * sum(n) > 0 THEN
+        |    CAST(sum(p * nb) * 2 + sum(p * n) AS BIGINT)::DOUBLE /
+        |      CAST(sum(p) * sum(n) * 2 AS BIGINT)::DOUBLE END AS auc
         |FROM c""".stripMargin,
 
     "q186_confusion" ->

@@ -132,14 +132,26 @@ object Spot100Soak {
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(d))
     // CUMULATIVE like ScaleSoak (a subset re-run must not clobber the
-    // recorded table); this batch's measurements win on collision
+    // recorded table); this batch's measurements win on collision.
+    // Parsed with json4s, NOT a regex: the first cut's "(q[\\w]+)"
+    // pattern matched the top-level "queries" key with a non-brace-
+    // balanced value capture, so every cumulative re-run spliced a
+    // corrupt fragment back into the file (r14 advice, medium).
     val prior: Seq[(String, String)] = {
       val p = java.nio.file.Paths.get("BENCH_100x.json")
       if (!java.nio.file.Files.exists(p)) Seq.empty
       else try {
-        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        "\"(q[\\w]+)\": (\\{[^}]*\\})".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2)).toSeq
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val root = JsonMethods.parse(
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        (root \ "queries") match {
+          case JObject(fields) => fields.collect {
+            case (q, obj: JObject) if q.matches("q\\d+.*") =>
+              q -> JsonMethods.compact(JsonMethods.render(obj))
+          }
+          case _ => Seq.empty
+        }
       } catch { case scala.util.control.NonFatal(_) => Seq.empty }
     }
     val fresh = rows.map { case (q, t01, t1, t10) =>

@@ -167,9 +167,17 @@ object VectorOps {
         graft.functions.Det.dsumInt(col("__v"), scale).as("__si"))
     val per = per0.withColumn("mean",
       col("__si").cast("double") / p / col("n"))
+    // re-aggregated decimal sum: in non-ANSI mode an overflowing
+    // sum(decimal(38,0)) nulls SILENTLY — guard it loudly, mirroring
+    // chiSquareDriftByGroup's overflow raise (r14 advice)
     val glob = per0.groupBy(col("dim"))
-      .agg((sum(col("__si")).cast("double") / p / sum(col("n")))
-        .as("global_mean"))
+      .agg(sum(col("__si")).as("__gsi"), sum(col("n")).as("__gn"))
+      .select(col("dim"),
+        (when(col("__gsi").isNull && col("__gn") > 0,
+          raise_error(lit("centroidDriftByGroup: decimal(38) overflow " +
+            "re-aggregating per-group partials — lower `scale`")))
+          .otherwise(col("__gsi")).cast("double") / p / col("__gn"))
+          .as("global_mean"))
     per.join(broadcast(glob), Seq("dim"))
       .select(col("__g").as(groupCol), col("dim"), col("n"), col("mean"),
         col("global_mean"),
