@@ -554,7 +554,7 @@ object TextDedupQueries {
 
   // ---- oracles --------------------------------------------------------
 
-  private val langCases = {
+  private[queries] val langCases = {
     val hits = TextOps.langStopwords.map { case (l, _) => s"h_$l" }
     val best = s"greatest(${hits.mkString(", ")})"
     val whens = TextOps.langStopwords.map { case (l, _) =>

@@ -58,7 +58,9 @@ object PlanCounts {
         "q104_streaming_asof" -> q104Plan(spark, d),
         "q105_streaming_asof_fwd" -> q105Plan(spark, d),
         "q108_streaming_hopping" -> q108Plan(spark, d),
-        "q109_streaming_distinct" -> q109Plan(spark, d))
+        "q109_streaming_distinct" -> q109Plan(spark, d),
+        "q191_stream_stream_join" -> q191Plan(spark, d),
+        "q198_stream_stream_outer" -> q198Plan(spark, d))
       gates.foreach { case (n, df) =>
         val counts = PlanShape.streamingNodeCounts(df)
         println(s"STREAMPLAN $n " +

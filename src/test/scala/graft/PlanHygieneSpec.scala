@@ -247,6 +247,13 @@ class PlanHygieneSpec extends SparkSpecBase {
     // the pre-aggregation pushdown can't silently regress to the
     // shuffle-every-order-row form
     "tpch13" -> (3, 1),
+    // q244 composed curation pipeline (r14 verdict item 4): the static
+    // plan is post-checkpoint — kept docs and keeper assignments are
+    // truncated LogicalRDDs, so what remains is the packer's shard
+    // exchange, the two sides of the label join-back, and the
+    // presentation sort. A fifth exchange here means a checkpoint was
+    // dropped and some consumer re-runs the text scan / keeper pipeline
+    "q244_curation_pipeline" -> (4, 0),
     // q140 exact heavy hitters: candidate distinct (over the tiny
     // checkpointed sketch) + verify groupBy + presentation sort, with
     // the candidate set BROADCAST into the semi-join — the corpus-side
@@ -498,7 +505,20 @@ class PlanHygieneSpec extends SparkSpecBase {
       "q148_streaming_dedup" -> Map(
         "EventTimeWatermark" -> 0, "Aggregate" -> 0,
         "FlatMapGroupsWithState" -> 0, "Deduplicate" -> 1,
-        "DeduplicateWithinWatermark" -> 0, "Join" -> 2, "Union" -> 0))
+        "DeduplicateWithinWatermark" -> 0, "Join" -> 2, "Union" -> 0),
+      // stream-stream interval joins (r14 verdict item 5): exactly TWO
+      // watermarks (one per independent source — a missing one is an
+      // unbounded join buffer) and exactly ONE stream-stream join;
+      // q198's two unions are the per-side end-of-stream sentinels that
+      // let outer rows evict
+      "q191_stream_stream_join" -> Map(
+        "EventTimeWatermark" -> 2, "Aggregate" -> 0,
+        "FlatMapGroupsWithState" -> 0, "Deduplicate" -> 0,
+        "DeduplicateWithinWatermark" -> 0, "Join" -> 1, "Union" -> 0),
+      "q198_stream_stream_outer" -> Map(
+        "EventTimeWatermark" -> 2, "Aggregate" -> 0,
+        "FlatMapGroupsWithState" -> 0, "Deduplicate" -> 0,
+        "DeduplicateWithinWatermark" -> 0, "Join" -> 1, "Union" -> 2))
   }
 
   /** The 100 TB degradation sweep: at scale NO corpus table fits under
@@ -576,7 +596,9 @@ class PlanHygieneSpec extends SparkSpecBase {
       "q108_streaming_hopping" -> GateQueries.q108Plan(spark, d),
       "q109_streaming_distinct" -> GateQueries.q109Plan(spark, d),
       "q128_streaming_cep" -> GateQueries.q128Plan(spark, d),
-      "q148_streaming_dedup" -> GateQueries.q148Plan(spark, d))
+      "q148_streaming_dedup" -> GateQueries.q148Plan(spark, d),
+      "q191_stream_stream_join" -> GateQueries.q191Plan(spark, d),
+      "q198_stream_stream_outer" -> GateQueries.q198Plan(spark, d))
     val diffs = streamingPins.toSeq.sortBy(_._1).flatMap { case (name, exp) =>
       val got = graft.tools.PlanShape.streamingNodeCounts(built(name))
       if (got == exp) None
