@@ -115,18 +115,19 @@ object CurationQueries {
       // and the final label join keyed by doc_id — different keys, so
       // without truncation BOTH sides would re-run the keeper pipeline
       // (id-sized rows, but twice the cluster-join work at corpus scale)
+      // split and its numeric shard derive from the SAME bucket
+      // expression here (r15 review: mapping the split string back to
+      // 0/1/2 downstream duplicated the boundary logic in two places)
       val assigned = keepers.select(col("doc_id"), col("lang"),
         col("cluster_id"), col("n_tokens"),
         when(bucket <= 7, "train").when(bucket === 8, "val")
-          .otherwise("test").as("split"))
+          .otherwise("test").as("split"),
+        when(bucket <= 7, 0L).when(bucket === 8, 1L)
+          .otherwise(2L).as("__shard"))
         .localCheckpoint(true)
       val packed = Curation.packSequences(
-        assigned.select(
-          when(col("split") === "train", 0L)
-            .when(col("split") === "val", 1L)
-            .otherwise(2L).as("shard"),
-          col("doc_id"), col("n_tokens")),
-        "shard", "doc_id", "n_tokens", packBudget)
+        assigned.select(col("__shard"), col("doc_id"), col("n_tokens")),
+        "__shard", "doc_id", "n_tokens", packBudget)
       assigned.join(packed.select(col("doc_id"), col("seq_id"),
           col("tok_offset")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("cluster_id"),

@@ -1,0 +1,299 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured-baseline harness (r14 verdict item 3): reproduce the
+  * reference's own benchmark methodology (`benchmark/spark/tpch.py`,
+  * `h2oai.py`, `wordcount.py`, `gramian.py`) head-to-head at sf1 —
+  * each workload once through THIS engine's API and once as the naive
+  * stock-SparkSQL formulation the reference's comparator scripts use
+  * (flat comma joins, derive-then-join-back subqueries, imperative
+  * per-partition loops), on the same parquet, same session, local[32].
+  * Plus the reference's winsorization headline (`blog/approxquant.md:31`:
+  * approx-quantiles over 1M rows × 10k float columns in ~1 min on 32
+  * vCPUs, "Spark's approxQuantile method always crashes") — directly
+  * testable against `DataStream.approximateQuantile`'s one-job
+  * multi-column form vs stock `df.stat.approxQuantile`, at the SAME 32
+  * cores the reference used (4× r6id.2xlarge).
+  *
+  * Writes BASELINE_MEASURED.md at the repo root. Engine/naive results
+  * are validated to the same row count before timing is trusted.
+  *
+  * Usage: `sbt "runMain graft.tools.BaselineBench"` (expects target/sf1
+  * from the ScaleSoak builder; SPARK_GRAFT_SF_DIR overrides). */
+object BaselineBench {
+
+  private def fmt(d: Double) =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+
+  /** min-of-2 after one warm pass — the soak discipline. */
+  private def timed(f: () => Unit): Double = {
+    f()
+    def once(): Double = {
+      val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
+  // ---- naive TPC-H: the reference comparator's flat-SQL style,
+  // adapted to the driver schema EXACTLY as TpchQueries documents
+  // (same filters/groupings, plain sum/avg — no Det sums), so both
+  // sides compute the same result set and differ only in formulation.
+  private val naiveTpch = Map(
+    "tpch01" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) sum_qty,
+        |  sum(l_extendedprice) sum_base_price,
+        |  sum(l_extendedprice*(1-l_discount)) sum_disc_price,
+        |  sum(l_extendedprice*(1-l_discount)*(1+l_tax)) sum_charge,
+        |  avg(l_quantity) avg_qty, avg(l_extendedprice) avg_price,
+        |  avg(l_discount) avg_disc, count(*) count_order
+        |FROM lineitem WHERE l_shipdate <= timestamp '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "tpch03" ->
+      """SELECT l_orderkey, sum(l_extendedprice*(1-l_discount)) revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < timestamp '1996-03-15 00:00:00'
+        |  AND l_shipdate > timestamp '1996-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "tpch05" ->
+      """SELECT n_name, sum(l_extendedprice*(1-l_discount)) revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= timestamp '1996-01-01 00:00:00'
+        |  AND o_orderdate < timestamp '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "tpch06" ->
+      """SELECT sum(l_extendedprice*l_discount) revenue FROM lineitem
+        |WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+        |  AND l_shipdate < timestamp '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // the derive-then-join-back partsupp the engine's window form
+    // replaced (the whole "partsupp" is materialized and joined back —
+    // lineitem scanned and shuffled twice)
+    "tpch09" ->
+      """SELECT nation, o_year, sum(amount) sum_profit FROM (
+        |  SELECT n_name nation, year(o_orderdate) o_year,
+        |    l_extendedprice*(1-l_discount) - ps_supplycost*l_quantity amount
+        |  FROM lineitem,
+        |    (SELECT l_partkey ps_partkey, l_suppkey ps_suppkey,
+        |       min(l_extendedprice/l_quantity) ps_supplycost
+        |     FROM lineitem GROUP BY l_partkey, l_suppkey) ps,
+        |    supplier, nation, orders, part
+        |  WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+        |    AND ps_partkey = l_partkey AND p_partkey = l_partkey
+        |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |    AND p_name LIKE '%widget%') profit
+        |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin,
+    "tpch10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  sum(l_extendedprice*(1-l_discount)) revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= timestamp '1995-10-01 00:00:00'
+        |  AND o_orderdate < timestamp '1996-01-01 00:00:00'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // the HAVING-subquery + re-aggregate form (lineitem twice) the
+    // engine's aggregate-first tpch18 replaced
+    "tpch18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  sum(l_quantity) total_quantity
+        |FROM customer, orders, lineitem
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin)
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf1")
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "documents").foreach { t =>
+      spark.read.parquet(s"$d/$t.parquet").createOrReplaceTempView(t)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+    def record(name: String, engineSec: Double, naiveSec: Double,
+        note: String): Unit = {
+      val r = naiveSec / math.max(engineSec, 1e-9)
+      println(f"[baseline] $name engine=${engineSec}%.2fs naive=${naiveSec}%.2fs naive/engine=${r}%.2f  $note")
+      rows += s"| $name | ${fmt(engineSec)} | ${fmt(naiveSec)} | ${fmt(r)} | $note |"
+    }
+
+    // ---- TPC-H tier -----------------------------------------------------
+    naiveTpch.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      val engineDf = graft.SparkEntry.queries(name)(spark, d)
+      val naiveDf = spark.sql(sql)
+      val (ec, nc) = (engineDf.count(), naiveDf.count())
+      val note = if (ec == nc) s"$ec rows both" else s"ROWS DIFFER $ec vs $nc"
+      val e = timed(() => graft.Bench.force(graft.SparkEntry.queries(name)(spark, d)))
+      val n = timed(() => graft.Bench.force(spark.sql(sql)))
+      record(name, e, n, note)
+    }
+
+    // ---- h2oai join shapes (h2oai.py: big LHS ⨝ small / medium RHS,
+    // materialized) restated on the driver tables ------------------------
+    {
+      import graft.api.DataStream
+      val li = () => spark.read.parquet(s"$d/lineitem.parquet")
+      val pt = () => spark.read.parquet(s"$d/part.parquet")
+      val or = () => spark.read.parquet(s"$d/orders.parquet")
+      val e1 = timed(() => graft.Bench.force(new DataStream(li())
+        .join(new DataStream(pt()), "l_partkey", "p_partkey").df))
+      val n1 = timed(() => graft.Bench.force(
+        li().join(pt(), col("l_partkey") === col("p_partkey"))))
+      record("h2oai_join_small(lineitem⨝part)", e1, n1, "materialized via noop")
+      val e2 = timed(() => graft.Bench.force(new DataStream(li())
+        .join(new DataStream(or()), "l_orderkey", "o_orderkey").df))
+      val n2 = timed(() => graft.Bench.force(
+        li().join(or(), col("l_orderkey") === col("o_orderkey"))))
+      record("h2oai_join_medium(lineitem⨝orders)", e2, n2, "materialized via noop")
+    }
+
+    // ---- wordcount (wordcount.py: whitespace-split word counts) --------
+    {
+      val e = timed(() => graft.Bench.force(
+        graft.SparkEntry.queries("q72_wordcount")(spark, d)))
+      val n = timed(() => graft.Bench.force(spark.sql(
+        """SELECT word, count(*) cnt FROM (
+          |  SELECT explode(filter(split(lower(text), '\\s+'),
+          |    x -> length(x) > 0)) word FROM documents)
+          |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin)))
+      record("wordcount", e, n, "engine = compiled tokenizer kernel")
+    }
+
+    // ---- gramian (gramian.py: 4-col XᵀX; naive = the script's
+    // imperative per-partition numpy accumulate + driver reduce) ---------
+    {
+      val cols4 = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def ds() = spark.read.parquet(s"$d/lineitem.parquet")
+        .select(cols4.map(c => col(c).cast("double")): _*)
+      val e = timed(() => graft.Bench.force(
+        graft.vector.VectorOps.gramian(ds(), cols4)))
+      val n = timed(() => {
+        import spark.implicits._
+        val partials = ds().as[(Double, Double, Double, Double)]
+          .mapPartitions { it =>
+            val acc = new Array[Double](16)
+            it.foreach { case (a, b, c, t) =>
+              val v = Array(a, b, c, t)
+              var i = 0
+              while (i < 4) {
+                var j = 0
+                while (j < 4) { acc(i * 4 + j) += v(i) * v(j); j += 1 }
+                i += 1
+              }
+            }
+            Iterator.single(acc)
+          }.collect()
+        val total = new Array[Double](16)
+        partials.foreach(p => (0 until 16).foreach(i => total(i) += p(i)))
+        require(total(0) > 0)
+      })
+      record("gramian(4-col XᵀX)", e, n,
+        "naive = gramian.py's mapPartitions+driver reduce")
+    }
+
+    // ---- winsorization headline (blog/approxquant.md:31) ---------------
+    // 1M × 10k floats, quantiles [0.1, 0.9] per column, ONE job. The
+    // reference: ~60 s on 32 vCPUs; "Spark's approxQuantile always
+    // crashes". Stock side runs under a watchdog — a DNF past the cap
+    // IS the reproduced claim. Engine precision (accuracy=100) matches
+    // stock relativeError=0.01.
+    val wide = sys.env.getOrElse("GRAFT_WIDE_COLS", "10000").toInt
+    val wrows = sys.env.getOrElse("GRAFT_WIDE_ROWS", "1000000").toLong
+    val capSec = sys.env.getOrElse("GRAFT_WIDE_CAP_SEC", "600").toInt
+    locally {
+      val names = (0 until wide).map(i => s"f$i")
+      def data() = spark.range(wrows).select(
+        (0 until wide).map(i => rand(42L + i).as(s"f$i")): _*)
+      val t0 = System.nanoTime()
+      val q = new graft.api.DataStream(data())
+        .approximateQuantile(names, Seq(0.1, 0.9), accuracy = 100)
+      val row = q.df.head()
+      val e = (System.nanoTime() - t0) / 1e9
+      require(row.size == wide, s"expected $wide quantile columns")
+      println(f"[baseline] winsorize_quantiles engine=${e}%.1fs ($wide cols x $wrows rows)")
+
+      // stock df.stat.approxQuantile under a watchdog
+      val group = "baseline-wide-stock"
+      @volatile var stock: Either[String, Double] = Left("DNF")
+      val t = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(group, "stock approxQuantile", true)
+          val s0 = System.nanoTime()
+          val r = data().stat.approxQuantile(names.toArray,
+            Array(0.1, 0.9), 0.01)
+          require(r.length == wide)
+          stock = Right((System.nanoTime() - s0) / 1e9)
+        } catch {
+          case e: Throwable => if (stock.isLeft)
+            stock = Left(s"CRASHED ${e.getClass.getSimpleName}")
+        } finally spark.sparkContext.clearJobGroup()
+      })
+      t.setDaemon(true); t.start()
+      t.join(capSec * 1000L)
+      if (t.isAlive) {
+        spark.sparkContext.cancelJobGroup(group)
+        stock = Left(s"DNF >${capSec}s (cancelled)")
+        t.join(30000L)
+      }
+      val stockCell = stock.fold(identity, s => s"${fmt(s)} s")
+      println(s"[baseline] winsorize_quantiles stock=$stockCell")
+      rows += s"| winsorize ${wide}-col approx-quantiles | ${fmt(e)} | $stockCell | — | reference: ~60 s on the same 32 vCPUs; stock = df.stat.approxQuantile |"
+
+      // the blog pipeline's tail: clip everything, covariance readout
+      val t1 = System.nanoTime()
+      val bounds = names.zipWithIndex.map { case (n, i) =>
+        n -> ((row.getSeq[Double](i).head, row.getSeq[Double](i).last))
+      }.toMap
+      val clipped = new graft.api.DataStream(data()).clip(bounds)
+      val cov = graft.vector.VectorOps.covariance(
+        clipped.df.select((0 until 8).map(i => col(s"f$i")): _*),
+        (0 until 8).map(i => s"f$i"))
+      require(cov.head().size == 36)
+      val c = (System.nanoTime() - t1) / 1e9
+      rows += s"| winsorize clip + 8-col covariance tail | ${fmt(c)} | — | — | end-to-end over the clipped ${wide}-col stream |"
+      println(f"[baseline] winsorize_tail clip+cov=${c}%.1fs")
+    }
+
+    val md = new StringBuilder
+    md ++= "# BASELINE_MEASURED — reference benchmark methodology, head-to-head\n\n"
+    md ++= s"Environment: local[$cpus], ${cpus} shuffle partitions, sf1 parquet\n"
+    md ++= s"(`$d`, 10x sf0.1 via the ScaleSoak builder — lineitem ~6M rows),\n"
+    md ++= "JVM heap ${SPARK_DRIVER_MEM:-8g}. Same core count (32) as the\n"
+    md ++= "reference's published configs (4x r6id.2xlarge). Timings are\n"
+    md ++= "min-of-2 after one warm pass; engine and naive validated to the\n"
+    md ++= "same row count before timing. `naive` = the stock-SparkSQL\n"
+    md ++= "formulation from the reference's own comparator scripts\n"
+    md ++= "(benchmark/spark/*.py), adapted to the driver schema exactly as\n"
+    md ++= "the engine's TPC-H adaptations document.\n\n"
+    md ++= "| workload | engine s | naive s | naive/engine | note |\n"
+    md ++= "|---|---|---|---|---|\n"
+    rows.foreach(r => md ++= r + "\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BASELINE_MEASURED.md"),
+      md.toString.getBytes("UTF-8"))
+    println(s"wrote BASELINE_MEASURED.md (${rows.size} rows)")
+    spark.stop()
+  }
+}

@@ -59,6 +59,8 @@ object PlanCounts {
         "q105_streaming_asof_fwd" -> q105Plan(spark, d),
         "q108_streaming_hopping" -> q108Plan(spark, d),
         "q109_streaming_distinct" -> q109Plan(spark, d),
+        "q128_streaming_cep" -> q128Plan(spark, d),
+        "q148_streaming_dedup" -> q148Plan(spark, d),
         "q191_stream_stream_join" -> q191Plan(spark, d),
         "q198_stream_stream_outer" -> q198Plan(spark, d))
       gates.foreach { case (n, df) =>

@@ -61,11 +61,19 @@ object Spot100Soak {
 
   /** The five flagships named by the r13 verdict — LSH dedup, exact
     * PPJoin, blocked entity resolution, near-dup CC clusters, HLL
-    * trailing distinct — plus the r14 winnowing tier end-to-end. */
+    * trailing distinct — plus the r14 winnowing tier end-to-end, plus
+    * (r14 verdict item 2) the streaming STATE tier: session window,
+    * hopping window, streaming dedup, streaming near-dup tagging and
+    * drift-on-arrival. The replicas offset user_id/event_id/doc_id, so
+    * the streaming legs measure state ROWS × commit cost at 100× keys —
+    * the honest failure mode of watermarked state at corpus scale. */
   private val flagships = Seq(
     "q66_lsh_near_dup", "q190_setsim_join", "q179_entity_resolution",
     "q121_neardup_clusters", "q214_trailing_approx",
-    "q238_winnow_dedup")
+    "q238_winnow_dedup",
+    "q101_streaming_session", "q108_streaming_hopping",
+    "q109_streaming_distinct", "q148_streaming_dedup",
+    "q243_streaming_drift")
 
   private def buildSf10(spark: SparkSession, src: String,
       dst: String): Unit = {
@@ -140,19 +148,30 @@ object Spot100Soak {
     val prior: Seq[(String, String)] = {
       val p = java.nio.file.Paths.get("BENCH_100x.json")
       if (!java.nio.file.Files.exists(p)) Seq.empty
-      else try {
+      else {
+        // raise on an unreadable prior rather than silently rewriting
+        // the file from this batch only (r15 review: a parse failure
+        // here once dropped six recorded flagship rows) — the operator
+        // deletes/fixes the file deliberately instead
         import org.json4s._
         import org.json4s.jackson.JsonMethods
         val root = JsonMethods.parse(
           new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
         (root \ "queries") match {
-          case JObject(fields) => fields.collect {
-            case (q, obj: JObject) if q.matches("q\\d+.*") =>
-              q -> JsonMethods.compact(JsonMethods.render(obj))
-          }
-          case _ => Seq.empty
+          case JObject(fields) =>
+            val qs = fields.collect {
+              case (q, obj: JObject) if q.matches("q\\d+.*") =>
+                q -> JsonMethods.compact(JsonMethods.render(obj))
+            }
+            require(qs.size == fields.size, "BENCH_100x.json: prior " +
+              "'queries' has non-qNN keys (corrupt / legacy nested " +
+              s"shape?) — fix or remove the file: ${fields.map(_._1)}")
+            qs
+          case other => throw new IllegalStateException(
+            s"BENCH_100x.json: 'queries' is not an object: $other — " +
+              "fix or remove the file")
         }
-      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      }
     }
     val fresh = rows.map { case (q, t01, t1, t10) =>
       q -> (s"""{"sf01_sec": ${fmt(t01)}, "sf1_sec": ${fmt(t1)}, """ +
