@@ -36,20 +36,42 @@ class TDigestQuantiles(quantiles: Seq[Double], compression: Int = 100)
 
   def reduce(s: TDigestState, x: Double): TDigestState = {
     val buf = s.buffer :+ x
-    if (buf.length >= bufCap) compress(s.means, s.weights, buf)
+    if (buf.length >= bufCap) TDigest.compress(s.means, s.weights, buf,
+      compression)
     else TDigestState(s.means, s.weights, buf)
   }
 
-  def merge(a: TDigestState, b: TDigestState): TDigestState = {
+  def merge(a: TDigestState, b: TDigestState): TDigestState =
+    TDigest.merge(a, b, compression)
+
+  def finish(s: TDigestState): QuantileValues =
+    QuantileValues(TDigest.quantiles(s, quantiles, compression))
+
+  def bufferEncoder: Encoder[TDigestState] = Encoders.product[TDigestState]
+  def outputEncoder: Encoder[QuantileValues] = Encoders.product[QuantileValues]
+}
+
+/** The t-digest kernel shared by [[TDigestQuantiles]] (the typed
+  * Aggregator) and [[WideQuantiles]] (the 10k-column per-partition
+  * path) — ONE implementation so the two surfaces cannot drift.
+  * Extracted verbatim from the round-6 Aggregator (same operation
+  * order; existing gate hashes unchanged). */
+object TDigest {
+
+  def merge(a: TDigestState, b: TDigestState,
+      compression: Int): TDigestState = {
     val means = a.means ++ b.means
     val weights = a.weights ++ b.weights
     val buf = a.buffer ++ b.buffer
-    compress(means, weights, buf)
+    compress(means, weights, buf, compression)
   }
 
-  def finish(s: TDigestState): QuantileValues = {
-    val c = compress(s.means, s.weights, s.buffer)
-    if (c.means.isEmpty) return QuantileValues(quantiles.map(_ => Double.NaN))
+  /** Final readout: fold any remaining buffer, then interpolate each
+    * requested quantile between centroid-midpoint cumulative weights. */
+  def quantiles(s: TDigestState, qs: Seq[Double],
+      compression: Int): Seq[Double] = {
+    val c = compress(s.means, s.weights, s.buffer, compression)
+    if (c.means.isEmpty) return qs.map(_ => Double.NaN)
     val n = c.means.length
     val total = c.weights.sum
     // cumulative weight at each centroid's midpoint
@@ -61,7 +83,7 @@ class TDigestQuantiles(quantiles: Seq[Double], compression: Int = 100)
       acc += c.weights(i)
       i += 1
     }
-    QuantileValues(quantiles.map { q =>
+    qs.map { q =>
       val target = q * total
       if (target <= cum(0)) c.means(0)
       else if (target >= cum(n - 1)) c.means(n - 1)
@@ -71,7 +93,7 @@ class TDigestQuantiles(quantiles: Seq[Double], compression: Int = 100)
         val frac = if (c1 == c0) 0.0 else (target - c0) / (c1 - c0)
         c.means(j - 1) + frac * (c.means(j) - c.means(j - 1))
       }
-    })
+    }
   }
 
   /** Fold buffer into centroids and re-cluster to the size bound: sorted
@@ -79,9 +101,9 @@ class TDigestQuantiles(quantiles: Seq[Double], compression: Int = 100)
     * the k-scale bound (k1 spline: centroids near the median absorb more
     * than the tails — that asymmetry is what keeps tail quantiles
     * accurate). */
-  private def compress(
+  def compress(
       means: Array[Double], weights: Array[Double],
-      buffer: Array[Double]): TDigestState = {
+      buffer: Array[Double], compression: Int): TDigestState = {
     val n = means.length + buffer.length
     if (n == 0) return TDigestState(Array.empty, Array.empty, Array.empty)
     val pts = new Array[(Double, Double)](n)
@@ -115,7 +137,4 @@ class TDigestQuantiles(quantiles: Seq[Double], compression: Int = 100)
     outM += curMean; outW += curW
     TDigestState(outM.result(), outW.result(), Array.empty)
   }
-
-  def bufferEncoder: Encoder[TDigestState] = Encoders.product[TDigestState]
-  def outputEncoder: Encoder[QuantileValues] = Encoders.product[QuantileValues]
 }

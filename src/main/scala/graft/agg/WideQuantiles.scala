@@ -1,0 +1,93 @@
+package graft.agg
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Extreme-width approximate quantiles — the reference's winsorization
+  * headline workload (blog/approxquant.md: per-column quantiles over 1M
+  * rows × 10k float columns; its answer was a custom C++ t-digest bound
+  * into the engine, "Spark's approxQuantile method always crashes").
+  *
+  * Why the expression-tier forms fail at this width (measured r15,
+  * BASELINE_MEASURED.md): both stock `df.stat.approxQuantile` and a
+  * 10k-wide `percentile_approx` aggregate allocate a QuantileSummaries
+  * PER COLUMN PER TASK, each with a ~50k-element head buffer before its
+  * first compaction — 10k columns × 50k doubles × concurrent tasks is
+  * hundreds of GiB of transient buffer, an OOM regardless of data size.
+  * The plan layer adds its own wall: a 10k-aggregate expression tree
+  * blows past janino's method limits into interpreted mode.
+  *
+  * This operator is the Spark-first restatement of the reference's
+  * design: ONE pass with `mapPartitions`, an array of `compression`-
+  * bounded t-digests per task (10k columns × ~100 centroids × 16 B ≈
+  * 16 MiB — constant in row count), partials combined with
+  * `treeReduce`. No 10k-column expression tree ever reaches Catalyst;
+  * the only plan is the cast projection. Shares [[TDigest]]'s kernel
+  * with the typed Aggregator, so narrow and wide paths cannot drift.
+  *
+  * Contract: nulls are skipped per column (SQL aggregate semantics);
+  * NaN raises loudly (a NaN would silently poison the centroid sort —
+  * same discipline as centroidDrift/ksDrift). All-null columns emit
+  * NaN quantiles. Like the typed Aggregator path (whose partial-agg
+  * combine order Spark schedules), treeReduce's merge order is
+  * scheduler-dependent: repeated runs yield different-but-equally-valid
+  * digests within the sketch's rank bound, not bit-identical values —
+  * the established sketch contract (q96/q222 pin rank bounds, never
+  * hashes). */
+object WideQuantiles {
+
+  /** One row, one `<col>_quantiles` array column per input column,
+    * values aligned with `qs`. */
+  def quantiles(df: DataFrame, cols: Seq[String], qs: Seq[Double],
+      compression: Int = 100): DataFrame = {
+    require(cols.nonEmpty, "wide quantiles need at least one column")
+    require(qs.nonEmpty, "wide quantiles need at least one quantile")
+    val spark = df.sparkSession
+    val nc = cols.length
+    val bufCap = compression * 4
+    val proj = df.select(cols.map(c => col(c).cast("double")): _*)
+    val colNames = cols.toArray // avoid closing over the DataFrame
+    val merged: Array[TDigestState] = proj.rdd
+      .mapPartitions { it =>
+        // per column: bounded raw buffer + current centroid set
+        val bufs = Array.fill(nc)(new Array[Double](bufCap))
+        val fill = new Array[Int](nc)
+        val states = Array.fill(nc)(
+          TDigestState(Array.empty, Array.empty, Array.empty))
+        def flush(i: Int): Unit = if (fill(i) > 0) {
+          states(i) = TDigest.compress(states(i).means, states(i).weights,
+            java.util.Arrays.copyOf(bufs(i), fill(i)), compression)
+          fill(i) = 0
+        }
+        it.foreach { row =>
+          var i = 0
+          while (i < nc) {
+            if (!row.isNullAt(i)) {
+              val x = row.getDouble(i)
+              if (x != x) throw new IllegalArgumentException(
+                s"wide quantiles: NaN in column ${colNames(i)} — filter " +
+                  "or impute NaNs first")
+              bufs(i)(fill(i)) = x
+              fill(i) += 1
+              if (fill(i) == bufCap) flush(i)
+            }
+            i += 1
+          }
+        }
+        (0 until nc).foreach(flush)
+        Iterator.single(states)
+      }
+      .treeReduce({ (a, b) =>
+        Array.tabulate(nc)(i => TDigest.merge(a(i), b(i), compression))
+      }, depth = 2)
+    val values = merged.map(s => TDigest.quantiles(s, qs, compression))
+    val row = Row.fromSeq(values.toSeq.map(_.toSeq))
+    val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(s"${c}_quantiles",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false),
+        nullable = false)))
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
+  }
+}

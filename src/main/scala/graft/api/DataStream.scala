@@ -242,12 +242,15 @@ class DataStream(val df: DataFrame) {
   /** Median sugar (reference `approximate_median`, datastream.py:1033). */
   def approximateMedian(c: String, accuracy: Int = 10000): DataStream =
     approximateQuantile(c, Seq(0.5), accuracy)
-  /** Multi-column form — the reference call shape is
-    * `approximate_quantile(stream.schema, [...])` over ALL columns at once
-    * (apps/andy.py:20, the "1M×10k columns in ~1 minute" workload,
-    * blog/approxquant.md). One pass, one agg: every column's sketch is a
-    * partial-aggregable `approx_percentile`, so 10k columns is one
-    * map-side-combined job, not 10k jobs. */
+  /** Multi-column form — one pass, one agg: every column's sketch is a
+    * partial-aggregable `approx_percentile`, so N columns is one
+    * map-side-combined job, not N jobs. WIDTH LIMIT (measured r15,
+    * BASELINE_MEASURED.md): fine to hundreds of columns, but at the
+    * reference's 1M×10k winsorization scale (blog/approxquant.md) the
+    * per-task QuantileSummaries head buffers (~50k doubles per column)
+    * OOM — exactly the failure the reference pins on stock
+    * `approxQuantile`. Use [[approximateQuantileWide]] past ~1k
+    * columns. */
   def approximateQuantile(cs: Seq[String], quantiles: Seq[Double],
       accuracy: Int): DataStream = {
     require(cs.nonEmpty, "approximateQuantile needs at least one column")
@@ -255,6 +258,21 @@ class DataStream(val df: DataFrame) {
       array(quantiles.map(lit): _*), lit(accuracy)).as(s"${c}_quantiles"))
     new DataStream(df.agg(exprs.head, exprs.tail: _*))
   }
+
+  /** Extreme-width form — the reference call shape
+    * `approximate_quantile(stream.schema, [...])` over ALL columns of a
+    * 10k-column stream at once (apps/andy.py:20, the "1M×10k in ~1
+    * minute" workload, blog/approxquant.md). Per-partition arrays of
+    * compression-bounded merging t-digests via `mapPartitions` —
+    * constant task memory in row count AND no N-column expression tree
+    * (see [[graft.agg.WideQuantiles]] for the measured failure modes
+    * this avoids). Same output shape as [[approximateQuantile]]:
+    * one `<col>_quantiles` array column per input column. EAGER like
+    * [[exactQuantile]] — the digests reduce at call time. */
+  def approximateQuantileWide(cs: Seq[String], quantiles: Seq[Double],
+      compression: Int = 100): DataStream =
+    new DataStream(graft.agg.WideQuantiles.quantiles(df, cs, quantiles,
+      compression))
   /** Reference-parity t-digest quantiles (the reference wraps a native
     * t-digest per partition, datastream.py:957-998; ours MERGES partial
     * digests instead of averaging per-partition quantiles — see

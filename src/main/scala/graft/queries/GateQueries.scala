@@ -1394,6 +1394,34 @@ object GateQueries {
         .agg(ok(0, 0.25), ok(1, 0.5), ok(2, 0.75), ok(3, 0.95))
     },
 
+    // Extreme-width quantiles (agg.WideQuantiles, r15): the
+    // mapPartitions t-digest-array path that replaces the
+    // expression-tier sketch past ~1k columns (the reference's 1M×10k
+    // winsorization headline — see BASELINE_MEASURED.md for the
+    // measured OOM of both stock approxQuantile and a 10k-wide
+    // percentile_approx tree). Gate = q96's CDF rank-bound flags over
+    // two columns: continuous l_extendedprice at ±0.02 and discrete
+    // l_quantity at ±0.05 (50 atoms of ~2% mass each — the CDF jumps
+    // by an atom at the readout value, so the band is atom + sketch
+    // error). Width itself is stress-tested in WideQuantilesSpec and
+    // the baseline harness; this pins end-to-end accuracy on the
+    // driver fixture.
+    "q245_wide_quantiles" -> { (s, d) =>
+      val li = lineitem(s, d)
+      val ps = Seq(0.1, 0.5, 0.9)
+      val qs = new DataStream(li).approximateQuantileWide(
+        Seq("l_extendedprice", "l_quantity"), ps).df
+      def ok(c: String, tol: Double)(i: Int) =
+        (abs(sum(when(col(c) <= element_at(col(s"${c}_quantiles"),
+          i + 1), 1L).otherwise(0L)).cast("double") / count(lit(1)) -
+          lit(ps(i))) <= lit(tol)).cast("int")
+          .as(s"ok_${c.stripPrefix("l_")}_q${(ps(i) * 100).toInt}")
+      val okE = ok("l_extendedprice", 0.02) _
+      val okQ = ok("l_quantity", 0.05) _
+      li.join(broadcast(qs))
+        .agg(okE(0), okE(1), okE(2), okQ(0), okQ(1), okQ(2))
+    },
+
     // PER-GROUP t-digest quantiles (q96's rank-bound gate, grouped):
     // one mergeable sketch per l_returnflag, each estimate pinned by
     // the per-group CDF check |F(q_p) − p| ≤ 0.05 engine-side; the
@@ -2001,6 +2029,11 @@ object GateQueries {
         |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
     "q96_tdigest" ->
       """SELECT 1 AS ok_q25, 1 AS ok_q50, 1 AS ok_q75, 1 AS ok_q95""",
+
+    "q245_wide_quantiles" ->
+      """SELECT 1 AS ok_extendedprice_q10, 1 AS ok_extendedprice_q50,
+        |  1 AS ok_extendedprice_q90, 1 AS ok_quantity_q10,
+        |  1 AS ok_quantity_q50, 1 AS ok_quantity_q90""".stripMargin,
 
     "q222_group_tdigest" ->
       """SELECT DISTINCT l_returnflag, 1 AS ok_q25, 1 AS ok_q50,

@@ -226,9 +226,17 @@ object BaselineBench {
       val names = (0 until wide).map(i => s"f$i")
       def data() = spark.range(wrows).select(
         (0 until wide).map(i => rand(42L + i).as(s"f$i")): _*)
+      // engine = approximateQuantileWide (mapPartitions t-digest
+      // arrays). The expression-tier multi-column percentile_approx
+      // was measured FIRST here and OOM'd the 24g JVM at this width —
+      // the per-task QuantileSummaries head buffers (~50k doubles ×
+      // 10k columns) are the same structural failure the reference
+      // pins on stock approxQuantile; that measured fact is recorded
+      // in the table note, not re-run (an executor OOM kills the
+      // harness JVM).
       val t0 = System.nanoTime()
       val q = new graft.api.DataStream(data())
-        .approximateQuantile(names, Seq(0.1, 0.9), accuracy = 100)
+        .approximateQuantileWide(names, Seq(0.1, 0.9))
       val row = q.df.head()
       val e = (System.nanoTime() - t0) / 1e9
       require(row.size == wide, s"expected $wide quantile columns")
@@ -259,7 +267,7 @@ object BaselineBench {
       }
       val stockCell = stock.fold(identity, s => s"${fmt(s)} s")
       println(s"[baseline] winsorize_quantiles stock=$stockCell")
-      rows += s"| winsorize ${wide}-col approx-quantiles | ${fmt(e)} | $stockCell | — | reference: ~60 s on the same 32 vCPUs; stock = df.stat.approxQuantile |"
+      rows += s"| winsorize ${wide}-col approx-quantiles | ${fmt(e)} | $stockCell | — | engine = approximateQuantileWide (mapPartitions t-digest arrays); stock = df.stat.approxQuantile. Reference: ~60 s on the same 32 vCPUs. The expression-tier 10k-wide percentile_approx form OOM'd a 24g JVM (measured r15) — same QuantileSummaries head-buffer failure as stock |"
 
       // the blog pipeline's tail: clip everything, covariance readout
       val t1 = System.nanoTime()

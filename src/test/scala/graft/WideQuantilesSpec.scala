@@ -1,0 +1,111 @@
+package graft
+
+import graft.agg.{TDigestQuantiles, WideQuantiles}
+import org.apache.spark.sql.functions._
+
+/** Extreme-width t-digest quantiles (agg.WideQuantiles): the
+  * mapPartitions array-of-digests path for the reference's 1M×10k
+  * winsorization workload, sharing TDigest's kernel with the typed
+  * Aggregator. */
+class WideQuantilesSpec extends SparkSpecBase {
+
+  test("wide quantiles within 1% rank error per column on skewed data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // three columns with different shapes: lognormal, uniform, bimodal
+    val rows = (1 to 20000).map { _ =>
+      (math.exp(rnd.nextGaussian() * 1.5), rnd.nextDouble() * 100.0,
+        if (rnd.nextBoolean()) rnd.nextGaussian() else 50 + rnd.nextGaussian())
+    }
+    val df = s.createDataset(rows).toDF("a", "b", "c").repartition(8)
+    val qs = Seq(0.05, 0.5, 0.95)
+    val out = WideQuantiles.quantiles(df, Seq("a", "b", "c"), qs,
+      compression = 200).head()
+    Seq("a", "b", "c").zipWithIndex.foreach { case (_, ci) =>
+      val col = rows.map(r => ci match {
+        case 0 => r._1; case 1 => r._2; case 2 => r._3
+      }).sorted
+      val est = out.getSeq[Double](ci)
+      qs.zip(est).foreach { case (q, e) =>
+        val rank = col.count(_ <= e).toDouble / col.size
+        assert(math.abs(rank - q) < 0.01, s"col=$ci q=$q est=$e rank=$rank")
+      }
+    }
+  }
+
+  test("wide path agrees with the typed Aggregator within sketch error") {
+    val s = spark
+    import s.implicits._
+    val li = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+    val qs = Seq(0.1, 0.5, 0.9)
+    val wide = WideQuantiles.quantiles(li, Seq("l_extendedprice"), qs)
+      .head().getSeq[Double](0)
+    val agg = new TDigestQuantiles(qs, compression = 100)
+    val narrow = li.select(col("l_extendedprice").cast("double")).as[Double]
+      .select(agg.toColumn).head().values
+    val exact = li.agg(
+      expr("percentile(l_extendedprice, array(0.1, 0.5, 0.9))"))
+      .head().getSeq[Double](0)
+    qs.indices.foreach { i =>
+      assert(math.abs(wide(i) - exact(i)) / exact(i) < 0.02,
+        s"wide=${wide(i)} exact=${exact(i)}")
+      assert(math.abs(narrow(i) - exact(i)) / exact(i) < 0.02,
+        s"narrow=${narrow(i)} exact=${exact(i)}")
+    }
+  }
+
+  test("1000-column width: one pass, bounded task memory, correct shape") {
+    // the width stress the expression tier cannot plan (scaled to spec
+    // runtime; the full 10k×1M run is the baseline harness's headline)
+    val wide = 1000
+    val df = spark.range(20000).select(
+      (0 until wide).map(i => rand(7L + i).as(s"f$i")): _*)
+    val out = WideQuantiles.quantiles(df, (0 until wide).map(i => s"f$i"),
+      Seq(0.1, 0.9))
+    val row = out.head()
+    assert(row.size == wide)
+    // uniform[0,1): every column's (q10, q90) must straddle its mass
+    (0 until wide by 97).foreach { i =>
+      val q = row.getSeq[Double](i)
+      assert(q(0) > 0.02 && q(0) < 0.18, s"f$i q10=${q(0)}")
+      assert(q(1) > 0.82 && q(1) < 0.98, s"f$i q90=${q(1)}")
+    }
+  }
+
+  test("nulls skipped per column; all-null column yields NaN; NaN raises") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, null), (2.0, null), (3.0, null), (null, null))
+      .toDF("x", "y")
+    val row = WideQuantiles.quantiles(df, Seq("x", "y"), Seq(0.5)).head()
+    assert(row.getSeq[Double](0).head == 2.0)
+    assert(row.getSeq[Double](1).head.isNaN)
+    val bad = Seq((1.0, Double.NaN)).toDF("x", "y")
+    val e = intercept[org.apache.spark.SparkException] {
+      WideQuantiles.quantiles(bad, Seq("x", "y"), Seq(0.5)).head()
+    }
+    assert(e.getMessage.contains("NaN") ||
+      Option(e.getCause).exists(_.getMessage.contains("NaN")))
+  }
+
+  test("repeated runs stay within the sketch band (merge order varies)") {
+    // the sketch CONTRACT, same as the typed Aggregator's: treeReduce
+    // combine order is scheduler-dependent, so repeated runs yield
+    // different-but-equally-valid digests — each must satisfy the rank
+    // bound, and two runs of the same input agree within it
+    val df = spark.range(10000).select(
+      (0 until 5).map(i => rand(3L + i).as(s"f$i")): _*).repartition(4)
+    val cols = (0 until 5).map(i => s"f$i")
+    val a = WideQuantiles.quantiles(df, cols, Seq(0.25, 0.75)).head()
+    val b = WideQuantiles.quantiles(df, cols, Seq(0.25, 0.75)).head()
+    cols.indices.foreach { i =>
+      val (qa, qb) = (a.getSeq[Double](i), b.getSeq[Double](i))
+      qa.zip(qb).foreach { case (x, y) =>
+        // uniform[0,1): rank distance ≈ value distance
+        assert(math.abs(x - y) < 0.02, s"f$i: $x vs $y")
+      }
+    }
+  }
+}
