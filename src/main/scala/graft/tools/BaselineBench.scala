@@ -150,6 +150,31 @@ object BaselineBench {
       record(name, e, n, note)
     }
 
+    // The Det-tax control: tpch01 through the ENGINE API with plain
+    // IEEE sums — same DataStream formulation, no deterministic
+    // decimal sums. Isolates how much of the engine-vs-naive gap on
+    // agg-dominated queries is the documented bit-reproducibility
+    // option (Det.dsum) rather than API overhead: this row should
+    // time ≈ the naive SQL (identical physical plan after Catalyst).
+    {
+      import graft.api.DataStream
+      def plain() = new DataStream(
+        spark.read.parquet(s"$d/lineitem.parquet"))
+        .filterSql("l_shipdate <= timestamp '2000-09-02 00:00:00'")
+        .groupby("l_returnflag", "l_linestatus")
+        .aggSql("sum(l_quantity) as sum_qty",
+          "sum(l_extendedprice) as sum_base_price",
+          "sum(l_extendedprice * (1 - l_discount)) as sum_disc_price",
+          "sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) as sum_charge",
+          "avg(l_quantity) as avg_qty", "avg(l_extendedprice) as avg_price",
+          "avg(l_discount) as avg_disc", "count(*) as count_order")
+        .sort(Seq("l_returnflag", "l_linestatus")).df
+      val e = timed(() => graft.Bench.force(plain()))
+      val n = timed(() => graft.Bench.force(spark.sql(naiveTpch("tpch01"))))
+      record("tpch01 (engine API, plain IEEE sums)", e, n,
+        "Det-tax control: gap vs the tpch01 row above is the optional deterministic-sum cost, not API overhead")
+    }
+
     // ---- h2oai join shapes (h2oai.py: big LHS ⨝ small / medium RHS,
     // materialized) restated on the driver tables ------------------------
     {
@@ -254,8 +279,25 @@ object BaselineBench {
           require(r.length == wide)
           stock = Right((System.nanoTime() - s0) / 1e9)
         } catch {
-          case e: Throwable => if (stock.isLeft)
-            stock = Left(s"CRASHED ${e.getClass.getSimpleName}")
+          case e: Throwable => if (stock.isLeft) {
+            // record the ROOT cause. Spark's stage-failure message
+            // embeds the task-level cause as TEXT (not a linked
+            // getCause), so walk the chain AND scan the message for
+            // the interesting marker — a bare "SparkException: Job
+            // aborted" cell hides e.g. SparkOutOfMemoryError after a
+            // 79 GB spill.
+            var c: Throwable = e
+            while (c.getCause != null && c.getCause != c) c = c.getCause
+            val full = Option(c.getMessage).getOrElse("")
+            val markers = Seq("SparkOutOfMemoryError", "OutOfMemoryError",
+              "No space left", "SPILL_OUT_OF_MEMORY")
+            val msg = markers.find(full.contains) match {
+              case Some(m) => full.substring(full.indexOf(m)).take(160)
+              case None => full.take(120)
+            }
+            stock = Left(("CRASHED " + c.getClass.getSimpleName + ": " +
+              msg).replace('\n', ' ').replace("|", "/"))
+          }
         } finally spark.sparkContext.clearJobGroup()
       })
       t.setDaemon(true); t.start()
@@ -288,13 +330,22 @@ object BaselineBench {
     md ++= "# BASELINE_MEASURED — reference benchmark methodology, head-to-head\n\n"
     md ++= s"Environment: local[$cpus], ${cpus} shuffle partitions, sf1 parquet\n"
     md ++= s"(`$d`, 10x sf0.1 via the ScaleSoak builder — lineitem ~6M rows),\n"
-    md ++= "JVM heap ${SPARK_DRIVER_MEM:-8g}. Same core count (32) as the\n"
+    md ++= s"JVM heap ${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}. Same core count (32) as the\n"
     md ++= "reference's published configs (4x r6id.2xlarge). Timings are\n"
     md ++= "min-of-2 after one warm pass; engine and naive validated to the\n"
     md ++= "same row count before timing. `naive` = the stock-SparkSQL\n"
     md ++= "formulation from the reference's own comparator scripts\n"
     md ++= "(benchmark/spark/*.py), adapted to the driver schema exactly as\n"
     md ++= "the engine's TPC-H adaptations document.\n\n"
+    md ++= "Reading the TPC-H rows: the engine's gate queries deliberately\n"
+    md ++= "carry deterministic decimal sums (Det.dsum — bit-reproducible\n"
+    md ++= "results across engines/layouts, the property the 264-query\n"
+    md ++= "oracle gate is built on), which plain stock SQL does not; rows\n"
+    md ++= "with naive/engine < 1 are that documented tax (see the plain-\n"
+    md ++= "IEEE-sums control row), while rows > 1 are structural plan wins\n"
+    md ++= "(tpch09's window vs double-scan derive, tpch18's aggregate-first\n"
+    md ++= "vs HAVING re-join). A user who doesn't need bit-reproducibility\n"
+    md ++= "writes plain sums through the same API and gets the naive plan.\n\n"
     md ++= "| workload | engine s | naive s | naive/engine | note |\n"
     md ++= "|---|---|---|---|---|\n"
     rows.foreach(r => md ++= r + "\n")
