@@ -386,6 +386,11 @@ object ScaleSoak {
     // = days × types, flat) + day-grid math on drained counts — ratio
     // must track the streaming replay floor
     "q243_streaming_drift",
+    // r15: the composed curation pipeline (checkpointed kept/keeper
+    // projections — ratio tracks the LSH+CC core plus the packer) and
+    // the wide-quantile mapPartitions path (scan-linear t-digest
+    // arrays; constant task memory is the property under test)
+    "q244_curation_pipeline", "q245_wide_quantiles",
     // ---- r13 soak-breadth batch (verdict item 7): every remaining
     // catalog query whose cost scales with data, so no regression can
     // hide in the unsoaked half. EXEMPT as fixed-floor by construction
