@@ -42,6 +42,7 @@ object WideQuantiles {
       compression: Int = 100): DataFrame = {
     require(cols.nonEmpty, "wide quantiles need at least one column")
     require(qs.nonEmpty, "wide quantiles need at least one quantile")
+    require(compression > 0, s"compression must be positive, got $compression")
     val spark = df.sparkSession
     val nc = cols.length
     val bufCap = compression * 4
@@ -77,9 +78,16 @@ object WideQuantiles {
         (0 until nc).foreach(flush)
         Iterator.single(states)
       }
-      .treeReduce({ (a, b) =>
-        Array.tabulate(nc)(i => TDigest.merge(a(i), b(i), compression))
-      }, depth = 2)
+      .treeAggregate(Array.fill(nc)(
+        TDigestState(Array.empty, Array.empty, Array.empty)))(
+        // treeAggregate, not treeReduce: reduce throws on a
+        // ZERO-partition RDD (r15 review), while the zero value here
+        // degrades an empty input to the documented NaN row
+        (a, b) => Array.tabulate(nc)(i => TDigest.merge(a(i), b(i),
+          compression)),
+        (a, b) => Array.tabulate(nc)(i => TDigest.merge(a(i), b(i),
+          compression)),
+        depth = 2)
     val values = merged.map(s => TDigest.quantiles(s, qs, compression))
     val row = Row.fromSeq(values.toSeq.map(_.toSeq))
     val schema = org.apache.spark.sql.types.StructType(cols.map(c =>

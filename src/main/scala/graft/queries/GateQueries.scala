@@ -19,6 +19,16 @@ object GateQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** CDF rank-bound flag shared by the sketch gates (q54/q96/q245 —
+    * r15 review: three drifting copies): |F(threshold) − p| ≤ tol over
+    * `valueCol`, as an int 0/1 aggregate named `name`. */
+  private[queries] def cdfFlag(valueCol: org.apache.spark.sql.Column,
+      threshold: org.apache.spark.sql.Column, p: Double, tol: Double,
+      name: String): org.apache.spark.sql.Column =
+    (abs(sum(when(valueCol <= threshold, 1L).otherwise(0L))
+      .cast("double") / count(lit(1)) - lit(p)) <= lit(tol))
+      .cast("int").as(name)
+
   /** Drive a bounded Structured Streaming query to completion
     * (AvailableNow trigger, complete-mode memory sink) and return the
     * final result table — the harness that lets true streaming plans run
@@ -1387,9 +1397,8 @@ object GateQueries {
       val qs = new DataStream(li).tdigestQuantile("l_extendedprice", ps, 100).df
       // the typed select flattens QuantileValues to a `values` column
       def ok(i: Int, p: Double) =
-        (abs(sum(when(col("l_extendedprice") <= element_at(col("values"),
-          i + 1), 1L).otherwise(0L)).cast("double") / count(lit(1)) - lit(p))
-          <= lit(0.02)).cast("int").as(s"ok_q${(p * 100).toInt}")
+        cdfFlag(col("l_extendedprice"), element_at(col("values"), i + 1),
+          p, 0.02, s"ok_q${(p * 100).toInt}")
       li.join(broadcast(qs))
         .agg(ok(0, 0.25), ok(1, 0.5), ok(2, 0.75), ok(3, 0.95))
     },
@@ -1412,10 +1421,8 @@ object GateQueries {
       val qs = new DataStream(li).approximateQuantileWide(
         Seq("l_extendedprice", "l_quantity"), ps).df
       def ok(c: String, tol: Double)(i: Int) =
-        (abs(sum(when(col(c) <= element_at(col(s"${c}_quantiles"),
-          i + 1), 1L).otherwise(0L)).cast("double") / count(lit(1)) -
-          lit(ps(i))) <= lit(tol)).cast("int")
-          .as(s"ok_${c.stripPrefix("l_")}_q${(ps(i) * 100).toInt}")
+        cdfFlag(col(c), element_at(col(s"${c}_quantiles"), i + 1), ps(i),
+          tol, s"ok_${c.stripPrefix("l_")}_q${(ps(i) * 100).toInt}")
       val okE = ok("l_extendedprice", 0.02) _
       val okQ = ok("l_quantity", 0.05) _
       li.join(broadcast(qs))

@@ -428,9 +428,8 @@ object VectorQueries {
         expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("q75"),
         expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("q95"))
       def ok(p: Double, qcol: String) =
-        (abs(sum(when(col("l_extendedprice") <= col(qcol), 1L).otherwise(0L))
-          .cast("double") / count(lit(1)) - lit(p)) <= lit(5e-4))
-          .cast("int").as(s"ok_$qcol")
+        GateQueries.cdfFlag(col("l_extendedprice"), col(qcol), p, 5e-4,
+          s"ok_$qcol")
       li.join(broadcast(qs))
         .agg(ok(0.25, "q25"), ok(0.5, "q50"), ok(0.75, "q75"), ok(0.95, "q95"))
     },

@@ -239,11 +239,15 @@ object BaselineBench {
     }
 
     // ---- winsorization headline (blog/approxquant.md:31) ---------------
-    // 1M × 10k floats, quantiles [0.1, 0.9] per column, ONE job. The
+    // 1M × 10k floats, quantiles [0.1, 0.9] per column, ONE pass. The
     // reference: ~60 s on 32 vCPUs; "Spark's approxQuantile always
     // crashes". Stock side runs under a watchdog — a DNF past the cap
-    // IS the reproduced claim. Engine precision (accuracy=100) matches
-    // stock relativeError=0.01.
+    // IS the reproduced claim. Engine = approximateQuantileWide
+    // (t-digest, compression 100 ⇒ rank error well inside stock's
+    // relativeError=0.01 at the 0.1/0.9 quantiles — WideQuantilesSpec
+    // pins <0.01); both winsorize rows are single cold runs (a warm +
+    // min-of-2 at 7+ minutes each would double the harness for a
+    // number that is minutes-scale either way).
     val wide = sys.env.getOrElse("GRAFT_WIDE_COLS", "10000").toInt
     val wrows = sys.env.getOrElse("GRAFT_WIDE_ROWS", "1000000").toLong
     val capSec = sys.env.getOrElse("GRAFT_WIDE_CAP_SEC", "600").toInt
@@ -270,6 +274,11 @@ object BaselineBench {
       // stock df.stat.approxQuantile under a watchdog
       val group = "baseline-wide-stock"
       @volatile var stock: Either[String, Double] = Left("DNF")
+      // set BEFORE cancelJobGroup: the cancelled worker's exception
+      // must not overwrite the DNF cell with a crash we induced (r15
+      // review — a manufactured "CRASHED" here would fake the very
+      // headline this harness measures)
+      @volatile var cancelled = false
       val t = new Thread(() => {
         try {
           spark.sparkContext.setJobGroup(group, "stock approxQuantile", true)
@@ -279,32 +288,33 @@ object BaselineBench {
           require(r.length == wide)
           stock = Right((System.nanoTime() - s0) / 1e9)
         } catch {
-          case e: Throwable => if (stock.isLeft) {
-            // record the ROOT cause. Spark's stage-failure message
-            // embeds the task-level cause as TEXT (not a linked
-            // getCause), so walk the chain AND scan the message for
-            // the interesting marker — a bare "SparkException: Job
-            // aborted" cell hides e.g. SparkOutOfMemoryError after a
-            // 79 GB spill.
-            var c: Throwable = e
-            while (c.getCause != null && c.getCause != c) c = c.getCause
-            val full = Option(c.getMessage).getOrElse("")
+          case e: Throwable => if (stock.isLeft && !cancelled) {
+            // Spark's job-abort wrapper embeds the task-level cause as
+            // TEXT in its message, not always as a linked getCause —
+            // scan EVERY message in the chain for the interesting
+            // marker (a bare "SparkException: Job aborted" cell hides
+            // e.g. SparkOutOfMemoryError after a 79 GB spill)
+            val chain = Iterator.iterate(e)(_.getCause)
+              .takeWhile(c => c != null).take(10).toSeq
+            val msgs = chain.map(c => Option(c.getMessage).getOrElse(""))
             val markers = Seq("SparkOutOfMemoryError", "OutOfMemoryError",
               "No space left", "SPILL_OUT_OF_MEMORY")
-            val msg = markers.find(full.contains) match {
-              case Some(m) => full.substring(full.indexOf(m)).take(160)
-              case None => full.take(120)
-            }
-            stock = Left(("CRASHED " + c.getClass.getSimpleName + ": " +
-              msg).replace('\n', ' ').replace("|", "/"))
+            val hit = msgs.flatMap(m =>
+              markers.find(m.contains).map(k =>
+                m.substring(m.indexOf(k)).take(160))).headOption
+            val cls = chain.last.getClass.getSimpleName
+            val msg = hit.getOrElse(msgs.head.take(120))
+            stock = Left(s"CRASHED $cls: $msg"
+              .replace('\n', ' ').replace("|", "/"))
           }
         } finally spark.sparkContext.clearJobGroup()
       })
       t.setDaemon(true); t.start()
       t.join(capSec * 1000L)
       if (t.isAlive) {
-        spark.sparkContext.cancelJobGroup(group)
+        cancelled = true
         stock = Left(s"DNF >${capSec}s (cancelled)")
+        spark.sparkContext.cancelJobGroup(group)
         t.join(30000L)
       }
       val stockCell = stock.fold(identity, s => s"${fmt(s)} s")
@@ -330,10 +340,11 @@ object BaselineBench {
     md ++= "# BASELINE_MEASURED — reference benchmark methodology, head-to-head\n\n"
     md ++= s"Environment: local[$cpus], ${cpus} shuffle partitions, sf1 parquet\n"
     md ++= s"(`$d`, 10x sf0.1 via the ScaleSoak builder — lineitem ~6M rows),\n"
-    md ++= s"JVM heap ${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}. Same core count (32) as the\n"
-    md ++= "reference's published configs (4x r6id.2xlarge). Timings are\n"
-    md ++= "min-of-2 after one warm pass; engine and naive validated to the\n"
-    md ++= "same row count before timing. `naive` = the stock-SparkSQL\n"
+    md ++= s"JVM heap ${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}. The reference's published winsorization\n"
+    md ++= s"config is 4x r6id.2xlarge = 32 vCPUs (this run: $cpus). Timings are\n"
+    md ++= "min-of-2 after one warm pass (except the winsorize rows: single\n"
+    md ++= "cold runs — minutes-scale either way); TPC-H engine/naive pairs\n"
+    md ++= "validated to the same row count before timing. `naive` = the stock-SparkSQL\n"
     md ++= "formulation from the reference's own comparator scripts\n"
     md ++= "(benchmark/spark/*.py), adapted to the driver schema exactly as\n"
     md ++= "the engine's TPC-H adaptations document.\n\n"

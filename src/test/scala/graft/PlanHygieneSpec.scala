@@ -19,8 +19,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     "tpch22",
     "q50_vector_nn", "q78_kmeans",
     // rank-bound gates: each crosses the fact table with its own one-row
-    // sketch aggregate (approx/t-digest quantiles, Welford state)
+    // sketch aggregate (approx/t-digest quantiles, Welford state; q245's
+    // is the wide mapPartitions digest row)
     "q54_approx_quantile", "q95_welford_udaf", "q96_tdigest",
+    "q245_wide_quantiles",
     // bigram LM: crosses the scored bigrams with the one-row train
     // vocabulary-size aggregate
     "q131_bigram_lm",
