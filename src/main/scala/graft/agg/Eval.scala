@@ -662,6 +662,113 @@ object Eval {
     * (query, doc) — both relations id-sized — plus one map-combined
     * per-query aggregate and one qrels-size aggregate joined back;
     * no windows, no per-query buffering. */
+  /** The per-rank DCG discount table: 1/log₂(r+1) QUANTIZED to 40
+    * fractional bits — i.e. the RATIONAL round(2⁴⁰/log₂(r+1))/2⁴⁰
+    * (relative error < 1e-12, far inside any ranking-metric use).
+    * Irrational discounts are the one place nDCG can't be
+    * exact-integer; the quantization makes the whole readout
+    * engine-reproducible: the numerator is an exact ≤2⁴⁰ integer and
+    * the divisor a power of two, so `CAST(n AS DOUBLE) / 2^40` yields
+    * bit-identical doubles in any IEEE engine. (The first cut shared
+    * shortest-round-trip decimal TEXT instead — and DuckDB's literal
+    * parser landed one ulp off on the rank-5 value, a measured
+    * hash-gate miss. Decimal text is not a cross-engine contract;
+    * integer-over-power-of-two is.) */
+  val ndcgDiscountDen: Double = 1099511627776.0 // 2^40
+  def ndcgDiscountNums(k: Int): Seq[Long] =
+    (1 to k).map(r => math.rint(
+      ndcgDiscountDen / (math.log(r + 1.0) / math.log(2.0))).toLong)
+  def ndcgDiscounts(k: Int): Seq[Double] =
+    ndcgDiscountNums(k).map(_.toDouble / ndcgDiscountDen)
+
+  /** Graded nDCG@k — the standard ranking metric [[retrievalMetrics]]'s
+    * binary P@k/MRR can't express (TREC exponential gain 2^grade − 1,
+    * discount 1/log₂(rank+1)). `qrels` carries (query, doc, grade ≥ 0)
+    * with grade an exact small integer (checked loudly; grade 0 rows
+    * are allowed and contribute nothing). Unjudged retrieved docs gain
+    * 0. IDCG@k is the ideal ordering of the query's judged grades
+    * (grade desc, doc asc — the doc tie-break pins WHICH equal-grade
+    * doc occupies each discounted position, making the fold
+    * engine-reproducible); `ndcg_at_k` is NULL when a query has no
+    * positive-grade judgments (0/0), 0.0 when it retrieved none of
+    * them.
+    *
+    * Determinism: every per-query sum is a left fold over a sorted
+    * array (`array_sort` → `aggregate`), so the IEEE add order is
+    * pinned — same discipline as the q63 fingerprint fold — and the
+    * discounts come from [[ndcgDiscounts]]'s shared literals.
+    *
+    * Scale shape: top-k results join qrels on (query, doc) — id-sized;
+    * per-query folds touch ≤ k elements (results) and the judged set
+    * capped to k after an id-sized sort window. One window over qrels
+    * (grade-desc top-k per query) + two map-combined collect folds;
+    * no data-sized windows. */
+  def ndcgAtK(results: DataFrame, qrels: DataFrame,
+      queryCol: String, docCol: String, rankCol: String, gradeCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val discounts = ndcgDiscounts(k)
+    def discountOf(rank: Column): Column =
+      discounts.zipWithIndex.foldRight(lit(0.0): Column) {
+        case ((d, i), acc) => when(rank === (i + 1), lit(d)).otherwise(acc)
+      }
+    // shiftleft via call_function: the Scala helper's signature takes a
+    // literal Int shift, not a Column
+    def gain(grade: Column): Column =
+      (call_function("shiftleft", lit(1L), grade.cast("int")) - lit(1L))
+        .cast("double")
+    def foldSum(pos: Column, contrib: Column): Column =
+      aggregate(
+        array_sort(collect_list(struct(pos.as("p"), contrib.as("c")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("c"))
+    val res = results
+      .select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        integralLong(col(rankCol), "ndcgAtK", rankCol).as("__r"))
+      .filter(col("__r") >= 1 && col("__r") <= k)
+      .groupBy(col("__q"), col("__d")).agg(min(col("__r")).as("__r"))
+    // the negative-grade guard sits ABOVE the dedup aggregate, not in a
+    // filter on the input: a filter predicate would push down into the
+    // caller's qrels-building join and evaluate on pairs the join
+    // condition hadn't pruned yet (burned here: a |Δlabel| ≤ 2 theta
+    // join raised on the unpruned |Δ| = 5 pairs). min(__g) < 0 over the
+    // agg catches every negative input row, and nothing below an
+    // aggregate is reorderable past it.
+    val rel = qrels
+      .select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        integralLong(col(gradeCol), "ndcgAtK", gradeCol).as("__g"))
+      .groupBy(col("__q"), col("__d"))
+      .agg(max(col("__g")).as("__g"), min(col("__g")).as("__gmin"))
+      .select(col("__q"), col("__d"),
+        when(col("__gmin") < 0, raise_error(lit(
+          s"ndcgAtK: negative grade in $gradeCol")))
+          .otherwise(col("__g")).as("__g"))
+    val dcg = res.join(rel, Seq("__q", "__d"), "left")
+      .select(col("__q"),
+        (gain(coalesce(col("__g"), lit(0L))) * discountOf(col("__r")))
+          .as("__c"), col("__r"))
+      .groupBy(col("__q")).agg(foldSum(col("__r"), col("__c")).as("dcg_at_k"))
+    val ideal = rel.filter(col("__g") > 0)
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col("__q"))
+          .orderBy(col("__g").desc, col("__d").asc)))
+      .filter(col("__pos") <= k)
+      .select(col("__q"),
+        (gain(col("__g")) * discountOf(col("__pos"))).as("__c"),
+        col("__pos"))
+      .groupBy(col("__q"))
+      .agg(foldSum(col("__pos"), col("__c")).as("idcg_at_k"),
+        count(lit(1)).as("n_judged_k"))
+    dcg.join(ideal, Seq("__q"), "full_outer")
+      .select(col("__q").as(queryCol),
+        coalesce(col("n_judged_k"), lit(0L)).as("n_judged_k"),
+        coalesce(col("dcg_at_k"), lit(0.0)).as("dcg_at_k"),
+        col("idcg_at_k"),
+        when(col("idcg_at_k").isNull, lit(null).cast("double"))
+          .otherwise(coalesce(col("dcg_at_k"), lit(0.0)) /
+            col("idcg_at_k")).as("ndcg_at_k"))
+  }
+
   def retrievalMetrics(results: DataFrame, qrels: DataFrame,
       queryCol: String, docCol: String, rankCol: String,
       k: Int): DataFrame = {

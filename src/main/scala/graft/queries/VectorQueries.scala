@@ -231,6 +231,32 @@ object VectorQueries {
         .orderBy("probe_id")
     },
 
+    // GRADED nDCG@10 (Eval.ndcgAtK, r15): the standard ranking metric
+    // q221's binary P@k/MRR can't express. Graded relevance = label
+    // proximity (grade 3 same label, 2/1 at distance 1/2, self
+    // excluded) over the same q50 probe pipeline. The discount table
+    // is a shared-literal contract (Eval.ndcgDiscounts) and every
+    // per-query sum a sorted-array left fold, so the oracle restates
+    // the identical IEEE arithmetic — a hash gate on a log-based
+    // metric.
+    "q246_ndcg" -> { (s, d) =>
+      val emb = embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "probe_id")
+      val results = VectorOps.nnJoin(emb, probes, "embedding", "vec_id",
+          "probe_id", k = 10)
+        .select(col("probe_id"), col("vec_id"), col("rank"))
+      val qrels = probes.select(col("probe_id"), col("label").as("__pl"))
+        .join(emb.select(col("vec_id"), col("label")),
+          col("vec_id") =!= col("probe_id") &&
+            abs(col("label") - col("__pl")) <= 2)
+        .select(col("probe_id"), col("vec_id"),
+          (lit(3) - abs(col("label") - col("__pl"))).as("grade"))
+      graft.agg.Eval.ndcgAtK(results, qrels, "probe_id", "vec_id",
+          "rank", "grade", k = 10)
+        .orderBy("probe_id")
+    },
+
     // FILTERED vector search (predicate-constrained ANN — the
     // vector-DB `search(filter=...)` feature on the stored q171 index):
     // top-k among the even-label ids only, PRE-filter semantics (the
@@ -579,6 +605,55 @@ object VectorQueries {
          |    ELSE 1.0 / fr::DOUBLE END AS rr
          |FROM nr FULL OUTER JOIN h ON nr.probe_id = h.probe_id
          |ORDER BY probe_id""".stripMargin,
+
+    "q246_ndcg" -> {
+      // the SAME quantized-rational discounts the Spark side uses,
+      // stated as integer/2^40 (exact in both engines — decimal text
+      // is NOT a contract: DuckDB's parser landed an ulp off on the
+      // rank-5 value), and the same sorted left-fold add order — see
+      // Eval.ndcgAtK / ndcgDiscounts
+      val nums = graft.agg.Eval.ndcgDiscountNums(10)
+      val den = graft.agg.Eval.ndcgDiscountDen
+      def disc(rankExpr: String) = nums.zipWithIndex
+        .map { case (n, i) =>
+          s"WHEN $rankExpr = ${i + 1} THEN CAST($n AS DOUBLE) / ${den.toLong}.0" }
+        .mkString("CASE ", " ", " ELSE 0.0 END")
+      def fold(cExpr: String, ordExpr: String) =
+        s"list_reduce(list_prepend(0.0::DOUBLE, list($cExpr ORDER BY $ordExpr)), (a, x) -> a + x)"
+      s"""WITH ne AS (SELECT vec_id, ${duckNorm("embedding")} AS nv FROM embeddings),
+         |sims AS (
+         |  SELECT p.vec_id AS probe_id, e.vec_id, ${duckDot("e.nv", "p.nv")} AS sim
+         |  FROM ne e CROSS JOIN (SELECT * FROM ne WHERE vec_id < 5) p),
+         |res AS (SELECT probe_id, vec_id, rank FROM (
+         |    SELECT probe_id, vec_id, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+         |    FROM sims) WHERE rank <= 10),
+         |rel AS (SELECT p.vec_id AS probe_id, e.vec_id,
+         |    CAST(3 - abs(e.label - p.label) AS BIGINT) AS grade
+         |  FROM embeddings e JOIN embeddings p
+         |    ON p.vec_id < 5 AND e.vec_id <> p.vec_id
+         |      AND abs(e.label - p.label) <= 2),
+         |dcg AS (SELECT res.probe_id,
+         |    ${fold(s"CAST((1 << coalesce(rel.grade, 0)) - 1 AS DOUBLE) * ${disc("res.rank")}", "res.rank")} AS dcg_at_k
+         |  FROM res LEFT JOIN rel
+         |    ON res.probe_id = rel.probe_id AND res.vec_id = rel.vec_id
+         |  GROUP BY 1),
+         |ip AS (SELECT probe_id, grade, pos FROM (
+         |    SELECT probe_id, grade, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY grade DESC, vec_id) AS pos
+         |    FROM rel WHERE grade > 0) WHERE pos <= 10),
+         |ideal AS (SELECT probe_id,
+         |    ${fold(s"CAST((1 << grade) - 1 AS DOUBLE) * ${disc("pos")}", "pos")} AS idcg_at_k,
+         |    CAST(count(*) AS BIGINT) AS n_judged_k
+         |  FROM ip GROUP BY 1)
+         |SELECT coalesce(dcg.probe_id, ideal.probe_id) AS probe_id,
+         |  coalesce(n_judged_k, 0) AS n_judged_k,
+         |  coalesce(dcg_at_k, 0.0) AS dcg_at_k, idcg_at_k,
+         |  CASE WHEN idcg_at_k IS NULL THEN NULL
+         |    ELSE coalesce(dcg_at_k, 0.0) / idcg_at_k END AS ndcg_at_k
+         |FROM dcg FULL OUTER JOIN ideal ON dcg.probe_id = ideal.probe_id
+         |ORDER BY probe_id""".stripMargin
+    },
 
     "q218_ivf_filtered" ->
       """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_res,

@@ -391,6 +391,8 @@ object ScaleSoak {
     // the wide-quantile mapPartitions path (scan-linear t-digest
     // arrays; constant task memory is the property under test)
     "q244_curation_pipeline", "q245_wide_quantiles",
+    // graded nDCG: bounded probe batch × corpus scan — scan-linear
+    "q246_ndcg",
     // ---- r13 soak-breadth batch (verdict item 7): every remaining
     // catalog query whose cost scales with data, so no regression can
     // hide in the unsoaked half. EXEMPT as fixed-floor by construction

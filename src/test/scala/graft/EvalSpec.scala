@@ -195,6 +195,52 @@ class EvalSpec extends SparkSpecBase {
     assert(dup.getLong(1) == 3L && dup.getLong(2) == 2L)
   }
 
+  test("ndcgAtK: hand-computed grades, ideal reordering, edge queries") {
+    val s = spark; import s.implicits._
+    val d = graft.agg.Eval.ndcgDiscounts(3)
+    // q1 retrieves (doc, rank): (9,1) unjudged, (11,2) grade 2,
+    //   (10,3) grade 3 -> dcg = 0 + 3*d2 + 7*d3
+    //   ideal: grades [3, 2] -> idcg = 7*d1 + 3*d2
+    // q2: judged {20: 1} but retrieves nothing judged -> ndcg 0
+    // q3: results, NO positive judgments -> idcg null, ndcg null
+    // q4: judged only, no results -> dcg 0
+    val results = Seq(
+      (1L, 9L, 1L), (1L, 11L, 2L), (1L, 10L, 3L),
+      (2L, 98L, 1L), (3L, 96L, 1L)
+    ).toDF("q", "d", "r")
+    val qrels = Seq((1L, 10L, 3L), (1L, 11L, 2L), (2L, 20L, 1L),
+      (3L, 96L, 0L), (4L, 40L, 2L)).toDF("q", "d", "g")
+    val out = graft.agg.Eval.ndcgAtK(results, qrels, "q", "d", "r", "g",
+        k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    val dcg1 = 0.0 + 3.0 * d(1) + 7.0 * d(2)
+    val idcg1 = 0.0 + 7.0 * d(0) + 3.0 * d(1)
+    assert(out(1L) == ((2L, dcg1, Some(idcg1), Some(dcg1 / idcg1))))
+    assert(out(2L) == ((1L, 0.0, Some(1.0 * d(0)), Some(0.0))))
+    assert(out(3L) == ((0L, 0.0, None, None)))
+    assert(out(4L)._1 == 1L && out(4L)._4 == Some(0.0))
+    // negative grade raises loudly
+    val bad = Seq((1L, 10L, -1L)).toDF("q", "d", "g")
+    val e = intercept[Exception] {
+      graft.agg.Eval.ndcgAtK(results, bad, "q", "d", "r", "g", 3)
+        .collect()
+    }
+    assert(e.getMessage.contains("negative grade") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative grade")))
+    // ideal top-k cut: 4 judged docs, k=2 -> idcg uses the best two
+    val many = Seq((5L, 1L, 1L), (5L, 2L, 3L), (5L, 3L, 2L), (5L, 4L, 3L))
+      .toDF("q", "d", "g")
+    val row5 = graft.agg.Eval.ndcgAtK(
+      Seq((5L, 2L, 1L)).toDF("q", "d", "r"), many, "q", "d", "r", "g", 2)
+      .head()
+    val d2 = graft.agg.Eval.ndcgDiscounts(2)
+    assert(row5.getLong(1) == 2L)
+    assert(row5.getDouble(3) == 0.0 + 7.0 * d2(0) + 7.0 * d2(1))
+  }
+
   test("ksDrift: hand rational, empty sides, layout invariance") {
     val a = Seq(1.0, 2.0, 3.0).toDF("value")
     val b = Seq(3.0, 4.0).toDF("value")
