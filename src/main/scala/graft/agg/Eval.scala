@@ -727,6 +727,19 @@ object Eval {
         integralLong(col(rankCol), "ndcgAtK", rankCol).as("__r"))
       .filter(col("__r") >= 1 && col("__r") <= k)
       .groupBy(col("__q"), col("__d")).agg(min(col("__r")).as("__r"))
+      // duplicate-RANK guard (same loud-validation discipline as the
+      // negative-grade raise): after the (query, doc) dedup, two
+      // DIFFERENT docs both at rank 1 would each receive the rank-1
+      // discount and silently inflate DCG — a real ranking never
+      // assigns one position twice. count(*) over (__q, __r) sits
+      // above the dedup aggregate, so it sees every surviving row.
+      .withColumn("__nr", count(lit(1)).over(
+        Window.partitionBy(col("__q"), col("__r"))))
+      .select(col("__q"), col("__d"),
+        when(col("__nr") > 1, raise_error(lit(
+          s"ndcgAtK: duplicate rank in $rankCol — ranks must be " +
+            "distinct per query within the top-k")))
+          .otherwise(col("__r")).as("__r"))
     // the negative-grade guard sits ABOVE the dedup aggregate, not in a
     // filter on the input: a filter predicate would push down into the
     // caller's qrels-building join and evaluate on pairs the join
@@ -742,6 +755,14 @@ object Eval {
       .select(col("__q"), col("__d"),
         when(col("__gmin") < 0, raise_error(lit(
           s"ndcgAtK: negative grade in $gradeCol")))
+          // gain is 2^grade − 1 via shiftleft(1L, grade), which wraps
+          // the shift mod 64 — a grade ≥ 63 would silently yield a
+          // zero/negative gain. Raise like the negative-grade guard;
+          // graded relevance scales top out at single digits, so 62
+          // is a sanity bound, not a real restriction.
+          .when(col("__g") > 62, raise_error(lit(
+            s"ndcgAtK: grade in $gradeCol exceeds 62 — 2^grade gain " +
+              "would overflow the 64-bit shift")))
           .otherwise(col("__g")).as("__g"))
     val dcg = res.join(rel, Seq("__q", "__d"), "left")
       .select(col("__q"),

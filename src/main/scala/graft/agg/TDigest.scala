@@ -60,10 +60,33 @@ object TDigest {
 
   def merge(a: TDigestState, b: TDigestState,
       compression: Int): TDigestState = {
-    val means = a.means ++ b.means
-    val weights = a.weights ++ b.weights
+    // both centroid sets are compress outputs, hence sorted: pre-merge
+    // the two runs (stable, a-before-b on ties — the order the old
+    // concat+stable-sort produced) so compress takes its linear
+    // sorted-input path instead of re-sorting
+    val (means, weights) = mergeSortedRuns(
+      a.means, a.weights, b.means, b.weights)
     val buf = a.buffer ++ b.buffer
     compress(means, weights, buf, compression)
+  }
+
+  /** Stable linear merge of two mean-sorted centroid runs (a wins
+    * ties) — primitive arrays, no boxing. */
+  private def mergeSortedRuns(
+      am: Array[Double], aw: Array[Double],
+      bm: Array[Double], bw: Array[Double]): (Array[Double], Array[Double]) = {
+    val n = am.length + bm.length
+    val m = new Array[Double](n)
+    val w = new Array[Double](n)
+    var i = 0; var j = 0; var o = 0
+    while (i < am.length && j < bm.length) {
+      if (am(i) <= bm(j)) { m(o) = am(i); w(o) = aw(i); i += 1 }
+      else { m(o) = bm(j); w(o) = bw(j); j += 1 }
+      o += 1
+    }
+    while (i < am.length) { m(o) = am(i); w(o) = aw(i); i += 1; o += 1 }
+    while (j < bm.length) { m(o) = bm(j); w(o) = bw(j); j += 1; o += 1 }
+    (m, w)
   }
 
   /** Final readout: fold any remaining buffer, then interpolate each
@@ -104,24 +127,62 @@ object TDigest {
   def compress(
       means: Array[Double], weights: Array[Double],
       buffer: Array[Double], compression: Int): TDigestState = {
-    val n = means.length + buffer.length
+    val nm = means.length
+    val n = nm + buffer.length
     if (n == 0) return TDigestState(Array.empty, Array.empty, Array.empty)
-    val pts = new Array[(Double, Double)](n)
-    var i = 0
-    while (i < means.length) { pts(i) = (means(i), weights(i)); i += 1 }
-    var j = 0
-    while (j < buffer.length) { pts(i + j) = (buffer(j), 1.0); j += 1 }
-    val sorted = pts.sortBy(_._1)
-    val total = sorted.map(_._2).sum
+    // Hot path (r16, the winsorization headline's constant factor):
+    // every call site feeds centroids that are a compress/merge output
+    // and therefore already mean-sorted, so instead of boxing n
+    // (mean, weight) tuples for a generic stable sort — one tuple per
+    // ingested VALUE at 1M×10k — sort the unit-weight buffer with a
+    // primitive Arrays.sort and stable-merge it with the sorted
+    // centroid run (centroid wins ties, exactly the order the old
+    // centroids-first stable sortBy produced; equal buffer values are
+    // interchangeable at weight 1). A defensive O(n) sortedness check
+    // keeps the public contract for direct unsorted constructions.
+    var runSorted = true
+    var s = 1
+    while (runSorted && s < nm) {
+      if (means(s - 1) > means(s)) runSorted = false
+      s += 1
+    }
+    val (sm, sw) =
+      if (runSorted) {
+        val sb = java.util.Arrays.copyOf(buffer, buffer.length)
+        java.util.Arrays.sort(sb)
+        val m = new Array[Double](n)
+        val w = new Array[Double](n)
+        var i = 0; var j = 0; var o = 0
+        while (i < nm && j < sb.length) {
+          if (means(i) <= sb(j)) { m(o) = means(i); w(o) = weights(i); i += 1 }
+          else { m(o) = sb(j); w(o) = 1.0; j += 1 }
+          o += 1
+        }
+        while (i < nm) { m(o) = means(i); w(o) = weights(i); i += 1; o += 1 }
+        while (j < sb.length) { m(o) = sb(j); w(o) = 1.0; j += 1; o += 1 }
+        (m, w)
+      } else {
+        val pts = new Array[(Double, Double)](n)
+        var i = 0
+        while (i < nm) { pts(i) = (means(i), weights(i)); i += 1 }
+        var j = 0
+        while (j < buffer.length) { pts(i + j) = (buffer(j), 1.0); j += 1 }
+        val sorted = pts.sortBy(_._1)
+        (sorted.map(_._1), sorted.map(_._2))
+      }
+    var total = 0.0
+    var t = 0
+    while (t < n) { total += sw(t); t += 1 }
 
     val outM = Array.newBuilder[Double]
     val outW = Array.newBuilder[Double]
-    var curMean = sorted(0)._1
-    var curW = sorted(0)._2
+    var curMean = sm(0)
+    var curW = sw(0)
     var done = 0.0 // weight fully emitted so far
     var k = 1
-    while (k < sorted.length) {
-      val (m, w) = sorted(k)
+    while (k < n) {
+      val m = sm(k)
+      val w = sw(k)
       val qMid = (done + (curW + w) / 2.0) / total
       val limit = 4.0 * total * qMid * (1.0 - qMid) / compression
       if (curW + w <= math.max(limit, 1.0)) {

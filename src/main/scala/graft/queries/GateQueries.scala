@@ -1429,6 +1429,78 @@ object GateQueries {
         .agg(okE(0), okE(1), okE(2), okQ(0), okQ(1), okQ(2))
     },
 
+    // Winsorize composition (r16, verdict item 6): ONE API hop from
+    // the wide t-digest pass to clip (DataStream.winsorize), gated
+    // end-to-end with a covariance readout — the reference's blog
+    // pipeline (approxquant.md: quantiles → clip → covariance) as a
+    // single query. Flags: (a) the clipped extremes ARE the sketch
+    // bounds, pinned by the q245 CDF rank band against the ORIGINAL
+    // column (continuous l_extendedprice ±0.02, discrete l_quantity
+    // ±0.05); (b) winsorizing strictly reduces covar_pop variance per
+    // column (≥8% of mass sits beyond each bound — far beyond sketch
+    // error); (c) the clipped quantity–extendedprice covariance stays
+    // positive (extendedprice is quantity × part price — structural).
+    "q247_winsorize_cov" -> { (s, d) =>
+      val li = lineitem(s, d)
+      val cs = Seq("l_extendedprice", "l_quantity", "l_discount")
+      def cast3(df: DataFrame) =
+        df.select(cs.map(c => col(c).cast("double")): _*)
+      val clipped = new DataStream(cast3(li)).winsorize(cs, 0.1, 0.9).df
+      val mm = clipped.agg(
+        min("l_extendedprice").as("lo_e"), max("l_extendedprice").as("hi_e"),
+        min("l_quantity").as("lo_q"), max("l_quantity").as("hi_q"))
+      val covC = graft.vector.VectorOps.covariance(clipped, cs)
+      val covR = graft.vector.VectorOps.covariance(cast3(li), cs)
+        .select(col("c_0_0").as("r_0_0"), col("c_1_1").as("r_1_1"),
+          col("c_2_2").as("r_2_2"))
+      li.join(broadcast(mm)).join(broadcast(covC)).join(broadcast(covR))
+        .agg(
+          cdfFlag(col("l_extendedprice"), col("lo_e"), 0.1, 0.02, "ok_lo_e"),
+          cdfFlag(col("l_extendedprice"), col("hi_e"), 0.9, 0.02, "ok_hi_e"),
+          cdfFlag(col("l_quantity"), col("lo_q"), 0.1, 0.05, "ok_lo_q"),
+          cdfFlag(col("l_quantity"), col("hi_q"), 0.9, 0.05, "ok_hi_q"),
+          (min(col("c_0_0")) < min(col("r_0_0"))).cast("int").as("ok_var_e"),
+          (min(col("c_1_1")) < min(col("r_1_1"))).cast("int").as("ok_var_q"),
+          (min(col("c_2_2")) < min(col("r_2_2"))).cast("int").as("ok_var_d"),
+          (min(col("c_0_1")) > 0.0).cast("int").as("ok_cov_eq_pos"))
+    },
+
+    // End-to-end MULTIMODAL pipeline (r16, verdict item 4 — the image
+    // twin of q244's text composition): decode → pHash → hamming
+    // band-join → connected components → quality-ranked canonical
+    // keeper → caption-text join, as ONE oracle-gated query. The
+    // expensive stage (PNG synthesize + real decode + dHash) is
+    // localCheckpoint'd ONCE and fans out to the pair generator, the
+    // CC node list — and, post-closure, the keeper-quality join; a
+    // lost checkpoint re-decodes every image per consumer and per CC
+    // round (the q139 diamond rationale, now with a third consumer).
+    // Readout is per CLUSTER: the keeper (highest caption length, then
+    // lowest id — the curation "keep best caption" rule), member
+    // count, and total caption mass, so the gate fails if any stage —
+    // decode, banding, closure, ranking, or the text join — drifts.
+    "q248_multimodal_pipeline" -> { (s, d) =>
+      val ph = graft.multimodal.Multimodal
+        .imagePHash(phashBlobs(s, d), "doc_id", "blob")
+        .where(col("ok"))
+        .localCheckpoint(true)
+      val pairs = graft.dedup.Dedup.hammingNearDupPairs(ph, "doc_id",
+        "phash", maxHamming = 2, numBands = 4)
+      val cc = graft.dedup.Clusters.connectedComponents(pairs, "id_1",
+        "id_2", ph.select(col("doc_id")), "doc_id")
+      val caps = documents(s, d).select(col("doc_id"),
+        length(col("text")).cast("long").as("cap_len"))
+      val members = cc.join(caps, Seq("doc_id"))
+      val kept = graft.dedup.Clusters.keepBestPerCluster(members,
+        "doc_id", "cluster_id", "cap_len")
+      kept.groupBy(col("cluster_id"))
+        .agg(
+          min(col("keeper_id")).as("keeper_id"), // constant per cluster
+          min(col("n_members")).as("n_members"),
+          max(when(col("is_keeper"), col("cap_len"))).as("keeper_cap_len"),
+          sum(col("cap_len")).as("sum_cap_len"))
+        .orderBy("cluster_id")
+    },
+
     // PER-GROUP t-digest quantiles (q96's rank-bound gate, grouped):
     // one mergeable sketch per l_returnflag, each estimate pinned by
     // the per-group CDF check |F(q_p) − p| ≤ 0.05 engine-side; the
@@ -2041,6 +2113,43 @@ object GateQueries {
       """SELECT 1 AS ok_extendedprice_q10, 1 AS ok_extendedprice_q50,
         |  1 AS ok_extendedprice_q90, 1 AS ok_quantity_q10,
         |  1 AS ok_quantity_q50, 1 AS ok_quantity_q90""".stripMargin,
+
+    "q247_winsorize_cov" ->
+      """SELECT 1 AS ok_lo_e, 1 AS ok_hi_e, 1 AS ok_lo_q, 1 AS ok_hi_q,
+        |  1 AS ok_var_e, 1 AS ok_var_q, 1 AS ok_var_d,
+        |  1 AS ok_cov_eq_pos""".stripMargin,
+
+    "q248_multimodal_pipeline" ->
+      s"""WITH RECURSIVE p AS (SELECT doc_id, doc_id // 5 AS g,
+         |    doc_id % 5 AS j
+         |  FROM documents WHERE doc_id % 10 <> 7),
+         |h AS (SELECT doc_id, $phashSqlExpr AS phash FROM p),
+         |conf AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2
+         |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 2),
+         |sym AS (SELECT id_1 AS a, id_2 AS b FROM conf
+         |  UNION ALL SELECT id_2, id_1 FROM conf),
+         |reach(v, r) AS (
+         |  SELECT doc_id, doc_id FROM h
+         |  UNION
+         |  SELECT reach.v, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+         |cc AS (SELECT v AS doc_id, min(r) AS cluster_id
+         |  FROM reach GROUP BY v),
+         |m AS (SELECT cc.doc_id, cc.cluster_id,
+         |    CAST(length(dd.text) AS BIGINT) AS cap_len
+         |  FROM cc JOIN documents dd ON cc.doc_id = dd.doc_id),
+         |k AS (SELECT cluster_id, doc_id AS keeper_id,
+         |    cap_len AS keeper_cap_len
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY cap_len DESC, doc_id ASC) AS rn FROM m)
+         |  WHERE rn = 1),
+         |agg AS (SELECT cluster_id, count(*) AS n_members,
+         |    CAST(sum(cap_len) AS BIGINT) AS sum_cap_len
+         |  FROM m GROUP BY cluster_id)
+         |SELECT agg.cluster_id, k.keeper_id, agg.n_members,
+         |  k.keeper_cap_len, agg.sum_cap_len
+         |FROM agg JOIN k USING (cluster_id)
+         |ORDER BY agg.cluster_id""".stripMargin,
 
     "q222_group_tdigest" ->
       """SELECT DISTINCT l_returnflag, 1 AS ok_q25, 1 AS ok_q50,

@@ -238,6 +238,169 @@ object BaselineBench {
         "naive = gramian.py's mapPartitions+driver reduce")
     }
 
+    // ---- tick backtest (blog/backtest.md:34: 4 years of SIP trades
+    // NASDAQ A/B/C, trade-level sim in 10 minutes on 8 EC2 machines) —
+    // the last BASELINE.md row with neither a head-to-head nor a scale
+    // argument (r15 verdict item 3). SIP-shaped synthetic fixture:
+    // GRAFT_BT_TRADES ticks (default 20M) over GRAFT_BT_SYMS symbols
+    // (default 2000) spanning 2019–2022, deterministic hash prices;
+    // alphas = every 997th tick, exit +5h negated (the q80 shape).
+    // Engine = q80's composition (forward as-of fill + ONE union
+    // running-position window + per-day conditional agg); naive = the
+    // formulation the engine replaced (r13, documented at q80): window
+    // as-of, then fills⨝marks on fill_day <= day — quadratic in
+    // signals-per-symbol AND re-scanning the day axis. Both sides
+    // validated to the same per-day equity (1e-6 relative) before
+    // timing.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val btTrades = sys.env.getOrElse("GRAFT_BT_TRADES", "20000000").toLong
+      val btSyms = sys.env.getOrElse("GRAFT_BT_SYMS", "2000").toLong
+      val t0 = 1546300800L // 2019-01-01
+      val span = 126230400L // 4 years
+      val perSym = btTrades / btSyms
+      def trades() = spark.range(btTrades).select(
+        (col("id") % btSyms).as("symbol"),
+        timestamp_seconds(lit(t0) +
+          (col("id") / btSyms) * lit(span / perSym) +
+          pmod(col("id"), lit(7))).as("ts"),
+        (lit(50.0) + pmod(hash(col("id")), lit(10000)).cast("double")
+          / 100.0).as("price"))
+      def alphas() = {
+        val entries = spark.range(btTrades)
+          .filter(col("id") % 997 === 0)
+          .select(
+            (col("id") % btSyms).as("symbol"),
+            timestamp_seconds(lit(t0) +
+              (col("id") / btSyms) * lit(span / perSym) +
+              pmod(col("id"), lit(7)) + 1).as("ts"),
+            when(pmod(hash(col("id"), lit(7)), lit(2)) === 0, 1)
+              .otherwise(-1).as("direction"))
+        entries.select(explode(array(
+            struct(col("ts"), col("symbol"), col("direction")),
+            struct((col("ts") + expr("INTERVAL 5 HOURS")).as("ts"),
+              col("symbol"), (-col("direction")).as("direction")))).as("a"))
+          .select(col("a.ts").as("ts"), col("a.symbol").as("symbol"),
+            col("a.direction").as("direction"))
+      }
+      def dayLast(tr: org.apache.spark.sql.DataFrame) = tr
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("symbol"), col("day"))
+            .orderBy(col("ts").desc, col("price").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("symbol"), col("day"), col("price"))
+      def equityTail(fills: org.apache.spark.sql.DataFrame,
+          marks: org.apache.spark.sql.DataFrame) = {
+        // shared final readout: cash running-sum + stock equity per day
+        val stock = marks.join(fills,
+            marks("symbol") === fills("symbol") &&
+              fills("fill_day") <= marks("day"))
+          .groupBy(marks("symbol").as("s"), marks("day").as("day"),
+            marks("price").as("price"))
+          .agg(sum(fills("direction")).as("pos"))
+          .groupBy(col("day"))
+          .agg(sum(col("pos") * col("price")).as("stock_equity"))
+        val cash = fills.groupBy(col("fill_day").as("day"))
+          .agg(sum(-col("direction") * col("fill_price")).as("dcash"))
+        marks.select(col("day")).distinct()
+          .join(stock, Seq("day"), "left")
+          .join(cash, Seq("day"), "left")
+          .withColumn("cash", sum(coalesce(col("dcash"), lit(0.0))).over(
+            Window.orderBy(col("day")).rowsBetween(
+              Window.unboundedPreceding, 0)))
+          .select(col("day"), (col("cash") +
+            coalesce(col("stock_equity"), lit(0.0))).as("equity"))
+      }
+      // ENGINE: q80's single-dataflow form — as-of fill through the
+      // engine API, positions from ONE union running window, per-day
+      // conditional agg (plain IEEE sums — comparator parity)
+      def engineBt() = {
+        import graft.api.OrderedStream
+        val fills = new OrderedStream(alphas(), "ts")
+          .asofJoinForward(new OrderedStream(trades(), "ts"),
+            by = "symbol").df
+          .filter(col("price").isNotNull)
+          .select(col("symbol"), col("direction"),
+            col("price").as("fill_price"),
+            to_date(col("ts_right")).as("fill_day"))
+        val w = Window.partitionBy(col("symbol"))
+          .orderBy(col("day"), col("is_mark"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val u = dayLast(trades()).select(col("symbol"), col("day"),
+            col("price"), lit(null).cast("int").as("direction"),
+            lit(null).cast("double").as("dcash"), lit(1).as("is_mark"))
+          .unionByName(fills.select(col("symbol"),
+            col("fill_day").as("day"),
+            lit(null).cast("double").as("price"), col("direction"),
+            (-col("direction") * col("fill_price")).as("dcash"),
+            lit(0).as("is_mark")))
+          .withColumn("pos", sum(col("direction")).over(w))
+        u.groupBy(col("day")).agg(
+            sum(when(col("is_mark") === 1, col("pos") * col("price")))
+              .as("stock_equity"),
+            sum(when(col("is_mark") === 0, col("dcash"))).as("dcash_sum"))
+          .withColumn("cash", sum(coalesce(col("dcash_sum"), lit(0.0)))
+            .over(Window.orderBy(col("day")).rowsBetween(
+              Window.unboundedPreceding, 0)))
+          .select(col("day"), (col("cash") +
+            coalesce(col("stock_equity"), lit(0.0))).as("equity"))
+      }
+      // NAIVE: stock-Spark window as-of (the same union trick written
+      // inline) + the quadratic fills⨝marks day join + a separate
+      // distinct-day scan — the pre-r13 shape
+      def naiveBt() = {
+        val a = alphas().select(col("symbol"), col("ts"), col("direction"),
+          lit(null).cast("double").as("price"), lit(0).as("side"))
+        val t = trades().select(col("symbol"), col("ts"),
+          lit(null).cast("int").as("direction"), col("price"),
+          lit(1).as("side"))
+        val w = Window.partitionBy(col("symbol"))
+          .orderBy(col("ts"), col("side"))
+          .rowsBetween(0, Window.unboundedFollowing)
+        val fills = a.unionByName(t)
+          .withColumn("fill_price",
+            first(col("price"), ignoreNulls = true).over(w))
+          .withColumn("fill_ts", first(when(col("side") === 1, col("ts")),
+            ignoreNulls = true).over(w))
+          .filter(col("side") === 0 && col("fill_price").isNotNull)
+          .select(col("symbol"), col("direction"), col("fill_price"),
+            to_date(col("fill_ts")).as("fill_day"))
+        equityTail(fills, dayLast(trades()))
+      }
+      // validate: same days, equity agrees to 1e-6 relative
+      val cmp = engineBt().select(col("day"), col("equity").as("e"))
+        .join(naiveBt().select(col("day"), col("equity").as("n")),
+          Seq("day"), "full_outer")
+        .agg(count(lit(1)).as("days"),
+          sum(when(col("e").isNull || col("n").isNull, 1)
+            .otherwise(0)).as("missing"),
+          max(abs(col("e") - col("n")) /
+            greatest(abs(col("n")), lit(1.0))).as("maxrel"))
+        .head()
+      val btNote = if (cmp.getLong(1) == 0 && cmp.getDouble(2) < 1e-6)
+        s"${cmp.getLong(0)} days, equity agrees to 1e-6"
+      else s"EQUITY DIVERGES: missing=${cmp.getLong(1)} maxrel=${cmp.getDouble(2)}"
+      val eBt = timed(() => graft.Bench.force(engineBt()))
+      val nBt = timed(() => graft.Bench.force(naiveBt()))
+      record(s"tick backtest (${btTrades / 1000000}M ticks, $btSyms syms)",
+        eBt, nBt, s"$btNote; engine = q80 single-dataflow composition; " +
+          "naive = window as-of + quadratic fills x marks day join " +
+          "(the pre-r13 shape). Reference: 4y SIP in 10 min on 8 machines")
+      // the as-of fill step alone — the dominant stage at tick scale
+      def engineFill() = {
+        import graft.api.OrderedStream
+        new OrderedStream(alphas(), "ts")
+          .asofJoinForward(new OrderedStream(trades(), "ts"),
+            by = "symbol").df
+      }
+      val eF = timed(() => graft.Bench.force(engineFill()))
+      record("tick as-of fill only", eF, eF,
+        "the tick-stream sort/window stage both formulations share; " +
+          "engine unionTag plans ONE exchange + window over the " +
+          "tagged union — already the minimal shuffle for an as-of")
+    }
+
     // ---- winsorization headline (blog/approxquant.md:31) ---------------
     // 1M × 10k floats, quantiles [0.1, 0.9] per column, ONE pass. The
     // reference: ~60 s on 32 vCPUs; "Spark's approxQuantile always
@@ -286,7 +449,10 @@ object BaselineBench {
           val r = data().stat.approxQuantile(names.toArray,
             Array(0.1, 0.9), 0.01)
           require(r.length == wide)
-          stock = Right((System.nanoTime() - s0) / 1e9)
+          // guard the success write too (r15 advice): a just-late
+          // completion after the cap must not overwrite the DNF cell
+          // with a timing that exceeded the cap
+          if (!cancelled) stock = Right((System.nanoTime() - s0) / 1e9)
         } catch {
           case e: Throwable => if (stock.isLeft && !cancelled) {
             // Spark's job-abort wrapper embeds the task-level cause as
@@ -319,7 +485,7 @@ object BaselineBench {
       }
       val stockCell = stock.fold(identity, s => s"${fmt(s)} s")
       println(s"[baseline] winsorize_quantiles stock=$stockCell")
-      rows += s"| winsorize ${wide}-col approx-quantiles | ${fmt(e)} | $stockCell | — | engine = approximateQuantileWide (mapPartitions t-digest arrays); stock = df.stat.approxQuantile. Reference: ~60 s on the same 32 vCPUs. The expression-tier 10k-wide percentile_approx form OOM'd a 24g JVM (measured r15) — same QuantileSummaries head-buffer failure as stock |"
+      rows += s"| winsorize ${wide}-col approx-quantiles | ${fmt(e)} | $stockCell | — | engine = approximateQuantileWide (InternalRow t-digest arrays, r16: toRdd getDouble replaced the .rdd boxed-Row path — 441 s to this); stock = df.stat.approxQuantile. Reference: ~60 s on the same 32 vCPUs reading its dataset FROM PARQUET — this cell INCLUDES synthesizing the 10^10 rand() values in-plan (~160 s of it, measured via tools/WideProbe), which the reference does not pay; a stored-parquet variant was measured and rejected: Spark's parquet scan above spark.sql.codegen.maxFields columns falls off the vectorized reader and reads SLOWER than synthesis. The expression-tier 10k-wide percentile_approx form OOM'd a 24g JVM (measured r15) — same QuantileSummaries head-buffer failure as stock |"
 
       // the blog pipeline's tail: clip everything, covariance readout
       val t1 = System.nanoTime()
@@ -332,7 +498,7 @@ object BaselineBench {
         (0 until 8).map(i => s"f$i"))
       require(cov.head().size == 36)
       val c = (System.nanoTime() - t1) / 1e9
-      rows += s"| winsorize clip + 8-col covariance tail | ${fmt(c)} | — | — | end-to-end over the clipped ${wide}-col stream |"
+      rows += s"| winsorize clip + 8-col covariance tail | ${fmt(c)} | — | — | end-to-end over the clipped ${wide}-col stream (reuses the quantile row above; the one-hop quantiles-to-clip API is DataStream.winsorize, oracle-gated by q247) |"
       println(f"[baseline] winsorize_tail clip+cov=${c}%.1fs")
     }
 

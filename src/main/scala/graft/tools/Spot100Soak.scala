@@ -73,7 +73,12 @@ object Spot100Soak {
     "q238_winnow_dedup",
     "q101_streaming_session", "q108_streaming_hopping",
     "q109_streaming_distinct", "q148_streaming_dedup",
-    "q243_streaming_drift")
+    "q243_streaming_drift",
+    // r16 (verdict item 5): the two end-to-end COMPOSITION gates — a
+    // lost checkpoint or re-analysis barrier in a composition shows up
+    // superlinearly here where the per-stage gates stay linear, and
+    // compositions are what a 100 TB curation run actually executes
+    "q244_curation_pipeline", "q248_multimodal_pipeline")
 
   private def buildSf10(spark: SparkSession, src: String,
       dst: String): Unit = {

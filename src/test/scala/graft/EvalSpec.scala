@@ -239,6 +239,28 @@ class EvalSpec extends SparkSpecBase {
     val d2 = graft.agg.Eval.ndcgDiscounts(2)
     assert(row5.getLong(1) == 2L)
     assert(row5.getDouble(3) == 0.0 + 7.0 * d2(0) + 7.0 * d2(1))
+    // grade >= 63 raises (2^grade gain would wrap the 64-bit shift)
+    val huge = Seq((1L, 10L, 63L)).toDF("q", "d", "g")
+    val e2 = intercept[Exception] {
+      graft.agg.Eval.ndcgAtK(results, huge, "q", "d", "r", "g", 3)
+        .collect()
+    }
+    assert(e2.getMessage.contains("exceeds 62") ||
+      Option(e2.getCause).exists(_.getMessage.contains("exceeds 62")))
+    // duplicate rank (two DIFFERENT docs both at rank 1) raises
+    val dupRank = Seq((1L, 9L, 1L), (1L, 10L, 1L)).toDF("q", "d", "r")
+    val e3 = intercept[Exception] {
+      graft.agg.Eval.ndcgAtK(dupRank, qrels, "q", "d", "r", "g", 3)
+        .collect()
+    }
+    assert(e3.getMessage.contains("duplicate rank") ||
+      Option(e3.getCause).exists(_.getMessage.contains("duplicate rank")))
+    // ...but the SAME doc listed twice still collapses to best rank
+    // (the documented dedup) rather than raising
+    val dupDoc = Seq((1L, 10L, 1L), (1L, 10L, 2L)).toDF("q", "d", "r")
+    val okRow = graft.agg.Eval.ndcgAtK(dupDoc, qrels, "q", "d", "r", "g", 3)
+      .filter($"q" === 1L).head()
+    assert(okRow.getDouble(2) == 7.0 * d(0))
   }
 
   test("ksDrift: hand rational, empty sides, layout invariance") {

@@ -23,6 +23,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     // is the wide mapPartitions digest row)
     "q54_approx_quantile", "q95_welford_udaf", "q96_tdigest",
     "q245_wide_quantiles",
+    // winsorize composition: crosses lineitem with its own one-row
+    // clipped-extremes aggregate and the two one-row covariance
+    // readouts (clip bounds themselves are driver-side scalars)
+    "q247_winsorize_cov",
     // bigram LM: crosses the scored bigrams with the one-row train
     // vocabulary-size aggregate
     "q131_bigram_lm",
@@ -258,6 +262,22 @@ class PlanHygieneSpec extends SparkSpecBase {
     // presentation sort. A fifth exchange here means a checkpoint was
     // dropped and some consumer re-runs the text scan / keeper pipeline
     "q244_curation_pipeline" -> (4, 0),
+    // q247 winsorize composition (r16, verdict item 6): the sketch
+    // bounds are collected driver-side (one row), so clip is pure
+    // projection; what remains is the clipped-extremes single-row agg,
+    // the two covariance single-row aggs, and the final flag agg —
+    // 4 shuffles all SinglePartition-sized, 3 one-row broadcasts
+    "q247_winsorize_cov" -> (4, 3),
+    // q248 multimodal composition (r16, verdict item 4): post-CC-
+    // checkpoint like q139/q121 — the caption join, keeper agg +
+    // join-back, cluster agg and presentation sort share 3 exchanges;
+    // the 2 broadcasts (CC labels, keeper rows) are id-sized relations
+    // Catalyst sizes under the threshold at fixture scale and
+    // shuffle-joins at 100 TB (the q144 precedent; the autoBroadcast
+    // degradation sweep proves the no-broadcast plan stays sane). A
+    // jump here means a checkpoint was dropped and a consumer
+    // re-decodes every image
+    "q248_multimodal_pipeline" -> (3, 2),
     // q140 exact heavy hitters: candidate distinct (over the tiny
     // checkpointed sketch) + verify groupBy + presentation sort, with
     // the candidate set BROADCAST into the semi-join — the corpus-side
@@ -461,6 +481,21 @@ class PlanHygieneSpec extends SparkSpecBase {
     }
     assert(bad.isEmpty, s"guard branch lost exchange reuse:\n" +
       bad.mkString("\n"))
+  }
+
+  test("q248 decode runs once: single scan in the post-checkpoint plan") {
+    // the expensive stage (PNG synthesize + decode + dHash) is
+    // localCheckpoint'd — the executed plan must contain exactly ONE
+    // FileScan (the caption-side documents read); a second scan means
+    // the checkpoint was lost and some consumer re-runs the decode
+    val byName = built.toMap
+    val df = byName("q248_multimodal_pipeline")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"q248: $scans file scans (want 1 — the caption " +
+      "side); the decode checkpoint was dropped")
   }
 
   test("exchange counts match pinned shapes for the top expensive queries") {

@@ -73,6 +73,28 @@ class WideQuantilesSpec extends SparkSpecBase {
     }
   }
 
+  test("float columns read in place (r16 type-aware path) match double") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 5000).map(i => (i.toDouble, (5000 - i).toDouble))
+    val dbl = s.createDataset(base).toDF("x", "y")
+    val flt = dbl.select(col("x").cast("float").as("x"),
+      col("y").cast("float").as("y"))
+    val qs = Seq(0.1, 0.5, 0.9)
+    val a = WideQuantiles.quantiles(dbl.coalesce(1), Seq("x", "y"), qs).head()
+    val b = WideQuantiles.quantiles(flt.coalesce(1), Seq("x", "y"), qs).head()
+    // integers <= 5000 are exact in float32, single partition pins the
+    // merge order -> the two paths must agree bit-for-bit
+    (0 until 2).foreach { c =>
+      assert(a.getSeq[Double](c) == b.getSeq[Double](c),
+        s"col $c: ${a.getSeq[Double](c)} vs ${b.getSeq[Double](c)}")
+    }
+    // int columns still take the cast path
+    val ints = (1 to 1000).map(i => Tuple1(i.toLong)).toDF("v")
+    val r = WideQuantiles.quantiles(ints, Seq("v"), Seq(0.5)).head()
+    assert(math.abs(r.getSeq[Double](0).head - 500.0) < 25.0)
+  }
+
   test("nulls skipped per column; all-null column yields NaN; NaN raises") {
     val s = spark
     import s.implicits._
