@@ -31,6 +31,12 @@ object PqIndex {
 
   val CodesPerBook = 16 // 4-bit codes; m*4 must fit 64 bits
 
+  // open-index-handle memo: (dir, resolved snapshot id) → (coarse
+  // centroids, codebooks). Versions are immutable; see IvfIndex (r16)
+  private val handleMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      (Array[Array[Double]], Map[(Int, Int), Array[Double]])]()
+
   /** Fit coarse quantizer + per-subspace codebooks, encode, persist.
     * `dim` must divide into `m` equal subspaces; `m` ≤ 16. */
   def build(data: DataFrame, vecCol: String, idCol: String, dir: String,
@@ -96,13 +102,20 @@ object PqIndex {
     val spark = probes.sparkSession
     val id = snapshotId.orElse(currentVersion(dir)).getOrElse(
       throw new IllegalArgumentException(s"no PQ index at $dir"))
-    val coarse = Snapshots.read(spark, s"$dir/centroids", Some(id))
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1).map(_._2)
-    // m×16 codebook rows: bounded metadata
-    val bookRows = Snapshots.read(spark, s"$dir/codebooks", Some(id))
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
-      .toMap
+    // memoized per (dir, id) — same open-index-handle rationale as
+    // IvfIndex.readCentroids (r16): a version's centroids/codebooks
+    // are immutable, and each gate probes twice
+    val (coarse, bookRows) = handleMemo.computeIfAbsent((dir, id), _ => {
+      val c = Snapshots.read(spark, s"$dir/centroids", Some(id))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2)
+      // m×16 codebook rows: bounded metadata
+      val b = Snapshots.read(spark, s"$dir/codebooks", Some(id))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+        .toMap
+      (c, b)
+    })
     val m = bookRows.keys.map(_._1).max + 1
     val sub = bookRows((0, 0)).length
     // probe side: cells + the per-row ADC table (m·16 dot products,
