@@ -790,6 +790,76 @@ object Eval {
             col("idcg_at_k")).as("ndcg_at_k"))
   }
 
+  /** Average precision at k per query — the MAP family's per-query
+    * row (mean over queries is a trivial avg the caller takes):
+    * AP@k = Σ_{relevant results at rank r ≤ k} P@r / min(n_rel, k),
+    * with P@r = cum_hits(r)/r over the deduped ranking. The min(n_rel,
+    * k) denominator is the standard trec_eval truncation — a query
+    * with 100 judged docs can still score 1.0 from a perfect top-k.
+    * `ap_at_k` is NULL when the query has no judged docs (0/0), 0.0
+    * when it retrieved none of them. Duplicate (query, doc) rows
+    * collapse to best rank (retrievalMetrics' contract); duplicate
+    * RANKS raise loudly (ndcgAtK's guard — P@r is ill-defined when one
+    * position holds two docs).
+    *
+    * Determinism: each contribution cum/r is an IEEE quotient of small
+    * exact integers, summed in rank order via the sorted-array left
+    * fold (the q63/q246 discipline), so an oracle restates the
+    * identical adds — a full hash gate on a ranking metric.
+    *
+    * Scale shape: id-sized (query, doc) join; per-query state ≤ k rows
+    * through one rank window + one collect fold — no data-sized
+    * windows. */
+  def apAtK(results: DataFrame, qrels: DataFrame,
+      queryCol: String, docCol: String, rankCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val res = results
+      .select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        integralLong(col(rankCol), "apAtK", rankCol).as("__r"))
+      .filter(col("__r") >= 1 && col("__r") <= k)
+      .groupBy(col("__q"), col("__d")).agg(min(col("__r")).as("__r"))
+      .withColumn("__nr", count(lit(1)).over(
+        Window.partitionBy(col("__q"), col("__r"))))
+      .select(col("__q"), col("__d"),
+        when(col("__nr") > 1, raise_error(lit(
+          s"apAtK: duplicate rank in $rankCol — ranks must be " +
+            "distinct per query within the top-k")))
+          .otherwise(col("__r")).as("__r"))
+    val rel = qrels
+      .select(col(queryCol).as("__q"), col(docCol).as("__d")).distinct()
+    val nRel = rel.groupBy(col("__q")).agg(count(lit(1)).as("n_rel"))
+    val cum = res
+      .join(rel.withColumn("__rel", lit(1L)), Seq("__q", "__d"), "left")
+      .withColumn("__cum", sum(coalesce(col("__rel"), lit(0L))).over(
+        Window.partitionBy(col("__q")).orderBy(col("__r"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    // non-hits contribute 0.0 INSIDE the fold rather than being
+    // filtered out: a query whose top-k holds no judged doc must still
+    // surface (n_rel 0 → NULL, judged-but-missed → 0.0) — the
+    // retrievalMetrics no-silent-drop contract. Adding 0.0 between the
+    // rational adds is bitwise-exact, so the oracle may equivalently
+    // FILTER its fold list to hits only.
+    val sums = cum
+      .select(col("__q"), col("__r"),
+        when(col("__rel") === 1L,
+          col("__cum").cast("double") / col("__r").cast("double"))
+          .otherwise(lit(0.0)).as("__c"))
+      .groupBy(col("__q"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__r").as("p"),
+          col("__c").as("c")))),
+        lit(0.0), (acc, x) => acc + x.getField("c")).as("__sum"))
+    nRel.join(sums, Seq("__q"), "full_outer")
+      .select(col("__q").as(queryCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        when(coalesce(col("n_rel"), lit(0L)) === 0L,
+          lit(null).cast("double"))
+          .otherwise(coalesce(col("__sum"), lit(0.0)) /
+            least(col("n_rel"), lit(k.toLong)).cast("double"))
+          .as("ap_at_k"))
+  }
+
   def retrievalMetrics(results: DataFrame, qrels: DataFrame,
       queryCol: String, docCol: String, rankCol: String,
       k: Int): DataFrame = {

@@ -145,6 +145,13 @@ class DataStream(val df: DataFrame) {
       compression).head()
     val bounds = cs.zipWithIndex.map { case (c, i) =>
       val q = row.getSeq[Double](i)
+      // loud guard: an all-null column sketches to NaN quantiles, and
+      // clip's least/greatest would then silently turn EVERY value of
+      // that column into NaN (NaN compares greatest) — the same
+      // poison-propagation discipline as the kernel's NaN raise
+      require(!q.head.isNaN && !q.last.isNaN,
+        s"winsorize: column $c has no non-null values — NaN bounds " +
+          "would poison the clip")
       c -> ((q.head, q.last))
     }.toMap
     clip(bounds)

@@ -257,6 +257,28 @@ object VectorQueries {
         .orderBy("probe_id")
     },
 
+    // Average precision @10 (Eval.apAtK, r16 — the MAP family): the
+    // last standard retrieval metric q221 (P@k/MRR) and q246 (nDCG)
+    // don't cover — rank-position-sensitive like nDCG but on binary
+    // relevance, so it pairs with q221's same-label qrels. Each P@r
+    // contribution is an IEEE quotient of small exact integers summed
+    // in rank order by the sorted left fold — a full hash gate.
+    "q249_map_eval" -> { (s, d) =>
+      val emb = embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "probe_id")
+      val results = VectorOps.nnJoin(emb, probes, "embedding", "vec_id",
+          "probe_id", k = 10)
+        .select(col("probe_id"), col("vec_id"), col("rank"))
+      val qrels = probes.select(col("probe_id"), col("label").as("__pl"))
+        .join(emb.select(col("vec_id"), col("label")),
+          col("label") === col("__pl") && col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"))
+      graft.agg.Eval.apAtK(results, qrels, "probe_id", "vec_id",
+          "rank", k = 10)
+        .orderBy("probe_id")
+    },
+
     // FILTERED vector search (predicate-constrained ANN — the
     // vector-DB `search(filter=...)` feature on the stored q171 index):
     // top-k among the even-label ids only, PRE-filter semantics (the
@@ -652,6 +674,43 @@ object VectorQueries {
          |  CASE WHEN idcg_at_k IS NULL THEN NULL
          |    ELSE coalesce(dcg_at_k, 0.0) / idcg_at_k END AS ndcg_at_k
          |FROM dcg FULL OUTER JOIN ideal ON dcg.probe_id = ideal.probe_id
+         |ORDER BY probe_id""".stripMargin
+    },
+
+    "q249_map_eval" -> {
+      // the same prepend-0.0 left fold in rank order as q246 — the
+      // contributions cum/r are IEEE quotients of small exact ints, so
+      // pinning the add order makes ap_at_k hash-exact cross-engine
+      s"""WITH ne AS (SELECT vec_id, ${duckNorm("embedding")} AS nv FROM embeddings),
+         |sims AS (
+         |  SELECT p.vec_id AS probe_id, e.vec_id, ${duckDot("e.nv", "p.nv")} AS sim
+         |  FROM ne e CROSS JOIN (SELECT * FROM ne WHERE vec_id < 5) p),
+         |res AS (SELECT probe_id, vec_id, rank FROM (
+         |    SELECT probe_id, vec_id, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+         |    FROM sims) WHERE rank <= 10),
+         |rel AS (SELECT p.vec_id AS probe_id, e.vec_id
+         |  FROM embeddings e JOIN embeddings p
+         |    ON p.vec_id < 5 AND e.label = p.label AND e.vec_id <> p.vec_id),
+         |nr AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_rel
+         |  FROM rel GROUP BY 1),
+         |c AS (SELECT res.probe_id, res.rank,
+         |    CASE WHEN rel.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit,
+         |    sum(CASE WHEN rel.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY res.probe_id ORDER BY res.rank) AS cum
+         |  FROM res LEFT JOIN rel
+         |    ON res.probe_id = rel.probe_id AND res.vec_id = rel.vec_id),
+         |s AS (SELECT probe_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list(cum::DOUBLE / rank::DOUBLE ORDER BY rank)
+         |        FILTER (WHERE hit = 1)), (a, x) -> a + x) AS ap_sum
+         |  FROM c GROUP BY 1)
+         |SELECT coalesce(nr.probe_id, s.probe_id) AS probe_id,
+         |  coalesce(n_rel, 0) AS n_rel,
+         |  CASE WHEN coalesce(n_rel, 0) = 0 THEN NULL
+         |    ELSE coalesce(ap_sum, 0.0) /
+         |      least(n_rel, 10)::DOUBLE END AS ap_at_k
+         |FROM nr FULL OUTER JOIN s ON nr.probe_id = s.probe_id
          |ORDER BY probe_id""".stripMargin
     },
 

@@ -355,13 +355,19 @@ object BaselineBench {
         val t = trades().select(col("symbol"), col("ts"),
           lit(null).cast("int").as("direction"), col("price"),
           lit(1).as("side"))
+        // NOTE (r16 finding): the textbook forward-window form —
+        // first() over [current, unboundedFollowing] — hung this very
+        // harness at 20M ticks: Spark's UnboundedFollowing frame is
+        // O(rows²) per key. Even the naive side must use the reversed
+        // running frame to COMPLETE; the structural naive/engine gap
+        // this row measures is the downstream double-scan day join.
         val w = Window.partitionBy(col("symbol"))
-          .orderBy(col("ts"), col("side"))
-          .rowsBetween(0, Window.unboundedFollowing)
+          .orderBy(col("ts").desc, col("side").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
         val fills = a.unionByName(t)
           .withColumn("fill_price",
-            first(col("price"), ignoreNulls = true).over(w))
-          .withColumn("fill_ts", first(when(col("side") === 1, col("ts")),
+            last(col("price"), ignoreNulls = true).over(w))
+          .withColumn("fill_ts", last(when(col("side") === 1, col("ts")),
             ignoreNulls = true).over(w))
           .filter(col("side") === 0 && col("fill_price").isNotNull)
           .select(col("symbol"), col("direction"), col("fill_price"),

@@ -98,17 +98,32 @@ object AsofJoin {
       case (in, out) if org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(r.schema(in).dataType) => col(out)
     }
-    val wBase = org.apache.spark.sql.expressions.Window
+    // BOTH directions run as a RUNNING frame ([unboundedPreceding,
+    // current] + last non-null), forward via the fully REVERSED
+    // ordering (r16 scale fix): the literal forward form — first() over
+    // [current, unboundedFollowing] — plans Spark's UnboundedFollowing
+    // frame, which re-evaluates the aggregate by scanning from each row
+    // to the partition end: O(rows²) PER KEY. Invisible on the sf0.01
+    // gate fixtures, it hung the 20M-tick backtest baseline (hours where
+    // the backward direction takes seconds) and would be fatal at
+    // 100 TB. Reversing every sort key (desc mirrors asc exactly,
+    // incl. nulls: asc-nulls-first ↔ desc-nulls-last) makes last() over
+    // the running frame pick the identical row — the minimal
+    // (__t, __side, payload) right row at-or-after — with incremental
+    // O(rows) frame maintenance. Tie semantics are unchanged: at equal
+    // time the right row (side 1) sorts before the left (side 0) in
+    // DESC order, so equal-time matches stay inclusive, and among
+    // tied right rows last() in DESC payload order picks the MIN
+    // payload tuple, exactly what first() in ASC order picked.
+    val ascKeys = Seq(col("__t"), col("__side")) ++ tieBreak
+    val orderKeys = if (forward) ascKeys.map(_.desc) else ascKeys
+    val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(by))
-      .orderBy(Seq(col("__t"), col("__side")) ++ tieBreak: _*)
-    val w =
-      if (forward) wBase.rowsBetween(
-        0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
-      else wBase.rowsBetween(
+      .orderBy(orderKeys: _*)
+      .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     def fill(c: org.apache.spark.sql.Column) =
-      if (forward) first(c, ignoreNulls = true).over(w)
-      else last(c, ignoreNulls = true).over(w)
+      last(c, ignoreNulls = true).over(w)
     val filled = lTagged.unionByName(rTagged)
       .withColumns((outRight.map { c => c -> fill(col(c)) } :+
         ("__rt" -> fill(when(col("__side") === rSide, col("__t"))))).toMap)
@@ -174,23 +189,35 @@ object AsofJoin {
       case (in, out) if org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(r.schema(in).dataType) => col(out)
     }
-    val wBase = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(by))
-      .orderBy(Seq(col("__t"), col("__side")) ++ tieBreak: _*)
-    val wB = wBase.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val wF = wBase.rowsBetween(
-      0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // forward fill via the REVERSED running frame, not first() over
+    // [current, unboundedFollowing] — Spark's UnboundedFollowing frame
+    // is O(rows²) per key (see unionTagImpl, r16 scale fix). Same
+    // (by)-hash exchange for both windows (one shuffle, reused); the
+    // reversed window adds one in-partition sort — linear, vs the
+    // quadratic frame it replaces. Equal-time and tie semantics are
+    // the exact mirror (asc-nulls-first ↔ desc-nulls-last): the
+    // forward frame still misses equal-time rows (harmlessly —
+    // backward's Δt = 0 wins nearest anyway) and tied right rows still
+    // resolve to the MIN payload tuple.
+    val ascKeys = Seq(col("__t"), col("__side")) ++ tieBreak
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(by)).orderBy(ascKeys: _*)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wF = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(by)).orderBy(ascKeys.map(_.desc): _*)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val rOnly = (c: org.apache.spark.sql.Column) =>
       when(col("__side") === 0, c)
     val both = lTagged.unionByName(rTagged)
       .withColumns((
         outRight.flatMap { c => Seq(
           s"__b_$c" -> last(rOnly(col(c)), ignoreNulls = true).over(wB),
-          s"__f_$c" -> first(rOnly(col(c)), ignoreNulls = true).over(wF))
+          s"__f_$c" -> last(rOnly(col(c)), ignoreNulls = true).over(wF))
         } ++ Seq(
           "__bt" -> last(rOnly(col("__t")), ignoreNulls = true).over(wB),
-          "__ft" -> first(rOnly(col("__t")), ignoreNulls = true).over(wF))
+          "__ft" -> last(rOnly(col("__t")), ignoreNulls = true).over(wF))
       ).toMap)
       .filter(col("__side") === 1)
     // per-direction tolerance, then the nearest choice (tie → backward)

@@ -93,10 +93,15 @@ object Resample {
       struct(col("__bi"), col("__v")))
     val back = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy(col(keyCol)).orderBy(col("__b"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // next-observed via the REVERSED running frame, not first() over
+    // [current, unboundedFollowing]: Spark's UnboundedFollowing frame
+    // re-scans to the partition end per row — O(rows²) per key (the
+    // r16 as-of scale fix, graft.ts.AsofJoin). __b is unique per key
+    // (grid buckets), so the reversed last() picks the identical row.
+    val fwd = Window.partitionBy(col(keyCol)).orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val p0 = last(obsPoint, ignoreNulls = true).over(back)
-    val p1 = first(obsPoint, ignoreNulls = true).over(fwd)
+    val p1 = last(obsPoint, ignoreNulls = true).over(fwd)
     val b = col("__bi").cast("double")
     val b0 = p0.getField("__bi").cast("double")
     val b1 = p1.getField("__bi").cast("double")

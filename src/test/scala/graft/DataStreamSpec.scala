@@ -37,6 +37,30 @@ class DataStreamSpec extends SparkSpecBase {
     assert(out == Seq(0.0, 1.0, 0.5))
   }
 
+  test("winsorize: one-hop quantile clip; all-null column raises") {
+    val d = ds((1 to 100).map(i => (i, s"n$i", i.toDouble)))
+    val out = d.winsorize(Seq("v"), 0.1, 0.9).df
+    val (mn, mx) = {
+      val r = out.agg(org.apache.spark.sql.functions.min("v"),
+        org.apache.spark.sql.functions.max("v")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // bounds land near the 10th/90th percentile of 1..100; everything
+    // outside is clamped TO them
+    assert(mn > 5.0 && mn < 15.0, s"lo=$mn")
+    assert(mx > 85.0 && mx < 95.0, s"hi=$mx")
+    assert(out.count() == 100)
+    // an all-null column must raise loudly, not NaN-poison the clip
+    val s = spark
+    import s.implicits._
+    val nulls = Seq[(Int, java.lang.Double)]((1, null), (2, null))
+      .toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      new graft.api.DataStream(nulls).winsorize(Seq("v"), 0.1, 0.9)
+    }
+    assert(e.getMessage.contains("no non-null values"))
+  }
+
   test("topK equals sort-then-limit") {
     val d = ds((1 to 50).map(i => (i, s"n$i", (i * 37 % 50).toDouble)))
     val a = d.topK(Seq("v"), 5, descending = true).df.collect().map(_.getDouble(2)).toSeq

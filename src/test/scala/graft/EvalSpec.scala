@@ -263,6 +263,43 @@ class EvalSpec extends SparkSpecBase {
     assert(okRow.getDouble(2) == 7.0 * d(0))
   }
 
+  test("apAtK: hand-computed precisions, truncated denominator, edges") {
+    val s = spark; import s.implicits._
+    // q1: ranks 1..4, relevant at 1 and 3 of 3 judged
+    //   AP@3(k=3) over judged {10,11,12}: hits at r1 (cum 1) and r3
+    //   (cum 2) -> (1/1 + 2/3) / min(3,3)
+    val results = Seq(
+      (1L, 10L, 1L), (1L, 99L, 2L), (1L, 11L, 3L),
+      (2L, 98L, 1L), // q2: nothing judged retrieved
+      (3L, 96L, 1L)  // q3: no qrels at all -> NULL
+    ).toDF("q", "d", "r")
+    val qrels = Seq((1L, 10L, 0), (1L, 11L, 0), (1L, 12L, 0),
+      (2L, 20L, 0)).toDF("q", "d", "g").select($"q", $"d")
+    val out = graft.agg.Eval.apAtK(results, qrels, "q", "d", "r", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(out(1L) == ((3L, Some((1.0 / 1.0 + 2.0 / 3.0) / 3.0))))
+    assert(out(2L) == ((1L, Some(0.0))))
+    assert(out(3L) == ((0L, None)))
+    // q4: judged only, no results -> ap 0.0
+    assert(graft.agg.Eval.apAtK(results,
+        Seq((4L, 40L)).toDF("q", "d"), "q", "d", "r", 3)
+      .filter($"q" === 4L).head().getDouble(2) == 0.0)
+    // truncation: 5 judged, k=2, perfect top-2 -> AP = 1.0
+    val perfect = graft.agg.Eval.apAtK(
+      Seq((5L, 1L, 1L), (5L, 2L, 2L)).toDF("q", "d", "r"),
+      (1L to 5L).map(i => (5L, i)).toDF("q", "d"), "q", "d", "r", 2)
+      .head()
+    assert(perfect.getDouble(2) == 1.0)
+    // duplicate rank raises loudly
+    val e = intercept[Exception] {
+      graft.agg.Eval.apAtK(Seq((1L, 9L, 1L), (1L, 8L, 1L)).toDF("q", "d", "r"),
+        qrels, "q", "d", "r", 3).collect()
+    }
+    assert(e.getMessage.contains("duplicate rank") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate rank")))
+  }
+
   test("ksDrift: hand rational, empty sides, layout invariance") {
     val a = Seq(1.0, 2.0, 3.0).toDF("value")
     val b = Seq(3.0, 4.0).toDF("value")

@@ -53,8 +53,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     "q218_ivf_filtered",
     // retrieval eval: grades q50's nnJoin sub-plan (the bounded probe
     // cross) against the label-relevance set; q246 is the same probe
-    // contract plus a bounded-probe theta join building graded qrels
-    "q221_retrieval_eval", "q246_ndcg",
+    // contract plus a bounded-probe theta join building graded qrels;
+    // q249's AP@k grades the identical probe sub-plan
+    "q221_retrieval_eval", "q246_ndcg", "q249_map_eval",
     // negative mining: different-label theta join against the bounded
     // broadcast anchor batch (the q50 probe contract)
     "q182_negative_sampling",
@@ -148,8 +149,8 @@ class PlanHygieneSpec extends SparkSpecBase {
     // filtered ANN: same bounded probe-set broadcast sub-plans
     "q218_ivf_filtered",
     // retrieval eval: q50's probe broadcast inside the graded results;
-    // q246's nDCG grades the same probe-batch sub-plan
-    "q221_retrieval_eval", "q246_ndcg",
+    // q246's nDCG and q249's AP@k grade the same probe-batch sub-plan
+    "q221_retrieval_eval", "q246_ndcg", "q249_map_eval",
     // IVF_PQ gate: ADC probes + q50's exact brute-force recall baseline
     "q176_ivf_pq",
     // the int8 variant of q50: same bounded probe-set broadcast
