@@ -722,24 +722,7 @@ object Eval {
         array_sort(collect_list(struct(pos.as("p"), contrib.as("c")))),
         lit(0.0),
         (acc, x) => acc + x.getField("c"))
-    val res = results
-      .select(col(queryCol).as("__q"), col(docCol).as("__d"),
-        integralLong(col(rankCol), "ndcgAtK", rankCol).as("__r"))
-      .filter(col("__r") >= 1 && col("__r") <= k)
-      .groupBy(col("__q"), col("__d")).agg(min(col("__r")).as("__r"))
-      // duplicate-RANK guard (same loud-validation discipline as the
-      // negative-grade raise): after the (query, doc) dedup, two
-      // DIFFERENT docs both at rank 1 would each receive the rank-1
-      // discount and silently inflate DCG — a real ranking never
-      // assigns one position twice. count(*) over (__q, __r) sits
-      // above the dedup aggregate, so it sees every surviving row.
-      .withColumn("__nr", count(lit(1)).over(
-        Window.partitionBy(col("__q"), col("__r"))))
-      .select(col("__q"), col("__d"),
-        when(col("__nr") > 1, raise_error(lit(
-          s"ndcgAtK: duplicate rank in $rankCol — ranks must be " +
-            "distinct per query within the top-k")))
-          .otherwise(col("__r")).as("__r"))
+    val res = dedupTopK(results, queryCol, docCol, rankCol, k, "ndcgAtK")
     // the negative-grade guard sits ABOVE the dedup aggregate, not in a
     // filter on the input: a filter predicate would push down into the
     // caller's qrels-building join and evaluate on pairs the join
@@ -790,6 +773,30 @@ object Eval {
             col("idcg_at_k")).as("ndcg_at_k"))
   }
 
+  /** Shared ranking-input normalization for the position-sensitive
+    * metrics (ndcgAtK, apAtK): ranks validated integral and cut to
+    * [1, k]; duplicate (query, doc) rows collapse to best rank; then
+    * duplicate RANKS raise loudly — two DIFFERENT docs both at rank 1
+    * would each receive the rank-1 discount/precision and silently
+    * inflate the metric, and a real ranking never assigns one position
+    * twice. The count(*) window sits above the dedup aggregate so it
+    * sees every surviving row. (retrievalMetrics keeps its guard-less
+    * dedup: its hit COUNTS are rank-position-insensitive.) */
+  private def dedupTopK(results: DataFrame, queryCol: String,
+      docCol: String, rankCol: String, k: Int, caller: String): DataFrame =
+    results
+      .select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        integralLong(col(rankCol), caller, rankCol).as("__r"))
+      .filter(col("__r") >= 1 && col("__r") <= k)
+      .groupBy(col("__q"), col("__d")).agg(min(col("__r")).as("__r"))
+      .withColumn("__nr", count(lit(1)).over(
+        Window.partitionBy(col("__q"), col("__r"))))
+      .select(col("__q"), col("__d"),
+        when(col("__nr") > 1, raise_error(lit(
+          s"$caller: duplicate rank in $rankCol — ranks must be " +
+            "distinct per query within the top-k")))
+          .otherwise(col("__r")).as("__r"))
+
   /** Average precision at k per query — the MAP family's per-query
     * row (mean over queries is a trivial avg the caller takes):
     * AP@k = Σ_{relevant results at rank r ≤ k} P@r / min(n_rel, k),
@@ -814,18 +821,7 @@ object Eval {
       queryCol: String, docCol: String, rankCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val res = results
-      .select(col(queryCol).as("__q"), col(docCol).as("__d"),
-        integralLong(col(rankCol), "apAtK", rankCol).as("__r"))
-      .filter(col("__r") >= 1 && col("__r") <= k)
-      .groupBy(col("__q"), col("__d")).agg(min(col("__r")).as("__r"))
-      .withColumn("__nr", count(lit(1)).over(
-        Window.partitionBy(col("__q"), col("__r"))))
-      .select(col("__q"), col("__d"),
-        when(col("__nr") > 1, raise_error(lit(
-          s"apAtK: duplicate rank in $rankCol — ranks must be " +
-            "distinct per query within the top-k")))
-          .otherwise(col("__r")).as("__r"))
+    val res = dedupTopK(results, queryCol, docCol, rankCol, k, "apAtK")
     val rel = qrels
       .select(col(queryCol).as("__q"), col(docCol).as("__d")).distinct()
     val nRel = rel.groupBy(col("__q")).agg(count(lit(1)).as("n_rel"))

@@ -55,7 +55,13 @@ object WideQuantiles {
     // floating point columns" read from parquet) the scan's pruned
     // columnar rows therefore feed the digests with ZERO per-row copy.
     import org.apache.spark.sql.types.{DoubleType, FloatType}
-    val srcTypes = cols.map(c => df.schema(c).dataType)
+    // types via the ANALYZER, not StructType.apply (r16 review): a
+    // schema lookup is case-sensitive-exact and rejects qualified
+    // names the analyzer resolves fine — the select both validates the
+    // names under the session's resolution rules and yields the
+    // resolved types positionally
+    val srcTypes = df.select(cols.map(c => col(c)): _*)
+      .schema.map(_.dataType)
     val proj = df.select(cols.zip(srcTypes).map {
       case (c, DoubleType | FloatType) => col(c)
       case (c, _) => col(c).cast("double")

@@ -248,6 +248,14 @@ object Snapshots {
       s""""data_dirs":$dirs}"""
   }
 
+  /** The snapshot's commit timestamp — a cheap (one local JSON read,
+    * no Spark job) rebuild token: a table deleted and rebuilt at the
+    * same path restarts ids at 1, but can't reproduce the original
+    * commit's timestampMs. Used by the vector-index handle memos to
+    * key cached centroids/codebooks (r16 review finding). */
+  def commitStampMs(dir: String, id: Long): Long =
+    readManifest(Paths.get(dir), id).timestampMs
+
   private def readManifest(root: Path, id: Long): Snapshot = {
     val f = root.resolve(s"manifests/v$id.json")
     require(Files.exists(f), s"snapshot $id does not exist under $root")

@@ -448,6 +448,12 @@ object BaselineBench {
       // review — a manufactured "CRASHED" here would fake the very
       // headline this harness measures)
       @volatile var cancelled = false
+      // every (cancelled, stock) write happens under this lock — a
+      // bare `if (!cancelled)` was check-then-act (r16 review): the
+      // worker could pass the check, the watchdog then set the DNF
+      // cell, and the worker's delayed store overwrite it with the
+      // over-cap timing the guard exists to reject
+      val stockLock = new Object
       val t = new Thread(() => {
         try {
           spark.sparkContext.setJobGroup(group, "stock approxQuantile", true)
@@ -458,9 +464,12 @@ object BaselineBench {
           // guard the success write too (r15 advice): a just-late
           // completion after the cap must not overwrite the DNF cell
           // with a timing that exceeded the cap
-          if (!cancelled) stock = Right((System.nanoTime() - s0) / 1e9)
+          stockLock.synchronized {
+            if (!cancelled) stock = Right((System.nanoTime() - s0) / 1e9)
+          }
         } catch {
-          case e: Throwable => if (stock.isLeft && !cancelled) {
+          case e: Throwable => stockLock.synchronized {
+            if (stock.isLeft && !cancelled) {
             // Spark's job-abort wrapper embeds the task-level cause as
             // TEXT in its message, not always as a linked getCause —
             // scan EVERY message in the chain for the interesting
@@ -478,14 +487,17 @@ object BaselineBench {
             val msg = hit.getOrElse(msgs.head.take(120))
             stock = Left(s"CRASHED $cls: $msg"
               .replace('\n', ' ').replace("|", "/"))
+            }
           }
         } finally spark.sparkContext.clearJobGroup()
       })
       t.setDaemon(true); t.start()
       t.join(capSec * 1000L)
       if (t.isAlive) {
-        cancelled = true
-        stock = Left(s"DNF >${capSec}s (cancelled)")
+        stockLock.synchronized {
+          cancelled = true
+          stock = Left(s"DNF >${capSec}s (cancelled)")
+        }
         spark.sparkContext.cancelJobGroup(group)
         t.join(30000L)
       }

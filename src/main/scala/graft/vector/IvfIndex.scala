@@ -180,20 +180,25 @@ object IvfIndex {
   // snapshot id), so the bounded collect — one Spark job + snapshot
   // listing per probe call, and every gate probes twice — is the
   // classic vector-DB "open index handle" state, cacheable per
-  // (dir, id) for the JVM's lifetime. Only resolved ids are memoized:
-  // a snapshotId=None call still lists the directory for the CURRENT
+  // version for the JVM's lifetime. The key carries the version's
+  // COMMIT TIMESTAMP (one local manifest read, no Spark job — r16
+  // review finding): a table deleted and rebuilt at the same path
+  // restarts ids at 1, and a bare (dir, id) key would serve the
+  // deleted index's centroids. Only resolved ids are memoized: a
+  // snapshotId=None call still lists the directory for the CURRENT
   // version first, so a concurrent append is never masked.
   private val centroidMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
       Array[Array[Double]]]()
 
   private def readCentroids(spark: SparkSession, dir: String,
       snapshotId: Option[Long]): (Long, Array[Array[Double]]) = {
     val id = snapshotId.orElse(currentVersion(dir)).getOrElse(
       throw new IllegalArgumentException(s"no IVF index at $dir"))
+    val stamp = Snapshots.commitStampMs(s"$dir/centroids", id)
     // nlist centroid rows: bounded metadata, same transfer class as
     // OrderStat's picked ranks
-    val centers = centroidMemo.computeIfAbsent((dir, id), _ =>
+    val centers = centroidMemo.computeIfAbsent((dir, id, stamp), _ =>
       Snapshots.read(spark, s"$dir/centroids", Some(id))
         .collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))

@@ -31,10 +31,12 @@ object PqIndex {
 
   val CodesPerBook = 16 // 4-bit codes; m*4 must fit 64 bits
 
-  // open-index-handle memo: (dir, resolved snapshot id) → (coarse
-  // centroids, codebooks). Versions are immutable; see IvfIndex (r16)
+  // open-index-handle memo: (dir, resolved snapshot id, commit stamp)
+  // → (coarse centroids, codebooks). Versions are immutable, and the
+  // commit stamp keeps a delete-and-rebuild at the same path (ids
+  // restart at 1) from serving the dead index; see IvfIndex (r16)
   private val handleMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
       (Array[Array[Double]], Map[(Int, Int), Array[Double]])]()
 
   /** Fit coarse quantizer + per-subspace codebooks, encode, persist.
@@ -102,10 +104,12 @@ object PqIndex {
     val spark = probes.sparkSession
     val id = snapshotId.orElse(currentVersion(dir)).getOrElse(
       throw new IllegalArgumentException(s"no PQ index at $dir"))
-    // memoized per (dir, id) — same open-index-handle rationale as
-    // IvfIndex.readCentroids (r16): a version's centroids/codebooks
-    // are immutable, and each gate probes twice
-    val (coarse, bookRows) = handleMemo.computeIfAbsent((dir, id), _ => {
+    // memoized per (dir, id, commit stamp) — same open-index-handle
+    // rationale as IvfIndex.readCentroids (r16): a version's
+    // centroids/codebooks are immutable, and each gate probes twice
+    val stamp = graft.sources.Snapshots.commitStampMs(s"$dir/centroids", id)
+    val (coarse, bookRows) = handleMemo.computeIfAbsent((dir, id, stamp),
+      _ => {
       val c = Snapshots.read(spark, s"$dir/centroids", Some(id))
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1).map(_._2)

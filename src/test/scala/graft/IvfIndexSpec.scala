@@ -110,6 +110,38 @@ class IvfIndexSpec extends SparkSpecBase {
       s"expected a cell partition filter in:\n$plan")
   }
 
+  test("delete-and-rebuild at the same path is never served stale (memo)") {
+    // r16 review finding: the open-index-handle memo keyed (dir, id)
+    // alone would serve the DELETED index's centroids after rm -rf +
+    // rebuild (snapshot ids restart at 1); the key carries the commit
+    // timestamp, so the rebuilt index must win
+    val e = emb()
+    val probes = e.filter(col("vec_id") < 5)
+      .withColumnRenamed("vec_id", "probe_id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_spec_rebuild").toString
+    IvfIndex.build(e.filter(col("vec_id") % 2 === 0), "embedding",
+      "vec_id", dir, nlist = 4, seed = 1L)
+    val before = IvfIndex.probe(probes, "embedding", "probe_id", dir,
+        k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // wipe and rebuild at the SAME path over the ODD ids only
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
+    }
+    rm(new java.io.File(dir))
+    IvfIndex.build(e.filter(col("vec_id") % 2 === 1), "embedding",
+      "vec_id", dir, nlist = 4, seed = 1L)
+    val after = IvfIndex.probe(probes, "embedding", "probe_id", dir,
+        k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every result id must come from the REBUILT (odd) population —
+    // a stale memo would keep returning even ids
+    assert(after.forall { case (_, id) => id % 2 == 1 },
+      s"stale even ids after rebuild: ${after.filter(_._2 % 2 == 0)}")
+    assert(before.exists { case (_, id) => id % 2 == 0 })
+  }
+
   test("probing an empty index directory fails loudly") {
     val e = emb().filter(col("vec_id") < 3)
       .withColumnRenamed("vec_id", "probe_id")
