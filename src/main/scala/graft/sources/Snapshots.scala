@@ -243,18 +243,35 @@ object Snapshots {
   // layer stays dependency-free (dirs are `data/v<N>` — no escaping needed)
   private def renderManifest(s: Snapshot): String = {
     val dirs = s.dataDirs.map(d => "\"" + d + "\"").mkString("[", ",", "]")
+    // commit_nonce: a per-commit UUID that makes every manifest unique
+    // even when a delete-and-rebuild lands on the same id within the
+    // same millisecond (r16 review round 2) — readManifest ignores
+    // unknown keys, so old manifests without it stay readable
     s"""{"snapshot_id":${s.id},"parent_id":${s.parentId.getOrElse(-1L)},""" +
       s""""timestamp_ms":${s.timestampMs},"operation":"${s.operation}",""" +
+      s""""commit_nonce":"${java.util.UUID.randomUUID()}",""" +
       s""""data_dirs":$dirs}"""
   }
 
-  /** The snapshot's commit timestamp — a cheap (one local JSON read,
-    * no Spark job) rebuild token: a table deleted and rebuilt at the
-    * same path restarts ids at 1, but can't reproduce the original
-    * commit's timestampMs. Used by the vector-index handle memos to
-    * key cached centroids/codebooks (r16 review finding). */
-  def commitStampMs(dir: String, id: Long): Long =
-    readManifest(Paths.get(dir), id).timestampMs
+  /** A token unique to one physical commit — a cheap (one local JSON
+    * read, no Spark job) rebuild detector: a table deleted and rebuilt
+    * at the same path restarts ids at 1, but gets a fresh
+    * commit_nonce (and timestamp). Used by the vector-index handle
+    * memos to key cached centroids/codebooks (r16 review finding).
+    * Manifests from before the nonce fall back to the timestamp. */
+  def commitToken(dir: String, id: Long): String = {
+    val f = Paths.get(dir).resolve(s"manifests/v$id.json")
+    require(Files.exists(f), s"snapshot $id does not exist under $dir")
+    val text = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+    """"commit_nonce":"([^"]+)"""".r.findFirstMatchIn(text)
+      .map(_.group(1))
+      .getOrElse {
+        """"timestamp_ms":(-?\d+)""".r.findFirstMatchIn(text)
+          .map(_.group(1)).getOrElse(
+            throw new IllegalArgumentException(
+              s"malformed manifest for snapshot $id under $dir"))
+      }
+  }
 
   private def readManifest(root: Path, id: Long): Snapshot = {
     val f = root.resolve(s"manifests/v$id.json")

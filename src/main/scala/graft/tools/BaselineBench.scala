@@ -496,7 +496,12 @@ object BaselineBench {
       if (t.isAlive) {
         stockLock.synchronized {
           cancelled = true
-          stock = Left(s"DNF >${capSec}s (cancelled)")
+          // only claim DNF if no result landed: a worker that recorded
+          // a legitimate under-cap success and is merely lingering in
+          // its finally block past the join timeout must not have its
+          // measurement replaced by a manufactured DNF (r16 review —
+          // the mirror image of the success-overwrites-DNF race)
+          if (stock.isLeft) stock = Left(s"DNF >${capSec}s (cancelled)")
         }
         spark.sparkContext.cancelJobGroup(group)
         t.join(30000L)

@@ -69,11 +69,16 @@ object IndexSizing {
     // restatement of that granularity on this engine's doc-keyed
     // index). Deterministic synthesis, no Date.now.
     val logLines = sys.env.getOrElse("GRAFT_IDX_LOG_LINES", "500000").toLong
+    // NOTE: Column./ is true division (-> fractional strings that lpad
+    // would truncate to garbage like "1." — r16 review round 2); the
+    // time fields use explicit integral arithmetic
     val lines = spark.range(logLines).select(col("id"),
       concat(
         lit("2026-08-16T12:"),
         lpad((col("id") % 60).cast("string"), 2, "0"),
-        lit(":"), lpad((col("id") / 60 % 60).cast("string"), 2, "0"),
+        lit(":"),
+        lpad((floor(col("id") / 60) % 60).cast("long").cast("string"),
+          2, "0"),
         lit(" INFO service-"), (col("id") % 12).cast("string"),
         lit(" request completed path=/api/v"),
         (col("id") % 3).cast("string"),

@@ -181,21 +181,21 @@ object IvfIndex {
   // listing per probe call, and every gate probes twice — is the
   // classic vector-DB "open index handle" state, cacheable per
   // version for the JVM's lifetime. The key carries the version's
-  // COMMIT TIMESTAMP (one local manifest read, no Spark job — r16
-  // review finding): a table deleted and rebuilt at the same path
-  // restarts ids at 1, and a bare (dir, id) key would serve the
-  // deleted index's centroids. Only resolved ids are memoized: a
-  // snapshotId=None call still lists the directory for the CURRENT
-  // version first, so a concurrent append is never masked.
+  // COMMIT TOKEN (a per-commit nonce; one local manifest read, no
+  // Spark job — r16 review finding): a table deleted and rebuilt at
+  // the same path restarts ids at 1, and a bare (dir, id) key would
+  // serve the deleted index's centroids. Only resolved ids are
+  // memoized: a snapshotId=None call still lists the directory for
+  // the CURRENT version first, so a concurrent append is never masked.
   private val centroidMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String),
       Array[Array[Double]]]()
 
   private def readCentroids(spark: SparkSession, dir: String,
       snapshotId: Option[Long]): (Long, Array[Array[Double]]) = {
     val id = snapshotId.orElse(currentVersion(dir)).getOrElse(
       throw new IllegalArgumentException(s"no IVF index at $dir"))
-    val stamp = Snapshots.commitStampMs(s"$dir/centroids", id)
+    val stamp = Snapshots.commitToken(s"$dir/centroids", id)
     // nlist centroid rows: bounded metadata, same transfer class as
     // OrderStat's picked ranks
     val centers = centroidMemo.computeIfAbsent((dir, id, stamp), _ =>

@@ -31,12 +31,12 @@ object PqIndex {
 
   val CodesPerBook = 16 // 4-bit codes; m*4 must fit 64 bits
 
-  // open-index-handle memo: (dir, resolved snapshot id, commit stamp)
+  // open-index-handle memo: (dir, resolved snapshot id, commit token)
   // → (coarse centroids, codebooks). Versions are immutable, and the
-  // commit stamp keeps a delete-and-rebuild at the same path (ids
+  // per-commit nonce keeps a delete-and-rebuild at the same path (ids
   // restart at 1) from serving the dead index; see IvfIndex (r16)
   private val handleMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String),
       (Array[Array[Double]], Map[(Int, Int), Array[Double]])]()
 
   /** Fit coarse quantizer + per-subspace codebooks, encode, persist.
@@ -107,7 +107,7 @@ object PqIndex {
     // memoized per (dir, id, commit stamp) — same open-index-handle
     // rationale as IvfIndex.readCentroids (r16): a version's
     // centroids/codebooks are immutable, and each gate probes twice
-    val stamp = graft.sources.Snapshots.commitStampMs(s"$dir/centroids", id)
+    val stamp = graft.sources.Snapshots.commitToken(s"$dir/centroids", id)
     val (coarse, bookRows) = handleMemo.computeIfAbsent((dir, id, stamp),
       _ => {
       val c = Snapshots.read(spark, s"$dir/centroids", Some(id))

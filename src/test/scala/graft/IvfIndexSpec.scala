@@ -112,9 +112,14 @@ class IvfIndexSpec extends SparkSpecBase {
 
   test("delete-and-rebuild at the same path is never served stale (memo)") {
     // r16 review finding: the open-index-handle memo keyed (dir, id)
-    // alone would serve the DELETED index's centroids after rm -rf +
-    // rebuild (snapshot ids restart at 1); the key carries the commit
-    // timestamp, so the rebuilt index must win
+    // alone would serve the DELETED index's CENTROIDS after rm -rf +
+    // rebuild (snapshot ids restart at 1). Only centroids are
+    // memoized — assignments re-read fresh — so the decisive pins are
+    // (a) the commit token itself must change across the rebuild (the
+    // memo key's mechanism) and (b) a LOW-nprobe probe, whose cell
+    // choice is a pure function of the centroids, must equal a fresh
+    // refit over the rebuilt population (stale even-fit centroids
+    // would route probes to the wrong odd-index cells).
     val e = emb()
     val probes = e.filter(col("vec_id") < 5)
       .withColumnRenamed("vec_id", "probe_id")
@@ -122,24 +127,32 @@ class IvfIndexSpec extends SparkSpecBase {
       .createTempDirectory("ivf_spec_rebuild").toString
     IvfIndex.build(e.filter(col("vec_id") % 2 === 0), "embedding",
       "vec_id", dir, nlist = 4, seed = 1L)
-    val before = IvfIndex.probe(probes, "embedding", "probe_id", dir,
-        k = 5, nprobe = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tokBefore = graft.sources.Snapshots.commitToken(
+      s"$dir/centroids", 1L)
+    IvfIndex.probe(probes, "embedding", "probe_id", dir,
+      k = 5, nprobe = 1).collect() // populate the memo
     // wipe and rebuild at the SAME path over the ODD ids only
     def rm(p: java.io.File): Unit = {
       Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
     }
     rm(new java.io.File(dir))
-    IvfIndex.build(e.filter(col("vec_id") % 2 === 1), "embedding",
-      "vec_id", dir, nlist = 4, seed = 1L)
+    val odd = e.filter(col("vec_id") % 2 === 1)
+    IvfIndex.build(odd, "embedding", "vec_id", dir, nlist = 4, seed = 1L)
+    val tokAfter = graft.sources.Snapshots.commitToken(
+      s"$dir/centroids", 1L)
+    assert(tokBefore != tokAfter,
+      "commit token did not change across delete-and-rebuild — the " +
+        "memo key cannot distinguish the rebuilt index")
     val after = IvfIndex.probe(probes, "embedding", "probe_id", dir,
-        k = 5, nprobe = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // every result id must come from the REBUILT (odd) population —
-    // a stale memo would keep returning even ids
-    assert(after.forall { case (_, id) => id % 2 == 1 },
-      s"stale even ids after rebuild: ${after.filter(_._2 % 2 == 0)}")
-    assert(before.exists { case (_, id) => id % 2 == 0 })
+        k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // must equal a fresh refit over the odd population (same seed,
+    // same kmeans) — served-stale centroids route cells differently
+    val refit = Ann.ivfJoin(odd, probes, "embedding", "vec_id",
+        "probe_id", k = 5, nlist = 4, nprobe = 1, seed = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(after == refit)
+    assert(after.forall { case (_, id, _) => id % 2 == 1 })
   }
 
   test("probing an empty index directory fails loudly") {
