@@ -693,6 +693,13 @@ object Eval {
     * positive-grade judgments (0/0), 0.0 when it retrieved none of
     * them.
     *
+    * CONTRACT (stricter since r16): ranks must be distinct per query
+    * within the top-k — two different docs sharing a rank raise at
+    * runtime rather than silently double-counting the position's
+    * discount. Inputs with rank()/dense_rank()-style ties must break
+    * them (e.g. row_number) before calling; duplicate (query, doc)
+    * rows still collapse to best rank as before.
+    *
     * Determinism: every per-query sum is a left fold over a sorted
     * array (`array_sort` → `aggregate`), so the IEEE add order is
     * pinned — same discipline as the q63 fingerprint fold — and the

@@ -140,10 +140,14 @@ object TDigest {
     // centroids-first stable sortBy produced; equal buffer values are
     // interchangeable at weight 1). A defensive O(n) sortedness check
     // keeps the public contract for direct unsorted constructions.
+    // NaN-safe negated form (r17 ADVICE): `means(s-1) > means(s)` is
+    // false for NaN, so a directly-constructed state containing NaN
+    // means would pass as "sorted" and corrupt the fast merge; treat
+    // any NaN as unsorted so it routes to the generic fallback.
     var runSorted = true
     var s = 1
     while (runSorted && s < nm) {
-      if (means(s - 1) > means(s)) runSorted = false
+      if (!(means(s - 1) <= means(s))) runSorted = false
       s += 1
     }
     val (sm, sw) =

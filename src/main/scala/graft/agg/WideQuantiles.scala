@@ -120,9 +120,101 @@ object WideQuantiles {
           compression)),
         depth = 2)
     val values = merged.map(s => TDigest.quantiles(s, qs, compression))
+    oneRow(spark, cols.map(c => s"${c}_quantiles"), values, qs)
+  }
+
+  /** Array-layout twin of [[quantiles]] (r17, the apples-to-apples
+    * winsorize baseline): per-ELEMENT quantiles over ONE
+    * `ArrayType(Float|Double)` column of fixed `width`. This is the
+    * layout a 10k-feature dataset should be STORED in: a single-field
+    * schema keeps Spark's parquet scan on the vectorized reader (a
+    * 10k-COLUMN schema falls past `spark.sql.codegen.maxFields` onto
+    * the row-at-a-time parquet-mr path — measured r16, ~66 ns/value),
+    * and the elements arrive as one contiguous `ArrayData` per row
+    * (`ColumnarArray` straight off the column vector — `getFloat(j)`
+    * is an allocation-free direct read, no per-field null word or
+    * UnsafeRow walk).
+    *
+    * Contract mirrors [[quantiles]]: null ROWS and null ELEMENTS are
+    * skipped (SQL aggregate semantics), NaN raises loudly, all-null
+    * positions emit NaN quantiles. A row whose array length ≠ `width`
+    * raises loudly — a ragged batch is a corrupt feature table, not
+    * data. Output: one row, `<namePrefix><j>_quantiles` per element
+    * position, values aligned with `qs`. */
+  def quantilesOfArray(df: DataFrame, arrCol: String, width: Int,
+      qs: Seq[Double], compression: Int = 100,
+      namePrefix: String = "f"): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    require(qs.nonEmpty, "wide quantiles need at least one quantile")
+    require(compression > 0, s"compression must be positive, got $compression")
+    val spark = df.sparkSession
+    val bufCap = compression * 4
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val resolved = df.select(col(arrCol))
+    val (proj, isFloat) = resolved.schema.head.dataType match {
+      case ArrayType(FloatType, _) => (resolved, true)
+      case ArrayType(DoubleType, _) => (resolved, false)
+      case ArrayType(_, _) =>
+        (resolved.select(col(arrCol).cast("array<double>")), false)
+      case other => throw new IllegalArgumentException(
+        s"quantilesOfArray: $arrCol must be an array column, got $other")
+    }
+    val colName = arrCol // avoid closing over the DataFrame
+    val merged: Array[TDigestState] = proj.queryExecution.toRdd
+      .mapPartitions { it =>
+        val bufs = Array.fill(width)(new Array[Double](bufCap))
+        val fill = new Array[Int](width)
+        val states = Array.fill(width)(
+          TDigestState(Array.empty, Array.empty, Array.empty))
+        def flush(j: Int): Unit = if (fill(j) > 0) {
+          states(j) = TDigest.compress(states(j).means, states(j).weights,
+            java.util.Arrays.copyOf(bufs(j), fill(j)), compression)
+          fill(j) = 0
+        }
+        it.foreach { row =>
+          if (!row.isNullAt(0)) {
+            val a = row.getArray(0)
+            val n = a.numElements()
+            if (n != width) throw new IllegalArgumentException(
+              s"wide quantiles: $colName has length $n, expected $width — " +
+                "ragged feature arrays are corrupt input")
+            var j = 0
+            while (j < width) {
+              if (!a.isNullAt(j)) {
+                val x = if (isFloat) a.getFloat(j).toDouble
+                        else a.getDouble(j)
+                if (x != x) throw new IllegalArgumentException(
+                  s"wide quantiles: NaN at $colName[$j] — filter or " +
+                    "impute NaNs first")
+                bufs(j)(fill(j)) = x
+                fill(j) += 1
+                if (fill(j) == bufCap) flush(j)
+              }
+              j += 1
+            }
+          }
+        }
+        (0 until width).foreach(flush)
+        Iterator.single(states)
+      }
+      .treeAggregate(Array.fill(width)(
+        TDigestState(Array.empty, Array.empty, Array.empty)))(
+        (a, b) => Array.tabulate(width)(i => TDigest.merge(a(i), b(i),
+          compression)),
+        (a, b) => Array.tabulate(width)(i => TDigest.merge(a(i), b(i),
+          compression)),
+        depth = 2)
+    val values = merged.map(s => TDigest.quantiles(s, qs, compression))
+    oneRow(spark,
+      (0 until width).map(j => s"$namePrefix${j}_quantiles"), values, qs)
+  }
+
+  private def oneRow(spark: org.apache.spark.sql.SparkSession,
+      names: Seq[String], values: Array[Seq[Double]],
+      qs: Seq[Double]): DataFrame = {
     val row = Row.fromSeq(values.toSeq.map(_.toSeq))
-    val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
-      org.apache.spark.sql.types.StructField(s"${c}_quantiles",
+    val schema = org.apache.spark.sql.types.StructType(names.map(n =>
+      org.apache.spark.sql.types.StructField(n,
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType, containsNull = false),
         nullable = false)))

@@ -301,6 +301,17 @@ class DataStream(val df: DataFrame) {
       compression: Int = 100): DataStream =
     new DataStream(graft.agg.WideQuantiles.quantiles(df, cs, quantiles,
       compression))
+
+  /** Per-ELEMENT quantiles over one fixed-width array column — the
+    * layout a 10k-feature table should be stored in (single-field
+    * parquet schema keeps the vectorized reader engaged where a
+    * 10k-column schema falls off at `spark.sql.codegen.maxFields`);
+    * see [[graft.agg.WideQuantiles.quantilesOfArray]] (r17). */
+  def approximateQuantileWideArray(arrCol: String, width: Int,
+      quantiles: Seq[Double], compression: Int = 100,
+      namePrefix: String = "f"): DataStream =
+    new DataStream(graft.agg.WideQuantiles.quantilesOfArray(df, arrCol,
+      width, quantiles, compression, namePrefix))
   /** Reference-parity t-digest quantiles (the reference wraps a native
     * t-digest per partition, datastream.py:957-998; ours MERGES partial
     * digests instead of averaging per-partition quantiles — see

@@ -258,7 +258,16 @@ object Snapshots {
     * at the same path restarts ids at 1, but gets a fresh
     * commit_nonce (and timestamp). Used by the vector-index handle
     * memos to key cached centroids/codebooks (r16 review finding).
-    * Manifests from before the nonce fall back to the timestamp. */
+    * Manifests from before the nonce fall back to the timestamp MIXED
+    * WITH the manifest file's size and mtime (r17 ADVICE): a
+    * delete-and-rebuild of an old-format index landing in the same
+    * millisecond would otherwise produce an identical token and let a
+    * handle memo serve the dead index's centroids — exactly the hole
+    * the nonce closes for new-format manifests. Size+mtime come from
+    * the filesystem, not the (attacker-stable) JSON body, so two
+    * physically distinct manifest files collide only if byte-identical
+    * AND written in the same mtime tick — at which point they describe
+    * the same commit. */
   def commitToken(dir: String, id: Long): String = {
     val f = Paths.get(dir).resolve(s"manifests/v$id.json")
     require(Files.exists(f), s"snapshot $id does not exist under $dir")
@@ -266,10 +275,12 @@ object Snapshots {
     """"commit_nonce":"([^"]+)"""".r.findFirstMatchIn(text)
       .map(_.group(1))
       .getOrElse {
-        """"timestamp_ms":(-?\d+)""".r.findFirstMatchIn(text)
+        val ts = """"timestamp_ms":(-?\d+)""".r.findFirstMatchIn(text)
           .map(_.group(1)).getOrElse(
             throw new IllegalArgumentException(
               s"malformed manifest for snapshot $id under $dir"))
+        val mtime = Files.getLastModifiedTime(f).toMillis
+        s"legacy:$ts:${Files.size(f)}:$mtime"
       }
   }
 

@@ -187,9 +187,10 @@ object IvfIndex {
   // serve the deleted index's centroids. Only resolved ids are
   // memoized: a snapshotId=None call still lists the directory for
   // the CURRENT version first, so a concurrent append is never masked.
-  private val centroidMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, String),
-      Array[Array[Double]]]()
+  // Bounded LRU (r17 ADVICE): append-heavy services mint a new snapshot
+  // id per commit, so the r16 unbounded map leaked one nlist×dim
+  // centroid set per version for the JVM's lifetime.
+  private val centroidMemo = new HandleMemo[Array[Array[Double]]]()
 
   private def readCentroids(spark: SparkSession, dir: String,
       snapshotId: Option[Long]): (Long, Array[Array[Double]]) = {
@@ -198,11 +199,12 @@ object IvfIndex {
     val stamp = Snapshots.commitToken(s"$dir/centroids", id)
     // nlist centroid rows: bounded metadata, same transfer class as
     // OrderStat's picked ranks
-    val centers = centroidMemo.computeIfAbsent((dir, id, stamp), _ =>
+    val centers = centroidMemo.getOrCompute((dir, id, stamp)) {
       Snapshots.read(spark, s"$dir/centroids", Some(id))
         .collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1).map(_._2))
+        .sortBy(_._1).map(_._2)
+    }
     (id, centers)
   }
 }

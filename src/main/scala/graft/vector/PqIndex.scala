@@ -34,10 +34,10 @@ object PqIndex {
   // open-index-handle memo: (dir, resolved snapshot id, commit token)
   // → (coarse centroids, codebooks). Versions are immutable, and the
   // per-commit nonce keeps a delete-and-rebuild at the same path (ids
-  // restart at 1) from serving the dead index; see IvfIndex (r16)
+  // restart at 1) from serving the dead index; see IvfIndex (r16).
+  // Bounded LRU (r17 ADVICE, shared helper): see HandleMemo.
   private val handleMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, String),
-      (Array[Array[Double]], Map[(Int, Int), Array[Double]])]()
+    new HandleMemo[(Array[Array[Double]], Map[(Int, Int), Array[Double]])]()
 
   /** Fit coarse quantizer + per-subspace codebooks, encode, persist.
     * `dim` must divide into `m` equal subspaces; `m` ≤ 16. */
@@ -108,8 +108,7 @@ object PqIndex {
     // rationale as IvfIndex.readCentroids (r16): a version's
     // centroids/codebooks are immutable, and each gate probes twice
     val stamp = graft.sources.Snapshots.commitToken(s"$dir/centroids", id)
-    val (coarse, bookRows) = handleMemo.computeIfAbsent((dir, id, stamp),
-      _ => {
+    val (coarse, bookRows) = handleMemo.getOrCompute((dir, id, stamp)) {
       val c = Snapshots.read(spark, s"$dir/centroids", Some(id))
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
         .sortBy(_._1).map(_._2)
@@ -119,7 +118,7 @@ object PqIndex {
         .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
         .toMap
       (c, b)
-    })
+    }
     val m = bookRows.keys.map(_._1).max + 1
     val sub = bookRows((0, 0)).length
     // probe side: cells + the per-row ADC table (m·16 dot products,

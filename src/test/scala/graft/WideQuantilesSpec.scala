@@ -130,4 +130,73 @@ class WideQuantilesSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("array layout (r17) matches the column layout per element") {
+    // same values through both layouts, single partition pins the
+    // merge order -> bit-identical digests and quantiles
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 4000).map(i =>
+      (i.toDouble, (4000 - i).toDouble, (i % 97).toDouble))
+    val colsDf = s.createDataset(rows).toDF("a", "b", "c").coalesce(1)
+    val arrDf = colsDf.select(
+      array(col("a").cast("float"), col("b").cast("float"),
+        col("c").cast("float")).as("vec"))
+    val qs = Seq(0.1, 0.5, 0.9)
+    val colFlt = colsDf.select(col("a").cast("float").as("a"),
+      col("b").cast("float").as("b"), col("c").cast("float").as("c"))
+    val byCols = WideQuantiles.quantiles(colFlt, Seq("a", "b", "c"), qs).head()
+    val byArr = WideQuantiles.quantilesOfArray(arrDf, "vec", 3, qs).head()
+    (0 until 3).foreach { j =>
+      assert(byArr.getSeq[Double](j) == byCols.getSeq[Double](j),
+        s"elem $j: ${byArr.getSeq[Double](j)} vs ${byCols.getSeq[Double](j)}")
+    }
+    // output naming: prefix + position
+    assert(byArr.schema.fieldNames.toSeq ==
+      Seq("f0_quantiles", "f1_quantiles", "f2_quantiles"))
+  }
+
+  test("array layout reads a float parquet round-trip (scan path)") {
+    // exercises the actual storage path the baseline uses: parquet
+    // array<float> scan -> toRdd -> ArrayData element reads
+    val dir = java.nio.file.Files
+      .createTempDirectory("wq_arr").toString + "/t.parquet"
+    val df = spark.range(8000).select(array(
+      (col("id") % 100).cast("float"),
+      (col("id") % 7).cast("float")).as("vec"))
+    df.repartition(4).write.parquet(dir)
+    val rd = spark.read.parquet(dir)
+    val out = WideQuantiles.quantilesOfArray(rd, "vec", 2,
+      Seq(0.5), compression = 200).head()
+    assert(math.abs(out.getSeq[Double](0).head - 49.5) < 3.0)
+    assert(math.abs(out.getSeq[Double](1).head - 3.0) < 0.8)
+  }
+
+  test("array layout: null rows/elements skipped, ragged raises, NaN raises") {
+    val s = spark
+    import s.implicits._
+    val ok = Seq(Some(Seq(Some(1.0), None)), None,
+      Some(Seq(Some(3.0), Some(4.0))))
+      .toDF("vec")
+    val row = WideQuantiles.quantilesOfArray(ok, "vec", 2, Seq(0.5)).head()
+    assert(row.getSeq[Double](0).head == 2.0) // median of {1, 3}
+    assert(row.getSeq[Double](1).head == 4.0) // {4}
+    val ragged = Seq(Seq(1.0, 2.0), Seq(1.0)).toDF("vec")
+    val e1 = intercept[org.apache.spark.SparkException] {
+      WideQuantiles.quantilesOfArray(ragged, "vec", 2, Seq(0.5)).head()
+    }
+    assert(e1.getMessage.contains("length") ||
+      Option(e1.getCause).exists(_.getMessage.contains("length")))
+    val nan = Seq(Seq(1.0, Double.NaN)).toDF("vec")
+    val e2 = intercept[org.apache.spark.SparkException] {
+      WideQuantiles.quantilesOfArray(nan, "vec", 2, Seq(0.5)).head()
+    }
+    assert(e2.getMessage.contains("NaN") ||
+      Option(e2.getCause).exists(_.getMessage.contains("NaN")))
+    // non-array column rejected loudly at plan time
+    val notArr = Seq(1.0).toDF("vec")
+    intercept[IllegalArgumentException] {
+      WideQuantiles.quantilesOfArray(notArr, "vec", 1, Seq(0.5))
+    }
+  }
 }
