@@ -78,7 +78,7 @@ object WideQuantiles {
     // columnar-batch row views) and isNullAt/getFloat/getDouble are
     // allocation-free direct reads. Rows may be reused by the runtime
     // between iterations — fine, values are consumed immediately.
-    val merged: Array[TDigestState] = proj.queryExecution.toRdd
+    val merged: Array[TDigestState] = boundedPartials(proj, nc)
       .mapPartitions { it =>
         // per column: bounded raw buffer + current centroid set
         val bufs = Array.fill(nc)(new Array[Double](bufCap))
@@ -118,10 +118,31 @@ object WideQuantiles {
           compression)),
         (a, b) => Array.tabulate(nc)(i => TDigest.merge(a(i), b(i),
           compression)),
-        depth = 2)
+        depth = treeDepth(nc))
     val values = merged.map(s => TDigest.quantiles(s, qs, compression))
     oneRow(spark, cols.map(c => s"${c}_quantiles"), values, qs)
   }
+
+  /** Partial-size discipline shared by both kernels (measured r17 on
+    * the 1M×10k parquet fixture): a partial is WIDTH-sized — ~8 KB of
+    * centroids per column, ~84 MB at 10k columns — and one partial is
+    * emitted per input partition, so a 300-split parquet scan ships
+    * ~25 GB of partials and overflows spark.driver.maxResultSize at
+    * the tree's final fan-in. Coalesce the scan to ≤ 2× parallelism
+    * (split-merge, no shuffle — each task just reads more splits, and
+    * the per-task digest buffers amortize better) so partial count is
+    * bounded by the executor count, not the file count. */
+  private def boundedPartials(proj: DataFrame, width: Int)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = {
+    val rdd = proj.queryExecution.toRdd
+    val cap = 2 * proj.sparkSession.sparkContext.defaultParallelism
+    if (rdd.getNumPartitions > cap) rdd.coalesce(cap) else rdd
+  }
+
+  /** Final tree fan-in must also respect the width-sized partials: at
+    * 10k columns the driver receives fanIn × ~84 MB, so wide states get
+    * one extra combine level (64 partials → 4 at depth 3). */
+  private def treeDepth(width: Int): Int = if (width > 1024) 3 else 2
 
   /** Array-layout twin of [[quantiles]] (r17, the apples-to-apples
     * winsorize baseline): per-ELEMENT quantiles over ONE
@@ -150,6 +171,18 @@ object WideQuantiles {
     val spark = df.sparkSession
     val bufCap = compression * 4
     import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    // Width-aware columnar batch sizing (measured r17 on the 1M×10k
+    // baseline fixture): the vectorized parquet reader allocates
+    // batchRows × width element vectors PER TASK — the 4096-row default
+    // × 10k floats is ~160 MB a task, a heap OOM at 32 concurrent
+    // tasks. Cap the batch so one in-flight batch stays ~16 MB of
+    // elements; the prior value is restored after the pass (the whole
+    // job is eager inside this method, so the scope is tight).
+    val batchKey = "spark.sql.parquet.columnarReaderBatchSize"
+    val priorBatch = spark.conf.getOption(batchKey)
+    spark.conf.set(batchKey, math.max(64,
+      math.min(4096, 4 * 1024 * 1024 / width)).toString)
+    try {
     val resolved = df.select(col(arrCol))
     val (proj, isFloat) = resolved.schema.head.dataType match {
       case ArrayType(FloatType, _) => (resolved, true)
@@ -160,7 +193,7 @@ object WideQuantiles {
         s"quantilesOfArray: $arrCol must be an array column, got $other")
     }
     val colName = arrCol // avoid closing over the DataFrame
-    val merged: Array[TDigestState] = proj.queryExecution.toRdd
+    val merged: Array[TDigestState] = boundedPartials(proj, width)
       .mapPartitions { it =>
         val bufs = Array.fill(width)(new Array[Double](bufCap))
         val fill = new Array[Int](width)
@@ -203,10 +236,16 @@ object WideQuantiles {
           compression)),
         (a, b) => Array.tabulate(width)(i => TDigest.merge(a(i), b(i),
           compression)),
-        depth = 2)
+        depth = treeDepth(width))
     val values = merged.map(s => TDigest.quantiles(s, qs, compression))
     oneRow(spark,
       (0 until width).map(j => s"$namePrefix${j}_quantiles"), values, qs)
+    } finally {
+      priorBatch match {
+        case Some(v) => spark.conf.set(batchKey, v)
+        case None => spark.conf.unset(batchKey)
+      }
+    }
   }
 
   private def oneRow(spark: org.apache.spark.sql.SparkSession,

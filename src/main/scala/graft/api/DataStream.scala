@@ -157,6 +157,45 @@ class DataStream(val df: DataFrame) {
     clip(bounds)
   }
 
+  /** [[winsorize]] for the ARRAY layout (r17): per-element bounds from
+    * one [[approximateQuantileWideArray]] t-digest pass, then an
+    * element-wise clip of the array column in place. The bounds ride
+    * into the plan as TWO `typedlit` array literals (one Literal node
+    * each — never a width-sized expression tree, so a 10k-feature
+    * clip stays codegen-friendly), and the clip itself is a single
+    * `transform` over the array. Same all-null NaN-bounds guard as
+    * [[winsorize]]. Element type is preserved (float in → float out). */
+  def winsorizeArray(arrCol: String, width: Int, lo: Double = 0.01,
+      hi: Double = 0.99, compression: Int = 100): DataStream = {
+    require(lo >= 0 && hi <= 1 && lo < hi,
+      s"winsorizeArray needs 0 <= lo < hi <= 1, got ($lo, $hi)")
+    val row = graft.agg.WideQuantiles.quantilesOfArray(df, arrCol, width,
+      Seq(lo, hi), compression).head()
+    val bounds = (0 until width).map { j =>
+      val q = row.getSeq[Double](j)
+      require(!q.head.isNaN && !q.last.isNaN,
+        s"winsorizeArray: $arrCol[$j] has no non-null values — NaN " +
+          "bounds would poison the clip")
+      (q.head, q.last)
+    }
+    val loLit = typedlit(bounds.map(_._1))
+    val hiLit = typedlit(bounds.map(_._2))
+    val et = df.select(col(arrCol)).schema.head.dataType match {
+      case org.apache.spark.sql.types.ArrayType(t, _) => t
+      case other => throw new IllegalArgumentException(
+        s"winsorizeArray: $arrCol must be an array column, got $other")
+    }
+    // null elements stay null: greatest/least SKIP nulls, so a bare
+    // clip would silently impute lo over missing features
+    // fully qualified: DataStream.transform (the batch-UDF operator)
+    // shadows functions.transform here
+    new DataStream(df.withColumn(arrCol,
+      org.apache.spark.sql.functions.transform(col(arrCol), (x, i) =>
+        when(x.isNull, lit(null).cast(et)).otherwise(
+          least(greatest(x.cast("double"), element_at(loLit, i + 1)),
+            element_at(hiLit, i + 1)).cast(et)))))
+  }
+
   /** Clamp values (reference `clip`, datastream.py:867-903). */
   def clip(bounds: Map[String, (Double, Double)]): DataStream =
     new DataStream(df.withColumns(bounds.map { case (c, (lo, hi)) =>

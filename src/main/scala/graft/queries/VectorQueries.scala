@@ -279,6 +279,29 @@ object VectorQueries {
         .orderBy("probe_id")
     },
 
+    // ARRAY-layout wide quantiles (r17, the winsorize baseline's
+    // apples-to-apples storage layout): per-element t-digest quantiles
+    // over the embeddings table's 64-dim float arrays in ONE pass —
+    // the single-field schema that keeps a 10k-feature parquet scan on
+    // the vectorized reader where a 10k-COLUMN schema falls off at
+    // spark.sql.codegen.maxFields (WideQuantiles.quantilesOfArray).
+    // Gate = q245's CDF rank-band flags at three element positions ×
+    // three quantiles, evaluated against the ORIGINAL array elements.
+    "q250_wide_quantiles_array" -> { (s, d) =>
+      val emb = embeddings(s, d)
+      val ps = Seq(0.1, 0.5, 0.9)
+      val qdf = new DataStream(emb)
+        .approximateQuantileWideArray("embedding", 64, ps).df
+      def ok(j: Int)(i: Int) =
+        GateQueries.cdfFlag(element_at(col("embedding"), j + 1),
+          element_at(col(s"f${j}_quantiles"), i + 1), ps(i), 0.02,
+          s"ok_e${j}_q${(ps(i) * 100).toInt}")
+      emb.join(broadcast(qdf))
+        .agg(ok(0)(0), ok(0)(1), ok(0)(2),
+          ok(31)(0), ok(31)(1), ok(31)(2),
+          ok(63)(0), ok(63)(1), ok(63)(2))
+    },
+
     // FILTERED vector search (predicate-constrained ANN — the
     // vector-DB `search(filter=...)` feature on the stored q171 index):
     // top-k among the even-label ids only, PRE-filter semantics (the
@@ -713,6 +736,11 @@ object VectorQueries {
          |FROM nr FULL OUTER JOIN s ON nr.probe_id = s.probe_id
          |ORDER BY probe_id""".stripMargin
     },
+
+    "q250_wide_quantiles_array" ->
+      """SELECT 1 AS ok_e0_q10, 1 AS ok_e0_q50, 1 AS ok_e0_q90,
+        |  1 AS ok_e31_q10, 1 AS ok_e31_q50, 1 AS ok_e31_q90,
+        |  1 AS ok_e63_q10, 1 AS ok_e63_q50, 1 AS ok_e63_q90""".stripMargin,
 
     "q218_ivf_filtered" ->
       """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_res,

@@ -124,6 +124,10 @@ object BaselineBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the winsorize parquet cell reads a single array<float> column;
+      // keep the scan on the vectorized reader for nested types
+      // (defaulted differently across Spark minors — pin it)
+      .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/sf1")
@@ -252,10 +256,8 @@ object BaselineBench {
     // signals-per-symbol AND re-scanning the day axis. Both sides
     // validated to the same per-day equity (1e-6 relative) before
     // timing.
-    locally {
+    def backtestTier(btTrades: Long, btSyms: Long, full: Boolean): Unit = {
       import org.apache.spark.sql.expressions.Window
-      val btTrades = sys.env.getOrElse("GRAFT_BT_TRADES", "20000000").toLong
-      val btSyms = sys.env.getOrElse("GRAFT_BT_SYMS", "2000").toLong
       val t0 = 1546300800L // 2019-01-01
       val span = 126230400L // 4 years
       val perSym = btTrades / btSyms
@@ -374,6 +376,24 @@ object BaselineBench {
             to_date(col("fill_ts")).as("fill_day"))
         equityTail(fills, dayLast(trades()))
       }
+      if (!full) {
+        // engine-only SCALE row (r17, verdict item 6): one cold run at
+        // 5× the validated fixture — pins the O(rows) reversed-frame
+        // as-of where the pre-r16 UnboundedFollowing form hung for 9+
+        // minutes at a fifth of this size. Equity semantics are
+        // validated head-to-head at the full=true tier; this row only
+        // needs to COMPLETE linearly, so it skips the quadratic naive
+        // side and the validation join (each would dominate the run).
+        val s0 = System.nanoTime()
+        graft.Bench.force(engineBt())
+        val eBt = (System.nanoTime() - s0) / 1e9
+        record(s"tick backtest engine-only (${btTrades / 1000000}M ticks, " +
+          s"$btSyms syms)", eBt, eBt,
+          f"single cold run, ${btTrades / eBt / 1e6}%.1fM ticks/s through " +
+            "the full composition; equity validated at the 20M tier. " +
+            "Reference: 4y SIP in 10 min on 8 machines")
+        return
+      }
       // validate: same days, equity agrees to 1e-6 relative
       val cmp = engineBt().select(col("day"), col("equity").as("e"))
         .join(naiveBt().select(col("day"), col("equity").as("n")),
@@ -406,6 +426,15 @@ object BaselineBench {
           "engine unionTag plans ONE exchange + window over the " +
           "tagged union — already the minimal shuffle for an as-of")
     }
+    backtestTier(
+      sys.env.getOrElse("GRAFT_BT_TRADES", "20000000").toLong,
+      sys.env.getOrElse("GRAFT_BT_SYMS", "2000").toLong, full = true)
+    locally {
+      val btScale = sys.env.getOrElse("GRAFT_BT_TRADES_SCALE",
+        "100000000").toLong
+      if (btScale > 0) backtestTier(btScale,
+        sys.env.getOrElse("GRAFT_BT_SYMS", "2000").toLong, full = false)
+    }
 
     // ---- winsorization headline (blog/approxquant.md:31) ---------------
     // 1M × 10k floats, quantiles [0.1, 0.9] per column, ONE pass. The
@@ -420,7 +449,59 @@ object BaselineBench {
     val wide = sys.env.getOrElse("GRAFT_WIDE_COLS", "10000").toInt
     val wrows = sys.env.getOrElse("GRAFT_WIDE_ROWS", "1000000").toLong
     val capSec = sys.env.getOrElse("GRAFT_WIDE_CAP_SEC", "600").toInt
+
+    // (r17, verdict item 1 — the apples-to-apples cell): the reference's
+    // ~60 s reads its 1M×10k float dataset FROM PARQUET
+    // (blog/approxquant.md:31); the r15/r16 cell paid ~160 s of in-plan
+    // rand() synthesis inside the timed region. Store the dataset ONCE
+    // (untimed, sentinel-cached like target/sf1) as a single
+    // array<float> column — the 10k-COLUMN layout was measured r16 and
+    // rejected (above spark.sql.codegen.maxFields the scan falls off
+    // the vectorized reader onto parquet-mr's row reader, slower than
+    // synthesis), but a SINGLE-field array schema stays vectorized and
+    // feeds WideQuantiles.quantilesOfArray contiguous ArrayData per
+    // row. Timed region = exactly what the reference times: scan + one
+    // quantile pass.
     locally {
+      // size-keyed dir: a smoke run at a small GRAFT_WIDE_* must not
+      // satisfy the sentinel for the full-size fixture
+      val fixDir = new java.io.File(s"target/wide_arr_${wrows}x$wide")
+      val sentinel = new java.io.File(fixDir, "_BUILD_COMPLETE")
+      val pq = new java.io.File(fixDir, "t.parquet").getPath
+      if (!sentinel.exists()) {
+        println(s"[baseline] building $pq ($wrows rows x $wide array<float>)")
+        import spark.implicits._
+        val w = wide
+        // uniform[0,1) like the synth cell; one cheap splitmix-seeded
+        // PRNG per row keeps the build deterministic and partition-
+        // order-free. 256 output files of ~150 MB for a parallel scan.
+        spark.range(0L, wrows, 1L, 256)
+          .map { id =>
+            val r = new java.util.Random(id * 0x9E3779B97F4A7C15L + 42L)
+            Array.fill(w)(r.nextFloat())
+          }
+          .toDF("vec").write.mode("overwrite").parquet(pq)
+        new java.io.FileOutputStream(sentinel).close()
+      }
+      val t0 = System.nanoTime()
+      val row = new graft.api.DataStream(spark.read.parquet(pq))
+        .approximateQuantileWideArray("vec", wide, Seq(0.1, 0.9))
+        .df.head()
+      val e = (System.nanoTime() - t0) / 1e9
+      require(row.size == wide, s"expected $wide quantile columns")
+      // spot-sanity: uniform[0,1) per element position
+      val q0 = row.getSeq[Double](0)
+      require(q0.head > 0.02 && q0.head < 0.18 &&
+        q0.last > 0.82 && q0.last < 0.98, s"q10/q90 off: $q0")
+      println(f"[baseline] winsorize_quantiles parquet engine=${e}%.1fs " +
+        s"($wide-elem array x $wrows rows)")
+      rows += s"| winsorize ${wide}-float approx-quantiles (parquet) | ${fmt(e)} | — | — | APPLES-TO-APPLES row (r17): timed region = parquet scan + one t-digest pass over the stored ${wrows}×${wide} float dataset, matching the reference's methodology (it reads its dataset from storage; published ~60 s on the same 32 vCPUs). Layout = ONE array<float> column (vectorized nested reader stays engaged; the ${wide}-COLUMN layout was measured r16 and falls off at codegen.maxFields); kernel = WideQuantiles.quantilesOfArray (InternalRow/ArrayData reads, no boxing). The synth-included row below keeps r15/r16 continuity |"
+    }
+
+    // GRAFT_WIDE_SYNTH_ROW=0 skips the synth-included continuity cell,
+    // its stock watchdog and the clip tail (dev probe of the parquet
+    // cell alone; the recorded artifact keeps all rows)
+    if (sys.env.getOrElse("GRAFT_WIDE_SYNTH_ROW", "1") != "0") locally {
       val names = (0 until wide).map(i => s"f$i")
       def data() = spark.range(wrows).select(
         (0 until wide).map(i => rand(42L + i).as(s"f$i")): _*)
@@ -508,7 +589,7 @@ object BaselineBench {
       }
       val stockCell = stock.fold(identity, s => s"${fmt(s)} s")
       println(s"[baseline] winsorize_quantiles stock=$stockCell")
-      rows += s"| winsorize ${wide}-col approx-quantiles | ${fmt(e)} | $stockCell | — | engine = approximateQuantileWide (InternalRow t-digest arrays, r16: toRdd getDouble replaced the .rdd boxed-Row path — 441 s to this); stock = df.stat.approxQuantile. Reference: ~60 s on the same 32 vCPUs reading its dataset FROM PARQUET — this cell INCLUDES synthesizing the 10^10 rand() values in-plan (~160 s of it, measured via tools/WideProbe), which the reference does not pay; a stored-parquet variant was measured and rejected: Spark's parquet scan above spark.sql.codegen.maxFields columns falls off the vectorized reader and reads SLOWER than synthesis. The expression-tier 10k-wide percentile_approx form OOM'd a 24g JVM (measured r15) — same QuantileSummaries head-buffer failure as stock |"
+      rows += s"| winsorize ${wide}-col approx-quantiles (synth-included) | ${fmt(e)} | $stockCell | — | CONTINUITY row (r15/r16 methodology): this cell INCLUDES synthesizing the 10^10 rand() values in-plan (~160 s of it, measured via tools/WideProbe) — the parquet row above is the apples-to-apples reading. Engine = approximateQuantileWide (InternalRow t-digest arrays, r16: toRdd getDouble replaced the .rdd boxed-Row path — 441 s to this); stock = df.stat.approxQuantile on the same synth plan (the crash/DNF reproduces regardless of source — the failure is per-column QuantileSummaries buffers at width ${wide}). The expression-tier ${wide}-wide percentile_approx form OOM'd a 24g JVM (measured r15) — same head-buffer failure as stock |"
 
       // the blog pipeline's tail: clip everything, covariance readout
       val t1 = System.nanoTime()
@@ -549,10 +630,14 @@ object BaselineBench {
     md ++= "| workload | engine s | naive s | naive/engine | note |\n"
     md ++= "|---|---|---|---|---|\n"
     rows.foreach(r => md ++= r + "\n")
+    // GRAFT_BASELINE_OUT: smoke runs at reduced GRAFT_* sizes must not
+    // overwrite the committed full-size artifact
+    val outPath = sys.env.getOrElse("GRAFT_BASELINE_OUT",
+      "BASELINE_MEASURED.md")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BASELINE_MEASURED.md"),
+      java.nio.file.Paths.get(outPath),
       md.toString.getBytes("UTF-8"))
-    println(s"wrote BASELINE_MEASURED.md (${rows.size} rows)")
+    println(s"wrote $outPath (${rows.size} rows)")
     spark.stop()
   }
 }

@@ -393,6 +393,12 @@ object ScaleSoak {
     "q244_curation_pipeline", "q245_wide_quantiles",
     // graded nDCG: bounded probe batch × corpus scan — scan-linear
     "q246_ndcg",
+    // r16 gates (r17, verdict item 3): the winsorize composition —
+    // wide-quantile pass chained into clip + covariance, where a
+    // re-planned bounds broadcast would show superlinearly — the
+    // multimodal composition (decode→pHash→band-join→CC→keeper), and
+    // MAP (bounded probes × corpus scan)
+    "q247_winsorize_cov", "q248_multimodal_pipeline", "q249_map_eval",
     // ---- r13 soak-breadth batch (verdict item 7): every remaining
     // catalog query whose cost scales with data, so no regression can
     // hide in the unsoaked half. EXEMPT as fixed-floor by construction

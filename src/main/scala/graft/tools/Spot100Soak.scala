@@ -80,6 +80,27 @@ object Spot100Soak {
     // compositions are what a 100 TB curation run actually executes
     "q244_curation_pipeline", "q248_multimodal_pipeline")
 
+  /** Which fixture table(s) each flagship reads — the denominator of
+    * the r17 row-count evidence (verdict item 4): a flat r100/10 ratio
+    * could also be produced by a fixture-pruning bug that silently
+    * reads a tenth of the corpus, so each BENCH_100x entry now records
+    * the INPUT rows actually present at each scale (metadata-only
+    * parquet counts) alongside the query's own output rows. */
+  private val inputTables: Map[String, Seq[String]] = Map(
+    "q66_lsh_near_dup" -> Seq("documents"),
+    "q190_setsim_join" -> Seq("documents"),
+    "q179_entity_resolution" -> Seq("documents"),
+    "q121_neardup_clusters" -> Seq("documents"),
+    "q214_trailing_approx" -> Seq("events"),
+    "q238_winnow_dedup" -> Seq("documents"),
+    "q101_streaming_session" -> Seq("events"),
+    "q108_streaming_hopping" -> Seq("events"),
+    "q109_streaming_distinct" -> Seq("events"),
+    "q148_streaming_dedup" -> Seq("events"),
+    "q243_streaming_drift" -> Seq("events"),
+    "q244_curation_pipeline" -> Seq("documents"),
+    "q248_multimodal_pipeline" -> Seq("documents"))
+
   private def buildSf10(spark: SparkSession, src: String,
       dst: String): Unit = {
     def raw(name: String) = spark.read.parquet(s"$src/$name.parquet")
@@ -129,6 +150,17 @@ object Spot100Soak {
       (System.nanoTime() - t0) / 1e9
     }
     val torun = if (args.isEmpty) flagships else flagships.filter(args.toSet)
+    // fixture input rows per (table, scale): metadata-only counts,
+    // memoized — shared across the flagships reading the same table
+    val tableRows = scala.collection.mutable.Map.empty[(String, String), Long]
+    def rowsIn(q: String, dir: String): Long =
+      inputTables(q).map(t => tableRows.getOrElseUpdate((t, dir),
+        spark.read.parquet(s"$dir/$t.parquet").count())).sum
+    // output rows: one untimed count per (query, scale) AFTER the timed
+    // min-of-2 (count() prunes compute, so it must never be the timed
+    // body — it only needs cardinality)
+    def rowsOut(q: String, dir: String): Long =
+      graft.SparkEntry.queries(q)(spark, dir).count()
     // warm all three scales once, then min-of-2 interleaved (the
     // ScaleSoak contention discipline)
     torun.foreach { q => time(q, src); time(q, sf1); time(q, sf10) }
@@ -137,10 +169,13 @@ object Spot100Soak {
       val b01 = time(q, src); val b1 = time(q, sf1); val b10 = time(q, sf10)
       val (t01, t1, t10) = (math.min(a01, b01), math.min(a1, b1),
         math.min(a10, b10))
+      val ri = (rowsIn(q, src), rowsIn(q, sf1), rowsIn(q, sf10))
+      val ro = (rowsOut(q, src), rowsOut(q, sf1), rowsOut(q, sf10))
       println(f"[spot100] $q sf0.1=$t01%.2fs sf1=$t1%.2fs sf10=$t10%.2fs " +
         f"r10=${t1 / t01}%.2f r100_10=${t10 / t1}%.2f " +
-        f"r100=${t10 / t01}%.2f")
-      (q, t01, t1, t10)
+        f"r100=${t10 / t01}%.2f rows_in=${ri._1}/${ri._2}/${ri._3} " +
+        s"rows_out=${ro._1}/${ro._2}/${ro._3}")
+      (q, t01, t1, t10, ri, ro)
     }
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(d))
@@ -178,11 +213,13 @@ object Spot100Soak {
         }
       }
     }
-    val fresh = rows.map { case (q, t01, t1, t10) =>
+    val fresh = rows.map { case (q, t01, t1, t10, ri, ro) =>
       q -> (s"""{"sf01_sec": ${fmt(t01)}, "sf1_sec": ${fmt(t1)}, """ +
         s""""sf10_sec": ${fmt(t10)}, "ratio_10x": ${fmt(t1 / t01)}, """ +
         s""""ratio_100x_over_10x": ${fmt(t10 / t1)}, """ +
-        s""""ratio_100x": ${fmt(t10 / t01)}}""")
+        s""""ratio_100x": ${fmt(t10 / t01)}, """ +
+        s""""rows_in": [${ri._1}, ${ri._2}, ${ri._3}], """ +
+        s""""rows_out": [${ro._1}, ${ro._2}, ${ro._3}]}""")
     }
     val merged = scala.collection.mutable.LinkedHashMap.empty[String, String]
     prior.foreach { case (q, v) => merged(q) = v }

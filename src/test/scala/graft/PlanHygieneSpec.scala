@@ -27,6 +27,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     // clipped-extremes aggregate and the two one-row covariance
     // readouts (clip bounds themselves are driver-side scalars)
     "q247_winsorize_cov",
+    // array-layout wide quantiles (r17): crosses embeddings with its
+    // one-row per-element t-digest readout — q245's contract on the
+    // array storage layout
+    "q250_wide_quantiles_array",
     // bigram LM: crosses the scored bigrams with the one-row train
     // vocabulary-size aggregate
     "q131_bigram_lm",
@@ -106,6 +110,43 @@ class PlanHygieneSpec extends SparkSpecBase {
       case (name, plan) if plan.contains("CartesianProduct") => name
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  /** r17 (verdict item 5): structurally exclude the O(rows²) frame
+    * class r16 found. Spark evaluates any window frame ENDING at
+    * UnboundedFollowing whose start is not UnboundedPreceding with
+    * UnboundedFollowingWindowFunctionFrame, which rescans to the
+    * partition end FOR EVERY ROW — invisible on sf fixtures, a
+    * 9-minute hang at 20M rows per key. The three known sites were
+    * rewritten as the exact-mirror reversed running frame
+    * (ts/AsofJoin, ts/Resample); this catalog-wide pin flushes any
+    * fourth site and blocks regression. Whole-partition frames
+    * [unboundedpreceding, unboundedfollowing] stay allowed: Spark
+    * computes those once per partition (O(rows)). */
+  test("no query plans a per-row UnboundedFollowing window frame") {
+    // substring walk, not a regex over the whole Window node: one node
+    // prints SEVERAL windowspecdefinitions, and a greedy/lazy bound
+    // capture spans frames and misreads an allowed whole-partition
+    // frame as an offender. The lower bound of a frame ending at
+    // unboundedfollowing$() sits between the LAST
+    // "specifiedwindowframe(" before the marker and the marker itself.
+    val marker = ", unboundedfollowing$())"
+    val open = "specifiedwindowframe("
+    val offenders = plans.flatMap { case (name, plan) =>
+      Iterator.iterate(plan.indexOf(marker))(i =>
+        plan.indexOf(marker, i + 1))
+        .takeWhile(_ >= 0)
+        .map { i =>
+          val start = plan.lastIndexOf(open, i)
+          plan.substring(start, i + marker.length)
+        }
+        .filterNot(_.contains("unboundedpreceding$()"))
+        .map(f => s"$name: $f")
+        .toSeq.distinct
+    }
+    assert(offenders.isEmpty,
+      "O(rows²) per-row UnboundedFollowing frames — express forward " +
+        s"fills as the reversed running frame instead: $offenders")
   }
 
   test("nested-loop joins appear only under one-row scalar broadcasts") {

@@ -172,6 +172,31 @@ class WideQuantilesSpec extends SparkSpecBase {
     assert(math.abs(out.getSeq[Double](1).head - 3.0) < 0.8)
   }
 
+  test("winsorizeArray clips per element, preserves nulls and float type") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 1000).map(i => Seq(Some(i.toFloat),
+      if (i == 500) None else Some((1000 - i).toFloat)))
+      .toDF("vec")
+    val out = new graft.api.DataStream(base)
+      .winsorizeArray("vec", 2, 0.1, 0.9).df
+    // element type preserved
+    assert(out.schema.head.dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = true))
+    val stats = out.selectExpr(
+      "min(vec[0]) lo0", "max(vec[0]) hi0",
+      "min(vec[1]) lo1", "max(vec[1]) hi1",
+      "sum(cast(vec[1] is null as int)) nnull").head()
+    // uniform 1..1000: q10 ~ 100, q90 ~ 900 (sketch tolerance)
+    assert(stats.getFloat(0) > 60 && stats.getFloat(0) < 140, stats)
+    assert(stats.getFloat(1) > 860 && stats.getFloat(1) < 940, stats)
+    assert(stats.getFloat(2) > 60 && stats.getFloat(2) < 140, stats)
+    assert(stats.getFloat(3) > 860 && stats.getFloat(3) < 940, stats)
+    // the null element survived as null (not imputed to the lo bound)
+    assert(stats.getLong(4) == 1L, stats)
+  }
+
   test("array layout: null rows/elements skipped, ragged raises, NaN raises") {
     val s = spark
     import s.implicits._
