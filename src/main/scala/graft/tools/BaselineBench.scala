@@ -377,19 +377,20 @@ object BaselineBench {
         equityTail(fills, dayLast(trades()))
       }
       if (!full) {
-        // engine-only SCALE row (r17, verdict item 6): one cold run at
-        // 5× the validated fixture — pins the O(rows) reversed-frame
-        // as-of where the pre-r16 UnboundedFollowing form hung for 9+
-        // minutes at a fifth of this size. Equity semantics are
-        // validated head-to-head at the full=true tier; this row only
-        // needs to COMPLETE linearly, so it skips the quadratic naive
-        // side and the validation join (each would dominate the run).
-        val s0 = System.nanoTime()
-        graft.Bench.force(engineBt())
-        val eBt = (System.nanoTime() - s0) / 1e9
+        // engine-only SCALE row (r17, verdict item 6): 5× the validated
+        // fixture — pins the O(rows) reversed-frame as-of where the
+        // pre-r16 UnboundedFollowing form hung for 9+ minutes at a
+        // fifth of this size. Equity semantics are validated
+        // head-to-head at the full=true tier; this row only needs to
+        // COMPLETE linearly, so it skips the quadratic naive side and
+        // the validation join (each would dominate the run). Warm +
+        // min-of-2 like the standard rows: single cold runs of this
+        // cell swung 31–74 s across r17 harness runs (ambient), which
+        // is too noisy for a recorded scale claim.
+        val eBt = timed(() => graft.Bench.force(engineBt()))
         record(s"tick backtest engine-only (${btTrades / 1000000}M ticks, " +
           s"$btSyms syms)", eBt, eBt,
-          f"single cold run, ${btTrades / eBt / 1e6}%.1fM ticks/s through " +
+          f"warm + min-of-2, ${btTrades / eBt / 1e6}%.1fM ticks/s through " +
             "the full composition; equity validated at the 20M tier. " +
             "Reference: 4y SIP in 10 min on 8 machines")
         return
@@ -483,19 +484,24 @@ object BaselineBench {
           .toDF("vec").write.mode("overwrite").parquet(pq)
         new java.io.FileOutputStream(sentinel).close()
       }
-      val t0 = System.nanoTime()
-      val row = new graft.api.DataStream(spark.read.parquet(pq))
-        .approximateQuantileWideArray("vec", wide, Seq(0.1, 0.9))
-        .df.head()
-      val e = (System.nanoTime() - t0) / 1e9
-      require(row.size == wide, s"expected $wide quantile columns")
-      // spot-sanity: uniform[0,1) per element position
-      val q0 = row.getSeq[Double](0)
-      require(q0.head > 0.02 && q0.head < 0.18 &&
-        q0.last > 0.82 && q0.last < 0.98, s"q10/q90 off: $q0")
+      // warm + min-of-2 — the file's standard discipline. The winsorize
+      // rows' single-cold-run exemption was about 7-minute cells; this
+      // one is ~2 min, so it gets the same treatment as every other
+      // row. (Cold first pass measured r17: 116–127 s across runs.)
+      def parquetPass(): Unit = {
+        val row = new graft.api.DataStream(spark.read.parquet(pq))
+          .approximateQuantileWideArray("vec", wide, Seq(0.1, 0.9))
+          .df.head()
+        require(row.size == wide, s"expected $wide quantile columns")
+        // spot-sanity: uniform[0,1) per element position
+        val q0 = row.getSeq[Double](0)
+        require(q0.head > 0.02 && q0.head < 0.18 &&
+          q0.last > 0.82 && q0.last < 0.98, s"q10/q90 off: $q0")
+      }
+      val e = timed(() => parquetPass())
       println(f"[baseline] winsorize_quantiles parquet engine=${e}%.1fs " +
         s"($wide-elem array x $wrows rows)")
-      rows += s"| winsorize ${wide}-float approx-quantiles (parquet) | ${fmt(e)} | — | — | APPLES-TO-APPLES row (r17): timed region = parquet scan + one t-digest pass over the stored ${wrows}×${wide} float dataset, matching the reference's methodology (it reads its dataset from storage; published ~60 s on the same 32 vCPUs). Layout = ONE array<float> column (vectorized nested reader stays engaged; the ${wide}-COLUMN layout was measured r16 and falls off at codegen.maxFields); kernel = WideQuantiles.quantilesOfArray (InternalRow/ArrayData reads, no boxing). The synth-included row below keeps r15/r16 continuity |"
+      rows += s"| winsorize ${wide}-float approx-quantiles (parquet) | ${fmt(e)} | — | — | APPLES-TO-APPLES row (r17): timed region = parquet scan + one t-digest pass over the stored ${wrows}×${wide} float dataset, matching the reference's methodology (it reads its dataset from storage; published ~60 s on the same 32 vCPUs). Warm + min-of-2 like every other row (cold first pass: 116–127 s measured r17). Layout = ONE array<float> column (vectorized nested reader stays engaged; the ${wide}-COLUMN layout was measured r16 and falls off at codegen.maxFields); kernel = WideQuantiles.quantilesOfArray (InternalRow/ArrayData reads, no boxing). The synth-included row below keeps r15/r16 continuity |"
     }
 
     // GRAFT_WIDE_SYNTH_ROW=0 skips the synth-included continuity cell,
@@ -589,7 +595,7 @@ object BaselineBench {
       }
       val stockCell = stock.fold(identity, s => s"${fmt(s)} s")
       println(s"[baseline] winsorize_quantiles stock=$stockCell")
-      rows += s"| winsorize ${wide}-col approx-quantiles (synth-included) | ${fmt(e)} | $stockCell | — | CONTINUITY row (r15/r16 methodology): this cell INCLUDES synthesizing the 10^10 rand() values in-plan (~160 s of it, measured via tools/WideProbe) — the parquet row above is the apples-to-apples reading. Engine = approximateQuantileWide (InternalRow t-digest arrays, r16: toRdd getDouble replaced the .rdd boxed-Row path — 441 s to this); stock = df.stat.approxQuantile on the same synth plan (the crash/DNF reproduces regardless of source — the failure is per-column QuantileSummaries buffers at width ${wide}). The expression-tier ${wide}-wide percentile_approx form OOM'd a 24g JVM (measured r15) — same head-buffer failure as stock |"
+      rows += s"| winsorize ${wide}-col approx-quantiles (synth-included) | ${fmt(e)} | $stockCell | — | CONTINUITY row (r15/r16 methodology): this cell INCLUDES the in-plan rand() synthesis the reference does not pay (~160 s of a COLD cell, measured r16 via tools/WideProbe; r16's cold recorded value was 207–227 s). In this harness it now runs AFTER the parquet row's three passes, so the shared t-digest kernel is C2-warm and the value is flattered — kept for continuity only; the parquet row above is the comparison. Engine = approximateQuantileWide (InternalRow t-digest arrays); stock = df.stat.approxQuantile on the same synth plan (the crash/DNF reproduces regardless of source — the failure is per-column QuantileSummaries buffers at width ${wide}). The expression-tier ${wide}-wide percentile_approx form OOM'd a 24g JVM (measured r15) — same head-buffer failure as stock |"
 
       // the blog pipeline's tail: clip everything, covariance readout
       val t1 = System.nanoTime()
