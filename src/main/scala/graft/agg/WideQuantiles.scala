@@ -177,7 +177,10 @@ object WideQuantiles {
     // × 10k floats is ~160 MB a task, a heap OOM at 32 concurrent
     // tasks. Cap the batch so one in-flight batch stays ~16 MB of
     // elements; the prior value is restored after the pass (the whole
-    // job is eager inside this method, so the scope is tight).
+    // job is eager inside this method, so the scope is tight — a
+    // concurrent query planned in the same session during the pass
+    // reads smaller-than-default batches: correct, just marginally
+    // slower for it).
     val batchKey = "spark.sql.parquet.columnarReaderBatchSize"
     val priorBatch = spark.conf.getOption(batchKey)
     spark.conf.set(batchKey, math.max(64,
