@@ -174,12 +174,26 @@ object TDigest {
         val sorted = pts.sortBy(_._1)
         (sorted.map(_._1), sorted.map(_._2))
       }
+    val out = new Clusters(n)
+    sweep(sm, sw, n, compression, out)
+    TDigestState(java.util.Arrays.copyOf(out.m, out.len),
+      java.util.Arrays.copyOf(out.w, out.len), Array.empty)
+  }
+
+  /** The k-scale cluster sweep shared by [[compress]] (allocating, one
+    * holder per call) and [[WideDigestIngest]] (in-place, one reused
+    * holder per column — the winsorization hot path, where per-flush
+    * allocation was measured r17 as the dominant cost: ~15 KB × 25M
+    * flushes ≈ 375 GB of churn at the 1M×10k headline). Reads the
+    * mean-sorted runs `sm`/`sw[0,n)`, resets `out`, emits clusters.
+    * Arithmetic and operation order are exactly the former inline
+    * sweep's, so emitted digests are value-identical. */
+  private[agg] def sweep(sm: Array[Double], sw: Array[Double], n: Int,
+      compression: Int, out: Clusters): Unit = {
     var total = 0.0
     var t = 0
     while (t < n) { total += sw(t); t += 1 }
-
-    val outM = Array.newBuilder[Double]
-    val outW = Array.newBuilder[Double]
+    out.len = 0
     var curMean = sm(0)
     var curW = sw(0)
     var done = 0.0 // weight fully emitted so far
@@ -194,12 +208,100 @@ object TDigest {
         curMean += (m - curMean) * w / nw
         curW = nw
       } else {
-        outM += curMean; outW += curW; done += curW
+        out.add(curMean, curW); done += curW
         curMean = m; curW = w
       }
       k += 1
     }
-    outM += curMean; outW += curW
-    TDigestState(outM.result(), outW.result(), Array.empty)
+    out.add(curMean, curW)
+  }
+}
+
+/** Growable primitive (mean, weight) cluster store — the sweep's output
+  * buffer. Reused across flushes on the hot path; growth (rare — the
+  * steady-state cluster count is O(compression)) doubles in place. */
+private[agg] final class Clusters(initCap: Int) {
+  var m: Array[Double] = new Array[Double](math.max(initCap, 8))
+  var w: Array[Double] = new Array[Double](math.max(initCap, 8))
+  var len: Int = 0
+  def add(mean: Double, weight: Double): Unit = {
+    if (len == m.length) {
+      m = java.util.Arrays.copyOf(m, m.length * 2)
+      w = java.util.Arrays.copyOf(w, w.length * 2)
+    }
+    m(len) = mean; w(len) = weight; len += 1
+  }
+}
+
+/** Per-task, allocation-free wide ingestion: `width` parallel t-digests,
+  * each a bounded raw buffer plus an in-place centroid store. This is
+  * the winsorization headline's hot kernel (blog/approxquant.md — 1M
+  * rows × 10k floats = 10¹⁰ values): the previous shape flushed through
+  * [[TDigest.compress]], which allocates a buffer copy, two merged-run
+  * arrays and two builders PER FLUSH — harmless for the typed
+  * Aggregator, but ~375 GB of transient allocation at headline scale,
+  * measured r17 as ~3× the arithmetic cost. Here a flush sorts the
+  * column's buffer IN PLACE, merges it with the column's centroids into
+  * task-shared scratch, and runs the shared [[TDigest.sweep]] back into
+  * the column's reused holder — zero steady-state allocation. Operation
+  * order matches compress's sorted fast path exactly, so the states a
+  * task emits are value-identical to the old path's.
+  *
+  * Not thread-safe; one instance per task (Spark tasks are
+  * single-threaded over their iterator). */
+private[graft] final class WideDigestIngest(width: Int, compression: Int) {
+  private val bufCap = compression * 4
+  private val bufs = Array.fill(width)(new Array[Double](bufCap))
+  private val fill = new Array[Int](width)
+  private val cols = Array.fill(width)(new Clusters(2 * compression))
+  // task-shared merge scratch, grown to the widest (centroids + buffer)
+  private var sm = new Array[Double](2 * compression + bufCap)
+  private var sw = new Array[Double](2 * compression + bufCap)
+
+  /** Ingest one non-null, non-NaN value for column `j`. */
+  def add(j: Int, x: Double): Unit = {
+    val b = bufs(j)
+    b(fill(j)) = x
+    fill(j) += 1
+    if (fill(j) == bufCap) flush(j)
+  }
+
+  private def flush(j: Int): Unit = {
+    val nb = fill(j)
+    if (nb == 0) return
+    val buf = bufs(j)
+    java.util.Arrays.sort(buf, 0, nb)
+    val c = cols(j)
+    val nc = c.len
+    val n = nc + nb
+    if (n > sm.length) {
+      sm = new Array[Double](n * 2)
+      sw = new Array[Double](n * 2)
+    }
+    // stable merge, centroid wins ties — same order as compress's
+    // sorted fast path
+    val cm = c.m; val cw = c.w
+    var i = 0; var k = 0; var o = 0
+    while (i < nc && k < nb) {
+      if (cm(i) <= buf(k)) { sm(o) = cm(i); sw(o) = cw(i); i += 1 }
+      else { sm(o) = buf(k); sw(o) = 1.0; k += 1 }
+      o += 1
+    }
+    while (i < nc) { sm(o) = cm(i); sw(o) = cw(i); i += 1; o += 1 }
+    while (k < nb) { sm(o) = buf(k); sw(o) = 1.0; k += 1; o += 1 }
+    TDigest.sweep(sm, sw, n, compression, c)
+    fill(j) = 0
+  }
+
+  /** Flush every column and emit the per-column states (one array copy
+    * per column — once per task, not per flush). */
+  def states(): Array[TDigestState] = {
+    var j = 0
+    while (j < width) { flush(j); j += 1 }
+    Array.tabulate(width) { jj =>
+      val c = cols(jj)
+      TDigestState(java.util.Arrays.copyOf(c.m, c.len),
+        java.util.Arrays.copyOf(c.w, c.len), Array.empty)
+    }
   }
 }

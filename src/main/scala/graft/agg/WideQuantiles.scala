@@ -45,7 +45,6 @@ object WideQuantiles {
     require(compression > 0, s"compression must be positive, got $compression")
     val spark = df.sparkSession
     val nc = cols.length
-    val bufCap = compression * 4
     // Type-aware projection (r16): a float or double column is read
     // IN PLACE via getFloat/getDouble — casting would rebuild a
     // 10k-field UnsafeRow per input row (an 80 KB copy each) just to
@@ -78,18 +77,11 @@ object WideQuantiles {
     // columnar-batch row views) and isNullAt/getFloat/getDouble are
     // allocation-free direct reads. Rows may be reused by the runtime
     // between iterations — fine, values are consumed immediately.
-    val merged: Array[TDigestState] = boundedPartials(proj, nc)
+    val merged: Array[TDigestState] = boundedPartials(proj)
       .mapPartitions { it =>
-        // per column: bounded raw buffer + current centroid set
-        val bufs = Array.fill(nc)(new Array[Double](bufCap))
-        val fill = new Array[Int](nc)
-        val states = Array.fill(nc)(
-          TDigestState(Array.empty, Array.empty, Array.empty))
-        def flush(i: Int): Unit = if (fill(i) > 0) {
-          states(i) = TDigest.compress(states(i).means, states(i).weights,
-            java.util.Arrays.copyOf(bufs(i), fill(i)), compression)
-          fill(i) = 0
-        }
+        // allocation-free per-task kernel (r17 — see WideDigestIngest):
+        // bounded raw buffer + in-place centroid store per column
+        val ing = new WideDigestIngest(nc, compression)
         it.foreach { row =>
           var i = 0
           while (i < nc) {
@@ -99,15 +91,12 @@ object WideQuantiles {
               if (x != x) throw new IllegalArgumentException(
                 s"wide quantiles: NaN in column ${colNames(i)} — filter " +
                   "or impute NaNs first")
-              bufs(i)(fill(i)) = x
-              fill(i) += 1
-              if (fill(i) == bufCap) flush(i)
+              ing.add(i, x)
             }
             i += 1
           }
         }
-        (0 until nc).foreach(flush)
-        Iterator.single(states)
+        Iterator.single(ing.states())
       }
       .treeAggregate(Array.fill(nc)(
         TDigestState(Array.empty, Array.empty, Array.empty)))(
@@ -132,7 +121,7 @@ object WideQuantiles {
     * (split-merge, no shuffle — each task just reads more splits, and
     * the per-task digest buffers amortize better) so partial count is
     * bounded by the executor count, not the file count. */
-  private def boundedPartials(proj: DataFrame, width: Int)
+  private def boundedPartials(proj: DataFrame)
       : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = {
     val rdd = proj.queryExecution.toRdd
     val cap = 2 * proj.sparkSession.sparkContext.defaultParallelism
@@ -169,7 +158,6 @@ object WideQuantiles {
     require(qs.nonEmpty, "wide quantiles need at least one quantile")
     require(compression > 0, s"compression must be positive, got $compression")
     val spark = df.sparkSession
-    val bufCap = compression * 4
     import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
     // Width-aware columnar batch sizing (measured r17 on the 1M×10k
     // baseline fixture): the vectorized parquet reader allocates
@@ -185,6 +173,13 @@ object WideQuantiles {
     val priorBatch = spark.conf.getOption(batchKey)
     spark.conf.set(batchKey, math.max(64,
       math.min(4096, 4 * 1024 * 1024 / width)).toString)
+    // The whole point of the array layout is the vectorized NESTED
+    // reader (default on in Spark 4.x, but a session that disabled it
+    // would silently fall to parquet-mr's row reader — the ~66 ns/value
+    // path this layout exists to avoid); pin it for the pass.
+    val nestedKey = "spark.sql.parquet.enableNestedColumnVectorizedReader"
+    val priorNested = spark.conf.getOption(nestedKey)
+    spark.conf.set(nestedKey, "true")
     try {
     val resolved = df.select(col(arrCol))
     val (proj, isFloat) = resolved.schema.head.dataType match {
@@ -196,17 +191,9 @@ object WideQuantiles {
         s"quantilesOfArray: $arrCol must be an array column, got $other")
     }
     val colName = arrCol // avoid closing over the DataFrame
-    val merged: Array[TDigestState] = boundedPartials(proj, width)
+    val merged: Array[TDigestState] = boundedPartials(proj)
       .mapPartitions { it =>
-        val bufs = Array.fill(width)(new Array[Double](bufCap))
-        val fill = new Array[Int](width)
-        val states = Array.fill(width)(
-          TDigestState(Array.empty, Array.empty, Array.empty))
-        def flush(j: Int): Unit = if (fill(j) > 0) {
-          states(j) = TDigest.compress(states(j).means, states(j).weights,
-            java.util.Arrays.copyOf(bufs(j), fill(j)), compression)
-          fill(j) = 0
-        }
+        val ing = new WideDigestIngest(width, compression)
         it.foreach { row =>
           if (!row.isNullAt(0)) {
             val a = row.getArray(0)
@@ -222,16 +209,13 @@ object WideQuantiles {
                 if (x != x) throw new IllegalArgumentException(
                   s"wide quantiles: NaN at $colName[$j] — filter or " +
                     "impute NaNs first")
-                bufs(j)(fill(j)) = x
-                fill(j) += 1
-                if (fill(j) == bufCap) flush(j)
+                ing.add(j, x)
               }
               j += 1
             }
           }
         }
-        (0 until width).foreach(flush)
-        Iterator.single(states)
+        Iterator.single(ing.states())
       }
       .treeAggregate(Array.fill(width)(
         TDigestState(Array.empty, Array.empty, Array.empty)))(
@@ -247,6 +231,10 @@ object WideQuantiles {
       priorBatch match {
         case Some(v) => spark.conf.set(batchKey, v)
         case None => spark.conf.unset(batchKey)
+      }
+      priorNested match {
+        case Some(v) => spark.conf.set(nestedKey, v)
+        case None => spark.conf.unset(nestedKey)
       }
     }
   }

@@ -48,6 +48,64 @@ object WideProbe {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Array-layout decomposition (r17): stages over the stored
+    * single-column array<float> fixture. The scan/access floors apply
+    * the same width-aware columnar batch cap the kernel itself uses —
+    * without it the floor stages OOM exactly like the kernel would. */
+  private def probeArray(spark: SparkSession, dir: String,
+      wide: Int): Unit = {
+    val batchKey = "spark.sql.parquet.columnarReaderBatchSize"
+    spark.conf.set(batchKey, math.max(64,
+      math.min(4096, 4 * 1024 * 1024 / wide)).toString)
+    spark.conf.set(
+      "spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
+    def data(): DataFrame = spark.read.parquet(dir).select(col("vec"))
+    val plan = data().queryExecution.executedPlan.toString
+    val batched = plan.linesIterator.find(_.contains("Batched"))
+      .getOrElse("").trim.take(200)
+    println(s"[wideprobe] array scan: $batched")
+    def timed(tag: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[wideprobe] $tag%-28s ${s}%8.2f s  (array[$wide])")
+      s
+    }
+    val fullOnly = sys.env.get("GRAFT_PROBE_STAGES").contains("full")
+    val gen = if (fullOnly) 0.0 else timed("scan floor (toRdd, no-op)") {
+      data().queryExecution.toRdd.foreachPartition { it =>
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        require(n >= 0)
+      }
+    }
+    val acc = if (fullOnly) 0.0 else timed("element access (toRdd, sum)") {
+      data().queryExecution.toRdd.foreachPartition { it =>
+        var s = 0.0
+        while (it.hasNext) {
+          val row = it.next()
+          if (!row.isNullAt(0)) {
+            val a = row.getArray(0)
+            val n = a.numElements()
+            var j = 0
+            while (j < n) {
+              if (!a.isNullAt(j)) s += a.getFloat(j).toDouble
+              j += 1
+            }
+          }
+        }
+        require(!s.isNaN)
+      }
+    }
+    val full = timed("quantilesOfArray") {
+      val row = graft.agg.WideQuantiles.quantilesOfArray(
+        data(), "vec", wide, Seq(0.1, 0.9)).head()
+      require(row.size == wide)
+    }
+    if (!fullOnly)
+      println(f"[wideprobe] kernel marginal cost       ${full - acc}%8.2f s " +
+        f"over element access (floor ${gen}%.2f s, access +${acc - gen}%.2f s)")
+  }
+
   def main(args: Array[String]): Unit = {
     val wide = if (args.length > 0) args(0).toInt else 2000
     val rows = if (args.length > 1) args(1).toLong else 200000L
@@ -65,6 +123,20 @@ object WideProbe {
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // GRAFT_WIDE_LAYOUT=array (r17): probe the SHIPPED storage layout —
+    // one array<float> column of length `wide` (BaselineBench's
+    // apples-to-apples fixture, target/wide_arr_{rows}x{cols}/t.parquet)
+    // instead of the 10k-COLUMN schema. Same three stages: scan floor
+    // (produce every InternalRow, no consumer), element-access floor
+    // (walk every array element, no kernel), full quantile pass.
+    if (sys.env.get("GRAFT_WIDE_LAYOUT").contains("array")) {
+      val dir = parquetDir.getOrElse(sys.error(
+        "array layout probe needs the fixture dir as the third arg"))
+      probeArray(spark, dir, wide)
+      spark.stop()
+      return
+    }
     val names = (0 until wide).map(i => s"f$i")
 
     def data(): DataFrame = parquetDir match {
