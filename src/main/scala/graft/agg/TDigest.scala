@@ -180,6 +180,51 @@ object TDigest {
       java.util.Arrays.copyOf(out.w, out.len), Array.empty)
   }
 
+  /** Flat binary encoding of a contiguous block of flushed digest
+    * states — the wide-path combine's wire format. A 64-partial 10k-
+    * column pass ships ~3 GB of centroids; as 640k case-class instances
+    * through the RDD serializer that cost ~41 s (measured r17, the
+    * dominant slice of the whole winsorize pass), while one
+    * `DoubleBuffer` bulk put per column is a memcpy. Layout:
+    * [ncols:int][len_i:int × ncols][means_i ++ weights_i : double]. */
+  private[agg] def encodeBlock(states: Array[TDigestState], from: Int,
+      until: Int): Array[Byte] = {
+    var doubles = 0
+    var i = from
+    while (i < until) {
+      require(states(i).buffer.isEmpty,
+        "encodeBlock expects flushed states (empty raw buffer)")
+      doubles += 2 * states(i).means.length
+      i += 1
+    }
+    val n = until - from
+    val bb = java.nio.ByteBuffer.allocate(4 + 4 * n + 8 * doubles)
+    bb.putInt(n)
+    i = from
+    while (i < until) { bb.putInt(states(i).means.length); i += 1 }
+    val db = bb.asDoubleBuffer() // view starts at current position
+    i = from
+    while (i < until) {
+      db.put(states(i).means)
+      db.put(states(i).weights)
+      i += 1
+    }
+    bb.array()
+  }
+
+  private[agg] def decodeBlock(bytes: Array[Byte]): Array[TDigestState] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val lens = Array.fill(n)(bb.getInt)
+    val db = bb.asDoubleBuffer()
+    Array.tabulate(n) { i =>
+      val m = new Array[Double](lens(i))
+      val w = new Array[Double](lens(i))
+      db.get(m); db.get(w)
+      TDigestState(m, w, Array.empty)
+    }
+  }
+
   /** The k-scale cluster sweep shared by [[compress]] (allocating, one
     * holder per call) and [[WideDigestIngest]] (in-place, one reused
     * holder per column — the winsorization hot path, where per-flush

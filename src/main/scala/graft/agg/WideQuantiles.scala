@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   * This operator is the Spark-first restatement of the reference's
   * design: ONE pass with `mapPartitions`, an array of `compression`-
   * bounded t-digests per task (10k columns × ~100 centroids × 16 B ≈
-  * 16 MiB — constant in row count), partials combined with
-  * `treeReduce`. No 10k-column expression tree ever reaches Catalyst;
+  * 16 MiB — constant in row count), partials combined by a
+  * column-sliced single-shuffle merge. No 10k-column expression tree
+  * ever reaches Catalyst;
   * the only plan is the cast projection. Shares [[TDigest]]'s kernel
   * with the typed Aggregator, so narrow and wide paths cannot drift.
   *
@@ -29,7 +30,7 @@ import org.apache.spark.sql.functions._
   * NaN raises loudly (a NaN would silently poison the centroid sort —
   * same discipline as centroidDrift/ksDrift). All-null columns emit
   * NaN quantiles. Like the typed Aggregator path (whose partial-agg
-  * combine order Spark schedules), treeReduce's merge order is
+  * combine order Spark schedules), the block merge's arrival order is
   * scheduler-dependent: repeated runs yield different-but-equally-valid
   * digests within the sketch's rank bound, not bit-identical values —
   * the established sketch contract (q96/q222 pin rank bounds, never
@@ -77,7 +78,7 @@ object WideQuantiles {
     // columnar-batch row views) and isNullAt/getFloat/getDouble are
     // allocation-free direct reads. Rows may be reused by the runtime
     // between iterations — fine, values are consumed immediately.
-    val merged: Array[TDigestState] = boundedPartials(proj)
+    val merged = boundedPartials(proj)
       .mapPartitions { it =>
         // allocation-free per-task kernel (r17 — see WideDigestIngest):
         // bounded raw buffer + in-place centroid store per column
@@ -98,18 +99,69 @@ object WideQuantiles {
         }
         Iterator.single(ing.states())
       }
-      .treeAggregate(Array.fill(nc)(
-        TDigestState(Array.empty, Array.empty, Array.empty)))(
-        // treeAggregate, not treeReduce: reduce throws on a
-        // ZERO-partition RDD (r15 review), while the zero value here
-        // degrades an empty input to the documented NaN row
-        (a, b) => Array.tabulate(nc)(i => TDigest.merge(a(i), b(i),
-          compression)),
-        (a, b) => Array.tabulate(nc)(i => TDigest.merge(a(i), b(i),
-          compression)),
-        depth = treeDepth(nc))
-    val values = merged.map(s => TDigest.quantiles(s, qs, compression))
+    val values = mergedQuantiles(merged, nc, compression, qs)
     oneRow(spark, cols.map(c => s"${c}_quantiles"), values, qs)
+  }
+
+  /** Column-sliced partial combine (r17 — replaced treeAggregate, which
+    * was measured as the DOMINANT slice of the 1M×10k headline: 64
+    * width-sized partials ≈ 3 GB of centroids shipped through two
+    * shuffle levels of Java-serialized case classes, +41 s over the
+    * ingest stage). Each task encodes its states into ~2×parallelism
+    * contiguous column-block byte blobs (bulk DoubleBuffer puts — a
+    * memcpy), ONE shuffle routes each block's partials to a reducer
+    * that merges them streamingly (combineByKey, no map-side combine —
+    * blobs ship raw), and reducers emit only the final per-column
+    * quantile VALUES — the driver receives kilobytes, never centroids,
+    * so driver maxResultSize is out of the picture at any width. Merge
+    * order within a block is arrival order (scheduler-dependent), the
+    * same documented sketch contract treeAggregate had. An empty RDD
+    * (zero partitions or zero collected blocks) degrades to the
+    * documented NaN row via the prefilled output. */
+  private def mergedQuantiles(
+      partials: org.apache.spark.rdd.RDD[Array[TDigestState]],
+      width: Int, compression: Int, qs: Seq[Double]): Array[Seq[Double]] = {
+    val nBlocks =
+      math.min(width, 2 * partials.sparkContext.defaultParallelism)
+    val starts =
+      Array.tabulate(nBlocks + 1)(b => ((b.toLong * width) / nBlocks).toInt)
+    val enc = partials.flatMap { states =>
+      (0 until nBlocks).iterator.map { b =>
+        (b, TDigest.encodeBlock(states, starts(b), starts(b + 1)))
+      }
+    }
+    val qsArr = qs.toArray
+    val collected: Array[(Int, Array[Array[Double]])] = enc
+      .combineByKey[Array[TDigestState]](
+        (bytes: Array[Byte]) => TDigest.decodeBlock(bytes),
+        (acc: Array[TDigestState], bytes: Array[Byte]) => {
+          val xs = TDigest.decodeBlock(bytes)
+          var i = 0
+          while (i < acc.length) {
+            acc(i) = TDigest.merge(acc(i), xs(i), compression); i += 1
+          }
+          acc
+        },
+        (a: Array[TDigestState], b: Array[TDigestState]) => {
+          var i = 0
+          while (i < a.length) {
+            a(i) = TDigest.merge(a(i), b(i), compression); i += 1
+          }
+          a
+        },
+        new org.apache.spark.HashPartitioner(nBlocks),
+        mapSideCombine = false)
+      .map { case (b, states) =>
+        (b, states.map(s =>
+          TDigest.quantiles(s, qsArr.toSeq, compression).toArray))
+      }
+      .collect()
+    val out = Array.fill[Seq[Double]](width)(qs.map(_ => Double.NaN))
+    collected.foreach { case (b, vals) =>
+      var i = 0
+      while (i < vals.length) { out(starts(b) + i) = vals(i).toSeq; i += 1 }
+    }
+    out
   }
 
   /** Partial-size discipline shared by both kernels (measured r17 on
@@ -127,11 +179,6 @@ object WideQuantiles {
     val cap = 2 * proj.sparkSession.sparkContext.defaultParallelism
     if (rdd.getNumPartitions > cap) rdd.coalesce(cap) else rdd
   }
-
-  /** Final tree fan-in must also respect the width-sized partials: at
-    * 10k columns the driver receives fanIn × ~84 MB, so wide states get
-    * one extra combine level (64 partials → 4 at depth 3). */
-  private def treeDepth(width: Int): Int = if (width > 1024) 3 else 2
 
   /** Array-layout twin of [[quantiles]] (r17, the apples-to-apples
     * winsorize baseline): per-ELEMENT quantiles over ONE
@@ -191,7 +238,7 @@ object WideQuantiles {
         s"quantilesOfArray: $arrCol must be an array column, got $other")
     }
     val colName = arrCol // avoid closing over the DataFrame
-    val merged: Array[TDigestState] = boundedPartials(proj)
+    val merged = boundedPartials(proj)
       .mapPartitions { it =>
         val ing = new WideDigestIngest(width, compression)
         it.foreach { row =>
@@ -217,14 +264,7 @@ object WideQuantiles {
         }
         Iterator.single(ing.states())
       }
-      .treeAggregate(Array.fill(width)(
-        TDigestState(Array.empty, Array.empty, Array.empty)))(
-        (a, b) => Array.tabulate(width)(i => TDigest.merge(a(i), b(i),
-          compression)),
-        (a, b) => Array.tabulate(width)(i => TDigest.merge(a(i), b(i),
-          compression)),
-        depth = treeDepth(width))
-    val values = merged.map(s => TDigest.quantiles(s, qs, compression))
+    val values = mergedQuantiles(merged, width, compression, qs)
     oneRow(spark,
       (0 until width).map(j => s"$namePrefix${j}_quantiles"), values, qs)
     } finally {

@@ -487,7 +487,7 @@ object BaselineBench {
       // warm + min-of-2 — the file's standard discipline. The winsorize
       // rows' single-cold-run exemption was about 7-minute cells; this
       // one is ~2 min, so it gets the same treatment as every other
-      // row. (Cold first pass measured r17: 116–127 s across runs.)
+      // row. (Cold first pass ~95 s with the r17 sliced-merge kernel.)
       def parquetPass(): Unit = {
         val row = new graft.api.DataStream(spark.read.parquet(pq))
           .approximateQuantileWideArray("vec", wide, Seq(0.1, 0.9))
@@ -501,7 +501,7 @@ object BaselineBench {
       val e = timed(() => parquetPass())
       println(f"[baseline] winsorize_quantiles parquet engine=${e}%.1fs " +
         s"($wide-elem array x $wrows rows)")
-      rows += s"| winsorize ${wide}-float approx-quantiles (parquet) | ${fmt(e)} | — | — | APPLES-TO-APPLES row (r17): timed region = parquet scan + one t-digest pass over the stored ${wrows}×${wide} float dataset, matching the reference's methodology (it reads its dataset from storage; published ~60 s on the same 32 vCPUs). Warm + min-of-2 like every other row (cold first pass: 116–127 s measured r17). Layout = ONE array<float> column (vectorized nested reader stays engaged; the ${wide}-COLUMN layout was measured r16 and falls off at codegen.maxFields); kernel = WideQuantiles.quantilesOfArray (InternalRow/ArrayData reads, no boxing). The synth-included row below keeps r15/r16 continuity |"
+      rows += s"| winsorize ${wide}-float approx-quantiles (parquet) | ${fmt(e)} | — | — | APPLES-TO-APPLES row (r17): timed region = parquet scan + one t-digest pass over the stored ${wrows}×${wide} float dataset, matching the reference's methodology (it reads its dataset from storage; published ~60 s on the same 32 vCPUs). Warm + min-of-2 like every other row (cold first pass ~95 s; this box's page cache barely fits the 38 GB fixture, so cold swings with cache state). Layout = ONE array<float> column (vectorized nested reader stays engaged; the ${wide}-COLUMN layout was measured r16 and falls off at codegen.maxFields); kernel = WideQuantiles.quantilesOfArray — allocation-free WideDigestIngest flush + column-sliced single-shuffle combine (both r17: the old per-flush allocation was ~375 GB of churn, and the old treeAggregate shipped ~3 GB of Java-serialized partials for +41 s). The synth-included row below keeps r15/r16 continuity |"
     }
 
     // GRAFT_WIDE_SYNTH_ROW=0 skips the synth-included continuity cell,

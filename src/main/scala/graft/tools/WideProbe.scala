@@ -96,14 +96,51 @@ object WideProbe {
         require(!s.isNaN)
       }
     }
-    val full = timed("quantilesOfArray") {
-      val row = graft.agg.WideQuantiles.quantilesOfArray(
-        data(), "vec", wide, Seq(0.1, 0.9)).head()
-      require(row.size == wide)
+    // ingest-only: the full per-partition t-digest ingestion with NO
+    // treeAggregate — partials die in place. full − ingest ≈ the
+    // merge/ship phase (64 width-sized partials through the RDD
+    // serializer + the driver-side centroid merges).
+    val w = wide
+    val ingest = if (fullOnly) 0.0 else timed("ingest only (no merge)") {
+      val rdd0 = data().queryExecution.toRdd
+      val cap = 2 * spark.sparkContext.defaultParallelism
+      val rdd = if (rdd0.getNumPartitions > cap) rdd0.coalesce(cap) else rdd0
+      rdd.foreachPartition { it =>
+        val ing = new graft.agg.WideDigestIngest(w, 100)
+        while (it.hasNext) {
+          val row = it.next()
+          if (!row.isNullAt(0)) {
+            val a = row.getArray(0)
+            var j = 0
+            while (j < w) {
+              if (!a.isNullAt(j)) ing.add(j, a.getFloat(j).toDouble)
+              j += 1
+            }
+          }
+        }
+        require(ing.states().length == w)
+      }
+    }
+    // full mode runs the pass three times (cold + 2) — the same
+    // warm+min-of-2 discipline as the BaselineBench row, because this
+    // box's page cache barely fits the 38 GB fixture and single runs
+    // swing >2× on cache state alone (measured r17)
+    val passes = if (fullOnly) 3 else 1
+    var full = Double.MaxValue
+    var p = 0
+    while (p < passes) {
+      val t = timed(s"quantilesOfArray pass$p") {
+        val row = graft.agg.WideQuantiles.quantilesOfArray(
+          data(), "vec", wide, Seq(0.1, 0.9)).head()
+        require(row.size == wide)
+      }
+      if (p > 0 || passes == 1) full = math.min(full, t)
+      p += 1
     }
     if (!fullOnly)
       println(f"[wideprobe] kernel marginal cost       ${full - acc}%8.2f s " +
-        f"over element access (floor ${gen}%.2f s, access +${acc - gen}%.2f s)")
+        f"over element access (floor ${gen}%.2f s, access +${acc - gen}%.2f s, " +
+        f"ingest ${ingest}%.2f s, merge/ship +${full - ingest}%.2f s)")
   }
 
   def main(args: Array[String]): Unit = {
