@@ -399,6 +399,9 @@ object ScaleSoak {
     // multimodal composition (decode→pHash→band-join→CC→keeper), and
     // MAP (bounded probes × corpus scan)
     "q247_winsorize_cov", "q248_multimodal_pipeline", "q249_map_eval",
+    // the array-layout wide-quantile gate (r17 — the winsorize
+    // baseline's storage layout, exercised end-to-end)
+    "q250_wide_quantiles_array",
     // ---- r13 soak-breadth batch (verdict item 7): every remaining
     // catalog query whose cost scales with data, so no regression can
     // hide in the unsoaked half. EXEMPT as fixed-floor by construction
