@@ -187,7 +187,7 @@ object TDigest {
     * dominant slice of the whole winsorize pass), while one
     * `DoubleBuffer` bulk put per column is a memcpy. Layout:
     * [ncols:int][len_i:int × ncols][means_i ++ weights_i : double]. */
-  private[agg] def encodeBlock(states: Array[TDigestState], from: Int,
+  private[graft] def encodeBlock(states: Array[TDigestState], from: Int,
       until: Int): Array[Byte] = {
     var doubles = 0
     var i = from
@@ -212,7 +212,7 @@ object TDigest {
     bb.array()
   }
 
-  private[agg] def decodeBlock(bytes: Array[Byte]): Array[TDigestState] = {
+  private[graft] def decodeBlock(bytes: Array[Byte]): Array[TDigestState] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val lens = Array.fill(n)(bb.getInt)

@@ -224,4 +224,68 @@ class WideQuantilesSpec extends SparkSpecBase {
       WideQuantiles.quantilesOfArray(notArr, "vec", 1, Seq(0.5))
     }
   }
+
+  test("r17 kernel: ingest flush is value-identical to the compress path") {
+    // WideDigestIngest claims the same operation order as compress's
+    // sorted fast path — pin it: same values, same flush boundaries,
+    // bit-identical centroids
+    import graft.agg.{TDigest, TDigestState, WideDigestIngest}
+    val rnd = new scala.util.Random(7)
+    val vals = Array.fill(3000)(rnd.nextDouble() * 100 - 50)
+    val comp = 50
+    val bufCap = comp * 4
+    val ing = new WideDigestIngest(1, comp)
+    vals.foreach(v => ing.add(0, v))
+    val got = ing.states()(0)
+    var ref = TDigestState(Array.empty, Array.empty, Array.empty)
+    vals.grouped(bufCap).foreach { chunk =>
+      ref = TDigest.compress(ref.means, ref.weights, chunk.toArray, comp)
+    }
+    assert(got.means.toSeq == ref.means.toSeq)
+    assert(got.weights.toSeq == ref.weights.toSeq)
+    assert(got.buffer.isEmpty)
+  }
+
+  test("r17 kernel: encode/decode block round-trips flushed states") {
+    import graft.agg.{TDigest, TDigestState}
+    val rnd = new scala.util.Random(13)
+    val states = Array.tabulate(5) { i =>
+      TDigest.compress(Array.empty, Array.empty,
+        Array.fill(500 + i * 100)(rnd.nextGaussian()), 100)
+    }
+    // full range and a sub-range (block slicing)
+    Seq((0, 5), (1, 4), (2, 2)).foreach { case (from, until) =>
+      val rt = TDigest.decodeBlock(TDigest.encodeBlock(states, from, until))
+      assert(rt.length == until - from)
+      rt.zipWithIndex.foreach { case (st, k) =>
+        assert(st.means.toSeq == states(from + k).means.toSeq)
+        assert(st.weights.toSeq == states(from + k).weights.toSeq)
+        assert(st.buffer.isEmpty)
+      }
+    }
+    // empty state encodes/decodes (zero-row partitions emit these)
+    val empty = Array(TDigestState(Array.empty, Array.empty, Array.empty))
+    val rt = TDigest.decodeBlock(TDigest.encodeBlock(empty, 0, 1))
+    assert(rt.length == 1 && rt(0).means.isEmpty)
+    // an unflushed buffer must refuse to encode (it would be dropped)
+    intercept[IllegalArgumentException] {
+      TDigest.encodeBlock(
+        Array(TDigestState(Array.empty, Array.empty, Array(1.0))), 0, 1)
+    }
+  }
+
+  test("r17 kernel: centroid-store growth path keeps rank accuracy") {
+    // tiny compression + adversarial spread forces cluster counts past
+    // the 2x-compression initial capacity, exercising Clusters growth
+    import graft.agg.WideDigestIngest
+    val rnd = new scala.util.Random(29)
+    val vals = Array.fill(50000)(rnd.nextDouble())
+    val ing = new WideDigestIngest(1, 4)
+    vals.foreach(v => ing.add(0, v))
+    val st = ing.states()(0)
+    assert(st.means.length > 8, s"expected growth past initCap, got ${st.means.length}")
+    // still a valid digest: median within the sketch band for comp=4
+    val med = graft.agg.TDigest.quantiles(st, Seq(0.5), 4).head
+    assert(math.abs(med - 0.5) < 0.15, s"median=$med")
+  }
 }
