@@ -173,12 +173,57 @@ object WideQuantiles {
     * (split-merge, no shuffle — each task just reads more splits, and
     * the per-task digest buffers amortize better) so partial count is
     * bounded by the executor count, not the file count. */
-  private def boundedPartials(proj: DataFrame)
+  private[graft] def boundedPartials(proj: DataFrame)
       : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = {
     val rdd = proj.queryExecution.toRdd
     val cap = 2 * proj.sparkSession.sparkContext.defaultParallelism
     if (rdd.getNumPartitions > cap) rdd.coalesce(cap) else rdd
   }
+
+  /** One in-flight columnar batch ≈ 16 MB of elements: the vectorized
+    * parquet reader allocates batchRows × width element vectors per
+    * task, and the 4096-row default is ~160 MB/task at 10k floats — a
+    * heap OOM at 32 concurrent tasks (measured r17). Shared with
+    * WideProbe so the probe's floor stages measure the kernel's own
+    * scan configuration. */
+  private[graft] def columnarBatchCap(width: Int): Int =
+    math.max(64, math.min(4096, 4 * 1024 * 1024 / width))
+
+  /** Set + restore the width-aware scan confs around `f`, serialized
+    * JVM-wide. Session confs are global, so two concurrent array-path
+    * passes could interleave set/restore and hand a 10k-wide scan the
+    * 4096-row default batch — the exact OOM the cap prevents (r17
+    * review). The lock is held only across the conf-sensitive window:
+    * physical planning + read-RDD construction (`toRdd` captures
+    * `parquetVectorizedReaderBatchSize` into the scan's reader closure
+    * when FileSourceScanExec builds its RDD), NOT across job
+    * execution — callers build their RDD inside `f` and run jobs on it
+    * after the lock is released. */
+  private val confLock = new Object
+  private def withWidthScanConf[T](
+      spark: org.apache.spark.sql.SparkSession, width: Int)(f: => T): T =
+    confLock.synchronized {
+      val batchKey = "spark.sql.parquet.columnarReaderBatchSize"
+      // the whole point of the array layout is the vectorized NESTED
+      // reader (default on in Spark 4.x, but a session that disabled
+      // it would silently fall to parquet-mr's row reader — the
+      // ~66 ns/value path this layout exists to avoid); pin it
+      val nestedKey = "spark.sql.parquet.enableNestedColumnVectorizedReader"
+      val priorBatch = spark.conf.getOption(batchKey)
+      val priorNested = spark.conf.getOption(nestedKey)
+      spark.conf.set(batchKey, columnarBatchCap(width).toString)
+      spark.conf.set(nestedKey, "true")
+      try f finally {
+        priorBatch match {
+          case Some(v) => spark.conf.set(batchKey, v)
+          case None => spark.conf.unset(batchKey)
+        }
+        priorNested match {
+          case Some(v) => spark.conf.set(nestedKey, v)
+          case None => spark.conf.unset(nestedKey)
+        }
+      }
+    }
 
   /** Array-layout twin of [[quantiles]] (r17, the apples-to-apples
     * winsorize baseline): per-ELEMENT quantiles over ONE
@@ -206,28 +251,6 @@ object WideQuantiles {
     require(compression > 0, s"compression must be positive, got $compression")
     val spark = df.sparkSession
     import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
-    // Width-aware columnar batch sizing (measured r17 on the 1M×10k
-    // baseline fixture): the vectorized parquet reader allocates
-    // batchRows × width element vectors PER TASK — the 4096-row default
-    // × 10k floats is ~160 MB a task, a heap OOM at 32 concurrent
-    // tasks. Cap the batch so one in-flight batch stays ~16 MB of
-    // elements; the prior value is restored after the pass (the whole
-    // job is eager inside this method, so the scope is tight — a
-    // concurrent query planned in the same session during the pass
-    // reads smaller-than-default batches: correct, just marginally
-    // slower for it).
-    val batchKey = "spark.sql.parquet.columnarReaderBatchSize"
-    val priorBatch = spark.conf.getOption(batchKey)
-    spark.conf.set(batchKey, math.max(64,
-      math.min(4096, 4 * 1024 * 1024 / width)).toString)
-    // The whole point of the array layout is the vectorized NESTED
-    // reader (default on in Spark 4.x, but a session that disabled it
-    // would silently fall to parquet-mr's row reader — the ~66 ns/value
-    // path this layout exists to avoid); pin it for the pass.
-    val nestedKey = "spark.sql.parquet.enableNestedColumnVectorizedReader"
-    val priorNested = spark.conf.getOption(nestedKey)
-    spark.conf.set(nestedKey, "true")
-    try {
     val resolved = df.select(col(arrCol))
     val (proj, isFloat) = resolved.schema.head.dataType match {
       case ArrayType(FloatType, _) => (resolved, true)
@@ -238,45 +261,40 @@ object WideQuantiles {
         s"quantilesOfArray: $arrCol must be an array column, got $other")
     }
     val colName = arrCol // avoid closing over the DataFrame
-    val merged = boundedPartials(proj)
-      .mapPartitions { it =>
-        val ing = new WideDigestIngest(width, compression)
-        it.foreach { row =>
-          if (!row.isNullAt(0)) {
-            val a = row.getArray(0)
-            val n = a.numElements()
-            if (n != width) throw new IllegalArgumentException(
-              s"wide quantiles: $colName has length $n, expected $width — " +
-                "ragged feature arrays are corrupt input")
-            var j = 0
-            while (j < width) {
-              if (!a.isNullAt(j)) {
-                val x = if (isFloat) a.getFloat(j).toDouble
-                        else a.getDouble(j)
-                if (x != x) throw new IllegalArgumentException(
-                  s"wide quantiles: NaN at $colName[$j] — filter or " +
-                    "impute NaNs first")
-                ing.add(j, x)
+    // the RDD (planning + scan-reader construction) is built under the
+    // width-aware scan confs; the jobs it runs later carry the
+    // captured values
+    val merged = withWidthScanConf(spark, width) {
+      boundedPartials(proj)
+        .mapPartitions { it =>
+          val ing = new WideDigestIngest(width, compression)
+          it.foreach { row =>
+            if (!row.isNullAt(0)) {
+              val a = row.getArray(0)
+              val n = a.numElements()
+              if (n != width) throw new IllegalArgumentException(
+                s"wide quantiles: $colName has length $n, expected $width — " +
+                  "ragged feature arrays are corrupt input")
+              var j = 0
+              while (j < width) {
+                if (!a.isNullAt(j)) {
+                  val x = if (isFloat) a.getFloat(j).toDouble
+                          else a.getDouble(j)
+                  if (x != x) throw new IllegalArgumentException(
+                    s"wide quantiles: NaN at $colName[$j] — filter or " +
+                      "impute NaNs first")
+                  ing.add(j, x)
+                }
+                j += 1
               }
-              j += 1
             }
           }
+          Iterator.single(ing.states())
         }
-        Iterator.single(ing.states())
-      }
+    }
     val values = mergedQuantiles(merged, width, compression, qs)
     oneRow(spark,
       (0 until width).map(j => s"$namePrefix${j}_quantiles"), values, qs)
-    } finally {
-      priorBatch match {
-        case Some(v) => spark.conf.set(batchKey, v)
-        case None => spark.conf.unset(batchKey)
-      }
-      priorNested match {
-        case Some(v) => spark.conf.set(nestedKey, v)
-        case None => spark.conf.unset(nestedKey)
-      }
-    }
   }
 
   private def oneRow(spark: org.apache.spark.sql.SparkSession,

@@ -387,12 +387,17 @@ object BaselineBench {
         // min-of-2 like the standard rows: single cold runs of this
         // cell swung 31–74 s across r17 harness runs (ambient), which
         // is too noisy for a recorded scale claim.
+        // record the unmeasured naive columns as "—" like the winsorize
+        // parquet row — passing eBt twice would fabricate a 1.00 ratio
+        // for a leg that deliberately never ran (r17 review)
         val eBt = timed(() => graft.Bench.force(engineBt()))
-        record(s"tick backtest engine-only (${btTrades / 1000000}M ticks, " +
-          s"$btSyms syms)", eBt, eBt,
-          f"warm + min-of-2, ${btTrades / eBt / 1e6}%.1fM ticks/s through " +
-            "the full composition; equity validated at the 20M tier. " +
-            "Reference: 4y SIP in 10 min on 8 machines")
+        val name = s"tick backtest engine-only (${btTrades / 1000000}M " +
+          s"ticks, $btSyms syms)"
+        val note = f"warm + min-of-2, ${btTrades / eBt / 1e6}%.1fM " +
+          "ticks/s through the full composition; equity validated at " +
+          "the 20M tier. Reference: 4y SIP in 10 min on 8 machines"
+        println(f"[baseline] $name engine=${eBt}%.2fs naive=skipped  $note")
+        rows += s"| $name | ${fmt(eBt)} | — | — | $note |"
         return
       }
       // validate: same days, equity agrees to 1e-6 relative

@@ -54,9 +54,10 @@ object WideProbe {
     * without it the floor stages OOM exactly like the kernel would. */
   private def probeArray(spark: SparkSession, dir: String,
       wide: Int): Unit = {
-    val batchKey = "spark.sql.parquet.columnarReaderBatchSize"
-    spark.conf.set(batchKey, math.max(64,
-      math.min(4096, 4 * 1024 * 1024 / wide)).toString)
+    // the kernel's OWN cap (shared helper — a tuning change to the
+    // kernel formula must move the probe's floors with it)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize",
+      graft.agg.WideQuantiles.columnarBatchCap(wide).toString)
     spark.conf.set(
       "spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
     def data(): DataFrame = spark.read.parquet(dir).select(col("vec"))
@@ -102,15 +103,17 @@ object WideProbe {
     // serializer + the driver-side centroid merges).
     val w = wide
     val ingest = if (fullOnly) 0.0 else timed("ingest only (no merge)") {
-      val rdd0 = data().queryExecution.toRdd
-      val cap = 2 * spark.sparkContext.defaultParallelism
-      val rdd = if (rdd0.getNumPartitions > cap) rdd0.coalesce(cap) else rdd0
-      rdd.foreachPartition { it =>
+      graft.agg.WideQuantiles.boundedPartials(data()).foreachPartition { it =>
         val ing = new graft.agg.WideDigestIngest(w, 100)
         while (it.hasNext) {
           val row = it.next()
           if (!row.isNullAt(0)) {
             val a = row.getArray(0)
+            // same length guard as the kernel: reading past
+            // numElements() on a ColumnarArray is NOT bounds-checked
+            // and would silently measure a different workload
+            require(a.numElements() == w,
+              s"fixture width ${a.numElements()} != probe width $w")
             var j = 0
             while (j < w) {
               if (!a.isNullAt(j)) ing.add(j, a.getFloat(j).toDouble)

@@ -28,7 +28,7 @@ else:
 
 suites = 0
 tests = 0
-for p in glob.glob(os.path.join(repo, "src/test/scala/graft/*.scala")):
+for p in glob.glob(os.path.join(repo, "src/test/scala/graft/**/*.scala"), recursive=True):
     src = open(p).read()
     suites += len(re.findall(
         r"^class \w+ extends (?:SparkSpecBase|AnyFunSuite)", src, re.M))
