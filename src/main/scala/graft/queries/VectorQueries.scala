@@ -302,6 +302,47 @@ object VectorQueries {
           ok(63)(0), ok(63)(1), ok(63)(2))
     },
 
+    // winsorizeArray end-to-end (r17 — the array twin of q247's
+    // composition gate): ONE API hop from the per-element t-digest
+    // pass to the element-wise clip, gated against the ORIGINAL
+    // elements. Flags per sampled position (0/31/63): (a) the clipped
+    // extremes ARE the sketch bounds — min/max of the clipped element
+    // sits at the 0.1/0.9 CDF rank of the original distribution
+    // (±0.02, the q245/q250 band); (b) winsorizing strictly reduces
+    // per-element var_pop (20% of mass is clipped — far beyond sketch
+    // error). The q250 gate pins the QUANTILE readout; this one pins
+    // the CLIP that consumes it.
+    "q251_winsorize_array" -> { (s, d) =>
+      val emb = embeddings(s, d)
+      val clipped = new DataStream(emb)
+        .winsorizeArray("embedding", 64, 0.1, 0.9).df
+      val poss = Seq(0, 31, 63)
+      def el(j: Int) = element_at(col("embedding"), j + 1).cast("double")
+      val mm = clipped.agg(
+        poss.flatMap(j => Seq(
+          min(el(j)).as(s"lo_$j"), max(el(j)).as(s"hi_$j"))).head,
+        poss.flatMap(j => Seq(
+          min(el(j)).as(s"lo_$j"), max(el(j)).as(s"hi_$j"))).tail: _*)
+      val varC = clipped.agg(
+        poss.map(j => var_pop(el(j)).as(s"vc_$j")).head,
+        poss.map(j => var_pop(el(j)).as(s"vc_$j")).tail: _*)
+      val varR = emb.agg(
+        poss.map(j => var_pop(el(j)).as(s"vr_$j")).head,
+        poss.map(j => var_pop(el(j)).as(s"vr_$j")).tail: _*)
+      val flags =
+        poss.flatMap { j =>
+          Seq(
+            GateQueries.cdfFlag(el(j), col(s"lo_$j"), 0.1, 0.02,
+              s"ok_lo_$j"),
+            GateQueries.cdfFlag(el(j), col(s"hi_$j"), 0.9, 0.02,
+              s"ok_hi_$j"),
+            (min(col(s"vc_$j")) < min(col(s"vr_$j")))
+              .cast("int").as(s"ok_var_$j"))
+        }
+      emb.join(broadcast(mm)).join(broadcast(varC)).join(broadcast(varR))
+        .agg(flags.head, flags.tail: _*)
+    },
+
     // FILTERED vector search (predicate-constrained ANN — the
     // vector-DB `search(filter=...)` feature on the stored q171 index):
     // top-k among the even-label ids only, PRE-filter semantics (the
@@ -741,6 +782,11 @@ object VectorQueries {
       """SELECT 1 AS ok_e0_q10, 1 AS ok_e0_q50, 1 AS ok_e0_q90,
         |  1 AS ok_e31_q10, 1 AS ok_e31_q50, 1 AS ok_e31_q90,
         |  1 AS ok_e63_q10, 1 AS ok_e63_q50, 1 AS ok_e63_q90""".stripMargin,
+
+    "q251_winsorize_array" ->
+      """SELECT 1 AS ok_lo_0, 1 AS ok_hi_0, 1 AS ok_var_0,
+        |  1 AS ok_lo_31, 1 AS ok_hi_31, 1 AS ok_var_31,
+        |  1 AS ok_lo_63, 1 AS ok_hi_63, 1 AS ok_var_63""".stripMargin,
 
     "q218_ivf_filtered" ->
       """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS n_res,

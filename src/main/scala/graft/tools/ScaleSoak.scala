@@ -400,8 +400,9 @@ object ScaleSoak {
     // MAP (bounded probes × corpus scan)
     "q247_winsorize_cov", "q248_multimodal_pipeline", "q249_map_eval",
     // the array-layout wide-quantile gate (r17 — the winsorize
-    // baseline's storage layout, exercised end-to-end)
-    "q250_wide_quantiles_array",
+    // baseline's storage layout, exercised end-to-end) and its clip
+    // composition twin
+    "q250_wide_quantiles_array", "q251_winsorize_array",
     // ---- r13 soak-breadth batch (verdict item 7): every remaining
     // catalog query whose cost scales with data, so no regression can
     // hide in the unsoaked half. EXEMPT as fixed-floor by construction

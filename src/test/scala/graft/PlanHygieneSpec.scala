@@ -31,6 +31,10 @@ class PlanHygieneSpec extends SparkSpecBase {
     // one-row per-element t-digest readout — q245's contract on the
     // array storage layout
     "q250_wide_quantiles_array",
+    // winsorizeArray composition (r17): crosses embeddings with the
+    // clipped-extremes and variance one-row readouts — q247's contract
+    // on the array layout
+    "q251_winsorize_array",
     // bigram LM: crosses the scored bigrams with the one-row train
     // vocabulary-size aggregate
     "q131_bigram_lm",
