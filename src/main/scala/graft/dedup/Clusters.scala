@@ -82,10 +82,23 @@ object Clusters {
         .join(labels, col("__src") === col("__id"))
         .groupBy(col("__dst").as("__id2"))
         .agg(min(col("__lbl")).as("__nmin"))
+      // `__prev` carries the round-start label through the jump so
+      // convergence is a flag scan of the checkpoint just written, not
+      // a separate shuffle join back against `labels` (r17: the old
+      // per-round convergence check cost two exchanges + a join per
+      // round — at corpus scale a full label-table shuffle each round).
+      // The self-join below embeds `stepped` twice, but its HEAVY
+      // inner pieces (the edges⨝labels neighbor-min join + partial
+      // agg) are identical exchange subtrees on both sides, which
+      // Catalyst's ReuseExchange deduplicates — measured r17: an
+      // explicit persist() of `stepped` made rounds ~25% SLOWER
+      // (cache write + lost pipeline fusion) because the duplicate
+      // compute it targeted was already shared.
       val stepped = labels
         .join(nbrMin, col("__id") === col("__id2"), "left")
         .select(col("__id"),
-          least(col("__lbl"), coalesce(col("__nmin"), col("__lbl"))).as("__lbl"))
+          least(col("__lbl"), coalesce(col("__nmin"), col("__lbl"))).as("__lbl"),
+          col("__lbl").as("__prev"))
       // pointer jump: lbl''(v) = lbl'(lbl'(v)) — chases chains in one
       // hop (self-join on the label table, so both sides need explicit
       // aliases). Labels satisfy lbl(v) <= v invariantly (initialized
@@ -93,7 +106,8 @@ object Clusters {
       // parent's label can be taken directly — no least() needed.
       val jumped = stepped.as("s")
         .join(stepped.as("p"), col("s.__lbl") === col("p.__id"))
-        .select(col("s.__id").as("__id"), col("p.__lbl").as("__lbl"))
+        .select(col("s.__id").as("__id"), col("p.__lbl").as("__lbl"),
+          (col("p.__lbl") =!= col("s.__prev")).as("__chg"))
         // LOCAL CHECKPOINT, not persist: the self-join embeds `stepped`
         // twice and `stepped` embeds `labels` twice, so without real
         // truncation the LOGICAL plan (and its analysis/treeString cost)
@@ -103,14 +117,12 @@ object Clusters {
         // reassignment drops the last reference.
         .localCheckpoint(true)
       val tCkpt = System.nanoTime()
-      // one scalar action per round — the only driver-side data motion
-      // (aliased projections keep the derived-lineage compare from
-      // tripping ambiguous-self-join detection)
-      val changed = jumped.select(col("__id"), col("__lbl").as("__new"))
-        .join(labels.select(col("__id"), col("__lbl").as("__old")), "__id")
-        .filter(col("__new") =!= col("__old")).limit(1).count()
+      // one scalar action per round — a LOCAL scan of the checkpoint
+      // blocks just written (no join, no exchange): any surviving
+      // __chg row means the round moved a label
+      val changed = jumped.filter(col("__chg")).limit(1).count()
       converged = changed == 0
-      labels = jumped
+      labels = jumped.select(col("__id"), col("__lbl"))
       round += 1
       if (progress) println(f"[cc] round $round%d: " +
         f"step+jump+checkpoint ${(tCkpt - t0) / 1e9}%.3fs " +

@@ -55,17 +55,128 @@ object Ann {
     * order. */
   private[vector] def fitQuantizer(data: DataFrame, vecCol: String,
       idCol: String, nlist: Int, seed: Long): (DataFrame, Array[Array[Double]]) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = data.select(col(idCol),
-      col(vecCol).cast("array<double>").as("__arr"))
-      .withColumn("__feat", array_to_vector(col("__arr")))
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("__feat").setPredictionCol("__cell").fit(feat)
-    val assigned = model.transform(feat)
+    val sample = sampleVectors(
+      data.select(col(vecCol).cast("array<double>").as("__arr")), "__arr",
+      trainSampleFor(nlist), seed)
+    val centers = localLloyd(sample, nlist, seed)
+    val assigned = data.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__arr"))
+      .withColumn("__cell", nearestCell(col("__arr"), centers))
       .select(col(idCol), col("__cell"),
         VectorOps.normalized(col("__arr")).as("__dvec"))
-    (assigned, model.clusterCenters.map(_.toArray))
+    (assigned, centers)
+  }
+
+  /** faiss-style training-set bound: ~256 points per centroid, floored
+    * so tiny nlist still trains on a meaningful corpus slice. */
+  private[vector] def trainSampleFor(k: Int): Int =
+    math.max(4096, 256 * k)
+
+  /** Deterministic bounded training sample: ONE Spark job
+    * (TakeOrderedAndProject — per-partition top-N heaps, never a full
+    * collect), totally ordered by (xxhash64(vec, seed), vec) so the
+    * picked set is independent of partitioning and scan order. */
+  private[vector] def sampleVectors(vecs: DataFrame, vecCol: String,
+      maxSample: Int, seed: Long): Array[Array[Double]] =
+    vecs.withColumn("__h", xxhash64(col(vecCol), lit(seed)))
+      .orderBy(col("__h"), col(vecCol))
+      .limit(maxSample)
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** Nearest-cell id under the SAME ranking the probe side uses
+    * (max 2·x·c − |c|², ties to the higher cell id) — the single
+    * assignment convention shared by build, refit, append and probe,
+    * which is what makes a probe's own cell its rank-1 probed cell by
+    * construction. Pure codegen'd expressions over literal centroids:
+    * map-only, no shuffle, no ML pipeline. */
+  private[vector] def nearestCell(vec: Column,
+      centers: Array[Array[Double]]): Column = {
+    val cellScores = centers.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.toIndexedSeq.map(lit): _*)
+      val c2 = c.map(x => x * x).sum
+      struct((VectorOps.dot(vec, cLit) * 2.0 - lit(c2)).as("score"),
+        lit(i).as("cell"))
+    }
+    element_at(reverse(array_sort(array(cellScores.toIndexedSeq: _*))), 1)
+      .getField("cell")
+  }
+
+  /** Seeded k-means++ init + Lloyd's to convergence on the (bounded)
+    * driver-side sample — the faiss training discipline: quantizer
+    * quality needs only a sample, so coarse-quantizer training is
+    * O(sample·k·dim) driver arithmetic instead of 20+ full-table
+    * k-means|| Spark jobs (r17; guide §1.2 step 1, §5 driver). Fully
+    * deterministic for a fixed seed and sample. */
+  private[vector] def localLloyd(sample: Array[Array[Double]], k: Int,
+      seed: Long, maxIter: Int = 25): Array[Array[Double]] = {
+    require(sample.nonEmpty, "localLloyd: empty training sample")
+    val n = sample.length
+    val dim = sample(0).length
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val rnd = new java.util.Random(seed)
+    val centers = Array.ofDim[Array[Double]](k)
+    centers(0) = sample(rnd.nextInt(n)).clone()
+    val d2 = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var sum = 0.0
+      var i = 0
+      while (i < n) {
+        val d = sq(sample(i), centers(c - 1))
+        if (d < d2(i)) d2(i) = d
+        sum += d2(i); i += 1
+      }
+      // d2-weighted pick (k-means++); all-zero d2 (k > distinct points)
+      // degenerates to the first row — duplicate centroids then just tie
+      var target = rnd.nextDouble() * sum
+      var j = 0
+      while (j < n - 1 && target > d2(j)) { target -= d2(j); j += 1 }
+      centers(c) = sample(j).clone()
+      c += 1
+    }
+    val assign = Array.fill(n)(-1)
+    var moved = true
+    var iter = 0
+    while (moved && iter < maxIter) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bd = sq(sample(i), centers(0)); var cc = 1
+        while (cc < k) {
+          val d = sq(sample(i), centers(cc))
+          if (d < bd) { bd = d; best = cc }
+          cc += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      if (moved) {
+        val sums = Array.fill(k, dim)(0.0)
+        val counts = Array.fill(k)(0L)
+        var r = 0
+        while (r < n) {
+          val a = assign(r); counts(a) += 1
+          var j2 = 0
+          while (j2 < dim) { sums(a)(j2) += sample(r)(j2); j2 += 1 }
+          r += 1
+        }
+        var cc = 0
+        while (cc < k) {
+          // empty cluster keeps its previous centroid (no reseeding)
+          if (counts(cc) > 0) {
+            var j2 = 0
+            while (j2 < dim) { centers(cc)(j2) = sums(cc)(j2) / counts(cc); j2 += 1 }
+          }
+          cc += 1
+        }
+      }
+      iter += 1
+    }
+    centers
   }
 
   /** Broadcast probe side: each probe row exploded to its `nprobe`

@@ -50,15 +50,17 @@ object PqIndex {
     val sub = dim / m
     val (assigned, coarse) = Ann.fitQuantizer(data, vecCol, idCol, nlist, seed)
     val cached = assigned.localCheckpoint(true)
-    // per-subspace 16-code k-means over the normalized sub-vectors
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    // per-subspace 16-code k-means over the normalized sub-vectors —
+    // all m codebooks train on ONE bounded deterministic sample of the
+    // normalized vectors (one Spark job), each book a driver-side
+    // seeded Lloyd's on its slice (r17: replaces m full-table MLlib
+    // k-means|| fits — m× 20+ jobs — with O(sample·16·dim) driver
+    // arithmetic; the faiss PQ training discipline)
+    val trainVecs = Ann.sampleVectors(cached.select(col("__dvec")),
+      "__dvec", Ann.trainSampleFor(CodesPerBook), seed)
     val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { s =>
-      val feat = cached.select(
-        array_to_vector(slice(col("__dvec"), s * sub + 1, sub)).as("__feat"))
-      new KMeans().setK(CodesPerBook).setSeed(seed + s + 1)
-        .setFeaturesCol("__feat").setPredictionCol("__code").fit(feat)
-        .clusterCenters.map(_.toArray)
+      val slices = trainVecs.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      Ann.localLloyd(slices, CodesPerBook, seed + s + 1)
     }
     // encode: per subspace, argmin squared distance over the 16 codes —
     // ranked exactly like the probe side ranks cells (max of 2·x·c −
