@@ -36,7 +36,9 @@ object Q171Probe {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    timed("kmeans fit only") {
+    // the MLlib fit the r17 sampled-Lloyd's quantizer REPLACED — kept
+    // as the measured yardstick of what each refit used to cost
+    timed("kmeans fit only (old MLlib path)") {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val feat = emb.select(col("vec_id"),
