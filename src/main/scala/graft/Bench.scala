@@ -59,14 +59,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // r17 (guide §3.1/§9): let the planner pick shuffled-hash join
-      // when its size conditions hold instead of always preferring
-      // sort-merge — SHJ skips the per-partition sort (at scale: the
-      // sort of TBs of shuffled rows). Size-guarded by the planner, so
-      // it's not a local-only tune; measured −1.1% on the join-heavy
-      // subset locally (tpch07/08/09 the movers). Verify runs under
-      // the same conf, so all 271 oracle gates hold under it.
-      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")) {
         case (b, (k, v)) => b.config(k, v)
       }

@@ -17,9 +17,6 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS); session-level so no query
       // constructor has to mutate shared conf (round-8 verdict)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // r17: same join-strategy conf as Bench (guide §3.1/§9) — the
-      // correctness surface must verify under the conf the bench runs
-      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

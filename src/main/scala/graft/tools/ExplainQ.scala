@@ -8,9 +8,6 @@ object ExplainQ {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // mirror Bench's session conf (r17) so plan dumps show the plans
-      // the bench actually runs
-      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // override for scale profiling (e.g. target/sf1, the 10x soak copy)
