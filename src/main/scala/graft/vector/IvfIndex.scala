@@ -157,23 +157,16 @@ object IvfIndex {
   }
 
   /** Nearest-cell assignment under the probe-side ranking (top-1 of
-    * [[Ann.probeCells]]'s score), emitted in the assignments schema. */
+    * [[Ann.probeCells]]'s score), emitted in the assignments schema —
+    * the shared [[Ann.nearestCell]] expression, so append and build can
+    * never drift on the tie convention (r17). */
   private def assignCells(df: DataFrame, vecCol: String, idCol: String,
-      centers: Array[Array[Double]]): DataFrame = {
-    val cellScores = centers.zipWithIndex.map { case (c, i) =>
-      val cLit = array(c.toIndexedSeq.map(lit): _*)
-      val c2 = c.map(x => x * x).sum
-      struct((VectorOps.dot(col("__arr"), cLit) * 2.0 - lit(c2)).as("score"),
-        lit(i).as("cell"))
-    }
+      centers: Array[Array[Double]]): DataFrame =
     df.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("__arr"))
-      .withColumn("cell",
-        element_at(reverse(array_sort(array(cellScores.toIndexedSeq: _*))), 1)
-          .getField("cell"))
+      .withColumn("cell", Ann.nearestCell(col("__arr"), centers))
       .select(col("id"), col("cell"),
         VectorOps.normalized(col("__arr")).as("nvec"))
-  }
 
   // Centroid memo (r16, the q218/q176 bench-drift decomposition): a
   // version's centroid set is IMMUTABLE (appendTo/prune write a NEW
