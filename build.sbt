@@ -24,6 +24,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 scalacOptions += "-deprecation"
+// The bench driver parses the LAST stdout line of `runMain graft.Bench`
+// as one JSON object. Two sbt behaviors have broken that parse every
+// round (r17 verdict item 1): the forked app's stdout is re-logged with
+// an "[info] " prefix (so the JSON line was never a bare JSON line),
+// and "[success] Total time ..." prints after it. Forward the forked
+// process's streams verbatim and suppress the success trailer so
+// Bench's compact JSON line is the literal last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

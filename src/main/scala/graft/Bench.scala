@@ -46,6 +46,31 @@ object Bench {
   def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  /** Locale.ROOT: the f-interpolator is locale-sensitive and a
+    * comma-decimal default locale would emit invalid JSON. */
+  private[graft] def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+
+  /** The driver-parseable bench line (r17 verdict item 1): COMPACT —
+    * contract fields only (total, per-query seconds, sf, cpus, plus the
+    * contamination flag and failed-query names, both tiny and
+    * load-bearing for interpreting the numbers). Every diagnostic
+    * (canary samples, reps, spreads, heals) lives ONLY in
+    * `target/bench.json`. MUST stay a single line: the driver parses
+    * the last stdout line of the run (see `build.sbt`'s
+    * `showSuccess := false`, which keeps sbt from printing its
+    * `[success] Total time ...` trailer after this). */
+  private[graft] def compactLine(mins: Seq[(String, Double)], total: Double,
+      sfDir: String, cpus: String, contaminated: Boolean,
+      errors: Seq[String]): String = {
+    val qs = mins.map { case (k, v) => s"\"$k\":${fmt(v)}" }
+      .mkString("{", ",", "}")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries":$qs,"sf":"$sfDir","cpus":$cpus,""" +
+      s""""contaminated":$contaminated,"errors":$errJson}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -55,6 +80,12 @@ object Bench {
     val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
       .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
       .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    // r17 ADVICE: a leftover A/B env var would silently perturb a
+    // recorded bench — make any non-default session loudly visible.
+    extraConf.foreach { case (k, v) =>
+      println(s"[bench] WARNING non-default session conf from " +
+        s"SPARK_GRAFT_EXTRA_CONF: $k=$v")
+    }
     val spark = extraConf.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -226,10 +257,6 @@ object Bench {
                      else canarySamples.map(_._2).min
     val contaminatedSpans = flaggedSpans
     val contaminated = contaminatedSpans.nonEmpty
-    // Locale.ROOT: the f-interpolator is locale-sensitive and a
-    // comma-decimal default locale would emit invalid JSON
-    def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.4f",
-      Double.box(d))
     val qs = mins.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
     val repsJson = reps.map { case (k, v) =>
@@ -258,12 +285,19 @@ object Bench {
     val flags = s""""contaminated":$contaminated,"contaminated_spans":${
       strArr(contaminatedSpans)},"healed_spans":${
       strArr(heals.map(_._1).toVector)},"errors":${strArr(errors)}"""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$flags}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir",$flags,"canary":$canaryJson,"reps":$repsJson,"spread":$spreads,"heals":$healsJson}"""
+    val line = compactLine(mins.toSeq, total, sfDir, cpus, contaminated,
+      errors)
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,$flags,"canary":$canaryJson,"reps":$repsJson,"spread":$spreads,"heals":$healsJson}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
-    println(line)
+    // full diagnostics (healed/contaminated spans) stay visible in the
+    // run log via stderr, keeping stdout's last line the parse target
+    Console.err.println(s"[bench] $flags")
     spark.stop()
+    // the contract line, printed after spark.stop() so NOTHING can
+    // follow it on stdout (r17 verdict item 1: the driver parses the
+    // last stdout line, which used to be sbt's `[success]` trailer)
+    println(line)
   }
 }
