@@ -33,6 +33,9 @@ scalacOptions += "-deprecation"
 // Bench's compact JSON line is the literal last stdout line.
 run / outputStrategy := Some(StdoutOutput)
 ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude
+// it from the unused-key lint so every build doesn't print a warning
+Global / excludeLintKeys += showSuccess
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -68,6 +68,24 @@ object Clusters {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var labels = nodes.select(col(idCol).as("__id"), col(idCol).as("__lbl"))
+    // FRONTIER (r18, guide §2.3/§2.4): the step join only needs the
+    // labels of nodes whose label CHANGED last round. Exact, not a
+    // heuristic: for a non-frontier neighbor u, lbl(u) is unchanged
+    // since the previous round, whose step already enforced
+    // lbl(v) ≤ lbl(u) for every neighbor (and the jump only lowers
+    // labels further) — so u's contribution to this round's
+    // neighbor-min is ≥ lbl(v) and cannot move it. Per-round labels
+    // are therefore IDENTICAL to the full-join form; late rounds join
+    // the edge table against the unconverged residue instead of the
+    // whole label table. Round 1 starts from "everything changed".
+    var frontier = labels
+    // rows in `frontier` (-1 = unknown/all): known exactly from the
+    // convergence count, so a small residue can be broadcast — the
+    // late-round step then probes the PERSISTED edge layout map-side
+    // with no exchange at all. 1M rows ≈ 16 MB broadcast, safely under
+    // driver/executor headroom at any scale.
+    var frontierRows = -1L
+    val broadcastCap = 1000000L
     var round = 0
     var converged = false
     // round-10: per-round stage timing behind an env flag, so a noisy
@@ -77,11 +95,16 @@ object Clusters {
     val progress = sys.env.contains("GRAFT_CC_PROGRESS")
     while (round < maxRounds && !converged) {
       val t0 = System.nanoTime()
-      // neighbor-min: lbl'(v) = min(lbl(v), min over (u,v)∈E of lbl(u))
+      // neighbor-min over the frontier: lbl'(v) = min(lbl(v),
+      // min over (u,v)∈E, u∈F of lbl(u)) — equal to the all-neighbor
+      // min by the frontier invariant above
+      val fl = (if (frontierRows >= 0 && frontierRows <= broadcastCap)
+                  broadcast(frontier) else frontier)
+        .select(col("__id").as("__fid"), col("__lbl").as("__flbl"))
       val nbrMin = edges
-        .join(labels, col("__src") === col("__id"))
+        .join(fl, col("__src") === col("__fid"))
         .groupBy(col("__dst").as("__id2"))
-        .agg(min(col("__lbl")).as("__nmin"))
+        .agg(min(col("__flbl")).as("__nmin"))
       // `__prev` carries the round-start label through the jump so
       // convergence is a flag scan of the checkpoint just written, not
       // a separate shuffle join back against `labels` (r17: the old
@@ -118,16 +141,20 @@ object Clusters {
         .localCheckpoint(true)
       val tCkpt = System.nanoTime()
       // one scalar action per round — a LOCAL scan of the checkpoint
-      // blocks just written (no join, no exchange): any surviving
-      // __chg row means the round moved a label
-      val changed = jumped.filter(col("__chg")).limit(1).count()
+      // blocks just written (no join, no exchange). A full count, not
+      // limit(1): the count IS the next frontier's size, which decides
+      // whether the residue is broadcastable (same blocks scanned
+      // either way).
+      val changed = jumped.filter(col("__chg")).count()
       converged = changed == 0
+      frontier = jumped.filter(col("__chg")).select(col("__id"), col("__lbl"))
+      frontierRows = changed
       labels = jumped.select(col("__id"), col("__lbl"))
       round += 1
       if (progress) println(f"[cc] round $round%d: " +
         f"step+jump+checkpoint ${(tCkpt - t0) / 1e9}%.3fs " +
         f"convergence-count ${(System.nanoTime() - tCkpt) / 1e9}%.3fs " +
-        f"converged=$converged")
+        f"frontier=$changed%d converged=$converged")
     }
     edges.unpersist(false)
     if (!converged) throw new IllegalStateException(

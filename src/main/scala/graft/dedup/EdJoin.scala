@@ -137,6 +137,10 @@ object EdJoin {
       .join(recs.select(col("__id").as("id_2"), col("__s").as("__s2"),
         col("__l").as("__l2")), "id_2")
       .filter(abs(col("__l1") - col("__l2")) <= tau)
+      // exact char-frequency count filter before the DP (r18 — same
+      // lossless prune as EntityResolution.matchPairs')
+      .filter(call_function("ed_freq_gate", col("__s1"), col("__s2"),
+        lit(2 * tau)))
       .withColumn("dist", levenshtein(col("__s1"), col("__s2"), tau))
       .filter(col("dist") >= 0)
       .select(col("id_1"), col("id_2"), col("dist"))

@@ -47,6 +47,11 @@ object EntityResolution {
     recs.as("a").hint("shuffle_hash").join(recs.as("b"),
         blockEq && col(s"a.$idCol") < col(s"b.$idCol") &&
           abs(col("a.__len") - col("b.__len")) <= maxDist)
+      // exact char-frequency count filter (r18, lossless: one edit
+      // moves the frequency-vector L1 distance by ≤ 2) — prunes most
+      // in-block pairs before they pay the banded Levenshtein DP
+      .filter(call_function("ed_freq_gate", col(s"a.$recordCol"),
+        col(s"b.$recordCol"), lit(2 * maxDist)))
       .withColumn("dist",
         levenshtein(col(s"a.$recordCol"), col(s"b.$recordCol"), maxDist))
       .filter(col("dist") >= 0)

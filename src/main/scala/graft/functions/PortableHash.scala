@@ -126,6 +126,11 @@ object GraftFunctions {
       (children: Seq[Expression]) => NormalizeDocText(children.head),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ed_freq_gate",
+      (children: Seq[Expression]) => EdFreqGate(children.head, children(1),
+        children(2).eval().asInstanceOf[Int]),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fingerprints",
       (children: Seq[Expression]) =>
         WinnowFingerprints(children.head, children(1), children(2)),
@@ -244,6 +249,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NormalizeDocText].getCanonicalName, "normalize_doc_text"),
       (children: Seq[Expression]) => NormalizeDocText(children.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("ed_freq_gate"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[EdFreqGate].getCanonicalName, "ed_freq_gate"),
+      (children: Seq[Expression]) => EdFreqGate(children.head, children(1),
+        children(2).eval().asInstanceOf[Int])))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_fingerprints"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -164,11 +164,13 @@ object Spot100Soak {
     // warm all three scales once, then min-of-2 interleaved (the
     // ScaleSoak contention discipline)
     torun.foreach { q => time(q, src); time(q, sf1); time(q, sf10) }
-    val rows = torun.map { q =>
+    def measure(q: String): (Double, Double, Double) = {
       val a01 = time(q, src); val a1 = time(q, sf1); val a10 = time(q, sf10)
       val b01 = time(q, src); val b1 = time(q, sf1); val b10 = time(q, sf10)
-      val (t01, t1, t10) = (math.min(a01, b01), math.min(a1, b1),
-        math.min(a10, b10))
+      (math.min(a01, b01), math.min(a1, b1), math.min(a10, b10))
+    }
+    val rows0 = torun.map { q =>
+      val (t01, t1, t10) = measure(q)
       val ri = (rowsIn(q, src), rowsIn(q, sf1), rowsIn(q, sf10))
       val ro = (rowsOut(q, src), rowsOut(q, sf1), rowsOut(q, sf10))
       println(f"[spot100] $q sf0.1=$t01%.2fs sf1=$t1%.2fs sf10=$t10%.2fs " +
@@ -176,6 +178,45 @@ object Spot100Soak {
         f"r100=${t10 / t01}%.2f rows_in=${ri._1}/${ri._2}/${ri._3} " +
         s"rows_out=${ro._1}/${ro._2}/${ro._3}")
       (q, t01, t1, t10, ri, ro)
+    }
+    // MECHANIZED solo re-run (r17 verdict item 6): twice in r17 a
+    // soak-batch measurement recorded a ~2× artifact (JVM interference
+    // from the surrounding batch) that only a solo re-run exposed. Any
+    // entry whose sf10 time moved >25% vs its prior recording is now
+    // automatically re-measured at the END of the batch — no other soak
+    // query in flight, the closest one JVM gets to a solo run — and
+    // every written entry carries a `solo` provenance flag.
+    val priorSf10: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("BENCH_100x.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val root = JsonMethods.parse(
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        (root \ "queries") match {
+          case JObject(fields) => fields.collect {
+            case (q, JObject(vs)) => vs.toMap.get("sf10_sec").collect {
+              case JDouble(x) => q -> x
+              case JInt(x) => q -> x.toDouble
+              case JDecimal(x) => q -> x.toDouble
+            }
+          }.flatten.toMap
+          case _ => Map.empty
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    }
+    val rows = rows0.map { case (q, t01, t1, t10, ri, ro) =>
+      val moved = priorSf10.get(q).exists(p =>
+        math.abs(t10 - p) / math.max(p, 1e-9) > 0.25)
+      if (!moved) (q, t01, t1, t10, ri, ro, false)
+      else {
+        val (s01, s1, s10) = measure(q)
+        println(f"[spot100] $q SOLO re-measure (moved >25%% vs prior " +
+          f"${priorSf10(q)}%.2fs): sf0.1=$s01%.2fs sf1=$s1%.2fs " +
+          f"sf10=$s10%.2fs")
+        (q, s01, s1, s10, ri, ro, true)
+      }
     }
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(d))
@@ -213,13 +254,14 @@ object Spot100Soak {
         }
       }
     }
-    val fresh = rows.map { case (q, t01, t1, t10, ri, ro) =>
+    val fresh = rows.map { case (q, t01, t1, t10, ri, ro, solo) =>
       q -> (s"""{"sf01_sec": ${fmt(t01)}, "sf1_sec": ${fmt(t1)}, """ +
         s""""sf10_sec": ${fmt(t10)}, "ratio_10x": ${fmt(t1 / t01)}, """ +
         s""""ratio_100x_over_10x": ${fmt(t10 / t1)}, """ +
         s""""ratio_100x": ${fmt(t10 / t01)}, """ +
         s""""rows_in": [${ri._1}, ${ri._2}, ${ri._3}], """ +
-        s""""rows_out": [${ro._1}, ${ro._2}, ${ro._3}]}""")
+        s""""rows_out": [${ro._1}, ${ro._2}, ${ro._3}], """ +
+        s""""solo": $solo}""")
     }
     val merged = scala.collection.mutable.LinkedHashMap.empty[String, String]
     prior.foreach { case (q, v) => merged(q) = v }
