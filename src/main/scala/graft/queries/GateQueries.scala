@@ -52,37 +52,11 @@ object GateQueries {
     * 4 here, exactly as a production job sizes state partitions to key
     * cardinality (and raises them for a 100 TB stream). The conf is
     * set/restored around the bounded run only. */
-  /** State-partition count for a bounded streaming gate, derived from
-    * the fixture's on-disk size (r18, guide §2: partitioning must be
-    * scale-adaptive, not a constant tuned for one scale). Keyed-state
-    * operators commit one store per state partition per micro-batch, so
-    * the KB-scale driver fixtures keep the measured 4-partition floor
-    * (sf0.1 events ≈ 2 MB → 4, bench-comparable with every prior
-    * round), while the 100× soak (~160 MB) spreads its millions of
-    * state keys across the session's full parallelism instead of
-    * bottlenecking the state stage 4-wide: one ~4 MB input slice per
-    * state partition, capped at the core count. */
-  private def statePartitionsFor(s: SparkSession,
-      dataDir: Option[String]): Int = dataDir.map { d =>
-    val p = java.nio.file.Paths.get(d, "events.parquet")
-    val bytes =
-      if (!java.nio.file.Files.exists(p)) 0L
-      else if (java.nio.file.Files.isDirectory(p)) {
-        val st = java.nio.file.Files.list(p)
-        try st.filter(java.nio.file.Files.isRegularFile(_))
-          .mapToLong(java.nio.file.Files.size(_)).sum()
-        finally st.close()
-      } else java.nio.file.Files.size(p)
-    math.max(4, math.min(s.sparkContext.defaultParallelism,
-      (bytes / (4L << 20)).toInt))
-  }.getOrElse(4)
-
   private def runToMemory(s: SparkSession, streamDf: DataFrame,
-      name: String, outputMode: String = "complete",
-      dataDir: Option[String] = None): DataFrame = {
+      name: String, outputMode: String = "complete"): DataFrame = {
     val shuffleKey = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(shuffleKey)
-    s.conf.set(shuffleKey, statePartitionsFor(s, dataDir).toString)
+    s.conf.set(shuffleKey, "4")
     try {
       val q = streamDf.writeStream.format("memory").queryName(name)
         .outputMode(outputMode)
@@ -641,7 +615,7 @@ object GateQueries {
     // completion on the bounded fixture and gated against the same SQL
     // oracle as the batch form — the streaming family's first oracle gate.
     "q100_streaming_tumbling" -> { (s, d) =>
-      runToMemory(s, q100Plan(s, d), "graft_q100_mem", dataDir = Some(d))
+      runToMemory(s, q100Plan(s, d), "graft_q100_mem")
         .select(col("user_id"),
           col("window_start").cast("double").as("window_start"),
           col("n"), col("value_sum"))
@@ -655,7 +629,7 @@ object GateQueries {
     // of the stream. The counts-based Eval entry point exists for
     // exactly this composition.
     "q243_streaming_drift" -> { (s, d) =>
-      val counts = runToMemory(s, q243Plan(s, d), "graft_q243_mem", dataDir = Some(d))
+      val counts = runToMemory(s, q243Plan(s, d), "graft_q243_mem")
         .select(col("window_start"), col("event_type"), col("n"))
       graft.agg.Eval.chiSquareDriftByGroupFromCounts(counts,
           "window_start", "event_type", "n")
@@ -669,7 +643,7 @@ object GateQueries {
     // the previous one (break is strictly > gap — verified on 4.1.2),
     // which the oracle's lag-cumsum sessionization mirrors.
     "q101_streaming_session" -> { (s, d) =>
-      runToMemory(s, q101Plan(s, d), "graft_q101_mem", dataDir = Some(d))
+      runToMemory(s, q101Plan(s, d), "graft_q101_mem")
         .select(col("user_id"),
           col("session_start").cast("double").as("session_start"),
           col("session_end").cast("double").as("session_end"),
@@ -686,8 +660,7 @@ object GateQueries {
       assertEventTriplesUnique(s, d)
       // sentinel on the quote side: pushes the final watermark past all
       // real events (see eventsStreamWithSentinel); keyed -1, never joins
-      runToMemory(s, q104Plan(s, d), "graft_q104_mem", outputMode = "append",
-        dataDir = Some(d))
+      runToMemory(s, q104Plan(s, d), "graft_q104_mem", outputMode = "append")
         .select(col("key").cast("bigint").as("user_id"),
           col("ts").cast("double").as("tsd"), col("value"),
           col("quote_ts").cast("double").as("quote_tsd"), col("quote_value"))
@@ -704,8 +677,7 @@ object GateQueries {
       assertEventTriplesUnique(s, d)
       // sentinel on the alpha side: pushes the final watermark past all
       // real events; an alpha with no tick at-or-after it never emits
-      runToMemory(s, q105Plan(s, d), "graft_q105_mem", outputMode = "append",
-        dataDir = Some(d))
+      runToMemory(s, q105Plan(s, d), "graft_q105_mem", outputMode = "append")
         .select(col("key").cast("bigint").as("user_id"),
           col("ts").cast("double").as("tsd"), col("value"),
           col("fill_ts").cast("double").as("fill_tsd"), col("fill_value"))
@@ -721,8 +693,7 @@ object GateQueries {
     // matches ripen.
     "q128_streaming_cep" -> { (s, d) =>
       assertEventTriplesUnique(s, d)
-      runToMemory(s, q128Plan(s, d), "graft_q128_mem", outputMode = "append",
-        dataDir = Some(d))
+      runToMemory(s, q128Plan(s, d), "graft_q128_mem", outputMode = "append")
         .select(col("key").cast("bigint").as("user_id"),
           col("a_t").cast("double").as("a_t"),
           col("b_t").cast("double").as("b_t"),
@@ -779,7 +750,7 @@ object GateQueries {
     // StreamingOps.windowedAgg; this gates hop != size — each event in
     // two overlapping windows — against q44's lateral-hop oracle).
     "q108_streaming_hopping" -> { (s, d) =>
-      runToMemory(s, q108Plan(s, d), "graft_q108_mem", dataDir = Some(d))
+      runToMemory(s, q108Plan(s, d), "graft_q108_mem")
         .select(col("user_id"),
           col("window_start").cast("double").as("window_start"),
           col("n"), col("value_sum"))
@@ -796,8 +767,7 @@ object GateQueries {
     // single-copy oracle.
     "q109_streaming_distinct" -> { (s, d) =>
       assertEventTriplesUnique(s, d)
-      runToMemory(s, q109Plan(s, d), "graft_q109_mem", outputMode = "append",
-        dataDir = Some(d))
+      runToMemory(s, q109Plan(s, d), "graft_q109_mem", outputMode = "append")
         .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
         .orderBy("user_id", "event_type")
     },
@@ -805,8 +775,7 @@ object GateQueries {
     // streaming corpus maintenance: documents tagged against the
     // standing corpus as they arrive (see q148Plan).
     "q148_streaming_dedup" -> { (s, d) =>
-      runToMemory(s, q148Plan(s, d), "graft_q148_mem", outputMode = "append",
-        dataDir = Some(d))
+      runToMemory(s, q148Plan(s, d), "graft_q148_mem", outputMode = "append")
         .orderBy("doc_id", "match_id")
     },
 
@@ -814,8 +783,7 @@ object GateQueries {
     // with the same time-range predicate is the oracle — a bounded
     // AvailableNow run must emit exactly the batch answer.
     "q191_stream_stream_join" -> { (s, d) =>
-      runToMemory(s, q191Plan(s, d), "graft_q191_mem", outputMode = "append",
-        dataDir = Some(d))
+      runToMemory(s, q191Plan(s, d), "graft_q191_mem", outputMode = "append")
         .orderBy("user_id", "p_event_id", "v_event_id")
     },
 
@@ -871,8 +839,7 @@ object GateQueries {
     // emit with a null view id once the (sentinel-pushed) watermark
     // passes them — the batch left join is the oracle.
     "q198_stream_stream_outer" -> { (s, d) =>
-      runToMemory(s, q198Plan(s, d), "graft_q198_mem", outputMode = "append",
-        dataDir = Some(d))
+      runToMemory(s, q198Plan(s, d), "graft_q198_mem", outputMode = "append")
         .filter(col("user_id") >= 0) // batch-side sentinel drop (q198Plan doc)
         .orderBy("user_id", "p_event_id", "v_event_id")
     },
